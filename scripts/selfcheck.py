@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`: for each query
+parquet dump in <outDir>, runs the matching oracle SQL from
+oracle_sql.json in DuckDB against the raw testdata tables, then compares
+(column-name-sorted, row-sorted) values. Exit 0 iff all match.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <outDir>
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def frame(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output")
+            failures += 1
+            continue
+        scols, srows = frame(
+            con, f"SELECT * FROM read_parquet({files!r})")
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle (rows={len(srows)})")
+            continue
+        try:
+            ocols, orows = frame(con, oracle[name])
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        if scols != ocols:
+            print(f"FAIL {name}: columns {scols} != {ocols}")
+            failures += 1
+            continue
+        if srows != orows:
+            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+            for i, (a, b) in enumerate(zip(srows, orows)):
+                if a != b:
+                    print(f"  first diff at sorted row {i}:")
+                    print(f"    spark : {a}")
+                    print(f"    oracle: {b}")
+                    break
+            else:
+                n = min(len(srows), len(orows))
+                print(f"  length mismatch after {n} equal rows")
+                if len(srows) > n:
+                    print(f"    spark extra : {srows[n]}")
+                if len(orows) > n:
+                    print(f"    oracle extra: {orows[n]}")
+            failures += 1
+            continue
+        print(f"OK   {name}: {len(srows)} rows")
+    print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

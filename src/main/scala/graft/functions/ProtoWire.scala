@@ -1,0 +1,151 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Hand-rolled proto3 wire-format encoder for the reference's output
+  * schema (`/root/reference/src/main/proto/sstable.proto:1-16`):
+  *
+  * {{{
+  * message Column { bytes name = 1; bytes value = 2; fixed64 writeTime = 3; }
+  * message Row    { bytes key = 1; repeated Column columns = 2; }
+  * }}}
+  *
+  * and the varint length-delimited framing `writeDelimitedTo` uses
+  * (`/root/reference/.../Runner.java:118`). Proto3 semantics: fields at
+  * their default value (empty bytes, zero fixed64) are skipped, matching
+  * what `protobuf-java` emits for the reference's builders.
+  *
+  * The wire format is public Google documentation
+  * (protobuf.dev/programming-guides/encoding): little-endian base-128
+  * varints, tag = (fieldNumber << 3) | wireType, wireType 2 = LEN,
+  * wireType 1 = I64.
+  */
+object ProtoWire {
+
+  def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0L) {
+      out.write(((v & 0x7F) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  def varintSize(v: Long): Int = {
+    var n = 1
+    var x = v
+    while ((x & ~0x7FL) != 0L) { n += 1; x >>>= 7 }
+    n
+  }
+
+  private def writeLenField(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit =
+    if (bytes != null && bytes.length > 0) {
+      out.write((field << 3) | 2)
+      writeVarint(out, bytes.length.toLong)
+      out.write(bytes, 0, bytes.length)
+    }
+
+  private def writeFixed64(out: ByteArrayOutputStream, field: Int, v: Long): Unit =
+    if (v != 0L) {
+      out.write((field << 3) | 1)
+      var i = 0
+      while (i < 8) { out.write(((v >>> (8 * i)) & 0xFF).toInt); i += 1 }
+    }
+
+  /** Encode one Column message body. */
+  def encodeColumn(name: Array[Byte], value: Array[Byte], writeTime: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream(32)
+    writeLenField(out, 1, name)
+    writeLenField(out, 2, value)
+    writeFixed64(out, 3, writeTime)
+    out.toByteArray
+  }
+
+  /** Encode one Row message body from a key and an ArrayData of
+    * struct&lt;name:binary, value:binary, writeTime:long&gt;. Invoked both
+    * from interpreted eval and from whole-stage-generated code.
+    */
+  def encodeRow(key: Array[Byte], columns: ArrayData): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    writeLenField(out, 1, key)
+    if (columns != null) {
+      var i = 0
+      val n = columns.numElements()
+      while (i < n) {
+        val r = columns.getStruct(i, 3)
+        val col = encodeColumn(
+          if (r.isNullAt(0)) null else r.getBinary(0),
+          if (r.isNullAt(1)) null else r.getBinary(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+        // repeated message field: always emitted, even when empty
+        out.write((2 << 3) | 2)
+        writeVarint(out, col.length.toLong)
+        out.write(col, 0, col.length)
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** varint-length-prefix a message (== protobuf writeDelimitedTo). */
+  def delimit(msg: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(msg.length + 5)
+    writeVarint(out, msg.length.toLong)
+    out.write(msg, 0, msg.length)
+    out.toByteArray
+  }
+
+  // ---- Column-API surface ----
+
+  /** `proto_row(key, columns)` — Row message bytes (unframed). */
+  def proto_row(key: Column, columns: Column): Column =
+    Shim.column(ProtoEncodeRowExpr(Shim.expression(key), Shim.expression(columns)))
+
+  /** `proto_delimited(msg)` — varint-framed message bytes. */
+  def proto_delimited(msg: Column): Column =
+    Shim.column(VarintDelimitExpr(Shim.expression(msg)))
+}
+
+/** Catalyst expression: (key binary, columns array&lt;struct&gt;) → Row
+  * message bytes. Stays inside whole-stage codegen by delegating to the
+  * static encoder above — no UDF/serialization round trip.
+  */
+case class ProtoEncodeRowExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "proto_row"
+
+  override protected def nullSafeEval(key: Any, cols: Any): Any =
+    ProtoWire.encodeRow(key.asInstanceOf[Array[Byte]], cols.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (k, c) =>
+      s"${ev.value} = graft.functions.ProtoWire.encodeRow($k, $c);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Catalyst expression: varint length prefix (writeDelimitedTo framing). */
+case class VarintDelimitExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "proto_delimited"
+
+  override protected def nullSafeEval(msg: Any): Any =
+    ProtoWire.delimit(msg.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, m => s"graft.functions.ProtoWire.delimit($m)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

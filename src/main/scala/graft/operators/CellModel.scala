@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's data model — Cassandra COMPACT STORAGE wide rows:
+  * `partition(key: blob) → sorted cells (name: blob, value: blob,
+  * writeTime: µs long)` with partition- and cell-level tombstones
+  * (SURVEY.md §1; `service/SSTableReader.java:24-43,79-107`) — projected
+  * deterministically onto the driver's `events` table (FIXTURES.md §B
+  * mapping: `user_id` ≙ partition key, `event_id`/`event_type` ≙ cell
+  * name, `props` ≙ cell value, `ts` ≙ writeTime).
+  *
+  * Cell kinds mirror the O8 filter taxonomy
+  * (`service/SSTableReader.java:92-103`):
+  *   error → deleted cell, signup → expiring (TTL) cell,
+  *   view → counter cell, click/purchase → live.
+  * Partition tombstone (O7, `:79`): user_id % 50 == 0.
+  *
+  * Two views: `cellStrings` (string-typed, the oracle-facing working
+  * representation) and `cells` (binary-typed, the faithful blob model
+  * feeding the proto encode). `events.ts` arrives as epoch-nanoseconds
+  * long (see [[graft.sources.Tables]]); writeTime is `ts DIV 1000` µs.
+  *
+  * Scale note: the cell projection is narrow (no shuffle); the only wide
+  * stage in the whole pipeline is the per-key nest (O10), which at 100 TB
+  * is a single hash aggregation shuffled on `key` — the same key the
+  * storage is sorted by, so with a key-ordered DSv2 source it degenerates
+  * to a shuffle-free `mapPartitions` (SURVEY.md §4.3).
+  */
+object CellModel {
+
+  /** Zero-pad event_id so lexicographic order == numeric order —
+    * the cell comparator the reference inherits from storage (O16).
+    */
+  private val cellName: Column =
+    concat(lpad(col("event_id").cast("string"), 12, "0"),
+      lit(":"), col("event_type"))
+
+  /** String-typed flat cells: key, name, value, write_time, kind,
+    * partition_deleted. Oracle-comparable working representation.
+    */
+  def cellStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("user_id").cast("string").as("key"),
+      cellName.as("name"),
+      col("props").as("value"),
+      expr("ts DIV 1000").as("write_time"),
+      when(col("event_type") === "error", "deleted")
+        .when(col("event_type") === "signup", "expiring")
+        .when(col("event_type") === "view", "counter")
+        .otherwise("live").as("kind"),
+      (col("user_id") % 50 === 0).as("partition_deleted"))
+
+  /** O7 + O8: drop tombstoned partitions, keep only live cells. */
+  def liveCellStrings(spark: SparkSession, dir: String): DataFrame =
+    cellStrings(spark, dir)
+      .filter(!col("partition_deleted") && col("kind") === "live")
+      .drop("kind", "partition_deleted")
+
+  /** Binary flat cells — the faithful blob/blob/blob model (§1.4). */
+  def cells(spark: SparkSession, dir: String): DataFrame =
+    cellStrings(spark, dir).select(
+      encode(col("key"), "UTF-8").as("key"),
+      encode(col("name"), "UTF-8").as("name"),
+      encode(col("value"), "UTF-8").as("value"),
+      col("write_time"), col("kind"), col("partition_deleted"))
+
+  def liveCells(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir)
+      .filter(!col("partition_deleted") && col("kind") === "live")
+      .drop("kind", "partition_deleted")
+
+  /** O10: per-key ordered nest — the signature aggregation of the
+    * reference (`rowMapper`, `service/SSTableReader.java:87-109`).
+    * `sort_array` reproduces comparator order; `collect_list` is the
+    * grouped collect. One shuffle on `key`.
+    */
+  def nestRows(spark: SparkSession, dir: String): DataFrame =
+    liveCells(spark, dir)
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(
+        col("name"), col("value"), col("write_time")))).as("columns"))
+
+  /** Inverse of nestRows (flatten) — validates the round trip. */
+  def explodeCells(spark: SparkSession, dir: String): DataFrame =
+    nestRows(spark, dir)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(col("key"), col("c.name").as("name"),
+        col("c.value").as("value"), col("c.write_time").as("write_time"))
+
+  /** O11: nest + proto3-encode each partition (unframed + framed). */
+  def encodeProto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ProtoWire._
+    nestRows(spark, dir)
+      .select(col("key"), proto_row(col("key"), col("columns")).as("proto"))
+      .select(col("key"), col("proto"),
+        proto_delimited(col("proto")).as("framed"))
+  }
+}

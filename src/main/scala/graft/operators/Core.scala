@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Reference-equivalent core pipeline as oracle-checkable queries
+  * (SURVEY.md §2 rows O1–O16; §7 phase 1). Each entry has a matching
+  * DuckDB oracle in [[oracle]] unless the output is non-SQL-expressible
+  * (proto bytes), in which case the driver records a rows-only check.
+  *
+  * Scale notes per query are inline; the common theme: projections and
+  * filters are narrow and pushed to the parquet scan, the only wide
+  * stage is the per-key nest / global agg, which shuffles on the same
+  * key the storage sorts by.
+  */
+object Core {
+
+  /** O1+O9: scan + projection + pushed filter on lineitem. The filter
+    * and the 4-column read schema both reach the parquet scan (verified
+    * by PlanSpec). Narrow, no shuffle.
+    */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+
+  /** O7+O8: liveness filters over the cell model (drop partition
+    * tombstones, keep live cells only). Narrow.
+    */
+  def filterLive(spark: SparkSession, dir: String): DataFrame =
+    CellModel.liveCellStrings(spark, dir)
+
+  /** O4: partition-key range predicate. The range on user_id is pushed
+    * to the scan (row-group pruning at scale); per-key aggregates are
+    * one shuffle on the range subset only.
+    */
+  def keyRange(spark: SparkSession, dir: String): DataFrame =
+    CellModel.liveCellStrings(spark, dir)
+      .filter(col("key").cast("long") >= 100 && col("key").cast("long") < 400)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("name")).as("first_name"),
+        max(col("name")).as("last_name"))
+
+  /** O10: per-key ordered nest, canonicalised to a string so the DuckDB
+    * oracle can reproduce it exactly (array<struct> hash comparison is
+    * representation-fragile). One shuffle on key; partial aggregation
+    * (map-side collect_list) applies.
+    */
+  def nestRows(spark: SparkSession, dir: String): DataFrame =
+    CellModel.liveCellStrings(spark, dir)
+      .groupBy(col("key"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("name"), col("value"),
+              col("write_time")))),
+            c => concat_ws(":", c.getField("name"), c.getField("value"),
+              c.getField("write_time"))),
+          "|").as("cells_str"),
+        count(lit(1)).as("n_cells"))
+
+  /** O10 inverse: nest then flatten — must round-trip to filterLive. */
+  def explodeCells(spark: SparkSession, dir: String): DataFrame =
+    CellModel.nestRows(spark, dir)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+
+  /** O11: proto3 Row encode + varint framing (rows-only check here;
+    * byte-exactness is asserted by golden tests against protobuf-java
+    * wire format in ProtoWireSpec).
+    */
+  def encodeProto(spark: SparkSession, dir: String): DataFrame =
+    CellModel.encodeProto(spark, dir)
+      .select(decode(col("key"), "UTF-8").as("key"),
+        length(col("proto")).as("proto_len"),
+        length(col("framed")).as("framed_len"))
+
+  /** O14: per-file job metrics as aggregates — cell/partition counts,
+    * payload bytes, write-time bounds. Single wide stage, tiny output.
+    */
+  def fileMetrics(spark: SparkSession, dir: String): DataFrame =
+    CellModel.cellStrings(spark, dir).agg(
+      count(lit(1)).as("n_cells"),
+      countDistinct(col("key")).as("n_partitions"),
+      sum(when(col("kind") === "live" && !col("partition_deleted"), 1L)
+        .otherwise(0L)).as("n_live_cells"),
+      countDistinct(when(col("partition_deleted"), col("key")))
+        .as("n_dead_partitions"),
+      sum(length(col("value"))).as("value_bytes"),
+      min(col("write_time")).as("min_write_time"),
+      max(col("write_time")).as("max_write_time"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> scanProject,
+    "q02_filter_live" -> filterLive,
+    "q03_key_range" -> keyRange,
+    "q04_nest_rows" -> nestRows,
+    "q05_explode_cells" -> explodeCells,
+    "q06_encode_proto" -> encodeProto,
+    "q07_file_metrics" -> fileMetrics)
+
+  /** Shared oracle fragment: the string-cell projection of events. */
+  private val cellsSql =
+    """SELECT CAST(user_id AS VARCHAR) AS key,
+      |       lpad(CAST(event_id AS VARCHAR), 12, '0') || ':' || event_type AS name,
+      |       props AS value,
+      |       epoch_us(ts) AS write_time,
+      |       CASE WHEN event_type = 'error' THEN 'deleted'
+      |            WHEN event_type = 'signup' THEN 'expiring'
+      |            WHEN event_type = 'view' THEN 'counter'
+      |            ELSE 'live' END AS kind,
+      |       (user_id % 50 = 0) AS partition_deleted
+      |FROM events""".stripMargin
+
+  private val liveCellsSql =
+    s"SELECT key, name, value, write_time FROM ($cellsSql) " +
+      "WHERE NOT partition_deleted AND kind = 'live'"
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan_project" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag " +
+        "FROM lineitem WHERE l_quantity >= 45.0"),
+    "q02_filter_live" -> liveCellsSql,
+    "q03_key_range" ->
+      (s"SELECT key, count(*) AS n_cells, min(name) AS first_name, " +
+        s"max(name) AS last_name FROM ($liveCellsSql) " +
+        "WHERE CAST(key AS BIGINT) >= 100 AND CAST(key AS BIGINT) < 400 " +
+        "GROUP BY key"),
+    "q04_nest_rows" ->
+      (s"SELECT key, string_agg(name || ':' || value || ':' || " +
+        "CAST(write_time AS VARCHAR), '|' " +
+        "ORDER BY name, value, write_time) AS cells_str, " +
+        s"count(*) AS n_cells FROM ($liveCellsSql) GROUP BY key"),
+    "q05_explode_cells" -> liveCellsSql,
+    "q07_file_metrics" ->
+      (s"SELECT count(*) AS n_cells, count(DISTINCT key) AS n_partitions, " +
+        "CAST(sum(CASE WHEN kind = 'live' AND NOT partition_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_live_cells, " +
+        "count(DISTINCT CASE WHEN partition_deleted THEN key END) AS n_dead_partitions, " +
+        "CAST(sum(length(value)) AS BIGINT) AS value_bytes, " +
+        "min(write_time) AS min_write_time, " +
+        s"max(write_time) AS max_write_time FROM ($cellsSql)"))
+}
