@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator coverage over the TPC-H-ish testdata: hash/broadcast
+  * joins, grouped aggregation, window top-k, set ops, semi/anti joins.
+  *
+  * Exactness discipline for the DuckDB oracle: money/quantity doubles are
+  * converted to integer cents / basis points first, aggregated exactly in
+  * integer/decimal space, and only divided back to double at the very end —
+  * identical IEEE ops on identical integers on both engines, so hashes
+  * match bit-for-bit regardless of summation order. Floating-point sums of
+  * doubles are never compared directly.
+  */
+object Relational {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private def bps(c: Column): Column = round(c * 10000, 0).cast("long")
+
+  /** TPC-H Q1-style pricing summary. One shuffle (groupBy on 2 low-card
+    * cols); partial aggregation does the heavy lifting map-side, so at
+    * 100 TB the shuffle is a few KB per task.
+    */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("pc"),
+        bps(col("l_discount")).as("dc"),
+        bps(col("l_tax")).as("tc"))
+      // u6 = extended*(1-disc) in 1e-6 $; u10 adds (1+tax) in 1e-10 $.
+      .withColumn("u6", col("pc") * (lit(10000L) - col("dc")))
+      .withColumn("u10", (col("u6") * (lit(10000L) + col("tc")))
+        .cast("decimal(20,0)"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(col("qc")).cast("double") / 100.0).as("sum_qty"),
+        (sum(col("pc")).cast("double") / 100.0).as("sum_base_price"),
+        (sum(col("u6")).cast("double") / 1e6).as("sum_disc_price"),
+        (sum(col("u10")).cast("double") / 1e10).as("sum_charge"),
+        (sum(col("qc")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+        (sum(col("pc")).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
+        (sum(col("dc")).cast("double") / 10000.0 / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Revenue by nation for ASIA-region customers, 1995 orders:
+    * fact⋈fact shuffle join on o_orderkey, dimensions (region⋈nation⋈
+    * customer) explicitly broadcast — the 100 TB plan shape: one shuffle
+    * of lineitem, zero shuffles for dims.
+    */
+  def joinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val orders = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val line = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) *
+          (lit(10000L) - bps(col("l_discount")))).as("u6"))
+    line
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("u6")).cast("double") / 1e6).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_custs"))
+  }
+
+  /** Top-3 orders by price per market segment — two-phase top-k: salted
+    * local top-3 (bounded state per task) then a final window over the
+    * ≤ 3·salts·segments survivors. A naive Window over 5 segment
+    * partitions would funnel the whole table through 5 tasks at 100 TB.
+    */
+  def windowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"))
+    val local = o
+      .withColumn("salt", pmod(col("o_orderkey"), lit(64)))
+      .groupBy(col("c_mktsegment"), col("salt"))
+      .agg(slice(
+        reverse(sort_array(collect_list(
+          struct(col("price_c"), (-col("o_orderkey")).as("neg_key"))))),
+        1, 3).as("top"))
+      .select(col("c_mktsegment"), explode(col("top")).as("t"))
+      .select(col("c_mktsegment"), col("t.price_c").as("price_c"),
+        (-col("t.neg_key")).as("o_orderkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("price_c").desc, col("o_orderkey").asc)
+    local.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+        (col("price_c").cast("double") / 100.0).as("o_totalprice"))
+  }
+
+  /** Set ops: customers ordering in 1994 vs 1995 — INTERSECT / EXCEPT /
+    * UNION, each a shuffle on the (small, distinct) key set.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(year0: Int): DataFrame =
+      Tables.orders(spark, dir).filter(year(col("o_orderdate")) === year0)
+        .select(col("o_custkey")).distinct()
+    val a = custsIn(1994)
+    val b = custsIn(1995)
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionAll(a.except(b).withColumn("tag", lit("1994_only")))
+      .unionAll(b.except(a).withColumn("tag", lit("1995_only")))
+  }
+
+  /** Anti join: customers with no orders (left_anti, shuffle on custkey;
+    * null-safe by construction).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Semi join: suppliers in nations that have at least one customer with
+    * negative account balance (left_semi through a broadcast).
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val debtNations = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_nationkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(debtNations),
+        col("s_nationkey") === col("c_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_agg_pricing" -> aggPricing,
+    "q09_join_revenue" -> joinRevenue,
+    "q10_window_topn" -> windowTopn,
+    "q11_set_ops" -> setOps,
+    "q12_anti_join" -> antiJoin,
+    "q13_semi_join" -> semiJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q08_agg_pricing" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_quantity*100,0) AS BIGINT) AS qc,
+        |         CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc,
+        |         CAST(round(l_discount*10000,0) AS BIGINT) AS dc,
+        |         CAST(round(l_tax*10000,0) AS BIGINT) AS tc
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |), u AS (
+        |  SELECT *, pc*(10000-dc) AS u6,
+        |         CAST(pc*(10000-dc) AS HUGEINT)*(10000+tc) AS u10 FROM l
+        |)
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(qc) AS DOUBLE)/100.0 AS sum_qty,
+        |       CAST(sum(pc) AS DOUBLE)/100.0 AS sum_base_price,
+        |       CAST(sum(u6) AS DOUBLE)/1e6 AS sum_disc_price,
+        |       CAST(sum(u10) AS DOUBLE)/1e10 AS sum_charge,
+        |       CAST(sum(qc) AS DOUBLE)/100.0/count(*) AS avg_qty,
+        |       CAST(sum(pc) AS DOUBLE)/100.0/count(*) AS avg_price,
+        |       CAST(sum(dc) AS DOUBLE)/10000.0/count(*) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM u GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q09_join_revenue" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |                 *(10000 - CAST(round(l_discount*10000,0) AS BIGINT))) AS DOUBLE)/1e6 AS revenue,
+        |       count(DISTINCT o_orderkey) AS n_orders,
+        |       count(DISTINCT c_custkey) AS n_custs
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND date_part('year', o_orderdate) = 1995
+        |GROUP BY n_name""".stripMargin,
+    "q10_window_topn" ->
+      """SELECT c_mktsegment, rn, o_orderkey,
+        |       CAST(CAST(round(o_totalprice*100,0) AS BIGINT) AS DOUBLE)/100.0 AS o_totalprice
+        |FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY round(o_totalprice*100,0) DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rn <= 3""".stripMargin,
+    "q11_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1994),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995)
+        |SELECT o_custkey, 'both' AS tag FROM ((SELECT * FROM a) INTERSECT (SELECT * FROM b))
+        |UNION ALL
+        |SELECT o_custkey, '1994_only' AS tag FROM ((SELECT * FROM a) EXCEPT (SELECT * FROM b))
+        |UNION ALL
+        |SELECT o_custkey, '1995_only' AS tag FROM ((SELECT * FROM b) EXCEPT (SELECT * FROM a))""".stripMargin,
+    "q12_anti_join" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q13_semi_join" ->
+      ("SELECT s_suppkey, s_name, s_nationkey FROM supplier " +
+        "WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = s_nationkey " +
+        "AND c_acctbal < 0)"))
+}
