@@ -77,12 +77,24 @@ object CellModel {
     * reference (`rowMapper`, `service/SSTableReader.java:87-109`).
     * `sort_array` reproduces comparator order; `collect_list` is the
     * grouped collect. One shuffle on `key`.
+    *
+    * Matches the reference exactly for partitions with zero live cells:
+    * `rowMapper` runs after only the partition-tombstone filter
+    * (`service/SSTableReader.java:79-80`), so a live partition whose
+    * cells are all deleted/expiring/counter still yields a key-only
+    * `Row` with an empty `columns` list. We reproduce that by grouping
+    * ALL non-tombstoned partitions and collecting live cells
+    * conditionally (`collect_list` drops the nulls from the `when`).
     */
-  def nestRows(spark: SparkSession, dir: String): DataFrame =
-    liveCells(spark, dir)
+  def nestCells(cellsDf: DataFrame): DataFrame =
+    cellsDf
+      .filter(!col("partition_deleted"))
       .groupBy(col("key"))
-      .agg(sort_array(collect_list(struct(
-        col("name"), col("value"), col("write_time")))).as("columns"))
+      .agg(sort_array(collect_list(when(col("kind") === "live", struct(
+        col("name"), col("value"), col("write_time"))))).as("columns"))
+
+  def nestRows(spark: SparkSession, dir: String): DataFrame =
+    nestCells(cells(spark, dir))
 
   /** Inverse of nestRows (flatten) — validates the round trip. */
   def explodeCells(spark: SparkSession, dir: String): DataFrame =

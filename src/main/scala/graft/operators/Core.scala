@@ -48,20 +48,24 @@ object Core {
   /** O10: per-key ordered nest, canonicalised to a string so the DuckDB
     * oracle can reproduce it exactly (array<struct> hash comparison is
     * representation-fragile). One shuffle on key; partial aggregation
-    * (map-side collect_list) applies.
+    * (map-side collect_list) applies. Like the reference's `rowMapper`
+    * (run after only the partition-tombstone filter), partitions whose
+    * cells are all non-live still emit a key-only row: cells_str = '',
+    * n_cells = 0 (see [[CellModel.nestCells]]).
     */
   def nestRows(spark: SparkSession, dir: String): DataFrame =
-    CellModel.liveCellStrings(spark, dir)
+    CellModel.cellStrings(spark, dir)
+      .filter(!col("partition_deleted"))
       .groupBy(col("key"))
       .agg(
         array_join(
           transform(
-            sort_array(collect_list(struct(col("name"), col("value"),
-              col("write_time")))),
+            sort_array(collect_list(when(col("kind") === "live",
+              struct(col("name"), col("value"), col("write_time"))))),
             c => concat_ws(":", c.getField("name"), c.getField("value"),
               c.getField("write_time"))),
           "|").as("cells_str"),
-        count(lit(1)).as("n_cells"))
+        count(when(col("kind") === "live", lit(1))).as("n_cells"))
 
   /** O10 inverse: nest then flatten — must round-trip to filterLive. */
   def explodeCells(spark: SparkSession, dir: String): DataFrame =
@@ -134,10 +138,11 @@ object Core {
         "WHERE CAST(key AS BIGINT) >= 100 AND CAST(key AS BIGINT) < 400 " +
         "GROUP BY key"),
     "q04_nest_rows" ->
-      (s"SELECT key, string_agg(name || ':' || value || ':' || " +
-        "CAST(write_time AS VARCHAR), '|' " +
-        "ORDER BY name, value, write_time) AS cells_str, " +
-        s"count(*) AS n_cells FROM ($liveCellsSql) GROUP BY key"),
+      (s"SELECT key, coalesce(string_agg(CASE WHEN kind = 'live' THEN " +
+        "name || ':' || value || ':' || CAST(write_time AS VARCHAR) END, '|' " +
+        "ORDER BY name, value, write_time), '') AS cells_str, " +
+        "count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells " +
+        s"FROM ($cellsSql) WHERE NOT partition_deleted GROUP BY key"),
     "q05_explode_cells" -> liveCellsSql,
     "q07_file_metrics" ->
       (s"SELECT count(*) AS n_cells, count(DISTINCT key) AS n_partitions, " +

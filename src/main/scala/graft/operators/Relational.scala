@@ -37,11 +37,14 @@ object Relational {
       .withColumn("u6", col("pc") * (lit(10000L) - col("dc")))
       .withColumn("u10", (col("u6") * (lit(10000L) + col("tc")))
         .cast("decimal(20,0)"))
+    // u6 ≈ 1e11 per row; summed in decimal so per-group row counts of
+    // 1e8+ (the 100 TB regime) widen instead of overflowing Long under
+    // ANSI mode. DuckDB side is HUGEINT, also exact.
     l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         (sum(col("qc")).cast("double") / 100.0).as("sum_qty"),
         (sum(col("pc")).cast("double") / 100.0).as("sum_base_price"),
-        (sum(col("u6")).cast("double") / 1e6).as("sum_disc_price"),
+        (sum(col("u6").cast("decimal(28,0)")).cast("double") / 1e6).as("sum_disc_price"),
         (sum(col("u10")).cast("double") / 1e10).as("sum_charge"),
         (sum(col("qc")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
         (sum(col("pc")).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
@@ -122,11 +125,15 @@ object Relational {
       .unionAll(b.except(a).withColumn("tag", lit("1995_only")))
   }
 
-  /** Anti join: customers with no orders (left_anti, shuffle on custkey;
-    * null-safe by construction).
+  /** Anti join: customers with no 1995 orders (left_anti, shuffle on
+    * custkey; null-safe by construction). Restricted to one order year
+    * so the result is non-empty at test SFs — every customer has some
+    * order, but not every customer ordered in 1995.
     */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"))
     Tables.customer(spark, dir)
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
@@ -208,7 +215,8 @@ object Relational {
         |SELECT o_custkey, '1995_only' AS tag FROM ((SELECT * FROM b) EXCEPT (SELECT * FROM a))""".stripMargin,
     "q12_anti_join" ->
       ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND date_part('year', o_orderdate) = 1995)"),
     "q13_semi_join" ->
       ("SELECT s_suppkey, s_name, s_nationkey FROM supplier " +
         "WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = s_nationkey " +

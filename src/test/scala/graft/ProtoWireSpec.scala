@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ProtoWire
+
+/** Golden-byte tests for the hand-rolled proto3 encoder against the wire
+  * format of `/root/reference/src/main/proto/sstable.proto:1-16` —
+  * expectations below are hand-decoded per protobuf.dev/programming-guides/
+  * encoding (varint, tag = (field << 3) | wireType, LEN = 2, I64 = 1),
+  * matching what protobuf-java's generated builders + `writeDelimitedTo`
+  * (`Runner.java:118`) emit for the same messages (proto3 default-value
+  * fields skipped).
+  */
+class ProtoWireSpec extends AnyFunSuite {
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("varint encoding: 1-byte, 2-byte, boundary values") {
+    def enc(v: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(out, v)
+      out.toByteArray
+    }
+    assert(enc(0L).sameElements(b(0x00)))
+    assert(enc(1L).sameElements(b(0x01)))
+    assert(enc(127L).sameElements(b(0x7F)))
+    assert(enc(128L).sameElements(b(0x80, 0x01)))
+    assert(enc(300L).sameElements(b(0xAC, 0x02))) // protobuf.dev example
+    assert(enc(16383L).sameElements(b(0xFF, 0x7F)))
+    assert(enc(16384L).sameElements(b(0x80, 0x80, 0x01)))
+  }
+
+  test("varintSize agrees with writeVarint") {
+    val probes = (0 to 20).map(1L << _) ++ Seq(0L, 1L, 127L, 128L, 300L,
+      16383L, 16384L, Int.MaxValue.toLong, Long.MaxValue)
+    for (v <- probes) {
+      val out = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(out, v)
+      assert(out.size() === ProtoWire.varintSize(v), s"v=$v")
+    }
+  }
+
+  test("Column message golden bytes (all fields set)") {
+    // name="c1", value="v1", writeTime=1000:
+    //   0A 02 'c' '1'  | field 1 LEN 2
+    //   12 02 'v' '1'  | field 2 LEN 2
+    //   19 E8 03 00*6  | field 3 I64, 1000 little-endian
+    val expected = b(0x0A, 0x02, 'c', '1', 0x12, 0x02, 'v', '1',
+      0x19, 0xE8, 0x03, 0, 0, 0, 0, 0, 0)
+    val got = ProtoWire.encodeColumn("c1".getBytes, "v1".getBytes, 1000L)
+    assert(got.sameElements(expected))
+  }
+
+  test("Column message: proto3 default fields are skipped") {
+    // empty name + zero writeTime are omitted, like protobuf-java builders
+    val got = ProtoWire.encodeColumn(Array.emptyByteArray, "x".getBytes, 0L)
+    assert(got.sameElements(b(0x12, 0x01, 'x')))
+  }
+
+  private def cols(rows: (String, String, Long)*): GenericArrayData =
+    new GenericArrayData(rows.map { case (n, v, t) =>
+      new GenericInternalRow(Array[Any](n.getBytes, v.getBytes, t))
+    }.toArray[Any])
+
+  test("Row message golden bytes (key + two columns)") {
+    // Row{key="k1", columns=[Column("c1","v1",1000), Column("","x",0)]}
+    val expected = b(
+      0x0A, 0x02, 'k', '1', // field 1 LEN 2 key
+      0x12, 0x11, // field 2 LEN 17: first Column message
+      0x0A, 0x02, 'c', '1', 0x12, 0x02, 'v', '1',
+      0x19, 0xE8, 0x03, 0, 0, 0, 0, 0, 0,
+      0x12, 0x03, // field 2 LEN 3: second Column message
+      0x12, 0x01, 'x')
+    val got = ProtoWire.encodeRow("k1".getBytes,
+      cols(("c1", "v1", 1000L), ("", "x", 0L)))
+    assert(got.sameElements(expected))
+  }
+
+  test("Row with zero columns encodes key only (empty-partition Row)") {
+    // reference emits a key-only Row for live partitions whose cells are
+    // all dead (rowMapper after the isLive filter, SSTableReader.java:79-109)
+    val got = ProtoWire.encodeRow("k".getBytes, cols())
+    assert(got.sameElements(b(0x0A, 0x01, 'k')))
+  }
+
+  test("delimit prepends exactly the varint of the length") {
+    val msg = Array.fill[Byte](300)(0x41)
+    val framed = ProtoWire.delimit(msg)
+    assert(framed.length === 302)
+    assert(framed(0) === 0xAC.toByte && framed(1) === 0x02.toByte)
+    assert(framed.drop(2).sameElements(msg))
+  }
+
+  test("delimit round-trip: varint prefix decodes back to message length") {
+    for (n <- Seq(0, 1, 127, 128, 129, 300, 4999)) {
+      val msg = Array.fill[Byte](n)(0x7A)
+      val framed = ProtoWire.delimit(msg)
+      // decode the varint prefix
+      var (v, shift, i) = (0L, 0, 0)
+      var done = false
+      while (!done) {
+        val byte = framed(i) & 0xFF
+        v |= (byte & 0x7FL) << shift
+        shift += 7; i += 1
+        if ((byte & 0x80) == 0) done = true
+      }
+      assert(v === n)
+      assert(framed.length - i === n)
+    }
+  }
+}
