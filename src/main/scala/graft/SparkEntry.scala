@@ -17,12 +17,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Core.encodeProto(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-data-pipeline extensions (dedup, similarity search, text
+    * analysis, event windows). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ Relational.queries
+    Core.queries ++ Relational.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ SimSearch.queries ++ Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Core.oracle ++ Relational.oracle
+    Core.oracle ++ Relational.oracle ++ Dedup.oracle ++
+      TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle
 }

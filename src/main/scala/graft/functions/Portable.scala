@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable building blocks for the LLM-data-pipeline operators
+  * (dedup, similarity search, text analysis). Everything here is chosen
+  * so the DuckDB oracle can reproduce results bit-for-bit:
+  *
+  *  - hashing is md5 (identical in both engines), with numeric hashes
+  *    taken as a hex prefix: 15 hex chars = 60 bits, always positive,
+  *    exactly representable in BIGINT on both sides;
+  *  - floating point only ever enters as a final division/sqrt of
+  *    exactly-computed integers (the same IEEE ops on the same operands
+  *    are bit-identical everywhere), mirroring the cents/bps discipline
+  *    of [[graft.operators.Relational]];
+  *  - embeddings are quantised to milli-units (floor(x*1000)) so dot
+  *    products and norms are exact BIGINT arithmetic.
+  *
+  * All helpers are row-local (no shuffle) and built from codegen-friendly
+  * `org.apache.spark.sql.functions` — no UDFs.
+  */
+object Portable {
+
+  /** Space-tokenised words with empties dropped — matches DuckDB
+    * `list_filter(string_split(text, ' '), w -> w <> '')`.
+    */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** 60-bit positive hash: first 15 hex chars of md5, as a long.
+    * DuckDB mirror: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** 16-bit hash (first 4 hex chars of md5) for SimHash bit votes. */
+  def hash16(s: Column): Column =
+    conv(substring(md5(s), 1, 4), 16, 10).cast("int")
+
+  /** Word 3-gram shingles (with duplicates; wrap in array_distinct for
+    * set semantics). Requires size(ws) >= 3 — filter first.
+    * DuckDB: `list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])`.
+    */
+  def wordShingles(ws: Column): Column =
+    transform(sequence(lit(1), size(ws) - 2), i =>
+      concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+        element_at(ws, i + 2)))
+
+  /** Character n-grams at every position. Requires length(text) >= n.
+    * DuckDB: `list_transform(range(1, length(text)-(n-2)), i -> substr(text, i, n))`.
+    */
+  def charGrams(text: Column, n: Int): Column =
+    transform(sequence(lit(1), length(text) - (n - 1)), i =>
+      text.substr(i, lit(n)))
+
+  /** Milli-quantised embedding: array<long> of floor(x*1000). The
+    * float→double widening is exact, so both engines floor the same
+    * double. DuckDB: `list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))`.
+    */
+  def qvec(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantised vectors. */
+  def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared L2 norm of a quantised vector. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  /** Cosine from exact integer dot/norms — one double division and one
+    * sqrt over exactly-computed longs; bit-identical across engines.
+    */
+  def cosineq(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / sqrt((n2a * n2b).cast("double"))
+
+  // ---- DuckDB oracle fragments (kept beside their Spark twins) ----
+
+  /** DuckDB: words list from `text`. */
+  val sqlWords = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  /** DuckDB: 60-bit hash of expression `e`. */
+  def sqlHash60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  def sqlHash16(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 4) AS INTEGER)"
+
+  /** DuckDB: milli-quantised embedding list. */
+  val sqlQvec =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+  /** DuckDB: exact dot product of two BIGINT lists by position. */
+  def sqlDotq(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS BIGINT)"
+
+  def sqlNorm2(a: String): String =
+    s"CAST(list_sum(list_transform($a, x -> x*x)) AS BIGINT)"
+}

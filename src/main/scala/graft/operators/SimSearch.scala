@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbour search over `embeddings.embedding`
+  * (`array<float>`): brute-force cosine top-k as the exact baseline and
+  * a sign-LSH bucketed variant as the scale path.
+  *
+  * Scale shape: the query set is SMALL (it's the thing being searched
+  * for) and is explicitly `broadcast` — the corpus never shuffles. The
+  * LSH variant additionally prunes the corpus scan to band-key matches,
+  * turning top-k from corpus×queries into Σ bucket-hits. Cosine uses
+  * the exact milli-quantised integer dot/norms from
+  * [[graft.functions.Portable]] so the DuckDB oracle matches exactly.
+  */
+object SimSearch {
+
+  private val K = 3 // neighbours returned per query
+  private val NQ = 8 // query vectors: vec_id < NQ
+
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("n2", norm2(col("qv")))
+
+  /** q19: brute-force cosine top-k — every corpus vector scored against
+    * every (broadcast) query vector, per-query top-3 via row_number.
+    * The window has NQ partitions: fine for a bounded query set; a huge
+    * query set would use the salted two-phase top-k of q10 instead.
+    */
+  def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir)
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
+  /** 16-bit sign signature of the quantised vector, as a '0'/'1' string. */
+  private def sig16(qv: Column): Column =
+    array_join(transform(sequence(lit(1), lit(16)), i =>
+      when(element_at(qv, i) > 0, "1").otherwise("0")), "")
+
+  /** band keys: 4 bands × 4 sign bits. */
+  private def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(3)), b =>
+      concat_ws(":", b, sig.substr(b * 4 + 1, lit(4))))
+
+  /** q20: sign-LSH bucketed ANN — candidates are corpus vectors sharing
+    * at least one 4-bit sign band with the query (multi-probe OR),
+    * then exact top-3 among candidates. The band join replaces the full
+    * corpus scan per query; recall is the documented LSH trade-off and
+    * the oracle implements the identical bucketing.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir).withColumn("sig", sig16(col("qv")))
+    val corpusBands = e.select(col("vec_id"),
+      explode(bandKeys(col("sig"))).as("bkey"))
+    val queryBands = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), explode(bandKeys(col("sig"))).as("bkey"))
+    val cand = corpusBands.join(broadcast(queryBands), "bkey")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val feat = base(spark, dir)
+    val qfeat = feat.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = cand
+      .join(feat, "vec_id")
+      .join(broadcast(qfeat), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_ann_brute" -> annBrute,
+    "q20_ann_lsh" -> annLsh)
+
+  private val baseSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${sqlNorm2("qv")} n2 FROM e)""".stripMargin
+
+  private val bruteSql =
+    s"""$baseSql,
+       |s AS (SELECT q.vec_id q_id, c.vec_id vec_id,
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(CAST(q.n2*c.n2 AS DOUBLE)) cosine
+       |      FROM n q JOIN n c ON q.vec_id < $NQ AND c.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
+       |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
+
+  private val lshSql =
+    s"""$baseSql,
+       |b AS (SELECT vec_id, qv, n2, array_to_string(list_transform(range(1, 17),
+       |        i -> CASE WHEN qv[i] > 0 THEN '1' ELSE '0' END), '') sig FROM n),
+       |bands AS (SELECT vec_id, unnest(list_transform(range(4),
+       |            k -> CAST(k AS VARCHAR) || ':' || substr(sig, CAST(k*4+1 AS INTEGER), 4))) bkey FROM b),
+       |cand AS (SELECT DISTINCT q.vec_id q_id, c.vec_id vec_id
+       |         FROM bands q JOIN bands c ON q.bkey = c.bkey
+       |         WHERE q.vec_id < $NQ AND c.vec_id <> q.vec_id),
+       |s AS (SELECT cand.q_id, cand.vec_id,
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(CAST(q.n2*c.n2 AS DOUBLE)) cosine
+       |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.vec_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
+       |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q19_ann_brute" -> bruteSql,
+    "q20_ann_lsh" -> lshSql)
+}

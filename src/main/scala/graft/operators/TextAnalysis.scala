@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, fingerprinting. All four are ROW-LOCAL
+  * (pure projections built from higher-order functions over the token
+  * array): zero shuffles, embarrassingly parallel at any scale, and the
+  * plans are a single WholeStageCodegen span over the parquet scan.
+  *
+  * Numeric discipline: counts/scores are exact integers; ratios are one
+  * final double division of exact integers, so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Per-language signature words (chosen from the corpus' per-language
+    * frequency skew — each language's documents over-sample its three
+    * signature words). Sorted by language code so the argmax tiebreak
+    * (smallest language code wins) is explicit.
+    */
+  private val sigs: List[(String, Seq[String])] = List(
+    "de" -> Seq("customer", "big", "key"),
+    "en" -> Seq("order", "table", "window"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("join", "small", "the"))
+
+  /** q21: n-gram-frequency language ID. Score per language = signature
+    * word hits (with multiplicity); prediction = argmax, ties to the
+    * lexicographically smallest code. Implemented as a row-local
+    * sort_array over (−score, lang) structs — no explode, no shuffle.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        words(col("text")).as("ws"))
+    d.withColumn("best", element_at(sort_array(array(sigs.map { case (l, ss) =>
+        struct(
+          (-size(filter(col("ws"), w => w.isInCollection(ss)))).as("negscore"),
+          lit(l).as("lang"))
+      }: _*)), 1))
+      .select(col("doc_id"), col("actual_lang"),
+        col("best.lang").as("pred_lang"),
+        (-col("best.negscore")).as("score"))
+  }
+
+  private val stops = Seq("the", "a", "of", "and")
+
+  /** q22: document quality scoring — length, lexical diversity,
+    * stopword ratio, and an integer-threshold bucket.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_uniq"),
+        aggregate(transform(col("ws"), w => length(w)), lit(0),
+          (a, x) => a + x).as("total_wchars"),
+        size(filter(col("ws"), w => w.isInCollection(stops))).as("n_stop"))
+      .withColumn("avg_word_len",
+        col("total_wchars").cast("double") / col("n_words"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("quality_bucket",
+        when(col("n_words") < 40, "short")
+          .when(col("n_stop") * 5 >= col("n_words"), "stopword_heavy")
+          .when(col("n_uniq") * 3 <= col("n_words"), "repetitive")
+          .otherwise("ok"))
+
+  /** q23: token counting — whitespace tokens and regex word tokens
+    * (the BPE-ish pre-tokenisation pass), plus chars-per-token.
+    */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .withColumn("chars_per_token",
+        col("n_chars_m").cast("double") / col("n_ws_tokens"))
+
+  /** q24: winnowing document fingerprint — rolling char-8-gram hashes,
+    * min per 4-gram window, distinct survivors. The standard local
+    * fingerprint for plagiarism/copy detection, kept row-local.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 11) // >= 4 grams => >= 1 window
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("text")) - 7), i =>
+          hash60(col("text").substr(i, lit(8)))).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("hs")) - 3), j =>
+          array_min(slice(col("hs"), j, lit(4))))).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_lang_id" -> langId,
+    "q22_text_quality" -> quality,
+    "q23_token_count" -> tokens,
+    "q24_fingerprint" -> fingerprint)
+
+  private val langIdSql = {
+    val structs = sigs.map { case (l, ss) =>
+      val inList = ss.map(s => s"'$s'").mkString(", ")
+      s"{'lang': '$l', 'sc': len(list_filter(ws, w -> list_contains([$inList], w)))}"
+    }.mkString(",\n|  ")
+    s"""WITH d AS (SELECT doc_id, lang, $sqlWords ws FROM documents),
+       |s AS (SELECT doc_id, lang AS actual_lang, unnest([
+       |  $structs], recursive := false) u FROM d),
+       |r AS (SELECT doc_id, actual_lang, u.lang AS lang, u.sc AS sc,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY u.sc DESC, u.lang ASC) rn
+       |      FROM s)
+       |SELECT doc_id, actual_lang, lang AS pred_lang, sc AS score FROM r WHERE rn = 1""".stripMargin
+  }
+
+  private val qualitySql = {
+    val stopList = stops.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |m AS (SELECT doc_id, len(ws) n_words, len(list_distinct(ws)) n_uniq,
+       |        CAST(list_sum(list_transform(ws, w -> length(w))) AS INTEGER) total_wchars,
+       |        len(list_filter(ws, w -> list_contains([$stopList], w))) n_stop
+       |      FROM d)
+       |SELECT doc_id, n_words, n_uniq, total_wchars, n_stop,
+       |       CAST(total_wchars AS DOUBLE)/n_words AS avg_word_len,
+       |       CAST(n_stop AS DOUBLE)/n_words AS stop_ratio,
+       |       CASE WHEN n_words < 40 THEN 'short'
+       |            WHEN n_stop * 5 >= n_words THEN 'stopword_heavy'
+       |            WHEN n_uniq * 3 <= n_words THEN 'repetitive'
+       |            ELSE 'ok' END AS quality_bucket
+       |FROM m""".stripMargin
+  }
+
+  private val tokensSql =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+      |  length(text) AS n_chars_m,
+      |  CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), w -> w <> '')) AS chars_per_token
+      |FROM documents""".stripMargin
+
+  private val fingerprintSql =
+    s"""WITH h AS (SELECT doc_id, list_transform(range(1, length(text)-6),
+       |             i -> ${sqlHash60("substr(text, i, 8)")}) hs
+       |           FROM documents WHERE length(text) >= 11),
+       |f AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs)-2),
+       |        j -> list_min(hs[j:j+3]))) fps FROM h)
+       |SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS fp_min,
+       |       list_max(fps) AS fp_max FROM f""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q21_lang_id" -> langIdSql,
+    "q22_text_quality" -> qualitySql,
+    "q23_token_count" -> tokensSql,
+    "q24_fingerprint" -> fingerprintSql)
+}
