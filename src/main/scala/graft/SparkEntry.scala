@@ -22,11 +22,13 @@ object SparkEntry {
     * analysis, event windows). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Relational.queries ++ Dedup.queries ++
-      TextAnalysis.queries ++ SimSearch.queries ++ Events.queries
+      TextAnalysis.queries ++ SimSearch.queries ++ Events.queries ++
+      Multimodal.queries ++ Streaming.queries ++ Sink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Core.oracle ++ Relational.oracle ++ Dedup.oracle ++
-      TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle
+      TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle ++
+      Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle
 }

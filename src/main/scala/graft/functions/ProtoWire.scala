@@ -103,6 +103,40 @@ object ProtoWire {
     out.toByteArray
   }
 
+  /** Decode a stream of varint-framed Row messages (the sink's on-disk
+    * layout, == repeated `parseDelimitedFrom`): returns (row count,
+    * total Column-message count). Used by the sink round-trip check.
+    */
+  def decodeStats(buf: Array[Byte]): (Long, Long) = {
+    var pos = 0
+    var rows = 0L
+    var cols = 0L
+    def varint(): Long = {
+      var v = 0L; var sh = 0; var b = 0
+      do { b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7 }
+      while ((b & 0x80) != 0)
+      v
+    }
+    while (pos < buf.length) {
+      val end = pos + varint().toInt
+      rows += 1
+      while (pos < end) {
+        val tag = varint()
+        (tag & 7).toInt match {
+          case 2 =>
+            val l = varint().toInt
+            if ((tag >> 3).toInt == 2) cols += 1
+            pos += l
+          case 0 => varint()
+          case 1 => pos += 8
+          case 5 => pos += 4
+          case wt => throw new IllegalArgumentException(s"wire type $wt")
+        }
+      }
+    }
+    (rows, cols)
+  }
+
   // ---- Column-API surface ----
 
   /** `proto_row(key, columns)` — Row message bytes (unframed). */

@@ -111,7 +111,7 @@ object Core {
     "q07_file_metrics" -> fileMetrics)
 
   /** Shared oracle fragment: the string-cell projection of events. */
-  private val cellsSql =
+  private[operators] val cellsSql =
     """SELECT CAST(user_id AS VARCHAR) AS key,
       |       lpad(CAST(event_id AS VARCHAR), 12, '0') || ':' || event_type AS name,
       |       props AS value,

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** A media record: opaque binary payload + typed metadata — the
+  * multimodal column pattern (image/audio/video as `binary` with a
+  * sidecar metadata struct). Payloads here are deterministic fakes
+  * (utf-8 of the document text) because no codec libraries exist in
+  * this environment; the Spark-side plumbing — schema, typed Dataset,
+  * partition-batched decode — is real.
+  */
+case class MediaRec(doc_id: Long, fmt: String, width: Int, height: Int,
+    payload: Array[Byte])
+
+/** Features extracted by the (stubbed) decoder. */
+case class MediaFeat(doc_id: Long, fmt: String, width: Int, height: Int,
+    payload_len: Int, brightness_milli: Long)
+
+/** Multimodal-column processing: binary payloads with typed metadata,
+  * decoded per partition in batches — the Scala analog of a
+  * `mapInPandas` batch UDF. The decode itself is a STUB (deterministic
+  * fake features over the payload bytes — real image/audio codecs are
+  * not available in this container); everything around it — the typed
+  * `Dataset[MediaRec]`, the `mapPartitions` batch shape, the exact
+  * integer feature math — is the production plumbing.
+  *
+  * Scale: decode is row-local (`mapPartitions`, no shuffle) and
+  * batch-amortised — at 100 TB the decoder initialises once per task,
+  * not once per record, which is the whole point of the batched shape.
+  */
+object Multimodal {
+
+  /** documents → media records: binary payload + metadata columns. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRec] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      lit("fake_rgb8").as("fmt"),
+      ((col("n_chars") % 64 + 1) * 10).cast("int").as("width"),
+      ((col("n_chars") % 48 + 1) * 10).cast("int").as("height"),
+      encode(col("text"), "UTF-8").as("payload")).as[MediaRec]
+  }
+
+  /** STUB DECODER — deterministic fake. A real deployment would open a
+    * codec once per partition (the expensive init this batched shape
+    * amortises) and emit real features; here "brightness" is the mean
+    * of the first 16 payload bytes in milli-units, exact integer math
+    * so the DuckDB oracle can reproduce it from the source text.
+    */
+  private def decodeBatch(batch: Iterator[MediaRec]): Iterator[MediaFeat] =
+    batch.map { r =>
+      val n = math.min(16, r.payload.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += (r.payload(i) & 0xFF); i += 1 }
+      MediaFeat(r.doc_id, r.fmt, r.width, r.height, r.payload.length,
+        if (n == 0) 0L else s * 1000L / n)
+    }
+
+  /** q25: the end-to-end multimodal pipeline — build media records,
+    * batch-decode features per partition.
+    */
+  def multimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(decodeBatch).toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_multimodal" -> multimodal)
+
+  // The payload is utf-8 of ASCII text, so payload bytes == ascii codes
+  // of the text characters and the oracle can be expressed over `text`.
+  private val multimodalSql =
+    """SELECT doc_id, 'fake_rgb8' AS fmt,
+      |  CAST(((n_chars % 64) + 1) * 10 AS INTEGER) AS width,
+      |  CAST(((n_chars % 48) + 1) * 10 AS INTEGER) AS height,
+      |  CAST(length(text) AS INTEGER) AS payload_len,
+      |  CAST(list_sum(list_transform(range(1, least(16, length(text)) + 1),
+      |         i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) * 1000
+      |       // least(16, length(text)) AS BIGINT) AS brightness_milli
+      |FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q25_multimodal" -> multimodalSql)
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, File, FileOutputStream}
+
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ProtoWire
+
+/** O12+O13: the reference's sink — length-delimited proto3 Row messages
+  * folded into zstd-compressed files (`Runner.java:75-82,114-145`,
+  * codec `:126`) — re-expressed as one output file PER TASK instead of
+  * one global stream: `part-NNNNN.proto.zst` per partition, the
+  * embarrassingly-parallel layout that scales (a single fold stream
+  * would serialise the whole cluster through one writer at 100 TB).
+  * zstd via zstd-jni, which ships with the Spark runtime.
+  */
+object Sink {
+
+  /** Write each partition of framed messages as one .proto.zst file.
+    * Local-FS path here (single-node test harness); the same writer
+    * body runs against any Hadoop-visible mount in cluster mode.
+    */
+  def writeFramed(framed: DataFrame, outDir: String): Unit =
+    framed.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val f = new File(outDir, f"part-$pid%05d.proto.zst")
+        val os = new ZstdOutputStream(new FileOutputStream(f))
+        try it.foreach(r => os.write(r.getAs[Array[Byte]](0)))
+        finally os.close()
+      }
+    }
+
+  /** q29: full sink round trip — encode (nest + proto3 + varint frame),
+    * write zstd files, read them back with the binaryFile source,
+    * decode the wire format, and return corpus totals that the DuckDB
+    * oracle reproduces from the raw table: live-partition count must
+    * equal decoded Row count, live-cell count must equal decoded
+    * Column count. This is the end-to-end proof the sink's bytes are
+    * parseable and complete.
+    */
+  def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink")
+      .toFile.getAbsolutePath
+    writeFramed(CellModel.encodeProto(spark, dir).select(col("framed")), outDir)
+    val decoded = spark.read.format("binaryFile")
+      .load(outDir + "/*.proto.zst")
+      .select(col("content")).as[Array[Byte]]
+      .map { bytes =>
+        val in = new ZstdInputStream(new ByteArrayInputStream(bytes))
+        val all = try in.readAllBytes() finally in.close()
+        ProtoWire.decodeStats(all)
+      }
+    decoded.toDF("rows_in_file", "cols_in_file")
+      .agg(sum(col("rows_in_file")).as("n_rows"),
+        sum(col("cols_in_file")).as("n_columns"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_sink_roundtrip" -> sinkRoundtrip)
+
+  val oracle: Map[String, String] = Map(
+    "q29_sink_roundtrip" ->
+      (s"SELECT count(DISTINCT CASE WHEN NOT partition_deleted THEN key END) AS n_rows, " +
+        "CAST(sum(CASE WHEN kind = 'live' AND NOT partition_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_columns " +
+        s"FROM (${Core.cellsSql})"))
+}

@@ -94,6 +94,17 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(framed.drop(2).sameElements(msg))
   }
 
+  test("decodeStats inverts encode+frame: counts rows and columns") {
+    val r1 = ProtoWire.delimit(ProtoWire.encodeRow("k1".getBytes,
+      cols(("c1", "v1", 1000L), ("c2", "v2", 2000L))))
+    val r2 = ProtoWire.delimit(ProtoWire.encodeRow("k2".getBytes, cols()))
+    val r3 = ProtoWire.delimit(ProtoWire.encodeRow("k3".getBytes,
+      cols(("c9", "x", 300L))))
+    val stream = r1 ++ r2 ++ r3
+    assert(ProtoWire.decodeStats(stream) === ((3L, 3L)))
+    assert(ProtoWire.decodeStats(Array.emptyByteArray) === ((0L, 0L)))
+  }
+
   test("delimit round-trip: varint prefix decodes back to message length") {
     for (n <- Seq(0, 1, 127, 128, 129, 300, 4999)) {
       val msg = Array.fill[Byte](n)(0x7A)
