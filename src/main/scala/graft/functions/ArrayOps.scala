@@ -43,6 +43,38 @@ object ArrayOps {
     */
   def sorted_intersect_count(a: Column, b: Column): Column =
     Shim.column(SortedIntersectCountExpr(Shim.expression(a), Shim.expression(b)))
+
+  /** Exact integer dot product of two equal-length long arrays —
+    * replaces the interpreted `aggregate(zip_with(...))` pair in the
+    * cosine hot path (HOFs don't participate in codegen; this does).
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var i = 0
+    var s = 0L
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** `dot_long(a, b)` — Σ a(i)·b(i) over array&lt;long&gt;. */
+  def dot_long(a: Column, b: Column): Column =
+    Shim.column(DotLongExpr(Shim.expression(a), Shim.expression(b)))
+}
+
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayOps.dotLong($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class SortedIntersectCountExpr(left: Expression, right: Expression)

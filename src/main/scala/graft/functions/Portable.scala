@@ -61,9 +61,10 @@ object Portable {
   def qvec(e: Column): Column =
     transform(e, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantised vectors. */
-  def dotq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantised vectors — native
+    * codegen'd kernel (see [[ArrayOps.dot_long]]).
+    */
+  def dotq(a: Column, b: Column): Column = ArrayOps.dot_long(a, b)
 
   /** Exact integer squared L2 norm of a quantised vector. */
   def norm2(a: Column): Column =

@@ -37,30 +37,49 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** doc_id → distinct word-3-gram shingle set (row-local). */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  /** doc_id → sorted 60-bit hashes of the distinct word-3-gram shingle
+    * set (row-local). One md5 per shingle; everything downstream
+    * (minhash family, Jaccard verify) works on the longs.
+    */
+  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // spread the hash-heavy row-local work: the testdata table is one
+      // small parquet file (one input split); a 100 TB corpus arrives
+      // pre-split across thousands of files and skips this step
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), array_distinct(wordShingles(col("ws"))).as("sh"))
+      .select(col("doc_id"), array_sort(transform(
+        array_distinct(wordShingles(col("ws"))), s => hash60(s))).as("hsh"))
 
   private val NumHashes = 8
   private val NumBands = 4 // 2 hashes per band
+  /** Universal-hash MinHash family h_k(x) = (a_k·x + b_k) mod P over the
+    * base 60-bit shingle hash — the standard permutation family; one
+    * md5 per shingle instead of one per (shingle, k). P = 2^31 − 1 keeps
+    * a_k·(x mod P) within 62 bits: exact in BIGINT on both engines.
+    */
+  private val P = 2147483647L
+  private val hashAB: Seq[(Long, Long)] = Seq(
+    (1103515245L % P, 12345L), (69069L, 362437L), (1664525L, 1013904223L),
+    (22695477L, 1L), (134775813L, 1L), (214013L, 2531011L),
+    (48271L, 0L), (16807L, 0L))
 
   /** q15: MinHash + LSH near-dup pairs (shingle Jaccard >= 0.5).
     *
-    * Pipeline: 8 minhashes per doc computed row-locally
-    * (`array_min` over seeded hash60 of each shingle — no explode, no
-    * shuffle), banded 4×2 into band keys, self-joined on band key for
-    * candidates, then exact Jaccard verification on the survivors.
-    * The band self-join shuffles only (doc_id, bkey) pairs — at 100 TB
-    * the shuffle is 4 small rows per doc, and bucket sizes stay bounded
-    * because a 2-hash band collision for non-near-dups is ~j² rare.
+    * Pipeline: 8 minhashes per doc computed row-locally (`array_min`
+    * over the universal-hash family of each shingle hash — no explode,
+    * no shuffle), banded 4×2 into band keys, self-joined on band key
+    * for candidates, then exact Jaccard verification on the survivors
+    * with the codegen'd merge-intersect kernel. The band self-join
+    * shuffles only (doc_id, bkey) pairs — at 100 TB the shuffle is 4
+    * small rows per doc, and bucket sizes stay bounded because a
+    * 2-hash band collision for non-near-dups is ~j² rare.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = docShingles(spark, dir)
-    val sig = d.withColumn("mhs", array((0 until NumHashes).map { k =>
-      array_min(transform(col("sh"), s => hash60(concat(s, lit("#" + k)))))
+    val d = docShingleHashes(spark, dir)
+    val sig = d.withColumn("mhs", array(hashAB.map { case (a, b) =>
+      array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
     }: _*))
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
@@ -71,11 +90,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .join(d.select(col("doc_id").as("doc_a"), col("hsh").as("hsa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("hsh").as("hsb")), "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sorted_intersect_count(col("hsa"), col("hsb")))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("inter")))
+        (size(col("hsa")) + size(col("hsb")) - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -100,22 +120,23 @@ object Dedup {
         .reduce(_ + _).as("simhash16"))
   }
 
-  /** q17: n-gram Jaccard near-dup via bottom-2 sketch anchoring:
-    * candidates are docs sharing the two smallest char-5-gram hashes
-    * (a stricter anchor than bottom-1, keeping bucket sizes bounded —
-    * measured 183k candidate pairs vs 1.3M at sf0.1), verified with
-    * exact Jaccard over the HASHED gram sets (long-array intersection
-    * is ~10× cheaper than string-array intersection per pair, and the
-    * oracle hashes identically, so the check stays exact).
+  /** q17: n-gram Jaccard near-dup via bottom-3 sketch anchoring:
+    * candidates are docs sharing the three smallest char-5-gram hashes
+    * (bucket-size calibration at sf0.1: bottom-1 → 1.3M candidate
+    * pairs, bottom-2 → 183k, bottom-3 → 26k, while 0.9+-similar docs
+    * still collide with p≈j³), verified with exact Jaccard over the
+    * HASHED gram sets via the codegen'd merge-intersect kernel.
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= 10) // >= 2 grams so the bottom-2 anchor exists
+      .repartition(spark.sparkContext.defaultParallelism) // one-file testdata, see docShingleHashes
+      .filter(length(col("text")) >= 11) // >= 3 grams so the bottom-3 anchor exists
       .select(col("doc_id"),
         array_sort(transform(array_distinct(charGrams(col("text"), 5)),
           g => hash60(g))).as("hs"))
       .withColumn("anchor",
-        concat_ws(":", element_at(col("hs"), 1), element_at(col("hs"), 2)))
+        concat_ws(":", element_at(col("hs"), 1), element_at(col("hs"), 2),
+          element_at(col("hs"), 3)))
       .select(col("doc_id"), col("hs"), col("anchor"))
     val cand = grams.as("a").join(grams.as("b"),
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
@@ -160,22 +181,26 @@ object Dedup {
 
   private val sqlShingles =
     s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
-       |d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
-       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) sh
+       |d AS (SELECT doc_id, list_sort(list_transform(list_distinct(
+       |        list_transform(range(1, len(ws)-1),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])),
+       |        s -> ${sqlHash60("s")})) hsh
        |      FROM w WHERE len(ws) >= 3)""".stripMargin
 
   private val minhashSql = {
-    val h = sqlHash60("s || '#' || CAST(k AS VARCHAR)")
+    val mhExprs = hashAB.map { case (a, b) =>
+      s"list_min(list_transform(hsh, h -> (${a} * (h % $P) + ${b}) % $P))"
+    }.mkString(",\n|          ")
     s"""$sqlShingles,
-       |sig AS (SELECT doc_id, sh, list_transform(range(${NumHashes}),
-       |          k -> list_min(list_transform(sh, s -> $h))) mhs FROM d),
+       |sig AS (SELECT doc_id, hsh, [
+       |          $mhExprs] mhs FROM d),
        |bands AS (SELECT doc_id, unnest(list_transform(range(${NumBands}),
        |            b -> CAST(b AS VARCHAR) || ':' || CAST(mhs[2*b+1] AS VARCHAR)
        |                 || ':' || CAST(mhs[2*b+2] AS VARCHAR))) bkey FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |         FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |j AS (SELECT doc_a, doc_b, len(list_intersect(x.sh, y.sh)) i,
-       |             len(x.sh) la, len(y.sh) lb
+       |j AS (SELECT doc_a, doc_b, len(list_intersect(x.hsh, y.hsh)) i,
+       |             len(x.hsh) la, len(y.hsh) lb
        |      FROM cand JOIN d x ON x.doc_id = cand.doc_a
        |                JOIN d y ON y.doc_id = cand.doc_b)
        |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(la+lb-i) AS jaccard
@@ -195,9 +220,10 @@ object Dedup {
 
   private val ngramSql =
     s"""WITH g0 AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text)-3),
-       |              i -> substr(text, i, 5))) gr FROM documents WHERE length(text) >= 10),
+       |              i -> substr(text, i, 5))) gr FROM documents WHERE length(text) >= 11),
        |a AS (SELECT doc_id, list_sort(list_transform(gr, g -> ${sqlHash60("g")})) hs FROM g0),
-       |k AS (SELECT doc_id, hs, CAST(hs[1] AS VARCHAR) || ':' || CAST(hs[2] AS VARCHAR) anchor FROM a),
+       |k AS (SELECT doc_id, hs, CAST(hs[1] AS VARCHAR) || ':' || CAST(hs[2] AS VARCHAR)
+       |        || ':' || CAST(hs[3] AS VARCHAR) anchor FROM a),
        |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b, x.hs hsa, y.hs hsb
        |         FROM k x JOIN k y ON x.anchor = y.anchor AND x.doc_id < y.doc_id),
        |j AS (SELECT doc_a, doc_b, len(list_intersect(hsa, hsb)) i, len(hsa) la, len(hsb) lb FROM cand)

@@ -90,13 +90,18 @@ object TextAnalysis {
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // spread the per-position md5 work: testdata is a single-split
+      // parquet file; a real corpus is pre-split across many files
+      .repartition(spark.sparkContext.defaultParallelism)
       .filter(length(col("text")) >= 11) // >= 4 grams => >= 1 window
       .select(col("doc_id"),
         transform(sequence(lit(1), length(col("text")) - 7), i =>
           hash60(col("text").substr(i, lit(8)))).as("hs"))
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(1), size(col("hs")) - 3), j =>
-          array_min(slice(col("hs"), j, lit(4))))).as("fps"))
+          least(element_at(col("hs"), j), element_at(col("hs"), j + 1),
+            element_at(col("hs"), j + 2), element_at(col("hs"), j + 3))))
+          .as("fps"))
       .select(col("doc_id"),
         size(col("fps")).as("n_fps"),
         array_min(col("fps")).as("fp_min"),
@@ -152,7 +157,7 @@ object TextAnalysis {
        |             i -> ${sqlHash60("substr(text, i, 8)")}) hs
        |           FROM documents WHERE length(text) >= 11),
        |f AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs)-2),
-       |        j -> list_min(hs[j:j+3]))) fps FROM h)
+       |        j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3]))) fps FROM h)
        |SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS fp_min,
        |       list_max(fps) AS fp_max FROM f""".stripMargin
 
