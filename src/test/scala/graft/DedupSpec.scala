@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Portable
+import graft.operators.Dedup
+
+/** Semantic checks for the dedup operators against brute-force ground
+  * truth on sf0.001 (small enough for all-pairs).
+  */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  private lazy val bruteforcePairs: Map[(Long, Long), Double] = {
+    // exact shingle-set Jaccard for ALL pairs, computed independently
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(Portable.wordShingles(col("ws"))).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter) if jac >= 0.4
+    } yield (a, b) -> jac).toMap
+  }
+
+  test("q15 minhash finds exactly the >=0.5-Jaccard pairs (here: all planted)") {
+    val found = Dedup.dedupMinhash(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = bruteforcePairs.filter(_._2 >= 0.5)
+    // every reported pair must be a true >=0.5 pair with the exact score
+    found.foreach { case (k, j) =>
+      assert(expected.contains(k), s"false positive $k")
+      assert(math.abs(expected(k) - j) < 1e-12)
+    }
+    // planted near-dups are ~0.97 similar: band-miss probability is
+    // ~(1-j^2)^4 < 1e-4, so all must be recalled
+    val strong = expected.filter(_._2 >= 0.9)
+    assert(strong.keySet.subsetOf(found.keySet),
+      s"missed strong pairs: ${strong.keySet.diff(found.keySet)}")
+    assert(strong.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("q14 exact dedup: singleton groups on raw corpus, pairs on doubled corpus") {
+    val raw = Dedup.dedupExact(spark, sf0001)
+    assert(raw.filter(col("n_copies") =!= 1).count() === 0)
+    // re-ingesting the same corpus must collapse to the same groups
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val doubled = docs.unionAll(docs)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    assert(doubled.filter(col("n") =!= 2).count() === 0)
+    assert(doubled.count() === raw.count())
+  }
+
+  test("q16 simhash: near-dup pairs land within hamming distance 4") {
+    val sh = Dedup.dedupSimhash(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val near = bruteforcePairs.filter(_._2 >= 0.9).keys
+    near.foreach { case (a, b) =>
+      val d = Integer.bitCount(sh(a) ^ sh(b))
+      assert(d <= 4, s"pair ($a,$b) jac>=0.9 but hamming $d")
+    }
+  }
+
+  test("q18 embed near-dup pairs all meet the threshold and are label-blocked") {
+    val rows = Dedup.dedupEmbed(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.35)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CellModel, Events, Multimodal, SimSearch, Sink, Streaming}
+import graft.sources.Tables
+
+/** Cross-operator semantic invariants on sf0.001: conservation laws,
+  * brute-force agreement, batch/stream parity, sink round-trip totals.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  test("q19 rank-1 neighbour agrees with independently computed argmax") {
+    val res = SimSearch.annBrute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // recompute cosine argmax for query 0 from raw embeddings
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000).toLong).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      dot.toDouble / math.sqrt((na * nb).toDouble)
+    }
+    val q0 = vecs(0L)
+    val best = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(q0, v) }
+      .maxBy { case (id, c) => (c, -id) }
+    assert(res((0L, 1)) === best._1)
+  }
+
+  test("q20 LSH results are a subset-by-construction of scored candidates") {
+    val lsh = SimSearch.annLsh(spark, sf0001).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r => assert(r.getInt(1) >= 1 && r.getInt(1) <= 3) }
+  }
+
+  test("q26/q27 conserve event counts") {
+    val total = Tables.events(spark, sf0001).count()
+    val winSum = Events.windowAgg(spark, sf0001)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    val sessSum = Events.sessionize(spark, sf0001)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(winSum === total)
+    assert(sessSum === total)
+  }
+
+  test("q27 sessions have nonnegative durations and start at 1") {
+    val s = Events.sessionize(spark, sf0001)
+    assert(s.filter(col("duration_us") < 0).count() === 0)
+    assert(s.filter(col("session_no") < 1).count() === 0)
+  }
+
+  test("q28 streaming result equals q26 batch result") {
+    val batch = Events.windowAgg(spark, sf0001)
+    val stream = Streaming.streamWindowAgg(spark, sf0001)
+      .select(batch.columns.map(col): _*)
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
+  test("q25 multimodal features match source-text expectations") {
+    val feats = Multimodal.multimodal(spark, sf0001)
+      .join(Tables.documents(spark, sf0001), "doc_id")
+    assert(feats.filter(col("payload_len") =!= col("n_chars")).count() === 0)
+    // lowercase-ascii text: mean byte in [32 (space), 122 (z)]
+    assert(feats.filter(col("brightness_milli") < 32000 ||
+      col("brightness_milli") > 122000).count() === 0)
+  }
+
+  test("q29 sink round-trip totals equal live partition/cell counts") {
+    val out = Sink.sinkRoundtrip(spark, sf0001).collect()(0)
+    val nested = CellModel.nestRows(spark, sf0001)
+    assert(out.getLong(0) === nested.count())
+    val liveCells = CellModel.liveCells(spark, sf0001).count()
+    assert(out.getLong(1) === liveCells)
+  }
+}
