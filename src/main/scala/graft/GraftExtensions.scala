@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotLongExpr, ProtoEncodeRowExpr, SortedIntersectCountExpr, VarintDelimitExpr}
+
+/** SparkSessionExtensions installer exposing the engine's native
+  * expressions to SQL users:
+  *
+  * {{{
+  * spark-shell --conf spark.sql.extensions=graft.GraftExtensions
+  * SELECT proto_delimited(proto_row(key, columns)) FROM ...
+  * }}}
+  *
+  * The registered functions are the custom codegen'd Catalyst
+  * expressions (not UDFs), so SQL callers get the same whole-stage
+  * codegen path as the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("proto_row"),
+      info("proto_row", classOf[ProtoEncodeRowExpr]),
+      (es: Seq[Expression]) => ProtoEncodeRowExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("proto_delimited"),
+      info("proto_delimited", classOf[VarintDelimitExpr]),
+      (es: Seq[Expression]) => VarintDelimitExpr(es(0))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", classOf[SortedIntersectCountExpr]),
+      (es: Seq[Expression]) => SortedIntersectCountExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_long"),
+      info("dot_long", classOf[DotLongExpr]),
+      (es: Seq[Expression]) => DotLongExpr(es(0), es(1))))
+  }
+}

@@ -118,7 +118,8 @@ object ProtoWire {
       v
     }
     while (pos < buf.length) {
-      val end = pos + varint().toInt
+      val frameLen = varint().toInt // NB: read len BEFORE taking pos
+      val end = pos + frameLen
       rows += 1
       while (pos < end) {
         val tag = varint()
@@ -135,6 +136,77 @@ object ProtoWire {
       }
     }
     (rows, cols)
+  }
+
+  /** One decoded Column message. */
+  final case class DecodedColumn(name: Array[Byte], value: Array[Byte],
+      writeTime: Long)
+
+  /** One decoded Row message. */
+  final case class DecodedRow(key: Array[Byte], columns: Seq[DecodedColumn])
+
+  /** Full decode of a varint-framed Row stream (inverse of
+    * `proto_delimited(proto_row(...))`) — the read side of the sink
+    * format, used by the proto-zst DSv2 source.
+    */
+  def decodeRows(buf: Array[Byte]): Iterator[DecodedRow] = new Iterator[DecodedRow] {
+    private var pos = 0
+    private def varint(): Long = {
+      var v = 0L; var sh = 0; var b = 0
+      do { b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7 }
+      while ((b & 0x80) != 0)
+      v
+    }
+    private def bytesField(len: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      pos += len
+      out
+    }
+    private def fixed64(): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
+      pos += 8
+      v
+    }
+    private def decodeColumn(end: Int): DecodedColumn = {
+      var name = Array.emptyByteArray
+      var value = Array.emptyByteArray
+      var wt = 0L
+      while (pos < end) {
+        val tag = varint()
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => name = bytesField(varint().toInt)
+          case (2, 2) => value = bytesField(varint().toInt)
+          case (3, 1) => wt = fixed64()
+          case (_, 2) => val l = varint().toInt; pos += l // unknown LEN field
+          case (_, 0) => varint()
+          case (_, 1) => pos += 8
+          case (_, 5) => pos += 4
+          case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
+        }
+      }
+      DecodedColumn(name, value, wt)
+    }
+    override def hasNext: Boolean = pos < buf.length
+    override def next(): DecodedRow = {
+      val frameLen = varint().toInt // NB: read len BEFORE taking pos
+      val end = pos + frameLen
+      var key = Array.emptyByteArray
+      val cols = Seq.newBuilder[DecodedColumn]
+      while (pos < end) {
+        val tag = varint()
+        ((tag >> 3).toInt, (tag & 7).toInt) match {
+          case (1, 2) => key = bytesField(varint().toInt)
+          case (2, 2) => val l = varint().toInt; cols += decodeColumn(pos + l)
+          case (_, 2) => val l = varint().toInt; pos += l
+          case (_, 0) => varint()
+          case (_, 1) => pos += 8
+          case (_, 5) => pos += 4
+          case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
+        }
+      }
+      DecodedRow(key, cols.result())
+    }
   }
 
   // ---- Column-API surface ----

@@ -123,7 +123,7 @@ object Core {
       |       (user_id % 50 = 0) AS partition_deleted
       |FROM events""".stripMargin
 
-  private val liveCellsSql =
+  private[operators] val liveCellsSql =
     s"SELECT key, name, value, write_time FROM ($cellsSql) " +
       "WHERE NOT partition_deleted AND kind = 'live'"
 

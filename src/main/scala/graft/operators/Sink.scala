@@ -60,12 +60,33 @@ object Sink {
         sum(col("cols_in_file")).as("n_columns"))
   }
 
+  /** q30: write the sink files, then read them back through the
+    * proto-zst DataSource V2 reader ([[graft.sources.ProtoZstDataSource]])
+    * and re-flatten — the decoded cells must hash-match the live flat
+    * cells straight from the raw table. Write path and read path verify
+    * each other end-to-end through the actual on-disk format.
+    */
+  def protoSourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{decode, explode}
+    val outDir = java.nio.file.Files.createTempDirectory("graft_src")
+      .toFile.getAbsolutePath
+    writeFramed(CellModel.encodeProto(spark, dir).select(col("framed")), outDir)
+    spark.read.format("proto-zst").load(outDir)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q29_sink_roundtrip" -> sinkRoundtrip)
+    "q29_sink_roundtrip" -> sinkRoundtrip,
+    "q30_proto_source" -> protoSourceRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "q29_sink_roundtrip" ->
       (s"SELECT count(DISTINCT CASE WHEN NOT partition_deleted THEN key END) AS n_rows, " +
         "CAST(sum(CASE WHEN kind = 'live' AND NOT partition_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_columns " +
-        s"FROM (${Core.cellsSql})"))
+        s"FROM (${Core.cellsSql})"),
+    "q30_proto_source" -> Core.liveCellsSql)
 }

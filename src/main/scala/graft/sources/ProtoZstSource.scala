@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, File, FileInputStream}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.github.luben.zstd.ZstdInputStream
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.functions.ProtoWire
+
+/** DataSource V2 reader for the engine's own sink format: directories
+  * of `*.proto.zst` files holding varint-framed proto3 `Row{key,
+  * repeated Column{name, value, writeTime}}` messages (the reference's
+  * output, `Runner.java:114-145` + `sstable.proto`). This is the §4.3
+  * "custom source" path: one input partition PER FILE — reproducing the
+  * reference's per-file unit of work (O1) and preserving within-file
+  * row order, so a downstream per-key nest over a key-sorted file needs
+  * no shuffle.
+  *
+  * Usage: `spark.read.format("proto-zst").load(dir)`.
+  */
+class ProtoZstDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "proto-zst"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ProtoZstTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new ProtoZstTable(properties.get("path"))
+}
+
+object ProtoZstTable {
+  /** The sink's logical schema — §1.4's nested Row representation. */
+  val Schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("columns", ArrayType(StructType(Seq(
+      StructField("name", BinaryType),
+      StructField("value", BinaryType),
+      StructField("write_time", LongType)))))))
+}
+
+class ProtoZstTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"proto-zst($path)"
+  override def schema(): StructType = ProtoZstTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = ProtoZstTable.Schema
+      override def toBatch: Batch = this
+      // one partition per file == the reference's per-file unit of work
+      override def planInputPartitions(): Array[InputPartition] = {
+        val f = new File(path)
+        val files =
+          if (f.isFile) Array(f)
+          else Option(f.listFiles((_, n) => n.endsWith(".proto.zst")))
+            .getOrElse(Array.empty[File]).sortBy(_.getName)
+        files.map(x => ProtoZstInputPartition(x.getAbsolutePath): InputPartition)
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new ProtoZstReaderFactory
+    }
+}
+
+case class ProtoZstInputPartition(file: String) extends InputPartition
+
+class ProtoZstReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[ProtoZstInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val in = new ZstdInputStream(new FileInputStream(file))
+      private val rows =
+        try ProtoWire.decodeRows(in.readAllBytes()) finally in.close()
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) {
+          val r = rows.next()
+          cur = new GenericInternalRow(Array[Any](r.key,
+            new GenericArrayData(r.columns.map(c =>
+              new GenericInternalRow(Array[Any](c.name, c.value, c.writeTime))
+            ).toArray[Any])))
+          true
+        } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CellModel, Sink}
+
+/** The proto-zst DSv2 source and the SQL-function extension surface. */
+class SourceExtensionSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  test("proto-zst source round-trips the sink output to the live cells") {
+    val cells = Sink.protoSourceRoundtrip(spark, sf0001)
+    val expected = CellModel.liveCellStrings(spark, sf0001)
+      .select("key", "name", "value", "write_time")
+    assert(cells.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(cells).count() === 0)
+  }
+
+  test("proto-zst source plans one partition per file") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_src_t")
+      .toFile.getAbsolutePath
+    Sink.writeFramed(
+      CellModel.encodeProto(spark, sf0001).select(col("framed")), outDir)
+    val nFiles = new java.io.File(outDir)
+      .listFiles((_, n) => n.endsWith(".proto.zst")).length
+    val df = spark.read.format("proto-zst").load(outDir)
+    assert(df.rdd.getNumPartitions === nFiles)
+    assert(nFiles > 0)
+  }
+
+  test("extension-registered SQL functions work and stay codegen'd") {
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L,2L,5L), array(2L,3L,5L)) c")
+      .collect()(0).getInt(0) === 2)
+    assert(spark.sql(
+      "SELECT dot_long(array(1L,2L,3L), array(4L,5L,6L)) d")
+      .collect()(0).getLong(0) === 32L)
+    val framed = spark.sql(
+      "SELECT proto_delimited(proto_row(cast('k' as binary), " +
+        "array(named_struct('name', cast('c' as binary), " +
+        "'value', cast('v' as binary), 'write_time', 7L)))) b")
+      .collect()(0).getAs[Array[Byte]](0)
+    val stats = graft.functions.ProtoWire.decodeStats(framed)
+    assert(stats === ((1L, 1L)))
+  }
+}
