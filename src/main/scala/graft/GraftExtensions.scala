@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotLongExpr, ProtoEncodeRowExpr, SortedIntersectCountExpr, VarintDelimitExpr}
+import graft.functions.{DotLongExpr, GramHash60Expr, Md5Prefix60Expr, ProtoEncodeRowExpr, ShingleHash60Expr, SortedIntersectCountExpr, VarintDelimitExpr}
 
 /** SparkSessionExtensions installer exposing the engine's native
   * expressions to SQL users:
@@ -36,5 +36,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_long"),
       info("dot_long", classOf[DotLongExpr]),
       (es: Seq[Expression]) => DotLongExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("md5_prefix60"),
+      info("md5_prefix60", classOf[Md5Prefix60Expr]),
+      (es: Seq[Expression]) => Md5Prefix60Expr(es(0))))
+    // n/k must be integer literals (evaluated at registration)
+    ext.injectFunction((FunctionIdentifier("gram_hash60"),
+      info("gram_hash60", classOf[GramHash60Expr]),
+      (es: Seq[Expression]) =>
+        GramHash60Expr(es(0), es(1).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((FunctionIdentifier("shingle_hash60"),
+      info("shingle_hash60", classOf[ShingleHash60Expr]),
+      (es: Seq[Expression]) =>
+        ShingleHash60Expr(es(0), es(1).eval().asInstanceOf[Number].intValue)))
   }
 }

@@ -28,11 +28,12 @@ object Portable {
   def words(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
-  /** 60-bit positive hash: first 15 hex chars of md5, as a long.
+  /** 60-bit positive hash: first 15 hex chars of md5, as a long —
+    * i.e. `conv(substring(md5(s), 1, 15), 16, 10)`, computed by the
+    * native [[HashOps]] kernel (same value, no hex-string round trip).
     * DuckDB mirror: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
     */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def hash60(s: Column): Column = HashOps.md5_prefix60(s)
 
   /** 16-bit hash (first 4 hex chars of md5) for SimHash bit votes. */
   def hash16(s: Column): Column =

@@ -49,8 +49,10 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), array_sort(transform(
-        array_distinct(wordShingles(col("ws"))), s => hash60(s))).as("hsh"))
+      // distinct AFTER hashing (cheap long dedup instead of string
+      // dedup; identical set — the oracle dedups the hashes too)
+      .select(col("doc_id"), array_sort(array_distinct(
+        graft.functions.HashOps.shingle_hash60(col("ws"), 3))).as("hsh"))
 
   private val NumHashes = 8
   private val NumBands = 4 // 2 hashes per band
@@ -131,9 +133,8 @@ object Dedup {
     val grams = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // one-file testdata, see docShingleHashes
       .filter(length(col("text")) >= 11) // >= 3 grams so the bottom-3 anchor exists
-      .select(col("doc_id"),
-        array_sort(transform(array_distinct(charGrams(col("text"), 5)),
-          g => hash60(g))).as("hs"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        graft.functions.HashOps.gram_hash60(col("text"), 5))).as("hs"))
       .withColumn("anchor",
         concat_ws(":", element_at(col("hs"), 1), element_at(col("hs"), 2),
           element_at(col("hs"), 3)))
@@ -181,10 +182,10 @@ object Dedup {
 
   private val sqlShingles =
     s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
-       |d AS (SELECT doc_id, list_sort(list_transform(list_distinct(
+       |d AS (SELECT doc_id, list_sort(list_distinct(list_transform(
        |        list_transform(range(1, len(ws)-1),
-       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])),
-       |        s -> ${sqlHash60("s")})) hsh
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |        s -> ${sqlHash60("s")}))) hsh
        |      FROM w WHERE len(ws) >= 3)""".stripMargin
 
   private val minhashSql = {
@@ -219,9 +220,9 @@ object Dedup {
   }
 
   private val ngramSql =
-    s"""WITH g0 AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text)-3),
-       |              i -> substr(text, i, 5))) gr FROM documents WHERE length(text) >= 11),
-       |a AS (SELECT doc_id, list_sort(list_transform(gr, g -> ${sqlHash60("g")})) hs FROM g0),
+    s"""WITH g0 AS (SELECT doc_id, list_transform(range(1, length(text)-3),
+       |              i -> substr(text, i, 5)) gr FROM documents WHERE length(text) >= 11),
+       |a AS (SELECT doc_id, list_sort(list_distinct(list_transform(gr, g -> ${sqlHash60("g")}))) hs FROM g0),
        |k AS (SELECT doc_id, hs, CAST(hs[1] AS VARCHAR) || ':' || CAST(hs[2] AS VARCHAR)
        |        || ':' || CAST(hs[3] AS VARCHAR) anchor FROM a),
        |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b, x.hs hsa, y.hs hsb

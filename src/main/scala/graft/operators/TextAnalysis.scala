@@ -95,8 +95,7 @@ object TextAnalysis {
       .repartition(spark.sparkContext.defaultParallelism)
       .filter(length(col("text")) >= 11) // >= 4 grams => >= 1 window
       .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("text")) - 7), i =>
-          hash60(col("text").substr(i, lit(8)))).as("hs"))
+        graft.functions.HashOps.gram_hash60(col("text"), 8).as("hs"))
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(1), size(col("hs")) - 3), j =>
           least(element_at(col("hs"), j), element_at(col("hs"), j + 1),
