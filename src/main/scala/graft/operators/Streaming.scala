@@ -2,9 +2,18 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.sources.Tables
+
+/** Streaming-sessionization row/state/output records (top-level so the
+  * product encoders resolve). Times are epoch-µs longs.
+  */
+case class SessEvent(user_id: Long, event_id: Long, us: Long,
+  event_time: java.sql.Timestamp)
+case class OpenSession(sessNo: Long, startUs: Long, endUs: Long, n: Long)
+case class SessionOut(user_id: Long, session_no: Long, n_events: Long,
+  start_us: Long, end_us: Long, duration_us: Long)
 
 /** Structured Streaming path: the q26 daily aggregation executed as a
   * stream — `readStream` file source → event-time derivation +
@@ -20,7 +29,7 @@ import graft.sources.Tables
   * bounded; an unbounded-cardinality deployment would switch to
   * approx_count_distinct.
   */
-object Streaming {
+object Streaming extends Serializable {
 
   /** q28: streaming twin of [[Events.windowAgg]]. */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -54,9 +63,97 @@ object Streaming {
     spark.table(name)
   }
 
+  private val SessionGapUs = 43200000000L // 12 h, matches Events.sessionize
+
+  /** q31: streaming sessionization with CUSTOM STATE —
+    * `flatMapGroupsWithState` keyed by user, event-time timeout.
+    *
+    * Per micro-batch each user's new events are folded into the open
+    * session carried in [[GroupState]]; a >12 h gap closes the session
+    * and emits it immediately. The open tail session stays in state
+    * with timeout = (end + gap); when the watermark passes that point
+    * (here: the AvailableNow final batch) the group times out and the
+    * session is emitted. At scale this is the canonical bounded-state
+    * shape: state per user is ONE open session regardless of history
+    * length, and eviction is watermark-driven.
+    *
+    * The DuckDB oracle is the batch sessionization restricted to
+    * sessions the watermark can have closed — exactly: every session
+    * but the user's last, plus last sessions whose timeout (ms
+    * granularity, as the state store tracks it) precedes the corpus
+    * max event time.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = Tables.events(spark, dir).schema
+    val name = "q31_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val evs = src
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
+        timestamp_micros(expr("ts DIV 1000")).as("event_time"))
+      // keep the watermarked column through to the stateful operator —
+      // EventTimeTimeout requires it on the input
+      .withWatermark("event_time", "0 seconds").as[SessEvent]
+
+    def fold(userId: Long, events: Iterator[SessEvent],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      def out(s: OpenSession) = SessionOut(userId, s.sessNo, s.n,
+        s.startUs, s.endUs, s.endUs - s.startUs)
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(out(s))
+      } else {
+        // batch arrival order is unordered within the micro-batch;
+        // per-user sort is the same bounded work the batch window does
+        val sorted = events.toSeq.sortBy(e => (e.us, e.event_id))
+        var open = state.getOption.orNull
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          if (open == null) open = OpenSession(1, e.us, e.us, 1)
+          else if (e.us - open.endUs > SessionGapUs) {
+            closed += out(open)
+            open = OpenSession(open.sessNo + 1, e.us, e.us, 1)
+          } else open = open.copy(endUs = e.us, n = open.n + 1)
+        }
+        if (open != null) {
+          state.update(open)
+          // state-store timeouts are epoch-ms; fires when watermark
+          // strictly passes it
+          state.setTimeoutTimestamp((open.endUs + SessionGapUs) / 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    val q = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fold)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q28_stream_window" -> streamWindowAgg)
+    "q28_stream_window" -> streamWindowAgg,
+    "q31_stream_sessionize" -> streamSessionize)
+
+  private val streamSessionSql =
+    s"""WITH s AS (${Events.oracle("q27_sessionize")}),
+       |m AS (SELECT max(epoch_us(ts)) mx FROM events),
+       |x AS (SELECT s.*, max(session_no) OVER (PARTITION BY user_id) last_sn FROM s)
+       |SELECT user_id, session_no, n_events, start_us, end_us, duration_us
+       |FROM x, m
+       |WHERE session_no < last_sn
+       |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "q28_stream_window" -> Events.oracle("q26_window_agg"))
+    "q28_stream_window" -> Events.oracle("q26_window_agg"),
+    "q31_stream_sessionize" -> streamSessionSql)
 }

@@ -63,6 +63,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.exceptAll(stream).count() === 0)
   }
 
+  test("q31 streaming sessionization equals batch sessions closed by the watermark") {
+    import org.apache.spark.sql.functions.{expr, max => smax}
+    val batch = Events.sessionize(spark, sf0001)
+    val gap = 43200000000L
+    val mx = Tables.events(spark, sf0001)
+      .agg(smax(expr("ts DIV 1000"))).collect()(0).getLong(0)
+    val lastSn = batch.groupBy(col("user_id"))
+      .agg(smax(col("session_no")).as("last_sn"))
+    val closed = batch.join(lastSn, "user_id")
+      .filter(col("session_no") < col("last_sn") ||
+        expr(s"(end_us + $gap) DIV 1000") < mx / 1000) // ms granularity, as the state store tracks timeouts
+      .drop("last_sn")
+    val stream = Streaming.streamSessionize(spark, sf0001)
+      .select(closed.columns.map(col): _*)
+    assert(stream.exceptAll(closed).count() === 0)
+    assert(closed.exceptAll(stream).count() === 0)
+    // and every session the stream holds back is an open tail session
+    assert(stream.count() < batch.count())
+  }
+
   test("q25 multimodal features match source-text expectations") {
     val feats = Multimodal.multimodal(spark, sf0001)
       .join(Tables.documents(spark, sf0001), "doc_id")
