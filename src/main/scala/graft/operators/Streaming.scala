@@ -31,6 +31,20 @@ case class SessionOut(user_id: Long, session_no: Long, n_events: Long,
   */
 object Streaming extends Serializable {
 
+  /** Run `f` with a reduced shuffle-partition count. Stateful streaming
+    * cost on small/medium state is dominated by per-partition state
+    * store instances (delta file + commit PER partition PER batch) —
+    * 8 partitions cuts that fixed cost 4× vs the session's 32. On a
+    * real cluster with large state this knob goes the other way; it is
+    * per-query here precisely because state size is query-specific.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** q28: streaming twin of [[Events.windowAgg]]. */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     // resolve the (nanosAsLong) schema from the batch reader first
@@ -53,13 +67,15 @@ object Streaming extends Serializable {
       .agg(count(lit(1)).as("n_events"),
         size(collect_set(col("user_id"))).as("n_users"),
         (sum(col("vc")).cast("double") / 100.0).as("sum_value"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -129,12 +145,14 @@ object Streaming extends Serializable {
       }
     }
 
-    val q = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout())(fold)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(fold)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(col("user_id"), col("session_no"), col("n_events"),
         col("start_us"), col("end_us"), col("duration_us"))

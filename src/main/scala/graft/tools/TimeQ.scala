@@ -14,6 +14,19 @@ object TimeQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.nonEmpty) {
+      // time named SparkEntry queries: runMain graft.tools.TimeQ q28_...
+      spark.range(10).groupBy(col("id") % 2).count().count() // warmup
+      args.foreach { n =>
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val c = graft.SparkEntry.queries(n)(spark, dir).count()
+          println(f"$n run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$c)")
+        }
+      }
+      spark.stop()
+      return
+    }
     val docs = graft.sources.Tables.documents(spark, dir)
       .repartition(32).filter(length(col("text")) >= 11)
     docs.cache().count()
