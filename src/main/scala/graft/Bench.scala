@@ -19,6 +19,15 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet")
         .withColumn("h", graft.functions.HashOps.md5_prefix60(col("r_name")))
         .groupBy(col("r_regionkey")).agg(count(lit(1))).count()
+      // and the streaming stack (state store, offset/commit logs)
+      val schema = spark.read.parquet(s"$sfDir/region.parquet").schema
+      val wq = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "region.parquet").parquet(sfDir)
+        .groupBy(col("r_regionkey")).agg(count(lit(1)))
+        .writeStream.format("memory").queryName("bench_warmup")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      wq.awaitTermination()
     } catch { case _: Throwable => () }
     // A failed query is recorded in "errors" (not silently timed as if
     // it succeeded) so the bench line can't mask a crash as a fast run.
