@@ -19,6 +19,10 @@ case class MediaRec(doc_id: Long, fmt: String, width: Int, height: Int,
 case class MediaFeat(doc_id: Long, fmt: String, width: Int, height: Int,
     payload_len: Int, brightness_milli: Long)
 
+/** One sampled "frame" of a media payload. */
+case class FrameFeat(doc_id: Long, frame_no: Int, frame_len: Int,
+    mean_milli: Long)
+
 /** Multimodal-column processing: binary payloads with typed metadata,
   * decoded per partition in batches — the Scala analog of a
   * `mapInPandas` batch UDF. The decode itself is a STUB (deterministic
@@ -68,8 +72,39 @@ object Multimodal {
     mediaTable(spark, dir).mapPartitions(decodeBatch).toDF()
   }
 
+  private val FrameBytes = 32
+  private val SampleStride = 4 // keep every 4th frame
+
+  /** STUB FRAME SAMPLER — the video half of the multimodal pattern:
+    * treat the payload as fixed-size frames, keep every k-th frame,
+    * emit per-frame features. One input record fans out to many rows
+    * (the flatMap batch shape a real frame decoder needs); sampling
+    * happens BEFORE feature extraction, so skipped frames cost
+    * nothing — the property that matters when a real decoder is the
+    * expensive step.
+    */
+  private def sampleFrames(batch: Iterator[MediaRec]): Iterator[FrameFeat] =
+    batch.flatMap { r =>
+      val nFrames = (r.payload.length + FrameBytes - 1) / FrameBytes
+      Iterator.range(0, nFrames, SampleStride).map { f =>
+        val off = f * FrameBytes
+        val len = math.min(FrameBytes, r.payload.length - off)
+        var s = 0L
+        var i = 0
+        while (i < len) { s += (r.payload(off + i) & 0xFF); i += 1 }
+        FrameFeat(r.doc_id, f, len, if (len == 0) 0L else s * 1000L / len)
+      }
+    }
+
+  /** q32: frame sampling over the media table. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(sampleFrames).toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q25_multimodal" -> multimodal)
+    "q25_multimodal" -> multimodal,
+    "q32_frame_sample" -> frameSample)
 
   // The payload is utf-8 of ASCII text, so payload bytes == ascii codes
   // of the text characters and the oracle can be expressed over `text`.
@@ -83,6 +118,19 @@ object Multimodal {
       |       // least(16, length(text)) AS BIGINT) AS brightness_milli
       |FROM documents""".stripMargin
 
+  private val frameSampleSql =
+    s"""WITH f AS (
+      |  SELECT doc_id, text, length(text) n,
+      |         unnest(range(0, CAST((length(text) + ${FrameBytes - 1}) // $FrameBytes AS BIGINT), $SampleStride)) fno
+      |  FROM documents)
+      |SELECT doc_id, CAST(fno AS INTEGER) AS frame_no,
+      |  CAST(least($FrameBytes, n - fno*$FrameBytes) AS INTEGER) AS frame_len,
+      |  CAST(list_sum(list_transform(range(1, CAST(least($FrameBytes, n - fno*$FrameBytes) AS BIGINT) + 1),
+      |         i -> ascii(substr(text, CAST(fno*$FrameBytes + i AS INTEGER), 1)))) * 1000
+      |       // least($FrameBytes, n - fno*$FrameBytes) AS BIGINT) AS mean_milli
+      |FROM f""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q25_multimodal" -> multimodalSql)
+    "q25_multimodal" -> multimodalSql,
+    "q32_frame_sample" -> frameSampleSql)
 }

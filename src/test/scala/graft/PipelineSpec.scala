@@ -92,6 +92,17 @@ class PipelineSpec extends AnyFunSuite {
       col("brightness_milli") > 122000).count() === 0)
   }
 
+  test("q32 frame sampling fans out ceil(frames/stride) rows per doc") {
+    import org.apache.spark.sql.functions.{ceil => sceil, expr}
+    val perDoc = Multimodal.frameSample(spark, sf0001)
+      .groupBy(col("doc_id")).count()
+    val expected = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        sceil(sceil(expr("length(text) / 32")) / 4).cast("long").as("want"))
+    assert(perDoc.join(expected, "doc_id")
+      .filter(col("count") =!= col("want")).count() === 0)
+  }
+
   test("q29 sink round-trip totals equal live partition/cell counts") {
     val out = Sink.sinkRoundtrip(spark, sf0001).collect()(0)
     val nested = CellModel.nestRows(spark, sf0001)
