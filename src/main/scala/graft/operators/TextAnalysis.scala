@@ -106,11 +106,45 @@ object TextAnalysis {
         array_min(col("fps")).as("fp_min"),
         array_max(col("fps")).as("fp_max"))
 
+  /** q33: corpus-level TF-IDF — term frequency per (doc, word), document
+    * frequency across the corpus, top-3 terms per doc by score.
+    *
+    * Exactness: idf is kept rational — `idf_milli = (N*1000) DIV df` —
+    * so the score `tf * idf_milli` is exact integer math (a float
+    * `ln(N/df)` would be libm-dependent and break the oracle hash).
+    *
+    * Scale shape: tf is one shuffle on (doc_id, word) with map-side
+    * partials; df reuses the tf result (one more shuffle on word,
+    * counting rows = distinct docs by construction); the df side is
+    * vocabulary-sized and broadcast back onto tf; top-k per doc is a
+    * window over millions of doc partitions — no single hot partition.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val n = Tables.documents(spark, dir).count()
+    // tf has exactly one row per (doc, word) => df = row count per word
+    val df = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf_milli", expr(s"(${n}L * 1000) DIV df"))
+    val scored = tf.join(broadcast(df), "w")
+      .withColumn("score_milli", col("tf") * col("idf_milli"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_milli").desc, col("w").asc)
+    scored.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("w"), col("tf"), col("df"),
+        col("score_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_lang_id" -> langId,
     "q22_text_quality" -> quality,
     "q23_token_count" -> tokens,
-    "q24_fingerprint" -> fingerprint)
+    "q24_fingerprint" -> fingerprint,
+    "q33_tfidf" -> tfidf)
 
   private val langIdSql = {
     val structs = sigs.map { case (l, ss) =>
@@ -160,9 +194,26 @@ object TextAnalysis {
        |SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS fp_min,
        |       list_max(fps) AS fp_max FROM f""".stripMargin
 
+  private val tfidfSql =
+    """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) w
+      |           FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) tf FROM w GROUP BY doc_id, w),
+      |n AS (SELECT count(*) n FROM documents),
+      |df AS (SELECT w, count(*) df, ((SELECT n FROM n) * 1000) // count(*) idf_milli
+      |       FROM tf GROUP BY w),
+      |s AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+      |        tf.tf * df.idf_milli score_milli,
+      |        row_number() OVER (PARTITION BY tf.doc_id
+      |          ORDER BY tf.tf * df.idf_milli DESC, tf.w ASC) rnk
+      |      FROM tf JOIN df USING (w))
+      |SELECT doc_id, rnk, w, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |       CAST(score_milli AS BIGINT) AS score_milli
+      |FROM s WHERE rnk <= 3""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q21_lang_id" -> langIdSql,
     "q22_text_quality" -> qualitySql,
     "q23_token_count" -> tokensSql,
-    "q24_fingerprint" -> fingerprintSql)
+    "q24_fingerprint" -> fingerprintSql,
+    "q33_tfidf" -> tfidfSql)
 }
