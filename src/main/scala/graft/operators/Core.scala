@@ -76,9 +76,13 @@ object Core {
         decode(col("c.value"), "UTF-8").as("value"),
         col("c.write_time").as("write_time"))
 
-  /** O11: proto3 Row encode + varint framing (rows-only check here;
-    * byte-exactness is asserted by golden tests against protobuf-java
-    * wire format in ProtoWireSpec).
+  /** O11: proto3 Row encode + varint framing. The DuckDB oracle
+    * reproduces `proto_len`/`framed_len` ANALYTICALLY from the wire
+    * format (tag byte + varint(len) + payload per field; empty bytes
+    * and zero fixed64 skipped; repeated submessages always framed) —
+    * so any encoder size drift fails the hash check, while byte-level
+    * exactness is asserted by the golden tests in ProtoWireSpec and the
+    * round-trip decodes of q29/q30.
     */
   def encodeProto(spark: SparkSession, dir: String): DataFrame =
     CellModel.encodeProto(spark, dir)
@@ -127,6 +131,35 @@ object Core {
     s"SELECT key, name, value, write_time FROM ($cellsSql) " +
       "WHERE NOT partition_deleted AND kind = 'live'"
 
+  /** Protobuf varint size of a non-negative value expression. */
+  private def vs(e: String): String =
+    s"(CASE WHEN $e < 128 THEN 1 WHEN $e < 16384 THEN 2 " +
+      s"WHEN $e < 2097152 THEN 3 WHEN $e < 268435456 THEN 4 ELSE 5 END)"
+
+  /** Analytic proto3 wire sizes for the Row/Column messages (see
+    * [[encodeProto]]): Column = tag+len+name, optional tag+len+value
+    * (skipped when empty), 9 bytes fixed64 writeTime (never 0 here);
+    * Row = tag+len+key + one framed submessage per live cell; framed =
+    * varint(len(Row)) + Row. Empty (all-dead-cell) partitions emit a
+    * key-only Row — the LEFT JOIN keeps them.
+    */
+  private val encodeProtoSql = {
+    val cl = s"(1 + ${vs("ln")} + ln) + " +
+      s"(CASE WHEN lv > 0 THEN 1 + ${vs("lv")} + lv ELSE 0 END) + 9"
+    s"""WITH c AS (SELECT * FROM ($cellsSql) WHERE NOT partition_deleted),
+       |l AS (SELECT key, length(name) ln, length(value) lv FROM c WHERE kind = 'live'),
+       |cm AS (SELECT key, $cl AS cl FROM l),
+       |pc AS (SELECT key, 1 + ${vs("cl")} + cl AS fl FROM cm),
+       |ks AS (SELECT DISTINCT key FROM c),
+       |body AS (SELECT ks.key,
+       |           (1 + ${vs("length(ks.key)")} + length(ks.key))
+       |             + coalesce(sum(fl), 0) AS bl
+       |         FROM ks LEFT JOIN pc ON pc.key = ks.key GROUP BY ks.key)
+       |SELECT key, CAST(bl AS INTEGER) AS proto_len,
+       |       CAST(${vs("bl")} + bl AS INTEGER) AS framed_len
+       |FROM body""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag " +
@@ -144,6 +177,7 @@ object Core {
         "count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells " +
         s"FROM ($cellsSql) WHERE NOT partition_deleted GROUP BY key"),
     "q05_explode_cells" -> liveCellsSql,
+    "q06_encode_proto" -> encodeProtoSql,
     "q07_file_metrics" ->
       (s"SELECT count(*) AS n_cells, count(DISTINCT key) AS n_partitions, " +
         "CAST(sum(CASE WHEN kind = 'live' AND NOT partition_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_live_cells, " +
