@@ -57,6 +57,10 @@ class ProtoZstTable(path: String) extends Table with SupportsRead {
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
+      // O15 analog (`markSuspect`, `SSTableReaderPatched.java:248-253`):
+      // with ignoreCorrupt=true a file whose tail fails to decode yields
+      // its valid prefix instead of failing the task.
+      private val ignoreCorrupt = options.getBoolean("ignoreCorrupt", false)
       override def build(): Scan = this
       override def readSchema(): StructType = ProtoZstTable.Schema
       override def toBatch: Batch = this
@@ -70,19 +74,44 @@ class ProtoZstTable(path: String) extends Table with SupportsRead {
         files.map(x => ProtoZstInputPartition(x.getAbsolutePath): InputPartition)
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new ProtoZstReaderFactory
+        new ProtoZstReaderFactory(ignoreCorrupt)
     }
 }
 
 case class ProtoZstInputPartition(file: String) extends InputPartition
 
-class ProtoZstReaderFactory extends PartitionReaderFactory {
+class ProtoZstReaderFactory(ignoreCorrupt: Boolean)
+    extends PartitionReaderFactory {
+
+  /** Salvage iterator: stop at the first undecodable message instead of
+    * propagating (the per-record analog of the reference's per-file
+    * suspect marking — everything before the corruption is kept).
+    */
+  private def salvaging(it: Iterator[ProtoWire.DecodedRow]) =
+    new Iterator[ProtoWire.DecodedRow] {
+      private var pending: ProtoWire.DecodedRow = _
+      private var ok = fetch()
+      private def fetch(): Boolean =
+        try { if (it.hasNext) { pending = it.next(); true } else false }
+        catch { case _: Exception => false }
+      override def hasNext: Boolean = ok
+      override def next(): ProtoWire.DecodedRow = {
+        val r = pending; ok = fetch(); r
+      }
+    }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[ProtoZstInputPartition].file
     new PartitionReader[InternalRow] {
       private val in = new ZstdInputStream(new FileInputStream(file))
-      private val rows =
-        try ProtoWire.decodeRows(in.readAllBytes()) finally in.close()
+      private val rows = {
+        // an unreadable zstd stream under ignoreCorrupt yields no rows
+        val bytes =
+          try { try in.readAllBytes() finally in.close() }
+          catch { case e: Exception if ignoreCorrupt => Array.emptyByteArray }
+        val all = ProtoWire.decodeRows(bytes)
+        if (ignoreCorrupt) salvaging(all) else all
+      }
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) {

@@ -29,6 +29,28 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(nFiles > 0)
   }
 
+  test("ignoreCorrupt salvages the valid prefix of a corrupt file") {
+    import com.github.luben.zstd.ZstdOutputStream
+    import graft.functions.ProtoWire
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+      .toFile.getAbsolutePath
+    // 3 valid framed rows, then a frame whose declared length overruns
+    val good = (1 to 3).map { i =>
+      ProtoWire.delimit(ProtoWire.encodeRow(s"k$i".getBytes,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])))
+    }
+    val os = new ZstdOutputStream(
+      new java.io.FileOutputStream(s"$dir/bad.proto.zst"))
+    good.foreach(os.write)
+    os.write(Array[Byte](120, 1, 2)) // frame len 120, only 2 bytes follow
+    os.close()
+    val salvaged = spark.read.format("proto-zst")
+      .option("ignoreCorrupt", "true").load(dir)
+    assert(salvaged.count() === 3)
+    val strict = spark.read.format("proto-zst").load(dir)
+    assertThrows[org.apache.spark.SparkException](strict.count())
+  }
+
   test("extension-registered SQL functions work and stay codegen'd") {
     assert(spark.sql(
       "SELECT sorted_intersect_count(array(1L,2L,5L), array(2L,3L,5L)) c")
