@@ -88,9 +88,71 @@ object SimSearch {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
   }
 
+  private val NCells = 16 // IVF coarse-quantizer cells
+  private val NProbe = 2 // cells probed per query
+
+  /** Signed projection score of the quantised vector onto cell `c`'s
+    * direction. Directions are a fixed deterministic ±1 pattern
+    * (`(c*31 + i*17) % 7 < 4`) so both engines derive the identical
+    * quantizer with no trained/stored centroids; real deployments swap
+    * in k-means centroids — the PLAN SHAPE (assign → inverted lists →
+    * probe → exact re-rank) is what this operator pins down.
+    */
+  private def cellScore(qv: Column, c: Int): Column =
+    aggregate(transform(sequence(lit(1), size(qv)), i =>
+      element_at(qv, i) *
+        when((lit(c) * 31 + i * 17) % 7 < 4, 1L).otherwise(-1L)),
+      lit(0L), (a, x) => a + x)
+
+  /** Cells ranked best-first for a vector (ties → smallest cell id). */
+  private def rankedCells(qv: Column): Column =
+    sort_array(array((0 until NCells).map(c =>
+      struct((-cellScore(qv, c)).as("neg"), lit(c).as("cell"))): _*))
+
+  /** q34: IVF-style ANN — corpus vectors assigned to their best cell
+    * (the inverted lists), queries probe their top-2 cells, exact
+    * cosine re-rank on the probed lists only.
+    *
+    * Scale shape: assignment is row-local; the probe is an equi-join
+    * on cell id (shuffle ∝ corpus size, bucketed by NCells); re-rank
+    * touches ~NProbe/NCells of the corpus per query instead of all of
+    * it. Versus q20's LSH: cells here PARTITION the corpus (each
+    * vector in exactly one list — storage ∝ N), while LSH replicates
+    * per band (storage ∝ N·bands); recall comes from probing more
+    * cells rather than more bands.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir)
+      .withColumn("rc", rankedCells(col("qv")))
+    val corpus = e.select(col("vec_id"), col("qv"), col("n2"),
+      col("rc").getItem(0).getField("cell").as("cell"))
+    val queryProbes = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"),
+        explode(slice(col("rc"), 1, NProbe)).as("p"))
+      .select(col("q_id"), col("p.cell").as("cell"))
+    val cand = corpus.select(col("vec_id"), col("cell"))
+      .join(broadcast(queryProbes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val qfeat = base(spark, dir).filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = cand
+      .join(base(spark, dir), "vec_id")
+      .join(broadcast(qfeat), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_ann_brute" -> annBrute,
-    "q20_ann_lsh" -> annLsh)
+    "q20_ann_lsh" -> annLsh,
+    "q34_ann_ivf" -> annIvf)
 
   private val baseSql =
     s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
@@ -121,7 +183,28 @@ object SimSearch {
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
        |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
 
+  private val ivfSql = {
+    val score = "CAST(list_sum(list_transform(range(1, len(qv)+1), " +
+      "i -> qv[i] * (CASE WHEN (c*31 + i*17) % 7 < 4 THEN 1 ELSE -1 END))) AS BIGINT)"
+    s"""$baseSql,
+       |sc AS (SELECT vec_id, qv, n2, list_sort(list_transform(range($NCells),
+       |         c -> {'neg': -($score), 'cell': c})) rc FROM n),
+       |corpus AS (SELECT vec_id, rc[1].cell cell FROM sc),
+       |probes AS (SELECT vec_id q_id, unnest([rc[1].cell, rc[2].cell]) cell
+       |           FROM sc WHERE vec_id < $NQ),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id
+       |         FROM probes p JOIN corpus c ON c.cell = p.cell
+       |         WHERE c.vec_id <> p.q_id),
+       |s AS (SELECT cand.q_id, cand.vec_id,
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(CAST(q.n2*c.n2 AS DOUBLE)) cosine
+       |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.vec_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
+       |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q19_ann_brute" -> bruteSql,
-    "q20_ann_lsh" -> lshSql)
+    "q20_ann_lsh" -> lshSql,
+    "q34_ann_ivf" -> ivfSql)
 }

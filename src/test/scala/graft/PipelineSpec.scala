@@ -39,6 +39,16 @@ class PipelineSpec extends AnyFunSuite {
     lsh.foreach { r => assert(r.getInt(1) >= 1 && r.getInt(1) <= 3) }
   }
 
+  test("q34 IVF never beats brute force and matches it per probed rank") {
+    val brute = SimSearch.annBrute(spark, sf0001)
+      .select(col("q_id"), col("rnk"), col("cosine").as("exact_cos"))
+    val ivf = SimSearch.annIvf(spark, sf0001)
+      .select(col("q_id"), col("rnk"), col("cosine").as("ivf_cos"))
+    // at each rank the approximate neighbour can't exceed the exact one
+    assert(ivf.join(brute, Seq("q_id", "rnk"))
+      .filter(col("ivf_cos") > col("exact_cos") + 1e-12).count() === 0)
+  }
+
   test("q26/q27 conserve event counts") {
     val total = Tables.events(spark, sf0001).count()
     val winSum = Events.windowAgg(spark, sf0001)
