@@ -61,9 +61,51 @@ object Events {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** q35: AS-OF JOIN — for every order, the user's latest event at or
+    * before the order timestamp. Spark has no native as-of join; the
+    * scalable composition is union-tag + one keyed window: both sides
+    * shuffle ONCE on the user key, sort within partition by time, and a
+    * running `last(..., ignoreNulls)` carries the most recent event
+    * forward onto each order row. No range-join explosion, no
+    * per-order probe — cost is a single sort-merge pass, the same shape
+    * a native as-of physical operator would use. Events are
+    * pre-collapsed to max(event_id) per (user, µs) so ties are
+    * deterministic in both engines (the DuckDB oracle uses its native
+    * ASOF LEFT JOIN).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("u"), expr("ts DIV 1000").as("us"),
+        col("event_id"))
+      .groupBy(col("u"), col("us")).agg(max(col("event_id")).as("event_id"))
+      .select(col("u"), col("us"), col("event_id"),
+        lit(1).as("is_event"), lit(null).cast("long").as("o_orderkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("u"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        lit(null).cast("long").as("event_id"), lit(0).as("is_event"),
+        col("o_orderkey"))
+    // at equal µs the event sorts before the order, so "at or before"
+    // includes same-instant events
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("us").asc, col("is_event").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("last_event_id",
+        last(when(col("is_event") === 1, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("last_event_us",
+        last(when(col("is_event") === 1, col("us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("is_event") === 0)
+      .select(col("o_orderkey"), col("u").as("o_custkey"),
+        col("last_event_id"), col("last_event_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_window_agg" -> windowAgg,
-    "q27_sessionize" -> sessionize)
+    "q27_sessionize" -> sessionize,
+    "q35_asof_join" -> asofJoin)
 
   private val windowSql =
     s"""SELECT epoch_us(ts) // $DayUs AS day_bucket, event_type,
@@ -85,7 +127,16 @@ object Events {
        |       max(us) - min(us) AS duration_us
        |FROM s GROUP BY user_id, session_no""".stripMargin
 
+  private val asofSql =
+    """WITH e AS (SELECT user_id u, epoch_us(ts) us, max(event_id) event_id
+      |           FROM events GROUP BY 1, 2),
+      |o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) us FROM orders)
+      |SELECT o.o_orderkey, o.o_custkey,
+      |       e.event_id AS last_event_id, e.us AS last_event_us
+      |FROM o ASOF LEFT JOIN e ON o.o_custkey = e.u AND e.us <= o.us""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q26_window_agg" -> windowSql,
-    "q27_sessionize" -> sessionSql)
+    "q27_sessionize" -> sessionSql,
+    "q35_asof_join" -> asofSql)
 }
