@@ -49,6 +49,25 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("ivf_cos") > col("exact_cos") + 1e-12).count() === 0)
   }
 
+  test("q35 as-of join keeps every order and never matches a later event") {
+    import org.apache.spark.sql.functions.{expr, unix_micros}
+    val out = Events.asofJoin(spark, sf0001)
+    assert(out.count() === Tables.orders(spark, sf0001).count())
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+    assert(out.join(orders, "o_orderkey")
+      .filter(col("last_event_us") > col("order_us")).count() === 0)
+    // a matched event really belongs to that user at that µs
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id").as("o_custkey"),
+        expr("ts DIV 1000").as("last_event_us"),
+        col("event_id").as("last_event_id"))
+    assert(out.filter(col("last_event_id").isNotNull)
+      .join(ev, Seq("o_custkey", "last_event_us", "last_event_id"), "left_anti")
+      .count() === 0)
+  }
+
   test("q26/q27 conserve event counts") {
     val total = Tables.events(spark, sf0001).count()
     val winSum = Events.windowAgg(spark, sf0001)
