@@ -91,23 +91,20 @@ object SimSearch {
   private val NCells = 16 // IVF coarse-quantizer cells
   private val NProbe = 2 // cells probed per query
 
-  /** Signed projection score of the quantised vector onto cell `c`'s
-    * direction. Directions are a fixed deterministic ±1 pattern
-    * (`(c*31 + i*17) % 7 < 4`) so both engines derive the identical
-    * quantizer with no trained/stored centroids; real deployments swap
-    * in k-means centroids — the PLAN SHAPE (assign → inverted lists →
-    * probe → exact re-rank) is what this operator pins down.
+  /** Cells ranked best-first for a vector (ties → smallest cell id).
+    * Scores come from the one-pass [[graft.functions.ArrayOps.ivfScores]]
+    * codegen kernel — directions are a fixed deterministic ±1 pattern
+    * (`(c*31 + i*17) % 7 < 4`, i 1-based) so both engines derive the
+    * identical quantizer with no trained/stored centroids; real
+    * deployments swap in k-means centroids — the PLAN SHAPE (assign →
+    * inverted lists → probe → exact re-rank) is what this operator
+    * pins down.
     */
-  private def cellScore(qv: Column, c: Int): Column =
-    aggregate(transform(sequence(lit(1), size(qv)), i =>
-      element_at(qv, i) *
-        when((lit(c) * 31 + i * 17) % 7 < 4, 1L).otherwise(-1L)),
-      lit(0L), (a, x) => a + x)
-
-  /** Cells ranked best-first for a vector (ties → smallest cell id). */
-  private def rankedCells(qv: Column): Column =
+  private def rankedCells(qv: Column): Column = {
+    val sc = graft.functions.ArrayOps.ivf_scores(qv, NCells)
     sort_array(array((0 until NCells).map(c =>
-      struct((-cellScore(qv, c)).as("neg"), lit(c).as("cell"))): _*))
+      struct((-element_at(sc, c + 1)).as("neg"), lit(c).as("cell"))): _*))
+  }
 
   /** q34: IVF-style ANN — corpus vectors assigned to their best cell
     * (the inverted lists), queries probe their top-2 cells, exact
