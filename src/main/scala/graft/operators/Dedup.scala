@@ -79,7 +79,12 @@ object Dedup {
     * 2-hash band collision for non-near-dups is ~j² rare.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = docShingleHashes(spark, dir)
+    // the signature table feeds 4 plan branches (band self-join + both
+    // verify probes); localCheckpoint materialises it once instead of
+    // re-hashing the corpus per branch — the local analog of persisting
+    // the signature table, which is what a 100 TB deployment does
+    // explicitly (storage is executor-local, GC-cleaned with the plan)
+    val d = docShingleHashes(spark, dir).localCheckpoint(false)
     val sig = d.withColumn("mhs", array(hashAB.map { case (a, b) =>
       array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
     }: _*))
@@ -139,6 +144,7 @@ object Dedup {
         concat_ws(":", element_at(col("hs"), 1), element_at(col("hs"), 2),
           element_at(col("hs"), 3)))
       .select(col("doc_id"), col("hs"), col("anchor"))
+      .localCheckpoint(false) // both sides of the self-join share one gram pass
     val cand = grams.as("a").join(grams.as("b"),
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
