@@ -124,6 +124,10 @@ object TextAnalysis {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      // feeds both the df aggregation and the score join — materialise
+      // the exploded+shuffled term table once (see Dedup for the
+      // cluster-scale analog: persist the term table explicitly)
+      .localCheckpoint(false)
     val n = Tables.documents(spark, dir).count()
     // tf has exactly one row per (doc, word) => df = row count per word
     val df = tf.groupBy(col("w"))
