@@ -79,14 +79,45 @@ object Sink {
         col("c.write_time").as("write_time"))
   }
 
+  /** q36: SHUFFLE-FREE per-key aggregation by reusing the sink's
+    * partitioning (SURVEY §4.3 made concrete). The sink wrote exactly
+    * one nested Row per key, key-disjoint across files; the proto-zst
+    * source keeps one partition per file — so per-key stats are a pure
+    * PROJECTION over the nested rows: zero exchanges end-to-end, yet
+    * globally correct for every key. This is the "reuse a partitioning
+    * across stages" pattern: pay the groupBy shuffle once at write
+    * time, then every downstream per-key pass is narrow. The columns
+    * array arrives sorted (sort_array at nest time), so min/max name
+    * are its first/last elements.
+    */
+  def noShuffleStats(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_nsh")
+      .toFile.getAbsolutePath
+    writeFramed(CellModel.encodeProto(spark, dir).select(col("framed")), outDir)
+    spark.read.format("proto-zst").load(outDir)
+      .select(decode(col("key"), "UTF-8").as("key"),
+        size(col("columns")).cast("long").as("n_cells"),
+        // guard the empty-partition Rows (ANSI element_at throws OOB)
+        when(size(col("columns")) > 0,
+          decode(element_at(col("columns.name"), 1), "UTF-8")).as("first_name"),
+        when(size(col("columns")) > 0,
+          decode(element_at(col("columns.name"), -1), "UTF-8")).as("last_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sink_roundtrip" -> sinkRoundtrip,
-    "q30_proto_source" -> protoSourceRoundtrip)
+    "q30_proto_source" -> protoSourceRoundtrip,
+    "q36_noshuffle_stats" -> noShuffleStats)
 
   val oracle: Map[String, String] = Map(
     "q29_sink_roundtrip" ->
       (s"SELECT count(DISTINCT CASE WHEN NOT partition_deleted THEN key END) AS n_rows, " +
         "CAST(sum(CASE WHEN kind = 'live' AND NOT partition_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_columns " +
         s"FROM (${Core.cellsSql})"),
-    "q30_proto_source" -> Core.liveCellsSql)
+    "q30_proto_source" -> Core.liveCellsSql,
+    "q36_noshuffle_stats" ->
+      (s"SELECT key, count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells, " +
+        "min(CASE WHEN kind = 'live' THEN name END) AS first_name, " +
+        "max(CASE WHEN kind = 'live' THEN name END) AS last_name " +
+        s"FROM (${Core.cellsSql}) WHERE NOT partition_deleted GROUP BY key"))
 }

@@ -39,6 +39,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected 1 Exchange, plan:\n$plan")
   }
 
+  test("q36 per-key stats over the sink files plan ZERO exchanges") {
+    val plan = physical(graft.operators.Sink.noShuffleStats(spark, sf0001))
+    assert(!plan.contains("Exchange"),
+      s"expected a shuffle-free plan, got:\n${plan.take(2000)}")
+  }
+
   test("q13 semi join broadcasts the filtered dimension") {
     val plan = physical(Relational.semiJoin(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
