@@ -41,9 +41,10 @@ object CellModel {
 
   /** String-typed flat cells: key, name, value, write_time, kind,
     * partition_deleted. Oracle-comparable working representation.
+    * Pure projection — works on batch AND streaming `events` frames.
     */
-  def cellStrings(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+  def cellStringsOf(events: DataFrame): DataFrame =
+    events.select(
       col("user_id").cast("string").as("key"),
       cellName.as("name"),
       col("props").as("value"),
@@ -54,6 +55,9 @@ object CellModel {
         .otherwise("live").as("kind"),
       (col("user_id") % 50 === 0).as("partition_deleted"))
 
+  def cellStrings(spark: SparkSession, dir: String): DataFrame =
+    cellStringsOf(Tables.events(spark, dir))
+
   /** O7 + O8: drop tombstoned partitions, keep only live cells. */
   def liveCellStrings(spark: SparkSession, dir: String): DataFrame =
     cellStrings(spark, dir)
@@ -61,12 +65,15 @@ object CellModel {
       .drop("kind", "partition_deleted")
 
   /** Binary flat cells — the faithful blob/blob/blob model (§1.4). */
-  def cells(spark: SparkSession, dir: String): DataFrame =
-    cellStrings(spark, dir).select(
+  def cellsOf(cellStringsDf: DataFrame): DataFrame =
+    cellStringsDf.select(
       encode(col("key"), "UTF-8").as("key"),
       encode(col("name"), "UTF-8").as("name"),
       encode(col("value"), "UTF-8").as("value"),
       col("write_time"), col("kind"), col("partition_deleted"))
+
+  def cells(spark: SparkSession, dir: String): DataFrame =
+    cellsOf(cellStrings(spark, dir))
 
   def liveCells(spark: SparkSession, dir: String): DataFrame =
     cells(spark, dir)

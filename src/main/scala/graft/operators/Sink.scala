@@ -20,8 +20,9 @@ import graft.functions.ProtoWire
 object Sink {
 
   /** Write each partition of framed messages as one .proto.zst file.
-    * Local-FS path here (single-node test harness); the same writer
-    * body runs against any Hadoop-visible mount in cluster mode.
+    * The low-level fallback path (pre-encoded bytes in, foreachPartition
+    * out); the queries below use the DSv2 write ([[writeNested]]), which
+    * adds the task-commit protocol.
     */
   def writeFramed(framed: DataFrame, outDir: String): Unit =
     framed.foreachPartition { (it: Iterator[Row]) =>
@@ -33,6 +34,13 @@ object Sink {
         finally os.close()
       }
     }
+
+  /** The main sink path: nested (key, columns) rows through the DSv2
+    * proto-zst writer — encode in the writer, one file per task,
+    * tmp+rename task commit ([[graft.sources.ProtoZstWriterFactory]]).
+    */
+  def writeNested(nested: DataFrame, outDir: String): Unit =
+    nested.write.format("proto-zst").mode("append").save(outDir)
 
   /** q29: full sink round trip — encode (nest + proto3 + varint frame),
     * write zstd files, read them back with the binaryFile source,
@@ -46,7 +54,7 @@ object Sink {
     import spark.implicits._
     val outDir = java.nio.file.Files.createTempDirectory("graft_sink")
       .toFile.getAbsolutePath
-    writeFramed(CellModel.encodeProto(spark, dir).select(col("framed")), outDir)
+    writeNested(CellModel.nestRows(spark, dir), outDir)
     val decoded = spark.read.format("binaryFile")
       .load(outDir + "/*.proto.zst")
       .select(col("content")).as[Array[Byte]]
@@ -70,7 +78,7 @@ object Sink {
     import org.apache.spark.sql.functions.{decode, explode}
     val outDir = java.nio.file.Files.createTempDirectory("graft_src")
       .toFile.getAbsolutePath
-    writeFramed(CellModel.encodeProto(spark, dir).select(col("framed")), outDir)
+    writeNested(CellModel.nestRows(spark, dir), outDir)
     spark.read.format("proto-zst").load(outDir)
       .select(col("key"), explode(col("columns")).as("c"))
       .select(decode(col("key"), "UTF-8").as("key"),
@@ -93,7 +101,7 @@ object Sink {
   def noShuffleStats(spark: SparkSession, dir: String): DataFrame = {
     val outDir = java.nio.file.Files.createTempDirectory("graft_nsh")
       .toFile.getAbsolutePath
-    writeFramed(CellModel.encodeProto(spark, dir).select(col("framed")), outDir)
+    writeNested(CellModel.nestRows(spark, dir), outDir)
     spark.read.format("proto-zst").load(outDir)
       .select(decode(col("key"), "UTF-8").as("key"),
         size(col("columns")).cast("long").as("n_cells"),

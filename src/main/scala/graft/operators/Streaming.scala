@@ -158,9 +158,49 @@ object Streaming extends Serializable {
         col("start_us"), col("end_us"), col("duration_us"))
   }
 
+  /** q37: streaming ingest INTO the proto-zst sink — readStream events →
+    * cell projection → DSv2 streaming write (one zstd file per (epoch,
+    * partition, task), tmp+rename task commit), then read the files
+    * back through the proto-zst source and re-flatten. The check: the
+    * round-tripped cells hash-match the same liveCells oracle as the
+    * batch q30 — write path, streaming commit path and read path verify
+    * each other. Each cell ships as its own single-column Row message
+    * (append mode carries no per-key agg state; the key-grouped layout
+    * is the batch sink's job — q29/q36).
+    */
+  def streamProtoSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, struct}
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ssink")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssink_ckpt")
+      .toFile.getAbsolutePath
+    val schema = Tables.events(spark, dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val nested = CellModel.cellsOf(CellModel.cellStringsOf(src))
+      .filter(!col("partition_deleted") && col("kind") === "live")
+      .select(col("key"),
+        array(struct(col("name"), col("value"), col("write_time")))
+          .as("columns"))
+    val q = nested.writeStream.format("proto-zst")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q.awaitTermination()
+    spark.read.format("proto-zst").load(outDir)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_stream_window" -> streamWindowAgg,
-    "q31_stream_sessionize" -> streamSessionize)
+    "q31_stream_sessionize" -> streamSessionize,
+    "q37_stream_sink" -> streamProtoSink)
 
   private val streamSessionSql =
     s"""WITH s AS (${Events.oracle("q27_sessionize")}),
@@ -173,5 +213,6 @@ object Streaming extends Serializable {
 
   val oracle: Map[String, String] = Map(
     "q28_stream_window" -> Events.oracle("q26_window_agg"),
-    "q31_stream_sessionize" -> streamSessionSql)
+    "q31_stream_sessionize" -> streamSessionSql,
+    "q37_stream_sink" -> graft.operators.Core.liveCellsSql)
 }

@@ -1,17 +1,19 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, File, FileInputStream}
+import java.io.{ByteArrayInputStream, File, FileInputStream, FileOutputStream}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import com.github.luben.zstd.ZstdInputStream
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,11 +51,43 @@ object ProtoZstTable {
       StructField("write_time", LongType)))))))
 }
 
-class ProtoZstTable(path: String) extends Table with SupportsRead {
+class ProtoZstTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"proto-zst($path)"
   override def schema(): StructType = ProtoZstTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
+
+  /** Write side (batch + streaming): each task writes one zstd file of
+    * varint-framed Row messages — encode happens IN the writer, so
+    * callers hand over the nested (key, columns) rows directly:
+    * `nested.write.format("proto-zst").save(dir)`. Task commit is
+    * write-to-tmp + rename (atomic on a local/posix fs; a cluster
+    * deployment points this at a committer-backed FS). One file per
+    * (epoch, partition, task) keeps the sink embarrassingly parallel —
+    * the scalable restatement of the reference's single fold stream
+    * (`Runner.java:75-82`).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val dir = path
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+            new ProtoZstWriterFactory(dir)
+          override def commit(msgs: Array[WriterCommitMessage]): Unit = ()
+          override def abort(msgs: Array[WriterCommitMessage]): Unit = ()
+        }
+        override def toStreaming: StreamingWrite = new StreamingWrite {
+          override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
+            new ProtoZstWriterFactory(dir)
+          override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit = ()
+          override def abort(epochId: Long, msgs: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -79,6 +113,61 @@ class ProtoZstTable(path: String) extends Table with SupportsRead {
 }
 
 case class ProtoZstInputPartition(file: String) extends InputPartition
+
+case class ProtoZstCommit(file: String, rows: Long) extends WriterCommitMessage
+
+/** One `.proto.zst` file per (epoch, partition, task); rows are encoded
+  * to the wire format here (key binary, columns array&lt;struct&gt; in,
+  * framed bytes out). Lazily opened so empty partitions write nothing.
+  */
+class ProtoZstWriterFactory(dir: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    make(partitionId, taskId, epochId = 0L)
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    make(partitionId, taskId, epochId)
+
+  private def make(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val finalFile =
+        new File(dir, f"part-e$epochId%03d-p$partitionId%05d-t$taskId.proto.zst")
+      private val tmpFile = new File(dir, finalFile.getName + "._tmp")
+      private var os: ZstdOutputStream = _
+      private var n = 0L
+
+      override def write(r: InternalRow): Unit = {
+        if (os == null) {
+          new File(dir).mkdirs()
+          os = new ZstdOutputStream(new FileOutputStream(tmpFile))
+        }
+        val key = if (r.isNullAt(0)) null else r.getBinary(0)
+        val cols = if (r.isNullAt(1)) null else r.getArray(1)
+        val framed = ProtoWire.delimit(ProtoWire.encodeRow(key, cols))
+        os.write(framed, 0, framed.length)
+        n += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (os != null) {
+          os.close()
+          os = null
+          if (!tmpFile.renameTo(finalFile))
+            throw new java.io.IOException(s"rename failed: $tmpFile")
+        }
+        ProtoZstCommit(finalFile.getName, n)
+      }
+
+      override def abort(): Unit = close()
+
+      override def close(): Unit = {
+        if (os != null) os.close()
+        tmpFile.delete()
+        ()
+      }
+    }
+}
 
 class ProtoZstReaderFactory(ignoreCorrupt: Boolean)
     extends PartitionReaderFactory {
