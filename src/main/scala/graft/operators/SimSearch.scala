@@ -47,6 +47,26 @@ object SimSearch {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
   }
 
+  /** Shared exact re-rank tail for the bucketed ANN variants: join the
+    * (q_id, vec_id) candidate pairs back onto the quantised features
+    * (query side broadcast), exact integer cosine, per-query top-K.
+    */
+  private def rerank(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val feat = base(spark, dir)
+    val qfeat = feat.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = cand
+      .join(feat, "vec_id")
+      .join(broadcast(qfeat), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2")).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
   /** 16-bit sign signature of the quantised vector, as a '0'/'1' string. */
   private def sig16(qv: Column): Column =
     array_join(transform(sequence(lit(1), lit(16)), i =>
@@ -73,19 +93,7 @@ object SimSearch {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    val feat = base(spark, dir)
-    val qfeat = feat.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
-    val scored = cand
-      .join(feat, "vec_id")
-      .join(broadcast(qfeat), "q_id")
-      .select(col("q_id"), col("vec_id"),
-        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2")).as("cosine"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+    rerank(spark, dir, cand)
   }
 
   private val NCells = 16 // IVF coarse-quantizer cells
@@ -132,18 +140,7 @@ object SimSearch {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    val qfeat = base(spark, dir).filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
-    val scored = cand
-      .join(base(spark, dir), "vec_id")
-      .join(broadcast(qfeat), "q_id")
-      .select(col("q_id"), col("vec_id"),
-        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2")).as("cosine"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+    rerank(spark, dir, cand)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
