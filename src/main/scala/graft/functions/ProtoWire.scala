@@ -117,20 +117,31 @@ object ProtoWire {
       while ((b & 0x80) != 0)
       v
     }
+    // validated LEN: a corrupt length (negative after truncation, or
+    // overrunning the enclosing bound) must THROW, not move pos
+    // backwards (infinite loop) or run past the frame (silent garbage)
+    def chk(l: Long, end: Long): Int =
+      if (l < 0 || pos + l > end)
+        throw new IllegalArgumentException(s"bad LEN $l at $pos")
+      else l.toInt
+    def skip(n: Int, end: Long): Unit =
+      if (pos + n > end)
+        throw new IllegalArgumentException(s"overrun at $pos")
+      else pos += n
     while (pos < buf.length) {
-      val frameLen = varint().toInt // NB: read len BEFORE taking pos
+      val frameLen = chk(varint(), buf.length) // read len BEFORE taking pos
       val end = pos + frameLen
       rows += 1
       while (pos < end) {
         val tag = varint()
         (tag & 7).toInt match {
           case 2 =>
-            val l = varint().toInt
+            val l = chk(varint(), end)
             if ((tag >> 3).toInt == 2) cols += 1
             pos += l
           case 0 => varint()
-          case 1 => pos += 8
-          case 5 => pos += 4
+          case 1 => skip(8, end)
+          case 5 => skip(4, end)
           case wt => throw new IllegalArgumentException(s"wire type $wt")
         }
       }
@@ -157,12 +168,24 @@ object ProtoWire {
       while ((b & 0x80) != 0)
       v
     }
+    // validated LEN — see decodeStats: corrupt lengths must throw, never
+    // move pos backwards (infinite loop) or zero-pad past the buffer
+    private def chk(l: Long, end: Long): Int =
+      if (l < 0 || pos + l > end)
+        throw new IllegalArgumentException(s"bad LEN $l at $pos")
+      else l.toInt
+    private def skip(n: Int, end: Long): Unit =
+      if (pos + n > end)
+        throw new IllegalArgumentException(s"overrun at $pos")
+      else pos += n
     private def bytesField(len: Int): Array[Byte] = {
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out
     }
-    private def fixed64(): Long = {
+    private def fixed64(end: Int): Long = {
+      if (pos + 8 > end)
+        throw new IllegalArgumentException(s"overrun at $pos")
       var v = 0L; var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
       pos += 8
@@ -175,13 +198,15 @@ object ProtoWire {
       while (pos < end) {
         val tag = varint()
         ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 2) => name = bytesField(varint().toInt)
-          case (2, 2) => value = bytesField(varint().toInt)
-          case (3, 1) => wt = fixed64()
-          case (_, 2) => val l = varint().toInt; pos += l // unknown LEN field
+          case (1, 2) => name = bytesField(chk(varint(), end))
+          case (2, 2) => value = bytesField(chk(varint(), end))
+          case (3, 1) => wt = fixed64(end)
+          // NB evaluate the varint BEFORE touching pos — `pos += chk(...)`
+          // would read pos before the varint advances it
+          case (_, 2) => val l = chk(varint(), end); pos += l
           case (_, 0) => varint()
-          case (_, 1) => pos += 8
-          case (_, 5) => pos += 4
+          case (_, 1) => skip(8, end)
+          case (_, 5) => skip(4, end)
           case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
         }
       }
@@ -189,19 +214,19 @@ object ProtoWire {
     }
     override def hasNext: Boolean = pos < buf.length
     override def next(): DecodedRow = {
-      val frameLen = varint().toInt // NB: read len BEFORE taking pos
+      val frameLen = chk(varint(), buf.length) // read len BEFORE taking pos
       val end = pos + frameLen
       var key = Array.emptyByteArray
       val cols = Seq.newBuilder[DecodedColumn]
       while (pos < end) {
         val tag = varint()
         ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 2) => key = bytesField(varint().toInt)
-          case (2, 2) => val l = varint().toInt; cols += decodeColumn(pos + l)
-          case (_, 2) => val l = varint().toInt; pos += l
+          case (1, 2) => key = bytesField(chk(varint(), end))
+          case (2, 2) => val l = chk(varint(), end); cols += decodeColumn(pos + l)
+          case (_, 2) => val l = chk(varint(), end); pos += l
           case (_, 0) => varint()
-          case (_, 1) => pos += 8
-          case (_, 5) => pos += 4
+          case (_, 1) => skip(8, end)
+          case (_, 5) => skip(4, end)
           case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
         }
       }

@@ -51,8 +51,8 @@ object SimSearch {
     * (q_id, vec_id) candidate pairs back onto the quantised features
     * (query side broadcast), exact integer cosine, per-query top-K.
     */
-  private def rerank(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
-    val feat = base(spark, dir)
+  private def rerank(feat0: DataFrame, cand: DataFrame): DataFrame = {
+    val feat = feat0.select(col("vec_id"), col("qv"), col("n2"))
     val qfeat = feat.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
     val scored = cand
@@ -93,7 +93,7 @@ object SimSearch {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    rerank(spark, dir, cand)
+    rerank(e, cand)
   }
 
   private val NCells = 16 // IVF coarse-quantizer cells
@@ -140,7 +140,7 @@ object SimSearch {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    rerank(spark, dir, cand)
+    rerank(e, cand)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

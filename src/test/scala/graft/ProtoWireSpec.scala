@@ -105,6 +105,21 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(ProtoWire.decodeStats(Array.emptyByteArray) === ((0L, 0L)))
   }
 
+  test("decoder rejects corrupt lengths: no zero-padding, no backwards pos") {
+    // field 1 declares 100 bytes but only 3 remain in the frame
+    val truncated = ProtoWire.delimit(b(0x0A, 100, 'a', 'b', 'c'))
+    assertThrows[IllegalArgumentException](ProtoWire.decodeRows(truncated).toList)
+    assertThrows[IllegalArgumentException](ProtoWire.decodeStats(truncated))
+    // LEN varint 4294967293 (low 32 bits = -3): must throw, not loop
+    // forever via a negative Int length
+    val huge = ProtoWire.delimit(b(0x12, 0xFD, 0xFF, 0xFF, 0xFF, 0x0F))
+    assertThrows[IllegalArgumentException](ProtoWire.decodeRows(huge).toList)
+    assertThrows[IllegalArgumentException](ProtoWire.decodeStats(huge))
+    // truncated fixed64 inside a column submessage
+    val shortF64 = ProtoWire.delimit(b(0x12, 0x03, 0x19, 0x01, 0x02))
+    assertThrows[IllegalArgumentException](ProtoWire.decodeRows(shortF64).toList)
+  }
+
   test("delimit round-trip: varint prefix decodes back to message length") {
     for (n <- Seq(0, 1, 127, 128, 129, 300, 4999)) {
       val msg = Array.fill[Byte](n)(0x7A)
