@@ -102,10 +102,27 @@ object Events {
         col("last_event_id"), col("last_event_us"))
   }
 
+  /** q40: JSON payload extraction — `props` holds `{"k": <int>}`;
+    * extract, type, and aggregate per event type. `get_json_object` is
+    * row-local (codegen'd Jackson path eval); one small shuffle on the
+    * 5-value event_type key.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_window_agg" -> windowAgg,
     "q27_sessionize" -> sessionize,
-    "q35_asof_join" -> asofJoin)
+    "q35_asof_join" -> asofJoin,
+    "q40_json_extract" -> jsonExtract)
 
   private val windowSql =
     s"""SELECT epoch_us(ts) // $DayUs AS day_bucket, event_type,
@@ -135,8 +152,19 @@ object Events {
       |       e.event_id AS last_event_id, e.us AS last_event_us
       |FROM o ASOF LEFT JOIN e ON o.o_custkey = e.u AND e.us <= o.us""".stripMargin
 
+  private val jsonSql =
+    """SELECT event_type,
+      |  count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k,
+      |  count(DISTINCT k) AS n_distinct_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q26_window_agg" -> windowSql,
     "q27_sessionize" -> sessionSql,
-    "q35_asof_join" -> asofSql)
+    "q35_asof_join" -> asofSql,
+    "q40_json_extract" -> jsonSql)
 }

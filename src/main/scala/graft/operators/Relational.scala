@@ -152,8 +152,45 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
   }
 
+  /** q38: ROLLUP aggregation — subtotals per (returnflag, linestatus),
+    * per returnflag, and grand total, disambiguated by `grouping()`
+    * flags. Same single-shuffle shape as q08: rollup adds the
+    * higher-level groups in the same partial-aggregation pass, not
+    * extra shuffles.
+    */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qc"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        (sum(col("qc")).cast("double") / 100.0).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** q39: FULL OUTER join — negative-balance customers vs 1995 order
+    * activity; either side may be absent. Shuffle on custkey both
+    * sides (a full outer can't broadcast), pre-aggregated right side.
+    */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val debt = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"), col("c_name"))
+    val o95 = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))).cast("double") / 100.0)
+          .as("spend_1995"))
+    debt.join(o95, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"), col("spend_1995"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_agg_pricing" -> aggPricing,
+    "q38_rollup" -> rollupPricing,
+    "q39_full_outer" -> fullOuter,
     "q09_join_revenue" -> joinRevenue,
     "q10_window_topn" -> windowTopn,
     "q11_set_ops" -> setOps,
@@ -161,6 +198,22 @@ object Relational {
     "q13_semi_join" -> semiJoin)
 
   val oracle: Map[String, String] = Map(
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |  CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q39_full_outer" ->
+      """WITH debt AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0),
+        |o95 AS (SELECT o_custkey, count(*) AS n_orders,
+        |          CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS spend_1995
+        |        FROM orders WHERE date_part('year', o_orderdate) = 1995
+        |        GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders, spend_1995
+        |FROM debt FULL JOIN o95 ON c_custkey = o_custkey""".stripMargin,
     "q08_agg_pricing" ->
       """WITH l AS (
         |  SELECT l_returnflag, l_linestatus,
