@@ -23,6 +23,10 @@ case class MediaFeat(doc_id: Long, fmt: String, width: Int, height: Int,
 case class FrameFeat(doc_id: Long, frame_no: Int, frame_len: Int,
     mean_milli: Long)
 
+/** A resized media record (stub decimation, real plumbing). */
+case class ResizedMedia(doc_id: Long, new_w: Int, new_h: Int,
+    new_len: Int, resized: Array[Byte])
+
 /** Multimodal-column processing: binary payloads with typed metadata,
   * decoded per partition in batches — the Scala analog of a
   * `mapInPandas` batch UDF. The decode itself is a STUB (deterministic
@@ -102,9 +106,33 @@ object Multimodal {
     mediaTable(spark, dir).mapPartitions(sampleFrames).toDF()
   }
 
+  /** STUB RESIZER — half-size nearest-neighbour decimation: keep every
+    * 2nd payload byte and halve the metadata dims (what a real
+    * per-axis image downsample does, stubbed on the 1-D fake payload).
+    * The resized payload itself is verified: the query returns its md5
+    * and the oracle recomputes the same hash from the source text.
+    */
+  private def resizeBatch(batch: Iterator[MediaRec]): Iterator[ResizedMedia] =
+    batch.map { r =>
+      val out = new Array[Byte]((r.payload.length + 1) / 2)
+      var i = 0
+      while (i < out.length) { out(i) = r.payload(2 * i); i += 1 }
+      ResizedMedia(r.doc_id, (r.width + 1) / 2, (r.height + 1) / 2,
+        out.length, out)
+    }
+
+  /** q41: media resize (metadata + payload, md5-checked). */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(resizeBatch).toDF()
+      .select(col("doc_id"), col("new_w"), col("new_h"), col("new_len"),
+        md5(col("resized")).as("resized_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal" -> multimodal,
-    "q32_frame_sample" -> frameSample)
+    "q32_frame_sample" -> frameSample,
+    "q41_media_resize" -> mediaResize)
 
   // The payload is utf-8 of ASCII text, so payload bytes == ascii codes
   // of the text characters and the oracle can be expressed over `text`.
@@ -130,7 +158,17 @@ object Multimodal {
       |       // least($FrameBytes, n - fno*$FrameBytes) AS BIGINT) AS mean_milli
       |FROM f""".stripMargin
 
+  private val resizeSql =
+    """SELECT doc_id,
+      |  CAST((((n_chars % 64) + 1) * 10 + 1) // 2 AS INTEGER) AS new_w,
+      |  CAST((((n_chars % 48) + 1) * 10 + 1) // 2 AS INTEGER) AS new_h,
+      |  CAST((length(text) + 1) // 2 AS INTEGER) AS new_len,
+      |  md5(array_to_string(list_transform(range(1, length(text) + 1, 2),
+      |        i -> substr(text, CAST(i AS INTEGER), 1)), '')) AS resized_md5
+      |FROM documents""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q25_multimodal" -> multimodalSql,
-    "q32_frame_sample" -> frameSampleSql)
+    "q32_frame_sample" -> frameSampleSql,
+    "q41_media_resize" -> resizeSql)
 }
