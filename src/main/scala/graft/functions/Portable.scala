@@ -48,13 +48,6 @@ object Portable {
       concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
         element_at(ws, i + 2)))
 
-  /** Character n-grams at every position. Requires length(text) >= n.
-    * DuckDB: `list_transform(range(1, length(text)-(n-2)), i -> substr(text, i, n))`.
-    */
-  def charGrams(text: Column, n: Int): Column =
-    transform(sequence(lit(1), length(text) - (n - 1)), i =>
-      text.substr(i, lit(n)))
-
   /** Milli-quantised embedding: array<long> of floor(x*1000). The
     * float→double widening is exact, so both engines floor the same
     * double. DuckDB: `list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))`.

@@ -113,15 +113,17 @@ object ProtoWire {
     var cols = 0L
     def varint(): Long = {
       var v = 0L; var sh = 0; var b = 0
-      do { b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7 }
-      while ((b & 0x80) != 0)
+      do {
+        b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
+        if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
+      } while ((b & 0x80) != 0)
       v
     }
     // validated LEN: a corrupt length (negative after truncation, or
     // overrunning the enclosing bound) must THROW, not move pos
     // backwards (infinite loop) or run past the frame (silent garbage)
     def chk(l: Long, end: Long): Int =
-      if (l < 0 || pos + l > end)
+      if (l < 0 || l > end - pos) // NB not pos+l>end: pos+l can overflow
         throw new IllegalArgumentException(s"bad LEN $l at $pos")
       else l.toInt
     def skip(n: Int, end: Long): Unit =
@@ -164,14 +166,16 @@ object ProtoWire {
     private var pos = 0
     private def varint(): Long = {
       var v = 0L; var sh = 0; var b = 0
-      do { b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7 }
-      while ((b & 0x80) != 0)
+      do {
+        b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
+        if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
+      } while ((b & 0x80) != 0)
       v
     }
     // validated LEN — see decodeStats: corrupt lengths must throw, never
     // move pos backwards (infinite loop) or zero-pad past the buffer
     private def chk(l: Long, end: Long): Int =
-      if (l < 0 || pos + l > end)
+      if (l < 0 || l > end - pos) // NB not pos+l>end: pos+l can overflow
         throw new IllegalArgumentException(s"bad LEN $l at $pos")
       else l.toInt
     private def skip(n: Int, end: Long): Unit =

@@ -137,9 +137,13 @@ object Dedup {
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // one-file testdata, see docShingleHashes
-      .filter(length(col("text")) >= 11) // >= 3 grams so the bottom-3 anchor exists
+      .filter(length(col("text")) >= 11) // >= 3 grams (not yet distinct)
       .select(col("doc_id"), array_sort(array_distinct(
         graft.functions.HashOps.gram_hash60(col("text"), 5))).as("hs"))
+      // the bottom-3 anchor needs 3 DISTINCT grams — a low-entropy doc
+      // (e.g. "ababab…") passes the length filter with fewer, and
+      // element_at(hs, 3) would throw under ANSI mode
+      .filter(size(col("hs")) >= 3)
       .withColumn("anchor",
         concat_ws(":", element_at(col("hs"), 1), element_at(col("hs"), 2),
           element_at(col("hs"), 3)))
@@ -230,7 +234,7 @@ object Dedup {
        |              i -> substr(text, i, 5)) gr FROM documents WHERE length(text) >= 11),
        |a AS (SELECT doc_id, list_sort(list_distinct(list_transform(gr, g -> ${sqlHash60("g")}))) hs FROM g0),
        |k AS (SELECT doc_id, hs, CAST(hs[1] AS VARCHAR) || ':' || CAST(hs[2] AS VARCHAR)
-       |        || ':' || CAST(hs[3] AS VARCHAR) anchor FROM a),
+       |        || ':' || CAST(hs[3] AS VARCHAR) anchor FROM a WHERE len(hs) >= 3),
        |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b, x.hs hsa, y.hs hsb
        |         FROM k x JOIN k y ON x.anchor = y.anchor AND x.doc_id < y.doc_id),
        |j AS (SELECT doc_a, doc_b, len(list_intersect(hsa, hsb)) i, len(hsa) la, len(hsb) lb FROM cand)

@@ -76,7 +76,10 @@ object Relational {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
-      .agg((sum(col("u6")).cast("double") / 1e6).as("revenue"),
+      // u6 ≈ 1e11/row into ~5 nation groups: widen to decimal so 1e8+
+      // rows per group don't overflow Long under ANSI (q08 discipline;
+      // the DuckDB side is HUGEINT)
+      .agg((sum(col("u6").cast("decimal(28,0)")).cast("double") / 1e6).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_custs"))
   }
@@ -93,16 +96,16 @@ object Relational {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"),
         cents(col("o_totalprice")).as("price_c"))
+    // local top-3 per (segment, salt): a sort-based window over the 320
+    // salted partitions — spillable, unlike a collect_list whose
+    // aggregation buffer would hold the whole group in memory
+    val wLocal = Window.partitionBy(col("c_mktsegment"), col("salt"))
+      .orderBy(col("price_c").desc, col("o_orderkey").asc)
     val local = o
       .withColumn("salt", pmod(col("o_orderkey"), lit(64)))
-      .groupBy(col("c_mktsegment"), col("salt"))
-      .agg(slice(
-        reverse(sort_array(collect_list(
-          struct(col("price_c"), (-col("o_orderkey")).as("neg_key"))))),
-        1, 3).as("top"))
-      .select(col("c_mktsegment"), explode(col("top")).as("t"))
-      .select(col("c_mktsegment"), col("t.price_c").as("price_c"),
-        (-col("t.neg_key")).as("o_orderkey"))
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= 3)
+      .select(col("c_mktsegment"), col("price_c"), col("o_orderkey"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("price_c").desc, col("o_orderkey").asc)
     local.withColumn("rn", row_number().over(w))

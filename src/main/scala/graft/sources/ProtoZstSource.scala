@@ -71,19 +71,28 @@ class ProtoZstTable(path: String) extends Table
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val dir = path
+    // a job-level abort rolls back the tasks that DID commit (their
+    // tmp→final renames) so a retried job can't double-count rows
+    def rollback(msgs: Array[WriterCommitMessage]): Unit =
+      msgs.foreach {
+        case ProtoZstCommit(f, _) => new File(dir, f).delete(); ()
+        case _ => ()
+      }
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
             new ProtoZstWriterFactory(dir)
           override def commit(msgs: Array[WriterCommitMessage]): Unit = ()
-          override def abort(msgs: Array[WriterCommitMessage]): Unit = ()
+          override def abort(msgs: Array[WriterCommitMessage]): Unit =
+            rollback(msgs)
         }
         override def toStreaming: StreamingWrite = new StreamingWrite {
           override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
             new ProtoZstWriterFactory(dir)
           override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit = ()
-          override def abort(epochId: Long, msgs: Array[WriterCommitMessage]): Unit = ()
+          override def abort(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
+            rollback(msgs)
         }
       }
     }
@@ -192,12 +201,15 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[ProtoZstInputPartition].file
     new PartitionReader[InternalRow] {
-      private val in = new ZstdInputStream(new FileInputStream(file))
       private val rows = {
-        // an unreadable zstd stream under ignoreCorrupt yields no rows
+        // an unopenable file / unreadable zstd stream under
+        // ignoreCorrupt yields no rows (open INSIDE the guard — a file
+        // listed at plan time may be gone by read time)
         val bytes =
-          try { try in.readAllBytes() finally in.close() }
-          catch { case e: Exception if ignoreCorrupt => Array.emptyByteArray }
+          try {
+            val in = new ZstdInputStream(new FileInputStream(file))
+            try in.readAllBytes() finally in.close()
+          } catch { case e: Exception if ignoreCorrupt => Array.emptyByteArray }
         val all = ProtoWire.decodeRows(bytes)
         if (ignoreCorrupt) salvaging(all) else all
       }
