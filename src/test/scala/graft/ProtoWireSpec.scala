@@ -118,6 +118,14 @@ class ProtoWireSpec extends AnyFunSuite {
     // truncated fixed64 inside a column submessage
     val shortF64 = ProtoWire.delimit(b(0x12, 0x03, 0x19, 0x01, 0x02))
     assertThrows[IllegalArgumentException](ProtoWire.decodeRows(shortF64).toList)
+    // LEN = Long.MaxValue: naive pos+l overflows negative and would
+    // pass a `pos+l > end` bound — must still throw
+    val maxLen = ProtoWire.delimit(b(0x0A) ++ Array.fill(8)(0xFF.toByte) :+ 0x7F.toByte)
+    assertThrows[IllegalArgumentException](ProtoWire.decodeRows(maxLen).toList)
+    assertThrows[IllegalArgumentException](ProtoWire.decodeStats(maxLen))
+    // an 11-byte varint is malformed regardless of value
+    val longVarint = ProtoWire.delimit(b(0x0A) ++ Array.fill(10)(0x80.toByte) :+ 0x01.toByte)
+    assertThrows[IllegalArgumentException](ProtoWire.decodeRows(longVarint).toList)
   }
 
   test("delimit round-trip: varint prefix decodes back to message length") {
