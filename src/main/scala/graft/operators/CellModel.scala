@@ -103,6 +103,26 @@ object CellModel {
   def nestRows(spark: SparkSession, dir: String): DataFrame =
     nestCells(cells(spark, dir))
 
+  /** Mega-partition guard for the nest: cells are chunked into bounded
+    * Rows of at most [[NestChunk]] cells per (key, chunk) — the size-cap
+    * variant of O10 for keys whose partitions outgrow one task's memory
+    * (the reference's one unbounded spot,
+    * `service/SSTableReader.java:104-105`). The chunk id comes from a
+    * sort-based window (spillable), so no stage ever holds an unbounded
+    * partition in an aggregation buffer.
+    */
+  val NestChunk = 16
+
+  def nestRowsChunked(spark: SparkSession, dir: String): DataFrame =
+    cellStrings(spark, dir)
+      .filter(!col("partition_deleted") && col("kind") === "live")
+      .withColumn("chunk", expr(s"(row_number() OVER (PARTITION BY key " +
+        s"ORDER BY name, value, write_time) - 1) DIV $NestChunk"))
+      .groupBy(col("key"), col("chunk"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("name")).as("first_name"),
+        max(col("name")).as("last_name"))
+
   /** Inverse of nestRows (flatten) — validates the round trip. */
   def explodeCells(spark: SparkSession, dir: String): DataFrame =
     nestRows(spark, dir)

@@ -106,6 +106,7 @@ object Core {
       max(col("write_time")).as("max_write_time"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_nest_chunked" -> CellModel.nestRowsChunked _,
     "q01_scan_project" -> scanProject,
     "q02_filter_live" -> filterLive,
     "q03_key_range" -> keyRange,
@@ -177,6 +178,15 @@ object Core {
         "count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells " +
         s"FROM ($cellsSql) WHERE NOT partition_deleted GROUP BY key"),
     "q05_explode_cells" -> liveCellsSql,
+    "q42_nest_chunked" ->
+      (s"""WITH c AS ($liveCellsSql),
+         |r AS (SELECT key, name,
+         |        (row_number() OVER (PARTITION BY key
+         |           ORDER BY name, value, write_time) - 1) // ${CellModel.NestChunk} AS chunk
+         |      FROM c)
+         |SELECT key, chunk, count(*) AS n_cells,
+         |       min(name) AS first_name, max(name) AS last_name
+         |FROM r GROUP BY key, chunk""".stripMargin),
     "q06_encode_proto" -> encodeProtoSql,
     "q07_file_metrics" ->
       (s"SELECT count(*) AS n_cells, count(DISTINCT key) AS n_partitions, " +

@@ -197,10 +197,39 @@ object Streaming extends Serializable {
         col("c.write_time").as("write_time"))
   }
 
+  /** q43: STREAMING DEDUP — the same events file streamed twice and
+    * unioned (every record arrives exactly twice), then
+    * `dropDuplicates("event_id")` collapses them in the state store
+    * before a per-type aggregate. The oracle is the plain per-type
+    * count over the raw table: only exact-once survival matches it.
+    * State is the seen-key set — the streaming form of q14's exact
+    * dedup (production would add a watermark column to the dedup key
+    * so state ages out; the bounded testdata doesn't need one).
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = "q43_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = src.union(src)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_stream_window" -> streamWindowAgg,
     "q31_stream_sessionize" -> streamSessionize,
-    "q37_stream_sink" -> streamProtoSink)
+    "q37_stream_sink" -> streamProtoSink,
+    "q43_stream_dedup" -> streamDedup)
 
   private val streamSessionSql =
     s"""WITH s AS (${Events.oracle("q27_sessionize")}),
@@ -214,5 +243,7 @@ object Streaming extends Serializable {
   val oracle: Map[String, String] = Map(
     "q28_stream_window" -> Events.oracle("q26_window_agg"),
     "q31_stream_sessionize" -> streamSessionSql,
-    "q37_stream_sink" -> graft.operators.Core.liveCellsSql)
+    "q37_stream_sink" -> graft.operators.Core.liveCellsSql,
+    "q43_stream_dedup" ->
+      "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type")
 }
