@@ -77,6 +77,17 @@ class CellModelSpec extends AnyFunSuite {
     assert(out === Set(("A", "c1:v1:10", 1L), ("B", "", 0L)))
   }
 
+  test("chunked nest bounds every Row and conserves cell counts") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val chunked = CellModel.nestRowsChunked(spark, SparkTestSession.sf0001)
+    assert(chunked.filter(col("n_cells") > CellModel.NestChunk).count() === 0)
+    // only the LAST chunk of a key may be partial
+    assert(chunked.filter(col("n_cells") < CellModel.NestChunk).count() <=
+      chunked.select("key").distinct().count())
+    val total = chunked.agg(sum(col("n_cells"))).collect()(0).getLong(0)
+    assert(total === CellModel.liveCells(spark, SparkTestSession.sf0001).count())
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
