@@ -17,6 +17,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous round's dump FIRST: a query that fails before
+      // its write starts must leave NO output (a stale parquet dir
+      // would hash-compare as a silent false pass)
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(target)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -66,9 +66,12 @@ object Portable {
 
   /** Cosine from exact integer dot/norms — one double division and one
     * sqrt over exactly-computed longs; bit-identical across engines.
+    * Zero-norm vectors (all components quantise to 0) yield NULL on
+    * both engines instead of an ANSI divide-by-zero error; oracle
+    * mirror: [[sqlCosineq]].
     */
   def cosineq(dot: Column, n2a: Column, n2b: Column): Column =
-    dot.cast("double") / sqrt((n2a * n2b).cast("double"))
+    dot.cast("double") / sqrt(nullif((n2a * n2b).cast("double"), lit(0.0)))
 
   // ---- DuckDB oracle fragments (kept beside their Spark twins) ----
 
@@ -92,4 +95,8 @@ object Portable {
 
   def sqlNorm2(a: String): String =
     s"CAST(list_sum(list_transform($a, x -> x*x)) AS BIGINT)"
+
+  /** DuckDB: cosine with the same zero-norm → NULL guard as [[cosineq]]. */
+  def sqlCosineq(dot: String, n2prod: String): String =
+    s"CAST($dot AS DOUBLE) / sqrt(nullif(CAST($n2prod AS DOUBLE), 0.0))"
 }

@@ -47,7 +47,10 @@ object CellModel {
     events.select(
       col("user_id").cast("string").as("key"),
       cellName.as("name"),
-      col("props").as("value"),
+      // a Cassandra cell VALUE is a blob that may be empty but never
+      // absent — and a null here would diverge between Spark's
+      // null-skipping concat_ws and DuckDB's null-propagating `||`
+      coalesce(col("props"), lit("")).as("value"),
       expr("ts DIV 1000").as("write_time"),
       when(col("event_type") === "error", "deleted")
         .when(col("event_type") === "signup", "expiring")

@@ -119,7 +119,7 @@ object Core {
   private[operators] val cellsSql =
     """SELECT CAST(user_id AS VARCHAR) AS key,
       |       lpad(CAST(event_id AS VARCHAR), 12, '0') || ':' || event_type AS name,
-      |       props AS value,
+      |       coalesce(props, '') AS value,
       |       epoch_us(ts) AS write_time,
       |       CASE WHEN event_type = 'error' THEN 'deleted'
       |            WHEN event_type = 'signup' THEN 'expiring'
@@ -148,12 +148,12 @@ object Core {
     val cl = s"(1 + ${vs("ln")} + ln) + " +
       s"(CASE WHEN lv > 0 THEN 1 + ${vs("lv")} + lv ELSE 0 END) + 9"
     s"""WITH c AS (SELECT * FROM ($cellsSql) WHERE NOT partition_deleted),
-       |l AS (SELECT key, length(name) ln, length(value) lv FROM c WHERE kind = 'live'),
+       |l AS (SELECT key, strlen(name) ln, strlen(value) lv FROM c WHERE kind = 'live'),
        |cm AS (SELECT key, $cl AS cl FROM l),
        |pc AS (SELECT key, 1 + ${vs("cl")} + cl AS fl FROM cm),
        |ks AS (SELECT DISTINCT key FROM c),
        |body AS (SELECT ks.key,
-       |           (1 + ${vs("length(ks.key)")} + length(ks.key))
+       |           (1 + ${vs("strlen(ks.key)")} + strlen(ks.key))
        |             + coalesce(sum(fl), 0) AS bl
        |         FROM ks LEFT JOIN pc ON pc.key = ks.key GROUP BY ks.key)
        |SELECT key, CAST(bl AS INTEGER) AS proto_len,

@@ -141,9 +141,9 @@ object Multimodal {
       |  CAST(((n_chars % 64) + 1) * 10 AS INTEGER) AS width,
       |  CAST(((n_chars % 48) + 1) * 10 AS INTEGER) AS height,
       |  CAST(length(text) AS INTEGER) AS payload_len,
-      |  CAST(list_sum(list_transform(range(1, least(16, length(text)) + 1),
+      |  CAST(coalesce(list_sum(list_transform(range(1, least(16, length(text)) + 1),
       |         i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) * 1000
-      |       // least(16, length(text)) AS BIGINT) AS brightness_milli
+      |       // nullif(least(16, length(text)), 0), 0) AS BIGINT) AS brightness_milli
       |FROM documents""".stripMargin
 
   private val frameSampleSql =

@@ -155,7 +155,7 @@ object SimSearch {
   private val bruteSql =
     s"""$baseSql,
        |s AS (SELECT q.vec_id q_id, c.vec_id vec_id,
-       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(CAST(q.n2*c.n2 AS DOUBLE)) cosine
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM n q JOIN n c ON q.vec_id < $NQ AND c.vec_id <> q.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
@@ -171,7 +171,7 @@ object SimSearch {
        |         FROM bands q JOIN bands c ON q.bkey = c.bkey
        |         WHERE q.vec_id < $NQ AND c.vec_id <> q.vec_id),
        |s AS (SELECT cand.q_id, cand.vec_id,
-       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(CAST(q.n2*c.n2 AS DOUBLE)) cosine
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
@@ -190,7 +190,7 @@ object SimSearch {
        |         FROM probes p JOIN corpus c ON c.cell = p.cell
        |         WHERE c.vec_id <> p.q_id),
        |s AS (SELECT cand.q_id, cand.vec_id,
-       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(CAST(q.n2*c.n2 AS DOUBLE)) cosine
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)

@@ -213,8 +213,11 @@ object Streaming extends Serializable {
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    // dedup on FULL row identity: keying on event_id alone would make
+    // the survivor arbitrary if ids ever repeated with different
+    // payloads, diverging from the oracle nondeterministically
     val agg = src.union(src)
-      .dropDuplicates("event_id")
+      .dropDuplicates()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     withStatePartitions(spark, 8) {
@@ -245,5 +248,6 @@ object Streaming extends Serializable {
     "q31_stream_sessionize" -> streamSessionSql,
     "q37_stream_sink" -> graft.operators.Core.liveCellsSql,
     "q43_stream_dedup" ->
-      "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type")
+      ("SELECT event_type, count(*) AS n_events " +
+        "FROM (SELECT DISTINCT * FROM events) GROUP BY event_type"))
 }

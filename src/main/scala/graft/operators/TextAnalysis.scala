@@ -63,9 +63,12 @@ object TextAnalysis {
         aggregate(transform(col("ws"), w => length(w)), lit(0),
           (a, x) => a + x).as("total_wchars"),
         size(filter(col("ws"), w => w.isInCollection(stops))).as("n_stop"))
+      // nullif: a zero-word doc yields NULL ratios on BOTH engines
+      // (Spark's ANSI division would throw; DuckDB's would NULL anyway)
       .withColumn("avg_word_len",
-        col("total_wchars").cast("double") / col("n_words"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+        col("total_wchars").cast("double") / nullif(col("n_words"), lit(0)))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / nullif(col("n_words"), lit(0)))
       .withColumn("quality_bucket",
         when(col("n_words") < 40, "short")
           .when(col("n_stop") * 5 >= col("n_words"), "stopword_heavy")
@@ -82,7 +85,7 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_tokens"),
         length(col("text")).as("n_chars_m"))
       .withColumn("chars_per_token",
-        col("n_chars_m").cast("double") / col("n_ws_tokens"))
+        col("n_chars_m").cast("double") / nullif(col("n_ws_tokens"), lit(0)))
 
   /** q24: winnowing document fingerprint — rolling char-8-gram hashes,
     * min per 4-gram window, distinct survivors. The standard local
@@ -172,8 +175,8 @@ object TextAnalysis {
        |        len(list_filter(ws, w -> list_contains([$stopList], w))) n_stop
        |      FROM d)
        |SELECT doc_id, n_words, n_uniq, total_wchars, n_stop,
-       |       CAST(total_wchars AS DOUBLE)/n_words AS avg_word_len,
-       |       CAST(n_stop AS DOUBLE)/n_words AS stop_ratio,
+       |       CAST(total_wchars AS DOUBLE)/nullif(n_words, 0) AS avg_word_len,
+       |       CAST(n_stop AS DOUBLE)/nullif(n_words, 0) AS stop_ratio,
        |       CASE WHEN n_words < 40 THEN 'short'
        |            WHEN n_stop * 5 >= n_words THEN 'stopword_heavy'
        |            WHEN n_uniq * 3 <= n_words THEN 'repetitive'
@@ -186,7 +189,7 @@ object TextAnalysis {
       |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_ws_tokens,
       |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
       |  length(text) AS n_chars_m,
-      |  CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), w -> w <> '')) AS chars_per_token
+      |  CAST(length(text) AS DOUBLE) / nullif(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS chars_per_token
       |FROM documents""".stripMargin
 
   private val fingerprintSql =
