@@ -190,10 +190,39 @@ object Relational {
         col("c_name"), col("n_orders"), col("spend_1995"))
   }
 
+  /** q44: BUCKETED co-located join — both sides written `bucketBy` the
+    * join key, so the sort-merge join needs NO exchange on either side
+    * (PlanSpec asserts it): the join-key shuffle is paid once at write
+    * time and amortised over every later join, the bucketing strategy
+    * the 100 TB fact⋈fact case calls for. The only exchange left in
+    * the plan is the final 5-group rollup of the join output.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suf = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val lt = s"lineitem_bkt_$suf"
+    val ot = s"orders_bkt_$suf"
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(lt)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(ot)
+    spark.table(lt)
+      .join(spark.table(ot).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("pc").cast("decimal(28,0)")).cast("double") / 100.0)
+          .as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q08_agg_pricing" -> aggPricing,
     "q38_rollup" -> rollupPricing,
     "q39_full_outer" -> fullOuter,
+    "q44_bucketed_join" -> bucketedJoin,
     "q09_join_revenue" -> joinRevenue,
     "q10_window_topn" -> windowTopn,
     "q11_set_ops" -> setOps,
@@ -201,6 +230,11 @@ object Relational {
     "q13_semi_join" -> semiJoin)
 
   val oracle: Map[String, String] = Map(
+    "q44_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q38_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,

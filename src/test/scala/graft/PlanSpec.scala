@@ -45,6 +45,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected a shuffle-free plan, got:\n${plan.take(2000)}")
   }
 
+  test("q44 bucketed join plans no exchange on the join keys") {
+    val plan = physical(Relational.bucketedJoin(spark, sf0001))
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // the only exchange allowed is the final groupBy on o_orderpriority
+    val joinKeyExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("l_orderkey") || l.contains("o_orderkey")))
+    assert(joinKeyExchanges === 0, s"join-side shuffle in:\n${plan.take(3000)}")
+  }
+
   test("q13 semi join broadcasts the filtered dimension") {
     val plan = physical(Relational.semiJoin(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
