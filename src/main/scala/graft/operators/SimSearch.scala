@@ -97,7 +97,7 @@ object SimSearch {
   }
 
   private val NCells = 16 // IVF coarse-quantizer cells
-  private val NProbe = 2 // cells probed per query
+  private val NProbe = 4 // cells probed per query (prunes 3/4 of corpus)
 
   /** Cells ranked best-first for a vector (ties → smallest cell id).
     * Scores come from the one-pass [[graft.functions.ArrayOps.ivfScores]]
@@ -143,10 +143,30 @@ object SimSearch {
     rerank(e, cand)
   }
 
+  /** q45: recall@K of the two approximate variants against the exact
+    * brute-force top-K — the accuracy/cost trade-off measured inside
+    * the engine itself. Exact integer recall (`hits*1000 DIV total`)
+    * so the oracle hash-matches.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val b = annBrute(spark, dir).select(col("q_id"), col("vec_id"))
+    val nBrute = b.count()
+    def row(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("q_id"), col("vec_id"))
+        .join(b, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"),
+          lit(nBrute).as("n_brute"),
+          expr(s"n_hits * 1000 DIV ${nBrute}L").as("recall_milli"))
+    row("ivf", annIvf(spark, dir))
+      .unionByName(row("lsh", annLsh(spark, dir)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_ann_brute" -> annBrute,
     "q20_ann_lsh" -> annLsh,
-    "q34_ann_ivf" -> annIvf)
+    "q34_ann_ivf" -> annIvf,
+    "q45_ann_recall" -> annRecall)
 
   private val baseSql =
     s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
@@ -184,7 +204,7 @@ object SimSearch {
        |sc AS (SELECT vec_id, qv, n2, list_sort(list_transform(range($NCells),
        |         c -> {'neg': -($score), 'cell': c})) rc FROM n),
        |corpus AS (SELECT vec_id, rc[1].cell cell FROM sc),
-       |probes AS (SELECT vec_id q_id, unnest([rc[1].cell, rc[2].cell]) cell
+       |probes AS (SELECT vec_id q_id, unnest(list_transform(range(1, $NProbe + 1), i -> rc[i].cell)) cell
        |           FROM sc WHERE vec_id < $NQ),
        |cand AS (SELECT DISTINCT p.q_id, c.vec_id
        |         FROM probes p JOIN corpus c ON c.cell = p.cell
@@ -197,8 +217,26 @@ object SimSearch {
        |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
   }
 
+  private val recallSql =
+    s"""WITH brute AS (SELECT q_id, vec_id FROM ($bruteSql)),
+       |lsh AS (SELECT q_id, vec_id FROM ($lshSql)),
+       |ivf AS (SELECT q_id, vec_id FROM ($ivfSql)),
+       |tot AS (SELECT count(*) t FROM brute)
+       |SELECT 'ivf' AS method,
+       |  (SELECT count(*) FROM ivf JOIN brute USING (q_id, vec_id)) AS n_hits,
+       |  (SELECT t FROM tot) AS n_brute,
+       |  (SELECT count(*) FROM ivf JOIN brute USING (q_id, vec_id)) * 1000
+       |    // (SELECT t FROM tot) AS recall_milli
+       |UNION ALL
+       |SELECT 'lsh' AS method,
+       |  (SELECT count(*) FROM lsh JOIN brute USING (q_id, vec_id)) AS n_hits,
+       |  (SELECT t FROM tot) AS n_brute,
+       |  (SELECT count(*) FROM lsh JOIN brute USING (q_id, vec_id)) * 1000
+       |    // (SELECT t FROM tot) AS recall_milli""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q19_ann_brute" -> bruteSql,
     "q20_ann_lsh" -> lshSql,
-    "q34_ann_ivf" -> ivfSql)
+    "q34_ann_ivf" -> ivfSql,
+    "q45_ann_recall" -> recallSql)
 }
