@@ -72,7 +72,9 @@ class PlanSpec extends AnyFunSuite {
   test("no query plans a cartesian product; NL joins only where bounded") {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
       "q29_sink_roundtrip", "q30_proto_source")
-    val nlAllowed = Set("q19_ann_brute")
+    // q45 embeds q19's bounded brute-force scorer, so it inherits the
+    // deliberately-broadcast NL join
+    val nlAllowed = Set("q19_ann_brute", "q45_ann_recall")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = physical(fn(spark, sf0001))
       assert(!plan.contains("CartesianProduct"),
