@@ -41,6 +41,16 @@ def frame(con, sql):
     return [cols[i] for i in order], out
 
 
+def dtypes(con, sql):
+    """Pandas dtypes as the driver's fetchdf canonicalization sees them.
+
+    DuckDB HUGEINT (e.g. an uncast windowed sum) silently becomes float64
+    here, which value-level compares miss but the driver's hash catches.
+    """
+    df = con.execute(sql).fetchdf()
+    return {c: str(df[c].dtype) for c in df.columns}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -72,6 +82,15 @@ def main():
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns {scols} != {ocols}")
+            failures += 1
+            continue
+        sdt = dtypes(con, f"SELECT * FROM read_parquet({files!r})")
+        odt = dtypes(con, oracle[name])
+        bad = [c for c in sdt
+               if sdt[c].startswith("int") and odt.get(c, "").startswith("float")]
+        if bad:
+            print(f"FAIL {name}: oracle canonicalizes as float where spark "
+                  f"is integer: {[(c, sdt[c], odt[c]) for c in bad]}")
             failures += 1
             continue
         if srows != orows:

@@ -73,6 +73,17 @@ object Portable {
   def cosineq(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / sqrt(nullif((n2a * n2b).cast("double"), lit(0.0)))
 
+  /** Attach a broadcast 1-row aggregate (a scalar, e.g. a corpus count)
+    * to every row of `df` — the in-plan alternative to a driver-side
+    * `count()` at query-build time. Plans as a BroadcastNestedLoopJoin
+    * with an IdentityBroadcastMode build side of exactly one row (a
+    * keyless aggregate) — the scalar-subquery shape, which
+    * [[graft.PlanSpec]]'s NL-join guard recognises as bounded.
+    */
+  def withScalar(df: org.apache.spark.sql.DataFrame,
+      scalar: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.crossJoin(broadcast(scalar))
+
   // ---- DuckDB oracle fragments (kept beside their Spark twins) ----
 
   /** DuckDB: words list from `text`. */

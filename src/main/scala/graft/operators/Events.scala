@@ -137,8 +137,8 @@ object Events {
        |n AS (SELECT user_id, event_id, us,
        |        CASE WHEN prev IS NULL OR us - prev > $SessionGapUs THEN 1 ELSE 0 END ns FROM g),
        |s AS (SELECT user_id, us,
-       |        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |                      ROWS UNBOUNDED PRECEDING) session_no FROM n)
+       |        CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) session_no FROM n)
        |SELECT user_id, session_no, count(*) AS n_events,
        |       min(us) AS start_us, max(us) AS end_us,
        |       max(us) - min(us) AS duration_us

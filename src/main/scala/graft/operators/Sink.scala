@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.ProtoWire
 
+/** Scratch directories for the sink/stream round-trip queries, rooted
+  * under ONE per-JVM directory that a shutdown hook removes recursively —
+  * repeated invocations (bench runs every query twice, rounds repeat)
+  * stop accumulating zstd files and checkpoints in /tmp.
+  */
+private[operators] object Scratch {
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(r.toFile)))
+    r
+  }
+  private[operators] def delete(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete()
+    ()
+  }
+  def dir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(root, prefix)
+      .toFile.getAbsolutePath
+}
+
 /** O12+O13: the reference's sink — length-delimited proto3 Row messages
   * folded into zstd-compressed files (`Runner.java:75-82,114-145`,
   * codec `:126`) — re-expressed as one output file PER TASK instead of
@@ -52,8 +73,7 @@ object Sink {
     */
   def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val outDir = java.nio.file.Files.createTempDirectory("graft_sink")
-      .toFile.getAbsolutePath
+    val outDir = Scratch.dir("graft_sink")
     writeNested(CellModel.nestRows(spark, dir), outDir)
     val decoded = spark.read.format("binaryFile")
       .load(outDir + "/*.proto.zst")
@@ -76,8 +96,7 @@ object Sink {
     */
   def protoSourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{decode, explode}
-    val outDir = java.nio.file.Files.createTempDirectory("graft_src")
-      .toFile.getAbsolutePath
+    val outDir = Scratch.dir("graft_src")
     writeNested(CellModel.nestRows(spark, dir), outDir)
     spark.read.format("proto-zst").load(outDir)
       .select(col("key"), explode(col("columns")).as("c"))
@@ -99,8 +118,7 @@ object Sink {
     * are its first/last elements.
     */
   def noShuffleStats(spark: SparkSession, dir: String): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_nsh")
-      .toFile.getAbsolutePath
+    val outDir = Scratch.dir("graft_nsh")
     writeNested(CellModel.nestRows(spark, dir), outDir)
     spark.read.format("proto-zst").load(outDir)
       .select(decode(col("key"), "UTF-8").as("key"),

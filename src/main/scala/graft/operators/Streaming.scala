@@ -170,10 +170,8 @@ object Streaming extends Serializable {
     */
   def streamProtoSink(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{array, struct}
-    val outDir = java.nio.file.Files.createTempDirectory("graft_ssink")
-      .toFile.getAbsolutePath
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssink_ckpt")
-      .toFile.getAbsolutePath
+    val outDir = Scratch.dir("graft_ssink")
+    val ckpt = Scratch.dir("graft_ssink_ckpt")
     val schema = Tables.events(spark, dir).schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")

@@ -131,11 +131,15 @@ object TextAnalysis {
       // the exploded+shuffled term table once (see Dedup for the
       // cluster-scale analog: persist the term table explicitly)
       .localCheckpoint(false)
-    val n = Tables.documents(spark, dir).count()
+    // corpus size stays in-plan (broadcast 1-row aggregate) — no job
+    // runs until the caller executes the returned DataFrame
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
     // tf has exactly one row per (doc, word) => df = row count per word
-    val df = tf.groupBy(col("w"))
-      .agg(count(lit(1)).as("df"))
-      .withColumn("idf_milli", expr(s"(${n}L * 1000) DIV df"))
+    val df = withScalar(
+        tf.groupBy(col("w")).agg(count(lit(1)).as("df")), nDocs)
+      .withColumn("idf_milli", expr("n_docs * 1000 DIV df"))
+      .drop("n_docs")
     val scored = tf.join(broadcast(df), "w")
       .withColumn("score_milli", col("tf") * col("idf_milli"))
     val win = Window.partitionBy(col("doc_id"))

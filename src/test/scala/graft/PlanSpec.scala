@@ -63,11 +63,14 @@ class PlanSpec extends AnyFunSuite {
 
   /** The 100 TB kill-switch: no query may plan an unbounded
     * all-pairs join. CartesianProduct is banned outright;
-    * BroadcastNestedLoopJoin is allowed ONLY where one side is a
-    * deliberately bounded broadcast set (q19's brute-force scorer —
-    * the documented exact baseline the LSH variant exists to replace).
-    * Streaming/sink queries execute on construction, so they are
-    * audited by their own specs instead of re-run here.
+    * BroadcastNestedLoopJoin is allowed ONLY where bounded — either
+    * every NL join in the plan broadcasts a keyless aggregate (exactly
+    * one row: the scalar-subquery shape `withScalar` produces), or the
+    * query is explicitly allow-listed (q19's brute-force scorer over
+    * the deliberately bounded query set — the documented exact
+    * baseline the LSH variant exists to replace). Streaming/sink
+    * queries execute on construction, so they are audited by their own
+    * specs instead of re-run here.
     */
   test("no query plans a cartesian product; NL joins only where bounded") {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
@@ -75,13 +78,23 @@ class PlanSpec extends AnyFunSuite {
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join
     val nlAllowed = Set("q19_ann_brute", "q45_ann_recall")
+    // every NL join's build side is a 1-row broadcast (a keyless
+    // aggregate under an IdentityBroadcastMode exchange)
+    def allNlJoinsScalar(plan: String): Boolean = {
+      val lines = plan.linesIterator.toVector
+      val nl = lines.count(_.contains("BroadcastNestedLoopJoin"))
+      val oneRowBuilds = lines.sliding(2).count(w =>
+        w.head.contains("BroadcastExchange IdentityBroadcastMode") &&
+          w.last.contains("HashAggregate(keys=[]"))
+      nl <= oneRowBuilds
+    }
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = physical(fn(spark, sf0001))
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n${plan.take(3000)}")
-      if (!nlAllowed(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a BroadcastNestedLoopJoin:\n${plan.take(3000)}")
+      if (!nlAllowed(name) && plan.contains("BroadcastNestedLoopJoin"))
+        assert(allNlJoinsScalar(plan),
+          s"$name plans an unbounded BroadcastNestedLoopJoin:\n${plan.take(3000)}")
     }
   }
 
