@@ -238,6 +238,140 @@ object ProtoWire {
     }
   }
 
+  /** Pruned + filtered decode for the DSv2 source — the engine analog of
+    * the reference's index-assisted key seek
+    * (`SSTableScannerPatched.java:56-93`): each frame's key is parsed
+    * first and `keep` evaluated on the raw key bytes; Column messages
+    * are decoded ONLY for kept frames, and only when `wantColumns` —
+    * dropped or key-only frames are skipped by advancing the cursor,
+    * never allocating a cell. Field order inside a frame is arbitrary
+    * (protobuf allows it): column spans are recorded as offsets during
+    * the single pass and materialised after the keep decision.
+    */
+  def decodeRowsPruned(buf: Array[Byte], wantColumns: Boolean,
+      keep: Array[Byte] => Boolean): Iterator[DecodedRow] =
+    new Iterator[DecodedRow] {
+      private val full = decodeSpans(buf)
+      private var pending: DecodedRow = _
+      // scan happens lazily in hasNext, so corruption in frame N+1
+      // surfaces AFTER frame N was delivered — the salvage wrapper then
+      // keeps the whole valid prefix
+      override def hasNext: Boolean = {
+        while (pending == null && full.hasNext) {
+          val (key, spans) = full.next()
+          if (keep(key)) {
+            val cols =
+              if (wantColumns) spans.map { case (s, e) => decodeColumnAt(buf, s, e) }
+              else Seq.empty
+            pending = DecodedRow(key, cols)
+          }
+        }
+        pending != null
+      }
+      override def next(): DecodedRow = {
+        if (!hasNext) throw new NoSuchElementException("end of frames")
+        val r = pending
+        pending = null
+        r
+      }
+    }
+
+  /** One frame per element: (key bytes, column-message (start,end) spans).
+    * Shares the validated-LEN discipline of [[decodeRows]].
+    */
+  private def decodeSpans(buf: Array[Byte]): Iterator[(Array[Byte], Seq[(Int, Int)])] =
+    new Iterator[(Array[Byte], Seq[(Int, Int)])] {
+      private var pos = 0
+      private def varint(): Long = {
+        var v = 0L; var sh = 0; var b = 0
+        do {
+          b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
+          if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
+        } while ((b & 0x80) != 0)
+        v
+      }
+      private def chk(l: Long, end: Long): Int =
+        if (l < 0 || l > end - pos)
+          throw new IllegalArgumentException(s"bad LEN $l at $pos")
+        else l.toInt
+      private def skip(n: Int, end: Long): Unit =
+        if (pos + n > end)
+          throw new IllegalArgumentException(s"overrun at $pos")
+        else pos += n
+      override def hasNext: Boolean = pos < buf.length
+      override def next(): (Array[Byte], Seq[(Int, Int)]) = {
+        val frameLen = chk(varint(), buf.length)
+        val end = pos + frameLen
+        var key = Array.emptyByteArray
+        val spans = Seq.newBuilder[(Int, Int)]
+        while (pos < end) {
+          val tag = varint()
+          ((tag >> 3).toInt, (tag & 7).toInt) match {
+            case (1, 2) =>
+              val l = chk(varint(), end)
+              key = java.util.Arrays.copyOfRange(buf, pos, pos + l)
+              pos += l
+            case (2, 2) =>
+              val l = chk(varint(), end)
+              spans += ((pos, pos + l))
+              pos += l
+            case (_, 2) => val l = chk(varint(), end); pos += l
+            case (_, 0) => varint()
+            case (_, 1) => skip(8, end)
+            case (_, 5) => skip(4, end)
+            case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
+          }
+        }
+        (key, spans.result())
+      }
+    }
+
+  /** Decode one Column message from buf[start, end) (a recorded span). */
+  private def decodeColumnAt(buf: Array[Byte], start: Int, end: Int): DecodedColumn = {
+    var pos = start
+    def varint(): Long = {
+      var v = 0L; var sh = 0; var b = 0
+      do {
+        b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
+        if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
+      } while ((b & 0x80) != 0)
+      v
+    }
+    def chk(l: Long): Int =
+      if (l < 0 || l > end - pos)
+        throw new IllegalArgumentException(s"bad LEN $l at $pos")
+      else l.toInt
+    var name = Array.emptyByteArray
+    var value = Array.emptyByteArray
+    var wt = 0L
+    while (pos < end) {
+      val tag = varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) =>
+          val l = chk(varint())
+          name = java.util.Arrays.copyOfRange(buf, pos, pos + l); pos += l
+        case (2, 2) =>
+          val l = chk(varint())
+          value = java.util.Arrays.copyOfRange(buf, pos, pos + l); pos += l
+        case (3, 1) =>
+          if (pos + 8 > end) throw new IllegalArgumentException(s"overrun at $pos")
+          var v = 0L; var i = 0
+          while (i < 8) { v |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
+          pos += 8; wt = v
+        case (_, 2) => val l = chk(varint()); pos += l
+        case (_, 0) => varint()
+        case (_, 1) =>
+          if (pos + 8 > end) throw new IllegalArgumentException(s"overrun at $pos")
+          pos += 8
+        case (_, 5) =>
+          if (pos + 4 > end) throw new IllegalArgumentException(s"overrun at $pos")
+          pos += 4
+        case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
+      }
+    }
+    DecodedColumn(name, value, wt)
+  }
+
   // ---- Column-API surface ----
 
   /** `proto_row(key, columns)` — Row message bytes (unframed). */

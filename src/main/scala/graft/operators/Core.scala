@@ -144,7 +144,7 @@ object Core {
     * varint(len(Row)) + Row. Empty (all-dead-cell) partitions emit a
     * key-only Row — the LEFT JOIN keeps them.
     */
-  private val encodeProtoSql = {
+  private[operators] val encodeProtoSql = {
     val cl = s"(1 + ${vs("ln")} + ln) + " +
       s"(CASE WHEN lv > 0 THEN 1 + ${vs("lv")} + lv ELSE 0 END) + 9"
     s"""WITH c AS (SELECT * FROM ($cellsSql) WHERE NOT partition_deleted),

@@ -130,10 +130,64 @@ object Sink {
           decode(element_at(col("columns.name"), -1), "UTF-8")).as("last_name"))
   }
 
+  /** q46: key-range scan over the sink files with the predicate PUSHED
+    * into the proto-zst source and the columns array PRUNED away — the
+    * engine analog of the reference's index-summary key seek
+    * (`SSTableScannerPatched.java:56-93`): dropped frames are skipped on
+    * their key bytes alone and Column messages are never decoded, so a
+    * key listing pays key-parse cost only (PlanSpec asserts both the
+    * pushed filter and the key-only read schema).
+    */
+  def keyPushdownScan(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = Scratch.dir("graft_push")
+    writeNested(CellModel.nestRows(spark, dir), outDir)
+    spark.read.format("proto-zst").load(outDir)
+      .filter(col("key") >= lit("200".getBytes("UTF-8")) &&
+        col("key") < lit("300".getBytes("UTF-8")))
+      .select(decode(col("key"), "UTF-8").as("key"))
+  }
+
+  /** q47: PER-INPUT-FILE job metrics — the O14 fidelity gap closed. The
+    * reference reports, for every input file it processes, the row
+    * count and output size (`Runner.java:88-97`); here every sink file
+    * reports its decoded Row count, Column count and uncompressed wire
+    * bytes, keyed by the file it came from (the binaryFile source's
+    * `path` column — one task per file, decode amortised per task).
+    *
+    * Determinism for the oracle: rows are bucketed by `user_id % 4` and
+    * each bucket written as ONE file, so file identity == bucket and
+    * the DuckDB side can rebuild every file's metrics analytically from
+    * the raw table (per-key wire sizes, as in q06). At scale the same
+    * query runs over whatever files exist — grouped by `path`, no
+    * single-partition writes needed.
+    */
+  def perFileMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val outDir = Scratch.dir("graft_pfm")
+    val nested = CellModel.nestRows(spark, dir)
+      .withColumn("bucket", expr("CAST(decode(key, 'UTF-8') AS BIGINT) % 4"))
+    (0 until 4).foreach { b =>
+      writeNested(nested.filter(col("bucket") === b).drop("bucket")
+        .repartition(1), s"$outDir/bucket=$b")
+    }
+    spark.read.format("binaryFile").load(outDir + "/bucket=*/*.proto.zst")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val in = new ZstdInputStream(new ByteArrayInputStream(bytes))
+        val all = try in.readAllBytes() finally in.close()
+        val (rows, cols) = ProtoWire.decodeStats(all)
+        val bucket = path.split("bucket=")(1).split("/")(0).toLong
+        (bucket, rows, cols, all.length.toLong)
+      }.toDF("bucket", "n_rows", "n_columns", "wire_bytes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sink_roundtrip" -> sinkRoundtrip,
     "q30_proto_source" -> protoSourceRoundtrip,
-    "q36_noshuffle_stats" -> noShuffleStats)
+    "q36_noshuffle_stats" -> noShuffleStats,
+    "q46_key_pushdown" -> keyPushdownScan,
+    "q47_per_file_metrics" -> perFileMetrics)
 
   val oracle: Map[String, String] = Map(
     "q29_sink_roundtrip" ->
@@ -145,5 +199,23 @@ object Sink {
       (s"SELECT key, count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells, " +
         "min(CASE WHEN kind = 'live' THEN name END) AS first_name, " +
         "max(CASE WHEN kind = 'live' THEN name END) AS last_name " +
-        s"FROM (${Core.cellsSql}) WHERE NOT partition_deleted GROUP BY key"))
+        s"FROM (${Core.cellsSql}) WHERE NOT partition_deleted GROUP BY key"),
+    // ASCII keys: DuckDB's codepoint string order == the source's
+    // unsigned byte order, so the same range selects the same keys
+    "q46_key_pushdown" ->
+      (s"SELECT DISTINCT key FROM (${Core.cellsSql}) " +
+        "WHERE NOT partition_deleted AND key >= '200' AND key < '300'"),
+    // file == bucket by construction (one single-partition write per
+    // bucket), so per-file metrics rebuild from per-key wire sizes
+    "q47_per_file_metrics" ->
+      (s"""WITH enc AS (${Core.encodeProtoSql}),
+         |liv AS (SELECT key, count(CASE WHEN kind = 'live' THEN 1 END) nc
+         |        FROM (${Core.cellsSql})
+         |        WHERE NOT partition_deleted GROUP BY key)
+         |SELECT CAST(enc.key AS BIGINT) % 4 AS bucket,
+         |       count(*) AS n_rows,
+         |       CAST(sum(liv.nc) AS BIGINT) AS n_columns,
+         |       CAST(sum(enc.framed_len) AS BIGINT) AS wire_bytes
+         |FROM enc JOIN liv ON liv.key = enc.key
+         |GROUP BY 1""".stripMargin))
 }

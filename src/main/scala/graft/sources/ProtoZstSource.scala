@@ -99,31 +99,122 @@ class ProtoZstTable(path: String) extends Table
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      // O15 analog (`markSuspect`, `SSTableReaderPatched.java:248-253`):
-      // with ignoreCorrupt=true a file whose tail fails to decode yields
-      // its valid prefix instead of failing the task.
-      private val ignoreCorrupt = options.getBoolean("ignoreCorrupt", false)
-      override def build(): Scan = this
-      override def readSchema(): StructType = ProtoZstTable.Schema
-      override def toBatch: Batch = this
-      // one partition per file == the reference's per-file unit of work
-      override def planInputPartitions(): Array[InputPartition] = {
-        val f = new File(path)
-        val files =
-          if (f.isFile) Array(f)
-          else Option(f.listFiles((_, n) => n.endsWith(".proto.zst")))
-            .getOrElse(Array.empty[File]).sortBy(_.getName)
-        files.map(x => ProtoZstInputPartition(x.getAbsolutePath): InputPartition)
-      }
-      override def createReaderFactory(): PartitionReaderFactory =
-        new ProtoZstReaderFactory(ignoreCorrupt)
-    }
+    new ProtoZstScanBuilder(path, options)
+}
+
+/** Scan builder with the two §4.3 optimizations the reference gets from
+  * its index files: key-predicate pushdown (the index-summary seek,
+  * `SSTableScannerPatched.java:56-93` — here: a kept/dropped decision on
+  * the key bytes alone, columns never decoded for dropped frames) and
+  * column pruning (a key-only projection skips Column decode entirely).
+  */
+class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  // O15 analog (`markSuspect`, `SSTableReaderPatched.java:248-253`):
+  // with ignoreCorrupt=true a file whose tail fails to decode yields
+  // its valid prefix instead of failing the task.
+  private val ignoreCorrupt = options.getBoolean("ignoreCorrupt", false)
+  private var required: StructType = ProtoZstTable.Schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(KeyPredicate.supported)
+    // conservative contract (same as the parquet source): the scan uses
+    // the pushed predicates to SKIP frames, Spark still re-evaluates
+    // every filter post-scan
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new ProtoZstScan(path, ignoreCorrupt, required, pushed)
+}
+
+class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
+    override val readSchema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"proto-zst PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${readSchema.simpleString}"
+  // one partition per file == the reference's per-file unit of work
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = new File(path)
+    val files =
+      if (f.isFile) Array(f)
+      else Option(f.listFiles((_, n) => n.endsWith(".proto.zst")))
+        .getOrElse(Array.empty[File]).sortBy(_.getName)
+    files.map(x => ProtoZstInputPartition(x.getAbsolutePath): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters)
+}
+
+/** Compile the pushable subset of Spark's v1 `Filter`s over the `key`
+  * column into a predicate on raw key bytes (unsigned lexicographic
+  * order — BinaryType's ordering on both engines).
+  */
+object KeyPredicate {
+  import org.apache.spark.sql.sources._
+
+  private def bin(v: Any): Option[Array[Byte]] = v match {
+    case b: Array[Byte] => Some(b)
+    case _ => None
+  }
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("key", v) => bin(v).isDefined
+    case GreaterThan("key", v) => bin(v).isDefined
+    case GreaterThanOrEqual("key", v) => bin(v).isDefined
+    case LessThan("key", v) => bin(v).isDefined
+    case LessThanOrEqual("key", v) => bin(v).isDefined
+    case In("key", vs) => vs.forall(bin(_).isDefined)
+    case IsNotNull("key") => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  def compile(fs: Array[Filter]): Array[Byte] => Boolean = {
+    val ps = fs.map(one)
+    k => ps.forall(_(k))
+  }
+
+  private def cmp(k: Array[Byte], v: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(k, v)
+
+  private def one(f: Filter): Array[Byte] => Boolean = f match {
+    case EqualTo("key", v) => k => java.util.Arrays.equals(k, bin(v).get)
+    case GreaterThan("key", v) => val b = bin(v).get; k => cmp(k, b) > 0
+    case GreaterThanOrEqual("key", v) => val b = bin(v).get; k => cmp(k, b) >= 0
+    case LessThan("key", v) => val b = bin(v).get; k => cmp(k, b) < 0
+    case LessThanOrEqual("key", v) => val b = bin(v).get; k => cmp(k, b) <= 0
+    case In("key", vs) =>
+      val bs = vs.map(bin(_).get)
+      k => bs.exists(java.util.Arrays.equals(k, _))
+    case IsNotNull("key") => _ => true // keys are never null on the wire
+    case And(l, r) => val (a, b) = (one(l), one(r)); k => a(k) && b(k)
+    case Or(l, r) => val (a, b) = (one(l), one(r)); k => a(k) || b(k)
+    case Not(c) => val a = one(c); k => !a(k)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported pushed filter: $other")
+  }
 }
 
 case class ProtoZstInputPartition(file: String) extends InputPartition
 
 case class ProtoZstCommit(file: String, rows: Long) extends WriterCommitMessage
+
+/** Commit message for a task whose partition was empty: no file was
+  * opened, so there is nothing to report — and nothing for a job-level
+  * rollback to delete (it matches only [[ProtoZstCommit]]).
+  */
+case object ProtoZstEmptyCommit extends WriterCommitMessage
 
 /** One `.proto.zst` file per (epoch, partition, task); rows are encoded
   * to the wire format here (key binary, columns array&lt;struct&gt; in,
@@ -158,15 +249,14 @@ class ProtoZstWriterFactory(dir: String)
         n += 1
       }
 
-      override def commit(): WriterCommitMessage = {
+      override def commit(): WriterCommitMessage =
         if (os != null) {
           os.close()
           os = null
           if (!tmpFile.renameTo(finalFile))
             throw new java.io.IOException(s"rename failed: $tmpFile")
-        }
-        ProtoZstCommit(finalFile.getName, n)
-      }
+          ProtoZstCommit(finalFile.getName, n)
+        } else ProtoZstEmptyCommit
 
       override def abort(): Unit = close()
 
@@ -178,7 +268,9 @@ class ProtoZstWriterFactory(dir: String)
     }
 }
 
-class ProtoZstReaderFactory(ignoreCorrupt: Boolean)
+class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
+    readSchema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
 
   /** Salvage iterator: stop at the first undecodable message instead of
@@ -200,6 +292,10 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[ProtoZstInputPartition].file
+    // compiled once per partition; pruning decides whether Column
+    // messages are decoded at all
+    val keep = KeyPredicate.compile(filters)
+    val wantColumns = readSchema.fieldNames.contains("columns")
     new PartitionReader[InternalRow] {
       private val rows = {
         // an unopenable file / unreadable zstd stream under
@@ -210,17 +306,21 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean)
             val in = new ZstdInputStream(new FileInputStream(file))
             try in.readAllBytes() finally in.close()
           } catch { case e: Exception if ignoreCorrupt => Array.emptyByteArray }
-        val all = ProtoWire.decodeRows(bytes)
+        val all = ProtoWire.decodeRowsPruned(bytes, wantColumns, keep)
         if (ignoreCorrupt) salvaging(all) else all
       }
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) {
           val r = rows.next()
-          cur = new GenericInternalRow(Array[Any](r.key,
-            new GenericArrayData(r.columns.map(c =>
-              new GenericInternalRow(Array[Any](c.name, c.value, c.writeTime))
-            ).toArray[Any])))
+          // project onto the pruned read schema, in its field order
+          cur = new GenericInternalRow(readSchema.fieldNames.map {
+            case "key" => r.key: Any
+            case "columns" =>
+              new GenericArrayData(r.columns.map(c =>
+                new GenericInternalRow(Array[Any](c.name, c.value, c.writeTime))
+              ).toArray[Any]): Any
+          })
           true
         } else false
       override def get(): InternalRow = cur

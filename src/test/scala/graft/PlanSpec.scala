@@ -74,7 +74,8 @@ class PlanSpec extends AnyFunSuite {
     */
   test("no query plans a cartesian product; NL joins only where bounded") {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
-      "q29_sink_roundtrip", "q30_proto_source")
+      "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
+      "q47_per_file_metrics")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join
     val nlAllowed = Set("q19_ann_brute", "q45_ann_recall")
@@ -96,6 +97,16 @@ class PlanSpec extends AnyFunSuite {
         assert(allNlJoinsScalar(plan),
           s"$name plans an unbounded BroadcastNestedLoopJoin:\n${plan.take(3000)}")
     }
+  }
+
+  test("q46 pushes the key range into the proto-zst scan and prunes columns") {
+    val plan = physical(graft.operators.Sink.keyPushdownScan(spark, sf0001))
+    val scanLine = plan.linesIterator
+      .find(_.contains("proto-zst PushedFilters"))
+      .getOrElse(fail(s"no proto-zst scan description in:\n${plan.take(2000)}"))
+    assert(scanLine.contains("GreaterThanOrEqual(key"), scanLine)
+    assert(scanLine.contains("LessThan(key"), scanLine)
+    assert(scanLine.contains("ReadSchema: struct<key:binary>"), scanLine)
   }
 
   test("row-local text/hash pipelines stay inside whole-stage codegen") {
