@@ -226,11 +226,38 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** q48: streaming READ of the proto-zst format — the ingest loop's
+    * other half (q37 streams INTO the sink; this streams OUT of it).
+    * The batch sink writes the nested Rows, then the source's
+    * MicroBatchStream delivers them file-by-file (offset = position in
+    * the sorted listing, one partition per file) into a flatten that
+    * must hash-match the same liveCells oracle as the batch q30 —
+    * micro-batch planning, the streaming reader factory and the wire
+    * decode verify each other.
+    */
+  def streamProtoSource(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = Scratch.dir("graft_ssrc")
+    Sink.writeNested(CellModel.nestRows(spark, dir), outDir)
+    val name = "q48_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val flat = spark.readStream.format("proto-zst").load(outDir)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+    val q = flat.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_stream_window" -> streamWindowAgg,
     "q31_stream_sessionize" -> streamSessionize,
     "q37_stream_sink" -> streamProtoSink,
-    "q43_stream_dedup" -> streamDedup)
+    "q43_stream_dedup" -> streamDedup,
+    "q48_stream_proto_source" -> streamProtoSource)
 
   private val streamSessionSql =
     s"""WITH s AS (${Events.oracle("q27_sessionize")}),
@@ -247,5 +274,7 @@ object Streaming extends Serializable {
     "q37_stream_sink" -> graft.operators.Core.liveCellsSql,
     "q43_stream_dedup" ->
       ("SELECT event_type, count(*) AS n_events " +
-        "FROM (SELECT DISTINCT * FROM events) GROUP BY event_type"))
+        "FROM (SELECT DISTINCT * FROM events) GROUP BY event_type"),
+    // stream/batch parity: same oracle as the batch q30 round trip
+    "q48_stream_proto_source" -> graft.operators.Core.liveCellsSql)
 }

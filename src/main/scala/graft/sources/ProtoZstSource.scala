@@ -57,7 +57,8 @@ class ProtoZstTable(path: String) extends Table
   override def schema(): StructType = ProtoZstTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   /** Write side (batch + streaming): each task writes one zstd file of
     * varint-framed Row messages — encode happens IN the writer, so
@@ -134,6 +135,18 @@ class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap)
     new ProtoZstScan(path, ignoreCorrupt, required, pushed)
 }
 
+/** Sorted `.proto.zst` listing — the shared O1 source-discovery step. */
+object ProtoZstFiles {
+  def list(path: String): Array[String] = {
+    val f = new File(path)
+    val files =
+      if (f.isFile) Array(f)
+      else Option(f.listFiles((_, n) => n.endsWith(".proto.zst")))
+        .getOrElse(Array.empty[File]).sortBy(_.getName)
+    files.map(_.getAbsolutePath)
+  }
+}
+
 class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
     override val readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
@@ -142,14 +155,50 @@ class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
     s"proto-zst PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${readSchema.simpleString}"
   // one partition per file == the reference's per-file unit of work
-  override def planInputPartitions(): Array[InputPartition] = {
-    val f = new File(path)
-    val files =
-      if (f.isFile) Array(f)
-      else Option(f.listFiles((_, n) => n.endsWith(".proto.zst")))
-        .getOrElse(Array.empty[File]).sortBy(_.getName)
-    files.map(x => ProtoZstInputPartition(x.getAbsolutePath): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    ProtoZstFiles.list(path).map(ProtoZstInputPartition(_): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ProtoZstMicroBatchStream(path, ignoreCorrupt, readSchema, filters)
+}
+
+/** Offset = position in the sorted file listing (count of files already
+  * delivered). `json` is just that integer.
+  */
+case class ProtoZstOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = n.toString
+}
+
+/** Streaming read of a proto-zst directory: each micro-batch delivers
+  * the files that appeared since the previous offset, one partition per
+  * file (the same unit of work as the batch scan — and as the
+  * reference's per-file pipeline). Assumes files are only ever ADDED
+  * and the sorted listing is stable for already-delivered prefixes
+  * (true for the sink's tmp+rename commit within an epoch); a
+  * production source would track seen paths in the checkpoint the way
+  * FileStreamSource does, at the cost of offsets growing with history.
+  */
+class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
+    readSchema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = ProtoZstOffset(0)
+  override def latestOffset(): Offset =
+    ProtoZstOffset(ProtoZstFiles.list(path).length)
+  override def deserializeOffset(json: String): Offset =
+    ProtoZstOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ProtoZstFiles.list(path)
+      .slice(start.asInstanceOf[ProtoZstOffset].n,
+        end.asInstanceOf[ProtoZstOffset].n)
+      .map(ProtoZstInputPartition(_): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters)
 }

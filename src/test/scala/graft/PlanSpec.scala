@@ -75,7 +75,7 @@ class PlanSpec extends AnyFunSuite {
   test("no query plans a cartesian product; NL joins only where bounded") {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
-      "q47_per_file_metrics")
+      "q47_per_file_metrics", "q48_stream_proto_source")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join
     val nlAllowed = Set("q19_ann_brute", "q45_ann_recall")

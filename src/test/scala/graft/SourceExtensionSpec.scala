@@ -100,6 +100,37 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(keyOnly.size === 5 && keyOnly.forall(_.columns.isEmpty))
   }
 
+  test("proto-zst micro-batch stream delivers new files incrementally") {
+    import com.github.luben.zstd.ZstdOutputStream
+    import graft.functions.ProtoWire
+    import graft.sources.{ProtoZstMicroBatchStream, ProtoZstTable}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbs_t")
+      .toFile.getAbsolutePath
+    def writeFile(name: String, keys: Seq[String]): Unit = {
+      val os = new ZstdOutputStream(new java.io.FileOutputStream(s"$dir/$name"))
+      keys.foreach { k =>
+        os.write(ProtoWire.delimit(ProtoWire.encodeRow(k.getBytes,
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))))
+      }
+      os.close()
+    }
+    writeFile("a.proto.zst", Seq("k1", "k2"))
+    val stream = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
+      ProtoZstTable.Schema, Array.empty)
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset()
+    assert(stream.planInputPartitions(o0, o1).length === 1)
+    // a second wave, sorting after the first, is delivered alone
+    writeFile("b.proto.zst", Seq("k3"))
+    val o2 = stream.latestOffset()
+    val batch2 = stream.planInputPartitions(o1, o2)
+    assert(batch2.length === 1)
+    assert(batch2.head.asInstanceOf[graft.sources.ProtoZstInputPartition]
+      .file.endsWith("b.proto.zst"))
+    // offsets survive the checkpoint round trip
+    assert(stream.deserializeOffset(o2.json()).json() === o2.json())
+  }
+
   test("extension-registered SQL functions work and stay codegen'd") {
     assert(spark.sql(
       "SELECT sorted_intersect_count(array(1L,2L,5L), array(2L,3L,5L)) c")
