@@ -345,6 +345,14 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
     // messages are decoded at all
     val keep = KeyPredicate.compile(filters)
     val wantColumns = readSchema.fieldNames.contains("columns")
+    // Spark prunes NESTED fields too (e.g. count() asks for
+    // array<struct<>>): emit exactly the struct shape the read schema
+    // declares, in its field order
+    val innerFields: Array[String] = readSchema.fields
+      .find(_.name == "columns")
+      .map(_.dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType].fieldNames)
+      .getOrElse(Array.empty)
     new PartitionReader[InternalRow] {
       private val rows = {
         // an unopenable file / unreadable zstd stream under
@@ -367,8 +375,11 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
             case "key" => r.key: Any
             case "columns" =>
               new GenericArrayData(r.columns.map(c =>
-                new GenericInternalRow(Array[Any](c.name, c.value, c.writeTime))
-              ).toArray[Any]): Any
+                new GenericInternalRow(innerFields.map[Any] {
+                  case "name" => c.name
+                  case "value" => c.value
+                  case "write_time" => c.writeTime
+                })).toArray[Any]): Any
           })
           true
         } else false

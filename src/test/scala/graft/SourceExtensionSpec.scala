@@ -100,6 +100,24 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(keyOnly.size === 5 && keyOnly.forall(_.columns.isEmpty))
   }
 
+  test("nested pruning: count() and single-field projections stay correct") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_nprune_t")
+      .toFile.getAbsolutePath
+    Sink.writeNested(CellModel.nestRows(spark, sf0001), outDir)
+    val df = spark.read.format("proto-zst").load(outDir)
+    // ground truth via the full-schema path (collect prunes nothing)
+    val fullRows = df.collect()
+    val expWt = fullRows.flatMap(_.getSeq[org.apache.spark.sql.Row](1))
+      .map(_.getAs[Long]("write_time")).sum
+    // count() prunes the array element struct to struct<> — regression
+    // for the reader emitting a wider struct than the read schema
+    assert(df.count() === fullRows.length.toLong)
+    // single nested field projection prunes to struct<write_time>
+    val sumWt = df.select(explode(col("columns")).as("c"))
+      .agg(sum(col("c.write_time"))).collect()(0).getLong(0)
+    assert(sumWt === expWt)
+  }
+
   test("proto-zst micro-batch stream delivers new files incrementally") {
     import com.github.luben.zstd.ZstdOutputStream
     import graft.functions.ProtoWire
