@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Relational.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ SimSearch.queries ++ Events.queries ++
-      Multimodal.queries ++ Streaming.queries ++ Sink.queries
+      Multimodal.queries ++ Streaming.queries ++ Sink.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Core.oracle ++ Relational.oracle ++ Dedup.oracle ++
       TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle ++
-      Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle
+      Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle ++
+      Curation.oracle
 }

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashOps
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** Corpus-curation operators — the filtering/sampling half of a
+  * training-data pipeline (the reference converts data; a pipeline that
+  * FEEDS a model also has to scrub, screen, and sample it):
+  *
+  *  - q49 sensitive-term redaction (the deny-list core of PII scrubbing;
+  *    on a real corpus the same row-local shape swaps the term list for
+  *    regex classes — emails, phone runs — via `regexp_replace`);
+  *  - q50 Gopher-style repetition metrics (duplicate word/n-gram
+  *    fractions, top-run fractions) for quality filtering;
+  *  - q51 benchmark-contamination screening (shared-shingle overlap of
+  *    every corpus doc against a probe set);
+  *  - q52 deterministic stratified sampling (hash-bucket thresholds per
+  *    stratum — reproducible across runs/engines, unlike `rand()`).
+  *
+  * All metric math follows the repo's oracle discipline: exact integer
+  * counts, one final double division, md5-prefix hashes.
+  */
+object Curation {
+
+  /** Deny-listed terms. Stand-ins for the PII/secret classes a real
+    * scrubber matches by regex; list chosen to be non-vacuous on the
+    * synthetic corpus (459/500 docs hit at sf0.01).
+    */
+  private val deny = Seq("key", "hash", "secret", "token", "password")
+
+  /** q49: sensitive-term redaction — row-local rewrite of the token
+    * stream with a redaction count per doc. Zero shuffles; the whole
+    * query is one WholeStageCodegen span over the scan, so it runs at
+    * I/O speed on any corpus size.
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(filter(col("ws"), w => w.isInCollection(deny)))
+          .as("n_redactions"),
+        array_join(transform(col("ws"),
+          w => when(w.isInCollection(deny), lit("[REDACTED]")).otherwise(w)),
+          " ").as("redacted_text"))
+
+  /** Longest run of equal elements in `arr` (arr must be non-empty):
+    * sort, mark run-end positions, prepend 0, max adjacent difference.
+    * O(n log n) row-local — scales to long documents, unlike the
+    * O(n·distinct) count-each-distinct formulation. Only run LENGTHS are
+    * used, so engine/oracle collation differences in sort order can't
+    * leak into the result (equal elements group adjacently in any
+    * total order).
+    */
+  private def maxRun(arr: Column): Column = {
+    val s = sort_array(arr)
+    val n = size(s)
+    // least() keeps the lookahead in bounds at i = n without relying on
+    // short-circuit evaluation order (ANSI mode would throw on s[n+1])
+    val ends = filter(sequence(lit(1), n), i =>
+      (i === n) || (element_at(s, i) =!= element_at(s, least(i + 1, n))))
+    val b = concat(array(lit(0)), ends)
+    array_max(transform(sequence(lit(1), size(ends)), j =>
+      element_at(b, j + 1) - element_at(b, j)))
+  }
+
+  /** q50: repetition metrics per document (the Gopher repetition-filter
+    * family): duplicate-occurrence fractions for words / 2-grams /
+    * 3-grams, top-run fractions for words / 2-grams, and a quality
+    * bucket. Entirely row-local higher-order functions — no shuffle, no
+    * explode; the corpus streams through one codegen stage.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3) // 3-grams need >= 3 words
+      .withColumn("g2", transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+      .withColumn("g3", wordShingles(col("ws")))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        maxRun(col("ws")).as("top_word_run"),
+        (maxRun(col("ws")).cast("double") / size(col("ws")))
+          .as("top_word_frac"),
+        (maxRun(col("g2")).cast("double") / size(col("g2")))
+          .as("top_2gram_frac"),
+        ((size(col("ws")) - size(array_distinct(col("ws")))).cast("double")
+          / size(col("ws"))).as("dup_word_frac"),
+        ((size(col("g2")) - size(array_distinct(col("g2")))).cast("double")
+          / size(col("g2"))).as("dup_2gram_frac"),
+        ((size(col("g3")) - size(array_distinct(col("g3")))).cast("double")
+          / size(col("g3"))).as("dup_3gram_frac"))
+      .withColumn("rep_bucket",
+        when(col("top_word_frac") >= 0.2, "top_heavy")
+          .when(col("dup_2gram_frac") >= 0.1, "dup_ngram")
+          .otherwise("ok"))
+
+  /** q51: benchmark-contamination screening — for every corpus document,
+    * the distinct word-3-gram overlap against a probe set (the
+    * "benchmark" docs; here a deterministic corpus slice, `doc_id % 50 =
+    * 0`, standing in for an external eval table). A probe matching
+    * itself IS the signal: the benchmark doc leaked into the corpus.
+    *
+    * Scale shape: the probe set is benchmark-sized (thousands of docs,
+    * not billions) → its exploded shingles BROADCAST; the corpus side
+    * streams through one hash pass and the pair counts aggregate with
+    * map-side partials on (doc, probe) — one shuffle whose rows are
+    * only the docs sharing at least one shingle with some probe. The
+    * probe branch re-scans the table with the probe filter pushed to
+    * the scan instead of checkpointing the full corpus gram pass.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(HashOps.shingle_hash60(col("ws"), 3)).as("g"))
+    val corpus = grams(Tables.documents(spark, dir)
+        // one-file testdata → spread the md5-heavy row-local pass
+        .repartition(spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"), explode(col("g")).as("h"))
+    val probes = grams(Tables.documents(spark, dir)
+        .filter(col("doc_id") % 50 === 0))
+      .select(col("doc_id").as("probe_id"), size(col("g")).as("n_probe"),
+        explode(col("g")).as("h"))
+    corpus.join(broadcast(probes), "h")
+      .groupBy(col("doc_id").as("corpus_doc"), col("probe_id"),
+        col("n_probe"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("overlap",
+        col("n_shared").cast("double") / col("n_probe"))
+      .filter(col("overlap") >= 0.5)
+      .select(col("corpus_doc"), col("probe_id"), col("n_shared"),
+        col("overlap"))
+  }
+
+  /** Per-language sampling rates (milli). A real pipeline derives these
+    * from corpus statistics; the mechanism under test is the
+    * deterministic hash-bucket keep decision.
+    */
+  private val rates = Seq(
+    ("en", 600L), ("de", 400L), ("es", 300L), ("fr", 300L), ("zh", 200L))
+
+  /** q52: deterministic stratified sampling — keep a document iff its
+    * salted 60-bit hash bucket falls under the stratum's rate. No
+    * `rand()`: the sample is reproducible run-to-run, engine-to-engine,
+    * and APPEND-STABLE (new data never changes old keep decisions — the
+    * property that matters when resampling a growing 100 TB corpus).
+    * The rates dimension broadcasts; the corpus side never shuffles.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = rates.toDF("lang", "rate_milli")
+    Tables.documents(spark, dir)
+      .join(broadcast(r), "lang")
+      .withColumn("bucket",
+        HashOps.md5_prefix60(concat(lit("sample:"),
+          col("doc_id").cast("string"))) % 1000)
+      .filter(col("bucket") < col("rate_milli"))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_redact" -> redact,
+    "q50_repetition" -> repetition,
+    "q51_contamination" -> contamination,
+    "q52_stratified_sample" -> stratifiedSample)
+
+  // ---- DuckDB oracles: identical algorithms, same hashes/thresholds ----
+
+  private val redactSql = {
+    val denyList = deny.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $sqlWords ws FROM documents)
+       |SELECT doc_id,
+       |  len(list_filter(ws, w -> list_contains([$denyList], w))) AS n_redactions,
+       |  array_to_string(list_transform(ws,
+       |    w -> CASE WHEN list_contains([$denyList], w) THEN '[REDACTED]' ELSE w END),
+       |    ' ') AS redacted_text
+       |FROM d""".stripMargin
+  }
+
+  private val repetitionSql =
+    s"""WITH d AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |f AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+       |g AS (SELECT doc_id, ws,
+       |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) g2,
+       |        list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) g3
+       |      FROM f),
+       |s AS (SELECT doc_id, ws, g2, g3, list_sort(ws) sw, list_sort(g2) s2 FROM g),
+       |e AS (SELECT doc_id, ws, g2, g3,
+       |        list_prepend(0, list_filter(range(1, len(sw)+1), i -> i = len(sw) OR sw[i] <> sw[i+1])) bw,
+       |        list_prepend(0, list_filter(range(1, len(s2)+1), i -> i = len(s2) OR s2[i] <> s2[i+1])) b2
+       |      FROM s),
+       |m AS (SELECT doc_id, len(ws) n_words,
+       |        list_max(list_transform(range(1, len(bw)), j -> bw[j+1] - bw[j])) rw,
+       |        list_max(list_transform(range(1, len(b2)), j -> b2[j+1] - b2[j])) r2,
+       |        len(ws) - len(list_distinct(ws)) dw,
+       |        len(g2) ng2, len(g2) - len(list_distinct(g2)) d2,
+       |        len(g3) ng3, len(g3) - len(list_distinct(g3)) d3
+       |      FROM e),
+       |o AS (SELECT doc_id, n_words, rw AS top_word_run,
+       |        CAST(rw AS DOUBLE)/n_words AS top_word_frac,
+       |        CAST(r2 AS DOUBLE)/ng2 AS top_2gram_frac,
+       |        CAST(dw AS DOUBLE)/n_words AS dup_word_frac,
+       |        CAST(d2 AS DOUBLE)/ng2 AS dup_2gram_frac,
+       |        CAST(d3 AS DOUBLE)/ng3 AS dup_3gram_frac
+       |      FROM m)
+       |SELECT *, CASE WHEN top_word_frac >= 0.2 THEN 'top_heavy'
+       |               WHEN dup_2gram_frac >= 0.1 THEN 'dup_ngram'
+       |               ELSE 'ok' END AS rep_bucket
+       |FROM o""".stripMargin
+
+  private val contaminationSql =
+    s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |d AS (SELECT doc_id, list_distinct(list_transform(
+       |        list_transform(range(1, len(ws)-1),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |        s -> ${sqlHash60("s")})) g
+       |      FROM w WHERE len(ws) >= 3),
+       |c AS (SELECT doc_id, unnest(g) h FROM d),
+       |p AS (SELECT doc_id probe_id, len(g) n_probe, unnest(g) h FROM d
+       |      WHERE doc_id % 50 = 0),
+       |j AS (SELECT c.doc_id corpus_doc, p.probe_id, p.n_probe,
+       |        count(*) n_shared
+       |      FROM c JOIN p USING (h) GROUP BY 1, 2, 3)
+       |SELECT corpus_doc, probe_id, n_shared,
+       |       CAST(n_shared AS DOUBLE)/n_probe AS overlap
+       |FROM j WHERE CAST(n_shared AS DOUBLE)/n_probe >= 0.5""".stripMargin
+
+  private val stratifiedSql = {
+    val vals = rates.map { case (l, m) => s"('$l', $m)" }.mkString(", ")
+    s"""WITH r(lang, rate_milli) AS (VALUES $vals),
+       |s AS (SELECT doc_id, d.lang, source,
+       |        ${sqlHash60("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+       |        rate_milli
+       |      FROM documents d JOIN r USING (lang))
+       |SELECT doc_id, lang, source, bucket FROM s
+       |WHERE bucket < rate_milli""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q49_redact" -> redactSql,
+    "q50_repetition" -> repetitionSql,
+    "q51_contamination" -> contaminationSql,
+    "q52_stratified_sample" -> stratifiedSql)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Semantic checks for the curation operators (q49-q52) against
+  * independently-computed ground truth on sf0.001.
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  private val deny = Set("key", "hash", "secret", "token", "password")
+
+  private lazy val docs: Map[Long, Array[String]] =
+    graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+
+  test("q49 redaction: counts and rewritten text match a scala reimplementation") {
+    val rows = Curation.redact(spark, sf0001).collect()
+    assert(rows.length === docs.size)
+    var hits = 0
+    rows.foreach { r =>
+      val ws = docs(r.getLong(0))
+      val expN = ws.count(deny)
+      val expText = ws.map(w => if (deny(w)) "[REDACTED]" else w).mkString(" ")
+      assert(r.getInt(1) === expN)
+      assert(r.getString(2) === expText)
+      hits += expN
+    }
+    assert(hits > 0, "deny list must be non-vacuous on the corpus")
+  }
+
+  test("q50 repetition: fractions match brute-force multiset counts") {
+    def maxRun[T](xs: Seq[T]): Int =
+      xs.groupBy(identity).values.map(_.size).max
+    val rows = Curation.repetition(spark, sf0001).collect()
+    val expected = docs.filter(_._2.length >= 3)
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val ws = docs(r.getLong(0)).toSeq
+      val g2 = ws.sliding(2).map(_.mkString(" ")).toSeq
+      val g3 = ws.sliding(3).map(_.mkString(" ")).toSeq
+      assert(r.getAs[Int]("n_words") === ws.size)
+      assert(r.getAs[Int]("top_word_run") === maxRun(ws))
+      assert(r.getAs[Double]("top_word_frac")
+        === maxRun(ws).toDouble / ws.size)
+      assert(r.getAs[Double]("top_2gram_frac")
+        === maxRun(g2).toDouble / g2.size)
+      assert(r.getAs[Double]("dup_word_frac")
+        === (ws.size - ws.distinct.size).toDouble / ws.size)
+      assert(r.getAs[Double]("dup_2gram_frac")
+        === (g2.size - g2.distinct.size).toDouble / g2.size)
+      assert(r.getAs[Double]("dup_3gram_frac")
+        === (g3.size - g3.distinct.size).toDouble / g3.size)
+    }
+    assert(rows.map(_.getAs[String]("rep_bucket")).distinct.length > 1,
+      "bucket thresholds must split the corpus")
+  }
+
+  test("q51 contamination: probes self-match at overlap 1.0; counts match brute force") {
+    def shingles(ws: Seq[String]): Set[String] =
+      ws.sliding(3).map(_.mkString(" ")).toSet
+    val found = Curation.contamination(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val probes = docs.filter { case (id, ws) => id % 50 == 0 && ws.length >= 3 }
+    assert(probes.nonEmpty)
+    // every probe leaks into the corpus as itself: overlap exactly 1.0
+    probes.keys.foreach { p =>
+      assert(found.contains((p, p)), s"probe $p must self-match")
+      assert(found((p, p))._2 === 1.0)
+    }
+    // every reported pair matches the brute-force overlap
+    found.foreach { case ((c, p), (nShared, overlap)) =>
+      val sc = shingles(docs(c).toSeq)
+      val sp = shingles(docs(p).toSeq)
+      val inter = (sc & sp).size
+      assert(nShared === inter.toLong, s"pair ($c,$p)")
+      assert(overlap === inter.toDouble / sp.size)
+      assert(overlap >= 0.5)
+    }
+  }
+
+  test("q52 stratified sample: deterministic, append-stable, rate-respecting") {
+    val s1 = Curation.stratifiedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val s2 = Curation.stratifiedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(s1 === s2, "sample must be reproducible run-to-run")
+    assert(s1.nonEmpty && s1.size < docs.size,
+      "sample must be a proper subset")
+    // per-stratum rate: en keeps more than zh on any non-trivial corpus
+    val byLang = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    val total = graft.sources.Tables.documents(spark, sf0001)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, kept) <- byLang)
+      assert(kept <= total(lang))
+  }
+}
