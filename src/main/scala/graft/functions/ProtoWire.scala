@@ -276,6 +276,73 @@ object ProtoWire {
       }
     }
 
+  /** Upper bound on a single frame (one Row message). The writer frames
+    * one Row per partition key, so this caps tolerated partition size,
+    * not file size — a corrupt varint claiming an absurd length must
+    * throw instead of driving a giant allocation.
+    */
+  private val MaxFrameBytes: Int = 1 << 28 // 256 MiB
+
+  /** Streaming decode over a (decompressing) InputStream: memory is
+    * bounded by ONE message, not the whole file — the reader-side fix
+    * for the scale wart of buffering an entire decompressed file. Each
+    * frame is handed to [[decodeRowsPruned]], so the byte-level decode
+    * (and its corruption discipline) is the same code the buffer path
+    * runs. Does not close `in`; the caller owns the stream.
+    */
+  def decodeStream(in: java.io.InputStream, wantColumns: Boolean,
+      keep: Array[Byte] => Boolean): Iterator[DecodedRow] =
+    framedMessages(in).flatMap(decodeRowsPruned(_, wantColumns, keep))
+
+  /** One varint-framed message per element, INCLUDING its varint prefix,
+    * so each element is itself a valid single-frame stream for the
+    * buffer decoders. Clean EOF at a frame boundary ends the iterator;
+    * EOF inside a varint or frame body throws (the salvage wrapper in
+    * the DSv2 reader turns that into keep-the-valid-prefix).
+    */
+  def framedMessages(in: java.io.InputStream): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var pending: Array[Byte] = _
+      private var done = false
+      private def fetch(): Unit = {
+        if (pending != null || done) return
+        var b = in.read()
+        if (b < 0) { done = true; return }
+        val prefix = new scala.collection.mutable.ArrayBuffer[Byte](10)
+        var v = 0L
+        var sh = 0
+        var more = true
+        while (more) {
+          prefix += b.toByte
+          v |= (b & 0x7FL) << sh
+          sh += 7
+          if (sh > 70) throw new IllegalArgumentException("varint too long")
+          if ((b & 0x80) == 0) more = false
+          else {
+            b = in.read()
+            if (b < 0) throw new IllegalArgumentException("EOF inside varint")
+          }
+        }
+        if (v < 0 || v > MaxFrameBytes)
+          throw new IllegalArgumentException(s"bad frame LEN $v")
+        val frame = new Array[Byte](prefix.length + v.toInt)
+        var i = 0
+        while (i < prefix.length) { frame(i) = prefix(i); i += 1 }
+        val got = in.readNBytes(frame, prefix.length, v.toInt)
+        if (got < v.toInt)
+          throw new IllegalArgumentException(
+            s"truncated frame: expected $v body bytes, got $got")
+        pending = frame
+      }
+      override def hasNext: Boolean = { fetch(); pending != null }
+      override def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException("end of stream")
+        val r = pending
+        pending = null
+        r
+      }
+    }
+
   /** One frame per element: (key bytes, column-message (start,end) spans).
     * Shares the validated-LEN discipline of [[decodeRows]].
     */

@@ -354,16 +354,25 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
         .elementType.asInstanceOf[StructType].fieldNames)
       .getOrElse(Array.empty)
     new PartitionReader[InternalRow] {
+      // frames stream straight off the decompressor: memory is bounded
+      // by one message, never the decompressed file (the reference
+      // reads partitions lazily the same way,
+      // `SSTableIdentityIteratorPatched.java:88-109`)
+      private var in: java.io.InputStream = _
       private val rows = {
-        // an unopenable file / unreadable zstd stream under
-        // ignoreCorrupt yields no rows (open INSIDE the guard — a file
-        // listed at plan time may be gone by read time)
-        val bytes =
+        // an unopenable file under ignoreCorrupt yields no rows (open
+        // INSIDE the guard — a file listed at plan time may be gone by
+        // read time); decode errors mid-stream surface lazily and are
+        // handled by the salvage wrapper
+        val all =
           try {
-            val in = new ZstdInputStream(new FileInputStream(file))
-            try in.readAllBytes() finally in.close()
-          } catch { case e: Exception if ignoreCorrupt => Array.emptyByteArray }
-        val all = ProtoWire.decodeRowsPruned(bytes, wantColumns, keep)
+            in = new java.io.BufferedInputStream(
+              new ZstdInputStream(new FileInputStream(file)), 64 << 10)
+            ProtoWire.decodeStream(in, wantColumns, keep)
+          } catch {
+            case e: Exception if ignoreCorrupt =>
+              Iterator.empty[ProtoWire.DecodedRow]
+          }
         if (ignoreCorrupt) salvaging(all) else all
       }
       private var cur: InternalRow = _
@@ -384,7 +393,7 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
           true
         } else false
       override def get(): InternalRow = cur
-      override def close(): Unit = ()
+      override def close(): Unit = if (in != null) in.close()
     }
   }
 }

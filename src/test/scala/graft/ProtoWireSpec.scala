@@ -128,6 +128,50 @@ class ProtoWireSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ProtoWire.decodeRows(longVarint).toList)
   }
 
+  test("decodeStream equals buffer decode, frame-at-a-time") {
+    val frames = (1 to 50).map { i =>
+      ProtoWire.delimit(ProtoWire.encodeRow(s"key$i".getBytes,
+        cols((s"n$i", "v" * (i % 7), i.toLong))))
+    }
+    val buf = frames.reduce(_ ++ _)
+    val fromBuf = ProtoWire.decodeRowsPruned(buf, true, _ => true).toSeq
+    val fromStream = ProtoWire.decodeStream(
+      new java.io.ByteArrayInputStream(buf), true, _ => true).toSeq
+    assert(fromStream.size === fromBuf.size)
+    fromStream.zip(fromBuf).foreach { case (s, b) =>
+      assert(s.key.sameElements(b.key))
+      assert(s.columns.size === b.columns.size)
+      s.columns.zip(b.columns).foreach { case (x, y) =>
+        assert(x.name.sameElements(y.name))
+        assert(x.value.sameElements(y.value))
+        assert(x.writeTime === y.writeTime)
+      }
+    }
+  }
+
+  test("decodeStream: truncated tail throws after the valid prefix") {
+    val good = ProtoWire.delimit(ProtoWire.encodeRow("k1".getBytes,
+      cols(("a", "b", 7L))))
+    val cut = ProtoWire.delimit(ProtoWire.encodeRow("k2".getBytes,
+      cols(("c", "d", 8L)))).dropRight(3)
+    val it = ProtoWire.decodeStream(
+      new java.io.ByteArrayInputStream(good ++ cut), true, _ => true)
+    assert(it.next().key.sameElements("k1".getBytes))
+    intercept[IllegalArgumentException](it.hasNext)
+  }
+
+  test("decodeStream: pushed key predicate skips frames") {
+    val buf = (1 to 9).map { i =>
+      ProtoWire.delimit(ProtoWire.encodeRow(s"k$i".getBytes,
+        cols((s"n$i", "v", i.toLong))))
+    }.reduce(_ ++ _)
+    val kept = ProtoWire.decodeStream(
+      new java.io.ByteArrayInputStream(buf), false,
+      k => new String(k) >= "k3" && new String(k) < "k6").toSeq
+    assert(kept.map(r => new String(r.key)) === Seq("k3", "k4", "k5"))
+    assert(kept.forall(_.columns.isEmpty)) // pruned: never decoded
+  }
+
   test("delimit round-trip: varint prefix decodes back to message length") {
     for (n <- Seq(0, 1, 127, 128, 129, 300, 4999)) {
       val msg = Array.fill[Byte](n)(0x7A)
