@@ -107,6 +107,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** q54: duplicate CLUSTERS — connected components over the q15
+    * MinHash near-dup pairs, the step a real dedup pipeline runs after
+    * pair generation (pairs alone under-delete: near-dup similarity is
+    * transitive in practice, so {a~b, b~c} must collapse to one keeper
+    * even when (a,c) never collided in a band).
+    *
+    * Algorithm: min-label propagation on the PAIR GRAPH only — nodes
+    * are the docs appearing in at least one pair (a tiny fraction of
+    * the corpus at any scale), labels start as doc_id, and each round
+    * every node takes the min of its own and its neighbors' labels.
+    * [[ClusterRounds]] unrolled rounds converge for components of
+    * diameter ≤ that bound (planted near-dup clusters are shallow —
+    * sizes 2-3 at sf0.01; DedupSpec asserts fixpoint against a
+    * union-find oracle). A production deployment loops the same two
+    * operators to fixpoint with a driver-side convergence check; the
+    * unroll keeps the query a single lazy plan per the driver contract.
+    *
+    * Scale shape: the expensive part (minhash pair-gen) is shared via
+    * the checkpointed signature table; each round is one equi-join +
+    * one min-aggregation over label rows, never touching full text.
+    */
+  val ClusterRounds = 6
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the pairs: 2 edge directions × (ClusterRounds joins +
+    // the node seed) all reuse them; without it every round would
+    // re-run the whole minhash pipeline
+    val pairs = dedupMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to ClusterRounds) {
+      val msgs = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), labels("label"))
+      labels = labels.union(msgs)
+        .groupBy("node").agg(min("label").as("label"))
+        // each round references the previous labels twice (self ∪
+        // messages) — without a per-round checkpoint the lazy plan
+        // doubles every iteration (2^rounds branches, hundreds of
+        // exchanges); the lazy checkpoint materialises each round
+        // exactly once, the driver-loop structure a production
+        // fixpoint iteration has anyway
+        .localCheckpoint(false)
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("node") === col("label")).as("is_canonical"))
+  }
+
   /** q16: 16-bit SimHash per document over the word multiset. Hashes
     * are row-local; the bit votes are one grouped aggregation with
     * map-side partials (16 narrow int sums — a few bytes per doc of
@@ -186,7 +240,8 @@ object Dedup {
     "q15_dedup_minhash" -> dedupMinhash,
     "q16_dedup_simhash" -> dedupSimhash,
     "q17_dedup_ngram" -> dedupNgram,
-    "q18_dedup_embed" -> dedupEmbed)
+    "q18_dedup_embed" -> dedupEmbed,
+    "q54_dup_clusters" -> dupClusters)
 
   // ---- DuckDB oracles: the same algorithms, same hashes, verbatim ----
 
@@ -249,7 +304,33 @@ object Dedup {
        |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= 0.35""".stripMargin
 
+  /** Oracle: true connected components via a recursive CTE (reachable
+    * min label), over the identical q15 pair set — so it also proves
+    * the engine's fixed unroll reached the fixpoint.
+    */
+  private val clustersSql =
+    // stripMargin BEFORE substituting: minhashSql contains lines whose
+    // first non-blank chars are a `||` concat, which an outer
+    // stripMargin would truncate to `|`
+    """WITH RECURSIVE
+       |pr AS (SELECT doc_a, doc_b FROM (@PAIRS@)),
+       |e AS (SELECT doc_a s, doc_b d FROM pr
+       |      UNION ALL SELECT doc_b, doc_a FROM pr),
+       |n AS (SELECT DISTINCT s AS node FROM e),
+       |reach(node, label) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.node),
+       |lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) cnt FROM lab GROUP BY cluster_id)
+       |SELECT lab.node AS doc_id, lab.cluster_id,
+       |       CAST(sz.cnt AS BIGINT) AS cluster_size,
+       |       (lab.node = lab.cluster_id) AS is_canonical
+       |FROM lab JOIN sz USING (cluster_id)""".stripMargin
+      .replace("@PAIRS@", minhashSql)
+
   val oracle: Map[String, String] = Map(
+    "q54_dup_clusters" -> clustersSql,
     "q14_dedup_exact" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, " +
         "count(*) AS n_copies FROM documents GROUP BY md5(text)"),

@@ -67,6 +67,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q54 clusters equal union-find over the q15 pairs (fixpoint reached)") {
+    val pairs = Dedup.dedupMinhash(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(n => n -> find(n)).toMap
+    val sizes = truth.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+    val got = Dedup.dupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (node, (cid, sz, canon)) =>
+      assert(cid === truth(node), s"node $node wrong cluster")
+      assert(sz === sizes(cid))
+      assert(canon === (node == cid))
+    }
+    assert(pairs.nonEmpty)
+  }
+
   test("q18 embed near-dup pairs all meet the threshold and are label-blocked") {
     val rows = Dedup.dedupEmbed(spark, sf0001).collect()
     rows.foreach { r =>
