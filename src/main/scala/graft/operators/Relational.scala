@@ -243,7 +243,54 @@ object Relational {
           .as("sum_price"))
   }
 
+  /** q55: GLOBAL RANK — total-order ranking without the scale-killer
+    * single-partition `Window.orderBy`: range-repartition on the sort
+    * key, per-partition local indexes (one pass over each sorted
+    * partition — the canonical zipWithIndex pattern, genuine
+    * per-partition imperative logic), then partition row-counts →
+    * cumulative offsets (a window over ≤ numPartitions rows) broadcast
+    * back. rank = offset(pid) + local index.
+    *
+    * Scale shape: ONE range shuffle of the data; the offsets side is
+    * tiny metadata. RangePartitioner boundaries come from sampling, but
+    * the emitted rank depends only on the total order — (price desc,
+    * orderkey, linenumber) is strict — so the result is deterministic
+    * regardless of where the sampled boundaries land. This is how a
+    * 100 TB sorted export (shard files + a manifest of offsets)
+    * actually gets written.
+    */
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val sortKeys = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    val sorted = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .repartitionByRange(sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+    val outSchema = sorted.schema.add("pid", IntegerType).add("idx", LongType)
+    val withIdx = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var i = 0L
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
+    }(Encoders.row(outSchema))
+      // both consumers (offset counts + the ranked join) must see the
+      // SAME materialisation — and the sort pays once, not twice
+      .localCheckpoint(eager = false)
+    val offsets = withIdx.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    withIdx.join(broadcast(offsets), "pid")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        (col("offset") + col("idx")).as("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_global_rank" -> globalRank,
     "q08_agg_pricing" -> aggPricing,
     "q38_rollup" -> rollupPricing,
     "q39_full_outer" -> fullOuter,
@@ -255,6 +302,10 @@ object Relational {
     "q13_semi_join" -> semiJoin)
 
   val oracle: Map[String, String] = Map(
+    "q55_global_rank" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice, " +
+        "row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, " +
+        "l_linenumber) AS rnk FROM lineitem"),
     "q44_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price

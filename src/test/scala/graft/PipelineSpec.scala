@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CellModel, Events, Multimodal, SimSearch, Sink, Streaming}
+import graft.operators.{CellModel, Events, Multimodal, Relational, SimSearch, Sink, Streaming}
 import graft.sources.Tables
 
 /** Cross-operator semantic invariants on sf0.001: conservation laws,
@@ -11,6 +11,21 @@ import graft.sources.Tables
   */
 class PipelineSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf0001}
+
+  test("q55 distributed global rank equals the single-partition window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rnk", row_number().over(Window.orderBy(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))))
+    val dist = Relational.globalRank(spark, sf0001)
+    assert(dist.count() === naive.count())
+    assert(dist.exceptAll(naive).count() === 0)
+    // ranks are a permutation-free 1..N sequence
+    val n = dist.count()
+    assert(dist.agg(min(col("rnk")), max(col("rnk")),
+      countDistinct(col("rnk"))).collect()(0).toSeq === Seq(1L, n, n))
+  }
 
   test("q19 rank-1 neighbour agrees with independently computed argmax") {
     val res = SimSearch.annBrute(spark, sf0001).collect()
