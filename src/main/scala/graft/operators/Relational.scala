@@ -259,14 +259,23 @@ object Relational {
     * 100 TB sorted export (shard files + a manifest of offsets)
     * actually gets written.
     */
-  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+  def globalRank(spark: SparkSession, dir: String): DataFrame =
+    withGlobalRank(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc))
+
+  /** The reusable two-phase ranker behind q55 (and q56's quantiles):
+    * appends `rnk` = 1-based position of each row in the total order
+    * given by `sortKeys` (which must be a STRICT order for determinism).
+    */
+  private[operators] def withGlobalRank(df: DataFrame,
+      sortKeys: Seq[Column]): DataFrame = {
     import org.apache.spark.TaskContext
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType}
-    val sortKeys = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
-      col("l_linenumber").asc)
-    val sorted = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val sorted = df
       .repartitionByRange(sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
     val outSchema = sorted.schema.add("pid", IntegerType).add("idx", LongType)
@@ -285,8 +294,8 @@ object Relational {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("offset"))
     withIdx.join(broadcast(offsets), "pid")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-        (col("offset") + col("idx")).as("rnk"))
+      .withColumn("rnk", col("offset") + col("idx"))
+      .drop("pid", "idx", "offset")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

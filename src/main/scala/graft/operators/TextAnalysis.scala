@@ -150,12 +150,72 @@ object TextAnalysis {
         col("score_milli"))
   }
 
+  /** q56: EXACT corpus quantiles of document length — p50/p75/p90/p99
+    * of `n_chars` by global rank selection, not an approximate sketch:
+    * rank every row with the q55 two-phase ranker (one range shuffle +
+    * broadcast offsets), compute the target ranks in-plan from a 1-row
+    * count aggregate, and keep the rows whose rank hits a target.
+    * `approx_percentile` trades accuracy for one pass; this is the
+    * exact path for when the number matters (e.g. sequence-length
+    * budget decisions), at the cost of the sort shuffle — still fully
+    * distributed, no single-partition window anywhere.
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Relational.withGlobalRank(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars").asc, col("doc_id").asc))
+    val targets = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n"))
+      .select(explode(array(Seq(250, 500, 750, 900, 990).map(lit): _*))
+        .as("p_milli"), col("n"))
+      .withColumn("trank", expr("(p_milli * n + 999) DIV 1000"))
+    ranked.join(broadcast(targets), col("rnk") === col("trank"))
+      .select(col("p_milli"), col("trank"), col("n_chars"))
+  }
+
+  /** Sequence-packing budget (tokens per training sequence) and shard
+    * granularity (docs per shard) for q57.
+    */
+  val SeqLen = 2048
+  val ShardDocs = 200
+
+  /** q57: SEQUENCE PACKING — concatenate documents into a token stream
+    * and chunk it into fixed-[[SeqLen]] training sequences, the step
+    * between curation and training. Each doc gets its stream offset
+    * (running token count) and the id of the sequence its first token
+    * lands in; docs straddle boundaries exactly as a real concat-packed
+    * pretraining pipeline does.
+    *
+    * Scale shape: the stream is sharded by (lang, doc_id DIV
+    * [[ShardDocs]]) so the running-sum window never sees more than
+    * [[ShardDocs]] rows — bounded state, one shuffle, any corpus size.
+    * A global (unsharded) stream would serialize the whole corpus
+    * through one partition; per-shard streams are what distributed
+    * packing actually ships (each shard becomes an output file).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"doc_id DIV $ShardDocs").as("shard"),
+        size(words(col("text"))).as("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        expr(s"(cum - n_tokens) DIV $SeqLen").as("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_lang_id" -> langId,
     "q22_text_quality" -> quality,
     "q23_token_count" -> tokens,
     "q24_fingerprint" -> fingerprint,
-    "q33_tfidf" -> tfidf)
+    "q33_tfidf" -> tfidf,
+    "q56_quantiles" -> quantiles,
+    "q57_pack_sequences" -> packSequences)
 
   private val langIdSql = {
     val structs = sigs.map { case (l, ss) =>
@@ -221,10 +281,32 @@ object TextAnalysis {
       |       CAST(score_milli AS BIGINT) AS score_milli
       |FROM s WHERE rnk <= 3""".stripMargin
 
+  private val quantilesSql =
+    """WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) rn
+      |           FROM documents),
+      |n AS (SELECT count(*) n FROM documents),
+      |t AS (SELECT unnest([250, 500, 750, 900, 990]) p_milli),
+      |tr AS (SELECT p_milli, (p_milli * n.n + 999) // 1000 trank FROM t, n)
+      |SELECT p_milli, trank, n_chars FROM tr JOIN r ON r.rn = tr.trank""".stripMargin
+
+  private val packSql =
+    s"""WITH d AS (SELECT doc_id, lang, doc_id // $ShardDocs AS shard,
+       |             len(list_filter(string_split(text, ' '), w -> w <> '')) n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, shard, n_tokens,
+       |        CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+       |      FROM d)
+       |SELECT doc_id, lang, shard, n_tokens, cum - n_tokens AS start_off,
+       |       (cum - n_tokens) // $SeqLen AS seq_id
+       |FROM c""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q21_lang_id" -> langIdSql,
     "q22_text_quality" -> qualitySql,
     "q23_token_count" -> tokensSql,
     "q24_fingerprint" -> fingerprintSql,
-    "q33_tfidf" -> tfidfSql)
+    "q33_tfidf" -> tfidfSql,
+    "q56_quantiles" -> quantilesSql,
+    "q57_pack_sequences" -> packSql)
 }

@@ -27,6 +27,39 @@ class PipelineSpec extends AnyFunSuite {
       countDistinct(col("rnk"))).collect()(0).toSeq === Seq(1L, n, n))
   }
 
+  test("q56 exact quantiles match a driver-side sorted-array selection") {
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    val n = lens.length
+    val got = graft.operators.TextAnalysis.quantiles(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === Set(250, 500, 750, 900, 990))
+    got.foreach { case (p, (trank, v)) =>
+      assert(trank === (p.toLong * n + 999) / 1000)
+      assert(v === lens(trank.toInt - 1), s"p$p")
+    }
+  }
+
+  test("q57 packing: offsets are exact prefix sums and conserve tokens") {
+    val rows = graft.operators.TextAnalysis.packSequences(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, shard) =>
+      var cum = 0L
+      shard.sortBy(_._3).foreach { case (_, _, _, nTok, start, seqId) =>
+        assert(start === cum)
+        assert(seqId === start / graft.operators.TextAnalysis.SeqLen)
+        cum += nTok
+      }
+    }
+    val totalTokens = rows.map(_._4.toLong).sum
+    val expected = Tables.documents(spark, sf0001)
+      .select(size(graft.functions.Portable.words(col("text"))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(totalTokens === expected)
+  }
+
   test("q19 rank-1 neighbour agrees with independently computed argmax") {
     val res = SimSearch.annBrute(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
