@@ -161,6 +161,63 @@ object Dedup {
         (col("node") === col("label")).as("is_canonical"))
   }
 
+  /** q58: INCREMENTAL dedup — screen a new batch against the existing
+    * corpus without re-deduplicating the corpus, the daily-ingest shape
+    * of a production pipeline. The "increment" is the deterministic
+    * doc_id ≡ 7 (mod 10) slice; the corpus is the rest.
+    *
+    * Verdict per new doc, first match wins:
+    *   dup_exact — content hash already in the corpus (anti-joinable);
+    *   dup_near  — shares a MinHash band with a corpus doc AND verifies
+    *               at shingle-Jaccard ≥ 0.5 (q15's band + verify kernel,
+    *               but increment×corpus instead of corpus×corpus);
+    *   new       — accepted.
+    *
+    * Scale shape: the corpus side's hash/signature tables are exactly
+    * what q14/q15 already compute — a deployment stores them and joins
+    * the (small) increment against them; nothing here rescans corpus
+    * text per batch except the signature build this self-contained
+    * query includes. Joins are equi-joins on content hash / band key;
+    * the increment side is the broadcast/probe side at any corpus size.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 7
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val sigs = docShingleHashes(spark, dir).localCheckpoint(false)
+    val bands = sigs.withColumn("mhs", array(hashAB.map { case (a, b) =>
+        array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
+      }: _*))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), lit(NumBands - 1)), b =>
+          concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
+            element_at(col("mhs"), b * 2 + 2)))).as("bkey"))
+      .localCheckpoint(false)
+    val exactDup = hashed.filter(isNew).join(
+      hashed.filter(!isNew).select(col("h")).distinct(), "h")
+      .select(col("doc_id")).distinct()
+    val nearCand = bands.filter(isNew).join(
+        bands.filter(!isNew).select(col("doc_id").as("corpus_id"), col("bkey")),
+        "bkey")
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val nearDup = nearCand
+      .join(sigs.select(col("doc_id"), col("hsh").as("hsn")), "doc_id")
+      .join(sigs.select(col("doc_id").as("corpus_id"), col("hsh").as("hsc")),
+        "corpus_id")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sorted_intersect_count(col("hsn"), col("hsc")))
+      .filter(col("inter").cast("double") /
+        (size(col("hsn")) + size(col("hsc")) - col("inter")) >= 0.5)
+      .select(col("doc_id")).distinct()
+    Tables.documents(spark, dir).filter(isNew).select(col("doc_id"))
+      .join(exactDup.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "dup_exact")
+          .when(col("is_near"), "dup_near")
+          .otherwise("new").as("verdict"))
+  }
+
   /** q16: 16-bit SimHash per document over the word multiset. Hashes
     * are row-local; the bit votes are one grouped aggregation with
     * map-side partials (16 narrow int sums — a few bytes per doc of
@@ -241,7 +298,8 @@ object Dedup {
     "q16_dedup_simhash" -> dedupSimhash,
     "q17_dedup_ngram" -> dedupNgram,
     "q18_dedup_embed" -> dedupEmbed,
-    "q54_dup_clusters" -> dupClusters)
+    "q54_dup_clusters" -> dupClusters,
+    "q58_dedup_incremental" -> dedupIncremental)
 
   // ---- DuckDB oracles: the same algorithms, same hashes, verbatim ----
 
@@ -253,7 +311,11 @@ object Dedup {
        |        s -> ${sqlHash60("s")}))) hsh
        |      FROM w WHERE len(ws) >= 3)""".stripMargin
 
-  private val minhashSql = {
+  /** Shared CTE prefix: shingle-hash sets (`d`), minhash signatures
+    * (`sig`), LSH band keys (`bands`) — used verbatim by the q15 and
+    * q58 oracles so the two can never drift.
+    */
+  private val sigBandsSql = {
     val mhExprs = hashAB.map { case (a, b) =>
       s"list_min(list_transform(hsh, h -> (${a} * (h % $P) + ${b}) % $P))"
     }.mkString(",\n|          ")
@@ -262,7 +324,13 @@ object Dedup {
        |          $mhExprs] mhs FROM d),
        |bands AS (SELECT doc_id, unnest(list_transform(range(${NumBands}),
        |            b -> CAST(b AS VARCHAR) || ':' || CAST(mhs[2*b+1] AS VARCHAR)
-       |                 || ':' || CAST(mhs[2*b+2] AS VARCHAR))) bkey FROM sig),
+       |                 || ':' || CAST(mhs[2*b+2] AS VARCHAR))) bkey FROM sig)""".stripMargin
+  }
+
+  private val minhashSql =
+    // stripMargin before substituting (see clustersSql): the prefix
+    // holds lines starting with a `||` concat
+    """@SB@,
        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |         FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |j AS (SELECT doc_a, doc_b, len(list_intersect(x.hsh, y.hsh)) i,
@@ -271,7 +339,27 @@ object Dedup {
        |                JOIN d y ON y.doc_id = cand.doc_b)
        |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(la+lb-i) AS jaccard
        |FROM j WHERE CAST(i AS DOUBLE)/(la+lb-i) >= 0.5""".stripMargin
-  }
+      .replace("@SB@", sigBandsSql)
+
+  private val incrementalSql =
+    """@SB@,
+      |h AS (SELECT doc_id, md5(text) h FROM documents),
+      |ex AS (SELECT DISTINCT n.doc_id FROM h n JOIN h c
+      |       ON n.h = c.h AND n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+      |cand AS (SELECT DISTINCT n.doc_id, c.doc_id corpus_id
+      |         FROM bands n JOIN bands c ON n.bkey = c.bkey
+      |         WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+      |nr0 AS (SELECT cand.doc_id, len(list_intersect(x.hsh, y.hsh)) i,
+      |          len(x.hsh) la, len(y.hsh) lb
+      |        FROM cand JOIN d x ON x.doc_id = cand.doc_id
+      |                  JOIN d y ON y.doc_id = cand.corpus_id),
+      |nr AS (SELECT DISTINCT doc_id FROM nr0
+      |       WHERE CAST(i AS DOUBLE)/(la+lb-i) >= 0.5)
+      |SELECT doc_id, CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'dup_exact'
+      |                    WHEN doc_id IN (SELECT doc_id FROM nr) THEN 'dup_near'
+      |                    ELSE 'new' END AS verdict
+      |FROM documents WHERE doc_id % 10 = 7""".stripMargin
+      .replace("@SB@", sigBandsSql)
 
   private val simhashSql = {
     val votes = (0 until 16).map(b =>
@@ -331,6 +419,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q54_dup_clusters" -> clustersSql,
+    "q58_dedup_incremental" -> incrementalSql,
     "q14_dedup_exact" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, " +
         "count(*) AS n_copies FROM documents GROUP BY md5(text)"),

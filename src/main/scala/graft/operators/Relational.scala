@@ -269,33 +269,36 @@ object Relational {
   /** The reusable two-phase ranker behind q55 (and q56's quantiles):
     * appends `rnk` = 1-based position of each row in the total order
     * given by `sortKeys` (which must be a STRICT order for determinism).
+    *
+    * The per-partition position comes from `monotonically_increasing_id`
+    * — its value is `(partitionId << 33) + positionInPartition`, i.e.
+    * exactly the (pid, local index) pair the two-phase rank needs, but
+    * produced inside whole-stage codegen with zero per-row conversion
+    * (an earlier `mapPartitions` + row-encoder version of this spent
+    * 10+ s at sf0.1 on encode/decode alone). The id itself is
+    * partitioning-dependent; the emitted rank depends only on the
+    * strict total order, so the OUTPUT is deterministic.
     */
   private[operators] def withGlobalRank(df: DataFrame,
       sortKeys: Seq[Column]): DataFrame = {
-    import org.apache.spark.TaskContext
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    val sorted = df
+    val withId = df
       .repartitionByRange(sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
-    val outSchema = sorted.schema.add("pid", IntegerType).add("idx", LongType)
-    val withIdx = sorted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var i = 0L
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
-    }(Encoders.row(outSchema))
+      .withColumn("mid", monotonically_increasing_id())
       // both consumers (offset counts + the ranked join) must see the
       // SAME materialisation — and the sort pays once, not twice
       .localCheckpoint(eager = false)
-    val offsets = withIdx.groupBy(col("pid"))
+      .withColumn("pid", shiftrightunsigned(col("mid"), 33))
+      .withColumn("idx", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+    val offsets = withId.groupBy(col("pid"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("offset", coalesce(sum(col("cnt")).over(
         Window.orderBy(col("pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("offset"))
-    withIdx.join(broadcast(offsets), "pid")
-      .withColumn("rnk", col("offset") + col("idx"))
-      .drop("pid", "idx", "offset")
+    withId.join(broadcast(offsets), "pid")
+      .withColumn("rnk", col("offset") + col("idx") + 1)
+      .drop("mid", "pid", "idx", "offset")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

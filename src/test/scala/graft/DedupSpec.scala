@@ -94,6 +94,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("q58 incremental verdicts agree with brute-force ground truth") {
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpusTexts = texts.collect { case (id, t) if id % 10 != 7 => t }.toSet
+    val verdicts = Dedup.dedupIncremental(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts.keySet === texts.keySet.filter(_ % 10 == 7))
+    def hasNearPartner(id: Long, minJ: Double): Boolean =
+      bruteforcePairs.exists { case ((a, b), j) =>
+        j >= minJ && ((a == id && b % 10 != 7) || (b == id && a % 10 != 7))
+      }
+    verdicts.foreach { case (id, v) =>
+      v match {
+        case "dup_exact" => assert(corpusTexts.contains(texts(id)))
+        case "dup_near" =>
+          assert(!corpusTexts.contains(texts(id)))
+          assert(hasNearPartner(id, 0.5), s"doc $id near-dup w/o partner")
+        case "new" =>
+          assert(!corpusTexts.contains(texts(id)))
+          // strong pairs always collide in some band (p_miss < 1e-4)
+          assert(!hasNearPartner(id, 0.9), s"doc $id missed a strong dup")
+      }
+    }
+    assert(verdicts.values.toSet.size > 1, "want a mix of verdicts")
+  }
+
   test("q18 embed near-dup pairs all meet the threshold and are label-blocked") {
     val rows = Dedup.dedupEmbed(spark, sf0001).collect()
     rows.foreach { r =>
