@@ -170,6 +170,67 @@ object SimSearch {
     rerank(e, cand)
   }
 
+  private val KmK = 8 // k-means clusters
+  private val KmIters = 2 // unrolled Lloyd iterations
+
+  /** Squared L2 distance from exactly-computed integers:
+    * ||x-c||² = n2x − 2·x·c + n2c.
+    */
+  private def dist2(qv: Column, n2: Column, cqv: Column, cn2: Column): Column =
+    n2 - lit(2L) * dotq(qv, cqv) + cn2
+
+  /** q59: K-MEANS over the quantised embeddings — the trained coarse
+    * quantizer q34's IVF is designed to consume (its scaladoc documents
+    * the deterministic ±1 pattern as the untrained stand-in). Lloyd's
+    * algorithm, made engine-portable and exactly integer:
+    * seeds = vectors 0..K-1, squared-L2 assignment with (dist², cell)
+    * tie-break, centroid update = element-wise FLOOR(sum/count) via the
+    * sign-portable remainder identity `(s - ((s%n)+n)%n) DIV n` (Spark
+    * DIV truncates, DuckDB // floors; on the exactly-divisible numerator
+    * both yield the true quotient). [[KmIters]] iterations unrolled so
+    * the query stays one lazy plan; a production run loops
+    * assign/update with a driver-side convergence test.
+    *
+    * Scale shape per iteration: assignment is a broadcast of K
+    * centroids + a row-local argmin folded into a map-side-partial
+    * `min(struct(...))` groupBy (shuffle = one row per vector);
+    * the update shuffles (cell, dim) partial sums — K×64 groups, a few
+    * KB at any corpus size. Empty cells simply drop out (both engines
+    * agree); k-means++-style reseeding is a policy layer, not a plan
+    * change. Output: per-cell membership and exact integer inertia.
+    */
+  def kmeansEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir).localCheckpoint(eager = false)
+    var cent = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("qv").as("cqv"), col("n2").as("cn2"))
+    for (_ <- 1 to KmIters) {
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cell"), col("qv"))).as("w"))
+        .select(col("w.cell").as("cell"), col("w.qv").as("qv"))
+      cent = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("(s - ((s % n) + n) % n) DIV n"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          p => p.getField("cv")).as("cqv"))
+        .withColumn("cn2", norm2(col("cqv")))
+        // K rows; checkpoint so the next iteration's two consumers (and
+        // the plan itself) don't re-run the whole assign/update chain
+        .localCheckpoint(eager = false)
+    }
+    e.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("w"))
+      .groupBy(col("w.cell").as("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("w.d2")).as("inertia"))
+  }
+
   /** q45: recall@K of the two approximate variants against the exact
     * brute-force top-K — the accuracy/cost trade-off measured inside
     * the engine itself. Exact integer recall (`hits*1000 DIV total`)
@@ -199,7 +260,8 @@ object SimSearch {
     "q19_ann_brute" -> annBrute,
     "q20_ann_lsh" -> annLsh,
     "q34_ann_ivf" -> annIvf,
-    "q45_ann_recall" -> annRecall)
+    "q45_ann_recall" -> annRecall,
+    "q59_kmeans_embed" -> kmeansEmbed)
 
   private val baseSql =
     s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
@@ -267,9 +329,49 @@ object SimSearch {
        |  (SELECT count(*) FROM lsh JOIN brute USING (q_id, vec_id)) * 1000
        |    // (SELECT t FROM tot) AS recall_milli""".stripMargin
 
+  /** One Lloyd assignment against centroid CTE `cent`, emitting CTE
+    * `a$tag` (vec_id, qv, cell, dist2). The dist² expression repeats in
+    * the window ORDER BY because SQL can't reference the alias there.
+    */
+  private def kmAssignSql(cent: String, tag: String): String = {
+    val d2 = s"x.n2 - 2*${sqlDotq("x.qv", "c.cqv")} + c.cn2"
+    s"""a$tag AS (SELECT vec_id, qv, cell, dist2 FROM (
+       |  SELECT x.vec_id, x.qv, c.cell, $d2 AS dist2,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY $d2, c.cell) rn
+       |  FROM n x CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Centroid update from assignment CTE `a$from`, emitting `cent$tag`
+    * (cell, cqv, cn2) with element-wise exact floor(sum/count).
+    */
+  private def kmUpdateSql(from: String, tag: String): String =
+    s"""px$tag AS (SELECT cell, unnest(range(1, len(qv)+1)) i, unnest(qv) v
+       |           FROM a$from),
+       |s$tag AS (SELECT cell, i, CAST(sum(v) AS BIGINT) s, count(*) cnt
+       |          FROM px$tag GROUP BY cell, i),
+       |cent$tag AS (SELECT cell,
+       |    list((s - ((s % cnt) + cnt) % cnt) // cnt ORDER BY i) cqv
+       |  FROM s$tag GROUP BY cell),
+       |centn$tag AS (SELECT cell, cqv, ${sqlNorm2("cqv")} cn2 FROM cent$tag)""".stripMargin
+
+  private val kmeansSql =
+    s"""$baseSql,
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $KmK),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")}
+       |SELECT cell, count(*) AS n_members,
+       |       CAST(sum(dist2) AS BIGINT) AS inertia
+       |FROM a3 GROUP BY cell""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q19_ann_brute" -> bruteSql,
     "q20_ann_lsh" -> lshSql,
     "q34_ann_ivf" -> ivfSql,
-    "q45_ann_recall" -> recallSql)
+    "q45_ann_recall" -> recallSql,
+    "q59_kmeans_embed" -> kmeansSql)
 }

@@ -60,6 +60,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(totalTokens === expected)
   }
 
+  test("q59 kmeans matches a driver-side Lloyd run with identical rules") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), graft.functions.Portable.qvec(col("embedding")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    def d2(x: Array[Long], c: Array[Long]): Long =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    var cents: Seq[(Int, Array[Long])] =
+      vecs.take(8).map { case (id, v) => id.toInt -> v }.toSeq
+    def assign(): Array[(Long, Int, Long)] = vecs.map { case (id, v) =>
+      val (cell, dist) = cents.map { case (c, cv) => (c, d2(v, cv)) }
+        .minBy { case (c, dist) => (dist, c) }
+      (id, cell, dist)
+    }
+    for (_ <- 1 to 2) {
+      val byCell = assign().groupBy(_._2)
+      cents = byCell.toSeq.sortBy(_._1).map { case (cell, members) =>
+        val vmap = vecs.toMap
+        val vs = members.map(m => vmap(m._1))
+        cell -> Array.tabulate(64)(i =>
+          Math.floorDiv(vs.map(_(i)).sum, vs.length.toLong))
+      }
+    }
+    val truth = assign().groupBy(_._2)
+      .map { case (c, ms) => c -> (ms.length.toLong, ms.map(_._3).sum) }
+    val got = SimSearch.kmeansEmbed(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === truth)
+  }
+
   test("q19 rank-1 neighbour agrees with independently computed argmax") {
     val res = SimSearch.annBrute(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap

@@ -77,8 +77,11 @@ class PlanSpec extends AnyFunSuite {
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
-    // deliberately-broadcast NL join
-    val nlAllowed = Set("q19_ann_brute", "q45_ann_recall")
+    // deliberately-broadcast NL join; q59's NL joins broadcast the
+    // K-row (K=8) centroid table — bounded by construction at any
+    // corpus size
+    val nlAllowed = Set("q19_ann_brute", "q45_ann_recall",
+      "q59_kmeans_embed")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
