@@ -73,12 +73,18 @@ class ProtoZstTable(path: String) extends Table
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val dir = path
     // a job-level abort rolls back the tasks that DID commit (their
-    // tmp→final renames) so a retried job can't double-count rows
-    def rollback(msgs: Array[WriterCommitMessage]): Unit =
+    // tmp→final renames) so a retried job can't double-count rows;
+    // runs on the driver, where the session conf is at hand
+    def rollback(msgs: Array[WriterCommitMessage]): Unit = {
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(ProtoZstFiles.hadoopConf())
       msgs.foreach {
-        case ProtoZstCommit(f, _) => new File(dir, f).delete(); ()
+        case ProtoZstCommit(f, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(dirPath, f), false)
+          ()
         case _ => ()
       }
+    }
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
@@ -135,30 +141,71 @@ class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap)
     new ProtoZstScan(path, ignoreCorrupt, required, pushed)
 }
 
-/** Sorted `.proto.zst` listing — the shared O1 source-discovery step. */
+/** Java-serializable wrapper for a Hadoop `Configuration` (which is
+  * `Writable` but not `Serializable`) — lets driver-built reader/writer
+  * factories carry the session's fs.* settings to executors. The
+  * standard connector pattern (Spark's own utility is `private[spark]`).
+  */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Sorted `.proto.zst` listing — the shared O1 source-discovery step.
+  * Hadoop-FS based, so a proto-zst directory can live on any filesystem
+  * the session can reach (local, HDFS, S3A); paths without a scheme
+  * resolve against the session's `fs.defaultFS`.
+  */
 object ProtoZstFiles {
-  def list(path: String): Array[String] = {
-    val f = new File(path)
-    val files =
-      if (f.isFile) Array(f)
-      else Option(f.listFiles((_, n) => n.endsWith(".proto.zst")))
-        .getOrElse(Array.empty[File]).sortBy(_.getName)
-    files.map(_.getAbsolutePath)
+  import org.apache.hadoop.fs.Path
+
+  /** The active session's Hadoop conf (fs settings/credentials); a bare
+    * default conf outside any session (direct construction in tests).
+    */
+  def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(org.apache.spark.sql.graft.Shim.hadoopConf)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  def list(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Array.empty
+    else {
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isFile) Array(st)
+        else fs.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".proto.zst"))
+      files.sortBy(_.getPath.getName).map(_.getPath.toString)
+    }
   }
 }
 
 class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
     override val readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+  // captured on the driver at scan-build time; ships to executors with
+  // the reader factory
+  private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
   override def toBatch: Batch = this
   override def description(): String =
     s"proto-zst PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${readSchema.simpleString}"
   // one partition per file == the reference's per-file unit of work
   override def planInputPartitions(): Array[InputPartition] =
-    ProtoZstFiles.list(path).map(ProtoZstInputPartition(_): InputPartition)
+    ProtoZstFiles.list(path, conf.value).map(ProtoZstInputPartition(_): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters)
+    new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ProtoZstMicroBatchStream(path, ignoreCorrupt, readSchema, filters)
@@ -187,20 +234,23 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  // the stream object lives on the driver; only the reader factory ships
+  private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
+
   override def initialOffset(): Offset = ProtoZstOffset(0)
   override def latestOffset(): Offset =
-    ProtoZstOffset(ProtoZstFiles.list(path).length)
+    ProtoZstOffset(ProtoZstFiles.list(path, conf.value).length)
   override def deserializeOffset(json: String): Offset =
     ProtoZstOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    ProtoZstFiles.list(path)
+    ProtoZstFiles.list(path, conf.value)
       .slice(start.asInstanceOf[ProtoZstOffset].n,
         end.asInstanceOf[ProtoZstOffset].n)
       .map(ProtoZstInputPartition(_): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters)
+    new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
 }
 
 /** Compile the pushable subset of Spark's v1 `Filter`s over the `key`
@@ -271,6 +321,9 @@ case object ProtoZstEmptyCommit extends WriterCommitMessage
   */
 class ProtoZstWriterFactory(dir: String)
     extends DataWriterFactory with StreamingDataWriterFactory {
+  // captured on the driver (newWriteBuilder runs there), deserialized on
+  // each executor
+  private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     make(partitionId, taskId, epochId = 0L)
@@ -280,16 +333,19 @@ class ProtoZstWriterFactory(dir: String)
 
   private def make(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val finalFile =
-        new File(dir, f"part-e$epochId%03d-p$partitionId%05d-t$taskId.proto.zst")
-      private val tmpFile = new File(dir, finalFile.getName + "._tmp")
+      import org.apache.hadoop.fs.Path
+      private val dirPath = new Path(dir)
+      private lazy val fs = dirPath.getFileSystem(conf.value)
+      private val name = f"part-e$epochId%06d-p$partitionId%05d-t$taskId.proto.zst"
+      private val finalFile = new Path(dirPath, name)
+      private val tmpFile = new Path(dirPath, name + "._tmp")
       private var os: ZstdOutputStream = _
       private var n = 0L
 
       override def write(r: InternalRow): Unit = {
         if (os == null) {
-          new File(dir).mkdirs()
-          os = new ZstdOutputStream(new FileOutputStream(tmpFile))
+          fs.mkdirs(dirPath)
+          os = new ZstdOutputStream(fs.create(tmpFile, true))
         }
         val key = if (r.isNullAt(0)) null else r.getBinary(0)
         val cols = if (r.isNullAt(1)) null else r.getArray(1)
@@ -302,16 +358,16 @@ class ProtoZstWriterFactory(dir: String)
         if (os != null) {
           os.close()
           os = null
-          if (!tmpFile.renameTo(finalFile))
+          if (!fs.rename(tmpFile, finalFile))
             throw new java.io.IOException(s"rename failed: $tmpFile")
-          ProtoZstCommit(finalFile.getName, n)
+          ProtoZstCommit(name, n)
         } else ProtoZstEmptyCommit
 
       override def abort(): Unit = close()
 
       override def close(): Unit = {
         if (os != null) os.close()
-        tmpFile.delete()
+        fs.delete(tmpFile, false)
         ()
       }
     }
@@ -319,7 +375,8 @@ class ProtoZstWriterFactory(dir: String)
 
 class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
     readSchema: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   /** Salvage iterator: stop at the first undecodable message instead of
@@ -366,8 +423,9 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
         // handled by the salvage wrapper
         val all =
           try {
+            val p = new org.apache.hadoop.fs.Path(file)
             in = new java.io.BufferedInputStream(
-              new ZstdInputStream(new FileInputStream(file)), 64 << 10)
+              new ZstdInputStream(p.getFileSystem(conf.value).open(p)), 64 << 10)
             ProtoWire.decodeStream(in, wantColumns, keep)
           } catch {
             case e: Exception if ignoreCorrupt =>

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Session-scoped Hadoop configuration (fs.* settings, credentials) —
+    * what a connector must hand its readers/writers so paths resolve the
+    * same way the rest of the session resolves them.
+    */
+  def hadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConf()
 }
