@@ -160,6 +160,41 @@ object Sink {
       .select(decode(col("key"), "UTF-8").as("key"))
   }
 
+  /** Range-partitioned sink fixture: nested rows written through
+    * `repartitionByRange(8, key)`, so each task's file covers a
+    * contiguous, near-disjoint key range and the writer's `.range`
+    * sidecars become maximally selective. This is the layout a real
+    * key-range workload would write (the reference's files are
+    * key-sorted for the same reason).
+    */
+  def rangedFixture(spark: SparkSession, dir: String): String =
+    fixtures.getOrElseUpdate("ranged:" + dir, {
+      val out = Scratch.dir("graft_rngfix")
+      writeNested(CellModel.nestRows(spark, dir)
+        .repartitionByRange(8, col("key")), out)
+      out
+    })
+
+  /** q60: the file-SKIPPING key-range scan — q46 proves frames are
+    * dropped cheaply at decode time; this proves whole FILES are
+    * dropped at plan time. The sink records each file's key min/max in
+    * a `.range` sidecar at commit; `ProtoZstScan.planInputPartitions`
+    * drops files whose range provably misses the pushed predicate, so
+    * a selective scan over a range-partitioned corpus never lists,
+    * opens, or decompresses the irrelevant files at all — the true
+    * analog of the reference's index-summary seek
+    * (`SSTableReaderPatched.java:221-233`). PlanSpec asserts the
+    * planned partition count is below the file count.
+    */
+  def fileSkipScan(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = rangedFixture(spark, dir)
+    spark.read.format("proto-zst").load(outDir)
+      .filter(col("key") >= lit("200".getBytes("UTF-8")) &&
+        col("key") < lit("300".getBytes("UTF-8")))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        size(col("columns")).cast("long").as("n_cells"))
+  }
+
   /** q47: PER-INPUT-FILE job metrics — the O14 fidelity gap closed. The
     * reference reports, for every input file it processes, the row
     * count and output size (`Runner.java:88-97`); here every sink file
@@ -205,7 +240,8 @@ object Sink {
     "q30_proto_source" -> protoSourceRoundtrip,
     "q36_noshuffle_stats" -> noShuffleStats,
     "q46_key_pushdown" -> keyPushdownScan,
-    "q47_per_file_metrics" -> perFileMetrics)
+    "q47_per_file_metrics" -> perFileMetrics,
+    "q60_file_skip" -> fileSkipScan)
 
   val oracle: Map[String, String] = Map(
     "q29_sink_roundtrip" ->
@@ -223,6 +259,13 @@ object Sink {
     "q46_key_pushdown" ->
       (s"SELECT DISTINCT key FROM (${Core.cellsSql}) " +
         "WHERE NOT partition_deleted AND key >= '200' AND key < '300'"),
+    // same ASCII-key range-order equivalence as q46; n_cells counts the
+    // live cells the nest packed per key (0 for empty-partition Rows)
+    "q60_file_skip" ->
+      (s"SELECT key, count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells " +
+        s"FROM (${Core.cellsSql}) " +
+        "WHERE NOT partition_deleted AND key >= '200' AND key < '300' " +
+        "GROUP BY key"),
     // file == bucket by construction (one single-partition write per
     // bucket), so per-file metrics rebuild from per-key wire sizes
     "q47_per_file_metrics" ->

@@ -80,8 +80,9 @@ class ProtoZstTable(path: String) extends Table
       val fs = dirPath.getFileSystem(ProtoZstFiles.hadoopConf())
       msgs.foreach {
         case ProtoZstCommit(f, _) =>
-          fs.delete(new org.apache.hadoop.fs.Path(dirPath, f), false)
-          ()
+          val data = new org.apache.hadoop.fs.Path(dirPath, f)
+          fs.delete(data, false)
+          RangeSidecar.delete(fs, data)
         case _ => ()
       }
     }
@@ -191,6 +192,27 @@ object ProtoZstFiles {
   }
 }
 
+object ProtoZstScan {
+  /** Drop files whose `.range` sidecar proves the pushed key predicate
+    * can't match; files without a readable sidecar always scan.
+    */
+  def skipByRange(files: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      conf: SerializableHadoopConf): Array[String] =
+    if (filters.isEmpty || files.isEmpty) files
+    else {
+      val fs = new org.apache.hadoop.fs.Path(files.head)
+        .getFileSystem(conf.value)
+      val couldMatch = KeyPredicate.compileRange(filters)
+      files.filter { f =>
+        RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)) match {
+          case Some((mn, mx)) => couldMatch(mn, mx)
+          case None => true
+        }
+      }
+    }
+}
+
 class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
     override val readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
@@ -201,9 +223,14 @@ class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
   override def description(): String =
     s"proto-zst PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${readSchema.simpleString}"
-  // one partition per file == the reference's per-file unit of work
+  // one partition per file == the reference's per-file unit of work;
+  // under a pushed key predicate, files whose sidecar range provably
+  // misses are dropped HERE — never listed as work, never opened (the
+  // index-summary seek, `SSTableReaderPatched.java:221-233`, at the
+  // granularity that matters on a 1000-executor cluster: whole files)
   override def planInputPartitions(): Array[InputPartition] =
-    ProtoZstFiles.list(path, conf.value).map(ProtoZstInputPartition(_): InputPartition)
+    ProtoZstScan.skipByRange(ProtoZstFiles.list(path, conf.value), filters, conf)
+      .map(ProtoZstInputPartition(_): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -244,10 +271,14 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
     ProtoZstOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+  // range skip applies AFTER the positional slice, so offsets keep
+  // counting every file regardless of the predicate
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    ProtoZstFiles.list(path, conf.value)
-      .slice(start.asInstanceOf[ProtoZstOffset].n,
-        end.asInstanceOf[ProtoZstOffset].n)
+    ProtoZstScan.skipByRange(
+      ProtoZstFiles.list(path, conf.value)
+        .slice(start.asInstanceOf[ProtoZstOffset].n,
+          end.asInstanceOf[ProtoZstOffset].n),
+      filters, conf)
       .map(ProtoZstInputPartition(_): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
@@ -287,6 +318,37 @@ object KeyPredicate {
   private def cmp(k: Array[Byte], v: Array[Byte]): Int =
     java.util.Arrays.compareUnsigned(k, v)
 
+  /** Interval version for file skipping: "COULD any key in [min, max]
+    * satisfy the conjunction?" — an over-approximation (true = must
+    * scan, false = provably no match, safe to drop the file). Filters
+    * with no sound interval form (IsNotNull, Not) contribute `true`.
+    */
+  def compileRange(fs: Array[Filter]): (Array[Byte], Array[Byte]) => Boolean = {
+    val ps = fs.map(oneRange)
+    (mn, mx) => ps.forall(_(mn, mx))
+  }
+
+  private def oneRange(f: Filter): (Array[Byte], Array[Byte]) => Boolean = f match {
+    case EqualTo("key", v) =>
+      val b = bin(v).get; (mn, mx) => cmp(b, mn) >= 0 && cmp(b, mx) <= 0
+    case GreaterThan("key", v) =>
+      val b = bin(v).get; (_, mx) => cmp(mx, b) > 0
+    case GreaterThanOrEqual("key", v) =>
+      val b = bin(v).get; (_, mx) => cmp(mx, b) >= 0
+    case LessThan("key", v) =>
+      val b = bin(v).get; (mn, _) => cmp(mn, b) < 0
+    case LessThanOrEqual("key", v) =>
+      val b = bin(v).get; (mn, _) => cmp(mn, b) <= 0
+    case In("key", vs) =>
+      val bs = vs.map(bin(_).get)
+      (mn, mx) => bs.exists(b => cmp(b, mn) >= 0 && cmp(b, mx) <= 0)
+    case And(l, r) =>
+      val (a, b) = (oneRange(l), oneRange(r)); (mn, mx) => a(mn, mx) && b(mn, mx)
+    case Or(l, r) =>
+      val (a, b) = (oneRange(l), oneRange(r)); (mn, mx) => a(mn, mx) || b(mn, mx)
+    case _ => (_, _) => true
+  }
+
   private def one(f: Filter): Array[Byte] => Boolean = f match {
     case EqualTo("key", v) => k => java.util.Arrays.equals(k, bin(v).get)
     case GreaterThan("key", v) => val b = bin(v).get; k => cmp(k, b) > 0
@@ -306,6 +368,54 @@ object KeyPredicate {
 }
 
 case class ProtoZstInputPartition(file: String) extends InputPartition
+
+/** Per-file key-range sidecar (`<file>.range`): the min and max key the
+  * file contains, hex-encoded. The engine analog of the reference's
+  * index summary (`SSTableReaderPatched.java:221-233` — the structure
+  * that lets it SEEK to a key range instead of scanning): written by
+  * every sink task at commit time, consulted at PLAN time so a pushed
+  * key predicate drops whole files before anything is opened. Files
+  * without a sidecar (foreign writers, older sinks) are simply never
+  * skipped — absence degrades to a full scan, not an error.
+  */
+object RangeSidecar {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  def sidecar(data: Path): Path =
+    new Path(data.getParent, data.getName + ".range")
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => "%02x".format(x & 0xff)).mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  def write(fs: FileSystem, data: Path,
+      min: Array[Byte], max: Array[Byte]): Unit = {
+    val os = fs.create(sidecar(data), true)
+    try os.write(s"v1\n${hex(min)}\n${hex(max)}\n".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** None for missing or unreadable sidecars — skipping is strictly
+    * best-effort. */
+  def read(fs: FileSystem, data: Path): Option[(Array[Byte], Array[Byte])] =
+    try {
+      val p = sidecar(data)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val ls = txt.split("\n", -1)
+        if (ls.length >= 3 && ls(0) == "v1") Some((unhex(ls(1)), unhex(ls(2))))
+        else None
+      }
+    } catch { case _: Exception => None }
+
+  def delete(fs: FileSystem, data: Path): Unit = {
+    fs.delete(sidecar(data), false)
+    ()
+  }
+}
 
 case class ProtoZstCommit(file: String, rows: Long) extends WriterCommitMessage
 
@@ -341,6 +451,10 @@ class ProtoZstWriterFactory(dir: String)
       private val tmpFile = new Path(dirPath, name + "._tmp")
       private var os: ZstdOutputStream = _
       private var n = 0L
+      // running key min/max (unsigned lexicographic — BinaryType's
+      // order) for the range sidecar; robust to unsorted input
+      private var minKey: Array[Byte] = _
+      private var maxKey: Array[Byte] = _
 
       override def write(r: InternalRow): Unit = {
         if (os == null) {
@@ -349,6 +463,12 @@ class ProtoZstWriterFactory(dir: String)
         }
         val key = if (r.isNullAt(0)) null else r.getBinary(0)
         val cols = if (r.isNullAt(1)) null else r.getArray(1)
+        if (key != null) {
+          if (minKey == null || java.util.Arrays.compareUnsigned(key, minKey) < 0)
+            minKey = key.clone()
+          if (maxKey == null || java.util.Arrays.compareUnsigned(key, maxKey) > 0)
+            maxKey = key.clone()
+        }
         val framed = ProtoWire.delimit(ProtoWire.encodeRow(key, cols))
         os.write(framed, 0, framed.length)
         n += 1
@@ -358,8 +478,13 @@ class ProtoZstWriterFactory(dir: String)
         if (os != null) {
           os.close()
           os = null
-          if (!fs.rename(tmpFile, finalFile))
+          // sidecar first, data rename second: a listing that races the
+          // commit sees either no data file, or data + sidecar together
+          if (minKey != null) RangeSidecar.write(fs, finalFile, minKey, maxKey)
+          if (!fs.rename(tmpFile, finalFile)) {
+            RangeSidecar.delete(fs, finalFile)
             throw new java.io.IOException(s"rename failed: $tmpFile")
+          }
           ProtoZstCommit(name, n)
         } else ProtoZstEmptyCommit
 
@@ -368,6 +493,9 @@ class ProtoZstWriterFactory(dir: String)
       override def close(): Unit = {
         if (os != null) os.close()
         fs.delete(tmpFile, false)
+        // an orphan sidecar (commit failed between sidecar write and
+        // rename) must not describe a future file of the same name
+        if (!fs.exists(finalFile)) RangeSidecar.delete(fs, finalFile)
         ()
       }
     }

@@ -75,7 +75,7 @@ class PlanSpec extends AnyFunSuite {
   test("no query plans a cartesian product; NL joins only where bounded") {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
-      "q47_per_file_metrics", "q48_stream_proto_source")
+      "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's NL joins broadcast the
     // K-row (K=8) centroid table — bounded by construction at any
@@ -110,6 +110,23 @@ class PlanSpec extends AnyFunSuite {
     assert(scanLine.contains("GreaterThanOrEqual(key"), scanLine)
     assert(scanLine.contains("LessThan(key"), scanLine)
     assert(scanLine.contains("ReadSchema: struct<key:binary>"), scanLine)
+  }
+
+  test("q60 plans fewer partitions than files under a selective key range") {
+    val df = graft.operators.Sink.fileSkipScan(spark, sf0001)
+    val outDir = graft.operators.Sink.rangedFixture(spark, sf0001)
+    val nFiles = new java.io.File(outDir)
+      .listFiles((_, n) => n.endsWith(".proto.zst")).length
+    val planned = df.rdd.getNumPartitions
+    assert(nFiles >= 3, s"fixture wrote only $nFiles files")
+    assert(planned < nFiles, s"planned $planned of $nFiles files — no skip")
+    // and skipping is SOUND: pushed+skipped result == full-scan-then-filter
+    val full = spark.read.format("proto-zst").load(outDir).collect()
+      .map(r => new String(r.getAs[Array[Byte]](0)))
+      .filter(k => k >= "200" && k < "300").sorted.toSeq
+    val got = df.collect().map(_.getString(0)).sorted.toSeq
+    assert(got === full)
+    assert(got.nonEmpty) // non-vacuous range at sf0.001
   }
 
   test("row-local text/hash pipelines stay inside whole-stage codegen") {
