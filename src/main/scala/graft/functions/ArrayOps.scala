@@ -87,6 +87,59 @@ object ArrayOps {
   /** `ivf_scores(qv, nCells)` — array&lt;long&gt; of all cell scores. */
   def ivf_scores(qv: Column, nCells: Int): Column =
     Shim.column(IvfScoresExpr(Shim.expression(qv), nCells))
+
+  /** Newest-wins merge of two NAME-SORTED cell arrays
+    * (struct&lt;name:binary, value:binary, write_time:long&gt;) — the
+    * row-local compaction reconcile (the merge Cassandra does across
+    * SSTable generations, SURVEY.md §1): one linear pass, equal names
+    * resolved to the higher write_time (right side wins ties — the
+    * newer generation). Keeps the whole two-generation merge inside
+    * codegen when the generations arrive co-partitioned, so compaction
+    * over co-bucketed sink files is join + this kernel: ZERO shuffles.
+    */
+  def mergeColumns(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val m = b.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n + m)
+    var i = 0
+    var j = 0
+    while (i < n && j < m) {
+      val ra = a.getStruct(i, 3)
+      val rb = b.getStruct(j, 3)
+      val c = java.util.Arrays.compareUnsigned(ra.getBinary(0), rb.getBinary(0))
+      if (c < 0) { out += ra.copy(); i += 1 }
+      else if (c > 0) { out += rb.copy(); j += 1 }
+      else {
+        out += (if (ra.getLong(2) > rb.getLong(2)) ra.copy() else rb.copy())
+        i += 1
+        j += 1
+      }
+    }
+    while (i < n) { out += a.getStruct(i, 3).copy(); i += 1 }
+    while (j < m) { out += b.getStruct(j, 3).copy(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** `merge_columns(a, b)` — newest-wins merge of two sorted cell
+    * arrays; `b` wins write_time ties. */
+  def merge_columns(a: Column, b: Column): Column =
+    Shim.column(MergeColumnsExpr(Shim.expression(a), Shim.expression(b)))
+}
+
+case class MergeColumnsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "merge_columns"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.mergeColumns(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayOps.mergeColumns($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class IvfScoresExpr(child: Expression, nCells: Int)

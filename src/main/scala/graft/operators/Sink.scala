@@ -235,13 +235,88 @@ object Sink {
       }.toDF("bucket", "n_rows", "n_columns", "wire_bytes")
   }
 
+  private val HourUs = 3600000000L
+  /** Bucket count for the generation fixtures — small at test scale; at
+    * 100 TB you size this like any bucketing (thousands), and the plan
+    * shapes below are unchanged.
+    */
+  private val GenBuckets = 4
+
+  /** Two co-bucketed sink generations written through the graft
+    * catalog with the same 4-bucket spec: gen0 = the full nested live
+    * corpus; gen1 = the q53 overlay re-expressed in the sink's own
+    * layout — updates (keys ≡ 2 mod 5: value||'@2', +1h) and
+    * tombstones (keys ≡ 4 mod 5: EMPTY value, +1h; the nested format
+    * carries no cell kind, so empty-value is the layout's deletion
+    * marker, shadowing then dropping on merge).
+    */
+  def bucketedGens(spark: SparkSession, dir: String): (String, String) = {
+    val v = fixtures.getOrElseUpdate("gens:" + dir, {
+      graft.sources.GraftCatalog.ensure(spark)
+      val conf = graft.sources.ProtoZstFiles.hadoopConf()
+      val g0 = Scratch.dir("graft_gen0")
+      val g1 = Scratch.dir("graft_gen1")
+      graft.sources.GraftBucket.writeSpec(g0, GenBuckets, conf)
+      graft.sources.GraftBucket.writeSpec(g1, GenBuckets, conf)
+      CellModel.nestRows(spark, dir)
+        .writeTo(graft.sources.GraftCatalog.tableName(g0)).append()
+      val live0 = CellModel.cellStrings(spark, dir)
+        .filter(col("kind") === "live" && !col("partition_deleted"))
+      val upd = live0.filter(col("key").cast("long") % 5 === 2)
+        .withColumn("value", concat(col("value"), lit("@2")))
+        .withColumn("write_time", col("write_time") + HourUs)
+      val del = live0.filter(col("key").cast("long") % 5 === 4)
+        .withColumn("value", lit(""))
+        .withColumn("write_time", col("write_time") + HourUs)
+      CellModel.nestCells(CellModel.cellsOf(upd.unionByName(del)))
+        .writeTo(graft.sources.GraftCatalog.tableName(g1)).append()
+      s"$g0|$g1"
+    })
+    val parts = v.split('|')
+    (parts(0), parts(1))
+  }
+
+  /** q61: generation compaction STRAIGHT OVER THE SINK FILES with zero
+    * exchanges — q53's merge semantics, but instead of re-shuffling raw
+    * cells, the two generations are read through the graft catalog,
+    * which reports their shared `bucket(4, key)` layout
+    * ([[graft.sources.ProtoZstScan]] `outputPartitioning`): Catalyst
+    * plans a storage-partitioned full-outer join (no exchange on either
+    * side), and the per-key reconcile is the row-local
+    * `merge_columns` kernel + an explode — nothing in the plan moves a
+    * byte between partitions. The write-time shuffle that bucketed the
+    * generations is paid ONCE; every later compaction pass over them is
+    * narrow, which is exactly how a 100 TB multi-generation store wants
+    * to compact.
+    */
+  def compactSink(spark: SparkSession, dir: String): DataFrame = {
+    val (g0, g1) = bucketedGens(spark, dir)
+    graft.sources.GraftCatalog.ensure(spark)
+    val a = spark.table(graft.sources.GraftCatalog.tableName(g0)).as("g0")
+    val b = spark.table(graft.sources.GraftCatalog.tableName(g1)).as("g1")
+    val emptyCols = array()
+      .cast("array<struct<name:binary,value:binary,write_time:bigint>>")
+    a.join(b, col("g0.key") === col("g1.key"), "fullouter")
+      .select(coalesce(col("g0.key"), col("g1.key")).as("key"),
+        graft.functions.ArrayOps.merge_columns(
+          coalesce(col("g0.columns"), emptyCols),
+          coalesce(col("g1.columns"), emptyCols)).as("cols"))
+      .select(col("key"), explode(col("cols")).as("c"))
+      .filter(length(col("c.value")) > 0)
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sink_roundtrip" -> sinkRoundtrip,
     "q30_proto_source" -> protoSourceRoundtrip,
     "q36_noshuffle_stats" -> noShuffleStats,
     "q46_key_pushdown" -> keyPushdownScan,
     "q47_per_file_metrics" -> perFileMetrics,
-    "q60_file_skip" -> fileSkipScan)
+    "q60_file_skip" -> fileSkipScan,
+    "q61_compact_sink" -> compactSink)
 
   val oracle: Map[String, String] = Map(
     "q29_sink_roundtrip" ->
@@ -266,6 +341,27 @@ object Sink {
         s"FROM (${Core.cellsSql}) " +
         "WHERE NOT partition_deleted AND key >= '200' AND key < '300' " +
         "GROUP BY key"),
+    // replay of the q61 merge: newest (write_time, gen) per (key, name)
+    // wins, empty-value winners are tombstones and drop out
+    "q61_compact_sink" ->
+      (s"""WITH live0 AS (SELECT key, name, value, write_time
+         |  FROM (${Core.cellsSql})
+         |  WHERE kind = 'live' AND NOT partition_deleted),
+         |g1 AS (SELECT key, name, value || '@2' AS value,
+         |         write_time + $HourUs AS write_time, 1 AS gen
+         |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 2
+         |       UNION ALL
+         |       SELECT key, name, '' AS value,
+         |         write_time + $HourUs AS write_time, 1 AS gen
+         |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 4),
+         |u AS (SELECT key, name, value, write_time, 0 AS gen FROM live0
+         |      UNION ALL SELECT * FROM g1),
+         |r AS (SELECT key, name, value, write_time,
+         |        row_number() OVER (PARTITION BY key, name
+         |          ORDER BY write_time DESC, gen DESC) AS rn
+         |      FROM u)
+         |SELECT key, name, value, write_time
+         |FROM r WHERE rn = 1 AND value <> ''""".stripMargin),
     // file == bucket by construction (one single-partition write per
     // bucket), so per-file metrics rebuild from per-key wire sizes
     "q47_per_file_metrics" ->

@@ -37,8 +37,16 @@ class ProtoZstDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ProtoZstTable.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new ProtoZstTable(properties.get("path"))
+      properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    // honor a bucketed directory's layout even through the path-based
+    // API (writes keep bucketing); only the CATALOG path may also
+    // REPORT the partitioning, because only it carries the
+    // FunctionCatalog that lets Catalyst resolve the bucket transform
+    new ProtoZstTable(path,
+      GraftBucket.readSpec(path, ProtoZstFiles.hadoopConf()),
+      viaCatalog = false)
+  }
 }
 
 object ProtoZstTable {
@@ -51,10 +59,14 @@ object ProtoZstTable {
       StructField("write_time", LongType)))))))
 }
 
-class ProtoZstTable(path: String) extends Table
+class ProtoZstTable(path: String, buckets: Option[Int] = None,
+    viaCatalog: Boolean = false) extends Table
     with SupportsRead with SupportsWrite {
   override def name(): String = s"proto-zst($path)"
   override def schema(): StructType = ProtoZstTable.Schema
+  override def partitioning(): Array[Transform] =
+    buckets.map(n => org.apache.spark.sql.connector.expressions.Expressions
+      .bucket(n, "key")).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
@@ -79,35 +91,62 @@ class ProtoZstTable(path: String) extends Table
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(ProtoZstFiles.hadoopConf())
       msgs.foreach {
-        case ProtoZstCommit(f, _) =>
+        case ProtoZstCommit(fns, _) => fns.foreach { f =>
           val data = new org.apache.hadoop.fs.Path(dirPath, f)
           fs.delete(data, false)
           RangeSidecar.delete(fs, data)
+        }
         case _ => ()
       }
     }
+    val bucketSpec = buckets
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new BatchWrite {
-          override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-            new ProtoZstWriterFactory(dir)
-          override def commit(msgs: Array[WriterCommitMessage]): Unit = ()
-          override def abort(msgs: Array[WriterCommitMessage]): Unit =
-            rollback(msgs)
-        }
-        override def toStreaming: StreamingWrite = new StreamingWrite {
-          override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
-            new ProtoZstWriterFactory(dir)
-          override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit = ()
-          override def abort(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
-            rollback(msgs)
+      private def batchWrite: BatchWrite = new BatchWrite {
+        override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+          new ProtoZstWriterFactory(dir, bucketSpec)
+        override def commit(msgs: Array[WriterCommitMessage]): Unit = ()
+        override def abort(msgs: Array[WriterCommitMessage]): Unit =
+          rollback(msgs)
+      }
+      private def streamingWrite: StreamingWrite = new StreamingWrite {
+        override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
+          new ProtoZstWriterFactory(dir, bucketSpec)
+        override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit = ()
+        override def abort(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
+          rollback(msgs)
+      }
+      override def build(): Write = bucketSpec match {
+        // catalog-path bucketed write: ask Spark to cluster incoming
+        // rows by the V2 bucket function (ONE exchange of exactly
+        // `buckets` partitions) and key-sort within each, so every task
+        // writes whole buckets of key-sorted rows — the layout the
+        // scan's reported partitioning and range sidecars describe.
+        // Resolving the transform needs the FunctionCatalog, hence
+        // catalog path only; path-based writes still bucket per row in
+        // the writer, just without the planner-enforced clustering.
+        case Some(n) if viaCatalog =>
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+          new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution(): Distribution =
+              Distributions.clustered(Array(Expressions.bucket(n, "key")))
+            override def requiredNumPartitions(): Int = n
+            override def requiredOrdering(): Array[SortOrder] =
+              Array(Expressions.sort(Expressions.column("key"),
+                SortDirection.ASCENDING))
+            override def toBatch: BatchWrite = batchWrite
+            override def toStreaming: StreamingWrite = streamingWrite
+          }
+        case _ => new Write {
+          override def toBatch: BatchWrite = batchWrite
+          override def toStreaming: StreamingWrite = streamingWrite
         }
       }
     }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ProtoZstScanBuilder(path, options)
+    new ProtoZstScanBuilder(path, options, buckets, viaCatalog)
 }
 
 /** Scan builder with the two §4.3 optimizations the reference gets from
@@ -116,7 +155,8 @@ class ProtoZstTable(path: String) extends Table
   * the key bytes alone, columns never decoded for dropped frames) and
   * column pruning (a key-only projection skips Column decode entirely).
   */
-class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap)
+class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap,
+    buckets: Option[Int] = None, viaCatalog: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -139,7 +179,7 @@ class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new ProtoZstScan(path, ignoreCorrupt, required, pushed)
+    new ProtoZstScan(path, ignoreCorrupt, required, pushed, buckets, viaCatalog)
 }
 
 /** Java-serializable wrapper for a Hadoop `Configuration` (which is
@@ -193,6 +233,14 @@ object ProtoZstFiles {
 }
 
 object ProtoZstScan {
+  private val BucketTag = """.*-b(\d+)\.proto\.zst$""".r
+
+  /** The bucket id the bucketed writer embedded in a file name. */
+  def bucketOf(file: String): Option[Int] = file match {
+    case BucketTag(b) => Some(b.toInt)
+    case _ => None
+  }
+
   /** Drop files whose `.range` sidecar proves the pushed key predicate
     * can't match; files without a readable sidecar always scan.
     */
@@ -215,22 +263,70 @@ object ProtoZstScan {
 
 class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
     override val readSchema: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    buckets: Option[Int] = None, viaCatalog: Boolean = false) extends Scan
+    with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   // captured on the driver at scan-build time; ships to executors with
   // the reader factory
   private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
   override def toBatch: Batch = this
   override def description(): String =
     s"proto-zst PushedFilters: [${filters.mkString(", ")}], " +
-      s"ReadSchema: ${readSchema.simpleString}"
+      s"ReadSchema: ${readSchema.simpleString}" +
+      buckets.map(n => s", Buckets: $n").getOrElse("")
+
+  // the post-skip listing, fixed once so outputPartitioning() and
+  // planInputPartitions() describe the same file set
+  private lazy val plannedFiles: Array[String] =
+    ProtoZstScan.skipByRange(ProtoZstFiles.list(path, conf.value), filters, conf)
+
+  /** bucket id → that bucket's files, when EVERY planned file carries a
+    * bucket tag (`-bNNNN` in the name, written by the bucketed writer).
+    * A single untagged file (foreign writer) disables grouping — the
+    * scan silently degrades to per-file partitions, never lies to the
+    * planner.
+    */
+  private lazy val grouped: Option[Array[(Int, Array[String])]] =
+    buckets.filter(_ => viaCatalog && plannedFiles.nonEmpty).flatMap { _ =>
+      val tagged = plannedFiles.map(f => ProtoZstScan.bucketOf(f).map(_ -> f))
+      if (tagged.exists(_.isEmpty)) None
+      else Some(tagged.flatten.groupBy(_._1).view
+        .mapValues(_.map(_._2)).toArray.sortBy(_._1))
+    }
+
+  /** §4.3's `SupportsReportPartitioning`: a bucketed directory read
+    * through the catalog reports `KeyGroupedPartitioning(bucket(n,
+    * key), groups)` — Catalyst then plans co-bucketed joins/merges over
+    * sink generations with ZERO exchanges (storage-partitioned join)
+    * instead of reshuffling data that is already clustered on disk.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    grouped match {
+      case Some(g) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(buckets.get, "key")), g.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          plannedFiles.length)
+    }
+
   // one partition per file == the reference's per-file unit of work;
   // under a pushed key predicate, files whose sidecar range provably
   // misses are dropped HERE — never listed as work, never opened (the
   // index-summary seek, `SSTableReaderPatched.java:221-233`, at the
-  // granularity that matters on a 1000-executor cluster: whole files)
+  // granularity that matters on a 1000-executor cluster: whole files).
+  // When bucket-grouping is active, the unit is one BUCKET (all its
+  // files), keyed for the planner via HasPartitionKey.
   override def planInputPartitions(): Array[InputPartition] =
-    ProtoZstScan.skipByRange(ProtoZstFiles.list(path, conf.value), filters, conf)
-      .map(ProtoZstInputPartition(_): InputPartition)
+    grouped match {
+      case Some(g) =>
+        g.map { case (b, fs) => ProtoZstBucketPartition(fs, b): InputPartition }
+      case None =>
+        plannedFiles.map(ProtoZstInputPartition(_): InputPartition)
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -369,6 +465,18 @@ object KeyPredicate {
 
 case class ProtoZstInputPartition(file: String) extends InputPartition
 
+/** One BUCKET of a bucketed directory: all its files, plus the bucket
+  * id as the split's partition key — what lets Spark line this split up
+  * with the same bucket of another generation in a storage-partitioned
+  * join without any exchange.
+  */
+case class ProtoZstBucketPartition(files: Array[String], bucket: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 /** Per-file key-range sidecar (`<file>.range`): the min and max key the
   * file contains, hex-encoded. The engine analog of the reference's
   * index summary (`SSTableReaderPatched.java:221-233` — the structure
@@ -417,7 +525,7 @@ object RangeSidecar {
   }
 }
 
-case class ProtoZstCommit(file: String, rows: Long) extends WriterCommitMessage
+case class ProtoZstCommit(files: Seq[String], rows: Long) extends WriterCommitMessage
 
 /** Commit message for a task whose partition was empty: no file was
   * opened, so there is nothing to report — and nothing for a job-level
@@ -429,7 +537,7 @@ case object ProtoZstEmptyCommit extends WriterCommitMessage
   * to the wire format here (key binary, columns array&lt;struct&gt; in,
   * framed bytes out). Lazily opened so empty partitions write nothing.
   */
-class ProtoZstWriterFactory(dir: String)
+class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None)
     extends DataWriterFactory with StreamingDataWriterFactory {
   // captured on the driver (newWriteBuilder runs there), deserialized on
   // each executor
@@ -446,57 +554,84 @@ class ProtoZstWriterFactory(dir: String)
       import org.apache.hadoop.fs.Path
       private val dirPath = new Path(dir)
       private lazy val fs = dirPath.getFileSystem(conf.value)
-      private val name = f"part-e$epochId%06d-p$partitionId%05d-t$taskId.proto.zst"
-      private val finalFile = new Path(dirPath, name)
-      private val tmpFile = new Path(dirPath, name + "._tmp")
-      private var os: ZstdOutputStream = _
-      private var n = 0L
-      // running key min/max (unsigned lexicographic — BinaryType's
-      // order) for the range sidecar; robust to unsorted input
-      private var minKey: Array[Byte] = _
-      private var maxKey: Array[Byte] = _
+
+      /** One output file: lazily opened stream + running key min/max
+        * (unsigned lexicographic — BinaryType's order) for the range
+        * sidecar; robust to unsorted input. Unbucketed writes use a
+        * single state; bucketed writes one per bucket this task sees
+        * (the planner-clustered write sends each task whole buckets, so
+        * this map stays tiny).
+        */
+      private final class FileState(val name: String) {
+        val finalFile = new Path(dirPath, name)
+        val tmpFile = new Path(dirPath, name + "._tmp")
+        var os: ZstdOutputStream = _
+        var n = 0L
+        var minKey: Array[Byte] = _
+        var maxKey: Array[Byte] = _
+        def open(): ZstdOutputStream = {
+          if (os == null) {
+            fs.mkdirs(dirPath)
+            os = new ZstdOutputStream(fs.create(tmpFile, true))
+          }
+          os
+        }
+      }
+
+      private val states =
+        scala.collection.mutable.LinkedHashMap.empty[Int, FileState]
+
+      private def nameFor(bucket: Int): String = {
+        val tag = if (bucket < 0) "" else f"-b$bucket%04d"
+        f"part-e$epochId%06d-p$partitionId%05d-t$taskId$tag.proto.zst"
+      }
 
       override def write(r: InternalRow): Unit = {
-        if (os == null) {
-          fs.mkdirs(dirPath)
-          os = new ZstdOutputStream(fs.create(tmpFile, true))
-        }
         val key = if (r.isNullAt(0)) null else r.getBinary(0)
         val cols = if (r.isNullAt(1)) null else r.getArray(1)
+        val b = buckets.map(GraftBucket.bucket(_, key)).getOrElse(-1)
+        val st = states.getOrElseUpdate(b, new FileState(nameFor(b)))
+        val os = st.open()
         if (key != null) {
-          if (minKey == null || java.util.Arrays.compareUnsigned(key, minKey) < 0)
-            minKey = key.clone()
-          if (maxKey == null || java.util.Arrays.compareUnsigned(key, maxKey) > 0)
-            maxKey = key.clone()
+          if (st.minKey == null ||
+              java.util.Arrays.compareUnsigned(key, st.minKey) < 0)
+            st.minKey = key.clone()
+          if (st.maxKey == null ||
+              java.util.Arrays.compareUnsigned(key, st.maxKey) > 0)
+            st.maxKey = key.clone()
         }
         val framed = ProtoWire.delimit(ProtoWire.encodeRow(key, cols))
         os.write(framed, 0, framed.length)
-        n += 1
+        st.n += 1
       }
 
       override def commit(): WriterCommitMessage =
-        if (os != null) {
-          os.close()
-          os = null
-          // sidecar first, data rename second: a listing that races the
-          // commit sees either no data file, or data + sidecar together
-          if (minKey != null) RangeSidecar.write(fs, finalFile, minKey, maxKey)
-          if (!fs.rename(tmpFile, finalFile)) {
-            RangeSidecar.delete(fs, finalFile)
-            throw new java.io.IOException(s"rename failed: $tmpFile")
+        if (states.isEmpty) ProtoZstEmptyCommit
+        else {
+          val names = states.values.toSeq.map { st =>
+            st.os.close()
+            st.os = null
+            // sidecar first, data rename second: a listing that races
+            // the commit sees either no data file, or data + sidecar
+            if (st.minKey != null)
+              RangeSidecar.write(fs, st.finalFile, st.minKey, st.maxKey)
+            if (!fs.rename(st.tmpFile, st.finalFile)) {
+              RangeSidecar.delete(fs, st.finalFile)
+              throw new java.io.IOException(s"rename failed: ${st.tmpFile}")
+            }
+            st.name
           }
-          ProtoZstCommit(name, n)
-        } else ProtoZstEmptyCommit
+          ProtoZstCommit(names, states.values.map(_.n).sum)
+        }
 
       override def abort(): Unit = close()
 
-      override def close(): Unit = {
-        if (os != null) os.close()
-        fs.delete(tmpFile, false)
+      override def close(): Unit = states.values.foreach { st =>
+        if (st.os != null) st.os.close()
+        fs.delete(st.tmpFile, false)
         // an orphan sidecar (commit failed between sidecar write and
         // rename) must not describe a future file of the same name
-        if (!fs.exists(finalFile)) RangeSidecar.delete(fs, finalFile)
-        ()
+        if (!fs.exists(st.finalFile)) RangeSidecar.delete(fs, st.finalFile)
       }
     }
 }
@@ -524,8 +659,35 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
       }
     }
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[ProtoZstInputPartition].file
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case ProtoZstInputPartition(file) => single(file)
+      case ProtoZstBucketPartition(files, _) =>
+        // one bucket = several files, read back-to-back in one split
+        new PartitionReader[InternalRow] {
+          private var idx = 0
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (idx >= files.length) return false
+                cur = single(files(idx))
+                idx += 1
+              }
+              if (cur.next()) return true
+              cur.close()
+              cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unexpected partition: $other")
+    }
+
+  private def single(file: String): PartitionReader[InternalRow] = {
     // compiled once per partition; pruning decides whether Column
     // messages are decoded at all
     val keep = KeyPredicate.compile(filters)

@@ -20,7 +20,8 @@ object ScaleAudit {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
       "q29_sink_roundtrip", "q30_proto_source", "q36_noshuffle_stats",
       "q37_stream_sink", "q43_stream_dedup", "q46_key_pushdown",
-      "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip")
+      "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
+      "q61_compact_sink")
     println("| query | shuffles | broadcasts | join strategies | pushed filter |")
     println("|---|---|---|---|---|")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CellModel
+import graft.sources.{GraftBucket, GraftCatalog}
+
+/** The V2 catalog: bucketed writes, reported partitioning, and the
+  * storage-partitioned (zero-exchange) merge over sink generations.
+  */
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("bucketed catalog write splits files by bucket and tags names") {
+    GraftCatalog.ensure(spark)
+    val dir = freshDir("graft_cat_w")
+    GraftBucket.writeSpec(dir, 4, graft.sources.ProtoZstFiles.hadoopConf())
+    CellModel.nestRows(spark, sf0001)
+      .writeTo(GraftCatalog.tableName(dir)).append()
+    val files = new java.io.File(dir)
+      .listFiles((_, n) => n.endsWith(".proto.zst")).map(_.getName).sorted
+    assert(files.nonEmpty)
+    assert(files.forall(_.matches(""".*-b\d{4}\.proto\.zst""")), files.mkString(","))
+    // every file holds exactly the keys of its named bucket
+    val byFile = spark.read.format("proto-zst").load(dir).collect()
+    assert(byFile.length === 14) // nested rows at sf0.001
+    files.foreach { f =>
+      val b = f.split("-b")(1).take(4).toInt
+      val keys = spark.read.format("proto-zst").load(s"$dir/$f")
+        .collect().map(_.getAs[Array[Byte]](0))
+      assert(keys.forall(k => GraftBucket.bucket(4, k) == b), f)
+    }
+  }
+
+  test("co-bucketed generations join with zero exchanges (SPJ)") {
+    GraftCatalog.ensure(spark)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dirA = freshDir("graft_cat_a")
+    val dirB = freshDir("graft_cat_b")
+    GraftBucket.writeSpec(dirA, 4, conf)
+    GraftBucket.writeSpec(dirB, 4, conf)
+    val nested = CellModel.nestRows(spark, sf0001)
+    nested.writeTo(GraftCatalog.tableName(dirA)).append()
+    nested.filter(col("key").cast("string").cast("long") % 2 === 0)
+      .writeTo(GraftCatalog.tableName(dirB)).append()
+    val a = spark.table(GraftCatalog.tableName(dirA)).as("a")
+    val b = spark.table(GraftCatalog.tableName(dirB)).as("b")
+    val joined = a.join(b, col("a.key") === col("b.key"), "fullouter")
+      .select(coalesce(col("a.key"), col("b.key")).as("key"),
+        size(coalesce(col("a.columns"), col("b.columns"))).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange"), s"expected zero exchanges:\n${plan.take(3000)}")
+  }
+
+  test("per-key aggregation over a bucketed table plans zero exchanges") {
+    GraftCatalog.ensure(spark)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dir = freshDir("graft_cat_agg")
+    GraftBucket.writeSpec(dir, 4, conf)
+    CellModel.nestRows(spark, sf0001)
+      .writeTo(GraftCatalog.tableName(dir)).append()
+    val agg = spark.table(GraftCatalog.tableName(dir))
+      .select(col("key"), explode(col("columns")).as("c"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    println("AGG PLAN:\n" + plan)
+    assert(!plan.contains("Exchange"), s"agg plan has exchange:\n${plan.take(3000)}")
+  }
+}

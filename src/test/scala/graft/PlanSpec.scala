@@ -75,7 +75,8 @@ class PlanSpec extends AnyFunSuite {
   test("no query plans a cartesian product; NL joins only where bounded") {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
-      "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip")
+      "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
+      "q61_compact_sink")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's NL joins broadcast the
     // K-row (K=8) centroid table — bounded by construction at any
@@ -127,6 +128,17 @@ class PlanSpec extends AnyFunSuite {
     val got = df.collect().map(_.getString(0)).sorted.toSeq
     assert(got === full)
     assert(got.nonEmpty) // non-vacuous range at sf0.001
+  }
+
+  test("q61 two-generation merge over bucketed sink files plans ZERO exchanges") {
+    val df = graft.operators.Sink.compactSink(spark, sf0001)
+    df.collect() // finalize the (possibly AQE-wrapped) plan
+    val plan = physical(df)
+    // a storage-partitioned SortMergeJoin: co-bucketed scans line up
+    // without any Exchange on either side
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange"),
+      s"expected a zero-exchange merge, got:\n${plan.take(3000)}")
   }
 
   test("row-local text/hash pipelines stay inside whole-stage codegen") {
