@@ -152,6 +152,12 @@ object Streaming extends Serializable {
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // micro-batch phase timings on demand — the evidence for bench
+      // variance triage (addExecution vs state commit vs plan time)
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[q31] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
     }
     spark.table(name)
       .select(col("user_id"), col("session_no"), col("n_events"),
