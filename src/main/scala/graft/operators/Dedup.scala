@@ -130,35 +130,94 @@ object Dedup {
     */
   val ClusterRounds = 6
 
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint the pairs: 2 edge directions × (ClusterRounds joins +
-    // the node seed) all reuse them; without it every round would
-    // re-run the whole minhash pipeline
+  /** The undirected near-dup pair graph, checkpointed: 2 edge
+    * directions × (rounds of joins + the node seed) all reuse it;
+    * without it every round would re-run the whole minhash pipeline.
+    */
+  private def pairGraph(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-    val nodes = edges.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to ClusterRounds) {
-      val msgs = edges.join(labels, edges("src") === labels("node"))
-        .select(edges("dst").as("node"), labels("label"))
-      labels = labels.union(msgs)
-        .groupBy("node").agg(min("label").as("label"))
-        // each round references the previous labels twice (self ∪
-        // messages) — without a per-round checkpoint the lazy plan
-        // doubles every iteration (2^rounds branches, hundreds of
-        // exchanges); the lazy checkpoint materialises each round
-        // exactly once, the driver-loop structure a production
-        // fixpoint iteration has anyway
-        .localCheckpoint(false)
-    }
+    pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+  }
+
+  /** One min-label propagation round. Each round references the
+    * previous labels twice (self ∪ messages) — without a per-round
+    * checkpoint the lazy plan doubles every iteration (2^rounds
+    * branches, hundreds of exchanges); the lazy checkpoint
+    * materialises each round exactly once, the driver-loop structure a
+    * production fixpoint iteration has anyway.
+    */
+  private def propagate(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val msgs = edges.join(labels, edges("src") === labels("node"))
+      .select(edges("dst").as("node"), labels("label"))
+    labels.union(msgs)
+      .groupBy("node").agg(min("label").as("label"))
+      .localCheckpoint(false)
+  }
+
+  private def clusterOutput(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"),
         (col("node") === col("label")).as("is_canonical"))
+  }
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = pairGraph(spark, dir)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to ClusterRounds) labels = propagate(edges, labels)
+    // IN-PLAN convergence guard: run one more round and fail LOUDLY if
+    // any label would still shrink — a component deeper than the
+    // unroll must never silently ship wrong cluster ids. assert_true
+    // feeds the output column, so it cannot be pruned away; when
+    // converged it is null and coalesce passes the label through.
+    val next = propagate(edges, labels)
+    val guarded = labels
+      .join(next.withColumnRenamed("label", "label_next"), "node")
+      .select(col("node"),
+        coalesce(
+          assert_true(col("label") === col("label_next"),
+            lit(s"q54: min-label propagation not converged after " +
+              s"$ClusterRounds rounds — component diameter exceeds the " +
+              "unroll; raise ClusterRounds or use dupClustersConverged"))
+            .cast("long"),
+          col("label")).as("label"))
+    clusterOutput(guarded)
+  }
+
+  /** PRODUCTION fixpoint variant of [[dupClusters]]: propagate until
+    * the label table stops changing, detected by a driver-side check
+    * on a TINY aggregate — `sum(label)` is strictly decreasing until
+    * fixpoint (every node's label is monotone non-increasing), so one
+    * unchanged sum proves convergence. Fails loudly after `maxRounds`.
+    * DedupSpec proves loop-until-converged ≡ the unrolled query.
+    */
+  def dupClustersConverged(spark: SparkSession, dir: String,
+      maxRounds: Int = 64): DataFrame = {
+    val edges = pairGraph(spark, dir)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    def checksum(l: DataFrame): (Long, Long) = {
+      val r = l.agg(sum(col("label")), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = (-1L, -1L)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      labels = propagate(edges, labels)
+      val cur = checksum(labels)
+      done = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"q54: label propagation did not converge within $maxRounds rounds")
+    clusterOutput(labels)
   }
 
   /** q58: INCREMENTAL dedup — screen a new batch against the existing

@@ -129,30 +129,77 @@ object SimSearch {
     * throughout (see [[kmeansEmbed]]); each round's K-row centroid
     * table is checkpointed so the lazy plan stays linear.
     */
-  private def trainCentroids(e: DataFrame, k: Int): DataFrame = {
-    var cent = e.filter(col("vec_id") < k)
+  private def kmSeeds(e: DataFrame, k: Int): DataFrame =
+    e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"),
         col("qv").as("cqv"), col("n2").as("cn2"))
-    for (_ <- 1 to KmIters) {
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cell"), col("qv"))).as("w"))
-        .select(col("w.cell").as("cell"), col("w.qv").as("qv"))
-      cent = assigned
-        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cv", expr("(s - ((s % n) + n) % n) DIV n"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          p => p.getField("cv")).as("cqv"))
-        .withColumn("cn2", norm2(col("cqv")))
-        // K rows; checkpoint so the next iteration's two consumers (and
-        // the plan itself) don't re-run the whole assign/update chain
-        .localCheckpoint(eager = false)
-    }
+
+  /** One Lloyd round: argmin assignment against the broadcast K-row
+    * centroid table, then exact floor(sum/count) centroid update. The
+    * K-row result is checkpointed so downstream consumers (and the
+    * next round) don't re-run the assign/update chain.
+    */
+  private def lloydRound(e: DataFrame, cent: DataFrame): DataFrame = {
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"), col("qv"))).as("w"))
+      .select(col("w.cell").as("cell"), col("w.qv").as("qv"))
+    assigned
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cv", expr("(s - ((s % n) + n) % n) DIV n"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        p => p.getField("cv")).as("cqv"))
+      .withColumn("cn2", norm2(col("cqv")))
+      .localCheckpoint(eager = false)
+  }
+
+  private def trainCentroids(e: DataFrame, k: Int): DataFrame =
+    trainedAfter(e, k, KmIters)
+
+  /** Seeds + exactly `rounds` Lloyd rounds — the unroll at a given
+    * depth (spec hook for proving loop ≡ unroll). */
+  private[graft] def trainedAfter(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var cent = kmSeeds(e, k)
+    for (_ <- 1 to rounds) cent = lloydRound(e, cent)
     cent
+  }
+
+  private[graft] def featurized(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).localCheckpoint(eager = false)
+
+  /** PRODUCTION fixpoint variant of [[trainCentroids]]: iterate
+    * [[lloydRound]] until the K-row centroid table is bit-identical
+    * round over round (a driver-side check on K tiny rows — the
+    * "driver-loop with a cheap convergence test" the unrolled
+    * [[KmIters]] stand-in documents), failing LOUDLY after `maxIters`
+    * instead of silently emitting an unconverged clustering. Returns
+    * the centroids and the number of rounds run; SimSearch's spec
+    * proves loop-until-converged ≡ the unroll at the same depth.
+    */
+  def trainCentroidsConverged(spark: SparkSession, dir: String, k: Int,
+      maxIters: Int = 32): (DataFrame, Int) = {
+    val e = featurized(spark, dir)
+    def snap(c: DataFrame): Seq[(Int, Seq[Long])] =
+      c.collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    var cent = lloydRound(e, kmSeeds(e, k))
+    var prev = snap(cent)
+    var iters = 1
+    var done = false
+    while (!done && iters < maxIters) {
+      cent = lloydRound(e, cent)
+      val cur = snap(cent)
+      done = cur == prev
+      prev = cur
+      iters += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"k-means did not converge within $maxIters Lloyd rounds")
+    (cent, iters)
   }
 
   /** q34: IVF ANN with a TRAINED coarse quantizer — [[NCells]] k-means

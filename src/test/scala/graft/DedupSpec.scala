@@ -94,6 +94,16 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("q54 loop-until-converged equals the unrolled (guarded) query") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val unrolled = rows(Dedup.dupClusters(spark, sf0001))
+    val looped = rows(Dedup.dupClustersConverged(spark, sf0001))
+    assert(looped === unrolled)
+    assert(looped.nonEmpty)
+  }
+
   test("q58 incremental verdicts agree with brute-force ground truth") {
     val texts = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()

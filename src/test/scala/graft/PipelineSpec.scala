@@ -90,6 +90,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === truth)
   }
 
+  test("k-means loop-until-converged is the unroll at its stopping depth") {
+    val (cent, iters) = SimSearch.trainCentroidsConverged(spark, sf0001, 8)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val unroll = SimSearch.trainedAfter(
+      SimSearch.featurized(spark, sf0001), 8, iters)
+    assert(snap(cent) === snap(unroll))
+    // converged means the last two rounds were identical, so the
+    // (iters-1)-deep unroll already reached the same fixpoint
+    assert(snap(cent) === snap(SimSearch.trainedAfter(
+      SimSearch.featurized(spark, sf0001), 8, iters - 1)))
+    assert(iters >= 2)
+  }
+
   test("q19 rank-1 neighbour agrees with independently computed argmax") {
     val res = SimSearch.annBrute(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
