@@ -111,9 +111,15 @@ object ProtoWire {
     var pos = 0
     var rows = 0L
     var cols = 0L
-    def varint(): Long = {
+    // every varint read is bounded by its enclosing scope (`limit`):
+    // a corrupt frame must never consume bytes of the NEXT frame, and
+    // truncation surfaces as the validated IllegalArgumentException,
+    // not an ArrayIndexOutOfBounds at the buffer edge
+    def varint(limit: Long): Long = {
       var v = 0L; var sh = 0; var b = 0
       do {
+        if (pos >= limit)
+          throw new IllegalArgumentException(s"overrun at $pos")
         b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
         if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
       } while ((b & 0x80) != 0)
@@ -131,17 +137,17 @@ object ProtoWire {
         throw new IllegalArgumentException(s"overrun at $pos")
       else pos += n
     while (pos < buf.length) {
-      val frameLen = chk(varint(), buf.length) // read len BEFORE taking pos
+      val frameLen = chk(varint(buf.length), buf.length) // len BEFORE pos
       val end = pos + frameLen
       rows += 1
       while (pos < end) {
-        val tag = varint()
+        val tag = varint(end)
         (tag & 7).toInt match {
           case 2 =>
-            val l = chk(varint(), end)
+            val l = chk(varint(end), end)
             if ((tag >> 3).toInt == 2) cols += 1
             pos += l
-          case 0 => varint()
+          case 0 => varint(end)
           case 1 => skip(8, end)
           case 5 => skip(4, end)
           case wt => throw new IllegalArgumentException(s"wire type $wt")
@@ -164,9 +170,12 @@ object ProtoWire {
     */
   def decodeRows(buf: Array[Byte]): Iterator[DecodedRow] = new Iterator[DecodedRow] {
     private var pos = 0
-    private def varint(): Long = {
+    // bounded by the enclosing scope — see decodeStats
+    private def varint(limit: Long): Long = {
       var v = 0L; var sh = 0; var b = 0
       do {
+        if (pos >= limit)
+          throw new IllegalArgumentException(s"overrun at $pos")
         b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
         if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
       } while ((b & 0x80) != 0)
@@ -200,15 +209,15 @@ object ProtoWire {
       var value = Array.emptyByteArray
       var wt = 0L
       while (pos < end) {
-        val tag = varint()
+        val tag = varint(end)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 2) => name = bytesField(chk(varint(), end))
-          case (2, 2) => value = bytesField(chk(varint(), end))
+          case (1, 2) => name = bytesField(chk(varint(end), end))
+          case (2, 2) => value = bytesField(chk(varint(end), end))
           case (3, 1) => wt = fixed64(end)
           // NB evaluate the varint BEFORE touching pos — `pos += chk(...)`
           // would read pos before the varint advances it
-          case (_, 2) => val l = chk(varint(), end); pos += l
-          case (_, 0) => varint()
+          case (_, 2) => val l = chk(varint(end), end); pos += l
+          case (_, 0) => varint(end)
           case (_, 1) => skip(8, end)
           case (_, 5) => skip(4, end)
           case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
@@ -218,17 +227,17 @@ object ProtoWire {
     }
     override def hasNext: Boolean = pos < buf.length
     override def next(): DecodedRow = {
-      val frameLen = chk(varint(), buf.length) // read len BEFORE taking pos
+      val frameLen = chk(varint(buf.length), buf.length) // len BEFORE pos
       val end = pos + frameLen
       var key = Array.emptyByteArray
       val cols = Seq.newBuilder[DecodedColumn]
       while (pos < end) {
-        val tag = varint()
+        val tag = varint(end)
         ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 2) => key = bytesField(chk(varint(), end))
-          case (2, 2) => val l = chk(varint(), end); cols += decodeColumn(pos + l)
-          case (_, 2) => val l = chk(varint(), end); pos += l
-          case (_, 0) => varint()
+          case (1, 2) => key = bytesField(chk(varint(end), end))
+          case (2, 2) => val l = chk(varint(end), end); cols += decodeColumn(pos + l)
+          case (_, 2) => val l = chk(varint(end), end); pos += l
+          case (_, 0) => varint(end)
           case (_, 1) => skip(8, end)
           case (_, 5) => skip(4, end)
           case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
@@ -349,9 +358,12 @@ object ProtoWire {
   private def decodeSpans(buf: Array[Byte]): Iterator[(Array[Byte], Seq[(Int, Int)])] =
     new Iterator[(Array[Byte], Seq[(Int, Int)])] {
       private var pos = 0
-      private def varint(): Long = {
+      // bounded by the enclosing scope — see decodeStats
+      private def varint(limit: Long): Long = {
         var v = 0L; var sh = 0; var b = 0
         do {
+          if (pos >= limit)
+            throw new IllegalArgumentException(s"overrun at $pos")
           b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
           if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
         } while ((b & 0x80) != 0)
@@ -367,23 +379,23 @@ object ProtoWire {
         else pos += n
       override def hasNext: Boolean = pos < buf.length
       override def next(): (Array[Byte], Seq[(Int, Int)]) = {
-        val frameLen = chk(varint(), buf.length)
+        val frameLen = chk(varint(buf.length), buf.length)
         val end = pos + frameLen
         var key = Array.emptyByteArray
         val spans = Seq.newBuilder[(Int, Int)]
         while (pos < end) {
-          val tag = varint()
+          val tag = varint(end)
           ((tag >> 3).toInt, (tag & 7).toInt) match {
             case (1, 2) =>
-              val l = chk(varint(), end)
+              val l = chk(varint(end), end)
               key = java.util.Arrays.copyOfRange(buf, pos, pos + l)
               pos += l
             case (2, 2) =>
-              val l = chk(varint(), end)
+              val l = chk(varint(end), end)
               spans += ((pos, pos + l))
               pos += l
-            case (_, 2) => val l = chk(varint(), end); pos += l
-            case (_, 0) => varint()
+            case (_, 2) => val l = chk(varint(end), end); pos += l
+            case (_, 0) => varint(end)
             case (_, 1) => skip(8, end)
             case (_, 5) => skip(4, end)
             case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
@@ -396,9 +408,12 @@ object ProtoWire {
   /** Decode one Column message from buf[start, end) (a recorded span). */
   private def decodeColumnAt(buf: Array[Byte], start: Int, end: Int): DecodedColumn = {
     var pos = start
+    // bounded by the span end — see decodeStats
     def varint(): Long = {
       var v = 0L; var sh = 0; var b = 0
       do {
+        if (pos >= end)
+          throw new IllegalArgumentException(s"overrun at $pos")
         b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
         if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
       } while ((b & 0x80) != 0)

@@ -217,8 +217,13 @@ object Relational {
     // deterministic per-sf names, written ONCE per JVM (then reused by
     // later invocations — bench runs each query twice) and overwritten
     // on first use, so stale warehouse content from a previous run
-    // can't leak in and nothing accumulates
-    val (lt, ot) = bucketedTables.getOrElseUpdate(dir, {
+    // can't leak in and nothing accumulates. First build is serialized
+    // (TrieMap.getOrElseUpdate may run the builder twice concurrently,
+    // and two builders would DROP/overwrite the same table names);
+    // names derive from dir.hashCode — two dirs colliding would rebuild
+    // each other's tables, acceptable for the single-warehouse bench
+    // this fixture exists for
+    val (lt, ot) = Relational.synchronized(bucketedTables.getOrElseUpdate(dir, {
       val tag = (dir.hashCode & 0x7fffffff).toString
       val lt = s"lineitem_bkt_$tag"
       val ot = s"orders_bkt_$tag"
@@ -233,7 +238,7 @@ object Relational {
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(ot)
       (lt, ot)
-    })
+    }))
     spark.table(lt)
       .join(spark.table(ot).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))

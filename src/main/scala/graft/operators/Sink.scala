@@ -71,13 +71,20 @@ object Sink {
     */
   private val fixtures =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  // TrieMap.getOrElseUpdate may evaluate the builder twice under a
+  // concurrent first use — two threads would then race the same
+  // on-disk fixture; serialize first-build (reads after that hit the
+  // map without contention in practice: fixture use is per-query)
+  private val fixtureLock = new Object
+  private def fixture(key: String)(build: => String): String =
+    fixtureLock.synchronized(fixtures.getOrElseUpdate(key, build))
 
   def nestedFixture(spark: SparkSession, dir: String): String =
-    fixtures.getOrElseUpdate("nested:" + dir, {
+    fixture("nested:" + dir) {
       val out = Scratch.dir("graft_fix")
       writeNested(CellModel.nestRows(spark, dir), out)
       out
-    })
+    }
 
   /** q29: full sink round trip — encode (nest + proto3 + varint frame),
     * write zstd files, read them back with the binaryFile source,
@@ -168,12 +175,12 @@ object Sink {
     * key-sorted for the same reason).
     */
   def rangedFixture(spark: SparkSession, dir: String): String =
-    fixtures.getOrElseUpdate("ranged:" + dir, {
+    fixture("ranged:" + dir) {
       val out = Scratch.dir("graft_rngfix")
       writeNested(CellModel.nestRows(spark, dir)
         .repartitionByRange(8, col("key")), out)
       out
-    })
+    }
 
   /** q60: the file-SKIPPING key-range scan — q46 proves frames are
     * dropped cheaply at decode time; this proves whole FILES are
@@ -213,7 +220,7 @@ object Sink {
     import spark.implicits._
     // the bucketed layout is a fixture too: deterministic content, so
     // one write per (JVM, sf dir) serves every invocation
-    val outDir = fixtures.getOrElseUpdate("pfm:" + dir, {
+    val outDir = fixture("pfm:" + dir) {
       val out = Scratch.dir("graft_pfm")
       val nested = CellModel.nestRows(spark, dir)
         .withColumn("bucket", expr("CAST(decode(key, 'UTF-8') AS BIGINT) % 4"))
@@ -222,7 +229,7 @@ object Sink {
           .repartition(1), s"$out/bucket=$b")
       }
       out
-    })
+    }
     spark.read.format("binaryFile").load(outDir + "/bucket=*/*.proto.zst")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -251,7 +258,7 @@ object Sink {
     * marker, shadowing then dropping on merge).
     */
   def bucketedGens(spark: SparkSession, dir: String): (String, String) = {
-    val v = fixtures.getOrElseUpdate("gens:" + dir, {
+    val v = fixture("gens:" + dir) {
       graft.sources.GraftCatalog.ensure(spark)
       val conf = graft.sources.ProtoZstFiles.hadoopConf()
       val g0 = Scratch.dir("graft_gen0")
@@ -271,7 +278,7 @@ object Sink {
       CellModel.nestCells(CellModel.cellsOf(upd.unionByName(del)))
         .writeTo(graft.sources.GraftCatalog.tableName(g1)).append()
       s"$g0|$g1"
-    })
+    }
     val parts = v.split('|')
     (parts(0), parts(1))
   }

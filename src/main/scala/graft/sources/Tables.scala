@@ -16,14 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Required engine setting for the `events` table: its `ts` column is
+    * parquet TIMESTAMP(NANOS), which Spark 4 rejects by default; it must
+    * read as a long of epoch-nanoseconds (µs derive via `ts DIV 1000` —
+    * double division would lose precision above 2^53). The shipped
+    * session builders (Verify/Bench/tests) set it at build time; this
+    * fallback covers a caller-provided session, set ONCE and only if the
+    * caller hasn't chosen a value (a query constructor must not
+    * silently flip a session-wide conf the caller pinned).
+    */
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default; read it as a long of epoch-nanoseconds. Derive µs with
-      // integer division (`ts DIV 1000`) — double division would lose
-      // precision above 2^53.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
+    // conf.get(key, fallback) consults only EXPLICITLY-set values, so
+    // this distinguishes "caller never chose" from "caller pinned false"
+    if (name == "events" && spark.conf.get(NanosConf, "unset") == "unset")
+      spark.conf.set(NanosConf, "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

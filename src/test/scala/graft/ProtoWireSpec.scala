@@ -128,6 +128,33 @@ class ProtoWireSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ProtoWire.decodeRows(longVarint).toList)
   }
 
+  test("a varint running past the frame end throws, never eats the next frame") {
+    // frame of 2 bytes: tag 0x18 (field 3, wiretype 0) + a varint byte
+    // whose continuation bit points past the frame — an unbounded
+    // reader would consume the NEXT frame's bytes as the value
+    val corrupt = b(0x02, 0x18, 0x80)
+    val good = ProtoWire.delimit(
+      ProtoWire.encodeRow("k".getBytes,
+        new GenericArrayData(Array.empty[Any])))
+    val buf = corrupt ++ good
+    Seq[Array[Byte] => Any](
+      ProtoWire.decodeRows(_).toList,
+      ProtoWire.decodeStats(_),
+      ProtoWire.decodeRowsPruned(_, wantColumns = true, _ => true).toList)
+      .foreach { dec =>
+        val ex = intercept[IllegalArgumentException](dec(buf))
+        assert(ex.getMessage.contains("overrun"), ex.getMessage)
+      }
+    // same for a frame-end-straddling TAG varint
+    val badTag = b(0x01, 0x80) ++ good
+    assertThrows[IllegalArgumentException](ProtoWire.decodeRows(badTag).toList)
+    // and a frame whose trailing varint hits the END OF BUFFER must
+    // throw the validated error, not ArrayIndexOutOfBounds
+    val tail = b(0x02, 0x18, 0x80)
+    val ex = intercept[IllegalArgumentException](ProtoWire.decodeStats(tail))
+    assert(ex.getMessage.contains("overrun"), ex.getMessage)
+  }
+
   test("decodeStream equals buffer decode, frame-at-a-time") {
     val frames = (1 to 50).map { i =>
       ProtoWire.delimit(ProtoWire.encodeRow(s"key$i".getBytes,
