@@ -316,6 +316,30 @@ object Sink {
         col("c.write_time").as("write_time"))
   }
 
+  /** q62: per-key AGGREGATION over the bucketed sink files planning
+    * ZERO exchanges — the planner-visible upgrade of q36's projection
+    * trick. q36 avoids the shuffle because the nest already packed one
+    * Row per key; q62's aggregation genuinely groups (explode → count/
+    * sum per key), and Catalyst drops the exchange because the scan
+    * REPORTS its bucket(4, key) layout (`KeyGroupedPartitioning`
+    * satisfies the aggregation's clustering requirement). This is the
+    * general contract: ANY per-key groupBy over a bucketed proto-zst
+    * directory — not just shapes the sink pre-aggregated — plans
+    * shuffle-free, which at 100 TB turns every recurring per-key pass
+    * over stored data into a narrow stage.
+    */
+  def bucketedKeyStats(spark: SparkSession, dir: String): DataFrame = {
+    val (g0, _) = bucketedGens(spark, dir)
+    graft.sources.GraftCatalog.ensure(spark)
+    spark.table(graft.sources.GraftCatalog.tableName(g0))
+      .select(col("key"), explode_outer(col("columns")).as("c"))
+      .groupBy(col("key"))
+      .agg(count(col("c.name")).as("n_cells"),
+        coalesce(sum(length(col("c.value"))), lit(0L)).as("value_bytes"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        col("n_cells"), col("value_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sink_roundtrip" -> sinkRoundtrip,
     "q30_proto_source" -> protoSourceRoundtrip,
@@ -323,7 +347,8 @@ object Sink {
     "q46_key_pushdown" -> keyPushdownScan,
     "q47_per_file_metrics" -> perFileMetrics,
     "q60_file_skip" -> fileSkipScan,
-    "q61_compact_sink" -> compactSink)
+    "q61_compact_sink" -> compactSink,
+    "q62_bucketed_stats" -> bucketedKeyStats)
 
   val oracle: Map[String, String] = Map(
     "q29_sink_roundtrip" ->
@@ -369,6 +394,12 @@ object Sink {
          |      FROM u)
          |SELECT key, name, value, write_time
          |FROM r WHERE rn = 1 AND value <> ''""".stripMargin),
+    // gen0 holds every non-tombstoned key's live cells (empty-partition
+    // Rows included → 0-cell groups); value_bytes over live cells only
+    "q62_bucketed_stats" ->
+      (s"SELECT key, count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells, " +
+        "CAST(coalesce(sum(CASE WHEN kind = 'live' THEN length(value) END), 0) AS BIGINT) AS value_bytes " +
+        s"FROM (${Core.cellsSql}) WHERE NOT partition_deleted GROUP BY key"),
     // file == bucket by construction (one single-partition write per
     // bucket), so per-file metrics rebuild from per-key wire sizes
     "q47_per_file_metrics" ->

@@ -22,7 +22,7 @@ object ScaleAudit {
       "q29_sink_roundtrip", "q30_proto_source", "q36_noshuffle_stats",
       "q37_stream_sink", "q43_stream_dedup", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
-      "q61_compact_sink")
+      "q61_compact_sink", "q62_bucketed_stats")
     println("| query | shuffles | broadcasts | join strategies | pushed filter |")
     println("|---|---|---|---|---|")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

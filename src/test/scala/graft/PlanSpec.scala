@@ -76,7 +76,7 @@ class PlanSpec extends AnyFunSuite {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
-      "q61_compact_sink")
+      "q61_compact_sink", "q62_bucketed_stats")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
@@ -139,6 +139,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("Exchange"),
       s"expected a zero-exchange merge, got:\n${plan.take(3000)}")
+  }
+
+  test("q62 per-key aggregation over bucketed sink files plans ZERO exchanges") {
+    val df = graft.operators.Sink.bucketedKeyStats(spark, sf0001)
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.contains("Exchange"),
+      s"expected a zero-exchange aggregation, got:\n${plan.take(3000)}")
   }
 
   test("row-local text/hash pipelines stay inside whole-stage codegen") {
