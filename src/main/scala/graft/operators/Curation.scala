@@ -163,11 +163,47 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
   }
 
+  /** Per-source document budget and the shard fan-out of its top-N. */
+  private val SourceCap = 12
+  private val CapShards = 4
+
+  /** q63: per-source quota cap (domain budgeting) — keep at most
+    * [[SourceCap]] documents per source, chosen by salted-hash order:
+    * the standard pretraining counter to domain domination (one crawl
+    * host flooding the mix), deterministic and engine-portable like
+    * q52's sampler. EXACT top-N per source without ever materialising
+    * a source as one window partition: phase 1 ranks inside
+    * (source, hash-shard) and keeps ≤ cap per shard (partition size ≤
+    * source/[[CapShards]], and any global top-cap doc is necessarily
+    * in its own shard's top-cap); phase 2 ranks the ≤ shards·cap
+    * survivors per source — bounded at [[CapShards]]·[[SourceCap]]
+    * rows however hot the domain. That bound is the 100 TB point: a
+    * 10^9-doc domain still caps through bounded shards (the q10
+    * salted top-k discipline applied to curation).
+    */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        HashOps.md5_prefix60(concat(lit("cap:"),
+          col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", col("h") % CapShards)
+    val w1 = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    val survivors = docs.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= SourceCap)
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    survivors.withColumn("rank_in_source", row_number().over(w2))
+      .filter(col("rank_in_source") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("rank_in_source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_redact" -> redact,
     "q50_repetition" -> repetition,
     "q51_contamination" -> contamination,
-    "q52_stratified_sample" -> stratifiedSample)
+    "q52_stratified_sample" -> stratifiedSample,
+    "q63_source_cap" -> sourceCap)
 
   // ---- DuckDB oracles: identical algorithms, same hashes/thresholds ----
 
@@ -241,9 +277,24 @@ object Curation {
        |WHERE bucket < rate_milli""".stripMargin
   }
 
+  /** One window replays the two-phase cap exactly: phase 1 only drops
+    * docs that can never reach a source's global top-[[SourceCap]].
+    */
+  private val sourceCapSql =
+    s"""WITH h AS (SELECT doc_id, source,
+       |        ${sqlHash60("'cap:' || CAST(doc_id AS VARCHAR)")} AS h
+       |      FROM documents),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY h, doc_id) AS rank_in_source
+       |      FROM h)
+       |SELECT doc_id, source, rank_in_source
+       |FROM r WHERE rank_in_source <= $SourceCap""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q49_redact" -> redactSql,
     "q50_repetition" -> repetitionSql,
     "q51_contamination" -> contaminationSql,
-    "q52_stratified_sample" -> stratifiedSql)
+    "q52_stratified_sample" -> stratifiedSql,
+    "q63_source_cap" -> sourceCapSql)
 }

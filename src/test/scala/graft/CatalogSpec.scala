@@ -58,6 +58,52 @@ class CatalogSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"expected zero exchanges:\n${plan.take(3000)}")
   }
 
+  test("SQL CREATE TABLE records the bucket spec and writes land bucketed") {
+    GraftCatalog.ensure(spark)
+    val dir = freshDir("graft_cat_ct")
+    // createTable goes through the catalog's partitioned-DDL path
+    new java.io.File(dir).delete() // CREATE owns the directory
+    spark.sql(s"CREATE TABLE graft.`$dir` (key BINARY, " +
+      "columns ARRAY<STRUCT<name: BINARY, value: BINARY, write_time: BIGINT>>) " +
+      "PARTITIONED BY (bucket(4, key))")
+    assert(GraftBucket.readSpec(dir,
+      graft.sources.ProtoZstFiles.hadoopConf()) === Some(4))
+    CellModel.nestRows(spark, sf0001)
+      .writeTo(GraftCatalog.tableName(dir)).append()
+    val files = new java.io.File(dir)
+      .listFiles((_, n) => n.endsWith(".proto.zst")).map(_.getName)
+    assert(files.nonEmpty &&
+      files.forall(_.matches(""".*-b\d{4}\.proto\.zst""")), files.mkString(","))
+  }
+
+  test("a foreign untagged file degrades to per-file partitions, never misreports") {
+    GraftCatalog.ensure(spark)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dir = freshDir("graft_cat_mix")
+    GraftBucket.writeSpec(dir, 4, conf)
+    CellModel.nestRows(spark, sf0001)
+      .writeTo(GraftCatalog.tableName(dir)).append()
+    // drop in an untagged file a foreign writer might have produced
+    val os = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(s"$dir/zz-foreign.proto.zst"))
+    os.write(graft.functions.ProtoWire.delimit(
+      graft.functions.ProtoWire.encodeRow("zzz".getBytes,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))))
+    os.close()
+    val nFiles = new java.io.File(dir)
+      .listFiles((_, n) => n.endsWith(".proto.zst")).length
+    val t = spark.table(GraftCatalog.tableName(dir))
+    // bucket grouping must disable: one partition per file again
+    assert(t.rdd.getNumPartitions === nFiles)
+    // and an aggregation honestly re-shuffles instead of trusting a
+    // layout the directory no longer has
+    val agg = t.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    agg.collect()
+    assert(agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    // the foreign row is read
+    assert(t.count() === 15) // 14 nested keys + 1 foreign row
+  }
+
   test("per-key aggregation over a bucketed table plans zero exchanges") {
     GraftCatalog.ensure(spark)
     val conf = graft.sources.ProtoZstFiles.hadoopConf()

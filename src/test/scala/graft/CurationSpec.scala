@@ -85,6 +85,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 two-phase source cap equals the single-window top-N, cap binds") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // run at sf0.01 so sources (25 docs each) actually exceed the cap
+    val dir = "/root/testdata/sf0.01"
+    val got = Curation.sourceCap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // ground truth: ONE window over each full source
+    val single = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashOps.md5_prefix60(concat(lit("cap:"),
+          col("doc_id").cast("string"))).as("h"))
+      .withColumn("rank_in_source", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rank_in_source") <= 12)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(got === single)
+    // the cap binds: every source is clipped to exactly 12 of its 25
+    val perSource = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perSource.values.forall(_ == 12), perSource.toString)
+    assert(perSource.size == 20)
+  }
+
   test("q52 stratified sample: deterministic, append-stable, rate-respecting") {
     val s1 = Curation.stratifiedSample(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet

@@ -149,6 +149,31 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(stream.deserializeOffset(o2.json()).json() === o2.json())
   }
 
+  test("micro-batch stream skips sliced files by range sidecar; offsets count all") {
+    import graft.sources.{ProtoZstMicroBatchStream, ProtoZstTable}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbskip")
+      .toFile.getAbsolutePath
+    // DSv2 write → files carry .range sidecars; range-partitioned so
+    // the sidecars are selective
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), dir)
+    val nFiles = new java.io.File(dir)
+      .listFiles((_, n) => n.endsWith(".proto.zst")).length
+    assert(nFiles >= 2)
+    val filters = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("key", "200".getBytes),
+      LessThan("key", "300".getBytes))
+    val stream = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
+      ProtoZstTable.Schema, filters)
+    // offsets are positional over the FULL listing (skip never shifts
+    // the offset line), while the planned work drops missed files
+    assert(stream.latestOffset().json().toInt === nFiles)
+    val parts = stream.planInputPartitions(
+      stream.initialOffset(), stream.latestOffset())
+    assert(parts.length < nFiles, s"planned ${parts.length} of $nFiles")
+  }
+
   test("extension-registered SQL functions work and stay codegen'd") {
     assert(spark.sql(
       "SELECT sorted_intersect_count(array(1L,2L,5L), array(2L,3L,5L)) c")
