@@ -254,7 +254,7 @@ object ProtoZstScan {
       val couldMatch = KeyPredicate.compileRange(filters)
       files.filter { f =>
         RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)) match {
-          case Some((mn, mx)) => couldMatch(mn, mx)
+          case Some(r) => couldMatch(r.min, r.max)
           case None => true
         }
       }
@@ -266,7 +266,8 @@ class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
     filters: Array[org.apache.spark.sql.sources.Filter],
     buckets: Option[Int] = None, viaCatalog: Boolean = false) extends Scan
     with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   // captured on the driver at scan-build time; ships to executors with
   // the reader factory
   private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
@@ -312,6 +313,33 @@ class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           plannedFiles.length)
     }
+
+  /** §4.3's `SupportsReportOrdering`, guarded by RECORDED sortedness:
+    * each split is key-ASC iff every bucket group is a single file
+    * whose sidecar attests its rows were written key-sorted (the
+    * catalog write's required ordering produces exactly this). Catalyst
+    * then elides the per-partition Sort under sort-merge plans over
+    * sink generations — the last piece of "pay the layout cost at
+    * write time, every later pass is narrow". Multi-file groups or
+    * unattested files report no ordering; never a wrong one.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val ok = grouped.exists { g =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(conf.value)
+      g.forall { case (_, files) =>
+        files.length == 1 && RangeSidecar
+          .read(fs, new org.apache.hadoop.fs.Path(files.head))
+          .exists(_.sorted)
+      }
+    }
+    if (ok)
+      Array(Expressions.sort(Expressions.column("key"),
+        SortDirection.ASCENDING))
+    else Array.empty
+  }
 
   // one partition per file == the reference's per-file unit of work;
   // under a pushed key predicate, files whose sidecar range provably
@@ -497,16 +525,27 @@ object RangeSidecar {
   private def unhex(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
+  /** min key, max key, and whether the file's rows arrived key-sorted
+    * (the writer observes this for free while tracking min/max; the
+    * scan may only report per-partition ordering for files that RECORD
+    * sortedness — a foreign or unsorted write must degrade the report,
+    * never corrupt a sort-assuming merge join).
+    */
+  final case class Range(min: Array[Byte], max: Array[Byte], sorted: Boolean)
+
   def write(fs: FileSystem, data: Path,
-      min: Array[Byte], max: Array[Byte]): Unit = {
+      min: Array[Byte], max: Array[Byte], sorted: Boolean): Unit = {
     val os = fs.create(sidecar(data), true)
-    try os.write(s"v1\n${hex(min)}\n${hex(max)}\n".getBytes("UTF-8"))
+    val s = if (sorted) 1 else 0
+    try os.write(s"v1\n${hex(min)}\n${hex(max)}\n$s\n".getBytes("UTF-8"))
     finally os.close()
   }
 
   /** None for missing or unreadable sidecars — skipping is strictly
-    * best-effort. */
-  def read(fs: FileSystem, data: Path): Option[(Array[Byte], Array[Byte])] =
+    * best-effort. Three-line (pre-sorted-flag) sidecars read as
+    * unsorted, which is the safe direction.
+    */
+  def read(fs: FileSystem, data: Path): Option[Range] =
     try {
       val p = sidecar(data)
       if (!fs.exists(p)) None
@@ -514,7 +553,9 @@ object RangeSidecar {
         val in = fs.open(p)
         val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         val ls = txt.split("\n", -1)
-        if (ls.length >= 3 && ls(0) == "v1") Some((unhex(ls(1)), unhex(ls(2))))
+        if (ls.length >= 3 && ls(0) == "v1")
+          Some(Range(unhex(ls(1)), unhex(ls(2)),
+            ls.length >= 4 && ls(3) == "1"))
         else None
       }
     } catch { case _: Exception => None }
@@ -569,6 +610,8 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None)
         var n = 0L
         var minKey: Array[Byte] = _
         var maxKey: Array[Byte] = _
+        var lastKey: Array[Byte] = _
+        var sorted = true // until a key arrives below its predecessor
         def open(): ZstdOutputStream = {
           if (os == null) {
             fs.mkdirs(dirPath)
@@ -599,7 +642,11 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None)
           if (st.maxKey == null ||
               java.util.Arrays.compareUnsigned(key, st.maxKey) > 0)
             st.maxKey = key.clone()
-        }
+          if (st.lastKey != null &&
+              java.util.Arrays.compareUnsigned(key, st.lastKey) < 0)
+            st.sorted = false
+          st.lastKey = key.clone()
+        } else st.sorted = false // null keys have no defined sort position
         val framed = ProtoWire.delimit(ProtoWire.encodeRow(key, cols))
         os.write(framed, 0, framed.length)
         st.n += 1
@@ -614,7 +661,8 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None)
             // sidecar first, data rename second: a listing that races
             // the commit sees either no data file, or data + sidecar
             if (st.minKey != null)
-              RangeSidecar.write(fs, st.finalFile, st.minKey, st.maxKey)
+              RangeSidecar.write(fs, st.finalFile, st.minKey, st.maxKey,
+                st.sorted)
             if (!fs.rename(st.tmpFile, st.finalFile)) {
               RangeSidecar.delete(fs, st.finalFile)
               throw new java.io.IOException(s"rename failed: ${st.tmpFile}")

@@ -28,9 +28,8 @@ object Tables {
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // conf.get(key, fallback) consults only EXPLICITLY-set values, so
-    // this distinguishes "caller never chose" from "caller pinned false"
-    if (name == "events" && spark.conf.get(NanosConf, "unset") == "unset")
+    if (name == "events" &&
+        !org.apache.spark.sql.graft.Shim.confExplicitlySet(spark, NanosConf))
       spark.conf.set(NanosConf, "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -21,4 +21,13 @@ object Shim {
   def hadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.newHadoopConf()
+
+  /** Whether a SQL conf was EXPLICITLY set in this session — the public
+    * `RuntimeConfig.getOption` answers with registered defaults, which
+    * cannot distinguish "caller never chose" from "caller pinned the
+    * default".
+    */
+  def confExplicitlySet(spark: org.apache.spark.sql.SparkSession, key: String): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.contains(key)
 }

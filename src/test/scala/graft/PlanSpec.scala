@@ -139,6 +139,10 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("Exchange"),
       s"expected a zero-exchange merge, got:\n${plan.take(3000)}")
+    // and the scans' REPORTED key ordering (sidecar-attested sorted
+    // single-file buckets) elides the merge join's Sorts too
+    assert(!plan.contains("Sort "),
+      s"expected sort-free merge via reported ordering:\n${plan.take(3000)}")
   }
 
   test("q62 per-key aggregation over bucketed sink files plans ZERO exchanges") {
