@@ -340,6 +340,34 @@ object Sink {
         col("n_cells"), col("value_bytes"))
   }
 
+  /** q64: corpus statistics answered from METADATA alone — an
+    * ungrouped COUNT(*)/MIN(key)/MAX(key) over the sink directory is
+    * completely pushed into the proto-zst source
+    * ([[graft.sources.ProtoZstScanBuilder]] `pushAggregation`), which
+    * answers it from the per-file `.range` sidecars at plan time: the
+    * whole query collapses to one precomputed row; zero files opened,
+    * zero frames decompressed, zero aggregation executed. The analog
+    * of parquet-footer `count()` and of the reference keeping row
+    * counts and key bounds in Statistics.db beside the data
+    * (`SSTableReaderPatched.java:221-233`). At 100 TB this is the
+    * difference between a monitoring query that reads a few KB of
+    * sidecars and one that decompresses the corpus; any file missing a
+    * counted sidecar vetoes the pushdown, so the same query stays
+    * correct (just slower) over foreign-written directories. PlanSpec
+    * asserts the plan carries the pushed aggregation and no aggregate
+    * operator over data.
+    */
+  def sidecarStats(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = nestedFixture(spark, dir)
+    spark.read.format("proto-zst").load(outDir)
+      .agg(count("*").as("n_rows"),
+        min(col("key")).as("min_key"),
+        max(col("key")).as("max_key"))
+      .select(col("n_rows"),
+        decode(col("min_key"), "UTF-8").as("min_key"),
+        decode(col("max_key"), "UTF-8").as("max_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sink_roundtrip" -> sinkRoundtrip,
     "q30_proto_source" -> protoSourceRoundtrip,
@@ -348,7 +376,8 @@ object Sink {
     "q47_per_file_metrics" -> perFileMetrics,
     "q60_file_skip" -> fileSkipScan,
     "q61_compact_sink" -> compactSink,
-    "q62_bucketed_stats" -> bucketedKeyStats)
+    "q62_bucketed_stats" -> bucketedKeyStats,
+    "q64_sidecar_stats" -> sidecarStats)
 
   val oracle: Map[String, String] = Map(
     "q29_sink_roundtrip" ->
@@ -400,6 +429,13 @@ object Sink {
       (s"SELECT key, count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells, " +
         "CAST(coalesce(sum(CASE WHEN kind = 'live' THEN length(value) END), 0) AS BIGINT) AS value_bytes " +
         s"FROM (${Core.cellsSql}) WHERE NOT partition_deleted GROUP BY key"),
+    // the nest wrote one Row per non-deleted key; ASCII keys make
+    // DuckDB's string min/max == the sidecars' unsigned-byte bounds
+    "q64_sidecar_stats" ->
+      (s"SELECT count(DISTINCT CASE WHEN NOT partition_deleted THEN key END) AS n_rows, " +
+        "min(CASE WHEN NOT partition_deleted THEN key END) AS min_key, " +
+        "max(CASE WHEN NOT partition_deleted THEN key END) AS max_key " +
+        s"FROM (${Core.cellsSql})"),
     // file == bucket by construction (one single-partition write per
     // bucket), so per-file metrics rebuild from per-key wire sizes
     "q47_per_file_metrics" ->

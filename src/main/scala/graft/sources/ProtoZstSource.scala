@@ -159,13 +159,15 @@ class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap,
     buckets: Option[Int] = None, viaCatalog: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   // O15 analog (`markSuspect`, `SSTableReaderPatched.java:248-253`):
   // with ignoreCorrupt=true a file whose tail fails to decode yields
   // its valid prefix instead of failing the task.
   private val ignoreCorrupt = options.getBoolean("ignoreCorrupt", false)
   private var required: StructType = ProtoZstTable.Schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var aggregated: Option[(StructType, Array[Any], String)] = None
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
@@ -178,9 +180,119 @@ class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new ProtoZstScan(path, ignoreCorrupt, required, pushed, buckets, viaCatalog)
+
+  /** Statistics pushdown from the `.range` sidecars: an ungrouped,
+    * unfiltered COUNT(*)/MIN(key)/MAX(key) is answered at PLAN time
+    * from metadata every sink task already wrote at commit — the whole
+    * scan collapses to one precomputed row; no file is opened, no
+    * frame decompressed. The engine analog of answering `count()` from
+    * parquet footers, and of the reference's Statistics.db (row counts
+    * and key bounds kept beside the data,
+    * `SSTableReaderPatched.java:221-233`). Any file without a counted
+    * sidecar (foreign writer, all-null keys, pre-count format) vetoes
+    * the pushdown and the scan proceeds normally — metadata absence
+    * degrades, never lies. The driver reads one tiny sidecar per file,
+    * the same I/O the range-skip planner already does.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    translate(agg) match {
+      case Some(v) => aggregated = Some(v); true
+      case None => false
+    }
+
+  private def translate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any], String)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isKey(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("key"))
+        case _ => false
+      }
+    val funcs = agg.aggregateExpressions
+    val describable = agg.groupByExpressions.isEmpty && pushed.isEmpty &&
+      funcs.nonEmpty && funcs.forall {
+        case _: CountStar => true
+        case m: Min => isKey(m.column)
+        case m: Max => isKey(m.column)
+        case _ => false
+      }
+    if (!describable) None
+    else {
+      val conf = ProtoZstFiles.hadoopConf()
+      val files = ProtoZstFiles.list(path, conf)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val sides = files.map(f =>
+        RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)))
+      if (sides.exists(s => s.isEmpty || s.get.count < 0L)) None
+      else {
+        val ranges = sides.map(_.get)
+        val total = ranges.map(_.count).sum
+        val mins = ranges.map(_.min)
+        val maxs = ranges.map(_.max)
+        val ord = (a: Array[Byte], b: Array[Byte]) =>
+          java.util.Arrays.compareUnsigned(a, b)
+        val mn = if (mins.isEmpty) null else mins.reduce((a, b) => if (ord(a, b) <= 0) a else b)
+        val mx = if (maxs.isEmpty) null else maxs.reduce((a, b) => if (ord(a, b) >= 0) a else b)
+        val fields = funcs.map {
+          case _: CountStar => StructField("count(*)", LongType, nullable = false)
+          case _: Min => StructField("min(key)", BinaryType)
+          case _: Max => StructField("max(key)", BinaryType)
+        }
+        val values = funcs.map[Any] {
+          case _: CountStar => total
+          case _: Min => mn
+          case _: Max => mx
+        }
+        Some((StructType(fields), values,
+          funcs.map(_.toString).mkString(", ")))
+      }
+    }
+  }
+
+  override def build(): Scan = aggregated match {
+    case Some((schema, values, desc)) =>
+      new ProtoZstAggScan(path, schema, values, desc)
+    case None =>
+      new ProtoZstScan(path, ignoreCorrupt, required, pushed, buckets, viaCatalog)
+  }
 }
+
+/** The collapsed scan a completely-pushed aggregation builds: one
+  * partition, one row, values precomputed on the driver from the
+  * `.range` sidecars. readSchema fields are positional per the pushed
+  * `Aggregation`'s function list.
+  */
+class ProtoZstAggScan(path: String, schema: StructType,
+    values: Array[Any], pushedDesc: String) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"proto-zst($path) PushedAggregation: [$pushedDesc]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ProtoZstAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val row = new GenericInternalRow(
+            p.asInstanceOf[ProtoZstAggPartition].values)
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class ProtoZstAggPartition(values: Array[Any]) extends InputPartition
 
 /** Java-serializable wrapper for a Hadoop `Configuration` (which is
   * `Writable` but not `Serializable`) — lets driver-built reader/writer
@@ -525,25 +637,31 @@ object RangeSidecar {
   private def unhex(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
-  /** min key, max key, and whether the file's rows arrived key-sorted
+  /** min key, max key, whether the file's rows arrived key-sorted
     * (the writer observes this for free while tracking min/max; the
     * scan may only report per-partition ordering for files that RECORD
     * sortedness — a foreign or unsorted write must degrade the report,
-    * never corrupt a sort-assuming merge join).
+    * never corrupt a sort-assuming merge join), and the file's total
+    * row count (-1 when the sidecar predates the count line). The
+    * count feeds aggregate pushdown: COUNT(*)/MIN(key)/MAX(key) over a
+    * directory can be answered from sidecars alone, no frame ever
+    * decompressed.
     */
-  final case class Range(min: Array[Byte], max: Array[Byte], sorted: Boolean)
+  final case class Range(min: Array[Byte], max: Array[Byte],
+      sorted: Boolean, count: Long = -1L)
 
   def write(fs: FileSystem, data: Path,
-      min: Array[Byte], max: Array[Byte], sorted: Boolean): Unit = {
+      min: Array[Byte], max: Array[Byte], sorted: Boolean,
+      count: Long): Unit = {
     val os = fs.create(sidecar(data), true)
     val s = if (sorted) 1 else 0
-    try os.write(s"v1\n${hex(min)}\n${hex(max)}\n$s\n".getBytes("UTF-8"))
+    try os.write(s"v1\n${hex(min)}\n${hex(max)}\n$s\n$count\n".getBytes("UTF-8"))
     finally os.close()
   }
 
   /** None for missing or unreadable sidecars — skipping is strictly
-    * best-effort. Three-line (pre-sorted-flag) sidecars read as
-    * unsorted, which is the safe direction.
+    * best-effort. Short (pre-sorted-flag / pre-count) sidecars read as
+    * unsorted / count-unknown, which are the safe directions.
     */
   def read(fs: FileSystem, data: Path): Option[Range] =
     try {
@@ -555,7 +673,8 @@ object RangeSidecar {
         val ls = txt.split("\n", -1)
         if (ls.length >= 3 && ls(0) == "v1")
           Some(Range(unhex(ls(1)), unhex(ls(2)),
-            ls.length >= 4 && ls(3) == "1"))
+            ls.length >= 4 && ls(3) == "1",
+            if (ls.length >= 5) ls(4).toLongOption.getOrElse(-1L) else -1L))
         else None
       }
     } catch { case _: Exception => None }
@@ -662,7 +781,7 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None)
             // the commit sees either no data file, or data + sidecar
             if (st.minKey != null)
               RangeSidecar.write(fs, st.finalFile, st.minKey, st.maxKey,
-                st.sorted)
+                st.sorted, st.n)
             if (!fs.rename(st.tmpFile, st.finalFile)) {
               RangeSidecar.delete(fs, st.finalFile)
               throw new java.io.IOException(s"rename failed: ${st.tmpFile}")

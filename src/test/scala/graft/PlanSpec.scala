@@ -76,7 +76,7 @@ class PlanSpec extends AnyFunSuite {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
-      "q61_compact_sink", "q62_bucketed_stats")
+      "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
@@ -152,6 +152,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
     assert(!plan.contains("Exchange"),
       s"expected a zero-exchange aggregation, got:\n${plan.take(3000)}")
+  }
+
+  test("q64 corpus stats are answered from sidecars: no aggregate over data") {
+    val df = graft.operators.Sink.sidecarStats(spark, sf0001)
+    val plan = physical(df)
+    assert(plan.contains("PushedAggregation"),
+      s"aggregation not pushed into the source:\n${plan.take(3000)}")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"expected the aggregate to collapse into the scan:\n${plan.take(3000)}")
+    // exactly one planned partition: the precomputed row
+    assert(df.rdd.getNumPartitions === 1)
   }
 
   test("row-local text/hash pipelines stay inside whole-stage codegen") {

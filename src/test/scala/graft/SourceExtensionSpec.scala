@@ -174,6 +174,39 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(parts.length < nFiles, s"planned ${parts.length} of $nFiles")
   }
 
+  test("aggregate pushdown answers from sidecars; a foreign file vetoes it") {
+    import com.github.luben.zstd.ZstdOutputStream
+    import graft.functions.ProtoWire
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggpush")
+      .toFile.getAbsolutePath
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), dir)
+    def stats() = spark.read.format("proto-zst").load(dir)
+      .agg(count("*").as("n"), min(col("key")).as("mn"), max(col("key")).as("mx"))
+    val pushedPlan = stats().queryExecution.executedPlan.toString
+    assert(pushedPlan.contains("PushedAggregation"), pushedPlan.take(2000))
+    val Array(pushedRow) = stats().collect()
+    // ground truth through the ordinary scan path
+    val keys = spark.read.format("proto-zst").load(dir).collect()
+      .map(r => new String(r.getAs[Array[Byte]](0)))
+    assert(pushedRow.getLong(0) === keys.length.toLong)
+    assert(new String(pushedRow.getAs[Array[Byte]](1)) === keys.min)
+    assert(new String(pushedRow.getAs[Array[Byte]](2)) === keys.max)
+    // a sidecar-less foreign file flips the SAME query back to a real
+    // scan-and-aggregate — degraded, never wrong
+    val os = new ZstdOutputStream(
+      new java.io.FileOutputStream(s"$dir/zz-foreign.proto.zst"))
+    os.write(ProtoWire.delimit(ProtoWire.encodeRow("~last".getBytes,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))))
+    os.close()
+    val fallbackPlan = stats().queryExecution.executedPlan.toString
+    assert(!fallbackPlan.contains("PushedAggregation") &&
+      fallbackPlan.contains("Aggregate"), fallbackPlan.take(2000))
+    val Array(fb) = stats().collect()
+    assert(fb.getLong(0) === keys.length.toLong + 1)
+    assert(new String(fb.getAs[Array[Byte]](2)) === "~last") // '~' > digits
+  }
+
   test("extension-registered SQL functions work and stay codegen'd") {
     assert(spark.sql(
       "SELECT sorted_intersect_count(array(1L,2L,5L), array(2L,3L,5L)) c")
