@@ -368,6 +368,31 @@ object Sink {
         decode(col("max_key"), "UTF-8").as("max_key"))
   }
 
+  /** q65: RUNTIME file pruning — the dynamic half of q60's plan-time
+    * skip. The cohort's keys live in another table behind a predicate
+    * static pushdown can't see through (an int range on `c_custkey`
+    * does not rewrite to a string-key range); only at RUN time, once
+    * the dimension is broadcast, does the scan learn the actual key
+    * set ([[graft.sources.ProtoZstScan]] `SupportsRuntimeFiltering`)
+    * and drop every file whose sidecar range misses it — Spark's DPP
+    * machinery wired to the engine's own sidecar index. At 100 TB this
+    * is "enrich the corpus with this cohort" reading the cohort's
+    * files, not the corpus. The spec asserts the injected runtime
+    * filter AND the file-level prune; correctness is the ordinary join
+    * oracle.
+    */
+  def runtimePrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = rangedFixture(spark, dir)
+    val corpus = spark.read.format("proto-zst").load(outDir)
+    val dim = graft.sources.Tables(spark, dir, "customer")
+      .filter(col("c_custkey").between(12, 13))
+      .select(encode(col("c_custkey").cast("string"), "UTF-8").as("key"),
+        col("c_name"))
+    corpus.join(broadcast(dim), "key")
+      .select(decode(col("key"), "UTF-8").as("key"), col("c_name"),
+        size(col("columns")).cast("long").as("n_cells"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sink_roundtrip" -> sinkRoundtrip,
     "q30_proto_source" -> protoSourceRoundtrip,
@@ -377,7 +402,8 @@ object Sink {
     "q60_file_skip" -> fileSkipScan,
     "q61_compact_sink" -> compactSink,
     "q62_bucketed_stats" -> bucketedKeyStats,
-    "q64_sidecar_stats" -> sidecarStats)
+    "q64_sidecar_stats" -> sidecarStats,
+    "q65_runtime_prune" -> runtimePrunedJoin)
 
   val oracle: Map[String, String] = Map(
     "q29_sink_roundtrip" ->
@@ -436,6 +462,15 @@ object Sink {
         "min(CASE WHEN NOT partition_deleted THEN key END) AS min_key, " +
         "max(CASE WHEN NOT partition_deleted THEN key END) AS max_key " +
         s"FROM (${Core.cellsSql})"),
+    // the nest packed one Row per non-deleted key (live cells only), so
+    // n_cells = live-cell count per key; the dim predicate replays as-is
+    "q65_runtime_prune" ->
+      (s"SELECT key, c.c_name AS c_name, " +
+        "count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells " +
+        s"FROM (${Core.cellsSql}) cells " +
+        "JOIN customer c ON cells.key = CAST(c.c_custkey AS VARCHAR) " +
+        "WHERE NOT partition_deleted AND c.c_custkey BETWEEN 12 AND 13 " +
+        "GROUP BY key, c.c_name"),
     // file == bucket by construction (one single-partition write per
     // bucket), so per-file metrics rebuild from per-key wire sizes
     "q47_per_file_metrics" ->

@@ -379,10 +379,29 @@ class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
     buckets: Option[Int] = None, viaCatalog: Boolean = false) extends Scan
     with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   // captured on the driver at scan-build time; ships to executors with
   // the reader factory
   private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
+
+  /** Runtime (DPP-style) file pruning: the scan advertises `key` as
+    * runtime-filterable, so a selective join against a small dimension
+    * hands the build side's actual key set to [[filter]] AFTER it is
+    * known — and whole files whose sidecar range misses every key are
+    * dropped before a byte is read. Static pushdown can't see these
+    * keys (they come from another table's data); this is the dynamic
+    * half of the index-summary seek, and at 100 TB it's what makes
+    * "join the corpus to this week's cohort" read the cohort's files
+    * instead of the corpus.
+    */
+  private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+  override def filter(fs: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = fs.filter(KeyPredicate.supported)
   override def toBatch: Batch = this
   override def description(): String =
     s"proto-zst PushedFilters: [${filters.mkString(", ")}], " +
@@ -463,9 +482,18 @@ class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
   override def planInputPartitions(): Array[InputPartition] =
     grouped match {
       case Some(g) =>
-        g.map { case (b, fs) => ProtoZstBucketPartition(fs, b): InputPartition }
+        // runtime filters prune files WITHIN each bucket but never drop
+        // the bucket itself: the reported KeyGroupedPartitioning must
+        // keep describing the same groups (an empty bucket just reads
+        // nothing)
+        g.map { case (b, fs) =>
+          ProtoZstBucketPartition(
+            ProtoZstScan.skipByRange(fs, runtimeFilters, conf), b)
+            : InputPartition
+        }
       case None =>
-        plannedFiles.map(ProtoZstInputPartition(_): InputPartition)
+        ProtoZstScan.skipByRange(plannedFiles, runtimeFilters, conf)
+          .map(ProtoZstInputPartition(_): InputPartition)
     }
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)

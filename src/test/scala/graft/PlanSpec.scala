@@ -76,7 +76,8 @@ class PlanSpec extends AnyFunSuite {
     val skip = Set("q28_stream_window", "q31_stream_sessionize",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
-      "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats")
+      "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
+      "q65_runtime_prune")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
@@ -163,6 +164,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected the aggregate to collapse into the scan:\n${plan.take(3000)}")
     // exactly one planned partition: the precomputed row
     assert(df.rdd.getNumPartitions === 1)
+  }
+
+  test("q65 join injects a runtime key filter into the proto-zst scan") {
+    val df = graft.operators.Sink.runtimePrunedJoin(spark, sf0001)
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter on the scan:\n${plan.take(3000)}")
   }
 
   test("row-local text/hash pipelines stay inside whole-stage codegen") {

@@ -207,6 +207,32 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(new String(fb.getAs[Array[Byte]](2)) === "~last") // '~' > digits
   }
 
+  test("runtime In-filter drops whole files by sidecar range, keeps matches") {
+    import graft.sources.{ProtoZstScan, ProtoZstTable, ProtoZstInputPartition}
+    val outDir = Sink.rangedFixture(spark, sf0001)
+    val scan = new ProtoZstScan(outDir, ignoreCorrupt = false,
+      ProtoZstTable.Schema, Array.empty)
+    val before = scan.planInputPartitions().length
+    assert(before >= 3, s"fixture has only $before files")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("key",
+        Array[Any]("12".getBytes, "13".getBytes))))
+    val after = scan.planInputPartitions()
+    assert(after.length < before, s"no prune: ${after.length} of $before")
+    // sound: the surviving files still cover the filtered keys
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val survivors = after.map(_.asInstanceOf[ProtoZstInputPartition].file)
+    val keys = survivors.flatMap { f =>
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new org.apache.hadoop.fs.Path(f).getFileSystem(conf)
+          .open(new org.apache.hadoop.fs.Path(f)))
+      val bytes = try in.readAllBytes() finally in.close()
+      graft.functions.ProtoWire.decodeRowsPruned(bytes, wantColumns = false,
+        keep = _ => true).map(r => new String(r.key)).toSeq
+    }
+    assert(keys.contains("12") && keys.contains("13"))
+  }
+
   test("extension-registered SQL functions work and stay codegen'd") {
     assert(spark.sql(
       "SELECT sorted_intersect_count(array(1L,2L,5L), array(2L,3L,5L)) c")
