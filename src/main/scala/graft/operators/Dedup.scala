@@ -351,6 +351,56 @@ object Dedup {
       .filter(col("cosine") >= 0.35)
   }
 
+  private val ChunkWords = 10
+  /** q66: SUB-document exact dedup — ExactSubstr-style duplicated-span
+    * removal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better") at word-window granularity: documents are cut
+    * into consecutive [[ChunkWords]]-word chunks, every chunk that
+    * already occurred anywhere in the corpus (by global first
+    * occurrence in (doc_id, chunk_idx) order) is dropped, and each
+    * document is reassembled from its surviving chunks. Doc-level
+    * dedup (q14/q15) misses boilerplate shared BETWEEN distinct
+    * documents; this is the operator that removes it.
+    *
+    * Scale shape: chunking is row-local; first-occurrence is ONE
+    * shuffle on the 60-bit chunk hash with a map-side-partial `min`
+    * (the q14 discipline, at chunk granularity); the keep-filter is an
+    * equi-join back on the same hash (no second shuffle of the big
+    * side under AQE-preserved partitioning); reassembly groups by
+    * doc_id — partition size bounded by document length. A true
+    * suffix-array ExactSubstr needs a global sort of all suffixes;
+    * fixed windows trade boundary-straddling duplicates for exactly
+    * this shuffle-bounded plan, the standard engineering compromise.
+    *
+    * The first-occurrence key packs (doc_id, chunk_idx) into one
+    * BIGINT (`doc_id * 1e6 + idx`) so both engines take `min` of the
+    * same scalar; valid while documents stay under 10^6 chunks — 10^7
+    * words — per doc (enforce upstream for a pathological corpus).
+    */
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0L, CAST(size(ws)-1 AS BIGINT) DIV $ChunkWords),
+           |  i -> array_join(slice(ws, CAST(i*$ChunkWords+1 AS INT), $ChunkWords), ' '))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("ci"), col("col").as("chunk"))
+      .withColumn("h", hash60(col("chunk")))
+      .withColumn("ord", col("doc_id") * lit(1000000L) + col("ci"))
+    val first = inst.groupBy(col("h")).agg(min(col("ord")).as("keep_ord"))
+    inst.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ord") =!= col("keep_ord"), 1L).otherwise(0L)).as("n_removed"),
+        // collect_list drops the nulls `when` leaves on removed chunks;
+        // sort by (ci, chunk) ≡ ci (ci is unique per doc)
+        nullif(array_join(transform(
+          array_sort(collect_list(when(col("ord") === col("keep_ord"),
+            struct(col("ci"), col("chunk"))))),
+          s => s.getField("chunk")), " "), lit("")).as("cleaned_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_dedup_exact" -> dedupExact,
     "q15_dedup_minhash" -> dedupMinhash,
@@ -358,7 +408,8 @@ object Dedup {
     "q17_dedup_ngram" -> dedupNgram,
     "q18_dedup_embed" -> dedupEmbed,
     "q54_dup_clusters" -> dupClusters,
-    "q58_dedup_incremental" -> dedupIncremental)
+    "q58_dedup_incremental" -> dedupIncremental,
+    "q66_chunk_dedup" -> dedupChunks)
 
   // ---- DuckDB oracles: the same algorithms, same hashes, verbatim ----
 
@@ -476,6 +527,23 @@ object Dedup {
        |FROM lab JOIN sz USING (cluster_id)""".stripMargin
       .replace("@PAIRS@", minhashSql)
 
+  /** q66 replay: identical chunking, identical 60-bit chunk hash,
+    * identical packed first-occurrence key.
+    */
+  private val chunkSql =
+    s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |c AS (SELECT doc_id, CAST(i AS BIGINT) ci,
+       |        array_to_string(ws[CAST(i*$ChunkWords+1 AS BIGINT):CAST((i+1)*$ChunkWords AS BIGINT)], ' ') chunk
+       |      FROM w, LATERAL unnest(range((len(ws)-1)//$ChunkWords + 1)) t(i)
+       |      WHERE len(ws) > 0),
+       |h AS (SELECT doc_id, ci, chunk, ${sqlHash60("chunk")} h,
+       |        doc_id*1000000 + ci ord FROM c),
+       |k AS (SELECT h, min(ord) keep_ord FROM h GROUP BY h)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  count(*) FILTER (ord <> keep_ord) AS n_removed,
+       |  string_agg(chunk, ' ' ORDER BY ci) FILTER (ord = keep_ord) AS cleaned_text
+       |FROM h JOIN k USING (h) GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q54_dup_clusters" -> clustersSql,
     "q58_dedup_incremental" -> incrementalSql,
@@ -485,5 +553,6 @@ object Dedup {
     "q15_dedup_minhash" -> minhashSql,
     "q16_dedup_simhash" -> simhashSql,
     "q17_dedup_ngram" -> ngramSql,
-    "q18_dedup_embed" -> embedSql)
+    "q18_dedup_embed" -> embedSql,
+    "q66_chunk_dedup" -> chunkSql)
 }

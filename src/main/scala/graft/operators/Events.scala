@@ -118,11 +118,75 @@ object Events {
         max(col("k")).as("max_k"),
         countDistinct(col("k")).as("n_distinct_k"))
 
+  private val IncCellUs = 60000000L // 1-min grid cells
+  private val IncHotMin = 2 // errors per cell to call it hot
+
+  /** q67: INTERVAL JOIN — detect incident windows from error bursts,
+    * then join every event falling inside a window back to its
+    * incident ("blast radius" analysis). Spark plans a raw
+    * `a.ts BETWEEN b.start AND b.end` join as BroadcastNestedLoopJoin
+    * (or worse, a cartesian) — the canonical range-join scale trap.
+    * The engine's shape makes every step an equi-join:
+    *
+    *  1. grid-count: errors bucket into [[IncCellUs]] cells — ONE
+    *     map-side-partial shuffle, the heavy pass over the corpus;
+    *  2. hot cells (≥ [[IncHotMin]] errors) merge into maximal runs by
+    *     gaps-and-islands — a single window over the HOT-CELL set,
+    *     which is bounded by minutes-in-timespan (44k/month), not by
+    *     events, so the one-partition window is safe at any corpus
+    *     size (were the timespan itself huge, q55's range-sharded rank
+    *     replaces the row_number);
+    *  3. incident bounds = min/max ERROR timestamp inside each run,
+    *     found by exploding runs to their covered cells and
+    *     equi-joining errors on cell id;
+    *  4. the interval join proper: every event computes its cell,
+    *     equi-joins the (exploded) incident cover on cell id, and a
+    *     residual BETWEEN keeps in-interval rows only. Incidents are
+    *     disjoint by construction, so each event matches ≤ 1 — no
+    *     dedup pass needed.
+    *
+    * Cost is events × (cells each event's minute appears in ≤ 1) —
+    * linear, vs the NL-join's events × incidents.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us")))
+
+  /** The q67 pipeline over any (user_id, event_type, us) frame — the
+    * spec drives it with crafted event layouts. */
+  private[graft] def intervalJoinOf(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("cell", expr(s"us DIV $IncCellUs"))
+    val err = ev.filter(col("event_type") === "error")
+    val hot = err.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= IncHotMin)
+    val runs = hot
+      .withColumn("grp", col("cell") - row_number().over(Window.orderBy(col("cell"))))
+      .groupBy(col("grp"))
+      .agg(min(col("cell")).as("c0"), max(col("cell")).as("c1"))
+    val inc = err
+      .join(runs.select(col("c0"), col("c1"),
+        explode(sequence(col("c0"), col("c1"))).as("cell")), "cell")
+      .groupBy(col("c0"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"),
+        count(lit(1)).as("n_err"))
+    ev.join(inc.select(col("c0"), col("s_us"), col("e_us"), col("n_err"),
+        explode(expr(s"sequence(s_us DIV $IncCellUs, e_us DIV $IncCellUs)")).as("cell")),
+        "cell")
+      .filter(col("us").between(col("s_us"), col("e_us")))
+      .groupBy(col("c0"), col("s_us"), col("e_us"), col("n_err"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("c0").as("incident_cell"), col("s_us"), col("e_us"),
+        col("n_err"), col("n_events"), col("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_window_agg" -> windowAgg,
     "q27_sessionize" -> sessionize,
     "q35_asof_join" -> asofJoin,
-    "q40_json_extract" -> jsonExtract)
+    "q40_json_extract" -> jsonExtract,
+    "q67_interval_join" -> intervalJoin)
 
   private val windowSql =
     s"""SELECT epoch_us(ts) // $DayUs AS day_bucket, event_type,
@@ -162,9 +226,30 @@ object Events {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** q67 replay: same grid, same gaps-and-islands run merge; the
+    * interval join itself is the plain BETWEEN join DuckDB handles
+    * natively (the engine's bucket-equi-join exists to avoid exactly
+    * that shape in Spark).
+    */
+  private val intervalSql =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) us,
+       |              epoch_us(ts) // $IncCellUs cell FROM events),
+       |err AS (SELECT us, cell FROM ev WHERE event_type = 'error'),
+       |hot AS (SELECT cell FROM err GROUP BY cell HAVING count(*) >= $IncHotMin),
+       |isl AS (SELECT cell, cell - row_number() OVER (ORDER BY cell) grp FROM hot),
+       |runs AS (SELECT min(cell) c0, max(cell) c1 FROM isl GROUP BY grp),
+       |inc AS (SELECT r.c0, min(e.us) s_us, max(e.us) e_us, count(*) n_err
+       |        FROM runs r JOIN err e ON e.cell BETWEEN r.c0 AND r.c1
+       |        GROUP BY r.c0)
+       |SELECT i.c0 AS incident_cell, i.s_us, i.e_us, i.n_err,
+       |  count(*) AS n_events, count(DISTINCT e.user_id) AS n_users
+       |FROM inc i JOIN ev e ON e.us BETWEEN i.s_us AND i.e_us
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q26_window_agg" -> windowSql,
     "q27_sessionize" -> sessionSql,
     "q35_asof_join" -> asofSql,
-    "q40_json_extract" -> jsonSql)
+    "q40_json_extract" -> jsonSql,
+    "q67_interval_join" -> intervalSql)
 }

@@ -281,6 +281,48 @@ object SimSearch {
       .agg(count(lit(1)).as("n_members"), sum(col("w.d2")).as("inertia"))
   }
 
+  private val SemThr = 0.4 // within-cell cosine above which the
+  // higher-id vector is a semantic duplicate (data-calibrated like
+  // q18's 0.35; the planted near-dups sit well above it)
+
+  /** q68: SEMANTIC DEDUP — SemDeDup (Abbas et al. 2023): cluster the
+    * embedding corpus with the q59 k-means quantizer, then remove,
+    * WITHIN each cell only, every vector that has a lower-id neighbour
+    * above [[SemThr]] cosine. The cells turn the N² near-dup search
+    * into Σ|cell|² — the same candidate-pruning role they play for
+    * q34's IVF probe, reused for curation; cross-cell near-dups are
+    * the accepted miss (the paper's trade), and the keep-lowest-id
+    * rule is order-free and deterministic, so both engines agree
+    * without any iterative clustering.
+    *
+    * Scale shape: training + assignment are the q59 passes (broadcast
+    * K centroids, map-side argmin); the pair generation is an
+    * equi-self-join on cell id — at 100 TB you raise K so max|cell|
+    * stays bounded (K ∝ N keeps Σ|cell|² ≈ N·|cell|), which is a
+    * config change, not a plan change. Output is one row per corpus
+    * vector with its cell and removal verdict.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir).localCheckpoint(eager = false)
+    val cent = trainCentroids(e, KmK)
+    val feat = e.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"), col("qv"), col("n2"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"),
+        col("w.qv").as("qv"), col("w.n2").as("n2"))
+      .localCheckpoint(eager = false)
+    val dup = feat.as("a").join(feat.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineq(dotq(col("a.qv"), col("b.qv")),
+        col("a.n2"), col("b.n2")) >= SemThr)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    feat.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+  }
+
   /** q45: recall@K of the two approximate variants against the exact
     * brute-force top-K — the accuracy/cost trade-off measured inside
     * the engine itself. Exact integer recall (`hits*1000 DIV total`)
@@ -311,7 +353,8 @@ object SimSearch {
     "q20_ann_lsh" -> annLsh,
     "q34_ann_ivf" -> annIvf,
     "q45_ann_recall" -> annRecall,
-    "q59_kmeans_embed" -> kmeansEmbed)
+    "q59_kmeans_embed" -> kmeansEmbed,
+    "q68_semantic_dedup" -> semanticDedup)
 
   private val baseSql =
     s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
@@ -431,10 +474,34 @@ object SimSearch {
        |       CAST(sum(dist2) AS BIGINT) AS inertia
        |FROM a3 GROUP BY cell""".stripMargin
 
+  /** q68 replay: the q59 training chain verbatim (seeds, two exact
+    * Lloyd rounds, final assignment a3), then the within-cell pair
+    * screen and keep-lowest-id verdict.
+    */
+  private val semdedupSql =
+    s"""$baseSql,
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $KmK),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")},
+       |feat AS (SELECT a.vec_id, a.cell, a.qv, n.n2
+       |         FROM a3 a JOIN n USING (vec_id)),
+       |dup AS (SELECT DISTINCT b.vec_id
+       |        FROM feat a JOIN feat b
+       |          ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |        WHERE CAST(${sqlDotq("a.qv", "b.qv")} AS DOUBLE)
+       |          / sqrt(nullif(CAST(a.n2*b.n2 AS DOUBLE), 0.0)) >= $SemThr)
+       |SELECT f.vec_id, f.cell, (d.vec_id IS NOT NULL) AS removed
+       |FROM feat f LEFT JOIN dup d ON f.vec_id = d.vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q19_ann_brute" -> bruteSql,
     "q20_ann_lsh" -> lshSql,
     "q34_ann_ivf" -> ivfSql,
     "q45_ann_recall" -> recallSql,
-    "q59_kmeans_embed" -> kmeansSql)
+    "q59_kmeans_embed" -> kmeansSql,
+    "q68_semantic_dedup" -> semdedupSql)
 }

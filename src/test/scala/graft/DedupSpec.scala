@@ -138,4 +138,33 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getLong(0) < r.getLong(1))
     }
   }
+
+  test("q66 chunk dedup matches an independent driver-side replay") {
+    // independent mirror: chunk every doc in plain Scala, global
+    // first-occurrence by (doc_id, chunk_idx), reassemble
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val chunks = docs.flatMap { case (id, ws) =>
+      ws.grouped(10).zipWithIndex.map { case (c, i) => (id, i.toLong, c.mkString(" ")) }
+    }
+    val firstOrd = chunks.groupBy(_._3).map { case (c, xs) =>
+      c -> xs.map(x => x._1 * 1000000L + x._2).min
+    }
+    val expected = chunks.groupBy(_._1).map { case (id, xs) =>
+      val kept = xs.sortBy(_._2).filter(x => x._1 * 1000000L + x._2 == firstOrd(x._3))
+      id -> (xs.length.toLong, (xs.length - kept.length).toLong,
+        if (kept.isEmpty) null else kept.map(_._3).mkString(" "))
+    }
+    val got = Dedup.dedupChunks(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._2 > 0), "corpus should contain duplicate chunks")
+    // a doc with nothing removed reassembles to its exact original text
+    val untouched = docs.toMap
+    got.collect { case (id, (_, 0L, cleaned)) =>
+      assert(cleaned === untouched(id).mkString(" "), s"doc $id altered")
+    }
+  }
 }

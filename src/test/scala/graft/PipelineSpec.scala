@@ -231,4 +231,55 @@ class PipelineSpec extends AnyFunSuite {
     val liveCells = CellModel.liveCells(spark, sf0001).count()
     assert(out.getLong(1) === liveCells)
   }
+
+  test("q67 interval join: crafted bursts produce the expected incidents") {
+    import spark.implicits._
+    val m = 60000000L // IncCellUs
+    // burst: cells 10 and 11 each hold 2 errors -> one merged run;
+    // lone error in cell 20 is not hot; bystanders in/out of bounds
+    val ev = Seq(
+      (1L, "error", 10 * m + 1000000L), // incident start
+      (2L, "error", 10 * m + 2000000L),
+      (1L, "error", 11 * m + 5000000L),
+      (3L, "error", 11 * m + 6000000L), // incident end
+      (4L, "click", 10 * m + 1500000L), // inside -> counted
+      (4L, "view", 11 * m + 6000000L), // inside, boundary-inclusive
+      (5L, "click", 10 * m + 500000L), // same cell, before s_us -> out
+      (6L, "click", 11 * m + 7000000L), // same cell, after e_us -> out
+      (7L, "error", 20 * m + 1000000L), // lone error: no incident
+      (8L, "click", 20 * m + 1000000L)
+    ).toDF("user_id", "event_type", "us")
+    val got = Events.intervalJoinOf(ev).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getLong(0) === 10L) // incident_cell
+    assert(r.getLong(1) === 10 * m + 1000000L) // s_us
+    assert(r.getLong(2) === 11 * m + 6000000L) // e_us
+    assert(r.getLong(3) === 4L) // n_err
+    assert(r.getLong(4) === 6L) // 4 errors + 2 in-bounds bystanders
+    assert(r.getLong(5) === 4L) // users 1,2,3,4
+  }
+
+  test("q68 semantic dedup: removal verdicts match brute-force within-cell cosine") {
+    val verdicts = SimSearch.semanticDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val qv = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt((a.map(x => x * x).sum * b.map(x => x * x).sum).toDouble)
+    }
+    val byCell = verdicts.groupBy(_._2)
+    verdicts.foreach { case (id, cell, removed) =>
+      val hasLowerNeighbour = byCell(cell).exists { case (other, _, _) =>
+        other < id && cos(qv(other), qv(id)) >= 0.4
+      }
+      assert(removed === hasLowerNeighbour, s"vec $id in cell $cell")
+    }
+    assert(verdicts.exists(_._3) && verdicts.exists(!_._3),
+      "want both kept and removed vectors")
+  }
 }
