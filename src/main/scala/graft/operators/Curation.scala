@@ -198,12 +198,60 @@ object Curation {
       .select(col("doc_id"), col("source"), col("rank_in_source"))
   }
 
+  /** Boilerplate window size (words) and the distinct-doc threshold at
+    * which a window counts as boilerplate within its source.
+    */
+  private val BoilerWords = 5
+  private val BoilerMinDocs = 2
+
+  /** q70: per-source BOILERPLATE removal — CCNet's line-dedup step
+    * (Wenzek et al.: strip lines repeated across a domain's pages —
+    * headers, footers, nav chrome) restated over [[BoilerWords]]-word
+    * windows since the synthetic corpus has no line structure. A window
+    * seen in ≥ [[BoilerMinDocs]] DISTINCT documents of the same source
+    * is boilerplate and is removed from EVERY document (q66 keeps the
+    * first occurrence — dedup; boilerplate has no canonical copy, so
+    * all instances go).
+    *
+    * Scale shape: chunking is row-local; the boilerplate inventory is
+    * one (source, hash) shuffle with a partial-agg'd count-distinct;
+    * the strip is an equi-join back on the same key — the inventory
+    * side holds only phrases that cleared the threshold (a tiny
+    * fraction of the corpus) and broadcasts at scale; reassembly
+    * groups by doc_id, bounded by document length. Per-source keying
+    * also bounds skew: one hot domain shards across its hash space.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"""transform(sequence(0L, CAST(size(ws)-1 AS BIGINT) DIV $BoilerWords),
+           |  i -> array_join(slice(ws, CAST(i*$BoilerWords+1 AS INT), $BoilerWords), ' '))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("source"), col("pos").cast("long").as("ci"),
+        col("col").as("chunk"))
+      .withColumn("h", hash60(col("chunk")))
+    val boiler = inst.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerMinDocs)
+    inst.join(boiler, Seq("source", "h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("nd")).as("n_boiler"),
+        nullif(array_join(transform(
+          array_sort(collect_list(when(col("nd").isNull,
+            struct(col("ci"), col("chunk"))))),
+          s => s.getField("chunk")), " "), lit("")).as("cleaned_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_redact" -> redact,
     "q50_repetition" -> repetition,
     "q51_contamination" -> contamination,
     "q52_stratified_sample" -> stratifiedSample,
-    "q63_source_cap" -> sourceCap)
+    "q63_source_cap" -> sourceCap,
+    "q70_boilerplate" -> boilerplate)
 
   // ---- DuckDB oracles: identical algorithms, same hashes/thresholds ----
 
@@ -291,10 +339,29 @@ object Curation {
        |SELECT doc_id, source, rank_in_source
        |FROM r WHERE rank_in_source <= $SourceCap""".stripMargin
 
+  /** q70 replay: identical windowing (q66's chunk CTE plus `source`),
+    * identical hash, per-source distinct-doc threshold, strip-all.
+    */
+  private val boilerplateSql =
+    s"""WITH w AS (SELECT doc_id, source, $sqlWords ws FROM documents),
+       |c AS (SELECT doc_id, source, CAST(i AS BIGINT) ci,
+       |        array_to_string(ws[CAST(i*$BoilerWords+1 AS BIGINT):CAST((i+1)*$BoilerWords AS BIGINT)], ' ') chunk
+       |      FROM w, LATERAL unnest(range((len(ws)-1)//$BoilerWords + 1)) t(i)
+       |      WHERE len(ws) > 0),
+       |hs AS (SELECT doc_id, source, ci, chunk, ${sqlHash60("chunk")} h FROM c),
+       |b AS (SELECT source, h, count(DISTINCT doc_id) nd FROM hs
+       |      GROUP BY source, h HAVING count(DISTINCT doc_id) >= $BoilerMinDocs)
+       |SELECT t.doc_id, count(*) AS n_chunks,
+       |  count(b.nd) AS n_boiler,
+       |  string_agg(t.chunk, ' ' ORDER BY t.ci) FILTER (b.nd IS NULL) AS cleaned_text
+       |FROM hs t LEFT JOIN b ON b.source = t.source AND b.h = t.h
+       |GROUP BY t.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q49_redact" -> redactSql,
     "q50_repetition" -> repetitionSql,
     "q51_contamination" -> contaminationSql,
     "q52_stratified_sample" -> stratifiedSql,
-    "q63_source_cap" -> sourceCapSql)
+    "q63_source_cap" -> sourceCapSql,
+    "q70_boilerplate" -> boilerplateSql)
 }

@@ -257,12 +257,68 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  private val AttributionGapUs = 3600000000L // 1 h view→purchase window
+
+  /** q69: STREAM-STREAM JOIN — view events joined to purchase events of
+    * the same user within a 1-hour attribution window, both sides
+    * unbounded streams. This is the shape batch joins cannot replace at
+    * ingest time: neither side is "the dimension"; matches must emit as
+    * soon as both halves have arrived, and state for each side must be
+    * evictable once the other side's event-time watermark passes the
+    * join window.
+    *
+    * Scale: Spark plans this as a StreamingSymmetricHashJoin — both
+    * streams hash-partitioned on `user_id` (state co-located with its
+    * key, no broadcast of an unbounded side), and the time-range
+    * condition plus the two watermarks bound each side's state to ONE
+    * attribution window of history per key. Without the range condition
+    * state grows forever; with it, eviction is mechanical. Inner join +
+    * append mode means emitted matches are final — exactly-once to any
+    * downstream sink.
+    *
+    * The DuckDB oracle is the equivalent static self-join; parity holds
+    * because `AvailableNow` delivers the bounded fixture in one
+    * micro-batch (watermark 0 during it), so no row is late.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "q69_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("ts DIV 1000").as("view_us"),
+        timestamp_micros(expr("ts DIV 1000")).as("view_time"))
+      .withWatermark("view_time", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        expr("ts DIV 1000").as("purchase_us"),
+        timestamp_micros(expr("ts DIV 1000")).as("purchase_time"))
+      .withWatermark("purchase_time", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_time") >= col("view_time") &&
+        col("purchase_time") <= col("view_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_us"), col("purchase_us"),
+        (col("purchase_us") - col("view_us")).as("gap_us"))
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_stream_window" -> streamWindowAgg,
     "q31_stream_sessionize" -> streamSessionize,
     "q37_stream_sink" -> streamProtoSink,
     "q43_stream_dedup" -> streamDedup,
-    "q48_stream_proto_source" -> streamProtoSource)
+    "q48_stream_proto_source" -> streamProtoSource,
+    "q69_stream_stream_join" -> streamStreamJoin)
 
   private val streamSessionSql =
     s"""WITH s AS (${Events.oracle("q27_sessionize")}),
@@ -281,5 +337,14 @@ object Streaming extends Serializable {
       ("SELECT event_type, count(*) AS n_events " +
         "FROM (SELECT DISTINCT * FROM events) GROUP BY event_type"),
     // stream/batch parity: same oracle as the batch q30 round trip
-    "q48_stream_proto_source" -> graft.operators.Core.liveCellsSql)
+    "q48_stream_proto_source" -> graft.operators.Core.liveCellsSql,
+    "q69_stream_stream_join" ->
+      (s"""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+          |       epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us,
+          |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+          |FROM events v JOIN events p
+          |  ON v.user_id = p.user_id
+          | AND v.event_type = 'view' AND p.event_type = 'purchase'
+          | AND epoch_us(p.ts) >= epoch_us(v.ts)
+          | AND epoch_us(p.ts) <= epoch_us(v.ts) + $AttributionGapUs""".stripMargin))
 }

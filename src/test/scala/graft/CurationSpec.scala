@@ -108,6 +108,39 @@ class CurationSpec extends AnyFunSuite {
     assert(perSource.size == 20)
   }
 
+  test("q70 boilerplate: strip-all per source matches a scala reimplementation") {
+    val srcOf: Map[Long, String] =
+      graft.sources.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("source")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def chunksOf(ws: Array[String]): Seq[String] =
+      ws.grouped(5).map(_.mkString(" ")).toSeq
+    // inventory: (source, chunk) seen in >= 2 distinct docs
+    val boiler: Set[(String, String)] = docs.toSeq
+      .flatMap { case (id, ws) =>
+        chunksOf(ws).distinct.map(c => (srcOf(id), c) -> id)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      .filter(_._2 >= 2).keys.toSet
+    assert(boiler.nonEmpty, "threshold must be non-vacuous on the corpus")
+    val rows = Curation.boilerplate(spark, sf0001).collect()
+    assert(rows.length === docs.count(_._2.nonEmpty))
+    var removedTotal = 0L
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val cs = chunksOf(docs(id))
+      val kept = cs.filterNot(c => boiler((srcOf(id), c)))
+      assert(r.getLong(1) === cs.size.toLong, s"doc $id n_chunks")
+      assert(r.getLong(2) === (cs.size - kept.size).toLong, s"doc $id n_boiler")
+      val expText = if (kept.isEmpty) null else kept.mkString(" ")
+      assert(r.getString(3) === expText, s"doc $id cleaned_text")
+      removedTotal += cs.size - kept.size
+    }
+    // strip-ALL semantics: every instance of a boilerplate chunk goes,
+    // so removals must be >= 2 per inventory entry
+    assert(removedTotal >= 2L * boiler.size)
+  }
+
   test("q52 stratified sample: deterministic, append-stable, rate-respecting") {
     val s1 = Curation.stratifiedSample(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet

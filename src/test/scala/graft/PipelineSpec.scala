@@ -204,6 +204,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(stream.count() < batch.count())
   }
 
+  test("q69 stream-stream join equals the static attribution join") {
+    val ev = Tables.events(spark, sf0001)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("ts DIV 1000").as("view_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        expr("ts DIV 1000").as("purchase_us"))
+    val batch = v.join(p,
+        col("user_id") === col("pu") &&
+          col("purchase_us") >= col("view_us") &&
+          col("purchase_us") <= col("view_us") + 3600000000L)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_us"), col("purchase_us"),
+        (col("purchase_us") - col("view_us")).as("gap_us"))
+    val stream = Streaming.streamStreamJoin(spark, sf0001)
+      .select(batch.columns.map(col): _*)
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+    assert(batch.count() > 0, "attribution window must be non-vacuous")
+  }
+
   test("q25 multimodal features match source-text expectations") {
     val feats = Multimodal.multimodal(spark, sf0001)
       .join(Tables.documents(spark, sf0001), "doc_id")
