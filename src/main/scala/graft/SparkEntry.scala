@@ -24,7 +24,7 @@ object SparkEntry {
     Core.queries ++ Relational.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ SimSearch.queries ++ Events.queries ++
       Multimodal.queries ++ Streaming.queries ++ Sink.queries ++
-      Curation.queries ++ Compaction.queries
+      Curation.queries ++ Compaction.queries ++ Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
     Core.oracle ++ Relational.oracle ++ Dedup.oracle ++
       TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle ++
       Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle ++
-      Curation.oracle ++ Compaction.oracle
+      Curation.oracle ++ Compaction.oracle ++ Layout.oracle
 }

@@ -181,7 +181,45 @@ object Events {
         col("n_err"), col("n_events"), col("n_users"))
   }
 
+  /** q75: FUNNEL — per-user view → click → purchase conversion with
+    * TIME-ORDERED steps: step N only counts at or after the instant the
+    * user completed step N-1 (a purchase before the first view is not a
+    * conversion). Three stacked conditional-min windows over the SAME
+    * user partition — Spark plans one hash Exchange and chains the
+    * Window operators over it, so the whole funnel is a single shuffle
+    * with one timestamp of state per (user, step). Same-instant events
+    * count via `>=` on both engines. The streaming twin would be one
+    * flatMapGroupsWithState keeping the identical three timestamps.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us")))
+
+  /** The q75 pipeline over any (user_id, event_type, us) frame — the
+    * spec drives it with crafted step orderings. */
+  private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") >= col("t1"),
+          col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") >= col("t2"),
+          col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("view_us"), min(col("t2")).as("click_us"),
+        min(col("t3")).as("purchase_us"))
+      .withColumn("funnel_depth",
+        when(col("purchase_us").isNotNull, 3)
+          .when(col("click_us").isNotNull, 2)
+          .when(col("view_us").isNotNull, 1)
+          .otherwise(0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_funnel" -> funnel,
     "q26_window_agg" -> windowAgg,
     "q27_sessionize" -> sessionize,
     "q35_asof_join" -> asofJoin,
@@ -246,7 +284,24 @@ object Events {
        |FROM inc i JOIN ev e ON e.us BETWEEN i.s_us AND i.e_us
        |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) us FROM events),
+      |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) t1
+      |       FROM e GROUP BY user_id),
+      |s2 AS (SELECT e.user_id,
+      |         min(CASE WHEN event_type = 'click' AND us >= t1 THEN us END) t2
+      |       FROM e JOIN s1 USING (user_id) GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id,
+      |         min(CASE WHEN event_type = 'purchase' AND us >= t2 THEN us END) t3
+      |       FROM e JOIN s2 USING (user_id) GROUP BY e.user_id)
+      |SELECT user_id, t1 AS view_us, t2 AS click_us, t3 AS purchase_us,
+      |       CASE WHEN t3 IS NOT NULL THEN 3
+      |            WHEN t2 IS NOT NULL THEN 2
+      |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+      |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q75_funnel" -> funnelSql,
     "q26_window_agg" -> windowSql,
     "q27_sessionize" -> sessionSql,
     "q35_asof_join" -> asofSql,

@@ -306,7 +306,46 @@ object Relational {
       .drop("mid", "pid", "idx", "offset")
   }
 
+  /** Salt fan-out for [[saltedJoin]] — each hot key's rows spread over
+    * this many shuffle groups; the small side replicates this many ×.
+    */
+  val JoinSalts = 16
+
+  /** q72: SKEW-SALTED JOIN — the a-priori hot-key mitigation for a
+    * fact⋈dim join whose key histogram is too skewed for a plain hash
+    * join (one hot key = one shuffle group = one straggler task at
+    * 100 TB). The big side derives a salt in [0, [[JoinSalts]]) from a
+    * NON-key attribute, so a hot key's rows spread across
+    * [[JoinSalts]] groups; the small side replicates each row to every
+    * salt with a compact `explode(sequence(...))` — an S× blowup of
+    * the SMALL side only. Joining on (key, salt) returns exactly the
+    * plain join's rows (each big row matches exactly one replica —
+    * the oracle is the unsalted join), but no shuffle group ever
+    * holds more than ~1/S of a hot key. AQE's skew-join split repairs
+    * sort-merge stragglers after the fact; salting is the plan-shape
+    * fix that also spreads the hash AGGREGATION that follows the
+    * join, and works for keyed state streaming joins where AQE can't.
+    * The `shuffle_hash` hint keeps the demo on the shuffled path a
+    * genuinely non-broadcastable medium dim would take.
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_quantity")).as("qc"),
+        pmod(xxhash64(col("l_linenumber"), col("l_partkey")),
+          lit(JoinSalts.toLong)).as("salt"))
+    val small = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(sequence(lit(0L), lit(JoinSalts - 1L))).as("salt"))
+    big.join(small.hint("shuffle_hash"),
+        big("l_orderkey") === small("o_orderkey") &&
+          big("salt") === small("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("qc")).cast("double") / 100.0).as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_salted_join" -> saltedJoin,
     "q55_global_rank" -> globalRank,
     "q08_agg_pricing" -> aggPricing,
     "q38_rollup" -> rollupPricing,
@@ -319,6 +358,11 @@ object Relational {
     "q13_semi_join" -> semiJoin)
 
   val oracle: Map[String, String] = Map(
+    "q72_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q55_global_rank" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice, " +
         "row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, " +

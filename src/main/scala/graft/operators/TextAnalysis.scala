@@ -208,7 +208,61 @@ object TextAnalysis {
         expr(s"(cum - n_tokens) DIV $SeqLen").as("seq_id"))
   }
 
+  /** q71: corpus HEAVY HITTERS — the top-30 vocabulary terms by total
+    * occurrences, with document frequency. Two exact aggregation phases
+    * — (doc, word) term counts then per-word totals, both with map-side
+    * partials — and the final top-k is `orderBy(...).limit(30)`, which
+    * Spark plans as TakeOrderedAndProject: every task keeps a 30-row
+    * heap and the driver merges numPartitions×30 survivors, so the
+    * global sort of the vocabulary never happens. The (count, word)
+    * order is strict, so the cut at rank 30 is deterministic.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("w"))
+      .agg(sum(col("tf")).as("n_occur"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occur").desc, col("w").asc)
+      .limit(30)
+  }
+
+  /** q73: EXACT grouped median — per-language median token count via a
+    * VALUE HISTOGRAM: one (lang, value) count shuffle, a running-sum
+    * window over each language's distinct-value histogram (state
+    * bounded by the value DOMAIN, not the row count), per-group totals
+    * broadcast back, and rank selection of the two middle values
+    * (averaged, the even-count convention DuckDB's `median` uses).
+    * The scale-correct exact path: Spark's `percentile` buffers every
+    * value of a group in one aggregation buffer (OOM at 100 TB group
+    * sizes) and `approx_percentile` isn't exact; the histogram shape
+    * spills like any hash aggregate and its window never sees more
+    * rows than there are distinct token counts per language.
+    */
+  def groupMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, dir)
+      .select(col("lang"), size(words(col("text"))).as("v"))
+      .groupBy(col("lang"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n_docs"))
+      .withColumn("lo", expr("(n_docs + 1) DIV 2"))
+      .withColumn("hi", expr("n_docs DIV 2 + 1"))
+    cum.join(broadcast(tot), "lang")
+      .groupBy(col("lang"), col("n_docs"))
+      .agg(min(when(col("cum") >= col("lo"), col("v"))).as("v_lo"),
+        min(when(col("cum") >= col("hi"), col("v"))).as("v_hi"))
+      // both middles are exact ints < 2^52: the sum and halving are
+      // exact IEEE ops, bit-identical to DuckDB's interpolation
+      .select(col("lang"), col("n_docs"),
+        ((col("v_lo") + col("v_hi")) / 2.0).as("median_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_heavy_hitters" -> heavyHitters,
+    "q73_group_median" -> groupMedian,
     "q21_lang_id" -> langId,
     "q22_text_quality" -> quality,
     "q23_token_count" -> tokens,
@@ -301,7 +355,21 @@ object TextAnalysis {
        |       (cum - n_tokens) // $SeqLen AS seq_id
        |FROM c""".stripMargin
 
+  private val heavyHittersSql =
+    """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) w
+      |           FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) tf FROM w GROUP BY doc_id, w)
+      |SELECT w, CAST(sum(tf) AS BIGINT) AS n_occur, count(*) AS n_docs
+      |FROM tf GROUP BY w ORDER BY n_occur DESC, w LIMIT 30""".stripMargin
+
+  private val groupMedianSql =
+    s"""WITH d AS (SELECT lang, len($sqlWords) v FROM documents)
+       |SELECT lang, count(*) AS n_docs, median(v) AS median_tokens
+       |FROM d GROUP BY lang""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q71_heavy_hitters" -> heavyHittersSql,
+    "q73_group_median" -> groupMedianSql,
     "q21_lang_id" -> langIdSql,
     "q22_text_quality" -> qualitySql,
     "q23_token_count" -> tokensSql,

@@ -304,4 +304,101 @@ class PipelineSpec extends AnyFunSuite {
     assert(verdicts.exists(_._3) && verdicts.exists(!_._3),
       "want both kept and removed vectors")
   }
+
+  test("q71 heavy hitters equal a full-sort count over the exploded corpus") {
+    val naive = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.Portable.words(col("text"))).as("w"),
+        col("doc_id"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occur").desc, col("w").asc)
+      .limit(30)
+    val got = graft.operators.TextAnalysis.heavyHitters(spark, sf0001)
+    assert(got.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(got).count() === 0)
+    assert(got.count() === 30)
+  }
+
+  test("q72 salted join equals the plain unsalted join") {
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(round(col("l_quantity") * 100, 0).cast("long"))
+          .cast("double") / 100.0).as("sum_qty"))
+    val salted = Relational.saltedJoin(spark, sf0001)
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("q73 grouped median matches a driver-side sorted-array median") {
+    val byLang = Tables.documents(spark, sf0001)
+      .select(col("lang"),
+        size(graft.functions.Portable.words(col("text"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1).toLong)
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    val got = graft.operators.TextAnalysis.groupMedian(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === byLang.keySet)
+    byLang.foreach { case (lang, xs) =>
+      val n = xs.length
+      val expect = (xs((n - 1) / 2) + xs(n / 2)) / 2.0
+      assert(got(lang) === ((n.toLong, expect)), lang)
+    }
+  }
+
+  test("q74 morton code interleaves bits; z-shards beat a 1-D sort on box area") {
+    // known interleavings: x bits land even, y bits land odd
+    val codes = spark.range(1).select(
+      graft.operators.Layout.morton(lit(0L), lit(0L)),
+      graft.operators.Layout.morton(lit(1L), lit(0L)),
+      graft.operators.Layout.morton(lit(0L), lit(1L)),
+      graft.operators.Layout.morton(lit(3L), lit(1L)),
+      graft.operators.Layout.morton(lit(0xFFFFL), lit(0L)))
+      .collect()(0).toSeq
+    assert(codes === Seq(0L, 1L, 2L, 7L, 0x55555555L))
+    // locality: on a full 256×256 grid cut into 64 power-of-4-aligned
+    // z-ranges, every shard is EXACTLY a 32×32 quadtree block — both
+    // dimensions' spans bounded, so a predicate on EITHER column prunes
+    // 56/64 shards. The 1-D contrast: sorting by px alone gives shards
+    // spanning 4 in px but all 256 of sy — zero pruning on sy. (Sum of
+    // box areas can't distinguish the two — any partition of the grid
+    // tiles the same total area — per-dimension span is the metric.)
+    val z = spark.range(65536)
+      .select(expr("id DIV 256").as("px"), pmod(col("id"), lit(256L)).as("sy"))
+      .withColumn("zcode", graft.operators.Layout.morton(col("px"), col("sy")))
+      .withColumn("shard", expr("zcode DIV 1024"))
+      .groupBy(col("shard"))
+      .agg(min(col("px")).as("p0"), max(col("px")).as("p1"),
+        min(col("sy")).as("s0"), max(col("sy")).as("s1"))
+      .collect()
+    assert(z.length === 64)
+    z.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) + 1 === 32, s"px span in $r")
+      assert(r.getLong(4) - r.getLong(3) + 1 === 32, s"sy span in $r")
+    }
+  }
+
+  test("q75 funnel only counts steps at-or-after the previous step") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel, same-instant click counts via >=
+      (1L, "view", 100L), (1L, "click", 100L), (1L, "purchase", 300L),
+      // user 2: purchase BEFORE the first view — depth stops at view
+      (2L, "purchase", 50L), (2L, "view", 100L),
+      // user 3: click before view, valid click after — picks the later
+      (3L, "click", 10L), (3L, "view", 20L), (3L, "click", 30L),
+      // user 4: no view at all — depth 0 despite click+purchase
+      (4L, "click", 10L), (4L, "purchase", 20L))
+      .toDF("user_id", "event_type", "us")
+    val got = Events.funnelOf(ev).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4))).toMap
+    assert(got(1L) === ((Some(100L), Some(100L), Some(300L), 3)))
+    assert(got(2L) === ((Some(100L), None, None, 1)))
+    assert(got(3L) === ((Some(20L), Some(30L), None, 2)))
+    assert(got(4L) === ((None, None, None, 0)))
+  }
 }

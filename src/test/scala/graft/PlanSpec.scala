@@ -174,6 +174,22 @@ class PlanSpec extends AnyFunSuite {
       s"no runtime filter on the scan:\n${plan.take(3000)}")
   }
 
+  test("q71 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = physical(graft.operators.TextAnalysis.heavyHitters(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Sort "), s"global sort in:\n${plan.take(3000)}")
+  }
+
+  test("q75 funnel chains its windows and final agg over ONE exchange") {
+    val df = graft.operators.Events.funnel(spark, sf0001)
+    df.collect() // finalize the AQE plan
+    // an adaptive plan prints Final AND Initial sections — count the final
+    val plan = physical(df).split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hash"))
+    assert(exchanges === 1, s"expected 1 Exchange, plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window ")) === 3, plan)
+  }
+
   test("row-local text/hash pipelines stay inside whole-stage codegen") {
     import graft.operators.{Dedup, TextAnalysis}
     Seq(
