@@ -393,7 +393,107 @@ object Sink {
         size(col("columns")).cast("long").as("n_cells"))
   }
 
+  /** Pack-target for [[optimizeSink]] — tiny at test scale so the
+    * fixture genuinely fragments; production sizes this like any file
+    * target (hundreds of MB to 1 GB).
+    */
+  val OptTargetBytes: Long = 64L * 1024
+
+  /** OPTIMIZE for the proto-zst format: bin-pack the directory's SMALL
+    * files (< `targetBytes`) into ~`targetBytes` files, preserving the
+    * key-clustered layout — the small-files compaction every streaming
+    * ingest (q37 writes one file per micro-batch task) eventually
+    * needs, and what Delta/Iceberg `OPTIMIZE` does for their formats.
+    *
+    * The PLAN is metadata-only: one driver pass over the file listing
+    * picks the rewrite set and sizes the output (`ceil(Σsize/target)`
+    * bins) — no data is read to decide. The MOVE is one distributed
+    * job: the small files are read as an explicit multi-path proto-zst
+    * scan (one partition per file, never touching the already-packed
+    * files), `repartitionByRange(bins, key)` re-clusters them — each
+    * output file covers a contiguous key range, so the rewritten
+    * `.range` sidecars stay maximally selective for q60's plan-time
+    * skipping — and the DSv2 writer lands them (with fresh sidecars)
+    * in a hidden staging dir via the usual tmp+rename task commit.
+    * Commit then renames the packed files in and deletes the
+    * originals: metadata-only operations. The swap is not atomic
+    * across files — a production deployment makes it so with a
+    * manifest/catalog pointer flip (the same upgrade the sink's
+    * directory-listing reads need for S3 anyway); crash BEFORE the
+    * swap leaves the directory untouched (staging is invisible to
+    * readers).
+    *
+    * Returns (files before, files after).
+    */
+  def optimizeSink(spark: SparkSession, outDir: String,
+      targetBytes: Long = OptTargetBytes): (Int, Int) = {
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(conf)
+    val files = graft.sources.ProtoZstFiles.list(outDir, conf)
+    val small = files.filter(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen < targetBytes)
+    if (small.length < 2) return (files.length, files.length)
+    val totalBytes = small.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val bins = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(dirPath,
+      ".optimize-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    spark.read.format("proto-zst").load(small.toIndexedSeq: _*)
+      .repartitionByRange(bins, col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.format("proto-zst").mode("append").save(staging.toString)
+    // swap: packed files (+ sidecars) in, originals out
+    fs.listStatus(staging).filter(_.isFile).foreach { s =>
+      fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dirPath,
+        "packed-" + s.getPath.getName))
+    }
+    small.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      fs.delete(p, false)
+      graft.sources.RangeSidecar.delete(fs, p)
+    }
+    fs.delete(staging, true)
+    (files.length, graft.sources.ProtoZstFiles.list(outDir, conf).length)
+  }
+
+  /** The q77 fixture: a deliberately fragmented sink directory (16
+    * range-partitioned small files — a stand-in for many streaming
+    * epochs' worth of per-task files), then [[optimizeSink]] packs it.
+    * Built once per (JVM, sf dir); the recorded counts let the spec
+    * assert the pack actually happened.
+    */
+  private[graft] val optCounts =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+  def optimizedFixture(spark: SparkSession, dir: String): String =
+    fixture("opt:" + dir) {
+      val out = Scratch.dir("graft_optfix")
+      writeNested(CellModel.nestRows(spark, dir)
+        .repartitionByRange(16, col("key")), out)
+      optCounts(dir) = optimizeSink(spark, out)
+      out
+    }
+
+  /** q77: read-back over the OPTIMIZED directory — the proof the pack
+    * is lossless: the flattened cells from the packed files must
+    * hash-match the exact same oracle as q30's round trip over the
+    * unpacked fixture. The spec additionally asserts the file count
+    * dropped and every packed file still carries a selective `.range`
+    * sidecar (so q60-style plan-time skipping keeps working after
+    * maintenance).
+    */
+  def optimizedRead(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = optimizedFixture(spark, dir)
+    spark.read.format("proto-zst").load(outDir)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_optimize_sink" -> optimizedRead,
     "q29_sink_roundtrip" -> sinkRoundtrip,
     "q30_proto_source" -> protoSourceRoundtrip,
     "q36_noshuffle_stats" -> noShuffleStats,
@@ -406,6 +506,8 @@ object Sink {
     "q65_runtime_prune" -> runtimePrunedJoin)
 
   val oracle: Map[String, String] = Map(
+    // pack is lossless: same oracle as the q30 read of the unpacked files
+    "q77_optimize_sink" -> Core.liveCellsSql,
     "q29_sink_roundtrip" ->
       (s"SELECT count(DISTINCT CASE WHEN NOT partition_deleted THEN key END) AS n_rows, " +
         "CAST(sum(CASE WHEN kind = 'live' AND NOT partition_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_columns " +

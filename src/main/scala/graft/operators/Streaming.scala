@@ -15,6 +15,11 @@ case class OpenSession(sessNo: Long, startUs: Long, endUs: Long, n: Long)
 case class SessionOut(user_id: Long, session_no: Long, n_events: Long,
   start_us: Long, end_us: Long, duration_us: Long)
 
+/** Streaming-funnel state/output records (top-level for encoders). */
+case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+case class FunnelOut(user_id: Long, view_us: Option[Long],
+  click_us: Option[Long], purchase_us: Option[Long], funnel_depth: Int)
+
 /** Structured Streaming path: the q26 daily aggregation executed as a
   * stream — `readStream` file source → event-time derivation +
   * watermark → stateful groupBy → memory sink, driven to completion
@@ -312,7 +317,72 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** q76: STREAMING FUNNEL — the q75 conversion funnel as live per-user
+    * state: `flatMapGroupsWithState` carries ONE [[FunnelState]] (three
+    * optional step timestamps) per user and emits the user's current
+    * funnel row after folding each micro-batch — the Update-mode shape
+    * a keyed upsert sink (or feature store) consumes. Step N advances
+    * only on events at-or-after step N-1's instant, and within a batch
+    * events fold in (us, event_id) order, so the incremental scan
+    * computes exactly the batch q75's conditional-min semantics.
+    *
+    * Scale: state per user is three longs FOREVER — no event history,
+    * no timeout needed for boundedness (production would add a TTL
+    * timeout to retire dormant users). Parity with the batch oracle
+    * holds because `AvailableNow` folds the bounded fixture in one
+    * micro-batch, so the single emitted row per user IS the final
+    * state; a multi-batch deployment gets one row per (user, batch) and
+    * the downstream upsert keeps the latest.
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = "q76_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    val evs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("etype"), expr("ts DIV 1000").as("us"))
+      .as[(Long, Long, String, Long)]
+
+    def fold(userId: Long, events: Iterator[(Long, Long, String, Long)],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      var s = state.getOption.getOrElse(FunnelState(None, None, None))
+      // same-instant ties fold view→click→purchase so the `>=` step
+      // conditions see the earlier step's timestamp exactly as the
+      // batch conditional-min does (a click AT the first view's µs
+      // qualifies, whatever its event_id)
+      val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+      events.toSeq
+        .sortBy(e => (e._4, prio.getOrElse(e._3, 3), e._2))
+        .foreach { case (_, _, t, us) =>
+        if (s.t1.isEmpty && t == "view") s = s.copy(t1 = Some(us))
+        else if (s.t1.nonEmpty && s.t2.isEmpty && t == "click" &&
+          us >= s.t1.get) s = s.copy(t2 = Some(us))
+        else if (s.t2.nonEmpty && s.t3.isEmpty && t == "purchase" &&
+          us >= s.t2.get) s = s.copy(t3 = Some(us))
+      }
+      state.update(s)
+      val depth =
+        if (s.t3.nonEmpty) 3 else if (s.t2.nonEmpty) 2
+        else if (s.t1.nonEmpty) 1 else 0
+      Iterator.single(FunnelOut(userId, s.t1, s.t2, s.t3, depth))
+    }
+
+    withStatePartitions(spark, 8) {
+      val q = evs.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.NoTimeout())(fold)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_stream_funnel" -> streamFunnel,
     "q28_stream_window" -> streamWindowAgg,
     "q31_stream_sessionize" -> streamSessionize,
     "q37_stream_sink" -> streamProtoSink,
@@ -330,6 +400,8 @@ object Streaming extends Serializable {
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // stream/batch parity: the same oracle as the batch q75 funnel
+    "q76_stream_funnel" -> Events.oracle("q75_funnel"),
     "q28_stream_window" -> Events.oracle("q26_window_agg"),
     "q31_stream_sessionize" -> streamSessionSql,
     "q37_stream_sink" -> graft.operators.Core.liveCellsSql,

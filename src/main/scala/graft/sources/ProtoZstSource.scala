@@ -38,13 +38,25 @@ class ProtoZstDataSource extends TableProvider with DataSourceRegister {
     ProtoZstTable.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    val path = properties.get("path")
+    // `load(dir)` arrives as "path"; `load(p1, p2, ...)` as a "paths"
+    // JSON array (the DataFrameReader multi-path contract) — the latter
+    // is what metadata-planned maintenance (q77's small-file optimize)
+    // uses to read an explicit file subset
+    val paths: Seq[String] = Option(properties.get("path")).map(Seq(_))
+      .orElse(Option(properties.get("paths")).map { js =>
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(js, classOf[Array[String]]).toSeq
+      }).getOrElse(Seq.empty)
     // honor a bucketed directory's layout even through the path-based
     // API (writes keep bucketing); only the CATALOG path may also
     // REPORT the partitioning, because only it carries the
-    // FunctionCatalog that lets Catalyst resolve the bucket transform
-    new ProtoZstTable(path,
-      GraftBucket.readSpec(path, ProtoZstFiles.hadoopConf()),
+    // FunctionCatalog that lets Catalyst resolve the bucket transform.
+    // A multi-path read never reports a joint layout.
+    new ProtoZstTable(paths,
+      paths match {
+        case Seq(only) => GraftBucket.readSpec(only, ProtoZstFiles.hadoopConf())
+        case _ => None
+      },
       viaCatalog = false)
   }
 }
@@ -59,10 +71,12 @@ object ProtoZstTable {
       StructField("write_time", LongType)))))))
 }
 
-class ProtoZstTable(path: String, buckets: Option[Int] = None,
+class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
     viaCatalog: Boolean = false) extends Table
     with SupportsRead with SupportsWrite {
-  override def name(): String = s"proto-zst($path)"
+  def this(path: String, buckets: Option[Int], viaCatalog: Boolean) =
+    this(Seq(path), buckets, viaCatalog)
+  override def name(): String = s"proto-zst(${paths.mkString(",")})"
   override def schema(): StructType = ProtoZstTable.Schema
   override def partitioning(): Array[Transform] =
     buckets.map(n => org.apache.spark.sql.connector.expressions.Expressions
@@ -83,7 +97,10 @@ class ProtoZstTable(path: String, buckets: Option[Int] = None,
     * (`Runner.java:75-82`).
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val dir = path
+    if (paths.length != 1)
+      throw new UnsupportedOperationException(
+        s"proto-zst write needs exactly one target directory, got $paths")
+    val dir = paths.head
     // a job-level abort rolls back the tasks that DID commit (their
     // tmp→final renames) so a retried job can't double-count rows;
     // runs on the driver, where the session conf is at hand
@@ -146,7 +163,7 @@ class ProtoZstTable(path: String, buckets: Option[Int] = None,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ProtoZstScanBuilder(path, options, buckets, viaCatalog)
+    new ProtoZstScanBuilder(paths, options, buckets, viaCatalog)
 }
 
 /** Scan builder with the two §4.3 optimizations the reference gets from
@@ -155,7 +172,7 @@ class ProtoZstTable(path: String, buckets: Option[Int] = None,
   * the key bytes alone, columns never decoded for dropped frames) and
   * column pruning (a key-only projection skips Column decode entirely).
   */
-class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap,
+class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     buckets: Option[Int] = None, viaCatalog: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -227,8 +244,8 @@ class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap,
     if (!describable) None
     else {
       val conf = ProtoZstFiles.hadoopConf()
-      val files = ProtoZstFiles.list(path, conf)
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val files = ProtoZstFiles.listAll(paths, conf)
+      val fs = new org.apache.hadoop.fs.Path(paths.head).getFileSystem(conf)
       val sides = files.map(f =>
         RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)))
       if (sides.exists(s => s.isEmpty || s.get.count < 0L)) None
@@ -259,9 +276,9 @@ class ProtoZstScanBuilder(path: String, options: CaseInsensitiveStringMap,
 
   override def build(): Scan = aggregated match {
     case Some((schema, values, desc)) =>
-      new ProtoZstAggScan(path, schema, values, desc)
+      new ProtoZstAggScan(paths.mkString(","), schema, values, desc)
     case None =>
-      new ProtoZstScan(path, ignoreCorrupt, required, pushed, buckets, viaCatalog)
+      new ProtoZstScan(paths, ignoreCorrupt, required, pushed, buckets, viaCatalog)
   }
 }
 
@@ -342,6 +359,14 @@ object ProtoZstFiles {
       files.sortBy(_.getPath.getName).map(_.getPath.toString)
     }
   }
+
+  /** Union listing over several roots (directories and/or explicit
+    * files), de-duplicated and sorted by full path for a stable global
+    * partition order.
+    */
+  def listAll(paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Array[String] =
+    paths.toArray.flatMap(list(_, conf)).distinct.sorted
 }
 
 object ProtoZstScan {
@@ -373,7 +398,7 @@ object ProtoZstScan {
     }
 }
 
-class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
+class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     override val readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
     buckets: Option[Int] = None, viaCatalog: Boolean = false) extends Scan
@@ -411,7 +436,7 @@ class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
   // the post-skip listing, fixed once so outputPartitioning() and
   // planInputPartitions() describe the same file set
   private lazy val plannedFiles: Array[String] =
-    ProtoZstScan.skipByRange(ProtoZstFiles.list(path, conf.value), filters, conf)
+    ProtoZstScan.skipByRange(ProtoZstFiles.listAll(paths, conf.value), filters, conf)
 
   /** bucket id → that bucket's files, when EVERY planned file carries a
     * bucket tag (`-bNNNN` in the name, written by the bucketed writer).
@@ -458,7 +483,7 @@ class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     val ok = grouped.exists { g =>
-      val fs = new org.apache.hadoop.fs.Path(path)
+      val fs = new org.apache.hadoop.fs.Path(paths.head)
         .getFileSystem(conf.value)
       g.forall { case (_, files) =>
         files.length == 1 && RangeSidecar
@@ -498,8 +523,12 @@ class ProtoZstScan(path: String, ignoreCorrupt: Boolean,
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ProtoZstMicroBatchStream(path, ignoreCorrupt, readSchema, filters)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (paths.length != 1)
+      throw new UnsupportedOperationException(
+        "proto-zst streaming read monitors exactly one directory, got " + paths)
+    new ProtoZstMicroBatchStream(paths.head, ignoreCorrupt, readSchema, filters)
+  }
 }
 
 /** Offset = position in the sorted file listing (count of files already

@@ -381,6 +381,14 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q76 streaming funnel equals the q75 batch funnel") {
+    val batch = Events.funnel(spark, sf0001)
+    val stream = Streaming.streamFunnel(spark, sf0001)
+      .select(batch.columns.map(col): _*)
+    assert(stream.count() === batch.count())
+    assert(stream.exceptAll(batch).count() === 0)
+  }
+
   test("q75 funnel only counts steps at-or-after the previous step") {
     import spark.implicits._
     val ev = Seq(

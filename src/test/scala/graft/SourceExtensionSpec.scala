@@ -210,7 +210,7 @@ class SourceExtensionSpec extends AnyFunSuite {
   test("runtime In-filter drops whole files by sidecar range, keeps matches") {
     import graft.sources.{ProtoZstScan, ProtoZstTable, ProtoZstInputPartition}
     val outDir = Sink.rangedFixture(spark, sf0001)
-    val scan = new ProtoZstScan(outDir, ignoreCorrupt = false,
+    val scan = new ProtoZstScan(Seq(outDir), ignoreCorrupt = false,
       ProtoZstTable.Schema, Array.empty)
     val before = scan.planInputPartitions().length
     assert(before >= 3, s"fixture has only $before files")
@@ -231,6 +231,52 @@ class SourceExtensionSpec extends AnyFunSuite {
         keep = _ => true).map(r => new String(r.key)).toSeq
     }
     assert(keys.contains("12") && keys.contains("13"))
+  }
+
+  test("multi-path load reads exactly the union of the named files") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mp")
+      .toFile.getAbsolutePath
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), outDir)
+    val files = new java.io.File(outDir)
+      .listFiles((_, n) => n.endsWith(".proto.zst")).map(_.getAbsolutePath)
+      .sorted
+    assert(files.length === 4)
+    val two = spark.read.format("proto-zst").load(files(0), files(2))
+    val all = spark.read.format("proto-zst").load(outDir)
+    val a = spark.read.format("proto-zst").load(files(0))
+    val c = spark.read.format("proto-zst").load(files(2))
+    assert(two.rdd.getNumPartitions === 2)
+    assert(two.count() === a.count() + c.count())
+    assert(two.count() < all.count())
+  }
+
+  test("q77 optimize packs small files losslessly and keeps sidecars") {
+    val before = spark.read.format("proto-zst")
+      .load(Sink.nestedFixture(spark, sf0001))
+      .select(decode(col("key"), "UTF-8").as("key"), col("columns"))
+    val optDir = Sink.optimizedFixture(spark, sf0001)
+    val after = spark.read.format("proto-zst").load(optDir)
+      .select(decode(col("key"), "UTF-8").as("key"), col("columns"))
+    assert(after.exceptAll(before).count() === 0)
+    assert(before.exceptAll(after).count() === 0)
+    // range partitioning to 16 may leave a few empty partitions (no
+    // file written) — what matters is genuine fragmentation going in
+    // and a strictly smaller file count coming out
+    val (nBefore, nAfter) = Sink.optCounts(sf0001)
+    assert(nBefore >= 8 && nAfter < nBefore,
+      s"optimize did not pack: $nBefore -> $nAfter")
+    // every packed file keeps a .range sidecar (plan-time skipping
+    // survives maintenance) and attests key-sorted rows
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val files = graft.sources.ProtoZstFiles.list(optDir, conf)
+    val fs = new org.apache.hadoop.fs.Path(optDir).getFileSystem(conf)
+    assert(files.length === nAfter)
+    files.foreach { f =>
+      val r = graft.sources.RangeSidecar
+        .read(fs, new org.apache.hadoop.fs.Path(f))
+      assert(r.nonEmpty && r.get.sorted, f)
+    }
   }
 
   test("extension-registered SQL functions work and stay codegen'd") {
