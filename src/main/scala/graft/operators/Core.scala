@@ -105,7 +105,54 @@ object Core {
       min(col("write_time")).as("min_write_time"),
       max(col("write_time")).as("max_write_time"))
 
+  private val DayUs = 86400000000L
+  /** The q79 probe: purchase cells on 2024-01-10 (µs day 19732) —
+    * mid-corpus, so the lookup is selective at every SF.
+    */
+  private[operators] val IdxDay = 1704844800000000L / 86400000000L
+
+  /** The SECONDARY INDEX artifact: (cell type, µs day) → partition keys
+    * with per-key cell counts, written as parquet partitioned by cell
+    * type. One corpus shuffle at build time (like any index build);
+    * built once per (JVM, sf dir) and reused by every lookup.
+    */
+  private val idxFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val idxLock = new Object
+  private[graft] def indexFixture(spark: SparkSession, dir: String): String =
+    idxLock.synchronized(idxFixtures.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_2i")
+        .toFile.getAbsolutePath
+      CellModel.liveCellStrings(spark, dir)
+        .select(split(col("name"), ":").getItem(1).as("ctype"),
+          expr(s"write_time DIV $DayUs").as("day"), col("key"))
+        .groupBy(col("ctype"), col("day"), col("key"))
+        .agg(count(lit(1)).as("n_cells"))
+        .write.partitionBy("ctype").mode("overwrite").parquet(out)
+      out
+    }))
+
+  /** q79: SECONDARY-INDEX lookup — the engine's answer to Cassandra's
+    * 2i over the reference's cell model: "which partitions contain a
+    * live cell of this type in this time bucket" is answered ENTIRELY
+    * from the derived index artifact ([[indexFixture]]) — the corpus is
+    * never opened. The cell-type predicate prunes whole partition
+    * directories (parquet PartitionFilters) and the day predicate
+    * pushes into the remaining footers, so at 100 TB the lookup reads
+    * one type's slice of a (type, day, key)-aggregated table that is
+    * orders of magnitude smaller than the corpus. Build cost is one
+    * shuffle, paid once and amortised over every lookup — the same
+    * write-time-for-read-time trade as the sink's bucketing (q44/q62).
+    * PlanSpec asserts both prunings; the oracle rebuilds the lookup
+    * from the raw cells.
+    */
+  def indexLookup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(indexFixture(spark, dir))
+      .filter(col("ctype") === "purchase" && col("day") === IdxDay)
+      .select(col("key"), col("n_cells"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_secondary_index" -> indexLookup,
     "q42_nest_chunked" -> CellModel.nestRowsChunked _,
     "q01_scan_project" -> scanProject,
     "q02_filter_live" -> filterLive,
@@ -162,6 +209,10 @@ object Core {
   }
 
   val oracle: Map[String, String] = Map(
+    "q79_secondary_index" ->
+      (s"SELECT key, count(*) AS n_cells FROM ($liveCellsSql) " +
+        s"WHERE name LIKE '%:purchase' AND write_time // $DayUs = $IdxDay " +
+        "GROUP BY key"),
     "q01_scan_project" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag " +
         "FROM lineitem WHERE l_quantity >= 45.0"),

@@ -492,7 +492,54 @@ object Sink {
         col("c.write_time").as("write_time"))
   }
 
+  /** q80's time-travel instant: 2024-01-16T00:00:00Z in µs — mid-way
+    * through the events corpus (2024-01-01..31) at every SF, so the
+    * reconstructed state genuinely differs from both HEAD and either
+    * generation alone.
+    */
+  val AsOfUs = 1705363200000000L
+
+  /** q80: AS-OF (time-travel) READ over the sink generations — the
+    * Cassandra reconciliation rule (largest write_time ≤ T wins,
+    * empty-value tombstones shadow) evaluated at an historical instant:
+    * cells written after [[AsOfUs]] are invisible, so a gen1 overlay or
+    * tombstone "un-happens" and the gen0 value shows through — the
+    * read-side complement of q53/q61's HEAD compaction, and the engine
+    * analog of snapshot time travel in table formats.
+    *
+    * Plan shape: identical to q61's zero-exchange storage-partitioned
+    * merge — the as-of cut is a row-local `filter()` over each nested
+    * Row's columns array BEFORE the co-bucketed full-outer join, so the
+    * time-travel read costs exactly what the HEAD read costs: no
+    * exchange, no extra pass (PlanSpec asserts the plan stays
+    * exchange-free). At 100 TB, reading "the corpus as of last Tuesday"
+    * is the same narrow merge as reading today's.
+    */
+  def asofRead(spark: SparkSession, dir: String): DataFrame = {
+    val (g0, g1) = bucketedGens(spark, dir)
+    graft.sources.GraftCatalog.ensure(spark)
+    def visible(name: String) =
+      spark.table(graft.sources.GraftCatalog.tableName(name))
+        .select(col("key"), filter(col("columns"),
+          c => c.getField("write_time") <= AsOfUs).as("columns"))
+    val emptyCols = array()
+      .cast("array<struct<name:binary,value:binary,write_time:bigint>>")
+    visible(g0).as("g0")
+      .join(visible(g1).as("g1"), col("g0.key") === col("g1.key"), "fullouter")
+      .select(coalesce(col("g0.key"), col("g1.key")).as("key"),
+        graft.functions.ArrayOps.merge_columns(
+          coalesce(col("g0.columns"), emptyCols),
+          coalesce(col("g1.columns"), emptyCols)).as("cols"))
+      .select(col("key"), explode(col("cols")).as("c"))
+      .filter(length(col("c.value")) > 0)
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_asof_read" -> asofRead,
     "q77_optimize_sink" -> optimizedRead,
     "q29_sink_roundtrip" -> sinkRoundtrip,
     "q30_proto_source" -> protoSourceRoundtrip,
@@ -506,6 +553,28 @@ object Sink {
     "q65_runtime_prune" -> runtimePrunedJoin)
 
   val oracle: Map[String, String] = Map(
+    // the q61 merge replay with the as-of visibility cut: only cells
+    // written at or before AsOfUs participate in newest-wins
+    "q80_asof_read" ->
+      (s"""WITH live0 AS (SELECT key, name, value, write_time
+         |  FROM (${Core.cellsSql})
+         |  WHERE kind = 'live' AND NOT partition_deleted),
+         |g1 AS (SELECT key, name, value || '@2' AS value,
+         |         write_time + $HourUs AS write_time, 1 AS gen
+         |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 2
+         |       UNION ALL
+         |       SELECT key, name, '' AS value,
+         |         write_time + $HourUs AS write_time, 1 AS gen
+         |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 4),
+         |u AS (SELECT key, name, value, write_time, 0 AS gen FROM live0
+         |      UNION ALL SELECT * FROM g1),
+         |v AS (SELECT * FROM u WHERE write_time <= $AsOfUs),
+         |r AS (SELECT key, name, value, write_time,
+         |        row_number() OVER (PARTITION BY key, name
+         |          ORDER BY write_time DESC, gen DESC) AS rn
+         |      FROM v)
+         |SELECT key, name, value, write_time
+         |FROM r WHERE rn = 1 AND value <> ''""".stripMargin),
     // pack is lossless: same oracle as the q30 read of the unpacked files
     "q77_optimize_sink" -> Core.liveCellsSql,
     "q29_sink_roundtrip" ->

@@ -77,7 +77,8 @@ class PlanSpec extends AnyFunSuite {
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
-      "q65_runtime_prune")
+      "q65_runtime_prune", "q76_stream_funnel", "q77_optimize_sink",
+      "q79_secondary_index", "q80_asof_read")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
@@ -188,6 +189,26 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hash"))
     assert(exchanges === 1, s"expected 1 Exchange, plan:\n$plan")
     assert(plan.linesIterator.count(_.contains("Window ")) === 3, plan)
+  }
+
+  test("q79 index lookup prunes the type partition and pushes the day filter") {
+    val df = graft.operators.Core.indexLookup(spark, sf0001)
+    val plan = physical(df)
+    // one FileScan — the index artifact; the corpus is never opened
+    assert(plan.linesIterator.count(_.contains("FileScan")) === 1, plan.take(3000))
+    assert(!plan.contains("events.parquet"), plan.take(3000))
+    val scan = plan.linesIterator.find(_.contains("FileScan")).get
+    assert(scan.contains("PartitionFilters") && scan.contains("purchase"), scan)
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(day"), scan)
+  }
+
+  test("q80 as-of read over bucketed sink generations plans ZERO exchanges") {
+    val df = graft.operators.Sink.asofRead(spark, sf0001)
+    df.collect()
+    val plan = physical(df).split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange"),
+      s"expected the time-travel merge to stay exchange-free:\n${plan.take(3000)}")
   }
 
   test("row-local text/hash pipelines stay inside whole-stage codegen") {
