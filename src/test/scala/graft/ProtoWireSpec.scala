@@ -176,6 +176,35 @@ class ProtoWireSpec extends AnyFunSuite {
     }
   }
 
+  test("decoders skip unknown fields (forward compatibility)") {
+    // a future writer's Row: key "k1", an unknown varint field 3, one
+    // Column carrying unknown LEN field 4 and fixed32 field 5 around
+    // the known fields, then an unknown I64 field 6 on the Row
+    val col = b(
+      0x0A, 0x01, 'a', // name = "a"
+      0x22, 0x02, 0x7F, 0x7F, // field 4 LEN (unknown)
+      0x12, 0x01, 'b', // value = "b"
+      0x19, 0x07, 0, 0, 0, 0, 0, 0, 0, // writeTime = 7
+      0x2D, 1, 2, 3, 4) // field 5 I32 (unknown)
+    val row = b(0x0A, 0x02, 'k', '1') ++ // key = "k1"
+      b(0x18, 0x05) ++ // field 3 varint (unknown)
+      b(0x12, col.length) ++ col ++ // field 2 = the Column
+      b(0x31, 9, 9, 9, 9, 9, 9, 9, 9) // field 6 I64 (unknown)
+    val framed = ProtoWire.delimit(row)
+    for (decoded <- Seq(
+        ProtoWire.decodeRowsPruned(framed, true, _ => true).toSeq,
+        ProtoWire.decodeStream(
+          new java.io.ByteArrayInputStream(framed), true, _ => true).toSeq)) {
+      assert(decoded.size === 1)
+      assert(decoded.head.key.sameElements("k1".getBytes))
+      assert(decoded.head.columns.size === 1)
+      val c = decoded.head.columns.head
+      assert(c.name.sameElements("a".getBytes))
+      assert(c.value.sameElements("b".getBytes))
+      assert(c.writeTime === 7L)
+    }
+  }
+
   test("decodeStream: truncated tail throws after the valid prefix") {
     val good = ProtoWire.delimit(ProtoWire.encodeRow("k1".getBytes,
       cols(("a", "b", 7L))))
