@@ -538,7 +538,46 @@ object Sink {
         col("c.write_time").as("write_time"))
   }
 
+  /** q81: CHANGE FEED between sink generations — the incremental
+    * consumer's complement to q61's merge: instead of the merged HEAD,
+    * emit WHAT CHANGED (per (key, cell): update with old/new values,
+    * or delete where the overlay wrote a tombstone) — the table-format
+    * "change data feed" expressed over the cell model, where the
+    * overlay generation IS the change set and the only work is
+    * classifying each overlay cell against the base.
+    *
+    * Plan shape: the co-bucketed generations join on key with ZERO
+    * exchanges (the q61 storage-partitioned layout); the per-cell
+    * old-value lookup is a row-local `filter()` over the base Row's
+    * columns array — no (key, name)-grained shuffle ever happens. At
+    * 100 TB a downstream consumer reads changes ∝ the overlay size,
+    * never ∝ the corpus. (The fixture's overlay only rewrites existing
+    * cells, so the feed contains updates and deletes; an insert — no
+    * base Row for the key — would classify via the null branch the
+    * same way.)
+    */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val (g0, g1) = bucketedGens(spark, dir)
+    graft.sources.GraftCatalog.ensure(spark)
+    val base = spark.table(graft.sources.GraftCatalog.tableName(g0))
+      .select(col("key"), col("columns").as("base_cols"))
+    val overlay = spark.table(graft.sources.GraftCatalog.tableName(g1))
+    overlay.join(base, Seq("key"), "left")
+      .select(col("key"), explode(col("columns")).as("c"), col("base_cols"))
+      .withColumn("old", element_at(
+        filter(col("base_cols"), o => o.getField("name") === col("c.name")), 1))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        when(col("old").isNull, "insert")
+          .when(length(col("c.value")) === 0, "delete")
+          .otherwise("update").as("change_type"),
+        decode(col("old.value"), "UTF-8").as("old_value"),
+        decode(col("c.value"), "UTF-8").as("new_value"),
+        col("c.write_time").as("write_time"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_change_feed" -> changeFeed,
     "q80_asof_read" -> asofRead,
     "q77_optimize_sink" -> optimizedRead,
     "q29_sink_roundtrip" -> sinkRoundtrip,
@@ -553,6 +592,26 @@ object Sink {
     "q65_runtime_prune" -> runtimePrunedJoin)
 
   val oracle: Map[String, String] = Map(
+    // the overlay generation replayed from the raw cells, classified
+    // against the base cell it rewrites ((key, name) is unique in the
+    // live base — cell names embed the event id)
+    "q81_change_feed" ->
+      (s"""WITH live0 AS (SELECT key, name, value, write_time
+         |  FROM (${Core.cellsSql})
+         |  WHERE kind = 'live' AND NOT partition_deleted),
+         |g1 AS (SELECT key, name, value || '@2' AS value,
+         |         write_time + $HourUs AS write_time
+         |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 2
+         |       UNION ALL
+         |       SELECT key, name, '' AS value,
+         |         write_time + $HourUs AS write_time
+         |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 4)
+         |SELECT g1.key, g1.name,
+         |       CASE WHEN o.value IS NULL THEN 'insert'
+         |            WHEN g1.value = '' THEN 'delete'
+         |            ELSE 'update' END AS change_type,
+         |       o.value AS old_value, g1.value AS new_value, g1.write_time
+         |FROM g1 LEFT JOIN live0 o ON g1.key = o.key AND g1.name = o.name""".stripMargin),
     // the q61 merge replay with the as-of visibility cut: only cells
     // written at or before AsOfUs participate in newest-wins
     "q80_asof_read" ->

@@ -23,7 +23,8 @@ object ScaleAudit {
       "q37_stream_sink", "q43_stream_dedup", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink", "q62_bucketed_stats", "q69_stream_stream_join",
-      "q76_stream_funnel", "q77_optimize_sink", "q80_asof_read")
+      "q76_stream_funnel", "q77_optimize_sink", "q80_asof_read",
+      "q81_change_feed")
     println("| query | shuffles | broadcasts | join strategies | pushed filter |")
     println("|---|---|---|---|---|")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

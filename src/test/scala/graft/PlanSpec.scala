@@ -78,7 +78,7 @@ class PlanSpec extends AnyFunSuite {
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
       "q65_runtime_prune", "q76_stream_funnel", "q77_optimize_sink",
-      "q79_secondary_index", "q80_asof_read")
+      "q79_secondary_index", "q80_asof_read", "q81_change_feed")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
@@ -209,6 +209,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("Exchange"),
       s"expected the time-travel merge to stay exchange-free:\n${plan.take(3000)}")
+  }
+
+  test("q81 change feed over bucketed sink generations plans ZERO exchanges") {
+    val df = graft.operators.Sink.changeFeed(spark, sf0001)
+    df.collect()
+    val plan = physical(df).split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange"),
+      s"expected the change-feed join to stay exchange-free:\n${plan.take(3000)}")
   }
 
   test("row-local text/hash pipelines stay inside whole-stage codegen") {
