@@ -245,7 +245,44 @@ object Curation {
           s => s.getField("chunk")), " "), lit("")).as("cleaned_text"))
   }
 
+  /** Target corpus shares per language (milli-units, sums to 1000) for
+    * [[mixturePlan]] — deliberately far from the corpus's natural
+    * ~uniform split so the plan produces genuine down-sampling rates.
+    */
+  private val mixTargets: Seq[(String, Long)] = Seq(
+    "en" -> 400L, "zh" -> 150L, "de" -> 150L, "fr" -> 150L, "es" -> 150L)
+
+  /** q83: DATA-MIXTURE PLAN — the pretraining rebalancing step: given
+    * per-source token counts and target corpus shares, compute each
+    * source's deterministic keep-rate (`min(1, target·total /
+    * source_tokens)`, in exact milli-integer arithmetic). Rates cap at
+    * 1000 milli — a source below its target is never asked to invent
+    * data (the realized mixture renormalizes downstream) — and q52's
+    * salted-hash sampler applies the rates append-stably. One shuffle
+    * for the per-language totals (map-side partials over a 5-value
+    * key), a 1-row broadcast for the corpus total — the plan itself is
+    * metadata-sized at any corpus scale.
+    */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = mixTargets.foldLeft(lit(null).cast("long")) {
+      case (acc, (l, t)) => when(col("lang") === l, t).otherwise(acc)
+    }
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), size(words(col("text"))).as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("target_milli", target)
+    val total = toks.agg(sum(col("n_tokens")).as("total_tokens"))
+    withScalar(toks, total)
+      .withColumn("share_milli", expr("n_tokens * 1000 DIV total_tokens"))
+      .withColumn("rate_milli",
+        least(lit(1000L), expr("target_milli * total_tokens DIV n_tokens")))
+      .withColumn("kept_tokens", expr("n_tokens * rate_milli DIV 1000"))
+      .select(col("lang"), col("n_tokens"), col("share_milli"),
+        col("target_milli"), col("rate_milli"), col("kept_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_mixture_plan" -> mixturePlan,
     "q49_redact" -> redact,
     "q50_repetition" -> repetition,
     "q51_contamination" -> contamination,
@@ -357,7 +394,25 @@ object Curation {
        |FROM hs t LEFT JOIN b ON b.source = t.source AND b.h = t.h
        |GROUP BY t.doc_id""".stripMargin
 
+  private val mixturePlanSql = {
+    val targetRows = mixTargets
+      .map { case (l, t) => s"('$l', $t)" }.mkString(", ")
+    s"""WITH d AS (SELECT lang, len($sqlWords) n FROM documents),
+       |toks AS (SELECT lang, CAST(sum(n) AS BIGINT) n_tokens
+       |         FROM d GROUP BY lang),
+       |tgt (lang, target_milli) AS (VALUES $targetRows),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) total_tokens FROM toks)
+       |SELECT lang, n_tokens,
+       |       n_tokens * 1000 // total_tokens AS share_milli,
+       |       CAST(target_milli AS BIGINT) AS target_milli,
+       |       least(1000, target_milli * total_tokens // n_tokens) AS rate_milli,
+       |       n_tokens * least(1000, target_milli * total_tokens // n_tokens)
+       |         // 1000 AS kept_tokens
+       |FROM toks JOIN tgt USING (lang), tot""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q83_mixture_plan" -> mixturePlanSql,
     "q49_redact" -> redactSql,
     "q50_repetition" -> repetitionSql,
     "q51_contamination" -> contaminationSql,

@@ -260,7 +260,37 @@ object TextAnalysis {
         ((col("v_lo") + col("v_hi")) / 2.0).as("median_tokens"))
   }
 
+  /** q82: BPE PAIR COUNTS — one round of byte-pair-encoding tokenizer
+    * training: the top-20 adjacent symbol pairs (characters plus the
+    * `</w>` end-of-word marker) by corpus frequency — the statistic a
+    * BPE trainer computes to pick each merge. The standard trainer
+    * optimization is structural here: pairs are generated from the
+    * WORD-FREQUENCY table (vocabulary-sized, weighted by occurrence
+    * count), not from every corpus token — at 100 TB the corpus pass
+    * is the one word-count shuffle, and the pair explosion runs over a
+    * table orders of magnitude smaller than the corpus. Top-k is
+    * TakeOrderedAndProject (q71). Subsequent merge rounds re-run the
+    * same two aggregations over the re-segmented vocabulary — same
+    * plan, vocabulary-sized each time.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wf.withColumn("s", concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+        array(lit("</w>"))))
+      .select(col("f"), explode(transform(sequence(lit(1), size(col("s")) - 1),
+        i => concat_ws(" ", element_at(col("s"), i),
+          element_at(col("s"), i + 1)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_bpe_pairs" -> bpePairs,
     "q71_heavy_hitters" -> heavyHitters,
     "q73_group_median" -> groupMedian,
     "q21_lang_id" -> langId,
@@ -367,7 +397,20 @@ object TextAnalysis {
        |SELECT lang, count(*) AS n_docs, median(v) AS median_tokens
        |FROM d GROUP BY lang""".stripMargin
 
+  private val bpePairsSql =
+    s"""WITH w AS (SELECT unnest($sqlWords) w FROM documents),
+       |wf AS (SELECT w, count(*) f FROM w GROUP BY w),
+       |sym AS (SELECT w, f,
+       |          list_append(list_transform(range(1, length(w)+1),
+       |            i -> substr(w, i, 1)), '</w>') s
+       |        FROM wf),
+       |p AS (SELECT f, unnest(list_transform(range(1, len(s)),
+       |        i -> s[i] || ' ' || s[i+1])) pair FROM sym)
+       |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+       |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q82_bpe_pairs" -> bpePairsSql,
     "q71_heavy_hitters" -> heavyHittersSql,
     "q73_group_median" -> groupMedianSql,
     "q21_lang_id" -> langIdSql,

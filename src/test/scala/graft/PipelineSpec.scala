@@ -416,6 +416,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(stream.exceptAll(batch).count() === 0)
   }
 
+  test("q82 BPE pair counts match a driver-side trainer over word freqs") {
+    val wf = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.Portable.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      val syms = w.map(_.toString) :+ "</w>"
+      syms.sliding(2).foreach { p =>
+        val k = p.mkString(" ")
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = graft.operators.TextAnalysis.bpePairs(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === expect)
+  }
+
+  test("q83 mixture plan: rates cap at 1000 and conserve token budgets") {
+    val rows = graft.operators.Curation.mixturePlan(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length === 5)
+    val total = rows.map(_._2).sum
+    rows.foreach { case (lang, n, share, target, rate, kept) =>
+      assert(share === n * 1000 / total, lang)
+      assert(rate <= 1000 && rate >= 0, lang)
+      assert(kept === n * rate / 1000, lang)
+      assert(kept <= n, lang)
+      // a source above its target share must down-sample; one below
+      // must keep everything
+      if (share > target) assert(rate < 1000, lang)
+      if (share < target) assert(rate === 1000, lang)
+    }
+  }
+
   test("q75 funnel only counts steps at-or-after the previous step") {
     import spark.implicits._
     val ev = Seq(
