@@ -262,6 +262,40 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** q84: streaming dedup with BOUNDED state — q43's exactly-once
+    * collapse upgraded to `dropDuplicatesWithinWatermark`: the seen-key
+    * state ages out once the event-time watermark passes a key's
+    * horizon (1 h here), so state is O(keys per watermark window)
+    * instead of O(all keys ever) — the production shape q43's scaladoc
+    * promises ("add a watermark so state ages out"). Correctness
+    * contract: duplicates arriving within the watermark delay of each
+    * other collapse to one survivor; the doubled bounded fixture lands
+    * in one micro-batch, so the result must still hash-match the plain
+    * DISTINCT oracle — same gate as q43, different state lifecycle.
+    */
+  def streamDedupTtl(spark: SparkSession, dir: String): DataFrame = {
+    val name = "q84_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    // event ids are unique in the fixture, so keying the TTL state on
+    // event_id alone matches the full-row dedup the oracle computes
+    val agg = src.union(src)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   private val AttributionGapUs = 3600000000L // 1 h view→purchase window
 
   /** q69: STREAM-STREAM JOIN — view events joined to purchase events of
@@ -382,6 +416,7 @@ object Streaming extends Serializable {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_stream_dedup_ttl" -> streamDedupTtl,
     "q76_stream_funnel" -> streamFunnel,
     "q28_stream_window" -> streamWindowAgg,
     "q31_stream_sessionize" -> streamSessionize,
@@ -400,6 +435,10 @@ object Streaming extends Serializable {
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same exactly-once contract as q43; only the state lifecycle differs
+    "q84_stream_dedup_ttl" ->
+      ("SELECT event_type, count(*) AS n_events " +
+        "FROM (SELECT DISTINCT * FROM events) GROUP BY event_type"),
     // stream/batch parity: the same oracle as the batch q75 funnel
     "q76_stream_funnel" -> Events.oracle("q75_funnel"),
     "q28_stream_window" -> Events.oracle("q26_window_agg"),

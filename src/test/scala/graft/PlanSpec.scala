@@ -78,7 +78,8 @@ class PlanSpec extends AnyFunSuite {
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
       "q65_runtime_prune", "q76_stream_funnel", "q77_optimize_sink",
-      "q79_secondary_index", "q80_asof_read", "q81_change_feed")
+      "q79_secondary_index", "q80_asof_read", "q81_change_feed",
+      "q84_stream_dedup_ttl")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
