@@ -376,6 +376,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("morton codes round-trip: deinterleaving recovers both dimensions") {
+    val rows = spark.range(2000).select(
+      pmod(xxhash64(col("id")), lit(65536L)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(65536L)).as("y"))
+      .withColumn("z", graft.operators.Layout.morton(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (x, y, z) =>
+      val xr = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val yr = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert((xr, yr) === ((x, y)), s"z=$z")
+    }
+  }
+
   test("q74 morton code interleaves bits; z-shards beat a 1-D sort on box area") {
     // known interleavings: x bits land even, y bits land odd
     val codes = spark.range(1).select(
