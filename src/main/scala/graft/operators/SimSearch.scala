@@ -323,6 +323,48 @@ object SimSearch {
         coalesce(col("removed"), lit(false)).as("removed"))
   }
 
+  /** q85: FILTERED vector search — top-K under a metadata predicate
+    * (here: even labels only), the production shape where ANN meets a
+    * WHERE clause. Strategy is FILTER-THEN-PROBE over the trained IVF:
+    * the inverted lists are pre-filtered by the predicate BEFORE the
+    * probe join, so candidate generation scans only qualifying
+    * vectors — the correct-recall ordering (probe-then-filter can
+    * return < K when a probed cell is predicate-sparse; filtering
+    * first keeps the per-cell candidate flow full). Queries probe the
+    * same NProbe cells as q34; the exact re-rank runs on filtered
+    * candidates only. At 100 TB the predicate typically reaches the
+    * list storage as a pushed filter (a label-partitioned list table),
+    * which this plan's shape — filter directly on the scan side of the
+    * probe join — is exactly positioned to exploit.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"), col("label"))
+      .withColumn("n2", norm2(col("qv")))
+      .localCheckpoint(eager = false)
+    val e = e0.select(col("vec_id"), col("qv"), col("n2"))
+    val cent = trainCentroids(e, NCells)
+    val scored = e0.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+    // (d2, cell) is unique per vector, so carrying label through the
+    // argmin struct can never perturb the tie-break
+    val corpus = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"), col("label"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"), col("w.label").as("label"))
+      .filter(col("label") % 2 === 0)
+    val queryProbes = scored.filter(col("vec_id") < NQ)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = corpus
+      .join(broadcast(queryProbes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    rerank(e, cand)
+  }
+
   private val PqM = 4 // subspaces (64 dims → 4 × 16)
   private val PqDs = 16 // dims per subspace
   private val PqKs = 16 // centroids per subspace codebook
@@ -460,7 +502,8 @@ object SimSearch {
     "q45_ann_recall" -> annRecall,
     "q59_kmeans_embed" -> kmeansEmbed,
     "q68_semantic_dedup" -> semanticDedup,
-    "q78_ann_pq" -> annPq)
+    "q78_ann_pq" -> annPq,
+    "q85_ann_filtered" -> annFiltered)
 
   private val baseSql =
     s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
@@ -577,6 +620,39 @@ object SimSearch {
        |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
   }
 
+  /** q85 replay: the q34 train/assign/probe chain with the corpus
+    * inverted lists pre-filtered by the label predicate.
+    */
+  private val filteredSql = {
+    val probeD2 = s"x.n2 - 2*${sqlDotq("x.qv", "c.cqv")} + c.cn2"
+    s"""$baseSql,
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $NCells),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")},
+       |corpus AS (SELECT a3.vec_id, a3.cell
+       |           FROM a3 JOIN embeddings emb ON emb.vec_id = a3.vec_id
+       |           WHERE emb.label % 2 = 0),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT x.vec_id q_id, c.cell,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $probeD2, c.cell) rn
+       |    FROM n x CROSS JOIN centn2 c WHERE x.vec_id < $NQ)
+       |  WHERE rn <= $NProbe),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id
+       |         FROM probes p JOIN corpus c ON c.cell = p.cell
+       |         WHERE c.vec_id <> p.q_id),
+       |s AS (SELECT cand.q_id, cand.vec_id,
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
+       |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.vec_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
+       |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
+  }
+
   private val recallSql =
     s"""WITH brute AS (SELECT q_id, vec_id FROM ($bruteSql)),
        |lsh AS (SELECT q_id, vec_id FROM ($lshSql)),
@@ -670,5 +746,6 @@ object SimSearch {
     "q45_ann_recall" -> recallSql,
     "q59_kmeans_embed" -> kmeansSql,
     "q68_semantic_dedup" -> semdedupSql,
-    "q78_ann_pq" -> pqSql)
+    "q78_ann_pq" -> pqSql,
+    "q85_ann_filtered" -> filteredSql)
 }

@@ -332,6 +332,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 filtered search returns only predicate-passing exact neighbours") {
+    val labels = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SimSearch.annFiltered(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === 8 * 3)
+    rows.foreach { case (q, _, v, _) =>
+      assert(labels(v) % 2 === 0, s"vec $v label ${labels(v)}")
+      assert(q !== v)
+    }
+    // and the filter genuinely changes the answer vs unfiltered IVF
+    val unfiltered = SimSearch.annIvf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows.exists { case (q, _, v, _) => !unfiltered.contains((q, v)) })
+  }
+
   test("q71 heavy hitters equal a full-sort count over the exploded corpus") {
     val naive = Tables.documents(spark, sf0001)
       .select(explode(graft.functions.Portable.words(col("text"))).as("w"),
