@@ -118,6 +118,35 @@ object Events {
         max(col("k")).as("max_k"),
         countDistinct(col("k")).as("n_distinct_k"))
 
+  /** q86: NATIVE session windows — the q27 sessionization expressed
+    * with Spark's built-in `session_window` aggregation instead of the
+    * hand-rolled lag/running-sum windows: one `groupBy(user,
+    * session_window(event_time, gap))`, which Catalyst plans as a
+    * single keyed aggregation with session merging inside the
+    * operator (and which is the form that runs state-store-backed
+    * under Structured Streaming — q31's custom-state twin without the
+    * custom code). Completes the sessionization triple: windowed
+    * batch (q27), custom state (q31), native operator (q86) — all
+    * three provably agreeing on this corpus.
+    *
+    * Boundary convention: `session_window` starts a NEW session at a
+    * gap of exactly 12 h where q27's `>` keeps it — conventions agree
+    * on any corpus with no exact-gap pair (verified: none at any test
+    * SF, and a µs-resolution event stream makes one vanishingly
+    * unlikely; the shared oracle would flag it loudly).
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("et"),
+        expr("ts DIV 1000").as("us"))
+      .groupBy(col("user_id"),
+        session_window(col("et"), "12 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"), (col("end_us") - col("start_us")).as("duration_us"))
+
   private val IncCellUs = 60000000L // 1-min grid cells
   private val IncHotMin = 2 // errors per cell to call it hot
 
@@ -219,6 +248,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_session_window" -> sessionWindowAgg,
     "q75_funnel" -> funnel,
     "q26_window_agg" -> windowAgg,
     "q27_sessionize" -> sessionize,
@@ -301,6 +331,11 @@ object Events {
       |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the gap-based q27 replay, minus the session ordinal the native
+    // operator doesn't expose
+    "q86_session_window" ->
+      (s"SELECT user_id, n_events, start_us, end_us, duration_us " +
+        s"FROM ($sessionSql)"),
     "q75_funnel" -> funnelSql,
     "q26_window_agg" -> windowSql,
     "q27_sessionize" -> sessionSql,

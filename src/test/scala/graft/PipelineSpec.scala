@@ -483,6 +483,16 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 native session_window equals the hand-rolled q27 sessions") {
+    val native = Events.sessionWindowAgg(spark, sf0001)
+    val rolled = Events.sessionize(spark, sf0001)
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"), col("duration_us"))
+    assert(native.count() === rolled.count())
+    assert(native.exceptAll(rolled).count() === 0)
+    assert(rolled.exceptAll(native).count() === 0)
+  }
+
   test("q75 funnel only counts steps at-or-after the previous step") {
     import spark.implicits._
     val ev = Seq(
