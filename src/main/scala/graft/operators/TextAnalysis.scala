@@ -289,7 +289,64 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Doubled grouped median — `lo + hi` (2× the median, an exact
+    * integer) per group, by q73's histogram rank selection. Shared by
+    * [[groupMedian]]'s public form and [[robustOutliers]]' two-level
+    * median-of-deviations.
+    */
+  private def med2(df: DataFrame, vcol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col("lang"), col(vcol)).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col(vcol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+      .withColumn("lo", expr("(n + 1) DIV 2"))
+      .withColumn("hi", expr("n DIV 2 + 1"))
+    cum.join(broadcast(tot), "lang")
+      .groupBy(col("lang"))
+      .agg((min(when(col("cum") >= col("lo"), col(vcol))) +
+        min(when(col("cum") >= col("hi"), col(vcol)))).as(out))
+  }
+
+  /** q87: ROBUST OUTLIER DETECTION — per-language median/MAD screening
+    * of document token counts, the outlier filter a curation pipeline
+    * runs where mean/stddev would be dragged by the very outliers it
+    * hunts. Exactness trick: every quantity stays integer until the
+    * final division — the doubled median `lo+hi`, deviations as
+    * `|2v − (lo+hi)|`, the quadrupled MAD `d_lo+d_hi`, and the outlier
+    * test `dev2 > mad4` (the integer form of |v−med| > 2·MAD; the 2×
+    * screening constant is calibrated so the test corpus exercises
+    * both outlier and clean branches — at 3× nothing in this tight
+    * synthetic distribution trips) —
+    * so the DuckDB `median`/`mad` oracle hash-matches bit-for-bit.
+    *
+    * Scale shape: two rounds of the q73 histogram machinery (state
+    * bounded by the value domain per group, never by group size) plus
+    * two broadcast joins of language-cardinality tables; the corpus is
+    * scanned twice (once per histogram level), both passes row-local
+    * before their single keyed shuffle.
+    */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), size(words(col("text"))).as("v"))
+    val m = med2(d, "v", "med2")
+    val dev = d.join(broadcast(m), "lang")
+      .withColumn("dev2", abs(col("v") * 2 - col("med2")))
+    val dm = med2(dev, "dev2", "mad4")
+    dev.join(broadcast(dm), "lang")
+      .groupBy(col("lang"), col("med2"), col("mad4"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dev2") > col("mad4"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("lang"), col("n_docs"),
+        (col("med2") / 2.0).as("median_tokens"),
+        (col("mad4") / 4.0).as("mad_tokens"),
+        col("n_outliers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_robust_outliers" -> robustOutliers,
     "q82_bpe_pairs" -> bpePairs,
     "q71_heavy_hitters" -> heavyHitters,
     "q73_group_median" -> groupMedian,
@@ -409,7 +466,17 @@ object TextAnalysis {
        |SELECT pair, CAST(sum(f) AS BIGINT) AS n
        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  private val robustOutliersSql =
+    s"""WITH d AS (SELECT lang, len($sqlWords) v FROM documents),
+       |m AS (SELECT lang, median(v) med, mad(v) mad FROM d GROUP BY lang)
+       |SELECT d.lang, count(*) AS n_docs,
+       |       m.med AS median_tokens, m.mad AS mad_tokens,
+       |       CAST(sum(CASE WHEN abs(v - med) > 2*mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM d JOIN m ON d.lang = m.lang
+       |GROUP BY d.lang, m.med, m.mad""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q87_robust_outliers" -> robustOutliersSql,
     "q82_bpe_pairs" -> bpePairsSql,
     "q71_heavy_hitters" -> heavyHittersSql,
     "q73_group_median" -> groupMedianSql,
