@@ -247,7 +247,27 @@ object Events {
           .otherwise(0))
   }
 
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q88: PIVOT — daily event counts cross-tabulated to one column per
+    * event type (`groupBy(day).pivot(type, values)`), the
+    * wide-reporting shape. The explicit value list matters at scale:
+    * Spark plans it as ONE conditional aggregation pass (same single
+    * shuffle as q26); omitting it triggers an extra distinct-values
+    * job before planning. Missing (day, type) combinations surface as
+    * 0 via the count, not null.
+    */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr(s"(ts DIV 1000) DIV $DayUs").as("day_bucket"),
+        col("event_type"))
+      .groupBy(col("day_bucket"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_pivot" -> pivotDaily,
     "q86_session_window" -> sessionWindowAgg,
     "q75_funnel" -> funnel,
     "q26_window_agg" -> windowAgg,
@@ -330,7 +350,17 @@ object Events {
       |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
       |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin
 
+  private val pivotSql = {
+    val cols = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n|       ")
+    s"""SELECT epoch_us(ts) // $DayUs AS day_bucket,
+       |       $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q88_pivot" -> pivotSql,
     // the gap-based q27 replay, minus the session ordinal the native
     // operator doesn't expose
     "q86_session_window" ->
