@@ -116,13 +116,9 @@ object Core {
     * type. One corpus shuffle at build time (like any index build);
     * built once per (JVM, sf dir) and reused by every lookup.
     */
-  private val idxFixtures =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private val idxLock = new Object
   private[graft] def indexFixture(spark: SparkSession, dir: String): String =
-    idxLock.synchronized(idxFixtures.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft_2i")
-        .toFile.getAbsolutePath
+    Sink.fixture("2i:" + dir) {
+      val out = Scratch.dir("graft_2i")
       CellModel.liveCellStrings(spark, dir)
         .select(split(col("name"), ":").getItem(1).as("ctype"),
           expr(s"write_time DIV $DayUs").as("day"), col("key"))
@@ -130,7 +126,7 @@ object Core {
         .agg(count(lit(1)).as("n_cells"))
         .write.partitionBy("ctype").mode("overwrite").parquet(out)
       out
-    }))
+    }
 
   /** q79: SECONDARY-INDEX lookup — the engine's answer to Cassandra's
     * 2i over the reference's cell model: "which partitions contain a

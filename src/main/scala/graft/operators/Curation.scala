@@ -273,6 +273,11 @@ object Curation {
       .withColumn("target_milli", target)
     val total = toks.agg(sum(col("n_tokens")).as("total_tokens"))
     withScalar(toks, total)
+      // only planned languages emit rows — the oracle inner-joins the
+      // target table, so a corpus language absent from mixTargets must
+      // be excluded here too, never defaulted to keep-all (its tokens
+      // still count toward total_tokens, same as the oracle's `tot`)
+      .filter(col("target_milli").isNotNull)
       .withColumn("share_milli", expr("n_tokens * 1000 DIV total_tokens"))
       .withColumn("rate_milli",
         least(lit(1000L), expr("target_milli * total_tokens DIV n_tokens")))

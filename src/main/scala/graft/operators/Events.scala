@@ -19,7 +19,7 @@ import graft.sources.Tables
 object Events {
 
   private val DayUs = 86400000000L // µs per day
-  private val SessionGapUs = 43200000000L // 12 h — calibrated to the
+  private[graft] val SessionGapUs = 43200000000L // 12 h — calibrated to the
   // corpus' median inter-event gap (~7.3 h) so users genuinely split
   // into multi-event sessions rather than one-event-per-session.
 

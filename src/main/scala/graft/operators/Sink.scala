@@ -76,7 +76,7 @@ object Sink {
   // on-disk fixture; serialize first-build (reads after that hit the
   // map without contention in practice: fixture use is per-query)
   private val fixtureLock = new Object
-  private def fixture(key: String)(build: => String): String =
+  private[operators] def fixture(key: String)(build: => String): String =
     fixtureLock.synchronized(fixtures.getOrElseUpdate(key, build))
 
   def nestedFixture(spark: SparkSession, dir: String): String =
@@ -415,13 +415,27 @@ object Sink {
     * `.range` sidecars stay maximally selective for q60's plan-time
     * skipping — and the DSv2 writer lands them (with fresh sidecars)
     * in a hidden staging dir via the usual tmp+rename task commit.
-    * Commit then renames the packed files in and deletes the
-    * originals: metadata-only operations. The swap is not atomic
-    * across files — a production deployment makes it so with a
-    * manifest/catalog pointer flip (the same upgrade the sink's
-    * directory-listing reads need for S3 anyway); crash BEFORE the
-    * swap leaves the directory untouched (staging is invisible to
-    * readers).
+    *
+    * The swap is three phases of checked metadata-only renames, ordered
+    * so a directory-listing reader NEVER double-counts and a failure
+    * NEVER loses rows: (A) every packed file (data + `.range` sidecar)
+    * moves from staging into the directory under a `.swap`-suffixed
+    * name — invisible to readers, whose listing matches `*.proto.zst`
+    * only — with every `fs.rename` result verified; any refusal aborts
+    * with the originals untouched and every packed byte still present
+    * (in staging or under `.swap` names). (B) the originals and their
+    * sidecars are deleted — a concurrent reader may briefly UNDER-count
+    * (the same exposure as reading during any compaction without
+    * snapshot isolation), never see a row twice. (C) the `.swap` suffix
+    * comes off. Packed names embed the staging run's UUID
+    * (`packed-<run>-part-…`), so repeated optimize passes over the same
+    * directory can never collide even though task ids restart per
+    * application. The swap is still not atomic across files — a
+    * production deployment makes it so with a manifest/catalog pointer
+    * flip (the same upgrade the sink's directory-listing reads need for
+    * S3 anyway); crash BEFORE phase B leaves the readable directory
+    * untouched, and a crash anywhere leaves every row recoverable from
+    * the named staging/`.swap` files.
     *
     * Returns (files before, files after).
     */
@@ -437,21 +451,42 @@ object Sink {
     val totalBytes = small.map(f =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val bins = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val staging = new org.apache.hadoop.fs.Path(dirPath,
-      ".optimize-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(dirPath, ".optimize-" + runId)
     spark.read.format("proto-zst").load(small.toIndexedSeq: _*)
       .repartitionByRange(bins, col("key"))
       .sortWithinPartitions(col("key"))
       .write.format("proto-zst").mode("append").save(staging.toString)
-    // swap: packed files (+ sidecars) in, originals out
-    fs.listStatus(staging).filter(_.isFile).foreach { s =>
-      fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dirPath,
-        "packed-" + s.getPath.getName))
+    // phase A: staged files (data + sidecars) into the directory under
+    // hidden `.swap` names; verified renames, abort = originals intact
+    val moved = fs.listStatus(staging).filter(_.isFile).map { s =>
+      val finalPath = new org.apache.hadoop.fs.Path(dirPath,
+        "packed-" + runId + "-" + s.getPath.getName)
+      val hidden = new org.apache.hadoop.fs.Path(dirPath,
+        finalPath.getName + ".swap")
+      if (!fs.rename(s.getPath, hidden))
+        throw new java.io.IOException(
+          s"optimize aborted: rename refused for ${s.getPath} -> $hidden; " +
+            s"originals untouched, packed files retained under $staging " +
+            "and *.swap names")
+      (hidden, finalPath)
     }
+    // phase B: originals (and sidecars) out — readers may briefly
+    // under-count, never double-count
     small.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
-      fs.delete(p, false)
+      if (!fs.delete(p, false))
+        throw new java.io.IOException(
+          s"optimize aborted: delete refused for $p; packed rows retained " +
+            "under *.swap names")
       graft.sources.RangeSidecar.delete(fs, p)
+    }
+    // phase C: unhide — same-directory metadata renames
+    moved.foreach { case (hidden, finalPath) =>
+      if (!fs.rename(hidden, finalPath))
+        throw new java.io.IOException(
+          s"optimize incomplete: rename refused for $hidden -> $finalPath; " +
+            "rows present but hidden, complete the swap by renaming")
     }
     fs.delete(staging, true)
     (files.length, graft.sources.ProtoZstFiles.list(outDir, conf).length)

@@ -493,6 +493,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(rolled.exceptAll(native).count() === 0)
   }
 
+  test("q86 boundary convention holds: no per-user gap of exactly SessionGapUs") {
+    // session_window breaks a session at a gap of EXACTLY the gap
+    // duration (exclusive window end) where q27's `>` keeps it — the
+    // two agree only on a corpus with no exact-gap consecutive pair.
+    // Assert that at every SF the driver verifies against, so a
+    // regenerated corpus can't silently violate the convention.
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val exact = Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts DIV 1000").as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"))))
+        .filter(col("us") - col("prev") === Events.SessionGapUs)
+        .count()
+      assert(exact === 0L,
+        s"$dir has $exact exact-${Events.SessionGapUs}us gaps; " +
+          "q86/q27 boundary conventions diverge on this corpus")
+    }
+  }
+
   test("q75 funnel only counts steps at-or-after the previous step") {
     import spark.implicits._
     val ev = Seq(
