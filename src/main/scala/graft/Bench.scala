@@ -49,14 +49,19 @@ object Bench {
       }
       val (t1, ok1) = once()
       val (t2, ok2) = once()
-      name -> (math.min(t1, t2), ok1 && ok2)
+      name -> (Seq(t1, t2), ok1 && ok2)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (ts, _)) => s"\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
+    // raw per-run times alongside the min: a cold first run (plan
+    // compilation, fixture build) is visible as such instead of
+    // masquerading as a regression when it leaks into the min
+    val raw = results.map { case (k, (ts, _)) =>
+      s"\"" + k + "\":[" + ts.mkString(",") + "]" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

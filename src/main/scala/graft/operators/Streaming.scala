@@ -50,6 +50,28 @@ object Streaming extends Serializable {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Drive a streaming query to completion; under `GRAFT_STREAM_DEBUG`
+    * dump every micro-batch's phase timings and state-operator counters
+    * to stderr — the evidence that separates plan/codegen cost from
+    * state-store commit cost from extra watermark-advancing batches
+    * whenever a streaming bench line moves (the round-3 q31 and round-4
+    * q84 triages both needed exactly this breakdown).
+    */
+  private def runToCompletion(label: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach { p =>
+        val st = p.stateOperators.map(s =>
+          s"${s.operatorName}: rows=${s.numRowsTotal} upd=${s.numRowsUpdated} " +
+            s"rem=${s.numRowsRemoved} commitMs=${s.commitTimeMs}")
+          .mkString("; ")
+        System.err.println(
+          s"[$label] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs} state={$st}")
+      }
+  }
+
   /** q28: streaming twin of [[Events.windowAgg]]. */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     // resolve the (nanosAsLong) schema from the batch reader first
@@ -79,7 +101,7 @@ object Streaming extends Serializable {
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      runToCompletion("q28", q)
     }
     spark.table(name)
   }
@@ -156,13 +178,7 @@ object Streaming extends Serializable {
           GroupStateTimeout.EventTimeTimeout())(fold)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      // micro-batch phase timings on demand — the evidence for bench
-      // variance triage (addExecution vs state commit vs plan time)
-      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
-        q.recentProgress.foreach(p => System.err.println(
-          s"[q31] batch=${p.batchId} rows=${p.numInputRows} " +
-            s"durationMs=${p.durationMs}"))
+      runToCompletion("q31", q)
     }
     spark.table(name)
       .select(col("user_id"), col("session_no"), col("n_events"),
@@ -197,7 +213,7 @@ object Streaming extends Serializable {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(outDir)
-    q.awaitTermination()
+    runToCompletion("q37", q)
     spark.read.format("proto-zst").load(outDir)
       .select(col("key"), explode(col("columns")).as("c"))
       .select(decode(col("key"), "UTF-8").as("key"),
@@ -232,7 +248,7 @@ object Streaming extends Serializable {
     withStatePartitions(spark, 8) {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToCompletion("q43", q)
     }
     spark.table(name)
   }
@@ -258,7 +274,7 @@ object Streaming extends Serializable {
         col("c.write_time").as("write_time"))
     val q = flat.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    runToCompletion("q48", q)
     spark.table(name)
   }
 
@@ -291,7 +307,7 @@ object Streaming extends Serializable {
     withStatePartitions(spark, 8) {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToCompletion("q84", q)
     }
     spark.table(name)
   }
@@ -346,7 +362,7 @@ object Streaming extends Serializable {
     withStatePartitions(spark, 8) {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToCompletion("q69", q)
     }
     spark.table(name)
   }
@@ -410,7 +426,7 @@ object Streaming extends Serializable {
           GroupStateTimeout.NoTimeout())(fold)
         .writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToCompletion("q76", q)
     }
     spark.table(name)
   }
