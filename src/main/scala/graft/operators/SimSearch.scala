@@ -160,6 +160,25 @@ object SimSearch {
   private def trainCentroids(e: DataFrame, k: Int): DataFrame =
     trainedAfter(e, k, KmIters)
 
+  /** One TRAINED centroid table per (JVM, sf dir, k), eagerly
+    * checkpointed at first use: q34, q59, q68, q85 (and q45 through
+    * the q34 path) all consume the IDENTICAL deterministic training
+    * (seeds + [[KmIters]] exact integer Lloyd rounds over the same
+    * corpus), so the multi-pass training cost is paid once per session
+    * instead of once per query invocation — the Sink fixture pattern
+    * applied to a derived K-row artifact. Results are bit-identical to
+    * per-query training by construction, so every oracle hash is
+    * unchanged.
+    */
+  private val centFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  private val centLock = new Object
+  private def centroidFixture(spark: SparkSession, dir: String,
+      k: Int): DataFrame =
+    centLock.synchronized(centFixtures.getOrElseUpdate((dir, k),
+      trainCentroids(featurized(spark, dir), k)
+        .localCheckpoint(eager = true)))
+
   /** Seeds + exactly `rounds` Lloyd rounds — the unroll at a given
     * depth (spec hook for proving loop ≡ unroll). */
   private[graft] def trainedAfter(e: DataFrame, k: Int, rounds: Int): DataFrame = {
@@ -231,7 +250,7 @@ object SimSearch {
     // shared across training, the corpus lists, the probes and the
     // re-rank join (see annLsh)
     val e = base(spark, dir).localCheckpoint(eager = false)
-    val cent = trainCentroids(e, NCells)
+    val cent = centroidFixture(spark, dir, NCells)
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
     val corpus = scored.groupBy(col("vec_id"))
@@ -272,7 +291,7 @@ object SimSearch {
     */
   def kmeansEmbed(spark: SparkSession, dir: String): DataFrame = {
     val e = base(spark, dir).localCheckpoint(eager = false)
-    val cent = trainCentroids(e, KmK)
+    val cent = centroidFixture(spark, dir, KmK)
     e.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
       .groupBy(col("vec_id"))
@@ -304,7 +323,7 @@ object SimSearch {
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = base(spark, dir).localCheckpoint(eager = false)
-    val cent = trainCentroids(e, KmK)
+    val cent = centroidFixture(spark, dir, KmK)
     val feat = e.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
       .groupBy(col("vec_id"))
@@ -343,7 +362,7 @@ object SimSearch {
       .withColumn("n2", norm2(col("qv")))
       .localCheckpoint(eager = false)
     val e = e0.select(col("vec_id"), col("qv"), col("n2"))
-    val cent = trainCentroids(e, NCells)
+    val cent = centroidFixture(spark, dir, NCells)
     val scored = e0.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
     // (d2, cell) is unique per vector, so carrying label through the
@@ -444,10 +463,20 @@ object SimSearch {
     * query (bounded NQ; the q10 salted two-phase replaces it for huge
     * query sets).
     */
+  /** PQ codebooks share the same once-per-session discipline as
+    * [[centroidFixture]]: q78 and q45's PQ leg train identically.
+    */
+  private val pqBookFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def pqBookFixture(spark: SparkSession, dir: String): DataFrame =
+    centLock.synchronized(pqBookFixtures.getOrElseUpdate(dir,
+      pqCodebooks(pqSubs(featurized(spark, dir)))
+        .localCheckpoint(eager = true)))
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = base(spark, dir).localCheckpoint(eager = false)
     val subs = pqSubs(e).localCheckpoint(eager = false)
-    val books = pqCodebooks(subs)
+    val books = pqBookFixture(spark, dir)
     val codes = subs.join(broadcast(books), "m")
       .withColumn("d2", dist2(col("sqv"), col("sn2"), col("cqv"), col("cn2")))
       .groupBy(col("vec_id"), col("m"))
