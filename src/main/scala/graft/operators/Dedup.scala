@@ -408,6 +408,10 @@ object Dedup {
     "q17_dedup_ngram" -> dedupNgram,
     "q18_dedup_embed" -> dedupEmbed,
     "q54_dup_clusters" -> dupClusters,
+    // the PRODUCTION fixpoint path, driver-hash-checked against the
+    // same recursive-CTE oracle as the unrolled q54
+    "q91_clusters_converged" ->
+      ((s: SparkSession, d: String) => dupClustersConverged(s, d)),
     "q58_dedup_incremental" -> dedupIncremental,
     "q66_chunk_dedup" -> dedupChunks)
 
@@ -546,6 +550,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q54_dup_clusters" -> clustersSql,
+    "q91_clusters_converged" -> clustersSql,
     "q58_dedup_incremental" -> incrementalSql,
     "q14_dedup_exact" ->
       ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, " +

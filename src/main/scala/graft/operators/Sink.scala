@@ -527,6 +527,57 @@ object Sink {
         col("c.write_time").as("write_time"))
   }
 
+  /** The DataFrame q89 writes: the bucketed generation read through the
+    * catalog with an EXPLICIT `sortWithinPartitions(key)` — which
+    * Catalyst elides entirely, because the scan reports its
+    * sidecar-attested per-partition key order
+    * ([[graft.sources.ProtoZstScan]] `outputOrdering`). Exposed
+    * separately so PlanSpec can assert the rewrite plan carries no Sort
+    * and no Exchange node.
+    */
+  def orderedReexportFrame(spark: SparkSession, dir: String): DataFrame = {
+    val (g0, _) = bucketedGens(spark, dir)
+    graft.sources.GraftCatalog.ensure(spark)
+    spark.table(graft.sources.GraftCatalog.tableName(g0))
+      .sortWithinPartitions(col("key"))
+  }
+
+  /** q89: ORDERED RE-EXPORT — rewrite a bucketed generation into a
+    * fresh sink directory, preserving the key-sorted clustered layout
+    * WITHOUT re-sorting anything: the requested
+    * `sortWithinPartitions(key)` is satisfied by the scan's reported
+    * ordering, so the physical plan is scan → write — no Sort, no
+    * Exchange (PlanSpec asserts both; [[orderedReexportFrame]]). This
+    * is the maintenance pass every long-lived store runs — codec
+    * upgrades, recompression, fleet-wide rewrites — priced as a pure
+    * copy: the layout cost was paid once at the original write, and
+    * the ordering report (the engine analog of the reference's
+    * in-order index walk, `SSTableScannerPatched.java:151-170`) is
+    * what lets every later rewrite inherit it for free. The rewritten
+    * files record sorted=true sidecars again, so the property
+    * propagates through any number of rewrite generations. Returns the
+    * re-export's flattened cells, hash-checked against the same
+    * liveCells oracle as q30/q37/q48 — the sort-free rewrite is
+    * provably lossless.
+    */
+  private[graft] def reexportFixture(spark: SparkSession, dir: String): String =
+    fixture("reexport:" + dir) {
+      val o = Scratch.dir("graft_reexp")
+      orderedReexportFrame(spark, dir)
+        .write.format("proto-zst").mode("append").save(o)
+      o
+    }
+
+  def orderedReexport(spark: SparkSession, dir: String): DataFrame = {
+    val out = reexportFixture(spark, dir)
+    spark.read.format("proto-zst").load(out)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+  }
+
   /** q80's time-travel instant: 2024-01-16T00:00:00Z in µs — mid-way
     * through the events corpus (2024-01-01..31) at every SF, so the
     * reconstructed state genuinely differs from both HEAD and either
@@ -612,6 +663,7 @@ object Sink {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_ordered_reexport" -> orderedReexport,
     "q81_change_feed" -> changeFeed,
     "q80_asof_read" -> asofRead,
     "q77_optimize_sink" -> optimizedRead,
@@ -627,6 +679,8 @@ object Sink {
     "q65_runtime_prune" -> runtimePrunedJoin)
 
   val oracle: Map[String, String] = Map(
+    // the sort-free rewrite is lossless: same oracle as q30/q37/q48
+    "q89_ordered_reexport" -> Core.liveCellsSql,
     // the overlay generation replayed from the raw cells, classified
     // against the base cell it rewrites ((key, name) is unique in the
     // live base — cell names embed the event id)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
@@ -171,6 +171,75 @@ object TextAnalysis {
       .withColumn("trank", expr("(p_milli * n + 999) DIV 1000"))
     ranked.join(broadcast(targets), col("rnk") === col("trank"))
       .select(col("p_milli"), col("trank"), col("n_chars"))
+  }
+
+  /** q90's HLL relative-standard-deviation (Spark's default) and the
+    * checked containment bound: 200 milli ≈ 4σ at rsd 5% — wide enough
+    * that a correct sketch always passes, tight enough that a broken
+    * one (or a silently changed default) fails the hash gate.
+    */
+  private val HllRsd = 0.05
+  private val HllBoundMilli = 200L
+  private val PctEpsMilli = 50 // exact-quantile containment half-width
+
+  /** q90: APPROXIMATE telemetry with a CHECKED error contract — the
+    * one-pass sketches a 100 TB dashboard runs where exactness is
+    * wasted cost (`approx_count_distinct` HLL++, `percentile_approx`
+    * KLL-style), each CHECKED in-plan against its exact counterpart:
+    * distinct sketches must land within [[HllBoundMilli]]‰ of the
+    * exact distinct count; percentile sketches must land between the
+    * EXACT quantiles at p ± [[PctEpsMilli]]‰ (q56's rank-selection
+    * machinery). The output carries the exact value and the bound
+    * verdict — so the DuckDB oracle (exact values, `true`) hash-matches
+    * iff every sketch honored its bound: the error contract IS the
+    * correctness gate. Sketches are deterministic for a given dataset,
+    * so the check is stable per SF.
+    *
+    * Scale shape: the sketch side is exactly what production runs —
+    * one pass, constant-size state per sketch, map-side partials. The
+    * exact side exists to price the contract and reuses the q55/q56
+    * distributed ranker (no single-partition anything).
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def hllRow(metric: String, a: Column, x: Column) =
+      struct(lit(metric).as("metric"), x.as("exact_value"),
+        (abs(a - x) * 1000 <= lit(HllBoundMilli) * x).as("within_bound"))
+    val hll = ev.agg(
+        approx_count_distinct(col("user_id"), HllRsd).as("a_users"),
+        countDistinct(col("user_id")).as("x_users"),
+        approx_count_distinct(col("event_id"), HllRsd).as("a_events"),
+        countDistinct(col("event_id")).as("x_events"))
+      .select(explode(array(
+        hllRow("distinct_users", col("a_users"), col("x_users")),
+        hllRow("distinct_events", col("a_events"), col("x_events"))))
+        .as("s"))
+      .select(col("s.metric"), col("s.exact_value"), col("s.within_bound"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val ranked = Relational.withGlobalRank(docs,
+      Seq(col("n_chars").asc, col("doc_id").asc))
+    val pms = Seq(500, 900).flatMap(p => Seq(p - PctEpsMilli, p, p + PctEpsMilli))
+    val targets = docs.agg(count(lit(1)).as("n"))
+      .select(explode(array(pms.map(lit): _*)).as("pm"), col("n"))
+      .withColumn("trank", expr("(pm * n + 999) DIV 1000"))
+    val qCols = Seq(450, 500, 550, 850, 900, 950).map(p =>
+      max(when(col("pm") === p, col("n_chars"))).as(s"q$p"))
+    val exact = ranked.join(broadcast(targets), col("rnk") === col("trank"))
+      .groupBy().agg(qCols.head, qCols.tail: _*)
+    val approx = docs.agg(
+      percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("a500"),
+      percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("a900"))
+    def pctRow(metric: String, a: Column, lo: Column, mid: Column, hi: Column) =
+      struct(lit(metric).as("metric"), mid.cast("long").as("exact_value"),
+        a.between(lo, hi).as("within_bound"))
+    val pct = withScalar(approx, exact)
+      .select(explode(array(
+        pctRow("p500_chars", col("a500"), col("q450"), col("q500"), col("q550")),
+        pctRow("p900_chars", col("a900"), col("q850"), col("q900"), col("q950"))))
+        .as("s"))
+      .select(col("s.metric"), col("s.exact_value"), col("s.within_bound"))
+    hll.unionByName(pct)
   }
 
   /** Sequence-packing budget (tokens per training sequence) and shard
@@ -346,6 +415,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_approx_stats" -> approxStats,
     "q87_robust_outliers" -> robustOutliers,
     "q82_bpe_pairs" -> bpePairs,
     "q71_heavy_hitters" -> heavyHitters,
@@ -475,7 +545,29 @@ object TextAnalysis {
        |FROM d JOIN m ON d.lang = m.lang
        |GROUP BY d.lang, m.med, m.mad""".stripMargin
 
+  /** Exact values only; within_bound is literally TRUE — the row
+    * hash-matches iff Spark's sketch landed inside its contract.
+    */
+  private val approxStatsSql =
+    """WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) rn
+      |           FROM documents),
+      |n AS (SELECT count(*) n FROM documents),
+      |t AS (SELECT unnest([500, 900]) pm),
+      |q AS (SELECT pm, (SELECT n_chars FROM r, n WHERE rn = (pm * n.n + 999) // 1000) v
+      |      FROM t)
+      |SELECT 'distinct_users' AS metric,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_value,
+      |       true AS within_bound FROM events
+      |UNION ALL
+      |SELECT 'distinct_events', CAST(count(DISTINCT event_id) AS BIGINT), true
+      |FROM events
+      |UNION ALL
+      |SELECT 'p500_chars', CAST(v AS BIGINT), true FROM q WHERE pm = 500
+      |UNION ALL
+      |SELECT 'p900_chars', CAST(v AS BIGINT), true FROM q WHERE pm = 900""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q90_approx_stats" -> approxStatsSql,
     "q87_robust_outliers" -> robustOutliersSql,
     "q82_bpe_pairs" -> bpePairsSql,
     "q71_heavy_hitters" -> heavyHittersSql,

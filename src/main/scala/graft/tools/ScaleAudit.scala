@@ -24,7 +24,8 @@ object ScaleAudit {
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink", "q62_bucketed_stats", "q69_stream_stream_join",
       "q76_stream_funnel", "q77_optimize_sink", "q80_asof_read",
-      "q81_change_feed", "q84_stream_dedup_ttl")
+      "q81_change_feed", "q84_stream_dedup_ttl", "q89_ordered_reexport",
+      "q91_clusters_converged")
     println("| query | shuffles | broadcasts | join strategies | pushed filter |")
     println("|---|---|---|---|---|")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -79,7 +79,8 @@ class PlanSpec extends AnyFunSuite {
       "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
       "q65_runtime_prune", "q76_stream_funnel", "q77_optimize_sink",
       "q79_secondary_index", "q80_asof_read", "q81_change_feed",
-      "q84_stream_dedup_ttl")
+      "q84_stream_dedup_ttl", "q89_ordered_reexport",
+      "q91_clusters_converged")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
@@ -146,6 +147,30 @@ class PlanSpec extends AnyFunSuite {
     // single-file buckets) elides the merge join's Sorts too
     assert(!plan.contains("Sort "),
       s"expected sort-free merge via reported ordering:\n${plan.take(3000)}")
+  }
+
+  test("q89 ordered re-export plans NO Sort and NO Exchange (reported ordering)") {
+    val df = graft.operators.Sink.orderedReexportFrame(spark, sf0001)
+    df.collect() // finalize the (possibly AQE-wrapped) plan
+    val plan = physical(df)
+    // the explicit sortWithinPartitions(key) is satisfied by the
+    // scan's sidecar-attested reported ordering and elided entirely
+    assert(!plan.contains("Sort "),
+      s"expected the rewrite's sort to be elided:\n${plan.take(3000)}")
+    assert(!plan.contains("Exchange"),
+      s"expected a pure-copy rewrite, got:\n${plan.take(3000)}")
+    // the rewritten files re-attest sortedness, so the property
+    // survives any number of rewrite generations
+    val out = graft.operators.Sink.reexportFixture(spark, sf0001)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val files = graft.sources.ProtoZstFiles.list(out, conf)
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val r = graft.sources.RangeSidecar
+        .read(fs, new org.apache.hadoop.fs.Path(f))
+      assert(r.nonEmpty && r.get.sorted, f)
+    }
   }
 
   test("q62 per-key aggregation over bucketed sink files plans ZERO exchanges") {
