@@ -266,7 +266,22 @@ object Events {
       .agg(count(lit(1)))
       .na.fill(0L, EventTypes)
 
+  /** q93: UNPIVOT — q88's wide cross-tab melted back to long form
+    * (`Dataset.unpivot`), the inverse reshaping a feature store needs
+    * when wide reporting tables feed long-form consumers (metric
+    * stores, plotting, per-(entity, metric) joins). Plans as a single
+    * row-local Expand over the pivot — no additional shuffle — and
+    * missing (day, type) combinations survive as explicit 0 rows (the
+    * pivot materialized them), which the oracle reproduces with a
+    * day×type scaffold left-joined to the counts.
+    */
+  def unpivotDaily(spark: SparkSession, dir: String): DataFrame =
+    pivotDaily(spark, dir)
+      .unpivot(Array(col("day_bucket")), EventTypes.map(col).toArray,
+        "event_type", "n_events")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_unpivot" -> unpivotDaily,
     "q88_pivot" -> pivotDaily,
     "q86_session_window" -> sessionWindowAgg,
     "q75_funnel" -> funnel,
@@ -359,7 +374,21 @@ object Events {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  private val unpivotSql = {
+    val typeRows = EventTypes.map(t => s"('$t')").mkString(", ")
+    s"""WITH c AS (SELECT epoch_us(ts) // $DayUs AS day_bucket, event_type,
+       |             count(*) n FROM events GROUP BY 1, 2),
+       |d AS (SELECT DISTINCT epoch_us(ts) // $DayUs AS day_bucket FROM events),
+       |t (event_type) AS (VALUES $typeRows)
+       |SELECT d.day_bucket, t.event_type,
+       |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+       |FROM d CROSS JOIN t
+       |LEFT JOIN c ON c.day_bucket = d.day_bucket
+       |           AND c.event_type = t.event_type""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q93_unpivot" -> unpivotSql,
     "q88_pivot" -> pivotSql,
     // the gap-based q27 replay, minus the session ordinal the native
     // operator doesn't expose

@@ -344,7 +344,41 @@ object Relational {
         (sum(col("qc")).cast("double") / 100.0).as("sum_qty"))
   }
 
+  /** q92: DATA PROFILING — the ANALYZE-style one-pass table profile a
+    * pipeline runs before trusting a new corpus drop: per column, the
+    * null count, exact distinct count, and min/max (computed in the
+    * column's native type, then rendered as strings so one long-form
+    * schema fits every column). All five columns profile in ONE
+    * aggregation (Spark plans the multi-distinct via Expand — a 5×
+    * row blowup into a single shuffle with map-side partials), then
+    * the 1-row wide result explodes to long form row-locally.
+    *
+    * Scale: Expand's blowup is the exact-distinct price; at 100 TB a
+    * deployment swaps `countDistinct` for q90's bound-checked
+    * `approx_count_distinct` per column — same plan shape minus the
+    * Expand — which is why the two queries sit side by side.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    d.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col("n_rows"),
+          col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_value"), col(s"mx_$c").as("max_value"))): _*))
+        .as("s"))
+      .select(col("s.column"), col("s.n_rows"), col("s.n_nulls"),
+        col("s.n_distinct"), col("s.min_value"), col("s.max_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_profile" -> profile,
     "q72_salted_join" -> saltedJoin,
     "q55_global_rank" -> globalRank,
     "q08_agg_pricing" -> aggPricing,
@@ -357,7 +391,20 @@ object Relational {
     "q12_anti_join" -> antiJoin,
     "q13_semi_join" -> semiJoin)
 
+  private val profileSql = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q92_profile" -> profileSql,
     "q72_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty

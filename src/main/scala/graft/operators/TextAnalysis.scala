@@ -242,6 +242,42 @@ object TextAnalysis {
     hll.unionByName(pct)
   }
 
+  /** q94: UNIGRAM-LM QUALITY SCORE — the CCNet-style language-model
+    * filter signal, made engine-portable and exactly integer: train a
+    * unigram LM on the corpus itself (token frequencies), then score
+    * each document by its mean per-token SURPRISAL in whole bits —
+    * `bits(w) = floor(log2(N_total / cnt(w)))`, computed exactly as
+    * `length(bin(N DIV cnt)) - 1` (no floating log anywhere, so the
+    * DuckDB oracle — `printf('%b')` — hash-matches bit-for-bit). Low
+    * scores flag stopword/boilerplate-heavy docs, high scores flag
+    * rare-token noise; production pipelines keep the middle band
+    * (CCNet's head/middle/tail split over LM perplexity).
+    *
+    * Scale shape: the tf table is the q33 tfidf shuffle reused
+    * (map-side partials, (doc, word) grain); the LM is a per-word
+    * aggregate of it; scoring is one equi-join on word (AQE broadcasts
+    * the vocab while it fits, shuffles when it doesn't) and one
+    * per-doc aggregate. Training corpus = scoring corpus here; a real
+    * deployment trains once and reuses the vocab table across drops.
+    */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      // feeds the LM aggregate, the corpus total AND the score join
+      .localCheckpoint(false)
+    val cnt = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
+    val total = tf.agg(sum(col("tf")).as("n_total"))
+    val bits = withScalar(cnt, total)
+      .withColumn("bits", expr("length(bin(n_total DIV cnt)) - 1"))
+      .select(col("w"), col("bits"))
+    tf.join(bits, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .withColumn("surprisal_milli", expr("sum_bits * 1000 DIV n_tokens"))
+  }
+
   /** Sequence-packing budget (tokens per training sequence) and shard
     * granularity (docs per shard) for q57.
     */
@@ -415,6 +451,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_lm_quality" -> lmQuality,
     "q90_approx_stats" -> approxStats,
     "q87_robust_outliers" -> robustOutliers,
     "q82_bpe_pairs" -> bpePairs,
@@ -566,7 +603,21 @@ object TextAnalysis {
       |UNION ALL
       |SELECT 'p900_chars', CAST(v AS BIGINT), true FROM q WHERE pm = 900""".stripMargin
 
+  private val lmQualitySql =
+    s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) w FROM w),
+       |tf AS (SELECT doc_id, w, count(*) tf FROM tok GROUP BY 1, 2),
+       |c AS (SELECT w, CAST(sum(tf) AS BIGINT) cnt FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(sum(tf) AS BIGINT) n_total FROM tf),
+       |b AS (SELECT w, length(printf('%b', n_total // cnt)) - 1 AS bits
+       |      FROM c, n)
+       |SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |       CAST(sum(tf * bits) AS BIGINT) AS sum_bits,
+       |       CAST(sum(tf * bits) * 1000 // sum(tf) AS BIGINT) AS surprisal_milli
+       |FROM tf JOIN b USING (w) GROUP BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q94_lm_quality" -> lmQualitySql,
     "q90_approx_stats" -> approxStatsSql,
     "q87_robust_outliers" -> robustOutliersSql,
     "q82_bpe_pairs" -> bpePairsSql,

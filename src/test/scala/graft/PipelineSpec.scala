@@ -513,6 +513,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q92 profile: key column is unique and null-free; row counts agree") {
+    val p = graft.operators.Relational.profile(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = Tables.documents(spark, sf0001).count()
+    p.foreach { case (c, (rows, nulls, _)) =>
+      assert(rows === n, c); assert(nulls === 0L, c)
+    }
+    // doc_id is the primary key: exactly one distinct value per row
+    assert(p("doc_id")._3 === n)
+    assert(p("lang")._3 <= 10) // bounded language set
+  }
+
+  test("q93 unpivot inverts q88: counts conserve and scaffold is complete") {
+    val long = Events.unpivotDaily(spark, sf0001)
+    val days = Tables.events(spark, sf0001)
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("d")).distinct().count()
+    assert(long.count() === days * 5) // full day x type scaffold
+    val total = long.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sf0001).count())
+  }
+
+  test("q94 lm surprisal: token conservation and sane bit range") {
+    val q = graft.operators.TextAnalysis.lmQuality(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    assert(q.count() === docs.count())
+    // every token scores: per-doc token counts sum to the corpus total
+    val corpusToks = docs
+      .agg(sum(size(graft.functions.Portable.words(col("text")))))
+      .collect()(0).getLong(0)
+    assert(q.agg(sum(col("n_tokens"))).collect()(0).getLong(0) === corpusToks)
+    // mean surprisal is positive and under 64 bits/token by construction
+    val bounds = q.agg(min(col("surprisal_milli")), max(col("surprisal_milli")))
+      .collect()(0)
+    assert(bounds.getLong(0) >= 0L && bounds.getLong(1) < 64000L)
+  }
+
   test("q75 funnel only counts steps at-or-after the previous step") {
     import spark.implicits._
     val ev = Seq(
