@@ -303,7 +303,11 @@ object Sink {
     val b = spark.table(graft.sources.GraftCatalog.tableName(g1)).as("g1")
     val emptyCols = array()
       .cast("array<struct<name:binary,value:binary,write_time:bigint>>")
-    a.join(b, col("g0.key") === col("g1.key"), "fullouter")
+    // merge hint: generations are never broadcast-sized at 100 TB; pin
+    // the scale-representative zero-exchange storage-partitioned merge
+    // even at test SFs, where the reported sidecar stats (small!) would
+    // otherwise let the planner pick a broadcast join
+    a.join(b.hint("merge"), col("g0.key") === col("g1.key"), "fullouter")
       .select(coalesce(col("g0.key"), col("g1.key")).as("key"),
         graft.functions.ArrayOps.merge_columns(
           coalesce(col("g0.columns"), emptyCols),
@@ -611,7 +615,9 @@ object Sink {
     val emptyCols = array()
       .cast("array<struct<name:binary,value:binary,write_time:bigint>>")
     visible(g0).as("g0")
-      .join(visible(g1).as("g1"), col("g0.key") === col("g1.key"), "fullouter")
+      // merge hint: see compactSink — pin the at-scale SPJ strategy
+      .join(visible(g1).as("g1").hint("merge"),
+        col("g0.key") === col("g1.key"), "fullouter")
       .select(coalesce(col("g0.key"), col("g1.key")).as("key"),
         graft.functions.ArrayOps.merge_columns(
           coalesce(col("g0.columns"), emptyCols),
@@ -648,7 +654,8 @@ object Sink {
     val base = spark.table(graft.sources.GraftCatalog.tableName(g0))
       .select(col("key"), col("columns").as("base_cols"))
     val overlay = spark.table(graft.sources.GraftCatalog.tableName(g1))
-    overlay.join(base, Seq("key"), "left")
+    // merge hint: see compactSink — pin the at-scale SPJ strategy
+    overlay.join(base.hint("merge"), Seq("key"), "left")
       .select(col("key"), explode(col("columns")).as("c"), col("base_cols"))
       .withColumn("old", element_at(
         filter(col("base_cols"), o => o.getField("name") === col("c.name")), 1))

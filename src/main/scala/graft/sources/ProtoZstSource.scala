@@ -405,6 +405,7 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   // captured on the driver at scan-build time; ships to executors with
   // the reader factory
@@ -495,6 +496,46 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
       Array(Expressions.sort(Expressions.column("key"),
         SortDirection.ASCENDING))
     else Array.empty
+  }
+
+  /** Conservative decoded-size multiplier over the on-disk zstd bytes:
+    * text-heavy cell payloads decompress ~3-5×; overestimating keeps a
+    * borderline table OUT of broadcast rather than broadcasting
+    * something too big.
+    */
+  private val DecodeExpansion = 4L
+
+  /** Plan-time table statistics from metadata the sink already wrote:
+    * row count = the sum of per-file sidecar counts (absent if ANY
+    * planned file lacks a counted sidecar — absence degrades to
+    * unknown, never lies), size = on-disk bytes × [[DecodeExpansion]].
+    * Without this a DSv2 relation defaults to "unknown = huge", so a
+    * SMALL sink directory joined to a big fact table is never chosen
+    * as the broadcast side at plan time — at 100 TB that's the
+    * difference between shipping a dimension-sized corpus slice to
+    * every executor task's hash table and shuffling the fact table.
+    * Stats are computed over [[plannedFiles]], i.e. AFTER plan-time
+    * sidecar range skipping, so a selective key predicate shrinks the
+    * estimate the same way partition pruning shrinks parquet's.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val fs = new org.apache.hadoop.fs.Path(paths.head)
+      .getFileSystem(conf.value)
+    val bytes = plannedFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val sides = plannedFiles.map(f =>
+      RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)))
+    val rows =
+      if (sides.forall(s => s.isDefined && s.get.count >= 0L))
+        java.util.OptionalLong.of(sides.map(_.get.count).sum)
+      else java.util.OptionalLong.empty()
+    val size = math.max(1L, bytes * DecodeExpansion)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong = rows
+    }
   }
 
   // one partition per file == the reference's per-file unit of work;

@@ -149,6 +149,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected sort-free merge via reported ordering:\n${plan.take(3000)}")
   }
 
+  test("reported sidecar statistics make a small sink dir the broadcast side") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Sink.nestedFixture(spark, sf0001)
+    val small = spark.read.format("proto-zst").load(out)
+      .select(decode(col("key"), "UTF-8").cast("long").as("k"))
+    val big = graft.sources.Tables.lineitem(spark, sf0001)
+    // NO hint, NO explicit broadcast(): the scan's estimateStatistics
+    // (sidecar row counts + bytes x expansion) must make the planner
+    // choose the sink side as the build side on its own — the
+    // plan-time decision a stats-less DSv2 relation (unknown = huge)
+    // can never make
+    val j = big.join(small, big("l_orderkey") === small("k"))
+    j.collect()
+    val plan = physical(j)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("BuildRight"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q89 ordered re-export plans NO Sort and NO Exchange (reported ordering)") {
     val df = graft.operators.Sink.orderedReexportFrame(spark, sf0001)
     df.collect() // finalize the (possibly AQE-wrapped) plan
