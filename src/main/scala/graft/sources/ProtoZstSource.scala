@@ -182,6 +182,14 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
   // with ignoreCorrupt=true a file whose tail fails to decode yields
   // its valid prefix instead of failing the task.
   private val ignoreCorrupt = options.getBoolean("ignoreCorrupt", false)
+  // streaming admission control: cap files per micro-batch (parquet
+  // file-source parity); 0/absent = unlimited
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
   private var required: StructType = ProtoZstTable.Schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var aggregated: Option[(StructType, Array[Any], String)] = None
@@ -278,7 +286,8 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     case Some((schema, values, desc)) =>
       new ProtoZstAggScan(paths.mkString(","), schema, values, desc)
     case None =>
-      new ProtoZstScan(paths, ignoreCorrupt, required, pushed, buckets, viaCatalog)
+      new ProtoZstScan(paths, ignoreCorrupt, required, pushed, buckets,
+        viaCatalog, maxFilesPerTrigger)
   }
 }
 
@@ -401,7 +410,8 @@ object ProtoZstScan {
 class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     override val readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    buckets: Option[Int] = None, viaCatalog: Boolean = false) extends Scan
+    buckets: Option[Int] = None, viaCatalog: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan
     with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -568,7 +578,8 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     if (paths.length != 1)
       throw new UnsupportedOperationException(
         "proto-zst streaming read monitors exactly one directory, got " + paths)
-    new ProtoZstMicroBatchStream(paths.head, ignoreCorrupt, readSchema, filters)
+    new ProtoZstMicroBatchStream(paths.head, ignoreCorrupt, readSchema,
+      filters, maxFilesPerTrigger)
   }
 }
 
@@ -591,12 +602,43 @@ case class ProtoZstOffset(n: Int)
   */
 class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
     readSchema: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   // the stream object lives on the driver; only the reader factory ships
   private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
+
+  /** Admission control (parquet file-source parity): with
+    * `maxFilesPerTrigger` set, each micro-batch admits at most that
+    * many NEW files — ingest backpressure for a directory that
+    * accumulates faster than one batch should swallow. Under
+    * `Trigger.AvailableNow` the target end offset is FIXED at prepare
+    * time, so a rate-limited run processes exactly the files present
+    * at start across ceil(n/limit) batches and then terminates, even
+    * while new files keep landing (they belong to the next run).
+    */
+  @volatile private var fixedEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    fixedEnd = Some(ProtoZstFiles.list(path, conf.value).length)
+  private def available(): Int =
+    fixedEnd.getOrElse(ProtoZstFiles.list(path, conf.value).length)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ProtoZstOffset].n
+    val total = available()
+    val end = limit match {
+      case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
+      case _ => total
+    }
+    ProtoZstOffset(end)
+  }
+  override def reportLatestOffset(): Offset = ProtoZstOffset(available())
 
   override def initialOffset(): Offset = ProtoZstOffset(0)
   override def latestOffset(): Offset =

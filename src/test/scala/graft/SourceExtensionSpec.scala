@@ -149,6 +149,36 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(stream.deserializeOffset(o2.json()).json() === o2.json())
   }
 
+  test("maxFilesPerTrigger rate-limits the stream; AvailableNow still drains all") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ratelim")
+      .toFile.getAbsolutePath
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), outDir)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val nFiles = graft.sources.ProtoZstFiles.list(outDir, conf).length
+    assert(nFiles >= 2)
+    val name = "q48_ratelimit_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("proto-zst")
+      .option("maxFilesPerTrigger", 1)
+      .load(outDir)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one file admitted per micro-batch, and the run drains exactly
+    // the files present at prepare time
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === nFiles,
+      s"expected $nFiles single-file batches, got $dataBatches")
+    // rate limiting must not change WHAT is delivered, only when
+    val batchTotal = spark.table(name).count()
+    val full = spark.read.format("proto-zst").load(outDir)
+      .select(explode(col("columns"))).count()
+    assert(batchTotal === full)
+  }
+
   test("micro-batch stream skips sliced files by range sidecar; offsets count all") {
     import graft.sources.{ProtoZstMicroBatchStream, ProtoZstTable}
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
