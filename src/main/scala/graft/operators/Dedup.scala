@@ -401,7 +401,72 @@ object Dedup {
           s => s.getField("chunk")), " "), lit("")).as("cleaned_text"))
   }
 
+  private val CdcMod = 8L // expected CDC chunk length in words
+
+  /** q95: CONTENT-DEFINED CHUNKING dedup — q66's sub-document dedup
+    * with boundaries chosen by CONTENT, not position: a chunk ends at
+    * word `i` where the 3-gram hash ending there ≡ 0 (mod [[CdcMod]])
+    * (and always at the document end). Fixed-stride chunking (q66)
+    * breaks on insertion — one added word shifts every later chunk and
+    * nothing dedupes; content-defined boundaries re-synchronize within
+    * one expected chunk length, so shared passages dedupe regardless
+    * of where they sit (the rolling-hash trick rsync/CDC storage and
+    * corpus near-dedup pipelines use). Expected chunk ≈ [[CdcMod]]
+    * words; first occurrence by (doc_id, chunk index) wins, same
+    * contract as q66.
+    *
+    * Scale shape: boundary detection is ROW-LOCAL (the shingle-hash
+    * kernel computes every 3-gram hash in one codegen pass; the
+    * boundary filter and span slicing are array ops on the row);
+    * the dedup is q66's one (chunk-hash) shuffle + one per-doc
+    * aggregate — nothing new moves.
+    */
+  def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcDedupOf(Tables.documents(spark, dir))
+
+  /** The q95 kernel over any (doc_id, text) frame — split out so the
+    * spec can prove the re-synchronization property on constructed
+    * documents (a word inserted up front must not stop later chunks
+    * from deduping, which is exactly where fixed-stride q66 fails).
+    */
+  private[graft] def cdcDedupOf(docs: DataFrame): DataFrame = {
+    val inst = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("hs",
+        graft.functions.HashOps.shingle_hash60(col("ws"), 3))
+      .withColumn("bounds", expr(
+        s"""filter(transform(sequence(1L, CAST(size(ws) AS BIGINT)),
+           |  i -> CASE WHEN i = CAST(size(ws) AS BIGINT)
+           |            OR (i >= 3 AND i < CAST(size(ws) AS BIGINT)
+           |                AND element_at(hs, CAST(i - 2 AS INT)) % $CdcMod = 0)
+           |       THEN i END),
+           |  x -> x IS NOT NULL)""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(bounds, (b, i) -> struct(
+          |  CAST(i AS BIGINT) AS ci,
+          |  array_join(slice(ws,
+          |    CASE WHEN i = 0 THEN 1
+          |         ELSE CAST(element_at(bounds, i) + 1 AS INT) END,
+          |    CAST(b - (CASE WHEN i = 0 THEN 0L
+          |                   ELSE element_at(bounds, i) END) AS INT)),
+          |    ' ') AS chunk))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.ci"), col("c.chunk"))
+      .withColumn("h", hash60(col("chunk")))
+      .withColumn("ord", col("doc_id") * lit(1000000L) + col("ci"))
+    val first = inst.groupBy(col("h")).agg(min(col("ord")).as("keep_ord"))
+    inst.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ord") =!= col("keep_ord"), 1L).otherwise(0L)).as("n_removed"),
+        nullif(array_join(transform(
+          array_sort(collect_list(when(col("ord") === col("keep_ord"),
+            struct(col("ci"), col("chunk"))))),
+          s => s.getField("chunk")), " "), lit("")).as("cleaned_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_cdc_chunks" -> dedupCdcChunks,
     "q14_dedup_exact" -> dedupExact,
     "q15_dedup_minhash" -> dedupMinhash,
     "q16_dedup_simhash" -> dedupSimhash,
@@ -548,7 +613,30 @@ object Dedup {
        |  string_agg(chunk, ' ' ORDER BY ci) FILTER (ord = keep_ord) AS cleaned_text
        |FROM h JOIN k USING (h) GROUP BY doc_id""".stripMargin
 
+  private val cdcChunkSql =
+    s"""WITH w0 AS (SELECT doc_id, ws
+       |  FROM (SELECT doc_id, $sqlWords ws FROM documents) WHERE len(ws) > 0),
+       |g AS (SELECT doc_id, ws, list_transform(range(1, len(ws)-1),
+       |        i -> ${sqlHash60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}) hs
+       |      FROM w0),
+       |b AS (SELECT doc_id, ws, list_filter(list_transform(range(1, len(ws)+1),
+       |        i -> CASE WHEN i = len(ws) OR (i >= 3 AND i < len(ws)
+       |                  AND hs[i-2] % $CdcMod = 0) THEN i END),
+       |        x -> x IS NOT NULL) bounds FROM g),
+       |c AS (SELECT doc_id, CAST(i AS BIGINT) ci,
+       |        array_to_string(ws[(CASE WHEN i = 0 THEN 0 ELSE bounds[i] END)+1
+       |          : bounds[i+1]], ' ') chunk
+       |      FROM b, LATERAL unnest(range(len(bounds))) t(i)),
+       |h AS (SELECT doc_id, ci, chunk, ${sqlHash60("chunk")} h,
+       |        doc_id*1000000 + ci ord FROM c),
+       |k AS (SELECT h, min(ord) keep_ord FROM h GROUP BY h)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  count(*) FILTER (ord <> keep_ord) AS n_removed,
+       |  string_agg(chunk, ' ' ORDER BY ci) FILTER (ord = keep_ord) AS cleaned_text
+       |FROM h JOIN k USING (h) GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q95_cdc_chunks" -> cdcChunkSql,
     "q54_dup_clusters" -> clustersSql,
     "q91_clusters_converged" -> clustersSql,
     "q58_dedup_incremental" -> incrementalSql,

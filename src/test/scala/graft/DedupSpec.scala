@@ -167,4 +167,22 @@ class DedupSpec extends AnyFunSuite {
       assert(cleaned === untouched(id).mkString(" "), s"doc $id altered")
     }
   }
+
+  test("q95 CDC chunking re-synchronizes after an insertion (q66's failure mode)") {
+    import spark.implicits._
+    // ~200 words of varied content, then doc 2 = one word prepended:
+    // every fixed-stride chunk shifts, but content-defined boundaries
+    // realign within one expected chunk length
+    val base = (1 to 200).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val docs = Seq((1L, base), (2L, "INSERTED " + base)).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.cdcDedupOf(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n1, rem1) = got(1L)
+    val (n2, rem2) = got(2L)
+    assert(rem1 === 0L) // first occurrence keeps everything
+    // all but the perturbed leading chunk(s) dedupe against doc 1
+    assert(rem2 >= n2 - 2,
+      s"CDC failed to re-sync: only $rem2 of $n2 chunks deduped")
+    assert(n1 > 10) // non-vacuous chunking at this length
+  }
 }
