@@ -465,7 +465,41 @@ object Dedup {
           s => s.getField("chunk")), " "), lit("")).as("cleaned_text"))
   }
 
+  /** q96: SPLIT LEAKAGE AUDIT — assign every document a deterministic
+    * content-hash train/val/test split (800/100/100 of 1000 buckets on
+    * `hash60(text)` — exact duplicates land in the SAME split by
+    * construction, so exact-dup contamination is impossible), then
+    * count the q15 verified near-dup pairs by (split_a, split_b): any
+    * pair crossing splits is evaluation leakage a dedup-unaware split
+    * would ship. The audit every train/test separation needs before a
+    * benchmark number can be trusted, complementing q51 (external
+    * probe-set contamination) with INTERNAL split hygiene.
+    *
+    * Scale shape: split assignment is a row-local hash; the audit
+    * joins the (near-dup-sized, not corpus-sized) pair set to the
+    * assignment twice on doc id — equi-joins AQE sizes freely — and
+    * aggregates a ≤9-row grid. Cost ∝ near-dup pairs, the same
+    * candidate set q15 already bounded by banding.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir)
+      .select(col("doc_id"), (hash60(col("text")) % 1000).as("m"))
+      .select(col("doc_id"),
+        when(col("m") < 800, "train").when(col("m") < 900, "val")
+          .otherwise("test").as("split"))
+    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_split_leakage" -> splitLeakage,
     "q95_cdc_chunks" -> dedupCdcChunks,
     "q14_dedup_exact" -> dedupExact,
     "q15_dedup_minhash" -> dedupMinhash,
@@ -635,7 +669,23 @@ object Dedup {
        |  string_agg(chunk, ' ' ORDER BY ci) FILTER (ord = keep_ord) AS cleaned_text
        |FROM h JOIN k USING (h) GROUP BY doc_id""".stripMargin
 
+  private val splitLeakageSql =
+    """WITH pr AS (SELECT doc_a, doc_b FROM (@PAIRS@)),
+       |s AS (SELECT doc_id,
+       |        CASE WHEN m < 800 THEN 'train' WHEN m < 900 THEN 'val'
+       |             ELSE 'test' END split
+       |      FROM (SELECT doc_id, @H60@ % 1000 m FROM documents))
+       |SELECT sa.split AS split_a, sb.split AS split_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       sa.split <> sb.split AS leaked
+       |FROM pr JOIN s sa ON pr.doc_a = sa.doc_id
+       |        JOIN s sb ON pr.doc_b = sb.doc_id
+       |GROUP BY 1, 2, 4""".stripMargin
+      .replace("@PAIRS@", minhashSql)
+      .replace("@H60@", sqlHash60("text"))
+
   val oracle: Map[String, String] = Map(
+    "q96_split_leakage" -> splitLeakageSql,
     "q95_cdc_chunks" -> cdcChunkSql,
     "q54_dup_clusters" -> clustersSql,
     "q91_clusters_converged" -> clustersSql,

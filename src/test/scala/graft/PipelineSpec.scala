@@ -513,6 +513,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q84 state is provider-portable: RocksDB store yields identical results") {
+    // the spill-to-disk provider a 100 TB streaming deployment runs
+    // (state larger than executor memory) must agree with the default
+    // in-memory HDFS-backed store bit-for-bit
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val rocks =
+      try Streaming.streamDedupTtl(spark, sf0001)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    val default = Streaming.streamDedupTtl(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rocks === default)
+    assert(rocks.values.sum === Tables.events(spark, sf0001).count())
+  }
+
   test("q92 profile: key column is unique and null-free; row counts agree") {
     val p = graft.operators.Relational.profile(spark, sf0001)
       .collect().map(r => r.getString(0) ->
