@@ -86,7 +86,8 @@ class PlanSpec extends AnyFunSuite {
     // broadcast the K-row (8/16-row) centroid table — bounded by
     // construction at any corpus size
     val nlAllowed = Set("q19_ann_brute", "q45_ann_recall",
-      "q59_kmeans_embed", "q34_ann_ivf", "q85_ann_filtered")
+      "q59_kmeans_embed", "q34_ann_ivf", "q85_ann_filtered",
+      "q97_ann_ivfpq")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
