@@ -20,6 +20,42 @@ case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
 case class FunnelOut(user_id: Long, view_us: Option[Long],
   click_us: Option[Long], purchase_us: Option[Long], funnel_depth: Int)
 
+/** q98 records: per-user online feature accumulator and its emitted
+  * row (top-level for encoders).
+  */
+case class UserFeatAcc(n: Long, vc: Long, last_us: Long)
+case class UserFeatOut(user_id: Long, n_events: Long, sum_vc: Long,
+  last_us: Long)
+
+/** q98's [[org.apache.spark.sql.streaming.StatefulProcessor]]: ONE
+  * ValueState row per user holding (event count, value-cents sum, last
+  * event µs) — the online feature-store shape, expressed in Spark 4's
+  * transformWithState API (typed state variables + TTLConfig +
+  * timers) rather than the single-blob flatMapGroupsWithState state.
+  * TTL here is NONE for oracle parity on the bounded fixture; a
+  * production deployment passes `TTLConfig(Duration)` and dormant
+  * users' state retires without any code change — that config knob
+  * (impossible in the old API without hand-rolled timers) is the
+  * reason this operator exists alongside q31/q76.
+  */
+class UserFeatureProcessor extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, (Long, Long, Long), UserFeatOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[UserFeatAcc] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserFeatAcc]("features",
+      org.apache.spark.sql.Encoders.product[UserFeatAcc], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[UserFeatOut] = {
+    var acc = if (st.exists()) st.get() else UserFeatAcc(0L, 0L, Long.MinValue)
+    rows.foreach { case (_, vc, us) =>
+      acc = UserFeatAcc(acc.n + 1, acc.vc + vc, math.max(acc.last_us, us))
+    }
+    st.update(acc)
+    Iterator.single(UserFeatOut(key, acc.n, acc.vc, acc.last_us))
+  }
+}
+
 /** Structured Streaming path: the q26 daily aggregation executed as a
   * stream — `readStream` file source → event-time derivation +
   * watermark → stateful groupBy → memory sink, driven to completion
@@ -312,6 +348,53 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** q98: ONLINE FEATURE STATE via `transformWithState` — Spark 4's
+    * arbitrary-state API (typed state variables, TTLConfig, timers,
+    * RocksDB-backed) driving a per-user feature row that updates as
+    * events arrive: the keyed-upsert feed a feature store consumes.
+    * Completes the custom-state coverage: flatMapGroupsWithState
+    * (q31/q76, the classic API) and StatefulProcessor (this) both
+    * proven against batch oracles. Requires the RocksDB state store
+    * provider (a transformWithState constraint — and the provider the
+    * portability spec already validates), set per-query here.
+    *
+    * Parity contract: the bounded fixture folds in one micro-batch, so
+    * the single Update-mode row per user IS the final feature vector —
+    * hash-equal to the batch per-user aggregate; a multi-batch run
+    * emits one row per (user, batch) and the downstream upsert keeps
+    * the latest, same as q76.
+    */
+  def streamUserFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val name = "q98_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    val evs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("vc"),
+        expr("ts DIV 1000").as("us"))
+      .as[(Long, Long, Long)]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try withStatePartitions(spark, 8) {
+      val q = evs.groupByKey(_._1)
+        .transformWithState(new UserFeatureProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q98", q)
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+    spark.table(name)
+  }
+
   private val AttributionGapUs = 3600000000L // 1 h view→purchase window
 
   /** q69: STREAM-STREAM JOIN — view events joined to purchase events of
@@ -432,6 +515,7 @@ object Streaming extends Serializable {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_stream_features" -> streamUserFeatures,
     "q84_stream_dedup_ttl" -> streamDedupTtl,
     "q76_stream_funnel" -> streamFunnel,
     "q28_stream_window" -> streamWindowAgg,
@@ -451,6 +535,12 @@ object Streaming extends Serializable {
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // one micro-batch => the emitted row per user IS the final feature
+    // vector: the plain per-user batch aggregate
+    "q98_stream_features" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_vc, " +
+        "max(epoch_us(ts)) AS last_us FROM events GROUP BY user_id"),
     // same exactly-once contract as q43; only the state lifecycle differs
     "q84_stream_dedup_ttl" ->
       ("SELECT event_type, count(*) AS n_events " +
