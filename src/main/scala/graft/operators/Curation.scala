@@ -286,7 +286,57 @@ object Curation {
         col("target_milli"), col("rate_milli"), col("kept_tokens"))
   }
 
+  /** q100: the END-TO-END CURATION PIPELINE as ONE declarative plan —
+    * every document's final disposition through the gates a
+    * pretraining corpus actually runs, in policy order: quality screen
+    * (q22's buckets), exact dedup (q14's content-hash keeper), near
+    * dedup (q15's verified pairs — the higher-id partner is removed),
+    * then the mixture-rate sample (q83's planned per-language rate
+    * applied with q52's append-stable salted-hash sampler). One row
+    * per document with the verdict and its token count — the
+    * "manifest" a downstream tokenize-and-pack stage consumes, and the
+    * proof the engine's curation stages COMPOSE: the whole chain is
+    * one lazy plan (Catalyst fuses the row-local gates; the joins are
+    * the q14/q15 shuffles plus a 5-row broadcast), not a sequence of
+    * materialized intermediate tables.
+    *
+    * Scale: nothing here adds to the component costs — quality is
+    * row-local, the keeper join is q14's hash shuffle, the near-dup
+    * probe is pair-sized, the rate table is 5 rows. At 100 TB the
+    * pipeline IS this plan with a `.write` at the end.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+    val qual = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("quality_bucket"))
+    val keeper = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val near = Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    val rates = mixturePlan(spark, dir).select(col("lang"), col("rate_milli"))
+    docs.join(qual, "doc_id")
+      .join(keeper, "h")
+      .join(near, Seq("doc_id"), "left")
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("bucket",
+        HashOps.md5_prefix60(concat(lit("sample:"),
+          col("doc_id").cast("string"))) % 1000)
+      .withColumn("verdict",
+        when(col("quality_bucket") =!= "ok",
+          concat(lit("low_quality:"), col("quality_bucket")))
+          .when(col("doc_id") =!= col("keep_id"), "dup_exact")
+          .when(col("near_dup"), "dup_near")
+          .when(col("rate_milli").isNull, "no_mixture_slot")
+          .when(col("bucket") >= col("rate_milli"), "sampled_out")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("lang"), col("quality_bucket"),
+        col("n_tokens"), col("verdict"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_pipeline" -> curationPipeline,
     "q83_mixture_plan" -> mixturePlan,
     "q49_redact" -> redact,
     "q50_repetition" -> repetition,
@@ -416,7 +466,40 @@ object Curation {
        |FROM toks JOIN tgt USING (lang), tot""".stripMargin
   }
 
+  /** q100 replay: compose the q22/q14/q15/q83/q52 oracle fragments in
+    * the same gate order.
+    */
+  private val pipelineSql =
+    // stripMargin BEFORE substituting (the clustersSql discipline):
+    // minhashSql contains lines starting with a `||` concat that an
+    // outer stripMargin would truncate to `|`
+    s"""WITH docs AS (SELECT doc_id, lang, md5(text) h, len($sqlWords) n_tokens
+       |             FROM documents),
+       |qual AS (SELECT doc_id, quality_bucket FROM (@QUALITY@)),
+       |keep AS (SELECT h, min(doc_id) keep_id FROM docs GROUP BY h),
+       |near AS (SELECT DISTINCT doc_b AS doc_id FROM (@PAIRS@)),
+       |rates AS (SELECT lang, rate_milli FROM (@RATES@))
+       |SELECT d.doc_id, d.lang, q.quality_bucket,
+       |       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       |       CASE WHEN q.quality_bucket <> 'ok'
+       |              THEN 'low_quality:' || q.quality_bucket
+       |            WHEN d.doc_id <> k.keep_id THEN 'dup_exact'
+       |            WHEN n.doc_id IS NOT NULL THEN 'dup_near'
+       |            WHEN r.rate_milli IS NULL THEN 'no_mixture_slot'
+       |            WHEN ${sqlHash60("'sample:' || CAST(d.doc_id AS VARCHAR)")} % 1000
+       |                 >= r.rate_milli THEN 'sampled_out'
+       |            ELSE 'kept' END AS verdict
+       |FROM docs d
+       |JOIN qual q USING (doc_id)
+       |JOIN keep k USING (h)
+       |LEFT JOIN near n USING (doc_id)
+       |LEFT JOIN rates r USING (lang)""".stripMargin
+      .replace("@QUALITY@", TextAnalysis.qualitySql)
+      .replace("@PAIRS@", Dedup.minhashSql)
+      .replace("@RATES@", mixturePlanSql)
+
   val oracle: Map[String, String] = Map(
+    "q100_pipeline" -> pipelineSql,
     "q83_mixture_plan" -> mixturePlanSql,
     "q49_redact" -> redactSql,
     "q50_repetition" -> repetitionSql,

@@ -540,7 +540,7 @@ object Dedup {
        |                 || ':' || CAST(mhs[2*b+2] AS VARCHAR))) bkey FROM sig)""".stripMargin
   }
 
-  private val minhashSql =
+  private[operators] val minhashSql =
     // stripMargin before substituting (see clustersSql): the prefix
     // holds lines starting with a `||` concat
     """@SB@,

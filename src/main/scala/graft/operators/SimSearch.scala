@@ -47,6 +47,37 @@ object SimSearch {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
   }
 
+  /** q99: brute-force top-K via the TYPED TOP-K AGGREGATOR
+    * ([[graft.functions.TopKScored]]) instead of a per-query window —
+    * the same exact scoring as q19, but ranked by a bounded
+    * partial-aggregating heap: each map task ships at most K rows per
+    * query to the shuffle (the window form shuffles EVERY candidate,
+    * then sorts each group before cutting). Same result by
+    * construction (identical IEEE cosine, identical tie-break), so
+    * q19's oracle hash-checks the aggregator; at 100 TB this shape is
+    * how "top-k per key" composes into any aggregation without a
+    * group-wide sort.
+    */
+  def annTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = base(spark, dir)
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("n2").as("qn2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2"))
+          .as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .agg(new graft.functions.TopKScored(K).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), (col("i") + 1).as("rnk"),
+        col("s._1").as("vec_id"), col("s._2").as("cosine"))
+  }
+
   /** Shared exact re-rank tail for the bucketed ANN variants: join the
     * (q_id, vec_id) candidate pairs back onto the quantised features
     * (query side broadcast), exact integer cosine, per-query top-K.
@@ -642,6 +673,7 @@ object SimSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_topk_agg" -> annTopkAgg,
     "q97_ann_ivfpq" -> annIvfPq,
     "q19_ann_brute" -> annBrute,
     "q20_ann_lsh" -> annLsh,
@@ -983,5 +1015,7 @@ object SimSearch {
     "q68_semantic_dedup" -> semdedupSql,
     "q78_ann_pq" -> pqSql,
     "q85_ann_filtered" -> filteredSql,
-    "q97_ann_ivfpq" -> ivfpqSql)
+    "q97_ann_ivfpq" -> ivfpqSql,
+    // identical result contract to q19 — the aggregator vs window proof
+    "q99_topk_agg" -> bruteSql)
 }

@@ -479,7 +479,7 @@ object TextAnalysis {
        |SELECT doc_id, actual_lang, lang AS pred_lang, sc AS score FROM r WHERE rn = 1""".stripMargin
   }
 
-  private val qualitySql = {
+  private[operators] val qualitySql = {
     val stopList = stops.map(s => s"'$s'").mkString(", ")
     s"""WITH d AS (SELECT doc_id, $sqlWords ws FROM documents),
        |m AS (SELECT doc_id, len(ws) n_words, len(list_distinct(ws)) n_uniq,

@@ -157,4 +157,41 @@ class CurationSpec extends AnyFunSuite {
     for ((lang, kept) <- byLang)
       assert(kept <= total(lang))
   }
+
+  test("q100 pipeline verdicts cover the corpus and agree with component gates") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val res = Curation.curationPipeline(spark, sf0001).cache()
+    val nDocs = docs.size.toLong
+    // exactly one verdict per document
+    assert(res.count() === nDocs)
+    assert(res.select("doc_id").distinct().count() === nDocs)
+    // closed verdict vocabulary
+    res.select("verdict").distinct().collect().map(_.getString(0)).foreach { v =>
+      assert(Set("dup_exact", "dup_near", "no_mixture_slot", "sampled_out",
+        "kept").contains(v) || v.startsWith("low_quality:"), s"verdict $v")
+    }
+    // gates fire in policy order: a kept doc passed EVERY earlier gate
+    val kept = res.filter(col("verdict") === "kept")
+    assert(kept.count() > 0)
+    assert(kept.filter(col("quality_bucket") =!= "ok").count() === 0)
+    // quality gate is authoritative: verdict low_quality iff bucket != ok
+    val qual = TextAnalysis.quality(spark, sf0001)
+      .select(col("doc_id"), col("quality_bucket").as("qb"))
+    assert(res.join(qual, "doc_id")
+      .filter((col("qb") =!= "ok") =!=
+        col("verdict").startsWith("low_quality:")).count() === 0)
+    // every dup_near names a minhash doc_b; every doc_b that reached the
+    // near gate (quality ok, exact keeper) is flagged dup_near
+    val near = Dedup.dedupMinhash(spark, sf0001)
+      .select(col("doc_b").as("doc_id")).distinct()
+    assert(res.filter(col("verdict") === "dup_near")
+      .join(near, Seq("doc_id"), "left_anti").count() === 0)
+    res.join(near, "doc_id").select("verdict").collect()
+      .map(_.getString(0)).foreach { v =>
+        assert(v == "dup_near" || v == "dup_exact" ||
+          v.startsWith("low_quality:"), s"near-dup partner verdict $v")
+      }
+    res.unpersist()
+    ()
+  }
 }

@@ -125,6 +125,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(res((0L, 1)) === best._1)
   }
 
+  test("q99 top-k aggregator output is identical to the q19 window form") {
+    val win = SimSearch.annBrute(spark, sf0001)
+    val agg = SimSearch.annTopkAgg(spark, sf0001)
+    assert(agg.schema.map(f => (f.name, f.dataType)) ===
+      win.schema.map(f => (f.name, f.dataType)))
+    assert(agg.count() === win.count())
+    assert(agg.exceptAll(win).count() === 0)
+    assert(win.exceptAll(agg).count() === 0)
+  }
+
   test("q20 LSH results are a subset-by-construction of scored candidates") {
     val lsh = SimSearch.annLsh(spark, sf0001).collect()
     assert(lsh.nonEmpty)

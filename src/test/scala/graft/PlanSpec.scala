@@ -85,9 +85,10 @@ class PlanSpec extends AnyFunSuite {
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
     // construction at any corpus size
+    // q99 inherits q19's deliberately-broadcast brute-force scorer
     val nlAllowed = Set("q19_ann_brute", "q45_ann_recall",
       "q59_kmeans_embed", "q34_ann_ivf", "q85_ann_filtered",
-      "q97_ann_ivfpq")
+      "q97_ann_ivfpq", "q99_topk_agg")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
