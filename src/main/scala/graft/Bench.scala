@@ -39,7 +39,13 @@ object Bench {
     // query runs twice and reports the min — steady-state time, not
     // first-run plan compilation + whatever the noisy neighbors were
     // doing (observed 2x total swings between back-to-back runs).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for local iteration on one
+    // query's steady-state time; the driver never sets it (full sweep).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, U
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native md5-prefix hash kernels for the dedup/fingerprint hot paths.
@@ -99,6 +99,67 @@ object HashOps {
     UnsafeArrayData.fromPrimitiveArray(arr)
   }
 
+  /** Content-defined chunking of a word array, one linear pass: word i
+    * (1-based) ends a chunk iff `i = n` or (`3 <= i < n` and the hash
+    * of the 3-gram ENDING at i ≡ 0 (mod `mod`)). Returns one
+    * `struct(ci, s, len, h)` per chunk — 0-based chunk index, 1-based
+    * inclusive start, word count, and the 60-bit identity hash. The
+    * identity digest is fed word bytes + `' '` separators directly, so
+    * `h` is byte-identical to `md5_prefix60(array_join(slice(ws, s,
+    * len), ' '))` — the chunk hash the DuckDB oracle computes — with
+    * no chunk string ever built.
+    *
+    * This exists as ONE kernel (boundaries + hashes together) because
+    * the equivalent higher-order-function pipeline is a Catalyst trap:
+    * CollapseProject inlines the shingle-hash array into the boundary
+    * lambda, re-evaluating a whole-document md5 pass PER ELEMENT
+    * (quadratic — measured 25x the cost of this pass at sf0.1), and
+    * `InferFiltersFromGenerate` then duplicates that expression into a
+    * Filter. A single codegen'd expression gives the optimizer nothing
+    * to inline or re-derive.
+    */
+  def cdcChunks60(ws: ArrayData, mod: Int): ArrayData = {
+    val n = ws.numElements()
+    val md = digests.get()
+    // hash of the 3-gram ending at word i (1-based i >= 3): sh(i - 3)
+    // 0-based, same values as shingleHash60(ws, 3)
+    val m = math.max(n - 2, 0)
+    val sh = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      md.reset()
+      var t = 0
+      while (t < 3) {
+        if (t > 0) md.update(' '.toByte)
+        md.update(ws.getUTF8String(j + t).getBytes)
+        t += 1
+      }
+      sh(j) = top60(md.digest())
+      j += 1
+    }
+    val out = new java.util.ArrayList[Any]()
+    var lo = 0 // 0-based exclusive chunk start (= previous bound)
+    var i = 1
+    var ci = 0L
+    while (i <= n) {
+      if (i == n || (i >= 3 && sh(i - 3) % mod == 0)) {
+        md.reset()
+        var w = lo
+        while (w < i) {
+          if (w > lo) md.update(' '.toByte)
+          md.update(ws.getUTF8String(w).getBytes)
+          w += 1
+        }
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ci, lo + 1, i - lo, top60(md.digest()))))
+        ci += 1
+        lo = i
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** `md5_prefix60(s)` — 60-bit md5-prefix hash of a string. */
   def md5_prefix60(s: Column): Column =
     Shim.column(Md5Prefix60Expr(Shim.expression(s)))
@@ -110,6 +171,12 @@ object HashOps {
   /** `shingle_hash60(ws, k)` — hashes of all word k-gram shingles. */
   def shingle_hash60(ws: Column, k: Int): Column =
     Shim.column(ShingleHash60Expr(Shim.expression(ws), k))
+
+  /** `cdc_chunks60(ws, mod)` — content-defined chunk spans + identity
+    * hashes, one linear pass.
+    */
+  def cdc_chunks60(ws: Column, mod: Int): Column =
+    Shim.column(CdcChunks60Expr(Shim.expression(ws), mod))
 }
 
 case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
@@ -135,6 +202,25 @@ case class GramHash60Expr(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.gramHash60($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class CdcChunks60Expr(child: Expression, mod: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ci", LongType, nullable = false),
+    StructField("s", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cdc_chunks60"
+
+  override protected def nullSafeEval(ws: Any): Any =
+    HashOps.cdcChunks60(ws.asInstanceOf[ArrayData], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.cdcChunks60($c, $mod)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

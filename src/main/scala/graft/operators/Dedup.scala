@@ -372,10 +372,11 @@ object Dedup {
     * fixed windows trade boundary-straddling duplicates for exactly
     * this shuffle-bounded plan, the standard engineering compromise.
     *
-    * The first-occurrence key packs (doc_id, chunk_idx) into one
-    * BIGINT (`doc_id * 1e6 + idx`) so both engines take `min` of the
-    * same scalar; valid while documents stay under 10^6 chunks — 10^7
-    * words — per doc (enforce upstream for a pathological corpus).
+    * The first-occurrence key is `min(struct(doc_id, chunk_idx))` —
+    * lexicographic struct ordering, so no packed-scalar range to
+    * overflow however long a pathological document gets; the oracle
+    * mirrors it with a `row_number() OVER (PARTITION BY h ORDER BY
+    * doc_id, ci)` window.
     */
   def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
     val inst = Tables.documents(spark, dir)
@@ -387,16 +388,17 @@ object Dedup {
           .stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("ci"), col("col").as("chunk"))
       .withColumn("h", hash60(col("chunk")))
-      .withColumn("ord", col("doc_id") * lit(1000000L) + col("ci"))
-    val first = inst.groupBy(col("h")).agg(min(col("ord")).as("keep_ord"))
+    val first = inst.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("ci"))).as("keeper"))
     inst.join(first, "h")
+      .withColumn("keep", struct(col("doc_id"), col("ci")) === col("keeper"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("ord") =!= col("keep_ord"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
         // collect_list drops the nulls `when` leaves on removed chunks;
         // sort by (ci, chunk) ≡ ci (ci is unique per doc)
         nullif(array_join(transform(
-          array_sort(collect_list(when(col("ord") === col("keep_ord"),
+          array_sort(collect_list(when(col("keep"),
             struct(col("ci"), col("chunk"))))),
           s => s.getField("chunk")), " "), lit("")).as("cleaned_text"))
   }
@@ -415,11 +417,12 @@ object Dedup {
     * words; first occurrence by (doc_id, chunk index) wins, same
     * contract as q66.
     *
-    * Scale shape: boundary detection is ROW-LOCAL (the shingle-hash
-    * kernel computes every 3-gram hash in one codegen pass; the
-    * boundary filter and span slicing are array ops on the row);
+    * Scale shape: chunking is ROW-LOCAL — one codegen kernel pass per
+    * document computes every 3-gram hash, every boundary, and every
+    * chunk-identity hash ([[graft.functions.HashOps.cdc_chunks60]]);
     * the dedup is q66's one (chunk-hash) shuffle + one per-doc
-    * aggregate — nothing new moves.
+    * aggregate, and the shuffle carries only span offsets + hashes,
+    * never chunk text — nothing new moves.
     */
   def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame =
     cdcDedupOf(Tables.documents(spark, dir))
@@ -428,41 +431,46 @@ object Dedup {
     * spec can prove the re-synchronization property on constructed
     * documents (a word inserted up front must not stop later chunks
     * from deduping, which is exactly where fixed-stride q66 fails).
+    *
+    * Chunking is [[graft.functions.HashOps.cdc_chunks60]] — ONE native
+    * codegen pass computing boundaries AND identity hashes; the digest
+    * eats word bytes + separators straight off the word array,
+    * bit-identical to `hash60(array_join(slice(ws, …), ' '))` (which is
+    * what the DuckDB oracle computes) with ZERO chunk strings built.
+    * Only (doc_id, ci, span-offsets, h) flow through the shuffle; chunk
+    * text is materialized ONCE, for KEPT spans only, by slicing the
+    * original word array after the keep-decision join. First occurrence
+    * is `min(struct(doc_id, ci))` — no packed-scalar key, so a
+    * pathological >10^6-chunk document cannot corrupt keeper selection.
+    * `explode_outer` (not `explode`) keeps `InferFiltersFromGenerate`
+    * from re-deriving the kernel into a Filter that would evaluate it
+    * twice more per row; no row is ever actually null-extended (every
+    * non-empty doc has >= 1 chunk).
     */
   private[graft] def cdcDedupOf(docs: DataFrame): DataFrame = {
-    val inst = docs
+    val base = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
-      .withColumn("hs",
-        graft.functions.HashOps.shingle_hash60(col("ws"), 3))
-      .withColumn("bounds", expr(
-        s"""filter(transform(sequence(1L, CAST(size(ws) AS BIGINT)),
-           |  i -> CASE WHEN i = CAST(size(ws) AS BIGINT)
-           |            OR (i >= 3 AND i < CAST(size(ws) AS BIGINT)
-           |                AND element_at(hs, CAST(i - 2 AS INT)) % $CdcMod = 0)
-           |       THEN i END),
-           |  x -> x IS NOT NULL)""".stripMargin))
-      .select(col("doc_id"), explode(expr(
-        """transform(bounds, (b, i) -> struct(
-          |  CAST(i AS BIGINT) AS ci,
-          |  array_join(slice(ws,
-          |    CASE WHEN i = 0 THEN 1
-          |         ELSE CAST(element_at(bounds, i) + 1 AS INT) END,
-          |    CAST(b - (CASE WHEN i = 0 THEN 0L
-          |                   ELSE element_at(bounds, i) END) AS INT)),
-          |    ' ') AS chunk))""".stripMargin)).as("c"))
-      .select(col("doc_id"), col("c.ci"), col("c.chunk"))
-      .withColumn("h", hash60(col("chunk")))
-      .withColumn("ord", col("doc_id") * lit(1000000L) + col("ci"))
-    val first = inst.groupBy(col("h")).agg(min(col("ord")).as("keep_ord"))
-    inst.join(first, "h")
+    val spans = base
+      .select(col("doc_id"), explode_outer(
+        graft.functions.HashOps.cdc_chunks60(col("ws"), CdcMod.toInt)).as("c"))
+      .select(col("doc_id"), col("c.ci"), col("c.s"), col("c.len"), col("c.h"))
+    val first = spans.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("ci"))).as("keeper"))
+    val decided = spans.join(first, "h")
+      .withColumn("keep", struct(col("doc_id"), col("ci")) === col("keeper"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("ord") =!= col("keep_ord"), 1L).otherwise(0L)).as("n_removed"),
-        nullif(array_join(transform(
-          array_sort(collect_list(when(col("ord") === col("keep_ord"),
-            struct(col("ci"), col("chunk"))))),
-          s => s.getField("chunk")), " "), lit("")).as("cleaned_text"))
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        // collect_list drops the nulls `when` leaves on removed spans;
+        // sort by (ci, s, len) ≡ ci (ci is unique per doc)
+        array_sort(collect_list(when(col("keep"),
+          struct(col("ci"), col("s"), col("len"))))).as("kept"))
+    decided.join(base, "doc_id")
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+        nullif(array_join(flatten(transform(col("kept"),
+          sp => slice(col("ws"), sp.getField("s"), sp.getField("len")))),
+          " "), lit("")).as("cleaned_text"))
   }
 
   /** q96: SPLIT LEAKAGE AUDIT — assign every document a deterministic
@@ -630,8 +638,9 @@ object Dedup {
        |FROM lab JOIN sz USING (cluster_id)""".stripMargin
       .replace("@PAIRS@", minhashSql)
 
-  /** q66 replay: identical chunking, identical 60-bit chunk hash,
-    * identical packed first-occurrence key.
+  /** q66 replay: identical chunking, identical 60-bit chunk hash; the
+    * first-occurrence keeper (`min(struct(doc_id, ci))` in the engine)
+    * expressed as a rank-1 window over the same (doc_id, ci) order.
     */
   private val chunkSql =
     s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
@@ -639,13 +648,12 @@ object Dedup {
        |        array_to_string(ws[CAST(i*$ChunkWords+1 AS BIGINT):CAST((i+1)*$ChunkWords AS BIGINT)], ' ') chunk
        |      FROM w, LATERAL unnest(range((len(ws)-1)//$ChunkWords + 1)) t(i)
        |      WHERE len(ws) > 0),
-       |h AS (SELECT doc_id, ci, chunk, ${sqlHash60("chunk")} h,
-       |        doc_id*1000000 + ci ord FROM c),
-       |k AS (SELECT h, min(ord) keep_ord FROM h GROUP BY h)
+       |h AS (SELECT doc_id, ci, chunk, row_number() OVER (
+       |        PARTITION BY ${sqlHash60("chunk")} ORDER BY doc_id, ci) rn FROM c)
        |SELECT doc_id, count(*) AS n_chunks,
-       |  count(*) FILTER (ord <> keep_ord) AS n_removed,
-       |  string_agg(chunk, ' ' ORDER BY ci) FILTER (ord = keep_ord) AS cleaned_text
-       |FROM h JOIN k USING (h) GROUP BY doc_id""".stripMargin
+       |  count(*) FILTER (rn > 1) AS n_removed,
+       |  string_agg(chunk, ' ' ORDER BY ci) FILTER (rn = 1) AS cleaned_text
+       |FROM h GROUP BY doc_id""".stripMargin
 
   private val cdcChunkSql =
     s"""WITH w0 AS (SELECT doc_id, ws
@@ -661,13 +669,12 @@ object Dedup {
        |        array_to_string(ws[(CASE WHEN i = 0 THEN 0 ELSE bounds[i] END)+1
        |          : bounds[i+1]], ' ') chunk
        |      FROM b, LATERAL unnest(range(len(bounds))) t(i)),
-       |h AS (SELECT doc_id, ci, chunk, ${sqlHash60("chunk")} h,
-       |        doc_id*1000000 + ci ord FROM c),
-       |k AS (SELECT h, min(ord) keep_ord FROM h GROUP BY h)
+       |h AS (SELECT doc_id, ci, chunk, row_number() OVER (
+       |        PARTITION BY ${sqlHash60("chunk")} ORDER BY doc_id, ci) rn FROM c)
        |SELECT doc_id, count(*) AS n_chunks,
-       |  count(*) FILTER (ord <> keep_ord) AS n_removed,
-       |  string_agg(chunk, ' ' ORDER BY ci) FILTER (ord = keep_ord) AS cleaned_text
-       |FROM h JOIN k USING (h) GROUP BY doc_id""".stripMargin
+       |  count(*) FILTER (rn > 1) AS n_removed,
+       |  string_agg(chunk, ' ' ORDER BY ci) FILTER (rn = 1) AS cleaned_text
+       |FROM h GROUP BY doc_id""".stripMargin
 
   private val splitLeakageSql =
     """WITH pr AS (SELECT doc_a, doc_b FROM (@PAIRS@)),

@@ -45,6 +45,41 @@ class HashOpsSpec extends AnyFunSuite {
     assert(df.select(size(col("g"))).as[Int].collect().toSeq === Seq(0, 0, 0))
   }
 
+  test("cdc_chunks60 equals the HOF boundary + hash60-of-joined-slice formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(200)(Seq.fill(1 + rnd.nextInt(60))(
+      rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString))
+    val df = rows.toDF("ws")
+      .withColumn("fast", HashOps.cdc_chunks60(col("ws"), 8))
+      .withColumn("hs", HashOps.shingle_hash60(col("ws"), 3))
+      .withColumn("bounds", expr(
+        """filter(transform(sequence(1L, CAST(size(ws) AS BIGINT)),
+          |  i -> CASE WHEN i = CAST(size(ws) AS BIGINT)
+          |            OR (i >= 3 AND i < CAST(size(ws) AS BIGINT)
+          |                AND element_at(hs, CAST(i - 2 AS INT)) % 8 = 0)
+          |       THEN i END),
+          |  x -> x IS NOT NULL)""".stripMargin))
+      .withColumn("ref", expr(
+        """transform(bounds, (b, i) -> struct(
+          |  CAST(i AS BIGINT) AS ci,
+          |  CASE WHEN i = 0 THEN 1
+          |       ELSE CAST(element_at(bounds, i) + 1 AS INT) END AS s,
+          |  CAST(b - (CASE WHEN i = 0 THEN 0L
+          |                 ELSE element_at(bounds, i) END) AS INT) AS len,
+          |  CAST(conv(substring(md5(array_join(slice(ws,
+          |    CASE WHEN i = 0 THEN 1 ELSE CAST(element_at(bounds, i) + 1 AS INT) END,
+          |    CAST(b - (CASE WHEN i = 0 THEN 0L
+          |                   ELSE element_at(bounds, i) END) AS INT)),
+          |    ' ')), 1, 15), 16, 10) AS BIGINT) AS h))""".stripMargin))
+    assert(df.filter(to_json(col("fast")) =!= to_json(col("ref"))).count() === 0)
+    // every word lands in exactly one chunk, in order
+    assert(df.filter(
+      expr("aggregate(fast, 0L, (a, c) -> CASE WHEN a = CAST(c.s - 1 AS BIGINT)" +
+        " THEN a + c.len ELSE -1000000L END)") =!= size(col("ws")).cast("long"))
+      .count() === 0)
+  }
+
   test("shingle_hash60 equals hash60 of concat_ws-joined word 3-grams") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
