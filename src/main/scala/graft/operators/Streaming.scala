@@ -32,11 +32,16 @@ case class UserFeatOut(user_id: Long, n_events: Long, sum_vc: Long,
   * event µs) — the online feature-store shape, expressed in Spark 4's
   * transformWithState API (typed state variables + TTLConfig +
   * timers) rather than the single-blob flatMapGroupsWithState state.
-  * TTL here is NONE for oracle parity on the bounded fixture; a
-  * production deployment passes `TTLConfig(Duration)` and dormant
-  * users' state retires without any code change — that config knob
-  * (impossible in the old API without hand-rolled timers) is the
-  * reason this operator exists alongside q31/q76.
+  * State lifecycle is covered by this processor's two dedicated
+  * companions, matching the API's own split: TTL state is
+  * processing-time-ONLY (EventTime mode throws
+  * `STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL`, and under
+  * AvailableNow a pending TTL keeps requesting wrap-up batches until
+  * wall time passes it — inherently not oracle-checkable), so the
+  * TTLConfig knob is proven by a spec-local processor with a
+  * sub-second TTL that wall time CAN pass (PipelineSpec "state TTL");
+  * event-time retirement, which IS deterministic, is q101's
+  * driver-checked [[RetiringFeatureProcessor]].
   */
 class UserFeatureProcessor extends org.apache.spark.sql.streaming
     .StatefulProcessor[Long, (Long, Long, Long), UserFeatOut] {
@@ -53,6 +58,57 @@ class UserFeatureProcessor extends org.apache.spark.sql.streaming
     }
     st.update(acc)
     Iterator.single(UserFeatOut(key, acc.n, acc.vc, acc.last_us))
+  }
+}
+
+/** q101's [[org.apache.spark.sql.streaming.StatefulProcessor]]: q98's
+  * per-user feature accumulator plus the state-LIFECYCLE half of the
+  * transformWithState API that q98 leaves dormant — an EVENT-TIME
+  * retirement timer per user and a `TTLConfig` on the state variable.
+  * Each input batch replaces the user's single timer with
+  * `last-event-ms + ttlMs`; when the event-time watermark passes it,
+  * [[handleExpiredTimer]] emits the user's final feature vector and
+  * DROPS the state — the mechanism that keeps a 100 TB feature store's
+  * state proportional to ACTIVE users, not ever-seen users. A user who
+  * re-appears after retirement re-accumulates from zero (proven by
+  * spec). State TTLConfig is NONE by engine contract: TTL state is
+  * processing-time-only and EventTime mode rejects it
+  * (`STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL`); the
+  * processing-time knob is exercised by [[UserFeatureProcessor]].
+  *
+  * Timer semantics pinned against the engine: a timer fires iff
+  * `expiryMs <= watermarkMs` where `watermarkMs = floor(max event-time
+  * µs / 1000) - delay` — the oracle mirrors exactly that comparison.
+  */
+class RetiringFeatureProcessor(ttlMs: Long) extends org.apache.spark.sql
+    .streaming.StatefulProcessor[Long, (Long, Long, Long), UserFeatOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[UserFeatAcc] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserFeatAcc]("features",
+      org.apache.spark.sql.Encoders.product[UserFeatAcc], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[UserFeatOut] = {
+    var acc = if (st.exists()) st.get() else UserFeatAcc(0L, 0L, Long.MinValue)
+    rows.foreach { case (_, vc, us) =>
+      acc = UserFeatAcc(acc.n + 1, acc.vc + vc, math.max(acc.last_us, us))
+    }
+    st.update(acc)
+    // exactly one retirement timer per key: replace any earlier one
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(acc.last_us / 1000 + ttlMs)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[UserFeatOut] = {
+    // guard: state could already be gone (TTL eviction in a long-lived
+    // deployment); a timer without state retires silently
+    if (!st.exists()) Iterator.empty
+    else {
+      val acc = st.get()
+      st.clear()
+      Iterator.single(UserFeatOut(key, acc.n, acc.vc, acc.last_us))
+    }
   }
 }
 
@@ -395,6 +451,60 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** q101 retirement horizon: 12 h of EVENT time without activity. */
+  private val RetireTtlMs = 43200000L
+
+  /** q101: FEATURE-STATE RETIREMENT — q98's online feature state with
+    * the production lifecycle attached: an event-time timer per user
+    * retires dormant keys ([[RetiringFeatureProcessor]]). Emission is
+    * retire-ONLY (active users hold their state silently), so the sink
+    * is exactly the dormant-user ledger — and the batch oracle is the
+    * per-user aggregate filtered to users whose last event predates
+    * the final watermark by >= the TTL. (The state variable itself runs
+    * TTLConfig.NONE: the engine allows state TTL only under
+    * TimeMode.ProcessingTime — q98 exercises that knob — while
+    * event-time timers require TimeMode.EventTime; retirement IS this
+    * query's TTL, driven by data time, which is what makes it
+    * oracle-checkable at all.)
+    *
+    * Scale: state size ∝ active users (dormant keys are deleted by the
+    * engine as their timers fire, not compacted away later); timers
+    * live in the same RocksDB store, partition-local to the key, so
+    * retirement adds no shuffle and no cross-partition coordination.
+    */
+  def streamFeatureRetire(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val name = "q101_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    val evs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("vc"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("ets", timestamp_micros(col("us")))
+      .withWatermark("ets", "0 seconds")
+      .select(col("user_id"), col("vc"), col("us")).as[(Long, Long, Long)]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try withStatePartitions(spark, 8) {
+      val q = evs.groupByKey(_._1)
+        .transformWithState(new RetiringFeatureProcessor(RetireTtlMs),
+          TimeMode.EventTime(), OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q101", q)
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+    spark.table(name)
+  }
+
   private val AttributionGapUs = 3600000000L // 1 h view→purchase window
 
   /** q69: STREAM-STREAM JOIN — view events joined to purchase events of
@@ -515,6 +625,7 @@ object Streaming extends Serializable {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_feature_ttl" -> streamFeatureRetire,
     "q98_stream_features" -> streamUserFeatures,
     "q84_stream_dedup_ttl" -> streamDedupTtl,
     "q76_stream_funnel" -> streamFunnel,
@@ -535,6 +646,17 @@ object Streaming extends Serializable {
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // retire-only emission: the sink holds exactly the users whose
+    // last event predates the final watermark (floor(max µs / 1000),
+    // delay 0) by >= the TTL — the engine's `expiry <= watermark`
+    // comparison, mirrored in integer ms arithmetic
+    "q101_feature_ttl" ->
+      (s"""WITH f AS (SELECT user_id, count(*) AS n_events,
+          |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_vc,
+          |  max(epoch_us(ts)) AS last_us FROM events GROUP BY user_id),
+          |wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events)
+          |SELECT user_id, n_events, sum_vc, last_us FROM f, wm
+          |WHERE last_us // 1000 + $RetireTtlMs <= wm_ms""".stripMargin),
     // one micro-batch => the emitted row per user IS the final feature
     // vector: the plain per-user batch aggregate
     "q98_stream_features" ->

@@ -601,4 +601,119 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) === ((Some(20L), Some(30L), None, 2)))
     assert(got(4L) === ((None, None, None, 0)))
   }
+
+  test("q101 event-time timer retires dormant state; a re-appearing key restarts from zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        spark.sqlContext) // (user_id, vc, us)
+      val ds = in.toDS()
+        .withColumn("ets", timestamp_micros(col("_3")))
+        .withWatermark("ets", "0 seconds")
+        .select(col("_1"), col("_2"), col("_3")).as[(Long, Long, Long)]
+      val q = ds.groupByKey(_._1)
+        .transformWithState(
+          new graft.operators.RetiringFeatureProcessor(1000L), // 1 s TTL
+          TimeMode.EventTime(), OutputMode.Update())
+        .writeStream.format("memory").queryName("q101_spec")
+        .outputMode("update").start()
+      def step(rows: (Long, Long, Long)*): Unit = {
+        in.addData(rows); q.processAllAvailable()
+      }
+      step((1L, 10L, 0L), (2L, 5L, 0L)) // both users born at t=0
+      step((2L, 7L, 5000000L))  // wm -> 5 s after this batch
+      step((2L, 1L, 6000000L))  // user 1 timer (1 s) fires: retire (1,10,0)
+      step((1L, 3L, 7000000L))  // user 1 re-appears
+      step((2L, 1L, 20000000L)) // wm -> 20 s
+      step((2L, 1L, 21000000L)) // user 1 second retirement fires
+      val u1 = spark.table("q101_spec")
+        .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L).toSet
+      q.stop()
+      // first retirement carries the pre-drop accumulator; the second
+      // carries ONLY the post-retirement event — n_events restarts at 1
+      // (2 would mean the timer emitted without dropping state)
+      assert(u1 === Set((1L, 1L, 10L, 0L), (1L, 1L, 3L, 7000000L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState processing-time TTLConfig evicts dormant state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        spark.sqlContext)
+      val q = in.toDS().groupByKey(_._1)
+        .transformWithState(new TtlProbeProcessor(400L),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .writeStream.format("memory").queryName("ttl_spec")
+        .outputMode("update").start()
+      // ProcessingTime mode re-batches continuously (requiresAnotherBatch
+      // stays true while TTL state may expire), so noNewData never
+      // latches and processAllAvailable would block forever: poll the
+      // sink for the expected row count instead.
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table("ttl_spec").count() < n) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $n rows")
+          Thread.sleep(100)
+        }
+      }
+      in.addData((1L, 10L, 1L)); awaitRows(1)
+      Thread.sleep(1500) // let wall time pass the 400 ms state TTL
+      in.addData((1L, 5L, 2L)); awaitRows(2)
+      val rows = spark.table("ttl_spec")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      q.stop()
+      // second emission accumulates from scratch: n_events=1, sum=5 —
+      // (1, 2, 15, 2) here would mean the TTL never evicted
+      assert(rows === Set((1L, 1L, 10L, 1L), (1L, 1L, 5L, 2L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
+
+/** Spec-local TTLConfig probe: q98's accumulator under
+  * TimeMode.ProcessingTime with a sub-second state TTL — the knob is
+  * processing-time-only by engine contract, so it can only be PROVEN
+  * where wall time passes inside the run (here), never in a
+  * driver-checked oracle query (see [[graft.operators.UserFeatureProcessor]]).
+  */
+class TtlProbeProcessor(ttlMillis: Long) extends org.apache.spark.sql
+    .streaming.StatefulProcessor[Long, (Long, Long, Long),
+      graft.operators.UserFeatOut] {
+  import graft.operators.{UserFeatAcc, UserFeatOut}
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[UserFeatAcc] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserFeatAcc]("features",
+      org.apache.spark.sql.Encoders.product[UserFeatAcc],
+      TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[UserFeatOut] = {
+    var acc = if (st.exists()) st.get()
+      else UserFeatAcc(0L, 0L, Long.MinValue)
+    rows.foreach { case (_, vc, us) =>
+      acc = UserFeatAcc(acc.n + 1, acc.vc + vc, math.max(acc.last_us, us))
+    }
+    st.update(acc)
+    Iterator.single(UserFeatOut(key, acc.n, acc.vc, acc.last_us))
+  }
 }
