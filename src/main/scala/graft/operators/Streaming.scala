@@ -560,6 +560,75 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** The q102 join kernel over any pair of streaming frames with the
+    * q69 column contract — split out so the spec can drive it from a
+    * MemoryStream: a constructed un-finalized view must emit NOTHING
+    * (not a premature null row), the boundary view whose window end
+    * EQUALS the watermark pins the strict `<` eviction comparison,
+    * and state metrics must show eviction. (Spec corpus pitfall,
+    * learned the hard way: event times within ~an hour of the 1970
+    * epoch sit below the join's initial state-cleanup cutoffs and the
+    * join silently emits NOTHING — constructed fixtures must use
+    * realistic timestamps.)
+    */
+  private[graft] def outerAttributionOf(views: DataFrame,
+      purchases: DataFrame): DataFrame =
+    views.withWatermark("view_time", "1 hour")
+      .join(purchases.withWatermark("purchase_time", "1 hour"),
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("view_time") &&
+          col("purchase_time") <= col("view_time") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_us"), col("purchase_us"),
+        (col("purchase_us") - col("view_us")).as("gap_us"))
+
+  /** q102: LEFT-OUTER STREAM-STREAM JOIN — q69's attribution join with
+    * the unmatched-view half every attribution pipeline ships: a view
+    * with no purchase inside its 1-hour window emits ONE null-extended
+    * row, but only once the purchase-side event-time watermark has
+    * passed the window's end (before that, a match could still
+    * arrive — emitting earlier would retract). Matched rows emit
+    * exactly as q69's inner join does.
+    *
+    * Scale: same StreamingSymmetricHashJoin as q69 — both sides
+    * hash-partitioned on `user_id`, state bounded to one attribution
+    * window per side by the range condition + watermarks; the outer
+    * half adds NO state, it only turns state EVICTION of a matchless
+    * view row into an emission, so the null-row pass is free at any
+    * corpus size.
+    *
+    * Parity contract (q31's closed-subset discipline): the final
+    * watermark is `floor(max event µs/1000)ms - 1 h`; a view emits its
+    * null row iff `view_ms + 1 h <= watermark` (eviction is
+    * `state < watermark` on ms values — pinned empirically, mirrored
+    * in the oracle). Views younger than that stay in state and emit
+    * nothing; the oracle filters to exactly the finalized set.
+    */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "q102_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("ts DIV 1000").as("view_us"),
+        timestamp_micros(expr("ts DIV 1000")).as("view_time"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        expr("ts DIV 1000").as("purchase_us"),
+        timestamp_micros(expr("ts DIV 1000")).as("purchase_time"))
+    withStatePartitions(spark, 8) {
+      val q = outerAttributionOf(views, purchases)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q102", q)
+    }
+    spark.table(name)
+  }
+
   /** q76: STREAMING FUNNEL — the q75 conversion funnel as live per-user
     * state: `flatMapGroupsWithState` carries ONE [[FunnelState]] (three
     * optional step timestamps) per user and emits the user's current
@@ -625,6 +694,7 @@ object Streaming extends Serializable {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_stream_outer_join" -> streamStreamLeftJoin,
     "q101_feature_ttl" -> streamFeatureRetire,
     "q98_stream_features" -> streamUserFeatures,
     "q84_stream_dedup_ttl" -> streamDedupTtl,
@@ -685,5 +755,33 @@ object Streaming extends Serializable {
           |  ON v.user_id = p.user_id
           | AND v.event_type = 'view' AND p.event_type = 'purchase'
           | AND epoch_us(p.ts) >= epoch_us(v.ts)
-          | AND epoch_us(p.ts) <= epoch_us(v.ts) + $AttributionGapUs""".stripMargin))
+          | AND epoch_us(p.ts) <= epoch_us(v.ts) + $AttributionGapUs""".stripMargin),
+    // q69's matches plus one null row per matchless view, but ONLY for
+    // views finalized by the last watermark. Two watermark nodes (one
+    // per side) each track THEIR max event time; the query watermark is
+    // their MIN (default multipleWatermarkPolicy), so the oracle takes
+    // LEAST of the per-side maxima, minus the 1 h delay. A view's null
+    // row emits when the join window's end lies strictly below it —
+    // `window_end_ms < watermark_ms`, pinned by the boundary spec.
+    "q102_stream_outer_join" ->
+      (s"""WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+          |           FROM events WHERE event_type = 'view'),
+          |p AS (SELECT user_id AS user_p, event_id AS purchase_id,
+          |             epoch_us(ts) AS purchase_us
+          |      FROM events WHERE event_type = 'purchase'),
+          |j AS (SELECT v.user_id, v.view_id, p.purchase_id, v.view_us,
+          |             p.purchase_us
+          |      FROM v LEFT JOIN p ON v.user_id = p.user_p
+          |        AND p.purchase_us >= v.view_us
+          |        AND p.purchase_us <= v.view_us + $AttributionGapUs),
+          |wm AS (SELECT LEAST((SELECT max(epoch_us(ts)) // 1000 FROM events
+          |                     WHERE event_type = 'view'),
+          |                    (SELECT max(epoch_us(ts)) // 1000 FROM events
+          |                     WHERE event_type = 'purchase'))
+          |               - 3600000 AS wm_ms)
+          |SELECT user_id, view_id, purchase_id, view_us, purchase_us,
+          |       purchase_us - view_us AS gap_us
+          |FROM j, wm
+          |WHERE purchase_id IS NOT NULL
+          |   OR view_us // 1000 + 3600000 < wm_ms""".stripMargin))
 }

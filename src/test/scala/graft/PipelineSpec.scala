@@ -646,6 +646,57 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 outer join: null rows only for watermark-final views; state evicts") {
+    // user 1: matched inside the window; user 2: matchless, finalized;
+    // user 3: matchless, window end base+4.5 h > final watermark
+    //         base+4 h; user 4: matchless, window end EXACTLY the
+    //         watermark — the boundary pinning strict `<` eviction;
+    // users 98/99: drivers pushing BOTH sides' max to base+5 h (the
+    // query watermark is the MIN across the two nodes) - 1 h = base+4 h.
+    // `base` is 2023-era: event times near the 1970 epoch sit below the
+    // join's initial state-cleanup cutoffs and emit nothing (see
+    // outerAttributionOf scaladoc)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val hourUs = 3600000000L
+    val base = 1700000000000000L
+    val vIn = MemoryStream[(Long, Long, Long)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+      spark.sqlContext) // (user_id, view_id, view_us)
+    val pIn = MemoryStream[(Long, Long, Long)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+      spark.sqlContext) // (user_id, purchase_id, purchase_us)
+    val views = vIn.toDS().toDF("user_id", "view_id", "view_us")
+      .withColumn("view_time", timestamp_micros(col("view_us")))
+    val purchases = pIn.toDS()
+      .toDF("p_user", "purchase_id", "purchase_us")
+      .withColumn("purchase_time", timestamp_micros(col("purchase_us")))
+    val q = Streaming.outerAttributionOf(views, purchases)
+      .writeStream.format("memory").queryName("q102_spec")
+      .outputMode("append").start()
+    vIn.addData((1L, 100L, base), (2L, 200L, base),
+      (3L, 300L, base + 3L * hourUs + hourUs / 2),
+      (4L, 400L, base + 3L * hourUs),
+      (98L, 980L, base + 5L * hourUs))
+    pIn.addData((1L, 101L, base + hourUs / 2), (99L, 990L, base + 5L * hourUs))
+    q.processAllAvailable()
+    val rows = spark.table("q102_spec")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("gap_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)))).toSet
+    val removed = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+    assert(rows === Set(
+      (1L, 100L, Some(101L), Some(hourUs / 2)), // matched, gap 30 min
+      (2L, 200L, None, None)), // finalized matchless view
+      "user 3 (young) and user 4 (window end == watermark) must not emit")
+    // the outer half works by EVICTION: finalized state must actually
+    // leave the store, not linger behind the emission
+    assert(removed > 0L, "no state rows were evicted")
+  }
+
   test("transformWithState processing-time TTLConfig evicts dormant state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
