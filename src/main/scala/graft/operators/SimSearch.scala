@@ -199,14 +199,18 @@ object SimSearch {
     * instead of once per query invocation — the Sink fixture pattern
     * applied to a derived K-row artifact. Results are bit-identical to
     * per-query training by construction, so every oracle hash is
-    * unchanged.
+    * unchanged. Keys include the SparkContext's applicationId:
+    * localCheckpoint blocks are BOUND to the context that built them,
+    * so a cached plan must never outlive its context (a same-JVM
+    * session restart would otherwise serve dangling checkpoints).
     */
   private val centFixtures =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
   private val centLock = new Object
   private def centroidFixture(spark: SparkSession, dir: String,
       k: Int): DataFrame =
-    centLock.synchronized(centFixtures.getOrElseUpdate((dir, k),
+    centLock.synchronized(centFixtures.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, k),
       trainCentroids(featurized(spark, dir), k)
         .localCheckpoint(eager = true)))
 
@@ -498,9 +502,10 @@ object SimSearch {
     * [[centroidFixture]]: q78 and q45's PQ leg train identically.
     */
   private val pqBookFixtures =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def pqBookFixture(spark: SparkSession, dir: String): DataFrame =
-    centLock.synchronized(pqBookFixtures.getOrElseUpdate(dir,
+    centLock.synchronized(pqBookFixtures.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
       pqCodebooks(pqSubs(featurized(spark, dir)))
         .localCheckpoint(eager = true)))
 
@@ -545,9 +550,10 @@ object SimSearch {
     * q45's ivfpq leg.
     */
   private val ivfPqBookFixtures =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def ivfPqBooks(spark: SparkSession, dir: String): DataFrame =
-    centLock.synchronized(ivfPqBookFixtures.getOrElseUpdate(dir, {
+    centLock.synchronized(ivfPqBookFixtures.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
       val e = featurized(spark, dir)
       val cent = centroidFixture(spark, dir, NCells)
       val assigned = e.crossJoin(broadcast(cent))

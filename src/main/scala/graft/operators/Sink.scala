@@ -257,30 +257,35 @@ object Sink {
     * carries no cell kind, so empty-value is the layout's deletion
     * marker, shadowing then dropping on merge).
     */
-  def bucketedGens(spark: SparkSession, dir: String): (String, String) = {
-    val v = fixture("gens:" + dir) {
-      graft.sources.GraftCatalog.ensure(spark)
-      val conf = graft.sources.ProtoZstFiles.hadoopConf()
-      val g0 = Scratch.dir("graft_gen0")
-      val g1 = Scratch.dir("graft_gen1")
-      graft.sources.GraftBucket.writeSpec(g0, GenBuckets, conf)
-      graft.sources.GraftBucket.writeSpec(g1, GenBuckets, conf)
-      CellModel.nestRows(spark, dir)
-        .writeTo(graft.sources.GraftCatalog.tableName(g0)).append()
-      val live0 = CellModel.cellStrings(spark, dir)
-        .filter(col("kind") === "live" && !col("partition_deleted"))
-      val upd = live0.filter(col("key").cast("long") % 5 === 2)
-        .withColumn("value", concat(col("value"), lit("@2")))
-        .withColumn("write_time", col("write_time") + HourUs)
-      val del = live0.filter(col("key").cast("long") % 5 === 4)
-        .withColumn("value", lit(""))
-        .withColumn("write_time", col("write_time") + HourUs)
-      CellModel.nestCells(CellModel.cellsOf(upd.unionByName(del)))
-        .writeTo(graft.sources.GraftCatalog.tableName(g1)).append()
-      s"$g0|$g1"
+  def bucketedGens(spark: SparkSession, dir: String): (String, String) =
+    fixture("gens:" + dir)(buildGens(spark, dir)) match {
+      case v => val parts = v.split('|'); (parts(0), parts(1))
     }
-    val parts = v.split('|')
-    (parts(0), parts(1))
+
+  /** Build a FRESH gen0/gen1 pair (not the shared fixture) — the
+    * vacuum path (q103, spec) deletes generations, so it must never
+    * operate on the fixture the q61/q80/q81 family still reads.
+    */
+  private[graft] def buildGens(spark: SparkSession, dir: String): String = {
+    graft.sources.GraftCatalog.ensure(spark)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val g0 = Scratch.dir("graft_gen0")
+    val g1 = Scratch.dir("graft_gen1")
+    graft.sources.GraftBucket.writeSpec(g0, GenBuckets, conf)
+    graft.sources.GraftBucket.writeSpec(g1, GenBuckets, conf)
+    CellModel.nestRows(spark, dir)
+      .writeTo(graft.sources.GraftCatalog.tableName(g0)).append()
+    val live0 = CellModel.cellStrings(spark, dir)
+      .filter(col("kind") === "live" && !col("partition_deleted"))
+    val upd = live0.filter(col("key").cast("long") % 5 === 2)
+      .withColumn("value", concat(col("value"), lit("@2")))
+      .withColumn("write_time", col("write_time") + HourUs)
+    val del = live0.filter(col("key").cast("long") % 5 === 4)
+      .withColumn("value", lit(""))
+      .withColumn("write_time", col("write_time") + HourUs)
+    CellModel.nestCells(CellModel.cellsOf(upd.unionByName(del)))
+      .writeTo(graft.sources.GraftCatalog.tableName(g1)).append()
+    s"$g0|$g1"
   }
 
   /** q61: generation compaction STRAIGHT OVER THE SINK FILES with zero
@@ -298,6 +303,15 @@ object Sink {
     */
   def compactSink(spark: SparkSession, dir: String): DataFrame = {
     val (g0, g1) = bucketedGens(spark, dir)
+    decodeLiveCells(mergedGens(spark, g0, g1))
+  }
+
+  /** The merged nested (key bytes, cols) frame of two co-bucketed
+    * generations — the zero-exchange storage-partitioned merge that
+    * q61's read and q103's compaction WRITE both plan.
+    */
+  private def mergedGens(spark: SparkSession, g0: String,
+      g1: String): DataFrame = {
     graft.sources.GraftCatalog.ensure(spark)
     val a = spark.table(graft.sources.GraftCatalog.tableName(g0)).as("g0")
     val b = spark.table(graft.sources.GraftCatalog.tableName(g1)).as("g1")
@@ -312,13 +326,19 @@ object Sink {
         graft.functions.ArrayOps.merge_columns(
           coalesce(col("g0.columns"), emptyCols),
           coalesce(col("g1.columns"), emptyCols)).as("cols"))
-      .select(col("key"), explode(col("cols")).as("c"))
+  }
+
+  /** Explode a nested (key, cols) frame to decoded live cells: the
+    * shared read tail of q61/q80/q103 — tombstone winners (empty
+    * value) drop out here.
+    */
+  private def decodeLiveCells(merged: DataFrame): DataFrame =
+    merged.select(col("key"), explode(col("cols")).as("c"))
       .filter(length(col("c.value")) > 0)
       .select(decode(col("key"), "UTF-8").as("key"),
         decode(col("c.name"), "UTF-8").as("name"),
         decode(col("c.value"), "UTF-8").as("value"),
         col("c.write_time").as("write_time"))
-  }
 
   /** q62: per-key AGGREGATION over the bucketed sink files planning
     * ZERO exchanges — the planner-visible upgrade of q36's projection
@@ -443,11 +463,32 @@ object Sink {
     *
     * Returns (files before, files after).
     */
+  /** Complete a half-finished phase-C swap left by a crashed or
+    * refused optimize: every `*.swap` file in the directory IS the
+    * durable record of its own intended final name, so healing is
+    * rename-by-suffix-strip — idempotent, safe to run any time, run
+    * automatically at the start of every optimize. Until healed,
+    * readers under-count (packed rows hidden) but never double-count.
+    */
+  private[graft] def healPendingSwaps(outDir: String): Int = {
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(conf)
+    val swaps = fs.listStatus(dirPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".swap"))
+    swaps.count { s =>
+      val fin = new org.apache.hadoop.fs.Path(dirPath,
+        s.getPath.getName.stripSuffix(".swap"))
+      fs.rename(s.getPath, fin)
+    }
+  }
+
   def optimizeSink(spark: SparkSession, outDir: String,
       targetBytes: Long = OptTargetBytes): (Int, Int) = {
     val conf = graft.sources.ProtoZstFiles.hadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = dirPath.getFileSystem(conf)
+    healPendingSwaps(outDir)
     val files = graft.sources.ProtoZstFiles.list(outDir, conf)
     val small = files.filter(f =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen < targetBytes)
@@ -485,13 +526,20 @@ object Sink {
             "under *.swap names")
       graft.sources.RangeSidecar.delete(fs, p)
     }
-    // phase C: unhide — same-directory metadata renames
-    moved.foreach { case (hidden, finalPath) =>
-      if (!fs.rename(hidden, finalPath))
-        throw new java.io.IOException(
-          s"optimize incomplete: rename refused for $hidden -> $finalPath; " +
-            "rows present but hidden, complete the swap by renaming")
+    // phase C: unhide — same-directory metadata renames. A refusal is
+    // retried once, then rolled FORWARD as far as possible (every
+    // completed rename makes rows visible again); only then throw,
+    // listing the stragglers — which the next optimize (or any caller
+    // of healPendingSwaps) completes from their self-describing names
+    val stuck = moved.filter { case (hidden, finalPath) =>
+      !fs.rename(hidden, finalPath) &&
+        fs.exists(hidden) && !fs.rename(hidden, finalPath)
     }
+    if (stuck.nonEmpty)
+      throw new java.io.IOException(
+        s"optimize incomplete: ${stuck.length} of ${moved.length} swap " +
+          s"renames refused (${stuck.map(_._1).mkString(", ")}); rows " +
+          "present but hidden until healPendingSwaps/next optimize runs")
     fs.delete(staging, true)
     (files.length, graft.sources.ProtoZstFiles.list(outDir, conf).length)
   }
@@ -607,27 +655,29 @@ object Sink {
     */
   def asofRead(spark: SparkSession, dir: String): DataFrame = {
     val (g0, g1) = bucketedGens(spark, dir)
+    asofOf(spark, g0, g1, AsOfUs)
+  }
+
+  /** The as-of kernel over an explicit generation pair at an explicit
+    * instant — q80's body, reused by the vacuum spec on private gens.
+    */
+  private[graft] def asofOf(spark: SparkSession, g0: String, g1: String,
+      tUs: Long): DataFrame = {
     graft.sources.GraftCatalog.ensure(spark)
     def visible(name: String) =
       spark.table(graft.sources.GraftCatalog.tableName(name))
         .select(col("key"), filter(col("columns"),
-          c => c.getField("write_time") <= AsOfUs).as("columns"))
+          c => c.getField("write_time") <= tUs).as("columns"))
     val emptyCols = array()
       .cast("array<struct<name:binary,value:binary,write_time:bigint>>")
-    visible(g0).as("g0")
+    decodeLiveCells(visible(g0).as("g0")
       // merge hint: see compactSink — pin the at-scale SPJ strategy
       .join(visible(g1).as("g1").hint("merge"),
         col("g0.key") === col("g1.key"), "fullouter")
       .select(coalesce(col("g0.key"), col("g1.key")).as("key"),
         graft.functions.ArrayOps.merge_columns(
           coalesce(col("g0.columns"), emptyCols),
-          coalesce(col("g1.columns"), emptyCols)).as("cols"))
-      .select(col("key"), explode(col("cols")).as("c"))
-      .filter(length(col("c.value")) > 0)
-      .select(decode(col("key"), "UTF-8").as("key"),
-        decode(col("c.name"), "UTF-8").as("name"),
-        decode(col("c.value"), "UTF-8").as("value"),
-        col("c.write_time").as("write_time"))
+          coalesce(col("g1.columns"), emptyCols)).as("cols")))
   }
 
   /** q81: CHANGE FEED between sink generations — the incremental
@@ -669,7 +719,120 @@ object Sink {
         col("c.write_time").as("write_time"))
   }
 
+  // ---- q103: generation VACUUM ------------------------------------
+
+  /** Marker file a vacuum leaves in the surviving compacted
+    * generation: the retention cut (µs). As-of reads below it would
+    * need the deleted generations and must refuse.
+    */
+  private val RetentionMarkerName = "_retention_cut_us"
+
+  private def writeRetentionCut(genDir: String, cutUs: Long): Unit = {
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(genDir, RetentionMarkerName), cutUs.toString)
+    ()
+  }
+
+  private[graft] def readRetentionCut(genDir: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(genDir, RetentionMarkerName)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLongOption
+    else None
+  }
+
+  /** Materialize the q61 merge as a NEW sink generation (same bucket
+    * spec, so every later read/merge over it stays storage-partitioned)
+    * and return it with its compaction watermark — the max write_time
+    * across the source generations. Tombstone winners are dropped in
+    * the stored head: for any as-of at/after the watermark they would
+    * shadow-then-drop anyway, which is exactly why the vacuum cut may
+    * not go below it. The reference deletes rebuildable artifacts the
+    * same way (`SSTableReaderPatched.java:180-211`, stale Summary.db).
+    */
+  def compactGeneration(spark: SparkSession, g0: String,
+      g1: String): (String, Long) = {
+    graft.sources.GraftCatalog.ensure(spark)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val g2 = Scratch.dir("graft_gen2")
+    graft.sources.GraftBucket.writeSpec(g2, GenBuckets, conf)
+    mergedGens(spark, g0, g1)
+      .select(col("key"), filter(col("cols"),
+        c => length(c.getField("value")) > 0).as("columns"))
+      .writeTo(graft.sources.GraftCatalog.tableName(g2)).append()
+    val cutUs = Seq(g0, g1).map { g =>
+      spark.table(graft.sources.GraftCatalog.tableName(g))
+        .select(explode(col("columns")).as("c"))
+        .agg(max(col("c.write_time"))).collect()(0).getLong(0)
+    }.max
+    (g2, cutUs)
+  }
+
+  /** VACUUM: delete generations fully superseded by `compacted` for
+    * every read at or after `cutUs`. REFUSES (files untouched) when the
+    * cut lies below any write_time in the generations being deleted —
+    * an as-of read between those instants would still need them; the
+    * check is a column-pruned max over the doomed generations' cell
+    * timestamps, the only part of a vacuum that looks at data (the
+    * delete itself is directory-level metadata). After a successful
+    * vacuum the surviving generation carries the cut as a marker and
+    * [[asofReadRetained]] refuses instants below it LOUDLY instead of
+    * silently returning a head-shaped lie.
+    */
+  def vacuumGenerations(spark: SparkSession, olds: Seq[String],
+      compacted: String, cutUs: Long): Unit = {
+    graft.sources.GraftCatalog.ensure(spark)
+    val maxWt = olds.map { g =>
+      spark.table(graft.sources.GraftCatalog.tableName(g))
+        .select(explode(col("columns")).as("c"))
+        .agg(max(col("c.write_time"))).collect()(0).getLong(0)
+    }.max
+    if (cutUs < maxWt)
+      throw new IllegalStateException(
+        s"vacuum refused: retention cut $cutUs is below write_time " +
+          s"$maxWt still present in ${olds.mkString(",")} — an as-of " +
+          "read after the cut would lose those cells")
+    writeRetentionCut(compacted, cutUs)
+    olds.foreach(g => Scratch.delete(new File(g)))
+  }
+
+  /** As-of read over a single (compacted) generation honoring its
+    * retention marker: instants below the vacuum cut throw — the
+    * generations that could answer them are gone, and a silent
+    * head-shaped answer would be wrong.
+    */
+  def asofReadRetained(spark: SparkSession, gen: String,
+      tUs: Long): DataFrame = {
+    readRetentionCut(gen).foreach { cut =>
+      if (tUs < cut) throw new IllegalStateException(
+        s"as-of $tUs predates the vacuum retention cut $cut on $gen: " +
+          "the generations holding that history were deleted")
+    }
+    graft.sources.GraftCatalog.ensure(spark)
+    decodeLiveCells(
+      spark.table(graft.sources.GraftCatalog.tableName(gen))
+        .select(col("key"), filter(col("columns"),
+          c => c.getField("write_time") <= tUs).as("cols")))
+  }
+
+  /** q103: the full lifecycle as a driver-checked read — build private
+    * generations (never the shared q61/q80/q81 fixture), compact, then
+    * VACUUM the originals at the compaction watermark; the HEAD read
+    * through the survivor must equal q61's merge of the two originals
+    * (same oracle), proving the delete lost nothing a post-cut reader
+    * could see.
+    */
+  def vacuumedRead(spark: SparkSession, dir: String): DataFrame = {
+    val g2 = fixture("vacuumed:" + dir) {
+      val parts = buildGens(spark, dir).split('|')
+      val (gen2, cutUs) = compactGeneration(spark, parts(0), parts(1))
+      vacuumGenerations(spark, Seq(parts(0), parts(1)), gen2, cutUs)
+      gen2
+    }
+    asofReadRetained(spark, g2, Long.MaxValue)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_vacuum_read" -> vacuumedRead,
     "q89_ordered_reexport" -> orderedReexport,
     "q81_change_feed" -> changeFeed,
     "q80_asof_read" -> asofRead,
@@ -684,6 +847,31 @@ object Sink {
     "q62_bucketed_stats" -> bucketedKeyStats,
     "q64_sidecar_stats" -> sidecarStats,
     "q65_runtime_prune" -> runtimePrunedJoin)
+
+  /** Replay of the q61 merge: newest (write_time, gen) per (key, name)
+    * wins, empty-value winners are tombstones and drop out. Shared by
+    * q61 (the merge READ) and q103 (the same head read through the
+    * post-vacuum compacted generation).
+    */
+  private val compactSql =
+    s"""WITH live0 AS (SELECT key, name, value, write_time
+       |  FROM (${Core.cellsSql})
+       |  WHERE kind = 'live' AND NOT partition_deleted),
+       |g1 AS (SELECT key, name, value || '@2' AS value,
+       |         write_time + $HourUs AS write_time, 1 AS gen
+       |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 2
+       |       UNION ALL
+       |       SELECT key, name, '' AS value,
+       |         write_time + $HourUs AS write_time, 1 AS gen
+       |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 4),
+       |u AS (SELECT key, name, value, write_time, 0 AS gen FROM live0
+       |      UNION ALL SELECT * FROM g1),
+       |r AS (SELECT key, name, value, write_time,
+       |        row_number() OVER (PARTITION BY key, name
+       |          ORDER BY write_time DESC, gen DESC) AS rn
+       |      FROM u)
+       |SELECT key, name, value, write_time
+       |FROM r WHERE rn = 1 AND value <> ''""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the sort-free rewrite is lossless: same oracle as q30/q37/q48
@@ -754,27 +942,11 @@ object Sink {
         s"FROM (${Core.cellsSql}) " +
         "WHERE NOT partition_deleted AND key >= '200' AND key < '300' " +
         "GROUP BY key"),
-    // replay of the q61 merge: newest (write_time, gen) per (key, name)
-    // wins, empty-value winners are tombstones and drop out
-    "q61_compact_sink" ->
-      (s"""WITH live0 AS (SELECT key, name, value, write_time
-         |  FROM (${Core.cellsSql})
-         |  WHERE kind = 'live' AND NOT partition_deleted),
-         |g1 AS (SELECT key, name, value || '@2' AS value,
-         |         write_time + $HourUs AS write_time, 1 AS gen
-         |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 2
-         |       UNION ALL
-         |       SELECT key, name, '' AS value,
-         |         write_time + $HourUs AS write_time, 1 AS gen
-         |       FROM live0 WHERE CAST(key AS BIGINT) % 5 = 4),
-         |u AS (SELECT key, name, value, write_time, 0 AS gen FROM live0
-         |      UNION ALL SELECT * FROM g1),
-         |r AS (SELECT key, name, value, write_time,
-         |        row_number() OVER (PARTITION BY key, name
-         |          ORDER BY write_time DESC, gen DESC) AS rn
-         |      FROM u)
-         |SELECT key, name, value, write_time
-         |FROM r WHERE rn = 1 AND value <> ''""".stripMargin),
+    "q61_compact_sink" -> compactSql,
+    // the vacuum lost nothing: the head read through the surviving
+    // compacted generation replays as the SAME merge of the (deleted)
+    // originals
+    "q103_vacuum_read" -> compactSql,
     // gen0 holds every non-tombstoned key's live cells (empty-partition
     // Rows included → 0-cell groups); value_bytes over live cells only
     "q62_bucketed_stats" ->

@@ -433,6 +433,13 @@ object Streaming extends Serializable {
         round(col("value") * 100, 0).cast("long").as("vc"),
         expr("ts DIV 1000").as("us"))
       .as[(Long, Long, Long)]
+    // NOTE: this mutates the SESSION-wide provider conf for the
+    // query's duration (restored in finally). Fine while queries run
+    // sequentially — every harness here does — but a concurrent
+    // streaming query started on this session would silently inherit
+    // RocksDB and race the restore; an engine embedding that runs
+    // queries concurrently should scope the swap to a dedicated
+    // spark.newSession() instead.
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = spark.conf.getOption(provKey)
     spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +

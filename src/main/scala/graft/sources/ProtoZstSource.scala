@@ -528,7 +528,11 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     * sidecar range skipping, so a selective key predicate shrinks the
     * estimate the same way partition pruning shrinks parquet's.
     */
-  override def estimateStatistics()
+  // memoized: Catalyst may call estimateStatistics repeatedly during
+  // planning, and plannedFiles is fixed once filters are pushed — one
+  // getFileStatus + sidecar read per file TOTAL, not per call, so plan
+  // time stays flat in file count exactly where the stats matter
+  private lazy val computedStatistics
       : org.apache.spark.sql.connector.read.Statistics = {
     val fs = new org.apache.hadoop.fs.Path(paths.head)
       .getFileSystem(conf.value)
@@ -547,6 +551,9 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
       override def numRows(): java.util.OptionalLong = rows
     }
   }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = computedStatistics
 
   // one partition per file == the reference's per-file unit of work;
   // under a pushed key predicate, files whose sidecar range provably

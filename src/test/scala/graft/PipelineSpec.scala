@@ -523,6 +523,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("event_id uniqueness convention holds (q84/q98 key state on it alone)") {
+    // q84's TTL-dedup keys state on event_id where the oracle dedups
+    // full rows, and q98's upsert feed assumes one row per (user,
+    // event): both are valid ONLY while event ids are unique. Assert
+    // it at every SF the driver verifies against (the q86 exact-gap
+    // discipline), so a regenerated corpus can't silently break parity.
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val ev = Tables.events(spark, dir)
+      val dupIds = ev.groupBy(col("event_id")).count()
+        .filter(col("count") > 1).count()
+      assert(dupIds === 0L,
+        s"$dir has $dupIds duplicated event_ids; q84/q98 state keying " +
+          "no longer matches their full-row oracles")
+    }
+  }
+
   test("q84 state is provider-portable: RocksDB store yields identical results") {
     // the spill-to-disk provider a 100 TB streaming deployment runs
     // (state larger than executor memory) must agree with the default
@@ -600,6 +616,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) === ((Some(100L), None, None, 1)))
     assert(got(3L) === ((Some(20L), Some(30L), None, 2)))
     assert(got(4L) === ((None, None, None, 0)))
+  }
+
+  test("q103 vacuum: reads survive, history refuses loudly, files gone") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    // private generation pair — never the shared q61/q80/q81 fixture
+    val parts = Sink.buildGens(spark, sf0001).split('|')
+    val (g0, g1) = (parts(0), parts(1))
+    val headBefore = snap(Sink.asofOf(spark, g0, g1, Long.MaxValue))
+    val (g2, cutUs) = Sink.compactGeneration(spark, g0, g1)
+    val atCutBefore = snap(Sink.asofOf(spark, g0, g1, cutUs))
+    // a cut below a still-present write_time must refuse, files intact
+    val refused = intercept[IllegalStateException](
+      Sink.vacuumGenerations(spark, Seq(g0, g1), g2, cutUs - 1))
+    assert(refused.getMessage.contains("vacuum refused"))
+    assert(new java.io.File(g0).exists() && new java.io.File(g1).exists())
+    Sink.vacuumGenerations(spark, Seq(g0, g1), g2, cutUs)
+    assert(!new java.io.File(g0).exists() && !new java.io.File(g1).exists(),
+      "vacuumed generation directories must actually be deleted")
+    // HEAD and post-cut as-of reads are unchanged by the vacuum
+    assert(snap(Sink.asofReadRetained(spark, g2, Long.MaxValue)) === headBefore)
+    assert(snap(Sink.asofReadRetained(spark, g2, cutUs)) === atCutBefore)
+    assert(headBefore === atCutBefore) // cut covers every write_time
+    // an as-of below the cut (q80's historical instant) fails LOUDLY
+    val e = intercept[IllegalStateException](
+      Sink.asofReadRetained(spark, g2, Sink.AsOfUs))
+    assert(e.getMessage.contains("retention cut"))
   }
 
   test("q101 event-time timer retires dormant state; a re-appearing key restarts from zero") {

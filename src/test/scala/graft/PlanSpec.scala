@@ -74,7 +74,7 @@ class PlanSpec extends AnyFunSuite {
     */
   test("no query plans a cartesian product; NL joins only where bounded") {
     val skip = Set("q28_stream_window", "q31_stream_sessionize", "q98_stream_features",
-      "q101_feature_ttl", "q102_stream_outer_join",
+      "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
