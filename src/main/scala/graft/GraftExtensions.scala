@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotLongExpr, GramHash60Expr, Md5Prefix60Expr, ProtoEncodeRowExpr, ShingleHash60Expr, SortedIntersectCountExpr, VarintDelimitExpr}
+import graft.functions.{CdcChunks60Expr, DotLongExpr, GramHash60Expr, Md5Prefix60Expr, ProtoEncodeRowExpr, ShingleHash60Expr, SortedIntersectCountExpr, VarintDelimitExpr}
 
 /** SparkSessionExtensions installer exposing the engine's native
   * expressions to SQL users:
@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hash60", classOf[ShingleHash60Expr]),
       (es: Seq[Expression]) =>
         ShingleHash60Expr(es(0), es(1).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((FunctionIdentifier("cdc_chunks60"),
+      info("cdc_chunks60", classOf[CdcChunks60Expr]),
+      (es: Seq[Expression]) =>
+        CdcChunks60Expr(es(0), es(1).eval().asInstanceOf[Number].intValue)))
   }
 }

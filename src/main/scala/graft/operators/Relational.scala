@@ -213,7 +213,16 @@ object Relational {
     Scratch.delete(new java.io.File(root, name))
   }
 
-  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Bench prelude hook: build the q44 bucketed tables untimed (see
+    * [[SimSearch.warmFixtures]]).
+    */
+  def warmFixtures(spark: SparkSession, dir: String): Unit = {
+    bucketedFixture(spark, dir)
+    ()
+  }
+
+  private def bucketedFixture(spark: SparkSession,
+      dir: String): (String, String) =
     // deterministic per-sf names, written ONCE per JVM (then reused by
     // later invocations — bench runs each query twice) and overwritten
     // on first use, so stale warehouse content from a previous run
@@ -223,7 +232,7 @@ object Relational {
     // names derive from dir.hashCode — two dirs colliding would rebuild
     // each other's tables, acceptable for the single-warehouse bench
     // this fixture exists for
-    val (lt, ot) = Relational.synchronized(bucketedTables.getOrElseUpdate(dir, {
+    Relational.synchronized(bucketedTables.getOrElseUpdate(dir, {
       val tag = (dir.hashCode & 0x7fffffff).toString
       val lt = s"lineitem_bkt_$tag"
       val ot = s"orders_bkt_$tag"
@@ -239,6 +248,9 @@ object Relational {
         .mode("overwrite").saveAsTable(ot)
       (lt, ot)
     }))
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = bucketedFixture(spark, dir)
     spark.table(lt)
       .join(spark.table(ot).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))

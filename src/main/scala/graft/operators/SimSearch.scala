@@ -214,6 +214,18 @@ object SimSearch {
       trainCentroids(featurized(spark, dir), k)
         .localCheckpoint(eager = true)))
 
+  /** Build every shared trained artifact eagerly (centroids at both
+    * K's, PQ codebooks, IVF-PQ residual codebooks) — the Bench prelude
+    * runs this UNTIMED so each query's first timed run measures the
+    * query, not whichever shared fixture it happened to touch first.
+    */
+  def warmFixtures(spark: SparkSession, dir: String): Unit = {
+    centroidFixture(spark, dir, KmK)
+    pqBookFixture(spark, dir)
+    ivfPqBooks(spark, dir) // builds the NCells centroids too
+    ()
+  }
+
   /** Seeds + exactly `rounds` Lloyd rounds — the unroll at a given
     * depth (spec hook for proving loop ≡ unroll). */
   private[graft] def trainedAfter(e: DataFrame, k: Int, rounds: Int): DataFrame = {

@@ -821,14 +821,29 @@ object Sink {
     * (same oracle), proving the delete lost nothing a post-cut reader
     * could see.
     */
-  def vacuumedRead(spark: SparkSession, dir: String): DataFrame = {
-    val g2 = fixture("vacuumed:" + dir) {
+  def vacuumedRead(spark: SparkSession, dir: String): DataFrame =
+    asofReadRetained(spark, vacuumedFixture(spark, dir), Long.MaxValue)
+
+  private def vacuumedFixture(spark: SparkSession, dir: String): String =
+    fixture("vacuumed:" + dir) {
       val parts = buildGens(spark, dir).split('|')
       val (gen2, cutUs) = compactGeneration(spark, parts(0), parts(1))
       vacuumGenerations(spark, Seq(parts(0), parts(1)), gen2, cutUs)
       gen2
     }
-    asofReadRetained(spark, g2, Long.MaxValue)
+
+  /** Build every shared on-disk fixture eagerly — the Bench prelude
+    * runs this UNTIMED (see [[SimSearch.warmFixtures]]).
+    */
+  def warmFixtures(spark: SparkSession, dir: String): Unit = {
+    nestedFixture(spark, dir)
+    rangedFixture(spark, dir)
+    bucketedGens(spark, dir)
+    optimizedFixture(spark, dir)
+    reexportFixture(spark, dir)
+    vacuumedFixture(spark, dir)
+    Core.indexFixture(spark, dir)
+    ()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

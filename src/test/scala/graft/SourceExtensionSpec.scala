@@ -323,5 +323,13 @@ class SourceExtensionSpec extends AnyFunSuite {
       .collect()(0).getAs[Array[Byte]](0)
     val stats = graft.functions.ProtoWire.decodeStats(framed)
     assert(stats === ((1L, 1L)))
+    // cdc_chunks60: one chunk spanning the whole (short) array, hash =
+    // md5_prefix60 of the joined words
+    val cdc = spark.sql(
+      "SELECT c.ci, c.s, c.len, c.h = md5_prefix60('a b') AS ok " +
+        "FROM (SELECT explode(cdc_chunks60(array('a','b'), 8)) c)")
+      .collect()(0)
+    assert((cdc.getLong(0), cdc.getInt(1), cdc.getInt(2), cdc.getBoolean(3))
+      === ((0L, 1, 2, true)))
   }
 }
