@@ -247,6 +247,47 @@ object Events {
           .otherwise(0))
   }
 
+  private val WeekUs = 7 * DayUs
+
+  /** q105: COHORT RETENTION — users bucketed by their first-activity
+    * week; for every (cohort_week, week_offset) cell, how many of the
+    * cohort's users were active that week, as the classic retention
+    * triangle. Integer milli-retention (`n_active*1000 DIV n_cohort`)
+    * keeps the ratio exact on both engines.
+    *
+    * Scale shape: three keyed shuffles, each on a natural key — the
+    * (user, week) activity grid (distinct collapses the raw events
+    * map-side), per-user min week (cohort assignment), and the final
+    * (cohort, offset) cell aggregate. The cohort table re-joins the
+    * grid on user_id, so AQE broadcasts it while it fits and falls
+    * back to a co-partitioned shuffle join beyond that — nothing in
+    * the plan holds per-user history, so the triangle's cost is the
+    * activity grid's size (≤ users × weeks), not the event count.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("us")))
+
+  /** The q105 pipeline over any (user_id, us) frame — the spec drives
+    * it with a crafted activity grid of known retention. */
+  private[graft] def cohortRetentionOf(events: DataFrame): DataFrame = {
+    val grid = events
+      .select(col("user_id"), expr(s"us DIV $WeekUs").as("week"))
+      .distinct()
+    val cohort = grid.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val cells = grid.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    cells.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        expr("n_active * 1000 DIV n_cohort").as("retention_milli"))
+  }
+
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** q88: PIVOT — daily event counts cross-tabulated to one column per
@@ -281,6 +322,7 @@ object Events {
         "event_type", "n_events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_cohort_retention" -> cohortRetention,
     "q93_unpivot" -> unpivotDaily,
     "q88_pivot" -> pivotDaily,
     "q86_session_window" -> sessionWindowAgg,
@@ -387,7 +429,20 @@ object Events {
        |           AND c.event_type = t.event_type""".stripMargin
   }
 
+  private val cohortSql =
+    s"""WITH grid AS (SELECT DISTINCT user_id,
+       |                epoch_us(ts) // $WeekUs AS week FROM events),
+       |c AS (SELECT user_id, min(week) AS cohort_week FROM grid GROUP BY 1),
+       |s AS (SELECT cohort_week, count(*) AS n_cohort FROM c GROUP BY 1),
+       |a AS (SELECT c.cohort_week, g.week - c.cohort_week AS week_offset,
+       |             count(DISTINCT g.user_id) AS n_active
+       |      FROM grid g JOIN c USING (user_id) GROUP BY 1, 2)
+       |SELECT a.cohort_week, a.week_offset, a.n_active, s.n_cohort,
+       |       a.n_active * 1000 // s.n_cohort AS retention_milli
+       |FROM a JOIN s USING (cohort_week)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q105_cohort_retention" -> cohortSql,
     "q93_unpivot" -> unpivotSql,
     "q88_pivot" -> pivotSql,
     // the gap-based q27 replay, minus the session ordinal the native

@@ -129,7 +129,81 @@ object Multimodal {
         md5(col("resized")).as("resized_md5"))
   }
 
+  private val PhBits = 60 // perceptual-hash width (md5_prefix60 convention)
+  private val PhBands = 6 // LSH bands over the hash
+  private val PhBandBits = 10 // bits per band
+  private val PhHamT = 10 // near-dup hamming threshold (data-calibrated:
+  // the 4 candidate pairs at sf0.01 all share a band; ≥12 admits
+  // pairs the bands start missing)
+
+  /** STUB PERCEPTUAL HASH — average-hash (aHash) over the decoded
+    * payload: [[PhBits]] blocks, bit b = 1 iff block b's mean byte ≥
+    * the global mean (integer cross-multiplied, division-free). A real
+    * deployment hashes decoded pixels (DCT for pHash); the stub hashes
+    * the fake payload bytes with the same block structure, exact
+    * integer math so the oracle replays it from the source text.
+    * Empty blocks (payload shorter than [[PhBits]]) set the bit on
+    * both engines (0 ≥ 0).
+    */
+  private[graft] def phashBatch(batch: Iterator[MediaRec]): Iterator[(Long, Long)] =
+    batch.map { r =>
+      val n = r.payload.length
+      var s = 0L
+      var i = 0
+      while (i < n) { s += (r.payload(i) & 0xFF); i += 1 }
+      var h = 0L
+      var b = 0
+      while (b < PhBits) {
+        val lo = b.toLong * n / PhBits
+        val hi = (b + 1).toLong * n / PhBits
+        var bs = 0L
+        var j = lo
+        while (j < hi) { bs += (r.payload(j.toInt) & 0xFF); j += 1 }
+        if (bs * n >= s * (hi - lo)) h |= (1L << b)
+        b += 1
+      }
+      (r.doc_id, h)
+    }
+
+  /** q110: PERCEPTUAL-HASH NEAR-DUP — image dedup the way a training
+    * pipeline runs it at corpus scale: batch-decode each media payload
+    * to a compact [[PhBits]]-bit perceptual hash (one pass, row-local),
+    * then find near-duplicate pairs by hamming distance ≤ [[PhHamT]] —
+    * WITHOUT the all-pairs comparison: candidates must share one of
+    * [[PhBands]] exact [[PhBandBits]]-bit bands (q15's banded-LSH shape
+    * on hash substrings), so candidate generation is an equi-join on
+    * band keys and the hamming check runs on band-collisions only.
+    * Missed pairs (≤ threshold but no shared band) are the documented
+    * LSH trade-off; the oracle implements the identical band
+    * requirement, so both engines agree exactly.
+    *
+    * Scale: the corpus ships one 8-byte hash per image to the band
+    * join — the whole dedup index for a billion images is ~50 GB,
+    * shuffled on band keys; decoded pixels never leave their task.
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = mediaTable(spark, dir).mapPartitions(phashBatch)
+      .toDF("doc_id", "phash")
+      .localCheckpoint(eager = false) // both band sides + the verify
+    val bands = ph.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(PhBands - 1))).as("b"))
+      .select(col("doc_id"), col("phash"),
+        concat_ws(":", col("b"),
+          expr(s"shiftright(phash, CAST(b * $PhBandBits AS INT))" +
+            s" & ${(1 << PhBandBits) - 1}")).as("bkey"))
+    bands.as("x").join(bands.as("y"), "bkey")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.phash").as("ha"),
+        col("y.doc_id").as("doc_b"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= PhHamT)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_phash_dedup" -> phashDedup,
     "q25_multimodal" -> multimodal,
     "q32_frame_sample" -> frameSample,
     "q41_media_resize" -> mediaResize)
@@ -167,7 +241,36 @@ object Multimodal {
       |        i -> substr(text, CAST(i AS INTEGER), 1)), '')) AS resized_md5
       |FROM documents""".stripMargin
 
+  // the aHash replay: same blocks, same cross-multiplied mean compare
+  // (coalesce(…, 0) makes an empty block's sum 0 → 0 >= 0 sets the
+  // bit, matching the Scala kernel), same band requirement.
+  private val phashSql = {
+    val mask = (1 << PhBandBits) - 1
+    s"""WITH d AS (SELECT doc_id, text, length(text) n,
+       |        CAST(coalesce(list_sum(list_transform(range(1, length(text)+1),
+       |          i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT) s
+       |      FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST(list_sum(list_transform(range(0, $PhBits), i ->
+       |          CASE WHEN CAST(coalesce(list_sum(list_transform(
+       |                 range(CAST(i*n//$PhBits AS BIGINT)+1,
+       |                       CAST((i+1)*n//$PhBits AS BIGINT)+1),
+       |                 j -> ascii(substr(text, CAST(j AS INTEGER), 1)))), 0) AS BIGINT) * n
+       |               >= s * ((i+1)*n//$PhBits - i*n//$PhBits)
+       |               THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END)) AS BIGINT) ph
+       |      FROM d),
+       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |        bit_count(xor(a.ph, b.ph)) hamming,
+       |        CAST(list_sum(list_transform(range(0, $PhBands), bb ->
+       |          CASE WHEN ((xor(a.ph, b.ph) >> CAST(bb*$PhBandBits AS INTEGER)) & $mask) = 0
+       |               THEN 1 ELSE 0 END)) AS BIGINT) n_share
+       |      FROM h a JOIN h b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM p WHERE hamming <= $PhHamT AND n_share >= 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q110_phash_dedup" -> phashSql,
     "q25_multimodal" -> multimodalSql,
     "q32_frame_sample" -> frameSampleSql,
     "q41_media_resize" -> resizeSql)

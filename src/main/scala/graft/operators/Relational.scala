@@ -171,6 +171,62 @@ object Relational {
         (sum(col("qc")).cast("double") / 100.0).as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** q106: GROUPING SETS — the general form behind q38's rollup: an
+    * EXPLICIT set list ((status, priority), (status), ()) that skips
+    * the (priority)-only level a cube would add and the strict
+    * suffix-nesting a rollup requires. Catalyst plans it as ONE Expand
+    * (3 replicas per row) feeding the same single partial-aggregating
+    * shuffle as q08 — subtotal levels cost map-side row copies, never
+    * extra passes over the table, which is why a 100 TB reporting
+    * rollup is one job, not one per level. `grouping()` flags
+    * disambiguate real NULL dimension values from subtotal rows.
+    */
+  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("pc"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("pc")).cast("double") / 100.0).as("sum_price"))
+
+  private val DayUs = 86400000000L
+  private val RollWindowUs = 7 * DayUs // trailing 7 days, inclusive
+
+  /** q108: ROLLING RANGE-FRAME FEATURES — per customer, the trailing
+    * 7-day order count and spend AT EACH ORDER: `RANGE BETWEEN
+    * (7d−1µs) PRECEDING AND CURRENT ROW` over event-time µs. This is
+    * the point-in-time feature shape (no future leakage: each row sees
+    * only its past) that rolling-aggregate feature engineering needs;
+    * the row-frame windows elsewhere (q27's lag, q55's rank) count
+    * ROWS, while a RANGE frame bounds by TIME — same-instant ties all
+    * join the frame, so the result is deterministic without an
+    * intra-tie order.
+    *
+    * Scale: one hash shuffle on the customer key, sort within
+    * partition by time; frame state is the trailing window's rows per
+    * customer — bounded by order rate × 7 days, independent of
+    * history length. Exact integer cents.
+    */
+  def rollingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("us"))
+      .rangeBetween(-(RollWindowUs - 1), Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        cents(col("o_totalprice")).as("pc"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("spend_7d",
+        (sum(col("pc")).over(w).cast("double") / 100.0))
+      .select(col("o_orderkey"), col("o_custkey"), col("us"),
+        col("n_7d"), col("spend_7d"))
+  }
+
   /** q39: FULL OUTER join — negative-balance customers vs 1995 order
     * activity; either side may be absent. Shuffle on custkey both
     * sides (a full outer can't broadcast), pre-aggregated right side.
@@ -390,6 +446,8 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_rolling_features" -> rollingFeatures,
+    "q106_grouping_sets" -> groupingSetsPricing,
     "q92_profile" -> profile,
     "q72_salted_join" -> saltedJoin,
     "q55_global_rank" -> globalRank,
@@ -416,6 +474,22 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q108_rolling_features" ->
+      (s"""SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS us,
+          |  count(*) OVER w AS n_7d,
+          |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS spend_7d
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+          |  RANGE BETWEEN ${RollWindowUs - 1} PRECEDING AND CURRENT ROW)""".stripMargin),
+    "q106_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())""".stripMargin,
     "q92_profile" -> profileSql,
     "q72_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

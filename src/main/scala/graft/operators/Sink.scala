@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ProtoWire
+import graft.sources.Tables
 
 /** Scratch directories for the sink/stream round-trip queries, rooted
   * under ONE per-JVM directory that a shutdown hook removes recursively —
@@ -842,11 +843,53 @@ object Sink {
     optimizedFixture(spark, dir)
     reexportFixture(spark, dir)
     vacuumedFixture(spark, dir)
+    evolvedFixture(spark, dir)
     Core.indexFixture(spark, dir)
     ()
   }
 
+  /** q109 fixture: the documents table written as two parquet
+    * "generations" with EVOLVED schemas under one root — gen=1 holds
+    * the even doc_ids with the ORIGINAL narrow schema (doc_id, lang);
+    * gen=2 holds the odd doc_ids with two columns ADDED (source,
+    * n_chars). Neither generation is rewritten when the schema grows —
+    * exactly how a 100 TB table evolves in place.
+    */
+  private def evolvedFixture(spark: SparkSession, dir: String): String =
+    fixture("evolved:" + dir) {
+      val out = Scratch.dir("graft_evo")
+      val docs = Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(out + "/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(out + "/gen=2")
+      out
+    }
+
+  /** q109: SCHEMA-EVOLUTION READ — one scan over both generations with
+    * `mergeSchema`: the unified schema is the union of the per-file
+    * footers, and columns a generation predates surface as NULL in its
+    * rows, no old-file rewrite required. The oracle replays the
+    * null-fill rule from the source table, so the merged read's
+    * row-level content is hash-checked, not just counted.
+    *
+    * Scale: footer merging is a planning-time pass over file METADATA
+    * (Spark samples/parallelizes it; a production lakehouse pins the
+    * merged schema in a catalog so the read plans from one row) — the
+    * data path is unchanged: column pruning and filters still reach
+    * each file with that file's physical schema, and a query touching
+    * only original columns reads zero bytes of the new ones.
+    */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(evolvedFixture(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("gen"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_schema_evolution" -> schemaEvolutionRead,
     "q103_vacuum_read" -> vacuumedRead,
     "q89_ordered_reexport" -> orderedReexport,
     "q81_change_feed" -> changeFeed,
@@ -889,6 +932,14 @@ object Sink {
        |FROM r WHERE rn = 1 AND value <> ''""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // replay the evolution null-fill: gen-1 rows (even ids) predate
+    // (source, n_chars); the partition column is the generation id
+    "q109_schema_evolution" ->
+      ("""SELECT doc_id, lang,
+         |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+         |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS gen
+         |FROM documents""".stripMargin),
     // the sort-free rewrite is lossless: same oracle as q30/q37/q48
     "q89_ordered_reexport" -> Core.liveCellsSql,
     // the overlay generation replayed from the raw cells, classified

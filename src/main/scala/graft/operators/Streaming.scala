@@ -512,6 +512,113 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** q104: STREAM-STATIC JOIN — purchase events streaming in, enriched
+    * against the STATIC customer dimension (user_id = c_custkey) and
+    * aggregated per market segment: the ingest-time enrichment shape.
+    * Unlike q69's stream-stream join this holds NO join state at all —
+    * the static side is re-planned per micro-batch (Catalyst broadcasts
+    * it while it fits, and a huge dimension falls back to a shuffle
+    * join against only that BATCH's rows, never against stream
+    * history), so the join itself is stateless and the only stateful
+    * operator is the downstream aggregate.
+    *
+    * Scale: the canonical fact-stream × dimension deployment. The
+    * per-segment aggregate state is 5 rows; `collect_set(user_id)` is
+    * bounded by the user universe per segment (q28's documented
+    * trade-off — streaming forbids countDistinct; an unbounded-
+    * cardinality deployment switches to approx_count_distinct).
+    */
+  /** The q104 join/agg kernel over any (user_id, vc) stream and
+    * (c_custkey, c_mktsegment) static frame — split out so the spec
+    * can drive it from a MemoryStream and assert statelessness of the
+    * join (exactly ONE state operator: the aggregate).
+    */
+  private[graft] def staticEnrichOf(purchases: DataFrame,
+      dim: DataFrame): DataFrame =
+    purchases.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_purchases"),
+        size(collect_set(col("user_id"))).as("n_users"),
+        (sum(col("vc")).cast("double") / 100.0).as("sum_value"))
+
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "q104_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val purchases = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+    val agg = staticEnrichOf(purchases, dim)
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q104", q)
+    }
+    spark.table(name)
+  }
+
+  private val DayUs = 86400000000L // µs per day, matches Events
+
+  /** q107: APPEND-MODE FINALIZED WINDOWS — q28's daily aggregation
+    * emitted the immutable-sink way: `outputMode("append")` holds every
+    * window in state until the event-time watermark passes its END,
+    * then emits it exactly once, closed and final — the contract a
+    * parquet/proto sink needs (q28's complete mode re-emits the whole
+    * result per batch and only a truncate-and-reload sink can consume
+    * it). With a 1 h watermark delay the corpus' last day stays open
+    * (max event time − 1 h precedes that window's end), so the emitted
+    * set is a strict, deterministic subset of q26's rows.
+    *
+    * Finalization boundary, pinned against the engine (q31/q102
+    * discipline): a window emits iff `window_end_ms <= watermark_ms`
+    * where `watermark_ms = floor(max event µs / 1000) − 3_600_000` —
+    * the oracle mirrors exactly that comparison; the PipelineSpec
+    * boundary test constructs a window whose end EQUALS the watermark
+    * to pin `<=` (an engine shift to `<` flips it loudly).
+    *
+    * Scale: state is one row per OPEN (day, type) window — bounded by
+    * the watermark delay, not the stream's history; eviction is the
+    * emission itself, so a year of ingest holds ≤ 2 days of windows
+    * regardless of corpus size.
+    */
+  /** The q107 windowed kernel over any (event_type, us, vc) stream —
+    * split out so the boundary spec can drive it from a MemoryStream:
+    * a constructed window whose end EQUALS the final watermark pins
+    * the `<=` finalization comparison the oracle mirrors.
+    */
+  private[graft] def windowFinalOf(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("us")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("vc")).cast("double") / 100.0).as("sum_value"))
+      .select(expr(s"unix_micros(window.start) DIV $DayUs").as("day_bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  def streamWindowFinal(spark: SparkSession, dir: String): DataFrame = {
+    val name = "q107_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = windowFinalOf(src
+      .select(col("event_type"), expr("ts DIV 1000").as("us"),
+        round(col("value") * 100, 0).cast("long").as("vc")))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q107", q)
+    }
+    spark.table(name)
+  }
+
   private val AttributionGapUs = 3600000000L // 1 h view→purchase window
 
   /** q69: STREAM-STREAM JOIN — view events joined to purchase events of
@@ -701,6 +808,8 @@ object Streaming extends Serializable {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_stream_window_final" -> streamWindowFinal,
+    "q104_stream_static_join" -> streamStaticJoin,
     "q102_stream_outer_join" -> streamStreamLeftJoin,
     "q101_feature_ttl" -> streamFeatureRetire,
     "q98_stream_features" -> streamUserFeatures,
@@ -723,6 +832,27 @@ object Streaming extends Serializable {
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // stateless enrichment: the plain batch join/aggregate
+    "q104_stream_static_join" ->
+      ("""SELECT c_mktsegment, count(*) AS n_purchases,
+         |  CAST(count(DISTINCT user_id) AS INTEGER) AS n_users,
+         |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |WHERE event_type = 'purchase'
+         |GROUP BY c_mktsegment""".stripMargin),
+    // append-mode finalization: q26's daily rows restricted to windows
+    // the final watermark closed — `window_end_ms <= wm_ms`, with
+    // wm_ms = floor(max event µs / 1000) - 1 h (delay), mirroring the
+    // engine's eviction comparison exactly
+    "q107_stream_window_final" ->
+      (s"""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms
+          |            FROM events)
+          |SELECT epoch_us(ts) // $DayUs AS day_bucket, event_type,
+          |  count(*) AS n_events,
+          |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+          |FROM events, wm
+          |GROUP BY 1, 2, wm.wm_ms
+          |HAVING (day_bucket + 1) * ${DayUs / 1000} <= wm.wm_ms""".stripMargin),
     // retire-only emission: the sink holds exactly the users whose
     // last event predates the final watermark (floor(max µs / 1000),
     // delay 0) by >= the TTL — the engine's `expiry <= watermark`

@@ -741,6 +741,102 @@ class PipelineSpec extends AnyFunSuite {
     assert(removed > 0L, "no state rows were evicted")
   }
 
+  test("q110 perceptual-hash kernel: identical payloads collide, an edit stays near") {
+    import graft.operators.{MediaRec, Multimodal}
+    def rec(id: Long, payload: String) =
+      MediaRec(id, "fake_rgb8", 10, 10, payload.getBytes("UTF-8"))
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val edited = base.updated(5, 'Q').updated(100, 'z') // two local edits
+    val shuffled = new String(base.toCharArray.sorted) // same bytes, new layout
+    val hs = Multimodal.phashBatch(Iterator(
+      rec(1, base), rec(2, base), rec(3, edited), rec(4, shuffled)))
+      .toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(ham(1, 2) === 0) // identical payloads: identical hash
+    assert(ham(1, 3) <= 4, s"local edits moved ${ham(1, 3)} bits")
+    // a global re-layout of the same bytes is NOT a near-dup: the
+    // block structure (not just the byte histogram) is what's hashed
+    assert(ham(1, 4) > 10, s"shuffled payload only ${ham(1, 4)} bits away")
+  }
+
+  test("q105 cohort retention on a crafted grid of known retention") {
+    import spark.implicits._
+    val weekUs = 604800000000L
+    // u1 active weeks 0,1,2; u2 weeks 0,2; u3 week 1 only
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 2L), (3L, 1L))
+      .map { case (u, w) => (u, w * weekUs + u * 1000L) }
+      .toDF("user_id", "us")
+    val got = Events.cohortRetentionOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (0L, 0L, 2L, 2L, 1000L), // both cohort-0 users active in week 0
+      (0L, 1L, 1L, 2L, 500L), // only u1 returns in week 1
+      (0L, 2L, 2L, 2L, 1000L), // both return in week 2
+      (1L, 0L, 1L, 1L, 1000L))) // u3 is its own week-1 cohort
+  }
+
+  test("q104 stream-static join holds NO join state (only the aggregate)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long)](
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      spark.sqlContext) // (user_id, vc)
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B"), (3L, "SEG_A"))
+      .toDF("c_custkey", "c_mktsegment")
+    val q = Streaming.staticEnrichOf(
+      in.toDS().toDF("user_id", "vc"), dim)
+      .writeStream.format("memory").queryName("q104_spec")
+      .outputMode("complete").start()
+    in.addData((1L, 100L), (2L, 250L), (3L, 50L), (1L, 100L))
+    q.processAllAvailable()
+    val rows = spark.table("q104_spec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val stateOps = q.lastProgress.stateOperators
+    q.stop()
+    assert(rows === Set(("SEG_A", 3L, 2, 2.5), ("SEG_B", 1L, 1, 2.5)))
+    // the static side must never enter a state store: a stateful join
+    // would surface as a second state operator
+    assert(stateOps.length === 1, stateOps.map(_.operatorName).mkString(","))
+    assert(stateOps.head.operatorName.contains("Aggregate") ||
+      stateOps.head.operatorName.contains("stateStoreSave"),
+      stateOps.head.operatorName)
+  }
+
+  test("q107 append-mode windows finalize at window_end == watermark (pins <=)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    val b = 1700006400000000L // a day boundary (19675 * 86400 s)
+    assert(b % dayUs === 0L)
+    val in = MemoryStream[(String, Long, Long)](
+      org.apache.spark.sql.Encoders.product[(String, Long, Long)],
+      spark.sqlContext) // (event_type, us, vc)
+    val q = Streaming.windowFinalOf(
+      in.toDS().toDF("event_type", "us", "vc"))
+      .writeStream.format("memory").queryName("q107_spec")
+      .outputMode("append").start()
+    // old: window [b-2d, b-d), end strictly below the final watermark;
+    // probe: window [b-d, b), end EXACTLY the watermark b_ms;
+    // driver: event at b + 1 h pushes max event time so wm = b_ms
+    in.addData(("old", b - dayUs - hourUs, 100L),
+      ("probe", b - hourUs, 200L),
+      ("driver", b + hourUs, 300L))
+    q.processAllAvailable()
+    val rows = spark.table("q107_spec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    // `<=` finalization: the probe window EMITS; the driver's own
+    // window stays open. An engine shift to strict `<` would drop the
+    // probe row here and flip the oracle loudly.
+    assert(rows === Set(
+      ((b - 2 * dayUs) / dayUs, "old", 1L, 1.0),
+      ((b - dayUs) / dayUs, "probe", 1L, 2.0)))
+  }
+
   test("transformWithState processing-time TTLConfig evicts dormant state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}

@@ -55,6 +55,33 @@ class PlanSpec extends AnyFunSuite {
     assert(joinKeyExchanges === 0, s"join-side shuffle in:\n${plan.take(3000)}")
   }
 
+  test("q106 grouping sets plan ONE Expand and ONE exchange (no per-level passes)") {
+    val plan = physical(Relational.groupingSetsPricing(spark, sf0001))
+    assert(plan.linesIterator.count(_.contains("Expand [")) === 1,
+      plan.take(3000))
+    assert(plan.linesIterator.count(_.contains("Exchange")) === 1,
+      s"expected the single aggregate shuffle, got:\n${plan.take(3000)}")
+  }
+
+  test("q108 rolling range-frame features plan ONE exchange (user key) and one Window") {
+    val plan = physical(Relational.rollingFeatures(spark, sf0001))
+    assert(plan.linesIterator.count(_.contains("Exchange")) === 1,
+      s"expected the single customer-key shuffle, got:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q109 evolved read prunes to original columns when new ones are unused") {
+    // a consumer selecting only pre-evolution columns must not read
+    // the evolved ones: ReadSchema carries (doc_id, lang) only
+    val df = graft.operators.Sink.schemaEvolutionRead(spark, sf0001)
+      .select("doc_id", "lang")
+    val plan = physical(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$plan"))
+    assert(readSchema.contains("doc_id") && !readSchema.contains("n_chars"),
+      readSchema)
+  }
+
   test("q13 semi join broadcasts the filtered dimension") {
     val plan = physical(Relational.semiJoin(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
@@ -75,6 +102,8 @@ class PlanSpec extends AnyFunSuite {
   test("no query plans a cartesian product; NL joins only where bounded") {
     val skip = Set("q28_stream_window", "q31_stream_sessionize", "q98_stream_features",
       "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
+      "q104_stream_static_join", "q107_stream_window_final",
+      "q109_schema_evolution",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
