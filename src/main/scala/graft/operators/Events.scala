@@ -276,10 +276,13 @@ object Events {
       .distinct()
     val cohort = grid.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
+    // the grid is distinct on (user, week), so a user contributes at
+    // most one row per (cohort, offset) cell: count(*) IS the distinct
+    // user count, without countDistinct's extra aggregation pass
     val cells = grid.join(cohort, "user_id")
       .groupBy(col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
     val sizes = cohort.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("n_cohort"))
     cells.join(sizes, "cohort_week")
@@ -287,6 +290,27 @@ object Events {
         col("n_cohort"),
         expr("n_active * 1000 DIV n_cohort").as("retention_milli"))
   }
+
+  /** q114: SLIDING WINDOWS — 7-day windows advancing 1 day
+    * (`window(et, "7 days", "1 day")`): each event lands in exactly 7
+    * overlapping windows, the trailing-week-by-day reporting shape.
+    * Catalyst plans the overlap as one row-local Expand (7 replicas
+    * per row — the documented duration/slide cost multiplier) into
+    * the SAME single partial-aggregating shuffle as the tumbling q26;
+    * nothing re-reads the input per window. Contrast with q108: a
+    * RANGE frame computes per-ROW trailing state, sliding windows
+    * compute per-BUCKET series — both one shuffle, different outputs.
+    */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts DIV 1000").as("us"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .withColumn("et", timestamp_micros(col("us")))
+      .groupBy(window(col("et"), "7 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("vc")).cast("double") / 100.0).as("sum_value"))
+      .select(expr(s"unix_micros(window.start) DIV $DayUs").as("start_day"),
+        col("event_type"), col("n_events"), col("sum_value"))
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
@@ -322,6 +346,7 @@ object Events {
         "event_type", "n_events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_sliding_window" -> slidingWindowAgg,
     "q105_cohort_retention" -> cohortRetention,
     "q93_unpivot" -> unpivotDaily,
     "q88_pivot" -> pivotDaily,
@@ -435,13 +460,25 @@ object Events {
        |c AS (SELECT user_id, min(week) AS cohort_week FROM grid GROUP BY 1),
        |s AS (SELECT cohort_week, count(*) AS n_cohort FROM c GROUP BY 1),
        |a AS (SELECT c.cohort_week, g.week - c.cohort_week AS week_offset,
-       |             count(DISTINCT g.user_id) AS n_active
+       |             count(*) AS n_active
        |      FROM grid g JOIN c USING (user_id) GROUP BY 1, 2)
        |SELECT a.cohort_week, a.week_offset, a.n_active, s.n_cohort,
        |       a.n_active * 1000 // s.n_cohort AS retention_milli
        |FROM a JOIN s USING (cohort_week)""".stripMargin
 
+  // every event at day d belongs to the 7 windows starting d-6 .. d
+  // (slide-aligned to the epoch, exactly Spark's window() convention)
+  private val slidingSql =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) // $DayUs AS d,
+       |             CAST(round(value*100,0) AS BIGINT) vc FROM events),
+       |x AS (SELECT event_type, vc, unnest(range(d - 6, d + 1)) AS start_day
+       |      FROM e)
+       |SELECT start_day, event_type, count(*) AS n_events,
+       |       CAST(sum(vc) AS DOUBLE)/100.0 AS sum_value
+       |FROM x GROUP BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q114_sliding_window" -> slidingSql,
     "q105_cohort_retention" -> cohortSql,
     "q93_unpivot" -> unpivotSql,
     "q88_pivot" -> pivotSql,

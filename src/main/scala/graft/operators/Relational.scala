@@ -316,6 +316,68 @@ object Relational {
           .as("sum_price"))
   }
 
+  /** The q112 join under CONSTRUCTED skew — 3 of every 4 lineitem rows
+    * collapse onto one hot order key (the 100 TB "one customer is 75%
+    * of traffic" shape), then an ordinary key join to orders. Split
+    * out un-executed so the spec can run it under AQE's skew-join
+    * thresholds and assert the hot partition was actually split
+    * (`skew=true` in the adaptive plan).
+    */
+  private[graft] def skewJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    // the round-robin repartition stands in for the many-mapper stage
+    // a real table always has: AQE splits a skewed reduce partition
+    // along mapper boundaries, and the toy file is ONE row group = one
+    // mapper = nothing to split without it
+    val hot = Tables.lineitem(spark, dir)
+      .select(when(col("l_orderkey") % 4 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"),
+        cents(col("l_quantity")).as("qc"))
+      .repartition(8)
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    hot.join(dim.hint("shuffle_hash"), "k")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("qc")).cast("double") / 100.0).as("sum_qty"))
+  }
+
+  /** Run `f` with AQE's skew-join knobs scoped to toy scale (and the
+    * broadcast threshold off so the join actually shuffles), restoring
+    * the session confs after. AQE reads these at EXECUTION, so the
+    * query materializes inside the scope (eager checkpoint) — the
+    * returned frame replays from the already-executed result.
+    */
+  private[graft] def withSkewConfs[T](spark: SparkSession)(f: => T): T = {
+    val knobs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+    val prev = knobs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** q112: AQE SKEW-JOIN — q72's problem (one hot key dominating a
+    * shuffle join) solved by the ENGINE instead of by hand: adaptive
+    * execution detects the oversized partition at runtime and splits
+    * it across tasks, replicating the matching dim rows — no salting
+    * column, no plan rewrite. q72 remains the explicit-salt form (the
+    * portable fallback when AQE is off or the skew is in an agg);
+    * this is the production default on a 1000-executor cluster, where
+    * the thresholds are their real defaults and the split is
+    * automatic. The skew knobs only exist to reproduce "oversized" at
+    * toy scale; the spec asserts the split actually happened
+    * (`skew=true`), and the oracle replays the hot-key mapping.
+    */
+  def aqeSkewJoin(spark: SparkSession, dir: String): DataFrame =
+    withSkewConfs(spark) {
+      skewJoinPlan(spark, dir).localCheckpoint(eager = true)
+    }
+
   /** q55: GLOBAL RANK — total-order ranking without the scale-killer
     * single-partition `Window.orderBy`: range-repartition on the sort
     * key, per-partition local indexes (one pass over each sorted
@@ -446,6 +508,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_aqe_skew_join" -> aqeSkewJoin,
     "q108_rolling_features" -> rollingFeatures,
     "q106_grouping_sets" -> groupingSetsPricing,
     "q92_profile" -> profile,
@@ -474,6 +537,17 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    // replay the constructed hot-key mapping; the result is
+    // skew-invariant (AQE only changes the execution, never the rows)
+    "q112_aqe_skew_join" ->
+      ("""WITH l AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+         |                       ELSE l_orderkey END AS k,
+         |                  CAST(round(l_quantity*100,0) AS BIGINT) AS qc
+         |           FROM lineitem)
+         |SELECT o_orderpriority, count(*) AS n_items,
+         |  CAST(sum(qc) AS DOUBLE)/100.0 AS sum_qty
+         |FROM l JOIN orders ON k = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin),
     "q108_rolling_features" ->
       (s"""SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS us,
           |  count(*) OVER w AS n_7d,

@@ -663,6 +663,42 @@ object SimSearch {
     rerank(e, short)
   }
 
+  /** q115: INCREMENTAL IVF MAINTENANCE — the index operation a live
+    * vector store runs continuously: new arrivals (here the vec_id %
+    * 10 == 9 decile) are assigned to the EXISTING coarse cells — one
+    * broadcast-argmin pass over only the increment, the q58 increment
+    * discipline applied to the ANN index — while the quantizer trained
+    * on the base corpus stays frozen. Output per cell: base list
+    * size, arrival count, and the arrivals' summed assignment dist²
+    * (the drift signal: a cell whose arrivals sit far from its
+    * centroid is the retrain trigger). No all-corpus retrain, no
+    * all-pairs anything; at 100 TB the increment pass touches
+    * |arrivals| rows against a broadcast K-row table.
+    */
+  def ivfIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val all = base(spark, dir).localCheckpoint(eager = false)
+    val baseSet = all.filter(col("vec_id") % 10 =!= 9)
+    val newSet = all.filter(col("vec_id") % 10 === 9)
+    // frozen quantizer: trained on the BASE corpus only (seeds = base
+    // ids < NCells), deliberately NOT the shared full-corpus fixture
+    val cent = trainCentroids(baseSet, NCells)
+    def assign(v: DataFrame): DataFrame = v.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("w"))
+    val b = assign(baseSet)
+      .groupBy(col("w.cell").as("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val a = assign(newSet)
+      .groupBy(col("w.cell").as("cell"))
+      .agg(count(lit(1)).as("n_new"), sum(col("w.d2")).as("drift_d2"))
+    b.join(a, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("drift_d2"), lit(0L)).as("drift_d2"))
+  }
+
   /** q45: recall@K of the approximate variants against the exact
     * brute-force top-K — the accuracy/cost trade-off measured inside
     * the engine itself. Exact integer recall (`hits*1000 DIV total`)
@@ -691,6 +727,7 @@ object SimSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_ivf_increment" -> ivfIncrement,
     "q99_topk_agg" -> annTopkAgg,
     "q97_ann_ivfpq" -> annIvfPq,
     "q19_ann_brute" -> annBrute,
@@ -988,6 +1025,37 @@ object SimSearch {
        |  FROM s$tag GROUP BY cell),
        |centn$tag AS (SELECT cell, cqv, ${sqlNorm2("cqv")} cn2 FROM cent$tag)""".stripMargin
 
+  /** q115 replay: features split into base (`n`, which the shared
+    * training fragments consume) and arrivals; train on base, assign
+    * both against the frozen `centn2`, full-join the per-cell counts.
+    */
+  private val ivfIncSql = {
+    val d2 = s"x.n2 - 2*${sqlDotq("x.qv", "c.cqv")} + c.cn2"
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |na AS (SELECT vec_id, qv, ${sqlNorm2("qv")} n2 FROM e),
+       |n AS (SELECT * FROM na WHERE vec_id % 10 <> 9),
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $NCells),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")},
+       |anew AS (SELECT vec_id, cell, dist2 FROM (
+       |    SELECT x.vec_id, c.cell, $d2 dist2,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY $d2, c.cell) rn
+       |    FROM (SELECT * FROM na WHERE vec_id % 10 = 9) x
+       |    CROSS JOIN centn2 c) WHERE rn = 1),
+       |b AS (SELECT cell, count(*) n_base FROM a3 GROUP BY cell),
+       |w AS (SELECT cell, count(*) n_new, CAST(sum(dist2) AS BIGINT) sum_d2
+       |      FROM anew GROUP BY cell)
+       |SELECT coalesce(b.cell, w.cell) AS cell,
+       |       coalesce(b.n_base, 0) AS n_base,
+       |       coalesce(w.n_new, 0) AS n_new,
+       |       coalesce(w.sum_d2, 0) AS drift_d2
+       |FROM b FULL JOIN w ON b.cell = w.cell""".stripMargin
+  }
+
   private val kmeansSql =
     s"""$baseSql,
        |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
@@ -1025,6 +1093,7 @@ object SimSearch {
        |FROM feat f LEFT JOIN dup d ON f.vec_id = d.vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q115_ivf_increment" -> ivfIncSql,
     "q19_ann_brute" -> bruteSql,
     "q20_ann_lsh" -> lshSql,
     "q34_ann_ivf" -> ivfSql,

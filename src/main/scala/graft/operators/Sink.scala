@@ -844,6 +844,7 @@ object Sink {
     reexportFixture(spark, dir)
     vacuumedFixture(spark, dir)
     evolvedFixture(spark, dir)
+    layoutFixture(spark, dir)
     Core.indexFixture(spark, dir)
     ()
   }
@@ -888,7 +889,47 @@ object Sink {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("gen"))
 
+  /** q111 fixture: the documents table under two LAYOUTS — gen1 holds
+    * the even doc_ids unpartitioned (the historical layout); gen2 holds
+    * the odd doc_ids partitioned by `lang` (the evolved layout a
+    * selective reader wants). Evolution rewrites nothing: new data
+    * simply lands partitioned.
+    */
+  private def layoutFixture(spark: SparkSession, dir: String): String =
+    fixture("layout:" + dir) {
+      val out = Scratch.dir("graft_layout")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(out + "/flat")
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.partitionBy("lang").mode("overwrite").parquet(out + "/bylang")
+      out
+    }
+
+  /** q111: PARTITION-EVOLUTION READ — one logical query over both
+    * layouts: a `lang = 'en'` predicate reaches the evolved generation
+    * as a PARTITION filter (only the `lang=en` directory is listed —
+    * file-level pruning, zero bytes of other languages) and the
+    * historical generation as an ordinary pushed row filter. The union
+    * is the migration-window read path: history pays a scan+filter,
+    * new data pays only its partition, and the cutover needs no 100 TB
+    * rewrite — exactly how partition-spec evolution behaves in a
+    * production lakehouse.
+    */
+  def partitionEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = layoutFixture(spark, dir)
+    val hist = spark.read.parquet(root + "/flat")
+    val part = spark.read.parquet(root + "/bylang")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    hist.unionByName(part)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_partition_evolution" -> partitionEvolutionRead,
     "q109_schema_evolution" -> schemaEvolutionRead,
     "q103_vacuum_read" -> vacuumedRead,
     "q89_ordered_reexport" -> orderedReexport,
@@ -934,6 +975,13 @@ object Sink {
   val oracle: Map[String, String] = Map(
     // replay the evolution null-fill: gen-1 rows (even ids) predate
     // (source, n_chars); the partition column is the generation id
+    // both layouts hold the same rows; the layout only changes HOW the
+    // engine reads them, never what they contain
+    "q111_partition_evolution" ->
+      ("""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents WHERE lang = 'en'
+         |GROUP BY source""".stripMargin),
     "q109_schema_evolution" ->
       ("""SELECT doc_id, lang,
          |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,

@@ -619,6 +619,70 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** q113's MERGE: fold one micro-batch of per-key rows into a keyed
+    * parquet target — current generation anti-joined on the batch's
+    * keys (drop superseded rows), union the batch, write generation
+    * `g<batchId>`. Readers take the highest generation; re-running a
+    * batch overwrites ITS generation, so foreachBatch's at-least-once
+    * delivery composes to exactly-once — the idempotent-sink contract.
+    */
+  private[graft] def mergeIntoKeyed(target: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    val merged = latestGen(target) match {
+      case Some(g) =>
+        val cur = sp.read.parquet(s"$target/g$g")
+        cur.join(batch, Seq("user_id"), "left_anti").unionByName(batch)
+      case None => batch
+    }
+    merged.write.mode("overwrite").parquet(s"$target/g$batchId")
+  }
+
+  private[graft] def latestGen(target: String): Option[Long] =
+    Option(new java.io.File(target).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+      .map(_.getName.stripPrefix("g").toLong).sorted.lastOption
+
+  /** q113: STREAMING UPSERT SINK via `foreachBatch` — the escape hatch
+    * every production pipeline ends at when the destination isn't a
+    * streaming-native sink: an Update-mode per-user aggregate whose
+    * changed rows are MERGED into a keyed parquet table per
+    * micro-batch ([[mergeIntoKeyed]]). Complements the state-side
+    * feature queries (q98 keeps the accumulator in the state store;
+    * this keeps the TABLE outside the query, so any batch consumer
+    * reads current features without touching streaming state).
+    *
+    * Scale: each batch writes |changed keys ∪ current| rows — the
+    * anti-join is keyed, the target re-clusters by nothing (a real
+    * deployment buckets the target by the key and the anti-join goes
+    * exchange-free, the q44/q61 layout); the generation chain is the
+    * q80 pattern, pruned by the q103 vacuum. Parity: AvailableNow
+    * folds the fixture in one batch here; the SPEC drives two batches
+    * through the same merge and proves supersede + survive.
+    */
+  def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val target = Scratch.dir("graft_upsert")
+    val schema = Tables.events(spark, dir).schema
+    val agg = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("vc"),
+        expr("ts DIV 1000").as("us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_vc"),
+        max(col("us")).as("last_us"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", Scratch.dir("graft_upsert_ckpt"))
+        .foreachBatch(mergeIntoKeyed(target) _)
+        .trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q113", q)
+    }
+    spark.read.parquet(s"$target/g${latestGen(target).get}")
+  }
+
   private val AttributionGapUs = 3600000000L // 1 h view→purchase window
 
   /** q69: STREAM-STREAM JOIN — view events joined to purchase events of
@@ -808,6 +872,7 @@ object Streaming extends Serializable {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_stream_upsert" -> streamUpsertSink,
     "q107_stream_window_final" -> streamWindowFinal,
     "q104_stream_static_join" -> streamStaticJoin,
     "q102_stream_outer_join" -> streamStreamLeftJoin,
@@ -832,6 +897,12 @@ object Streaming extends Serializable {
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the upserted table's final state IS the per-user aggregate
+    // (update-mode emissions are cumulative; the merge keeps the last)
+    "q113_stream_upsert" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_vc, " +
+        "max(epoch_us(ts)) AS last_us FROM events GROUP BY user_id"),
     // stateless enrichment: the plain batch join/aggregate
     "q104_stream_static_join" ->
       ("""SELECT c_mktsegment, count(*) AS n_purchases,

@@ -759,6 +759,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(ham(1, 4) > 10, s"shuffled payload only ${ham(1, 4)} bits away")
   }
 
+  test("q113 upsert merge across batches: supersede updated keys, keep the rest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_upsert_spec").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_upsert_ckpt_spec").toFile.getAbsolutePath
+    val in = MemoryStream[(Long, Long, Long)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+      spark.sqlContext) // (user_id, vc, us)
+    val agg = in.toDS().toDF("user_id", "vc", "us")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_vc"),
+        max(col("us")).as("last_us"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Streaming.mergeIntoKeyed(target) _)
+      .start()
+    in.addData((1L, 10L, 100L), (2L, 5L, 50L)); q.processAllAvailable()
+    in.addData((1L, 3L, 200L)); q.processAllAvailable()
+    q.stop()
+    // two generations: batch 1 changed only user 1, whose row must be
+    // the CUMULATIVE aggregate; user 2's batch-0 row must survive
+    assert(Streaming.latestGen(target) === Some(1L))
+    val rows = spark.read.parquet(s"$target/g1")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows === Set((1L, 2L, 13L, 200L), (2L, 1L, 5L, 50L)))
+  }
+
   test("q105 cohort retention on a crafted grid of known retention") {
     import spark.implicits._
     val weekUs = 604800000000L

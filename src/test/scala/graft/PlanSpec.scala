@@ -63,6 +63,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected the single aggregate shuffle, got:\n${plan.take(3000)}")
   }
 
+  test("q114 sliding windows plan ONE Expand into ONE exchange (no per-window passes)") {
+    val plan = physical(graft.operators.Events.slidingWindowAgg(spark, sf0001))
+    assert(plan.linesIterator.count(_.contains("Expand [")) === 1,
+      plan.take(3000))
+    assert(plan.linesIterator.count(_.contains("Exchange")) === 1,
+      s"expected the single window-key shuffle, got:\n${plan.take(3000)}")
+  }
+
   test("q108 rolling range-frame features plan ONE exchange (user key) and one Window") {
     val plan = physical(Relational.rollingFeatures(spark, sf0001))
     assert(plan.linesIterator.count(_.contains("Exchange")) === 1,
@@ -80,6 +88,30 @@ class PlanSpec extends AnyFunSuite {
       .getOrElse(fail(s"no ReadSchema in:\n$plan"))
     assert(readSchema.contains("doc_id") && !readSchema.contains("n_chars"),
       readSchema)
+  }
+
+  test("q111 evolved layout: partition pruning on the new generation, pushdown on the old") {
+    val plan = physical(graft.operators.Sink.partitionEvolutionRead(spark, sf0001))
+    // the partitioned generation lists only lang=en (a partition filter)
+    val partScan = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("PartitionFilters: [") &&
+        !l.contains("PartitionFilters: []"))
+    assert(partScan.exists(_.contains("lang")), plan.take(4000))
+    // the historical flat generation still pushes lang as a row filter
+    val flatScan = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("PushedFilters: [") &&
+        l.contains("EqualTo(lang,en)"))
+    assert(flatScan.nonEmpty, plan.take(4000))
+  }
+
+  test("q112 AQE splits the constructed hot partition (skew=true)") {
+    Relational.withSkewConfs(spark) {
+      val df = Relational.skewJoinPlan(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skew split:\n${plan.take(4000)}")
+    }
   }
 
   test("q13 semi join broadcasts the filtered dimension") {
@@ -103,7 +135,8 @@ class PlanSpec extends AnyFunSuite {
     val skip = Set("q28_stream_window", "q31_stream_sessionize", "q98_stream_features",
       "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
       "q104_stream_static_join", "q107_stream_window_final",
-      "q109_schema_evolution",
+      "q109_schema_evolution", "q111_partition_evolution",
+      "q112_aqe_skew_join", "q113_stream_upsert",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
@@ -115,10 +148,11 @@ class PlanSpec extends AnyFunSuite {
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
     // construction at any corpus size
-    // q99 inherits q19's deliberately-broadcast brute-force scorer
+    // q99 inherits q19's deliberately-broadcast brute-force scorer;
+    // q115's NL joins broadcast the frozen K-row centroid table
     val nlAllowed = Set("q19_ann_brute", "q45_ann_recall",
       "q59_kmeans_embed", "q34_ann_ivf", "q85_ann_filtered",
-      "q97_ann_ivfpq", "q99_topk_agg")
+      "q97_ann_ivfpq", "q99_topk_agg", "q115_ivf_increment")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
