@@ -450,7 +450,48 @@ object TextAnalysis {
         col("n_outliers"))
   }
 
+  private val NBuckets = 8 // equal-frequency bins
+
+  /** q116: EQUAL-FREQUENCY BUCKETING — discretize per-document token
+    * counts into [[NBuckets]] quantile bins, the feature-engineering
+    * step ("length bucket" as a categorical feature / stratification
+    * key) that NTILE answers only via a TOTAL-ORDER window — the q55
+    * scale-killer. The scalable shape: the q73 value-domain histogram
+    * yields the k−1 exact rank thresholds (t_i = smallest v with
+    * cum ≥ ceil(i·n/k)), which broadcast back as ONE array row; bucket
+    * assignment is then a row-local `size(filter(thrs, t ≤ v))`.
+    * Tie-correct by construction: equal values always land in the
+    * same bucket (NTILE would split them arbitrarily), which is what
+    * makes the assignment deterministic on both engines.
+    *
+    * Scale: one (value-domain) histogram shuffle + a running-sum
+    * window bounded by distinct values, one scalar broadcast, one
+    * 7-value array broadcast — the corpus itself is touched by
+    * exactly one row-local pass for assignment.
+    */
+  def equifreqBucketing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(words(col("text"))).as("v"))
+    val hist = d.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val tot = d.agg(count(lit(1)).as("n"))
+    val thrs = withScalar(cum, tot)
+      .select(col("v"), col("cum"), col("n"),
+        explode(sequence(lit(1), lit(NBuckets - 1))).as("i"))
+      .groupBy(col("i"))
+      .agg(min(when(col("cum") >= expr(s"(i * n + ${NBuckets - 1}) DIV $NBuckets"),
+        col("v"))).as("t"))
+      .agg(array_sort(collect_list(col("t"))).as("thrs"))
+    withScalar(d, thrs)
+      .select(col("doc_id"), col("v"),
+        size(filter(col("thrs"), t => t <= col("v"))).as("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_equifreq_bucketing" -> equifreqBucketing,
     "q94_lm_quality" -> lmQuality,
     "q90_approx_stats" -> approxStats,
     "q87_robust_outliers" -> robustOutliers,
@@ -616,7 +657,22 @@ object TextAnalysis {
        |       CAST(sum(tf * bits) * 1000 // sum(tf) AS BIGINT) AS surprisal_milli
        |FROM tf JOIN b USING (w) GROUP BY 1""".stripMargin
 
+  private val equifreqSql =
+    s"""WITH d AS (SELECT doc_id, CAST(len($sqlWords) AS INTEGER) v
+       |           FROM documents),
+       |h AS (SELECT v, count(*) cnt FROM d GROUP BY v),
+       |c AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cum
+       |      FROM h),
+       |n AS (SELECT count(*) n FROM d),
+       |t AS (SELECT i, min(CASE WHEN cum >= (i*n + ${NBuckets - 1}) // $NBuckets
+       |                         THEN v END) t
+       |      FROM c, n, (SELECT unnest(range(1, $NBuckets)) i) GROUP BY i)
+       |SELECT d.doc_id, d.v,
+       |       CAST((SELECT count(*) FROM t WHERE t.t <= d.v) AS INTEGER) AS bucket
+       |FROM d""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q116_equifreq_bucketing" -> equifreqSql,
     "q94_lm_quality" -> lmQualitySql,
     "q90_approx_stats" -> approxStatsSql,
     "q87_robust_outliers" -> robustOutliersSql,
