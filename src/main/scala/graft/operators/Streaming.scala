@@ -601,6 +601,42 @@ object Streaming extends Serializable {
       .select(expr(s"unix_micros(window.start) DIV $DayUs").as("day_bucket"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** q117: SLIDING WINDOWS UNDER WATERMARK FINALIZATION — q114's
+    * 7-day/1-day sliding aggregation run as an append-mode stream:
+    * every event feeds 7 OVERLAPPING open windows (state ∝ windows
+    * open inside the watermark horizon — overlap × delay, not stream
+    * history), and each window still emits exactly once when the
+    * watermark passes its end (q107's `window_end <= watermark`
+    * comparison, pinned there). The trailing-week-by-day metric
+    * served from a stream with exactly-once emission — q26/q28's
+    * tumbling twin taken to the overlapping case.
+    */
+  def streamSlidingFinal(spark: SparkSession, dir: String): DataFrame = {
+    val name = "q117_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val schema = Tables.events(spark, dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = src
+      .select(col("event_type"), expr("ts DIV 1000").as("us"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .withColumn("event_time", timestamp_micros(col("us")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "7 days", "1 day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("vc")).cast("double") / 100.0).as("sum_value"))
+      .select(expr(s"unix_micros(window.start) DIV $DayUs").as("start_day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q117", q)
+    }
+    spark.table(name)
+  }
+
   def streamWindowFinal(spark: SparkSession, dir: String): DataFrame = {
     val name = "q107_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -872,6 +908,7 @@ object Streaming extends Serializable {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_stream_sliding" -> streamSlidingFinal,
     "q113_stream_upsert" -> streamUpsertSink,
     "q107_stream_window_final" -> streamWindowFinal,
     "q104_stream_static_join" -> streamStaticJoin,
@@ -897,6 +934,20 @@ object Streaming extends Serializable {
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q114's sliding expansion restricted to windows the final
+    // watermark closed — same `window_end <= wm` comparison as q107
+    "q117_stream_sliding" ->
+      (s"""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms
+          |            FROM events),
+          |e AS (SELECT event_type, epoch_us(ts) // $DayUs AS d,
+          |        CAST(round(value*100,0) AS BIGINT) vc FROM events),
+          |x AS (SELECT event_type, vc, unnest(range(d - 6, d + 1)) AS start_day
+          |      FROM e)
+          |SELECT start_day, event_type, count(*) AS n_events,
+          |       CAST(sum(vc) AS DOUBLE)/100.0 AS sum_value
+          |FROM x, wm
+          |GROUP BY 1, 2, wm.wm_ms
+          |HAVING (start_day + 7) * ${DayUs / 1000} <= wm.wm_ms""".stripMargin),
     // the upserted table's final state IS the per-user aggregate
     // (update-mode emissions are cumulative; the merge keeps the last)
     "q113_stream_upsert" ->

@@ -20,7 +20,7 @@ object ScaleAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val skip = Set("q28_stream_window", "q31_stream_sessionize", "q98_stream_features",
       "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
-      "q104_stream_static_join", "q107_stream_window_final",
+      "q104_stream_static_join", "q107_stream_window_final", "q117_stream_sliding",
       "q109_schema_evolution", "q111_partition_evolution",
       "q112_aqe_skew_join", "q113_stream_upsert",
       "q29_sink_roundtrip", "q30_proto_source", "q36_noshuffle_stats",
