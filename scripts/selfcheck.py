@@ -63,6 +63,13 @@ def main():
     failures = 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that THREW in Verify writes no dump at all — without this
+    # check it would vanish from the sweep and ALL GREEN would lie
+    # (Verify logs it as "[verify] <q> failed", but the gate is here)
+    for name in sorted(set(oracle) - set(names)):
+        print(f"FAIL {name}: oracle present but no dump "
+              f"(query threw in Verify? see the Verify log)")
+        failures += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
