@@ -166,15 +166,13 @@ object Streaming extends Serializable {
 
   /** q28: streaming twin of [[Events.windowAgg]]. */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
-    // resolve the (nanosAsLong) schema from the batch reader first
-    val schema = Tables.events(spark, dir).schema
+    // Tables.eventsStream resolves the on-disk schema via the batch
+    // reader and normalizes ts to nano longs (see Tables scaladoc)
     val name = "q28_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     // the file-stream source wants a directory: stream the testdata dir
     // with a glob filter selecting the events table
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = Tables.eventsStream(spark, dir)
     val agg = src
       .select(col("user_id"), col("event_type"),
         expr("ts DIV 1000").as("us"),
@@ -220,12 +218,9 @@ object Streaming extends Serializable {
     */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = Tables.events(spark, dir).schema
     val name = "q31_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = Tables.eventsStream(spark, dir)
     val evs = src
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
         timestamp_micros(expr("ts DIV 1000")).as("event_time"))
@@ -291,10 +286,7 @@ object Streaming extends Serializable {
     import org.apache.spark.sql.functions.{array, struct}
     val outDir = Scratch.dir("graft_ssink")
     val ckpt = Scratch.dir("graft_ssink_ckpt")
-    val schema = Tables.events(spark, dir).schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = Tables.eventsStream(spark, dir)
     val nested = CellModel.cellsOf(CellModel.cellStringsOf(src))
       .filter(!col("partition_deleted") && col("kind") === "live")
       .select(col("key"),
@@ -326,10 +318,7 @@ object Streaming extends Serializable {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = "q43_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def src = Tables.eventsStream(spark, dir)
     // dedup on FULL row identity: keying on event_id alone would make
     // the survivor arbitrary if ids ever repeated with different
     // payloads, diverging from the oracle nondeterministically
@@ -384,10 +373,7 @@ object Streaming extends Serializable {
   def streamDedupTtl(spark: SparkSession, dir: String): DataFrame = {
     val name = "q84_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def src = Tables.eventsStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
     // event ids are unique in the fixture, so keying the TTL state on
     // event_id alone matches the full-row dedup the oracle computes
@@ -425,10 +411,7 @@ object Streaming extends Serializable {
     import org.apache.spark.sql.streaming.TimeMode
     val name = "q98_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
-    val evs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val evs = Tables.eventsStream(spark, dir)
       .select(col("user_id"),
         round(col("value") * 100, 0).cast("long").as("vc"),
         expr("ts DIV 1000").as("us"))
@@ -484,10 +467,7 @@ object Streaming extends Serializable {
     import org.apache.spark.sql.streaming.TimeMode
     val name = "q101_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
-    val evs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val evs = Tables.eventsStream(spark, dir)
       .select(col("user_id"),
         round(col("value") * 100, 0).cast("long").as("vc"),
         expr("ts DIV 1000").as("us"))
@@ -544,12 +524,9 @@ object Streaming extends Serializable {
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = "q104_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val purchases = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val purchases = Tables.eventsStream(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         round(col("value") * 100, 0).cast("long").as("vc"))
@@ -614,10 +591,7 @@ object Streaming extends Serializable {
   def streamSlidingFinal(spark: SparkSession, dir: String): DataFrame = {
     val name = "q117_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = Tables.eventsStream(spark, dir)
     val agg = src
       .select(col("event_type"), expr("ts DIV 1000").as("us"),
         round(col("value") * 100, 0).cast("long").as("vc"))
@@ -640,10 +614,7 @@ object Streaming extends Serializable {
   def streamWindowFinal(spark: SparkSession, dir: String): DataFrame = {
     val name = "q107_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = Tables.eventsStream(spark, dir)
     val agg = windowFinalOf(src
       .select(col("event_type"), expr("ts DIV 1000").as("us"),
         round(col("value") * 100, 0).cast("long").as("vc")))
@@ -698,10 +669,7 @@ object Streaming extends Serializable {
     */
   def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
     val target = Scratch.dir("graft_upsert")
-    val schema = Tables.events(spark, dir).schema
-    val agg = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val agg = Tables.eventsStream(spark, dir)
       .select(col("user_id"),
         round(col("value") * 100, 0).cast("long").as("vc"),
         expr("ts DIV 1000").as("us"))
@@ -745,10 +713,7 @@ object Streaming extends Serializable {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = "q69_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def src = Tables.eventsStream(spark, dir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         expr("ts DIV 1000").as("view_us"),
@@ -822,10 +787,7 @@ object Streaming extends Serializable {
   def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = "q102_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def src = Tables.eventsStream(spark, dir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         expr("ts DIV 1000").as("view_us"),
@@ -864,10 +826,7 @@ object Streaming extends Serializable {
     import spark.implicits._
     val name = "q76_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val schema = Tables.events(spark, dir).schema
-    val evs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val evs = Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("event_id"),
         col("event_type").as("etype"), expr("ts DIV 1000").as("us"))
       .as[(Long, Long, String, Long)]

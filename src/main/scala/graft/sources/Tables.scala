@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet testdata
   * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md §B).
@@ -16,22 +18,48 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Required engine setting for the `events` table: its `ts` column is
-    * parquet TIMESTAMP(NANOS), which Spark 4 rejects by default; it must
-    * read as a long of epoch-nanoseconds (µs derive via `ts DIV 1000` —
-    * double division would lose precision above 2^53). The shipped
-    * session builders (Verify/Bench/tests) set it at build time; this
-    * fallback covers a caller-provided session, set ONCE and only if the
-    * caller hasn't chosen a value (a query constructor must not
-    * silently flip a session-wide conf the caller pinned).
+  /** Engine contract for the `events` table: `ts` is PRESENTED to every
+    * operator as a long of epoch-NANOSECONDS (µs derive via
+    * `ts DIV 1000` — double division would lose precision above 2^53),
+    * regardless of the on-disk physical type. Two driver generations
+    * exist: parquet TIMESTAMP(NANOS), which Spark 4 rejects unless the
+    * legacy `nanosAsLong` conf reads it as a nano long (then passes
+    * through unchanged), and TIMESTAMP(MICROS), which arrives as
+    * TIMESTAMP_NTZ and is widened to nanos exactly (µs × 1000). The
+    * NTZ→instant cast is pinned by the `timeZone=UTC` every shipped
+    * session builder sets, matching the DuckDB oracle's `epoch_us(ts)`
+    * over the same naive timestamps.
     */
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) via nanosAsLong: already nanos
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000)
+    }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events" &&
         !org.apache.spark.sql.graft.Shim.confExplicitlySet(spark, NanosConf))
       spark.conf.set(NanosConf, "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Streaming twin of [[events]]: a file-stream source over the
+    * testdata dir (glob-filtered to the events table), with the same
+    * nano-long `ts` normalization as the batch reader. The stream's
+    * input schema is resolved from the batch reader's ON-DISK schema
+    * (a file-stream source can't infer), then normalized on top.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    if (!org.apache.spark.sql.graft.Shim.confExplicitlySet(spark, NanosConf))
+      spark.conf.set(NanosConf, "true")
+    val onDisk = spark.read.parquet(s"$dir/events.parquet").schema
+    normalizeTs(spark.readStream.schema(onDisk)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
