@@ -347,19 +347,12 @@ object Relational {
     * query materializes inside the scope (eager checkpoint) — the
     * returned frame replays from the already-executed result.
     */
-  private[graft] def withSkewConfs[T](spark: SparkSession)(f: => T): T = {
-    val knobs = Seq(
+  private[graft] def withSkewConfs[T](spark: SparkSession)(f: => T): T =
+    withScopedConfs(spark, Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
-    val prev = knobs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB"))(f)
 
   /** q112: AQE SKEW-JOIN — q72's problem (one hot key dominating a
     * shuffle join) solved by the ENGINE instead of by hand: adaptive
@@ -436,6 +429,177 @@ object Relational {
       .drop("mid", "pid", "idx", "offset")
   }
 
+  /** Run `f` with a set of session confs scoped to the call, restoring
+    * (or unsetting) each after. Shared by the runtime-replan demos
+    * ([[aqeSkewJoin]], [[bloomJoin]]) whose knobs only exist to
+    * reproduce a big-data planning condition at toy scale; callers
+    * materialize inside the scope (eager checkpoint) because the
+    * optimizer/AQE reads the confs at execution, not at plan build.
+    */
+  private[graft] def withScopedConfs[T](spark: SparkSession,
+      knobs: Seq[(String, String)])(f: => T): T = {
+    val prev = knobs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** q118: SCD TYPE-2 INTERVAL BUILD — compress each customer's order-
+    * status history into validity intervals: change detection by
+    * `lag()`, run numbering by a running sum of change flags (gaps-and-
+    * islands), one row per run, and `lead()` for the exclusive upper
+    * bound (NULL = current run). This is the temporal-dimension build
+    * every warehouse derives from a change history (cf. the sink's q81
+    * change feed — this operator is what a consumer DOES with one).
+    *
+    * Scale shape: ONE hash shuffle on the customer key; the lag/run-sum
+    * windows and the run grouping all live inside that partitioning
+    * (the run table is runs-sized, strictly smaller than the input),
+    * and the final lead() window rides the same key. Strict intra-key
+    * order (us, o_orderkey) makes every window deterministic.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("us"), col("o_orderkey"))
+    val runs = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderstatus"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderkey"))
+      .withColumn("chg",
+        when(lag(col("o_orderstatus"), 1).over(wOrd).isNull ||
+          lag(col("o_orderstatus"), 1).over(wOrd) =!= col("o_orderstatus"),
+          1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSeq = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
+    runs.groupBy(col("o_custkey"), col("run_id"))
+      .agg(min(col("o_orderstatus")).as("o_orderstatus"),
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wSeq))
+      .select(col("o_custkey"), col("run_id"), col("o_orderstatus"),
+        col("valid_from_us"), col("valid_to_us"), col("n_orders"))
+  }
+
+  /** q119: CUBE aggregation — every subset of (status, priority), i.e.
+    * the full 2^d lattice the q38 rollup (suffix-nested) and q106
+    * grouping sets (explicit list) don't produce. Same single-shuffle
+    * Expand shape: 4 replicas per row into one partial-aggregating
+    * exchange, `grouping()` flags disambiguating subtotal rows.
+    */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("pc"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("pc")).cast("double") / 100.0).as("sum_price"))
+
+  /** The q120 join split out un-executed so the spec can assert the
+    * injected runtime filter: a selective dim filter (urgent 1995
+    * orders) joined to the full lineitem scan. Without a runtime
+    * filter the fact side shuffles EVERY row to the join just to drop
+    * ~97% of them; with it, the dim side's join keys feed a bloom
+    * filter evaluated inside the fact scan, so non-matching rows die
+    * before the exchange.
+    */
+  private[graft] def bloomJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    val sel = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("pc").cast("decimal(28,0)")).cast("double") / 100.0)
+          .as("sum_price"))
+  }
+
+  /** Scope the runtime-bloom knobs to toy scale: broadcast off (the
+    * rule targets shuffle joins — at 100 TB this dim is past the
+    * broadcast threshold anyway) and the application-side size floor
+    * dropped to 0 (its 10 GB default says "don't bother filtering a
+    * small scan", which at sf0.01 is every scan).
+    */
+  private[graft] def withBloomConfs[T](spark: SparkSession)(f: => T): T =
+    withScopedConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0"))(f)
+
+  /** q120: RUNTIME BLOOM-FILTER PRUNED JOIN — the engine-injected
+    * semi-join reduction for a selective fact⋈dim join that can't
+    * broadcast: Catalyst's InjectRuntimeFilter plants a
+    * `bloom_filter_might_contain(agg(dim keys))` predicate on the fact
+    * side (the spec asserts it), so fact rows without a join partner
+    * are dropped AT THE SCAN instead of surviving to the shuffle. The
+    * 100 TB posture: this is DPP's row-level sibling for non-partition
+    * join keys — the dominant shuffle shrinks by the dim filter's
+    * selectivity with zero query rewrite. The oracle replays the plain
+    * join (the filter only prunes non-matches, never changes rows).
+    */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame =
+    withBloomConfs(spark) {
+      bloomJoinPlan(spark, dir).localCheckpoint(eager = true)
+    }
+
+  /** q128: DATA-QUALITY EXPECTATION REPORT — the deequ-style gate a
+    * pipeline runs before promoting a corpus drop: completeness
+    * (null keys), uniqueness (PK dups), referential integrity (orphan
+    * FKs, both directions of the star), and domain/range contracts
+    * (discount in [0,1], ship dates in the schema's era), emitted as
+    * one (check, violations, passed) report.
+    *
+    * Scale shape: the row-local contracts fuse into ONE conditional
+    * aggregate per table (no per-check passes); each referential check
+    * is a left-anti join on the FK (shuffle-or-broadcast as the dim
+    * side warrants). The unions stitch 1-row frames — plan width, not
+    * data volume.
+    */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def report(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check"),
+        col("v").cast("long").as("violations"),
+        (col("v") === 0).cast("int").as("passed"))
+    val orders1 = o.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dups"))
+      .localCheckpoint(false) // one pass feeds both 1-row reports
+    val line1 = l.agg(
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("bad_discount"),
+      sum(when(col("l_shipdate") < expr("TIMESTAMP_NTZ '1992-01-01 00:00:00'") ||
+        col("l_shipdate") >= expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'"), 1L)
+        .otherwise(0L)).as("bad_shipdate"),
+      count(lit(1)).as("n_rows"))
+      .localCheckpoint(false)
+    val orphanLine = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val orphanOrder = o.select(col("o_custkey"))
+      .join(broadcast(c.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    report("orders_custkey_complete", orders1.select(col("null_custkey").as("v")))
+      .unionAll(report("orders_orderkey_unique", orders1.select(col("pk_dups").as("v"))))
+      .unionAll(report("lineitem_discount_in_range", line1.select(col("bad_discount").as("v"))))
+      .unionAll(report("lineitem_shipdate_in_era", line1.select(col("bad_shipdate").as("v"))))
+      .unionAll(report("lineitem_nonempty",
+        line1.select(when(col("n_rows") === 0, 1L).otherwise(0L).as("v"))))
+      .unionAll(report("lineitem_order_fk", orphanLine))
+      .unionAll(report("orders_customer_fk", orphanOrder))
+  }
+
   /** Salt fan-out for [[saltedJoin]] — each hot key's rows spread over
     * this many shuffle groups; the small side replicates this many ×.
     */
@@ -508,6 +672,10 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_scd2_intervals" -> scd2Intervals,
+    "q119_cube" -> cubePricing,
+    "q120_bloom_join" -> bloomJoin,
+    "q128_dq_report" -> dqReport,
     "q112_aqe_skew_join" -> aqeSkewJoin,
     "q108_rolling_features" -> rollingFeatures,
     "q106_grouping_sets" -> groupingSetsPricing,
@@ -537,6 +705,65 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q118_scd2_intervals" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus,
+        |             epoch_us(o_orderdate) AS us, o_orderkey FROM orders),
+        |c AS (SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |        OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |        THEN 1 ELSE 0 END AS chg
+        |      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY us, o_orderkey)),
+        |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |        ORDER BY us, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS run_id FROM c),
+        |g AS (SELECT o_custkey, run_id, min(o_orderstatus) AS o_orderstatus,
+        |        min(us) AS valid_from_us, count(*) AS n_orders
+        |      FROM r GROUP BY o_custkey, run_id)
+        |SELECT o_custkey, run_id, o_orderstatus, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY o_custkey ORDER BY run_id)
+        |    AS valid_to_us,
+        |  n_orders
+        |FROM g""".stripMargin,
+    "q119_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    // the runtime filter only prunes non-matching rows — the oracle is
+    // the plain selective join
+    "q120_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND date_part('year', o_orderdate) = 1995
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q128_dq_report" ->
+      """WITH checks(c, v) AS (
+        |  SELECT 'orders_custkey_complete',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |  UNION ALL SELECT 'orders_orderkey_unique',
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL SELECT 'lineitem_discount_in_range',
+        |    (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+        |  UNION ALL SELECT 'lineitem_shipdate_in_era',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_shipdate < TIMESTAMP '1992-01-01'
+        |        OR l_shipdate >= TIMESTAMP '1999-01-01')
+        |  UNION ALL SELECT 'lineitem_nonempty',
+        |    (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END FROM lineitem)
+        |  UNION ALL SELECT 'lineitem_order_fk',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |  UNION ALL SELECT 'orders_customer_fk',
+        |    (SELECT count(*) FROM orders
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)))
+        |SELECT c AS "check", CAST(v AS BIGINT) AS violations,
+        |  CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+        |FROM checks""".stripMargin,
     // replay the constructed hot-key mapping; the result is
     // skew-invariant (AQE only changes the execution, never the rows)
     "q112_aqe_skew_join" ->

@@ -114,6 +114,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 plants a runtime bloom filter on the fact side") {
+    Relational.withBloomConfs(spark) {
+      val df = Relational.bloomJoinPlan(spark, sf0001)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${plan.take(4000)}")
+    }
+  }
+
   test("q13 semi join broadcasts the filtered dimension") {
     val plan = physical(Relational.semiJoin(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
