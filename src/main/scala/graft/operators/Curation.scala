@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashOps
@@ -161,6 +162,75 @@ object Curation {
           col("doc_id").cast("string"))) % 1000)
       .filter(col("bucket") < col("rate_milli"))
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+  }
+
+  /** q121 split fractions in permille: 800 train / 100 val / 100 test. */
+  private val SplitTrainMilli = 800L
+  private val SplitValMilli = 900L
+
+  /** q121: DETERMINISTIC TRAIN/VAL/TEST SPLIT ASSIGNMENT — every doc
+    * gets a split from a salted 60-bit hash of its TEXT (not its id):
+    * content-keyed, so byte-identical duplicates land in the same
+    * split by construction — the assignment-side complement of the q96
+    * split-leakage audit (which checks a split AFTER the fact; this
+    * operator is how to produce one that passes its exact-dup gate).
+    * Hash-threshold assignment is append-stable: new corpus drops
+    * never reshuffle old docs between splits, the property a growing
+    * 100 TB corpus needs so eval sets stay frozen.
+    *
+    * Row-local, zero shuffles; the per-split tallies a release report
+    * wants are one groupBy away (left to the consumer, kept per-doc
+    * here so the gate hashes the full assignment).
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        HashOps.md5_prefix60(concat(lit("split:"), col("text"))) % 1000)
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        when(col("bucket") < SplitTrainMilli, "train")
+          .when(col("bucket") < SplitValMilli, "val")
+          .otherwise("test").as("split"))
+
+  /** q122 sample size per language stratum. */
+  private val WSampleK = 20
+  private val WSalts = 16
+
+  /** q122: DETERMINISTIC WEIGHTED SAMPLING — k docs per language with
+    * selection probability increasing in document weight (n_chars):
+    * each doc draws a 30-bit uniform from a salted hash and its
+    * priority is `u30 · 2^30 DIV w` (a weight-scaled uniform, EXACT
+    * integer arithmetic — u30·2^30 < 2^60 never overflows, and both
+    * engines integer-divide the same operands); the k smallest
+    * priorities per stratum win. Weight-monotone and reproducible
+    * run-to-run/engine-to-engine — `rand()`-based weighted sampling is
+    * neither. (A production kernel wanting exact A-ES semantics swaps
+    * the priority for u^(1/w); that needs float pow, which the
+    * cross-engine hash gate can't admit — the shape is identical.)
+    *
+    * Selection is the q10 two-phase top-k: salted local heads bound
+    * every task's state, then a final window over ≤ k·salts·strata
+    * survivors — no language-partition ever funnels the corpus
+    * through one task.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        (HashOps.md5_prefix60(concat(lit("wsample:"),
+          col("doc_id").cast("string"))) % (1L << 30)).as("u30"))
+      .withColumn("priority", expr("u30 * 1073741824 DIV w"))
+    val wLocal = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    val local = d
+      .withColumn("salt", pmod(col("doc_id"), lit(WSalts)))
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= WSampleK)
+    val wFinal = Window.partitionBy(col("lang"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    local.withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= WSampleK)
+      .select(col("lang"), col("rn"), col("doc_id"), col("w"),
+        col("priority"))
   }
 
   /** Per-source document budget and the shard fan-out of its top-N. */
@@ -336,6 +406,8 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_split_assign" -> splitAssign,
+    "q122_weighted_sample" -> weightedSample,
     "q100_pipeline" -> curationPipeline,
     "q83_mixture_plan" -> mixturePlan,
     "q49_redact" -> redact,
@@ -498,7 +570,31 @@ object Curation {
       .replace("@PAIRS@", Dedup.minhashSql)
       .replace("@RATES@", mixturePlanSql)
 
+  private val splitAssignSql =
+    s"""SELECT doc_id, lang,
+       |  ${sqlHash60("'split:' || text")} % 1000 AS bucket,
+       |  CASE WHEN ${sqlHash60("'split:' || text")} % 1000 < $SplitTrainMilli
+       |         THEN 'train'
+       |       WHEN ${sqlHash60("'split:' || text")} % 1000 < $SplitValMilli
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  private val weightedSampleSql =
+    s"""WITH d AS (SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+       |        ${sqlHash60("'wsample:' || CAST(doc_id AS VARCHAR)")}
+       |          % ${1L << 30} AS u30
+       |      FROM documents),
+       |p AS (SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+       |        CAST(u30 * 1073741824 // w AS BIGINT) AS priority FROM d),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |        ORDER BY priority ASC, doc_id ASC) AS rn FROM p)
+       |SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, w, priority
+       |FROM r WHERE rn <= $WSampleK""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q121_split_assign" -> splitAssignSql,
+    "q122_weighted_sample" -> weightedSampleSql,
     "q100_pipeline" -> pipelineSql,
     "q83_mixture_plan" -> mixturePlanSql,
     "q49_redact" -> redactSql,

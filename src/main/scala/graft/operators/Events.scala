@@ -345,7 +345,51 @@ object Events {
       .unpivot(Array(col("day_bucket")), EventTypes.map(col).toArray,
         "event_type", "n_events")
 
+  /** q126 interval durations: 10–70 min derived from the event value. */
+  private val CovBaseSec = 600L
+  private val CovModSec = 3600L
+
+  /** q126: INTERVAL COVERAGE (gaps-and-islands over VARIABLE-length
+    * spans) — each event opens an interval [us, us + dur) whose
+    * duration derives from its value (10–70 min); overlapping-or-
+    * abutting intervals per user merge into islands, and the output is
+    * each user's covered time and island count. This is the coverage/
+    * utilization shape (ad exposure, device uptime, GPU occupancy)
+    * that q27's POINT-gap sessionization cannot express: with variable
+    * spans an early long interval can swallow several later short
+    * ones, so island detection needs the running `max(end)` over all
+    * preceding intervals, not the previous row's timestamp.
+    *
+    * Scale: one hash shuffle on user_id; the two windows and both
+    * aggregations ride that same key (islands ⊆ events per user), and
+    * per-row state in the running-max window is one long.
+    */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .withColumn("end_us", col("us") +
+        (pmod(col("vc"), lit(CovModSec)) + CovBaseSec) * 1000000L)
+    e.withColumn("prev_max",
+        max(col("end_us")).over(byTime.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_max").isNull || col("us") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("end_us")).as("end_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("end_us") - col("start_us")).as("covered_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_interval_coverage" -> intervalCoverage,
     "q114_sliding_window" -> slidingWindowAgg,
     "q105_cohort_retention" -> cohortRetention,
     "q93_unpivot" -> unpivotDaily,
@@ -357,6 +401,30 @@ object Events {
     "q35_asof_join" -> asofJoin,
     "q40_json_extract" -> jsonExtract,
     "q67_interval_join" -> intervalJoin)
+
+  // pmod replicated explicitly: DuckDB's % follows the dividend's sign
+  private val coverageSql =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+       |        CAST(round(value*100,0) AS BIGINT) AS vc FROM events),
+       |i AS (SELECT user_id, event_id, us,
+       |        us + ((vc % $CovModSec + $CovModSec) % $CovModSec
+       |              + $CovBaseSec) * 1000000 AS end_us FROM e),
+       |m AS (SELECT *, max(end_us) OVER (PARTITION BY user_id
+       |        ORDER BY us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |        AS prev_max FROM i),
+       |f AS (SELECT *, CASE WHEN prev_max IS NULL OR us > prev_max
+       |        THEN 1 ELSE 0 END AS ni FROM m),
+       |s AS (SELECT *, CAST(sum(ni) OVER (PARTITION BY user_id
+       |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |        AS island FROM f),
+       |g AS (SELECT user_id, island, count(*) AS n_events,
+       |        min(us) AS start_us, max(end_us) AS end_us
+       |      FROM s GROUP BY user_id, island)
+       |SELECT user_id, count(*) AS n_islands,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events,
+       |  CAST(sum(end_us - start_us) AS BIGINT) AS covered_us
+       |FROM g GROUP BY user_id""".stripMargin
 
   private val windowSql =
     s"""SELECT epoch_us(ts) // $DayUs AS day_bucket, event_type,
@@ -478,6 +546,7 @@ object Events {
        |FROM x GROUP BY 1, 2""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q126_interval_coverage" -> coverageSql,
     "q114_sliding_window" -> slidingSql,
     "q105_cohort_retention" -> cohortSql,
     "q93_unpivot" -> unpivotSql,
