@@ -142,6 +142,40 @@ object SimSearch {
     rerank(e, cand)
   }
 
+  private val MatDims = 32 // q125 coarse-stage prefix dims (of 64)
+  private val MatC = 40 // q125 coarse candidates per query
+
+  /** q125: MATRYOSHKA TWO-STAGE ANN — coarse search over the leading
+    * [[MatDims]]-dim PREFIX of each embedding (half the bytes per
+    * distance), exact full-dim re-rank over the per-query top-[[MatC]]
+    * survivors. This is the retrieval pattern matryoshka-trained
+    * embeddings exist for: stage 1 scans cheap truncated vectors
+    * (at 100 TB: half the scan bytes and FLOPs of q19, or the IVF/PQ
+    * variants run directly on the prefix), stage 2 touches full
+    * vectors only for candidates·queries rows. Prefix slicing is
+    * row-local (`slice`), the integer dot/norm discipline is
+    * unchanged, so the oracle replays both stages exactly.
+    */
+  def annMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir)
+      .withColumn("qvh", slice(col("qv"), 1, MatDims))
+      .withColumn("n2h", norm2(col("qvh")))
+      .localCheckpoint(eager = false) // feeds coarse scan AND re-rank
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qvh").as("qqvh"),
+        col("n2h").as("qn2h"))
+    val coarse = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineq(dotq(col("qqvh"), col("qvh")), col("qn2h"), col("n2h"))
+          .as("ccos"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("vec_id").asc)
+    val cand = coarse.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= MatC)
+      .select(col("q_id"), col("vec_id"))
+    rerank(e, cand)
+  }
+
   private val NCells = 16 // IVF coarse-quantizer cells
   private val NProbe = 4 // cells probed per query (prunes 3/4 of corpus)
 
@@ -727,6 +761,7 @@ object SimSearch {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_ann_matryoshka" -> annMatryoshka,
     "q115_ivf_increment" -> ivfIncrement,
     "q99_topk_agg" -> annTopkAgg,
     "q97_ann_ivfpq" -> annIvfPq,
@@ -748,6 +783,24 @@ object SimSearch {
        |s AS (SELECT q.vec_id q_id, c.vec_id vec_id,
        |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM n q JOIN n c ON q.vec_id < $NQ AND c.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
+       |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
+
+  private val matryoshkaSql =
+    s"""$baseSql,
+       |h AS (SELECT vec_id, qv, n2,
+       |        list_transform(range(1, ${MatDims + 1}), i -> qv[i]) qvh FROM n),
+       |hn AS (SELECT vec_id, qv, n2, qvh, ${sqlNorm2("qvh")} n2h FROM h),
+       |c AS (SELECT q.vec_id q_id, x.vec_id vec_id,
+       |        CAST(${sqlDotq("q.qvh", "x.qvh")} AS DOUBLE) / sqrt(nullif(CAST(q.n2h*x.n2h AS DOUBLE), 0.0)) ccos
+       |      FROM hn q JOIN hn x ON q.vec_id < $NQ AND x.vec_id <> q.vec_id),
+       |cr AS (SELECT q_id, vec_id,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, vec_id ASC) crnk FROM c),
+       |cand AS (SELECT q_id, vec_id FROM cr WHERE crnk <= $MatC),
+       |s AS (SELECT cand.q_id, cand.vec_id,
+       |        CAST(${sqlDotq("q.qv", "x.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*x.n2 AS DOUBLE), 0.0)) cosine
+       |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n x ON x.vec_id = cand.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
        |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
@@ -1095,6 +1148,7 @@ object SimSearch {
   val oracle: Map[String, String] = Map(
     "q115_ivf_increment" -> ivfIncSql,
     "q19_ann_brute" -> bruteSql,
+    "q125_ann_matryoshka" -> matryoshkaSql,
     "q20_ann_lsh" -> lshSql,
     "q34_ann_ivf" -> ivfSql,
     "q45_ann_recall" -> recallSql,

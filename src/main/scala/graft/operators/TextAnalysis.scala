@@ -450,6 +450,92 @@ object TextAnalysis {
         col("n_outliers"))
   }
 
+  private val WinsLoMilli = 50L // winsorize lower cut: p05
+  private val WinsHiMilli = 950L // winsorize upper cut: p95
+
+  /** q123: WINSORIZATION — clip per-language token counts to the
+    * exact [p05, p95] rank thresholds and report raw vs winsorized
+    * means: the robust normalization a feature pipeline applies where
+    * q87 only DETECTS outliers. Thresholds come from the q73/q116
+    * value-domain histogram machinery (t = smallest v with cum ≥
+    * ceil(p·n/1000) — state bounded by distinct values per group,
+    * never group size), broadcast back as a language-cardinality
+    * table; clipping is then row-local and the final aggregate is one
+    * more keyed shuffle. Exact integers until the two mean divisions.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), size(words(col("text"))).as("v"))
+    val hist = d.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+      .withColumn("lo_rank", expr(s"($WinsLoMilli * n + 999) DIV 1000"))
+      .withColumn("hi_rank", expr(s"($WinsHiMilli * n + 999) DIV 1000"))
+    val thr = cum.join(broadcast(tot), "lang")
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") >= col("lo_rank"), col("v"))).as("t_lo"),
+        min(when(col("cum") >= col("hi_rank"), col("v"))).as("t_hi"))
+    d.join(broadcast(thr), "lang")
+      .withColumn("w", least(greatest(col("v"), col("t_lo")), col("t_hi")))
+      .groupBy(col("lang"), col("t_lo"), col("t_hi"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("v") < col("t_lo") || col("v") > col("t_hi"), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        (sum(col("v")).cast("double") / count(lit(1))).as("mean_raw"),
+        (sum(col("w")).cast("double") / count(lit(1))).as("mean_winsorized"))
+  }
+
+  /** q124's merge table, rank-ordered. In production this is the
+    * trainer's learned output (q82 computes exactly the statistic that
+    * picks each row); held constant here so both engines encode the
+    * same table. Chains are deliberate: t+h→th→the→the</w>, etc.
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "the" -> "</w>",
+    "e" -> "r", "er" -> "</w>",
+    "a" -> "n", "an" -> "</w>",
+    "i" -> "n", "in" -> "</w>",
+    "o" -> "w", "ow" -> "</w>",
+    "s" -> "m", "a" -> "t", "e" -> "y", "ey" -> "</w>")
+
+  /** q124: BPE ENCODE — apply the merge table to every word, in rank
+    * order, and report per-doc token counts before/after: the APPLY
+    * side of byte-pair encoding (q82 is the trainer's pair-count
+    * side). Each word starts as bracket-atomized symbols
+    * (`[c][o][l]...[</w>]` — brackets make symbol boundaries explicit,
+    * so a plain leftmost non-overlapping `replace` of `[a][b]`→`[ab]`
+    * IS the BPE merge step, with identical semantics in both engines)
+    * and the 15 merges fold into 15 nested replaces — row-local, one
+    * WholeStageCodegen span, zero shuffles at any corpus size.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    def enc(w: Column): Column = {
+      val init = concat(
+        array_join(transform(sequence(lit(1), length(w)), i =>
+          concat(lit("["), w.substr(i, lit(1)), lit("]"))), ""),
+        lit("[</w>]"))
+      bpeMerges.foldLeft(init) { case (s, (a, b)) =>
+        replace(s, lit(s"[$a][$b]"), lit(s"[$a$b]"))
+      }
+    }
+    def tokens(w: Column): Column = {
+      val s = enc(w)
+      length(s) - length(replace(s, lit("[")))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        aggregate(transform(col("ws"), w => length(w) + 1), lit(0L),
+          (a, x) => a + x).as("n_char_tokens"),
+        aggregate(transform(col("ws"), w => tokens(w)), lit(0L),
+          (a, x) => a + x).as("n_bpe_tokens"))
+      .withColumn("compression", col("n_char_tokens").cast("double") /
+        nullif(col("n_bpe_tokens"), lit(0L)))
+  }
+
   private val NBuckets = 8 // equal-frequency bins
 
   /** q116: EQUAL-FREQUENCY BUCKETING — discretize per-document token
@@ -491,6 +577,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_winsorize" -> winsorize,
+    "q124_bpe_encode" -> bpeEncode,
     "q116_equifreq_bucketing" -> equifreqBucketing,
     "q94_lm_quality" -> lmQuality,
     "q90_approx_stats" -> approxStats,
@@ -657,6 +745,43 @@ object TextAnalysis {
        |       CAST(sum(tf * bits) * 1000 // sum(tf) AS BIGINT) AS surprisal_milli
        |FROM tf JOIN b USING (w) GROUP BY 1""".stripMargin
 
+  private val winsorizeSql =
+    s"""WITH d AS (SELECT lang, len($sqlWords) AS v FROM documents),
+       |h AS (SELECT lang, v, count(*) AS cnt FROM d GROUP BY lang, v),
+       |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+       |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY lang),
+       |r AS (SELECT lang, ($WinsLoMilli * n + 999) // 1000 AS lo_rank,
+       |        ($WinsHiMilli * n + 999) // 1000 AS hi_rank FROM t),
+       |th AS (SELECT c.lang, min(CASE WHEN cum >= lo_rank THEN v END) AS t_lo,
+       |         min(CASE WHEN cum >= hi_rank THEN v END) AS t_hi
+       |       FROM c JOIN r ON c.lang = r.lang GROUP BY c.lang),
+       |j AS (SELECT d.lang, v, t_lo, t_hi,
+       |        least(greatest(v, t_lo), t_hi) AS w
+       |      FROM d JOIN th ON d.lang = th.lang)
+       |SELECT lang, t_lo, t_hi, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN v < t_lo OR v > t_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       |  CAST(sum(v) AS DOUBLE)/count(*) AS mean_raw,
+       |  CAST(sum(w) AS DOUBLE)/count(*) AS mean_winsorized
+       |FROM j GROUP BY lang, t_lo, t_hi""".stripMargin
+
+  private val bpeEncodeSql = {
+    val init = "'[' || array_to_string(list_transform(range(1, len(w)+1), " +
+      "i -> substr(w, CAST(i AS INTEGER), 1)), '][') || '][</w>]'"
+    val enc = bpeMerges.foldLeft(init) { case (s, (a, b)) =>
+      s"replace($s, '[$a][$b]', '[$a$b]')"
+    }
+    s"""WITH d AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |t AS (SELECT doc_id, len(ws) AS n_words,
+       |  coalesce(CAST(list_sum(list_transform(ws, w -> len(w) + 1)) AS BIGINT), 0) AS n_char_tokens,
+       |  coalesce(CAST(list_sum(list_transform(list_transform(ws, w -> $enc),
+       |    s -> len(s) - len(replace(s, '[', '')))) AS BIGINT), 0) AS n_bpe_tokens
+       |FROM d)
+       |SELECT doc_id, n_words, n_char_tokens, n_bpe_tokens,
+       |  CAST(n_char_tokens AS DOUBLE)/nullif(n_bpe_tokens, 0) AS compression
+       |FROM t""".stripMargin
+  }
+
   private val equifreqSql =
     s"""WITH d AS (SELECT doc_id, CAST(len($sqlWords) AS INTEGER) v
        |           FROM documents),
@@ -672,6 +797,8 @@ object TextAnalysis {
        |FROM d""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q123_winsorize" -> winsorizeSql,
+    "q124_bpe_encode" -> bpeEncodeSql,
     "q116_equifreq_bucketing" -> equifreqSql,
     "q94_lm_quality" -> lmQualitySql,
     "q90_approx_stats" -> approxStatsSql,
