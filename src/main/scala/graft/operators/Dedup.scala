@@ -506,7 +506,48 @@ object Dedup {
       .withColumn("leaked", col("split_a") =!= col("split_b"))
   }
 
+  private val FuzzyQ = 3 // q-gram width
+  private val FuzzyMaxDist = 2 // edit-distance acceptance threshold
+
+  /** q127: FUZZY ENTITY JOIN (q-gram blocking + edit-distance verify)
+    * — near-identical part names (`'new rod'` ≈ `'red rod'`), the
+    * entity-resolution sibling of document dedup: candidates are pairs
+    * sharing ≥1 character 3-gram (a bucket equi-join over the gram
+    * key — q15's banding discipline, never all-pairs), pruned by the
+    * standard count filter (ed ≤ k forces |G(a)∩G(b)| ≥ max(|a|,|b|)
+    * − q + 1 − k·q, vacuous on short toy names but load-bearing on
+    * real entity strings), then verified with exact `levenshtein`
+    * only on survivors — the filter-verify shape keeps the O(len²)
+    * kernel off all non-candidates.
+    *
+    * Scale: the entity catalog is vocabulary-sized (distinct names),
+    * orders smaller than the corpus that references it; gram-bucket
+    * skew (a stop-gram shared by everything) is the q72 salting story
+    * if it appears.
+    */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(col("p_name").as("name")).distinct()
+      .filter(length(col("name")) >= FuzzyQ)
+    val grams = names.select(col("name"), explode(array_distinct(
+      transform(sequence(lit(1), length(col("name")) - (FuzzyQ - 1)), i =>
+        col("name").substr(i, lit(FuzzyQ))))).as("g"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.name") < col("b.name"))
+      .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >=
+        greatest(length(col("name_a")), length(col("name_b")))
+          - (FuzzyQ - 1) - FuzzyMaxDist * FuzzyQ)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select(col("name_a"), col("name_b"), col("n_shared_grams"),
+        col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_fuzzy_join" -> fuzzyJoin,
     "q96_split_leakage" -> splitLeakage,
     "q95_cdc_chunks" -> dedupCdcChunks,
     "q14_dedup_exact" -> dedupExact,
@@ -691,7 +732,26 @@ object Dedup {
       .replace("@PAIRS@", minhashSql)
       .replace("@H60@", sqlHash60("text"))
 
+  private val fuzzyJoinSql =
+    s"""WITH nm AS (SELECT DISTINCT p_name AS name FROM part
+       |            WHERE len(p_name) >= $FuzzyQ),
+       |g AS (SELECT name, unnest(list_distinct(list_transform(
+       |        range(1, len(name) - ${FuzzyQ - 2}),
+       |        i -> substr(name, CAST(i AS INTEGER), $FuzzyQ)))) AS g
+       |      FROM nm),
+       |c AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        count(*) AS n_shared_grams
+       |      FROM g a JOIN g b ON a.g = b.g AND a.name < b.name
+       |      GROUP BY a.name, b.name),
+       |f AS (SELECT *, levenshtein(name_a, name_b) AS dist FROM c
+       |      WHERE n_shared_grams >= greatest(len(name_a), len(name_b))
+       |        - ${FuzzyQ - 1} - ${FuzzyMaxDist * FuzzyQ})
+       |SELECT name_a, name_b, CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
+       |  dist
+       |FROM f WHERE dist <= $FuzzyMaxDist""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q127_fuzzy_join" -> fuzzyJoinSql,
     "q96_split_leakage" -> splitLeakageSql,
     "q95_cdc_chunks" -> cdcChunkSql,
     "q54_dup_clusters" -> clustersSql,

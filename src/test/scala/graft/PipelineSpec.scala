@@ -866,6 +866,96 @@ class PipelineSpec extends AnyFunSuite {
       ((b - dayUs) / dayUs, "probe", 1L, 2.0)))
   }
 
+  test("q118 SCD2 intervals tile per customer and never repeat a status") {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Relational.scd2Intervals(spark, sf0001).cache()
+    try {
+      // adjacent runs always change status (runs are maximal)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
+      val repeats = iv
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("prev_status") === col("o_orderstatus")).count()
+      assert(repeats === 0L)
+      // intervals tile: every valid_to equals the next run's valid_from,
+      // and exactly one open (NULL valid_to) interval per customer
+      val broken = iv
+        .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+        .filter(coalesce(col("valid_to_us"), lit(-1L)) =!=
+          coalesce(col("next_from"), lit(-1L))).count()
+      assert(broken === 0L)
+      val openPerCust = iv.filter(col("valid_to_us").isNull)
+        .groupBy(col("o_custkey")).count()
+        .filter(col("count") =!= 1).count()
+      assert(openPerCust === 0L)
+      // conservation: run row counts sum to the order count
+      assert(iv.agg(sum(col("n_orders"))).collect()(0).getLong(0) ===
+        Tables.orders(spark, sf0001).count())
+    } finally { iv.unpersist(); () }
+  }
+
+  test("q121 split assignment: byte-identical duplicate texts share a split") {
+    val s = graft.operators.Curation.splitAssign(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("text")),
+        "doc_id")
+    val crossSplit = s.groupBy(col("text"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(crossSplit === 0L)
+    // all three splits are populated at sf0.001 (800/100/100 permille)
+    assert(s.select(col("split")).distinct().count() === 3L)
+  }
+
+  test("q122 weighted sample: k per stratum, priorities ranked, weight-monotone hashes") {
+    val got = graft.operators.Curation.weightedSample(spark, sf0001).cache()
+    try {
+      // exactly k winners per language (corpus has >= k docs per lang)
+      assert(got.groupBy(col("lang")).count()
+        .filter(col("count") =!= 20).count() === 0L)
+      // rn order agrees with (priority, doc_id) order
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("priority").asc, col("doc_id").asc)
+      assert(got.withColumn("rn2", row_number().over(w))
+        .filter(col("rn") =!= col("rn2")).count() === 0L)
+    } finally { got.unpersist(); () }
+  }
+
+  test("q124 BPE encode: merges only shrink, and bounds hold") {
+    val t = graft.operators.TextAnalysis.bpeEncode(spark, sf0001)
+    // every merge reduces token count by >= 0; the char tokenization is
+    // the upper bound, one token per word the lower bound
+    assert(t.filter(col("n_bpe_tokens") > col("n_char_tokens")).count() === 0L)
+    assert(t.filter(col("n_bpe_tokens") < col("n_words")).count() === 0L)
+  }
+
+  test("q126 interval coverage conservation bounds") {
+    val cov = graft.operators.Events.intervalCoverage(spark, sf0001)
+    // covered time can never exceed the sum of the user's durations,
+    // and islands can never outnumber events
+    assert(cov.filter(col("n_islands") > col("n_events")).count() === 0L)
+    val durs = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        ((pmod(round(col("value") * 100, 0).cast("long"), lit(3600L)) + 600L)
+          * 1000000L).as("dur"))
+      .groupBy(col("user_id")).agg(sum(col("dur")).as("sum_dur"))
+    assert(cov.join(durs, "user_id")
+      .filter(col("covered_us") > col("sum_dur")).count() === 0L)
+  }
+
+  test("q127 blocking loses no pair the brute-force fuzzy join finds") {
+    val got = graft.operators.Dedup.fuzzyJoin(spark, sf0001)
+      .select(col("name_a"), col("name_b"))
+    val names = Tables.part(spark, sf0001)
+      .select(col("p_name").as("name")).distinct()
+    val brute = names.as("a").join(names.withColumnRenamed("name", "nb").as("b"),
+        col("name") < col("nb") &&
+          levenshtein(col("name"), col("nb")) <= 2)
+      .select(col("name").as("name_a"), col("nb").as("name_b"))
+    assert(got.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(got).count() === 0L,
+      "q-gram blocking dropped a true pair on this corpus")
+  }
+
   test("transformWithState processing-time TTLConfig evicts dormant state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
