@@ -22,7 +22,7 @@ object ScaleAudit {
       "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
       "q104_stream_static_join", "q107_stream_window_final", "q117_stream_sliding",
       "q109_schema_evolution", "q111_partition_evolution",
-      "q112_aqe_skew_join", "q113_stream_upsert",
+      "q112_aqe_skew_join", "q113_stream_upsert", "q120_bloom_join",
       "q29_sink_roundtrip", "q30_proto_source", "q36_noshuffle_stats",
       "q37_stream_sink", "q43_stream_dedup", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",

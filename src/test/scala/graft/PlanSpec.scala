@@ -145,7 +145,7 @@ class PlanSpec extends AnyFunSuite {
       "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
       "q104_stream_static_join", "q107_stream_window_final", "q117_stream_sliding",
       "q109_schema_evolution", "q111_partition_evolution",
-      "q112_aqe_skew_join", "q113_stream_upsert",
+      "q112_aqe_skew_join", "q113_stream_upsert", "q120_bloom_join",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
       "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
       "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
@@ -161,7 +161,10 @@ class PlanSpec extends AnyFunSuite {
     // q115's NL joins broadcast the frozen K-row centroid table
     val nlAllowed = Set("q19_ann_brute", "q45_ann_recall",
       "q59_kmeans_embed", "q34_ann_ivf", "q85_ann_filtered",
-      "q97_ann_ivfpq", "q99_topk_agg", "q115_ivf_increment")
+      "q97_ann_ivfpq", "q99_topk_agg", "q115_ivf_increment",
+      // q125's coarse stage broadcasts the bounded NQ-row query set
+      // (q19's discipline) before the equi-joined exact re-rank
+      "q125_ann_matryoshka")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
