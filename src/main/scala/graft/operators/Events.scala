@@ -388,7 +388,50 @@ object Events {
         sum(col("end_us") - col("start_us")).as("covered_us"))
   }
 
+  private val DriftShort = 3 // trailing window, days (incl. current)
+  private val DriftLong = 10 // preceding baseline window, days
+
+  /** q129: DRIFT DETECTION — the two-window mean-shift monitor a
+    * pipeline runs over its own daily intake: per event type and day,
+    * compare the trailing [[DriftShort]]-day event volume against the
+    * preceding [[DriftLong]]-day baseline and flag a shift when the
+    * short-window rate exceeds 1.5× the baseline rate (cross-
+    * multiplied exact integers — `2·sum_s·LONG > 3·sum_l·SHORT` — so
+    * no float ratio ever enters the hash). Days before a full
+    * baseline exists report NULL (warm-up), distinguished from a
+    * genuine no-shift 0. A CUSUM would need a running recursion no
+    * declarative window expresses; the two-window form is the
+    * standard streaming-friendly approximation and is exactly
+    * portable.
+    *
+    * Scale: the daily aggregate is one (day, type) shuffle with
+    * map-side partials (days×types rows thereafter — metadata-sized);
+    * all three RANGE windows ride one (type) repartition of that
+    * tiny table. Range frames bound by DAY VALUE, so calendar gaps
+    * cost nothing and the frame state is bounded by window days.
+    */
+  def driftDetect(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr(s"(ts DIV 1000) DIV $DayUs").as("day"), col("event_type"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wShort = byDay.rangeBetween(-(DriftShort - 1), Window.currentRow)
+    val wLong = byDay.rangeBetween(-(DriftShort - 1 + DriftLong), -DriftShort)
+    daily
+      .withColumn("sum_short", sum(col("n")).over(wShort))
+      .withColumn("sum_long", sum(col("n")).over(wLong))
+      .withColumn("first_day", min(col("day")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shift_up",
+        when(col("day") - col("first_day") >= DriftShort - 1 + DriftLong,
+          (col("sum_short") * 2 * DriftLong >
+            col("sum_long") * 3 * DriftShort).cast("int")))
+      .select(col("event_type"), col("day"), col("n"),
+        col("sum_short"), col("sum_long"), col("shift_up"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_drift_detect" -> driftDetect,
     "q126_interval_coverage" -> intervalCoverage,
     "q114_sliding_window" -> slidingWindowAgg,
     "q105_cohort_retention" -> cohortRetention,
@@ -401,6 +444,25 @@ object Events {
     "q35_asof_join" -> asofJoin,
     "q40_json_extract" -> jsonExtract,
     "q67_interval_join" -> intervalJoin)
+
+  private val driftSql =
+    s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+       |        count(*) AS n FROM events GROUP BY 1, 2),
+       |w AS (SELECT event_type, day, n,
+       |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+       |          RANGE BETWEEN ${DriftShort - 1} PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS sum_short,
+       |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+       |          RANGE BETWEEN ${DriftShort - 1 + DriftLong} PRECEDING
+       |          AND $DriftShort PRECEDING) AS BIGINT) AS sum_long,
+       |        min(day) OVER (PARTITION BY event_type ORDER BY day
+       |          ROWS UNBOUNDED PRECEDING) AS first_day
+       |      FROM daily)
+       |SELECT event_type, day, n, sum_short, sum_long,
+       |  CASE WHEN day - first_day >= ${DriftShort - 1 + DriftLong}
+       |       THEN CAST(sum_short * 2 * $DriftLong > sum_long * 3 * $DriftShort
+       |                 AS INTEGER) END AS shift_up
+       |FROM w""".stripMargin
 
   // pmod replicated explicitly: DuckDB's % follows the dividend's sign
   private val coverageSql =
@@ -546,6 +608,7 @@ object Events {
        |FROM x GROUP BY 1, 2""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q129_drift_detect" -> driftSql,
     "q126_interval_coverage" -> coverageSql,
     "q114_sliding_window" -> slidingSql,
     "q105_cohort_retention" -> cohortSql,

@@ -23,6 +23,50 @@ case class FunnelOut(user_id: Long, view_us: Option[Long],
 /** q98 records: per-user online feature accumulator and its emitted
   * row (top-level for encoders).
   */
+case class TypeTopOut(event_type: String, seq: Long, rnk: Int,
+  user_id: Long, n_cells: Long)
+
+/** q130's [[org.apache.spark.sql.streaming.StatefulProcessor]]: the
+  * MAP-STATE half of the transformWithState API (q98/q101 exercise
+  * ValueState + timers + TTL): one `MapState[user → live-cell count]`
+  * per event type, accumulated ACROSS micro-batches, with the
+  * current top-k emitted per batch tagged by an emission sequence
+  * (a ValueState counter) — the consumer keeps each key's LAST
+  * emission, i.e. the final snapshot. Exact top-k over updatable
+  * counts requires the full per-key map (a bounded top-k heap can't
+  * handle a lower-ranked user overtaking later); state is entities
+  * per type, the same bound a batch groupBy's shuffle carries, and
+  * the per-batch emission scan is what a production processor would
+  * amortize behind a timer cadence.
+  */
+class TypeTopUsersProcessor(k: Int) extends org.apache.spark.sql.streaming
+    .StatefulProcessor[String, (String, Long), TypeTopOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  @transient private var counts: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+  @transient private var seq: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[Long, Long]("counts",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    seq = getHandle.getValueState[Long]("seq",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timers: TimerValues): Iterator[TypeTopOut] = {
+    rows.foreach { case (_, uid) =>
+      val cur = if (counts.containsKey(uid)) counts.getValue(uid) else 0L
+      counts.updateValue(uid, cur + 1L)
+    }
+    val s = (if (seq.exists()) seq.get() else 0L) + 1L
+    seq.update(s)
+    val top = counts.iterator().map { p => (p._1, p._2) }.toVector
+      .sortBy { case (uid, n) => (-n, uid) }.take(k)
+    top.iterator.zipWithIndex.map { case ((uid, n), i) =>
+      TypeTopOut(key, s, i + 1, uid, n)
+    }
+  }
+}
+
 case class UserFeatAcc(n: Long, vc: Long, last_us: Long)
 case class UserFeatOut(user_id: Long, n_events: Long, sum_vc: Long,
   last_us: Long)
@@ -866,7 +910,75 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** q130: STREAMING TOP-K via `transformWithState` MAP STATE — the
+    * per-key map half of the new state API (ValueState/timers/TTL are
+    * q98/q101): stream the multi-file proto-zst sink fixture ONE FILE
+    * PER MICRO-BATCH (the source's admission control), fold each live
+    * cell into the keyed `MapState[user → count]`, and emit each
+    * type's current top-3 per batch tagged with an emission sequence.
+    * The returned frame keeps each type's LAST emission — the final
+    * snapshot, whose totals span every batch, so the oracle is the
+    * plain batch top-3 per live type REGARDLESS of how many batches
+    * the file count produced (cross-batch state accumulation is the
+    * thing being proven; the spec additionally pins multi-batch and
+    * monotone growth).
+    *
+    * Scale: state per type is its user-count map (the same entity
+    * bound a batch groupBy shuffles); emission is the two-phase top-k
+    * story — per-key k rows per batch, final exact selection over the
+    * last emissions only.
+    */
+  def streamTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wmax = Window.partitionBy(col("event_type"))
+    streamTopUsersRaw(spark, dir)
+      .withColumn("max_seq", max(col("seq")).over(wmax))
+      .filter(col("seq") === col("max_seq"))
+      .select(col("event_type"), col("rnk"), col("user_id"), col("n_cells"))
+  }
+
+  /** The q130 run with every per-batch emission kept (seq-tagged) —
+    * the spec asserts multi-batch accumulation on this raw table over
+    * a fixture it splits into multiple files itself (at toy scale AQE
+    * may coalesce the shared fixture's nest into ONE file, collapsing
+    * the stream to a single batch; the snapshot semantics hold either
+    * way, which is exactly why the multi-batch proof pins its own
+    * layout).
+    */
+  private[graft] def streamTopUsersRaw(spark: SparkSession,
+      dir: String, fixtureDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val outDir = fixtureDir.getOrElse(Sink.nestedFixture(spark, dir))
+    val name = "q130_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val cells = spark.readStream.format("proto-zst")
+      .option("maxFilesPerTrigger", "1").load(outDir)
+      .select(decode(col("key"), "UTF-8").cast("long").as("user_id"),
+        explode(col("columns")).as("c"))
+      .select(substring_index(decode(col("c.name"), "UTF-8"), ":", -1)
+        .as("event_type"), col("user_id"))
+      .as[(String, Long)]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try withStatePartitions(spark, 8) {
+      val q = cells.groupByKey(_._1)
+        .transformWithState(new TypeTopUsersProcessor(3),
+          TimeMode.None(), OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q130", q)
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_stream_topk" -> streamTopUsers,
     "q117_stream_sliding" -> streamSlidingFinal,
     "q113_stream_upsert" -> streamUpsertSink,
     "q107_stream_window_final" -> streamWindowFinal,
@@ -893,6 +1005,20 @@ object Streaming extends Serializable {
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the final MapState snapshot == the batch aggregate over the live
+    // cells the nested fixture holds (CellModel's kind/tombstone
+    // mapping: error/signup/view cells and user%50 partitions never
+    // reach the sink), whatever the batch segmentation was
+    "q130_stream_topk" ->
+      ("""WITH lc AS (SELECT event_type, user_id, count(*) AS n_cells
+         |            FROM events
+         |            WHERE event_type NOT IN ('error','signup','view')
+         |              AND user_id % 50 <> 0
+         |            GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |        ORDER BY n_cells DESC, user_id ASC) AS rnk FROM lc)
+         |SELECT event_type, CAST(rnk AS INTEGER) AS rnk, user_id, n_cells
+         |FROM r WHERE rnk <= 3""".stripMargin),
     // q114's sliding expansion restricted to windows the final
     // watermark closed — same `window_end <= wm` comparison as q107
     "q117_stream_sliding" ->

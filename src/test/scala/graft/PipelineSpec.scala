@@ -956,6 +956,58 @@ class PipelineSpec extends AnyFunSuite {
       "q-gram blocking dropped a true pair on this corpus")
   }
 
+  test("q129 drift monitor: warm-up NULLs exactly cover the baseline horizon") {
+    val d = graft.operators.Events.driftDetect(spark, sf0001).cache()
+    try {
+      // the corpus is 30 contiguous days per type: the first 12 days
+      // (short-1 + long) have no full baseline and must be NULL, the
+      // remaining 18 must carry a real 0/1 verdict
+      val counts = d.groupBy(col("event_type"))
+        .agg(sum(when(col("shift_up").isNull, 1).otherwise(0)).as("warm"),
+          sum(when(col("shift_up").isNotNull, 1).otherwise(0)).as("live"))
+      assert(counts.filter(col("warm") =!= 12 || col("live") =!= 18)
+        .count() === 0L)
+    } finally { d.unpersist(); () }
+  }
+
+  test("q130 MapState accumulates across real micro-batches") {
+    // spec-local fixture pinned to 3 files so maxFilesPerTrigger=1
+    // genuinely yields multiple batches (AQE can coalesce the shared
+    // fixture to one file at this scale)
+    val fix = java.nio.file.Files.createTempDirectory("q130fix").toString
+    Sink.writeNested(
+      CellModel.nestRows(spark, sf0001).repartition(3), fix)
+    val raw = Streaming.streamTopUsersRaw(spark, sf0001, Some(fix)).cache()
+    try {
+      // admission control actually split the fixture: > 1 emission
+      val maxSeq = raw.agg(max(col("seq"))).collect()(0).getLong(0)
+      assert(maxSeq >= 2L, s"expected multi-batch, got $maxSeq emission(s)")
+      // cross-batch growth is monotone: a type's top-1 count never
+      // shrinks from one emission to the next
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("seq"))
+      val shrank = raw.filter(col("rnk") === 1)
+        .withColumn("prev", lag(col("n_cells"), 1).over(w))
+        .filter(col("prev").isNotNull && col("n_cells") < col("prev"))
+        .count()
+      assert(shrank === 0L)
+      // final snapshot equals the batch live-cell top-3
+      val fin = Streaming.streamTopUsers(spark, sf0001)
+      val batch = Tables.events(spark, sf0001)
+        .filter(!col("event_type").isInCollection(
+          Seq("error", "signup", "view")) && col("user_id") % 50 =!= 0)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_cells"))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(col("n_cells").desc, col("user_id").asc)
+      val expect = batch.withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("rnk"), col("user_id"), col("n_cells"))
+      assert(fin.exceptAll(expect).count() === 0L &&
+        expect.exceptAll(fin).count() === 0L)
+    } finally { raw.unpersist(); () }
+  }
+
   test("transformWithState processing-time TTLConfig evicts dormant state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
