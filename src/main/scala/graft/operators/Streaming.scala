@@ -67,6 +67,47 @@ class TypeTopUsersProcessor(k: Int) extends org.apache.spark.sql.streaming
   }
 }
 
+case class RecentCell(us: Long, name: String, vbytes: Long)
+case class RecentOut(user_id: Long, seq: Long, n_recent: Int,
+  earliest_us: Long, latest_us: Long, value_bytes: Long)
+
+/** q131's [[org.apache.spark.sql.streaming.StatefulProcessor]]: the
+  * LIST-STATE third of the transformWithState API (ValueState/timers:
+  * q98/q101; MapState: q130): a BOUNDED per-user buffer of the n most
+  * recent cells (by write-time, name-tiebroken), rewritten with
+  * `put()` each batch after merging arrivals — state per user is n
+  * rows by construction, whatever the history length, which is the
+  * whole point of a recent-history feature buffer. Emits the buffer
+  * summary per batch, seq-tagged like q130 so the consumer keeps the
+  * final snapshot.
+  */
+class RecentBufferProcessor(n: Int) extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, (Long, Long, String, Long), RecentOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  @transient private var buf: org.apache.spark.sql.streaming.ListState[RecentCell] = _
+  @transient private var seq: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[RecentCell]("recent",
+      org.apache.spark.sql.Encoders.product[RecentCell], TTLConfig.NONE)
+    seq = getHandle.getValueState[Long]("seq",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, String, Long)],
+      timers: TimerValues): Iterator[RecentOut] = {
+    val arrivals = rows.map { case (_, us, nm, vb) => RecentCell(us, nm, vb) }
+    // (us DESC, name DESC) — the reverse of the natural (us, name) order
+    val kept = (buf.get().toVector ++ arrivals)
+      .sorted(Ordering.by[RecentCell, (Long, String)](c => (c.us, c.name)).reverse)
+      .take(n)
+    buf.put(kept.toArray)
+    val s = (if (seq.exists()) seq.get() else 0L) + 1L
+    seq.update(s)
+    Iterator.single(RecentOut(key, s, kept.size,
+      kept.map(_.us).min, kept.map(_.us).max, kept.map(_.vbytes).sum))
+  }
+}
+
 case class UserFeatAcc(n: Long, vc: Long, last_us: Long)
 case class UserFeatOut(user_id: Long, n_events: Long, sum_vc: Long,
   last_us: Long)
@@ -977,7 +1018,68 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  private val RecentN = 5 // q131 buffer depth
+
+  /** q131: STREAMING RECENT-HISTORY BUFFER via `transformWithState`
+    * LIST STATE — each user's [[RecentN]] most recent live cells
+    * (write-time order, name-tiebroken) held as a bounded ListState
+    * and summarized per batch; the returned frame is the final
+    * snapshot (q130's seq-tag discipline). This is the "last-N events
+    * as features" shape every online feature store serves; the buffer
+    * is REWRITTEN bounded each batch (`put`), so state per user is
+    * [[RecentN]] rows regardless of history length — contrast q98's
+    * scalar accumulator, which aggregates but cannot window.
+    *
+    * The batch oracle is the (us DESC, name DESC) row_number ≤ N
+    * aggregate over the same live cells, batch-segmentation-proof
+    * because only arrival COMPLETENESS, not order, determines the
+    * final buffer.
+    */
+  def streamRecentBuffer(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wmax = Window.partitionBy(col("user_id"))
+    streamRecentBufferRaw(spark, dir)
+      .withColumn("max_seq", max(col("seq")).over(wmax))
+      .filter(col("seq") === col("max_seq"))
+      .select(col("user_id"), col("n_recent"), col("earliest_us"),
+        col("latest_us"), col("value_bytes"))
+  }
+
+  private[graft] def streamRecentBufferRaw(spark: SparkSession,
+      dir: String, fixtureDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val outDir = fixtureDir.getOrElse(Sink.nestedFixture(spark, dir))
+    val name = "q131_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val cells = spark.readStream.format("proto-zst")
+      .option("maxFilesPerTrigger", "1").load(outDir)
+      .select(decode(col("key"), "UTF-8").cast("long").as("user_id"),
+        explode(col("columns")).as("c"))
+      .select(col("user_id"), col("c.write_time").as("us"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        length(col("c.value")).cast("long").as("vbytes"))
+      .as[(Long, Long, String, Long)]
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try withStatePartitions(spark, 8) {
+      val q = cells.groupByKey(_._1)
+        .transformWithState(new RecentBufferProcessor(RecentN),
+          TimeMode.None(), OutputMode.Update())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q131", q)
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_recent_buffer" -> streamRecentBuffer,
     "q130_stream_topk" -> streamTopUsers,
     "q117_stream_sliding" -> streamSlidingFinal,
     "q113_stream_upsert" -> streamUpsertSink,
@@ -1005,6 +1107,23 @@ object Streaming extends Serializable {
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the final ListState buffer == the batch last-N selection over the
+    // same live cells (name reconstructed exactly as CellModel writes
+    // it; octet_length mirrors byte-length of the UTF-8 value)
+    "q131_recent_buffer" ->
+      (s"""WITH lc AS (SELECT user_id, epoch_us(ts) AS us,
+          |        lpad(CAST(event_id AS VARCHAR), 12, '0') || ':' || event_type AS name,
+          |        CAST(octet_length(encode(coalesce(props, ''))) AS BIGINT) AS vbytes
+          |      FROM events
+          |      WHERE event_type NOT IN ('error','signup','view')
+          |        AND user_id % 50 <> 0),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          |        ORDER BY us DESC, name DESC) AS rn FROM lc),
+          |k AS (SELECT * FROM r WHERE rn <= $RecentN)
+          |SELECT user_id, CAST(count(*) AS INTEGER) AS n_recent,
+          |  min(us) AS earliest_us, max(us) AS latest_us,
+          |  CAST(sum(vbytes) AS BIGINT) AS value_bytes
+          |FROM k GROUP BY user_id""".stripMargin),
     // the final MapState snapshot == the batch aggregate over the live
     // cells the nested fixture holds (CellModel's kind/tombstone
     // mapping: error/signup/view cells and user%50 partitions never

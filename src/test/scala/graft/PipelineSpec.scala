@@ -1008,6 +1008,33 @@ class PipelineSpec extends AnyFunSuite {
     } finally { raw.unpersist(); () }
   }
 
+  test("q131 ListState buffer stays bounded across real micro-batches") {
+    // a nested Row is per-user ATOMIC, so splitting the standard
+    // fixture by file can never put one user in two batches; write two
+    // GENERATIONS (even/odd event ids, one file each) so most users'
+    // cells genuinely span micro-batches
+    val fix = java.nio.file.Files.createTempDirectory("q131fix").toString
+    val ev = Tables.events(spark, sf0001)
+    def gen(p: org.apache.spark.sql.Column) =
+      CellModel.nestCells(CellModel.cellsOf(CellModel.cellStringsOf(
+        ev.filter(p)))).repartition(1)
+    Sink.writeNested(gen(col("event_id") % 2 === 0), fix)
+    Sink.writeNested(gen(col("event_id") % 2 === 1), fix)
+    val raw = Streaming.streamRecentBufferRaw(spark, sf0001, Some(fix)).cache()
+    try {
+      assert(raw.agg(max(col("seq"))).collect()(0).getLong(0) >= 2L,
+        "expected multi-batch")
+      // the buffer NEVER exceeds its bound, in any emission
+      assert(raw.filter(col("n_recent") > 5).count() === 0L)
+      // recency is monotone: a later emission's latest_us never regresses
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("seq"))
+      assert(raw.withColumn("prev", lag(col("latest_us"), 1).over(w))
+        .filter(col("prev").isNotNull && col("latest_us") < col("prev"))
+        .count() === 0L)
+    } finally { raw.unpersist(); () }
+  }
+
   test("transformWithState processing-time TTLConfig evicts dormant state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}

@@ -144,7 +144,7 @@ class PlanSpec extends AnyFunSuite {
     val skip = Set("q28_stream_window", "q31_stream_sessionize", "q98_stream_features",
       "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
       "q104_stream_static_join", "q107_stream_window_final", "q117_stream_sliding",
-      "q130_stream_topk",
+      "q130_stream_topk", "q131_recent_buffer",
       "q109_schema_evolution", "q111_partition_evolution",
       "q112_aqe_skew_join", "q113_stream_upsert", "q120_bloom_join",
       "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
