@@ -546,7 +546,54 @@ object Dedup {
         col("dist"))
   }
 
+  private val SketchLgK = 12 // HLL registers: rsd ≈ 1.04/√2^12 ≈ 1.6%
+  private val SketchBoundMilli = 100L // accepted |est−exact| ≤ 10%
+
+  /** q134: MERGEABLE DISTINCT SKETCHES — per-source HLL sketches of
+    * the shingle-hash sets, UNIONED pairwise to estimate cross-source
+    * content overlap (`est(A∪B)` + exact counts → inclusion-exclusion)
+    * with the q90 bound-check discipline: the engine compares its own
+    * estimate to the exact union IN-PLAN and emits the verdict, so a
+    * drifted sketch breaks the oracle hash. Mergeability is the whole
+    * 100 TB story: per-source sketches build in one pass with map-side
+    * partials (register-max merges, order-insensitive), persist KB-
+    * sized, and any pair/rollup unions later WITHOUT rescanning the
+    * corpus — the exact intersection here exists only to check the
+    * contract at test scale and is the thing the sketch replaces at
+    * 100 TB.
+    */
+  def sketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.HashOps.shingle_hash60(col("ws"), 3)).as("h"))
+      .distinct() // the (source, shingle-hash) SET
+      .localCheckpoint(eager = false) // feeds counts, sketches, intersections
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val sketches = sh.groupBy(col("source"))
+      .agg(expr(s"hll_sketch_agg(h, $SketchLgK)").as("sk"))
+      .join(counts, "source")
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val pairs = sketches.as("x").join(broadcast(sketches.as("y")),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"),
+        expr("hll_sketch_estimate(hll_union(x.sk, y.sk))").as("est_union"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_inter"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("exact_inter"), col("exact_union"),
+        (abs(col("est_union") - col("exact_union")) * 1000 <=
+          lit(SketchBoundMilli) * col("exact_union")).cast("int").as("est_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_sketch_union" -> sketchUnion,
     "q127_fuzzy_join" -> fuzzyJoin,
     "q96_split_leakage" -> splitLeakage,
     "q95_cdc_chunks" -> dedupCdcChunks,
@@ -750,7 +797,31 @@ object Dedup {
        |  dist
        |FROM f WHERE dist <= $FuzzyMaxDist""".stripMargin
 
+  // est_ok is asserted as literal truth: the engine computed the
+  // verdict in-plan against the exact union; a sketch outside the
+  // bound emits 0 there and fails this hash
+  private val sketchUnionSql =
+    s"""WITH w AS (SELECT source, $sqlWords ws FROM documents),
+       |s AS (SELECT DISTINCT source, h FROM (
+       |    SELECT source, unnest(list_transform(
+       |        list_transform(range(1, len(ws)-1),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |        g -> ${sqlHash60("g")})) AS h
+       |    FROM w WHERE len(ws) >= 3)),
+       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+       |i AS (SELECT a.source sa, b.source sb, CAST(count(*) AS BIGINT) AS xi
+       |      FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+       |      GROUP BY 1, 2),
+       |p AS (SELECT x.source source_a, y.source source_b, x.n n_a, y.n n_b
+       |      FROM c x JOIN c y ON x.source < y.source)
+       |SELECT source_a, source_b, n_a, n_b,
+       |  coalesce(xi, 0) AS exact_inter,
+       |  n_a + n_b - coalesce(xi, 0) AS exact_union,
+       |  CAST(1 AS INTEGER) AS est_ok
+       |FROM p LEFT JOIN i ON source_a = i.sa AND source_b = i.sb""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q134_sketch_union" -> sketchUnionSql,
     "q127_fuzzy_join" -> fuzzyJoinSql,
     "q96_split_leakage" -> splitLeakageSql,
     "q95_cdc_chunks" -> cdcChunkSql,

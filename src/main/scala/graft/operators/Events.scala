@@ -430,7 +430,47 @@ object Events {
         col("sum_short"), col("sum_long"), col("shift_up"))
   }
 
+  /** q133: CALENDAR GAP FILL + FORWARD FILL — densify a sparse daily
+    * metric (purchase revenue of a thin user cohort) onto the full day
+    * grid: an in-plan (min, max) span aggregate explodes into the
+    * scaffold, a left join marks gaps, and `last(..., ignoreNulls)`
+    * carries the last observed value forward — the
+    * `IGNORE NULLS` window form every metrics/time-series store needs
+    * (lag-based fills only reach back ONE row; a 10-day gap needs the
+    * running last-non-null). Sums stay integer cents; the fill copies
+    * those exact longs before the single /100 division.
+    *
+    * Scale note: the unpartitioned window runs over the DAY GRID —
+    * ≤ tens of thousands of rows for decades of days, metadata-sized
+    * by construction — never over the corpus, which is reduced to
+    * daily rows by the one real shuffle first. (A per-entity fill
+    * would partition the same window by the entity key.) The gate
+    * corpus is gap-free at sf0.01 — correct but vacuous there; the
+    * spec exercises real gaps at sf0.001 (15 of 30 days absent).
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") % 11 === 0)
+      .select(expr(s"(ts DIV 1000) DIV $DayUs").as("day"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("vc")).as("vc_sum"))
+    val span = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val scaffold = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(obs, Seq("day"), "left")
+      .withColumn("is_gap", col("n_obs").isNull.cast("int"))
+      .withColumn("filled_revenue",
+        last(col("vc_sum"), ignoreNulls = true).over(w).cast("double") / 100.0)
+      .select(col("day"), col("is_gap"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        (col("vc_sum").cast("double") / 100.0).as("revenue"),
+        col("filled_revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_gap_fill" -> gapFill,
     "q129_drift_detect" -> driftDetect,
     "q126_interval_coverage" -> intervalCoverage,
     "q114_sliding_window" -> slidingWindowAgg,
@@ -607,7 +647,26 @@ object Events {
        |       CAST(sum(vc) AS DOUBLE)/100.0 AS sum_value
        |FROM x GROUP BY 1, 2""".stripMargin
 
+  private val gapFillSql =
+    s"""WITH obs AS (SELECT epoch_us(ts) // $DayUs AS day, count(*) AS n_obs,
+       |        CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS vc_sum
+       |      FROM events
+       |      WHERE event_type = 'purchase' AND user_id % 11 = 0
+       |      GROUP BY 1),
+       |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+       |days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+       |j AS (SELECT day, n_obs, vc_sum FROM days LEFT JOIN obs USING (day))
+       |SELECT day,
+       |  CAST(CASE WHEN n_obs IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+       |  CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+       |  CAST(vc_sum AS DOUBLE)/100.0 AS revenue,
+       |  CAST(last_value(vc_sum IGNORE NULLS) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+       |    AS filled_revenue
+       |FROM j""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q133_gap_fill" -> gapFillSql,
     "q129_drift_detect" -> driftSql,
     "q126_interval_coverage" -> coverageSql,
     "q114_sliding_window" -> slidingSql,

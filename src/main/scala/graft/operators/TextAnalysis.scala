@@ -536,6 +536,36 @@ object TextAnalysis {
         nullif(col("n_bpe_tokens"), lit(0L)))
   }
 
+  /** q132: GROUPED FEATURE CORRELATION — exact-sum Pearson r and OLS
+    * slope between document char length and token count per language:
+    * the feature-redundancy screen a pipeline runs before treating two
+    * signals as independent quality features. One shuffle computes all
+    * five power sums as exact integers; r and β are then single double
+    * expressions over exact operands (`corr()`/`regr_slope()` builtins
+    * stream float partials whose summation order is
+    * partitioning-dependent — this form is bit-stable cross-engine).
+    * Long sums audit: x ≤ 10^4, x²·rows ≤ 2^60 at any per-group count
+    * below ~10^10 rows; past that, widen the power sums to decimal
+    * exactly as q08 does.
+    */
+  def correlation(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars").as("x"),
+        size(words(col("text"))).cast("long").as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("lang"), col("n"),
+        (col("cov_n").cast("double") /
+          sqrt(nullif(col("var_x").cast("double") * col("var_y").cast("double"),
+            lit(0.0)))).as("corr"),
+        (col("cov_n").cast("double") /
+          nullif(col("var_x").cast("double"), lit(0.0))).as("beta"))
+
   private val NBuckets = 8 // equal-frequency bins
 
   /** q116: EQUAL-FREQUENCY BUCKETING — discretize per-document token
@@ -577,6 +607,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_correlation" -> correlation,
     "q123_winsorize" -> winsorize,
     "q124_bpe_encode" -> bpeEncode,
     "q116_equifreq_bucketing" -> equifreqBucketing,
@@ -796,7 +827,24 @@ object TextAnalysis {
        |       CAST((SELECT count(*) FROM t WHERE t.t <= d.v) AS INTEGER) AS bucket
        |FROM d""".stripMargin
 
+  private val correlationSql =
+    s"""WITH d AS (SELECT lang, n_chars AS x,
+       |        CAST(len($sqlWords) AS BIGINT) AS y FROM documents),
+       |g AS (SELECT lang, CAST(count(*) AS BIGINT) n,
+       |        CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+       |        CAST(sum(x*x) AS BIGINT) sxx, CAST(sum(y*y) AS BIGINT) syy,
+       |        CAST(sum(x*y) AS BIGINT) sxy
+       |      FROM d GROUP BY lang)
+       |SELECT lang, n,
+       |  CAST(n*sxy - sx*sy AS DOUBLE) /
+       |    sqrt(nullif(CAST(n*sxx - sx*sx AS DOUBLE) *
+       |                CAST(n*syy - sy*sy AS DOUBLE), 0.0)) AS corr,
+       |  CAST(n*sxy - sx*sy AS DOUBLE) /
+       |    nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) AS beta
+       |FROM g""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q132_correlation" -> correlationSql,
     "q123_winsorize" -> winsorizeSql,
     "q124_bpe_encode" -> bpeEncodeSql,
     "q116_equifreq_bucketing" -> equifreqSql,

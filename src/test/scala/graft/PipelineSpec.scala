@@ -1035,6 +1035,28 @@ class PipelineSpec extends AnyFunSuite {
     } finally { raw.unpersist(); () }
   }
 
+  test("q133 gap fill: real gaps at sf0.001, filled by the last observation") {
+    val g = graft.operators.Events.gapFill(spark, sf0001).cache()
+    try {
+      // the thin cohort leaves genuine holes at this sf (15 of 30 days)
+      assert(g.filter(col("is_gap") === 1).count() > 0L)
+      // the scaffold is dense: rows == full day span
+      val mm = g.agg(min(col("day")), max(col("day")), count(lit(1)))
+        .collect()(0)
+      assert(mm.getLong(2) === mm.getLong(1) - mm.getLong(0) + 1)
+      // every gap row carries a fill, equal to the previous non-gap value
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expectFill = g.withColumn("lastrev",
+        last(col("revenue"), ignoreNulls = true).over(w))
+      assert(expectFill.filter(col("filled_revenue") =!= col("lastrev"))
+        .count() === 0L)
+      assert(g.filter(col("is_gap") === 1 && col("filled_revenue").isNull)
+        .count() === 0L)
+    } finally { g.unpersist(); () }
+  }
+
   test("transformWithState processing-time TTLConfig evicts dormant state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
