@@ -592,7 +592,48 @@ object Dedup {
           lit(SketchBoundMilli) * col("exact_union")).cast("int").as("est_ok"))
   }
 
+  private val PrefixT = 0.5 // q137 Jaccard threshold
+
+  /** q137: EXACT SET-SIMILARITY JOIN via PREFIX FILTERING — every pair
+    * with shingle-set Jaccard ≥ [[PrefixT]], with ZERO false negatives
+    * (q15's LSH banding trades recall for pruning; this is the exact
+    * counterpart). Theorem: J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉,
+    * and two sets with overlap ≥ k must collide within their
+    * (len−k+1)-prefixes under ANY shared global element order — so
+    * emitting only each doc's first |S|−⌈t·|S|⌉+1 sorted hashes as
+    * candidate keys loses nothing. Candidates are a bucket equi-join
+    * on those prefix hashes (the q15 discipline), verified with the
+    * exact sorted-intersection kernel. The ORACLE is the brute-force
+    * all-pairs join — hash equality IS the no-false-negative proof,
+    * corpus-wide, every round.
+    *
+    * Scale: prefix length shrinks as t grows (at t=0.5, half of each
+    * set), and candidate buckets are per-hash doc lists — the hot-
+    * hash skew story is q72's salting if a stop-shingle appears.
+    */
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = docShingleHashes(spark, dir).localCheckpoint(false)
+    val pref = d.select(col("doc_id"),
+      explode(slice(col("hsh"), lit(1),
+        size(col("hsh")) - ceil(lit(PrefixT) * size(col("hsh"))).cast("int") + 1))
+        .as("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("hsh").as("hsa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("hsh").as("hsb")), "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sorted_intersect_count(col("hsa"), col("hsb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("hsa")) + size(col("hsb")) - col("inter")))
+      .filter(col("jaccard") >= PrefixT)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_prefix_join" -> prefixJoin,
     "q134_sketch_union" -> sketchUnion,
     "q127_fuzzy_join" -> fuzzyJoin,
     "q96_split_leakage" -> splitLeakage,
@@ -820,7 +861,19 @@ object Dedup {
        |  CAST(1 AS INTEGER) AS est_ok
        |FROM p LEFT JOIN i ON source_a = i.sa AND source_b = i.sb""".stripMargin
 
+  // brute-force ground truth: hash equality proves the prefix filter
+  // loses no pair (the exactness claim), corpus-wide, every round
+  private val prefixJoinSql =
+    s"""$sqlShingles,
+       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |        CAST(len(list_intersect(a.hsh, b.hsh)) AS BIGINT) i,
+       |        len(a.hsh) na, len(b.hsh) nb
+       |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
+       |FROM p WHERE CAST(i AS DOUBLE)/(na + nb - i) >= $PrefixT""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q137_prefix_join" -> prefixJoinSql,
     "q134_sketch_union" -> sketchUnionSql,
     "q127_fuzzy_join" -> fuzzyJoinSql,
     "q96_split_leakage" -> splitLeakageSql,

@@ -469,7 +469,37 @@ object Events {
         col("filled_revenue"))
   }
 
+  /** q136: BEHAVIORAL TRANSITION MATRIX — the first-order Markov model
+    * of user journeys: for each consecutive event pair within a user's
+    * (us, event_id)-ordered history, count (from → to) transitions and
+    * the transition probability per source state. The path-analysis
+    * primitive behind "what do users do after an error?", and the
+    * feature a sequence-model pipeline extracts as a baseline.
+    *
+    * Scale: one user-key shuffle for the lead() window, then a
+    * states²-bounded aggregate (map-side partials reduce each
+    * partition to ≤ |types|² rows); probability is one double division
+    * of exact counts against a broadcast per-source total.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_transitions" -> transitions,
     "q133_gap_fill" -> gapFill,
     "q129_drift_detect" -> driftDetect,
     "q126_interval_coverage" -> intervalCoverage,
@@ -665,7 +695,22 @@ object Events {
        |    AS filled_revenue
        |FROM j""".stripMargin
 
+  private val transitionsSql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |           FROM events),
+       |x AS (SELECT event_type AS from_type,
+       |        lead(event_type) OVER (PARTITION BY user_id
+       |          ORDER BY us, event_id) AS to_type
+       |      FROM e),
+       |c AS (SELECT from_type, to_type, count(*) AS n FROM x
+       |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+       |SELECT c.from_type, to_type, n,
+       |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+       |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q136_transitions" -> transitionsSql,
     "q133_gap_fill" -> gapFillSql,
     "q129_drift_detect" -> driftSql,
     "q126_interval_coverage" -> coverageSql,

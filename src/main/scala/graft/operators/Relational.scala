@@ -600,6 +600,43 @@ object Relational {
       .unionAll(report("orders_customer_fk", orphanOrder))
   }
 
+  private val AqpRate = 16L // 1-in-16 deterministic hash sample
+
+  /** q135: APPROXIMATE QUERY PROCESSING by DETERMINISTIC SAMPLE — the
+    * dashboard estimate: per-priority revenue from a 1/[[AqpRate]]
+    * hash sample of lineitem, scaled up, reported NEXT TO the exact
+    * value and the realized relative error. No `rand()`/TABLESAMPLE:
+    * the sample is a hash predicate on the row identity, so it is
+    * reproducible, append-stable, and — unlike a bound-check trick —
+    * the estimate itself is engine-portable (the oracle computes the
+    * identical sample). At 100 TB the sample is what a dashboard
+    * SCANS: materialize `bucket = 0` once (1/16 the bytes) and every
+    * exploratory aggregate runs on it; the exact side here exists to
+    * report the realized error the way q90/q134 check their sketches.
+    */
+  def aqpSample(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), cents(col("l_extendedprice")).as("pc"),
+        pmod(graft.functions.HashOps.md5_prefix60(
+          concat(lit("aqp:"), col("l_orderkey").cast("string"),
+            lit(":"), col("l_linenumber").cast("string"))),
+          lit(AqpRate)).as("bucket"))
+    l.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("pc")).as("exact_c"),
+        sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("n_sampled"),
+        (sum(when(col("bucket") === 0, col("pc")).otherwise(0L)) * AqpRate)
+          .as("est_c"))
+      .select(col("o_orderpriority"), col("n_rows"), col("n_sampled"),
+        (col("exact_c").cast("double") / 100.0).as("exact_sum"),
+        (col("est_c").cast("double") / 100.0).as("est_sum"),
+        (abs(col("est_c") - col("exact_c")).cast("double") /
+          nullif(col("exact_c").cast("double"), lit(0.0))).as("rel_err"))
+  }
+
   /** Salt fan-out for [[saltedJoin]] — each hot key's rows spread over
     * this many shuffle groups; the small side replicates this many ×.
     */
@@ -672,6 +709,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_aqp_sample" -> aqpSample,
     "q118_scd2_intervals" -> scd2Intervals,
     "q119_cube" -> cubePricing,
     "q120_bloom_join" -> bloomJoin,
@@ -705,6 +743,26 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "q135_aqp_sample" ->
+      (s"""WITH l AS (SELECT o_orderpriority,
+          |        CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc,
+          |        CAST('0x' || substr(md5('aqp:' || CAST(l_orderkey AS VARCHAR)
+          |          || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+          |          % $AqpRate AS bucket
+          |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |g AS (SELECT o_orderpriority, count(*) AS n_rows,
+          |        CAST(sum(pc) AS BIGINT) AS exact_c,
+          |        CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |          AS n_sampled,
+          |        CAST(sum(CASE WHEN bucket = 0 THEN pc ELSE 0 END)
+          |          * $AqpRate AS BIGINT) AS est_c
+          |      FROM l GROUP BY 1)
+          |SELECT o_orderpriority, n_rows, n_sampled,
+          |  CAST(exact_c AS DOUBLE)/100.0 AS exact_sum,
+          |  CAST(est_c AS DOUBLE)/100.0 AS est_sum,
+          |  CAST(abs(est_c - exact_c) AS DOUBLE) /
+          |    nullif(CAST(exact_c AS DOUBLE), 0.0) AS rel_err
+          |FROM g""".stripMargin),
     "q118_scd2_intervals" ->
       """WITH o AS (SELECT o_custkey, o_orderstatus,
         |             epoch_us(o_orderdate) AS us, o_orderkey FROM orders),
