@@ -364,14 +364,19 @@ object Events {
     * aggregations ride that same key (islands ⊆ events per user), and
     * per-row state in the running-max window is one long.
     */
-  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val byTime = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
-    val e = Tables.events(spark, dir)
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    coverageOf(Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
         round(col("value") * 100, 0).cast("long").as("vc"))
       .withColumn("end_us", col("us") +
-        (pmod(col("vc"), lit(CovModSec)) + CovBaseSec) * 1000000L)
+        (pmod(col("vc"), lit(CovModSec)) + CovBaseSec) * 1000000L))
+
+  /** The q126 merge kernel over explicit (user_id, event_id, us,
+    * end_us) intervals — exposed for the property spec.
+    */
+  private[graft] def coverageOf(e: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
     e.withColumn("prev_max",
         max(col("end_us")).over(byTime.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("ni",

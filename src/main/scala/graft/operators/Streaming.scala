@@ -220,6 +220,26 @@ object Streaming extends Serializable {
     * real cluster with large state this knob goes the other way; it is
     * per-query here precisely because state size is query-specific.
     */
+  /** Run `f` with the RocksDB state-store provider (the
+    * transformWithState engine requirement), restoring the session
+    * conf after. NOTE: this mutates the SESSION-wide conf for the
+    * call's duration — fine while queries run sequentially (every
+    * harness here does), but a concurrent streaming query started on
+    * this session would silently inherit RocksDB and race the
+    * restore; an embedding that runs queries concurrently should
+    * scope the swap to a dedicated spark.newSession() instead.
+    */
+  private def withRocksDb[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -501,28 +521,14 @@ object Streaming extends Serializable {
         round(col("value") * 100, 0).cast("long").as("vc"),
         expr("ts DIV 1000").as("us"))
       .as[(Long, Long, Long)]
-    // NOTE: this mutates the SESSION-wide provider conf for the
-    // query's duration (restored in finally). Fine while queries run
-    // sequentially — every harness here does — but a concurrent
-    // streaming query started on this session would silently inherit
-    // RocksDB and race the restore; an engine embedding that runs
-    // queries concurrently should scope the swap to a dedicated
-    // spark.newSession() instead.
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try withStatePartitions(spark, 8) {
+    withRocksDb(spark) { withStatePartitions(spark, 8) {
       val q = evs.groupByKey(_._1)
         .transformWithState(new UserFeatureProcessor,
           TimeMode.None(), OutputMode.Update())
         .writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       runToCompletion("q98", q)
-    } finally prevProv match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
-    }
+    } }
     spark.table(name)
   }
 
@@ -559,21 +565,14 @@ object Streaming extends Serializable {
       .withColumn("ets", timestamp_micros(col("us")))
       .withWatermark("ets", "0 seconds")
       .select(col("user_id"), col("vc"), col("us")).as[(Long, Long, Long)]
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try withStatePartitions(spark, 8) {
+    withRocksDb(spark) { withStatePartitions(spark, 8) {
       val q = evs.groupByKey(_._1)
         .transformWithState(new RetiringFeatureProcessor(RetireTtlMs),
           TimeMode.EventTime(), OutputMode.Update())
         .writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       runToCompletion("q101", q)
-    } finally prevProv match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
-    }
+    } }
     spark.table(name)
   }
 
@@ -1000,21 +999,14 @@ object Streaming extends Serializable {
       .select(substring_index(decode(col("c.name"), "UTF-8"), ":", -1)
         .as("event_type"), col("user_id"))
       .as[(String, Long)]
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try withStatePartitions(spark, 8) {
+    withRocksDb(spark) { withStatePartitions(spark, 8) {
       val q = cells.groupByKey(_._1)
         .transformWithState(new TypeTopUsersProcessor(3),
           TimeMode.None(), OutputMode.Update())
         .writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       runToCompletion("q130", q)
-    } finally prevProv match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
-    }
+    } }
     spark.table(name)
   }
 
@@ -1060,21 +1052,14 @@ object Streaming extends Serializable {
         decode(col("c.name"), "UTF-8").as("name"),
         length(col("c.value")).cast("long").as("vbytes"))
       .as[(Long, Long, String, Long)]
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try withStatePartitions(spark, 8) {
+    withRocksDb(spark) { withStatePartitions(spark, 8) {
       val q = cells.groupByKey(_._1)
         .transformWithState(new RecentBufferProcessor(RecentN),
           TimeMode.None(), OutputMode.Update())
         .writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       runToCompletion("q131", q)
-    } finally prevProv match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
-    }
+    } }
     spark.table(name)
   }
 

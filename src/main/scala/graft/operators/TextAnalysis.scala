@@ -493,7 +493,7 @@ object TextAnalysis {
     * picks each row); held constant here so both engines encode the
     * same table. Chains are deliberate: t+h→th→the→the</w>, etc.
     */
-  private val bpeMerges: Seq[(String, String)] = Seq(
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "the" -> "</w>",
     "e" -> "r", "er" -> "</w>",
     "a" -> "n", "an" -> "</w>",
@@ -511,20 +511,22 @@ object TextAnalysis {
     * and the 15 merges fold into 15 nested replaces — row-local, one
     * WholeStageCodegen span, zero shuffles at any corpus size.
     */
+  /** The q124 per-word kernel, exposed for the property spec: BPE
+    * token count of one word under [[bpeMerges]].
+    */
+  private[graft] def bpeTokens(w: Column): Column = {
+    val init = concat(
+      array_join(transform(sequence(lit(1), length(w)), i =>
+        concat(lit("["), w.substr(i, lit(1)), lit("]"))), ""),
+      lit("[</w>]"))
+    val s = bpeMerges.foldLeft(init) { case (acc, (a, b)) =>
+      replace(acc, lit(s"[$a][$b]"), lit(s"[$a$b]"))
+    }
+    length(s) - length(replace(s, lit("[")))
+  }
+
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    def enc(w: Column): Column = {
-      val init = concat(
-        array_join(transform(sequence(lit(1), length(w)), i =>
-          concat(lit("["), w.substr(i, lit(1)), lit("]"))), ""),
-        lit("[</w>]"))
-      bpeMerges.foldLeft(init) { case (s, (a, b)) =>
-        replace(s, lit(s"[$a][$b]"), lit(s"[$a$b]"))
-      }
-    }
-    def tokens(w: Column): Column = {
-      val s = enc(w)
-      length(s) - length(replace(s, lit("[")))
-    }
+    def tokens(w: Column): Column = bpeTokens(w)
     Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n_words"),

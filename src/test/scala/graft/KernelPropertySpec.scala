@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Events, TextAnalysis}
+
+/** Property-based checks for the round's row-local kernels, each
+  * against an independent straight-line Scala reference:
+  *
+  *  - q124's bracket-replace BPE encode vs a symbol-list merge loop
+  *    (validates that leftmost non-overlapping string replace over
+  *    bracket-atomized symbols IS the BPE merge step);
+  *  - q126's running-max interval merge vs a brute-force sweep;
+  *  - q137's prefix-filter theorem (J ≥ t ⟹ the (len−⌈t·len⌉+1)-
+  *    prefixes intersect) on random sets — the pure-math half of the
+  *    exactness claim whose corpus-wide half is the brute-force oracle.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Reference BPE: symbols as a list, each merge applied left-to-right
+    * consuming pairs (scan resumes after a merged pair — the replace-all
+    * contract both engines implement).
+    */
+  private def refBpeTokens(w: String): Int = {
+    var syms = w.map(_.toString).toVector :+ "</w>"
+    for ((a, b) <- TextAnalysis.bpeMerges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms.length
+  }
+
+  test("q124 bracket-replace encode == symbol-list BPE on random words") {
+    import spark.implicits._
+    val genWord = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val words = Gen.listOfN(400, genWord).sample.get.distinct
+    val got = words.toDF("w")
+      .select(col("w"), TextAnalysis.bpeTokens(col("w")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      assert(got(w) === refBpeTokens(w), s"word '$w'")
+    }
+  }
+
+  /** Reference interval merge: sort, sweep, count islands and covered
+    * time (abutting intervals merge, matching the kernel's
+    * `us > prev_max` convention).
+    */
+  private def refCoverage(iv: Seq[(Long, Long)]): (Long, Long) = {
+    var islands = 0L
+    var covered = 0L
+    var curStart = Long.MinValue
+    var curEnd = Long.MinValue
+    iv.sorted.foreach { case (s, e) =>
+      if (islands == 0L || s > curEnd) {
+        if (islands > 0L) covered += curEnd - curStart
+        islands += 1; curStart = s; curEnd = math.max(s, e)
+      } else curEnd = math.max(curEnd, e)
+    }
+    if (islands > 0L) covered += curEnd - curStart
+    (islands, covered)
+  }
+
+  test("q126 running-max island merge == brute-force sweep on random intervals") {
+    import spark.implicits._
+    val genIv = for {
+      s <- Gen.chooseNum(0L, 500L)
+      d <- Gen.chooseNum(1L, 120L)
+    } yield (s, s + d)
+    val genUser = Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n, genIv))
+    val users = Gen.listOfN(30, genUser).sample.get
+    val rows = users.zipWithIndex.flatMap { case (iv, u) =>
+      iv.zipWithIndex.map { case ((s, e), i) =>
+        (u.toLong, i.toLong, s, e)
+      }
+    }
+    val got = Events.coverageOf(
+      rows.toDF("user_id", "event_id", "us", "end_us"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    users.zipWithIndex.foreach { case (iv, u) =>
+      val (isl, cov) = refCoverage(iv)
+      assert(got(u.toLong) === ((isl, cov)), s"user $u intervals $iv")
+    }
+  }
+
+  test("q137 prefix-filter theorem holds on random hash sets") {
+    val t = 0.5
+    val genSet = Gen.chooseNum(3, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 60L)).map(_.distinct.sorted))
+    check(Prop.forAll(genSet, genSet) { (a, b) =>
+      val inter = a.intersect(b).length
+      val j = inter.toDouble / (a.length + b.length - inter)
+      def prefix(s: Seq[Long]) =
+        s.take(s.length - math.ceil(t * s.length).toInt + 1)
+      // if J >= t the prefixes MUST share an element (no false negative)
+      j < t || prefix(a).intersect(prefix(b)).nonEmpty
+    }, n = 500)
+  }
+}
