@@ -1,0 +1,27 @@
+package graft
+
+/** Queries that execute work at CONSTRUCTION time (streaming runs,
+  * sink/fixture writes, conf-scoped eager checkpoints): the returned
+  * frame replays a materialized result, so post-hoc plan inspection
+  * sees only a scan of existing data. The PlanSpec cartesian sweep and
+  * the ScaleAudit table both skip exactly this set (plus a few
+  * consumer-specific extras); each such query's scale posture is
+  * audited in its own module scaladoc and spec instead. ONE list, so a
+  * new on-build query cannot be registered with one consumer and
+  * forgotten by the other.
+  */
+object QueryTraits {
+  val executesOnBuild: Set[String] = Set(
+    "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
+    "q104_stream_static_join", "q107_stream_window_final",
+    "q109_schema_evolution", "q111_partition_evolution",
+    "q112_aqe_skew_join", "q113_stream_upsert", "q117_stream_sliding",
+    "q120_bloom_join", "q130_stream_topk", "q131_recent_buffer",
+    "q28_stream_window", "q29_sink_roundtrip", "q30_proto_source",
+    "q31_stream_sessionize", "q46_key_pushdown",
+    "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
+    "q61_compact_sink", "q62_bucketed_stats", "q76_stream_funnel",
+    "q77_optimize_sink", "q80_asof_read", "q81_change_feed",
+    "q84_stream_dedup_ttl", "q89_ordered_reexport",
+    "q91_clusters_converged", "q98_stream_features")
+}

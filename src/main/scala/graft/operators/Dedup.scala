@@ -512,23 +512,37 @@ object Dedup {
   /** q127: FUZZY ENTITY JOIN (q-gram blocking + edit-distance verify)
     * — near-identical part names (`'new rod'` ≈ `'red rod'`), the
     * entity-resolution sibling of document dedup: candidates are pairs
-    * sharing ≥1 character 3-gram (a bucket equi-join over the gram
-    * key — q15's banding discipline, never all-pairs), pruned by the
-    * standard count filter (ed ≤ k forces |G(a)∩G(b)| ≥ max(|a|,|b|)
-    * − q + 1 − k·q, vacuous on short toy names but load-bearing on
-    * real entity strings), then verified with exact `levenshtein`
-    * only on survivors — the filter-verify shape keeps the O(len²)
-    * kernel off all non-candidates.
+    * sharing ≥1 DISTINCT character 3-gram (a bucket equi-join over the
+    * gram key — q15's banding discipline, never all-pairs), verified
+    * with exact `levenshtein` only on candidates — the filter-verify
+    * shape keeps the O(len²) kernel off all non-pairs.
+    *
+    * Recall contract, stated precisely: the positional-q-gram bound
+    * (ed ≤ k destroys ≤ k·q grams) guarantees ≥ max(len)−q+1−k·q
+    * MATCHING POSITIONS, so ≥1 shared gram STRING whenever
+    * max(len) ≥ q·(k+1)+... i.e. ≥ 9 here — blocking is provably
+    * lossless for names of length ≥ 9 and heuristic below that (the
+    * spec's brute-force sweep proves nothing is lost on THIS corpus,
+    * whose names span 7–12 chars). The tighter multiset COUNT filter
+    * from the ppjoin literature is deliberately NOT applied: over
+    * distinct grams it is unsound (a repeated-trigram name like
+    * `aaaaaaaaaaaa` has ONE distinct gram and would be falsely
+    * pruned); `n_shared_grams` is reported as a signal, never used to
+    * prune.
     *
     * Scale: the entity catalog is vocabulary-sized (distinct names),
     * orders smaller than the corpus that references it; gram-bucket
     * skew (a stop-gram shared by everything) is the q72 salting story
     * if it appears.
     */
-  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val names = Tables.part(spark, dir)
-      .select(col("p_name").as("name")).distinct()
-      .filter(length(col("name")) >= FuzzyQ)
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    fuzzyJoinOf(Tables.part(spark, dir).select(col("p_name").as("name")))
+
+  /** The q127 kernel over an explicit `name` column — exposed for the
+    * repeated-gram regression spec.
+    */
+  private[graft] def fuzzyJoinOf(names0: DataFrame): DataFrame = {
+    val names = names0.distinct().filter(length(col("name")) >= FuzzyQ)
     val grams = names.select(col("name"), explode(array_distinct(
       transform(sequence(lit(1), length(col("name")) - (FuzzyQ - 1)), i =>
         col("name").substr(i, lit(FuzzyQ))))).as("g"))
@@ -537,9 +551,6 @@ object Dedup {
         col("a.g") === col("b.g") && col("a.name") < col("b.name"))
       .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
-      .filter(col("n_shared_grams") >=
-        greatest(length(col("name_a")), length(col("name_b")))
-          - (FuzzyQ - 1) - FuzzyMaxDist * FuzzyQ)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= FuzzyMaxDist)
       .select(col("name_a"), col("name_b"), col("n_shared_grams"),
@@ -831,9 +842,7 @@ object Dedup {
        |        count(*) AS n_shared_grams
        |      FROM g a JOIN g b ON a.g = b.g AND a.name < b.name
        |      GROUP BY a.name, b.name),
-       |f AS (SELECT *, levenshtein(name_a, name_b) AS dist FROM c
-       |      WHERE n_shared_grams >= greatest(len(name_a), len(name_b))
-       |        - ${FuzzyQ - 1} - ${FuzzyMaxDist * FuzzyQ})
+       |f AS (SELECT *, levenshtein(name_a, name_b) AS dist FROM c)
        |SELECT name_a, name_b, CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
        |  dist
        |FROM f WHERE dist <= $FuzzyMaxDist""".stripMargin

@@ -403,8 +403,10 @@ object Events {
     * short-window rate exceeds 1.5× the baseline rate (cross-
     * multiplied exact integers — `2·sum_s·LONG > 3·sum_l·SHORT` — so
     * no float ratio ever enters the hash). Days before a full
-    * baseline exists report NULL (warm-up), distinguished from a
-    * genuine no-shift 0. A CUSUM would need a running recursion no
+    * baseline CAN exist report NULL (warm-up), distinguished from a
+    * genuine no-shift 0; past warm-up an EMPTY baseline window counts
+    * as rate 0 (a resumption after a long outage must alarm, not
+    * NULL out). A CUSUM would need a running recursion no
     * declarative window expresses; the two-window form is the
     * standard streaming-friendly approximation and is exactly
     * portable.
@@ -415,16 +417,25 @@ object Events {
     * tiny table. Range frames bound by DAY VALUE, so calendar gaps
     * cost nothing and the frame state is bounded by window days.
     */
-  def driftDetect(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def driftDetect(spark: SparkSession, dir: String): DataFrame =
+    driftOf(Tables.events(spark, dir)
       .select(expr(s"(ts DIV 1000) DIV $DayUs").as("day"), col("event_type"))
-      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The q129 kernel over an explicit (event_type, day, n) daily table
+    * — exposed for the outage-scenario spec.
+    */
+  private[graft] def driftOf(daily: DataFrame): DataFrame = {
     val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val wShort = byDay.rangeBetween(-(DriftShort - 1), Window.currentRow)
     val wLong = byDay.rangeBetween(-(DriftShort - 1 + DriftLong), -DriftShort)
     daily
       .withColumn("sum_short", sum(col("n")).over(wShort))
-      .withColumn("sum_long", sum(col("n")).over(wLong))
+      // empty baseline ⇒ 0, not NULL: a post-outage resumption day
+      // (nothing in the long window, volume in the short one) is the
+      // strongest shift there is and must raise 1, not a NULL that
+      // reads as warm-up
+      .withColumn("sum_long", coalesce(sum(col("n")).over(wLong), lit(0L)))
       .withColumn("first_day", min(col("day")).over(
         byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("shift_up",
@@ -527,9 +538,9 @@ object Events {
        |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
        |          RANGE BETWEEN ${DriftShort - 1} PRECEDING AND CURRENT ROW)
        |          AS BIGINT) AS sum_short,
-       |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+       |        CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day
        |          RANGE BETWEEN ${DriftShort - 1 + DriftLong} PRECEDING
-       |          AND $DriftShort PRECEDING) AS BIGINT) AS sum_long,
+       |          AND $DriftShort PRECEDING), 0) AS BIGINT) AS sum_long,
        |        min(day) OVER (PARTITION BY event_type ORDER BY day
        |          ROWS UNBOUNDED PRECEDING) AS first_day
        |      FROM daily)

@@ -746,8 +746,9 @@ object Relational {
     "q135_aqp_sample" ->
       (s"""WITH l AS (SELECT o_orderpriority,
           |        CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc,
-          |        CAST('0x' || substr(md5('aqp:' || CAST(l_orderkey AS VARCHAR)
-          |          || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+          |        ${graft.functions.Portable.sqlHash60(
+            "'aqp:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
+              "CAST(l_linenumber AS VARCHAR)")}
           |          % $AqpRate AS bucket
           |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
           |g AS (SELECT o_orderpriority, count(*) AS n_rows,

@@ -213,13 +213,6 @@ class RetiringFeatureProcessor(ttlMs: Long) extends org.apache.spark.sql
   */
 object Streaming extends Serializable {
 
-  /** Run `f` with a reduced shuffle-partition count. Stateful streaming
-    * cost on small/medium state is dominated by per-partition state
-    * store instances (delta file + commit PER partition PER batch) —
-    * 8 partitions cuts that fixed cost 4× vs the session's 32. On a
-    * real cluster with large state this knob goes the other way; it is
-    * per-query here precisely because state size is query-specific.
-    */
   /** Run `f` with the RocksDB state-store provider (the
     * transformWithState engine requirement), restoring the session
     * conf after. NOTE: this mutates the SESSION-wide conf for the
@@ -240,6 +233,13 @@ object Streaming extends Serializable {
     }
   }
 
+  /** Run `f` with a reduced shuffle-partition count. Stateful streaming
+    * cost on small/medium state is dominated by per-partition state
+    * store instances (delta file + commit PER partition PER batch) —
+    * 8 partitions cuts that fixed cost 4× vs the session's 32. On a
+    * real cluster with large state this knob goes the other way; it is
+    * per-query here precisely because state size is query-specific.
+    */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)

@@ -2,6 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+import graft.QueryTraits
+
 /** Emit a markdown table of plan-shape facts per query — shuffle count,
   * broadcast count, join strategies, pushed filters — the mechanical
   * half of the 100 TB audit (SCALE.md). Streaming/sink queries execute
@@ -18,19 +20,9 @@ object ScaleAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val skip = Set("q28_stream_window", "q31_stream_sessionize", "q98_stream_features",
-      "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
-      "q104_stream_static_join", "q107_stream_window_final", "q117_stream_sliding",
-      "q130_stream_topk", "q131_recent_buffer",
-      "q109_schema_evolution", "q111_partition_evolution",
-      "q112_aqe_skew_join", "q113_stream_upsert", "q120_bloom_join",
-      "q29_sink_roundtrip", "q30_proto_source", "q36_noshuffle_stats",
-      "q37_stream_sink", "q43_stream_dedup", "q46_key_pushdown",
-      "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
-      "q61_compact_sink", "q62_bucketed_stats", "q69_stream_stream_join",
-      "q76_stream_funnel", "q77_optimize_sink", "q80_asof_read",
-      "q81_change_feed", "q84_stream_dedup_ttl", "q89_ordered_reexport",
-      "q91_clusters_converged")
+    val skip = QueryTraits.executesOnBuild ++ Set(
+      "q36_noshuffle_stats", "q37_stream_sink", "q43_stream_dedup",
+      "q69_stream_stream_join")
     println("| query | shuffles | broadcasts | join strategies | pushed filter |")
     println("|---|---|---|---|---|")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

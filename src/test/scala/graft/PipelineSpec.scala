@@ -970,6 +970,34 @@ class PipelineSpec extends AnyFunSuite {
     } finally { d.unpersist(); () }
   }
 
+  test("q129 post-outage resumption alarms (empty baseline counts as rate 0)") {
+    import spark.implicits._
+    // steady intake days 0-17, a 12-day outage, resumption day 30:
+    // day 30 is past warm-up, its ENTIRE baseline window [18, 27] is
+    // empty, and the verdict must be 1 (not NULL, which reads warm-up)
+    val daily = ((0L to 17L) :+ 30L).map(d => ("a", d, 10L))
+      .toDF("event_type", "day", "n")
+    val got = graft.operators.Events.driftOf(daily)
+      .filter(col("day") === 30).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getLong(r.fieldIndex("sum_long")) === 0L)
+    assert(!r.isNullAt(r.fieldIndex("shift_up")) &&
+      r.getInt(r.fieldIndex("shift_up")) === 1,
+      "resumption after outage must raise shift_up = 1")
+  }
+
+  test("q127 repeated-gram names survive (no unsound count prune)") {
+    import spark.implicits._
+    // 'aaaaaaaaaaaa' vs 'aaaaaaaaaaab': ed = 1, but only ONE distinct
+    // shared trigram — the multiset count filter this operator
+    // deliberately omits would have pruned the pair
+    val got = graft.operators.Dedup.fuzzyJoinOf(
+      Seq("aaaaaaaaaaaa", "aaaaaaaaaaab").toDF("name")).collect()
+    assert(got.length === 1 && got(0).getInt(3) === 1,
+      s"expected the ed-1 pair to survive, got ${got.mkString(";")}")
+  }
+
   test("q130 MapState accumulates across real micro-batches") {
     // spec-local fixture pinned to 3 files so maxFilesPerTrigger=1
     // genuinely yields multiple batches (AQE can coalesce the shared

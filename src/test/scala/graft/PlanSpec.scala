@@ -141,19 +141,8 @@ class PlanSpec extends AnyFunSuite {
     * specs instead of re-run here.
     */
   test("no query plans a cartesian product; NL joins only where bounded") {
-    val skip = Set("q28_stream_window", "q31_stream_sessionize", "q98_stream_features",
-      "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
-      "q104_stream_static_join", "q107_stream_window_final", "q117_stream_sliding",
-      "q130_stream_topk", "q131_recent_buffer",
-      "q109_schema_evolution", "q111_partition_evolution",
-      "q112_aqe_skew_join", "q113_stream_upsert", "q120_bloom_join",
-      "q29_sink_roundtrip", "q30_proto_source", "q46_key_pushdown",
-      "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
-      "q61_compact_sink", "q62_bucketed_stats", "q64_sidecar_stats",
-      "q65_runtime_prune", "q76_stream_funnel", "q77_optimize_sink",
-      "q79_secondary_index", "q80_asof_read", "q81_change_feed",
-      "q84_stream_dedup_ttl", "q89_ordered_reexport",
-      "q91_clusters_converged")
+    val skip = QueryTraits.executesOnBuild ++ Set(
+      "q64_sidecar_stats", "q65_runtime_prune", "q79_secondary_index")
     // q45 embeds q19's bounded brute-force scorer, so it inherits the
     // deliberately-broadcast NL join; q59's and q34's NL joins
     // broadcast the K-row (8/16-row) centroid table — bounded by
