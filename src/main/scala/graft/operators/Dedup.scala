@@ -643,7 +643,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** q138: SKETCH PERSISTENCE + INCREMENTAL MERGE — the production
+    * lifecycle q134's one-shot build omits: per-source HLL sketches of
+    * the BASE corpus (q58's increment convention: doc_id % 10 == 7 is
+    * the new drop) are written to parquet as binary columns, READ BACK
+    * (round-tripping the datasketches serialization through the
+    * column format), and unioned with sketches of the increment alone
+    * — the merged estimate covers the full corpus while the base is
+    * never rescanned. Bound-checked in-plan against the exact distinct
+    * count (q90/q134 discipline), so a serialization bug or a drifted
+    * merge breaks the driver hash.
+    *
+    * Scale: this is THE reason sketches go in the metadata tier — a
+    * nightly drop updates every per-source distinct count by scanning
+    * only |increment|, with KB-sized reads of yesterday's state;
+    * HLL inserts are idempotent, so dup hashes across strata merge
+    * correctly by construction (no distinct needed anywhere).
+    */
+  def sketchIncrement(spark: SparkSession, dir: String): DataFrame = {
+    def shingles(docs: DataFrame): DataFrame = docs
+      .select(col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.HashOps.shingle_hash60(col("ws"), 3)).as("h"))
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 10 === 7
+    val skDir = Scratch.dir("graft_sketch")
+    shingles(docs.filter(!isNew))
+      .groupBy(col("source"))
+      .agg(expr(s"hll_sketch_agg(h, $SketchLgK)").as("sk"))
+      .write.mode("overwrite").parquet(skDir)
+    val baseSk = spark.read.parquet(skDir)
+    val incSk = shingles(docs.filter(isNew))
+      .groupBy(col("source"))
+      .agg(expr(s"hll_sketch_agg(h, $SketchLgK)").as("sk_inc"))
+    val merged = baseSk.join(incSk, Seq("source"), "full_outer")
+      .select(col("source"), expr("hll_sketch_estimate(CASE " +
+        "WHEN sk IS NULL THEN sk_inc WHEN sk_inc IS NULL THEN sk " +
+        "ELSE hll_union(sk, sk_inc) END)").as("est_n"))
+    val exact = shingles(docs).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_n"))
+    merged.join(exact, "source")
+      .select(col("source"), col("exact_n"),
+        (abs(col("est_n") - col("exact_n")) * 1000 <=
+          lit(SketchBoundMilli) * col("exact_n")).cast("int").as("est_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_sketch_increment" -> sketchIncrement,
     "q137_prefix_join" -> prefixJoin,
     "q134_sketch_union" -> sketchUnion,
     "q127_fuzzy_join" -> fuzzyJoin,
@@ -881,7 +928,22 @@ object Dedup {
        |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(na + nb - i) AS jaccard
        |FROM p WHERE CAST(i AS DOUBLE)/(na + nb - i) >= $PrefixT""".stripMargin
 
+  // est_ok asserted as literal truth — q134's contract pattern: the
+  // in-plan verdict fails the hash if the round-tripped merge drifts
+  private val sketchIncrementSql =
+    s"""WITH w AS (SELECT source, $sqlWords ws FROM documents),
+       |s AS (SELECT DISTINCT source, h FROM (
+       |    SELECT source, unnest(list_transform(
+       |        list_transform(range(1, len(ws)-1),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |        g -> ${sqlHash60("g")})) AS h
+       |    FROM w WHERE len(ws) >= 3))
+       |SELECT source, CAST(count(*) AS BIGINT) AS exact_n,
+       |  CAST(1 AS INTEGER) AS est_ok
+       |FROM s GROUP BY source""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q138_sketch_increment" -> sketchIncrementSql,
     "q137_prefix_join" -> prefixJoinSql,
     "q134_sketch_union" -> sketchUnionSql,
     "q127_fuzzy_join" -> fuzzyJoinSql,
