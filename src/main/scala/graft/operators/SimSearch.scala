@@ -143,7 +143,11 @@ object SimSearch {
   }
 
   private val MatDims = 32 // q125 coarse-stage prefix dims (of 64)
-  private val MatC = 40 // q125 coarse candidates per query
+  // coarse candidates per query: from a measured recall@3 sweep at
+  // sf0.01 (q45 audits it every round) — C=40 → 708 milli, C=80 → 875,
+  // matching IVF-PQ's recall while stage 2 still touches only
+  // C/corpus of the full-width vectors
+  private val MatC = 80
 
   /** q125: MATRYOSHKA TWO-STAGE ANN — coarse search over the leading
     * [[MatDims]]-dim PREFIX of each embedding (half the bytes per
@@ -758,6 +762,7 @@ object SimSearch {
       .unionByName(row("lsh", annLsh(spark, dir)))
       .unionByName(row("pq", annPq(spark, dir)))
       .unionByName(row("ivfpq", annIvfPq(spark, dir)))
+      .unionByName(row("matryoshka", annMatryoshka(spark, dir)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1027,6 +1032,7 @@ object SimSearch {
        |ivf AS (SELECT q_id, vec_id FROM ($ivfSql)),
        |pq AS (SELECT q_id, vec_id FROM ($pqSql)),
        |ivfpq AS (SELECT q_id, vec_id FROM ($ivfpqSql)),
+       |mat AS (SELECT q_id, vec_id FROM ($matryoshkaSql)),
        |tot AS (SELECT count(*) t FROM brute)
        |SELECT 'ivf' AS method,
        |  (SELECT count(*) FROM ivf JOIN brute USING (q_id, vec_id)) AS n_hits,
@@ -1050,6 +1056,12 @@ object SimSearch {
        |  (SELECT count(*) FROM ivfpq JOIN brute USING (q_id, vec_id)) AS n_hits,
        |  (SELECT t FROM tot) AS n_brute,
        |  (SELECT count(*) FROM ivfpq JOIN brute USING (q_id, vec_id)) * 1000
+       |    // (SELECT t FROM tot) AS recall_milli
+       |UNION ALL
+       |SELECT 'matryoshka' AS method,
+       |  (SELECT count(*) FROM mat JOIN brute USING (q_id, vec_id)) AS n_hits,
+       |  (SELECT t FROM tot) AS n_brute,
+       |  (SELECT count(*) FROM mat JOIN brute USING (q_id, vec_id)) * 1000
        |    // (SELECT t FROM tot) AS recall_milli""".stripMargin
 
   /** One Lloyd assignment against centroid CTE `cent`, emitting CTE
