@@ -233,6 +233,38 @@ object Curation {
         col("priority"))
   }
 
+  /** q139: RELEASE MANIFEST — the data-card table a dataset release
+    * ships: per (split, lang), document count, whitespace-token count,
+    * char count, and each split's share of its language (exact
+    * integers, one final double division). Composes q121's
+    * content-hash split assignment with the corpus stats the release
+    * reports — the split-side sibling of q100's curation composition,
+    * proving the assignment is usable downstream in the SAME plan
+    * (no intermediate materialization).
+    *
+    * Scale: the split/token derivation is row-local on top of the
+    * scan; ONE (split, lang) shuffle with map-side partials produces
+    * the manifest, and the per-language totals ride a broadcast of
+    * the languages-sized aggregate.
+    */
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = splitAssign(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("n_chars")), "doc_id")
+      .select(col("split"), col("lang"),
+        size(words(col("text"))).cast("long").as("toks"), col("n_chars"))
+    val m = d.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    val langTot = m.groupBy(col("lang")).agg(sum(col("n_docs")).as("lang_docs"))
+    m.join(broadcast(langTot), "lang")
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        (col("n_docs").cast("double") / col("lang_docs").cast("double"))
+          .as("lang_share"))
+  }
+
   /** Per-source document budget and the shard fan-out of its top-N. */
   private val SourceCap = 12
   private val CapShards = 4
@@ -406,6 +438,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_release_manifest" -> releaseManifest,
     "q121_split_assign" -> splitAssign,
     "q122_weighted_sample" -> weightedSample,
     "q100_pipeline" -> curationPipeline,
@@ -592,7 +625,23 @@ object Curation {
        |SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, w, priority
        |FROM r WHERE rn <= $WSampleK""".stripMargin
 
+  private val releaseManifestSql =
+    s"""WITH s AS ($splitAssignSql),
+       |d AS (SELECT s.split, s.lang,
+       |        CAST(len($sqlWords) AS BIGINT) AS toks, n_chars
+       |      FROM s JOIN documents USING (doc_id)),
+       |m AS (SELECT split, lang, count(*) AS n_docs,
+       |        CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |        CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |      FROM d GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs
+       |      FROM m GROUP BY 1)
+       |SELECT split, m.lang, n_docs, n_tokens, n_chars,
+       |  CAST(n_docs AS DOUBLE) / CAST(lang_docs AS DOUBLE) AS lang_share
+       |FROM m JOIN t ON m.lang = t.lang""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q139_release_manifest" -> releaseManifestSql,
     "q121_split_assign" -> splitAssignSql,
     "q122_weighted_sample" -> weightedSampleSql,
     "q100_pipeline" -> pipelineSql,
