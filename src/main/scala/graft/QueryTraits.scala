@@ -18,7 +18,8 @@ object QueryTraits {
     "q112_aqe_skew_join", "q113_stream_upsert", "q117_stream_sliding",
     "q120_bloom_join", "q130_stream_topk", "q131_recent_buffer", "q138_sketch_increment",
     "q28_stream_window", "q29_sink_roundtrip", "q30_proto_source",
-    "q31_stream_sessionize", "q46_key_pushdown",
+    "q31_stream_sessionize", "q36_noshuffle_stats", "q37_stream_sink",
+    "q43_stream_dedup", "q46_key_pushdown", "q69_stream_stream_join",
     "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
     "q61_compact_sink", "q62_bucketed_stats", "q76_stream_funnel",
     "q77_optimize_sink", "q80_asof_read", "q81_change_feed",

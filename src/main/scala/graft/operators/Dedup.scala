@@ -520,7 +520,7 @@ object Dedup {
     * Recall contract, stated precisely: the positional-q-gram bound
     * (ed ≤ k destroys ≤ k·q grams) guarantees ≥ max(len)−q+1−k·q
     * MATCHING POSITIONS, so ≥1 shared gram STRING whenever
-    * max(len) ≥ q·(k+1)+... i.e. ≥ 9 here — blocking is provably
+    * max(len) ≥ q·(k+1) = 9 here — blocking is provably
     * lossless for names of length ≥ 9 and heuristic below that (the
     * spec's brute-force sweep proves nothing is lost on THIS corpus,
     * whose names span 7–12 chars). The tighter multiset COUNT filter
@@ -573,12 +573,19 @@ object Dedup {
     * contract at test scale and is the thing the sketch replaces at
     * 100 TB.
     */
+  /** Per-source shingle hashes (duplicates retained — HLL inserts are
+    * idempotent; set consumers add `.distinct()`). ONE pipeline shared
+    * by q134 and q138 so their oracle contracts (copies of the same
+    * DuckDB CTE) can never diverge on the shingle derivation.
+    */
+  private def sourceShingles(docs: DataFrame): DataFrame = docs
+    .select(col("source"), words(col("text")).as("ws"))
+    .filter(size(col("ws")) >= 3)
+    .select(col("source"),
+      explode(graft.functions.HashOps.shingle_hash60(col("ws"), 3)).as("h"))
+
   def sketchUnion(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("source"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("source"),
-        explode(graft.functions.HashOps.shingle_hash60(col("ws"), 3)).as("h"))
+    val sh = sourceShingles(Tables.documents(spark, dir))
       .distinct() // the (source, shingle-hash) SET
       .localCheckpoint(eager = false) // feeds counts, sketches, intersections
     val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -661,27 +668,22 @@ object Dedup {
     * correctly by construction (no distinct needed anywhere).
     */
   def sketchIncrement(spark: SparkSession, dir: String): DataFrame = {
-    def shingles(docs: DataFrame): DataFrame = docs
-      .select(col("source"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("source"),
-        explode(graft.functions.HashOps.shingle_hash60(col("ws"), 3)).as("h"))
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % 10 === 7
     val skDir = Scratch.dir("graft_sketch")
-    shingles(docs.filter(!isNew))
+    sourceShingles(docs.filter(!isNew))
       .groupBy(col("source"))
       .agg(expr(s"hll_sketch_agg(h, $SketchLgK)").as("sk"))
       .write.mode("overwrite").parquet(skDir)
     val baseSk = spark.read.parquet(skDir)
-    val incSk = shingles(docs.filter(isNew))
+    val incSk = sourceShingles(docs.filter(isNew))
       .groupBy(col("source"))
       .agg(expr(s"hll_sketch_agg(h, $SketchLgK)").as("sk_inc"))
     val merged = baseSk.join(incSk, Seq("source"), "full_outer")
       .select(col("source"), expr("hll_sketch_estimate(CASE " +
         "WHEN sk IS NULL THEN sk_inc WHEN sk_inc IS NULL THEN sk " +
         "ELSE hll_union(sk, sk_inc) END)").as("est_n"))
-    val exact = shingles(docs).distinct()
+    val exact = sourceShingles(docs).distinct()
       .groupBy(col("source")).agg(count(lit(1)).as("exact_n"))
     merged.join(exact, "source")
       .select(col("source"), col("exact_n"),

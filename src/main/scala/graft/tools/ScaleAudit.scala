@@ -20,9 +20,7 @@ object ScaleAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val skip = QueryTraits.executesOnBuild ++ Set(
-      "q36_noshuffle_stats", "q37_stream_sink", "q43_stream_dedup",
-      "q69_stream_stream_join")
+    val skip = QueryTraits.executesOnBuild
     println("| query | shuffles | broadcasts | join strategies | pushed filter |")
     println("|---|---|---|---|---|")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
