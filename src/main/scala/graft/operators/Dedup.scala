@@ -618,27 +618,67 @@ object Dedup {
     * counterpart). Theorem: J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉,
     * and two sets with overlap ≥ k must collide within their
     * (len−k+1)-prefixes under ANY shared global element order — so
-    * emitting only each doc's first |S|−⌈t·|S|⌉+1 sorted hashes as
-    * candidate keys loses nothing. Candidates are a bucket equi-join
-    * on those prefix hashes (the q15 discipline), verified with the
-    * exact sorted-intersection kernel. The ORACLE is the brute-force
-    * all-pairs join — hash equality IS the no-false-negative proof,
-    * corpus-wide, every round.
+    * emitting only each doc's first |S|−⌈t·|S|⌉+1 hashes under that
+    * order as candidate keys loses nothing. Candidates are a bucket
+    * equi-join on those prefix hashes (the q15 discipline), verified
+    * with the exact sorted-intersection kernel. The ORACLE is the
+    * brute-force all-pairs join — hash equality IS the
+    * no-false-negative proof, corpus-wide, every round.
+    *
+    * The global order is ASCENDING DOCUMENT FREQUENCY (ties by hash) —
+    * the canonical prefix-filter choice (Chaudhuri/Ganti/Kaushik's
+    * SSJoin, Bayardo's All-Pairs): prefixes carry each doc's RAREST
+    * shingles, so a Zipf-hot stop-shingle (df ≈ corpus size) sorts
+    * LAST and lands in almost no prefix, where a value-ordered prefix
+    * would bucket a constant fraction of the corpus on it and that
+    * bucket's candidate list grows quadratically in its df. The df
+    * rank costs one extra groupBy(h).count + equi-join before the
+    * prefix slice — both shuffles on the exploded shingle key, never
+    * all-pairs. The brute-force oracle is order-independent, so the
+    * hash gate pins correctness across the ordering change.
     *
     * Scale: prefix length shrinks as t grows (at t=0.5, half of each
-    * set), and candidate buckets are per-hash doc lists — the hot-
-    * hash skew story is q72's salting if a stop-shingle appears.
+    * set), candidate buckets are per-(rare-)hash doc lists, and
+    * [[DedupSpec]] asserts the candidate count on a crafted Zipf
+    * corpus stays linear where hash-ordered prefixes go quadratic.
     */
-  def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
-    val d = docShingleHashes(spark, dir).localCheckpoint(false)
-    val pref = d.select(col("doc_id"),
-      explode(slice(col("hsh"), lit(1),
-        size(col("hsh")) - ceil(lit(PrefixT) * size(col("hsh"))).cast("int") + 1))
-        .as("h"))
-    val cand = pref.as("a").join(pref.as("b"),
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixJoinOf(docShingleHashes(spark, dir).localCheckpoint(false))
+
+  /** The q137 kernel over an explicit (doc_id, hsh) frame;
+    * `rarestFirst = false` reproduces the naive value-ordered prefix —
+    * test-only, for the skew spec's quadratic-vs-linear comparison.
+    */
+  private[graft] def prefixCandidates(d: DataFrame,
+      rarestFirst: Boolean = true): DataFrame = {
+    val pref =
+      if (!rarestFirst)
+        d.select(col("doc_id"),
+          explode(slice(col("hsh"), lit(1),
+            size(col("hsh")) - ceil(lit(PrefixT) * size(col("hsh"))).cast("int") + 1))
+            .as("h"))
+      else {
+        val ex = d.select(col("doc_id"), explode(col("hsh")).as("h"))
+        val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        ex.join(freq, "h")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+            .as("ranked"))
+          .select(col("doc_id"),
+            explode(slice(col("ranked"), lit(1),
+              size(col("ranked")) -
+                ceil(lit(PrefixT) * size(col("ranked"))).cast("int") + 1))
+              .as("r"))
+          .select(col("doc_id"), col("r.h").as("h"))
+      }
+    pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private[graft] def prefixJoinOf(d: DataFrame): DataFrame = {
+    val cand = prefixCandidates(d)
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("hsh").as("hsa")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("hsh").as("hsb")), "doc_b")

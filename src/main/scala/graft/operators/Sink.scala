@@ -485,7 +485,86 @@ object Sink {
   }
 
   def optimizeSink(spark: SparkSession, outDir: String,
-      targetBytes: Long = OptTargetBytes): (Int, Int) = {
+      targetBytes: Long = OptTargetBytes): (Int, Int) =
+    graft.sources.GenManifest.read(outDir,
+        graft.sources.ProtoZstFiles.hadoopConf()) match {
+      case Some(snap) => optimizeManifested(spark, outDir, snap, targetBytes)
+      case None => optimizeLegacy(spark, outDir, targetBytes)
+    }
+
+  /** The manifest-era OPTIMIZE: the plan reads NO filesystem metadata
+    * at all (the manifest snapshot carries every file's size), the
+    * packed files land in the directory under unreferenced
+    * `packed-<run>-` names — invisible to manifest readers — and the
+    * COMMIT is one atomic manifest version bump that drops the small
+    * entries and adds the packed ones ([[graft.sources.GenManifest]]
+    * `replace`). A reader concurrent with the whole operation sees
+    * either the old file set or the new one, never both and never a
+    * partial mix — the `.swap` rename dance, its self-heal path, and
+    * the brief under-count window are all gone. A crash before the
+    * commit leaves unreferenced packed files (garbage a later
+    * maintenance pass may delete) and a fully intact table; the
+    * original files are deleted only AFTER the commit, so the only
+    * post-crash cost is re-running the pack.
+    */
+  private def optimizeManifested(spark: SparkSession, outDir: String,
+      snap: graft.sources.GenManifest.Snapshot,
+      targetBytes: Long): (Int, Int) = {
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(conf)
+    val nBefore = snap.entries.length
+    val small = snap.entries.filter(_.bytes < targetBytes)
+    if (small.length < 2) return (nBefore, nBefore)
+    val bins = math.max(1,
+      math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(dirPath, ".optimize-" + runId)
+    spark.read.format("proto-zst")
+      .load(small.map(e => new org.apache.hadoop.fs.Path(dirPath, e.name)
+        .toString).toIndexedSeq: _*)
+      .repartitionByRange(bins, col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.format("proto-zst").mode("append").save(staging.toString)
+    // the staging write produced its own manifest — reuse its entries
+    // (bytes/counts/ranges) instead of re-reading any file metadata
+    val stagedSnap = graft.sources.GenManifest.read(staging.toString, conf)
+      .getOrElse(throw new IllegalStateException(
+        s"staging write left no manifest under $staging"))
+    val packed = stagedSnap.entries.map { e =>
+      val newName = "packed-" + runId + "-" + e.name
+      val src = new org.apache.hadoop.fs.Path(staging, e.name)
+      val dst = new org.apache.hadoop.fs.Path(dirPath, newName)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"optimize aborted: rename refused for $src -> $dst; table " +
+            "unchanged (manifest not committed), packed files retained " +
+            s"under $staging")
+      // keep the per-file sidecar beside the packed file for foreign
+      // readers; failure to move it is benign (manifest carries stats)
+      fs.rename(graft.sources.RangeSidecar.sidecar(src),
+        graft.sources.RangeSidecar.sidecar(dst))
+      e.copy(name = newName)
+    }
+    // THE commit: one atomic manifest rename swaps small -> packed
+    graft.sources.GenManifest.replace(outDir, conf,
+      small.map(_.name).toSet, packed)
+    // post-commit GC: the replaced originals and the empty staging dir
+    small.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(dirPath, e.name)
+      fs.delete(p, false)
+      graft.sources.RangeSidecar.delete(fs, p)
+    }
+    fs.delete(staging, true)
+    (nBefore, nBefore - small.length + packed.length)
+  }
+
+  /** Pre-manifest directories (foreign/legacy writers): the original
+    * three-phase `.swap` rename protocol, kept so maintenance still
+    * works where no manifest exists.
+    */
+  private def optimizeLegacy(spark: SparkSession, outDir: String,
+      targetBytes: Long): (Int, Int) = {
     val conf = graft.sources.ProtoZstFiles.hadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = dirPath.getFileSystem(conf)

@@ -1,0 +1,227 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Metadata-I/O counters for the plan-evidence specs: PlanSpec proves a
+  * manifest-backed scan plans (and executes) with ZERO data-directory
+  * listings and ZERO per-file sidecar reads — the counters are the
+  * mechanical witness. Process-global; tests run sequentially in the
+  * forked test JVM, so reset-then-assert windows are race-free.
+  */
+object MetaIO {
+  /** `ProtoZstFiles.list` calls (one per data-directory listStatus). */
+  val dataListings = new AtomicLong
+  /** `RangeSidecar.read` calls (one per per-file metadata open). */
+  val sidecarReads = new AtomicLong
+  /** `GenManifest.read` calls (one tiny-dir listing + one file open). */
+  val manifestReads = new AtomicLong
+  def reset(): Unit = { dataListings.set(0); sidecarReads.set(0); manifestReads.set(0) }
+}
+
+/** Per-generation MANIFEST for a proto-zst directory — the table-level
+  * analog of the reference keeping Summary/Statistics sidecars beside
+  * each data file (`SSTableReaderPatched.java:123-178,221-233`), lifted
+  * from per-file to per-directory so a 100 TB generation plans from ONE
+  * small read instead of an O(files) listing plus O(files) sidecar
+  * opens (at millions of files, the driver bottleneck).
+  *
+  * Layout (Delta-log style): versioned snapshot files under
+  * `<dir>/_graft_manifest/v<version>.manifest`, each holding the FULL
+  * committed file set with per-file stats (bytes, row count, key
+  * min/max, sorted attestation). Readers list only the manifest
+  * subdirectory — O(retained versions), never O(data files) — and read
+  * the highest version. Writers commit by writing a hidden temp file
+  * and renaming it to the NEXT version: the rename is the atomic commit
+  * point (rename-to-fresh-name never overwrites), and a loser of a
+  * concurrent race sees its rename refused, re-reads, and retries —
+  * single-file-rename atomicity, no lock service needed on any FS with
+  * atomic rename (HDFS, posix; an S3 deployment swaps the rename for a
+  * conditional PUT, the same adaptation Delta's LogStore makes).
+  *
+  * The manifest is AUTHORITATIVE for directories that have one: the
+  * committed entry set IS the table, and data files not referenced by
+  * it (crashed compactions, in-flight task output) are invisible to
+  * readers — which is what makes maintenance commits atomic: OPTIMIZE
+  * stages its packed files under unreferenced names and "commits" by
+  * writing the next manifest version LAST. Directories WITHOUT a
+  * manifest (foreign or legacy writers) keep the listing + per-file
+  * sidecar path — absence degrades, never lies.
+  */
+object GenManifest {
+  val DirName = "_graft_manifest"
+  private val Header = "graft-manifest-v1"
+  private val Retain = 3 // versions kept after a successful commit
+
+  private[sources] def hex(b: Array[Byte]): String =
+    b.map(x => "%02x".format(x & 0xff)).mkString
+  private[sources] def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** One committed data file: name (relative to the directory), on-disk
+    * bytes, row count, whether its rows were written key-sorted, and
+    * the key range (absent when every key in the file was null). The
+    * writer observes all of this for free while writing.
+    */
+  final case class Entry(name: String, bytes: Long, count: Long,
+      sorted: Boolean, minHex: String, maxHex: String) {
+    def hasRange: Boolean = minHex.nonEmpty
+    def min: Array[Byte] = unhex(minHex)
+    def max: Array[Byte] = unhex(maxHex)
+  }
+
+  final case class Snapshot(version: Long, entries: Vector[Entry])
+
+  private def manifestDir(dir: String) = new Path(dir, DirName)
+  private def versionFile(dir: String, v: Long) =
+    new Path(manifestDir(dir), f"v$v%020d.manifest")
+  private val VersionName = """v(\d{20})\.manifest""".r
+
+  private def render(s: Snapshot): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(Header).append('\n').append(s.version).append('\n')
+    s.entries.foreach { e =>
+      sb.append(e.name).append('\t').append(e.bytes).append('\t')
+        .append(e.count).append('\t').append(if (e.sorted) 1 else 0)
+        .append('\t').append(e.minHex).append('\t').append(e.maxHex)
+        .append('\n')
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private def parse(bytes: Array[Byte]): Option[Snapshot] = {
+    val ls = new String(bytes, "UTF-8").split("\n", -1)
+    if (ls.length < 2 || ls(0) != Header) None
+    else ls(1).toLongOption.map { v =>
+      Snapshot(v, ls.drop(2).filter(_.nonEmpty).toVector.map { l =>
+        val f = l.split("\t", -1)
+        Entry(f(0), f(1).toLong, f(2).toLong, f(3) == "1", f(4), f(5))
+      })
+    }
+  }
+
+  /** The latest committed snapshot; None when the directory has no
+    * manifest (foreign/legacy — callers fall back to listing). One
+    * listStatus of the TINY manifest dir + one file open, regardless
+    * of data-file count.
+    */
+  def read(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[Snapshot] = {
+    MetaIO.manifestReads.incrementAndGet()
+    try {
+      val md = manifestDir(dir)
+      val fs = md.getFileSystem(conf)
+      val versions = fs.listStatus(md).flatMap(s => s.getPath.getName match {
+        case VersionName(v) => Some(v.toLong -> s.getPath)
+        case _ => None
+      })
+      if (versions.isEmpty) None
+      else {
+        val (_, p) = versions.maxBy(_._1)
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        parse(bytes)
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Commit `update(current entries)` as the next version. Optimistic:
+    * on a rename refusal (a concurrent commit won the version), the
+    * latest snapshot is re-read and `update` re-applied — so `update`
+    * must be a pure function of the entry set (appends and
+    * drop+replace both are). Returns the committed snapshot.
+    */
+  def commit(dir: String, conf: org.apache.hadoop.conf.Configuration)(
+      update: Vector[Entry] => Vector[Entry]): Snapshot = {
+    val md = manifestDir(dir)
+    val fs = md.getFileSystem(conf)
+    fs.mkdirs(md)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val cur = read(dir, conf)
+      val next = Snapshot(cur.map(_.version + 1).getOrElse(1L),
+        update(cur.map(_.entries).getOrElse(Vector.empty)))
+      val tmp = new Path(md,
+        ".tmp-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val os = fs.create(tmp, true)
+      try os.write(render(next)) finally os.close()
+      val target = versionFile(dir, next.version)
+      // rename-to-fresh-name is the atomic commit point; `false` with
+      // the target now existing means a concurrent commit won — retry
+      if (fs.rename(tmp, target)) {
+        gc(fs, dir, next.version)
+        return next
+      }
+      fs.delete(tmp, false)
+      if (attempts > 64)
+        throw new java.io.IOException(
+          s"manifest commit for $dir refused after $attempts attempts")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Append newly-committed files (the write path's job/epoch commit). */
+  def append(dir: String, conf: org.apache.hadoop.conf.Configuration,
+      entries: Seq[Entry]): Snapshot =
+    commit(dir, conf)(_ ++ entries)
+
+  /** Drop `remove` (by name) and add `add` in one atomic commit — the
+    * OPTIMIZE/compaction swap, reduced to a single manifest rename.
+    */
+  def replace(dir: String, conf: org.apache.hadoop.conf.Configuration,
+      remove: Set[String], add: Seq[Entry]): Snapshot =
+    commit(dir, conf)(es => es.filterNot(e => remove(e.name)) ++ add)
+
+  /** Best-effort: drop superseded versions, keeping [[Retain]]. */
+  private def gc(fs: FileSystem, dir: String, committed: Long): Unit =
+    try fs.listStatus(manifestDir(dir)).foreach { s =>
+      s.getPath.getName match {
+        case VersionName(v) if v.toLong <= committed - Retain =>
+          fs.delete(s.getPath, false)
+        case _ => ()
+      }
+    } catch { case _: Exception => () }
+}
+
+/** Planning-time view of one committed data file: [[GenManifest.Entry]]
+  * resolved to a full path. What the scan's planner consumes in place
+  * of (listStatus + per-file sidecar) pairs.
+  */
+final case class FileMeta(path: String, bytes: Long, count: Long,
+    sorted: Boolean, min: Option[Array[Byte]], max: Option[Array[Byte]])
+
+object ManifestIndex {
+  /** Metas for ALL roots, or None if ANY root lacks a manifest (an
+    * explicit-file path or a foreign directory makes the whole scan
+    * fall back to the listing path — a partial mix would double-read).
+    * Sorted by full path, matching the listing path's global order.
+    */
+  def load(paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Option[Array[FileMeta]] = {
+    val per = paths.map { p =>
+      GenManifest.read(p, conf).map(_.entries.map(e =>
+        FileMeta(new Path(p, e.name).toString, e.bytes, e.count, e.sorted,
+          if (e.hasRange) Some(e.min) else None,
+          if (e.hasRange) Some(e.max) else None)))
+    }
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatMap(_.get).toArray.distinctBy(_.path).sortBy(_.path))
+  }
+
+  /** Drop metas whose recorded key range provably misses the pushed
+    * predicate — the manifest-backed version of
+    * [[ProtoZstScan.skipByRange]]; range-less files always scan.
+    */
+  def skipByRange(metas: Array[FileMeta],
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[FileMeta] =
+    if (filters.isEmpty || metas.isEmpty) metas
+    else {
+      val couldMatch = KeyPredicate.compileRange(filters)
+      metas.filter(m => (m.min, m.max) match {
+        case (Some(mn), Some(mx)) => couldMatch(mn, mx)
+        case _ => true
+      })
+    }
+}

@@ -108,7 +108,7 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(ProtoZstFiles.hadoopConf())
       msgs.foreach {
-        case ProtoZstCommit(fns, _) => fns.foreach { f =>
+        case c: ProtoZstCommit => c.files.foreach { f =>
           val data = new org.apache.hadoop.fs.Path(dirPath, f)
           fs.delete(data, false)
           RangeSidecar.delete(fs, data)
@@ -116,19 +116,35 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
         case _ => ()
       }
     }
+    // driver-side job/epoch commit: fold every task's entries into the
+    // generation manifest as ONE atomic version bump — the point after
+    // which (and only after which) manifest readers see the new files
+    def publish(msgs: Array[WriterCommitMessage]): Unit = {
+      val entries = msgs.flatMap {
+        case c: ProtoZstCommit => c.entries
+        case _ => Seq.empty
+      }
+      if (entries.nonEmpty) {
+        GenManifest.append(dir, ProtoZstFiles.hadoopConf(),
+          entries.toIndexedSeq)
+        ()
+      }
+    }
     val bucketSpec = buckets
     new WriteBuilder {
       private def batchWrite: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
           new ProtoZstWriterFactory(dir, bucketSpec)
-        override def commit(msgs: Array[WriterCommitMessage]): Unit = ()
+        override def commit(msgs: Array[WriterCommitMessage]): Unit =
+          publish(msgs)
         override def abort(msgs: Array[WriterCommitMessage]): Unit =
           rollback(msgs)
       }
       private def streamingWrite: StreamingWrite = new StreamingWrite {
         override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
           new ProtoZstWriterFactory(dir, bucketSpec)
-        override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit = ()
+        override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
+          publish(msgs)
         override def abort(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
           rollback(msgs)
       }
@@ -252,16 +268,28 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     if (!describable) None
     else {
       val conf = ProtoZstFiles.hadoopConf()
-      val files = ProtoZstFiles.listAll(paths, conf)
-      val fs = new org.apache.hadoop.fs.Path(paths.head).getFileSystem(conf)
-      val sides = files.map(f =>
-        RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)))
-      if (sides.exists(s => s.isEmpty || s.get.count < 0L)) None
-      else {
-        val ranges = sides.map(_.get)
-        val total = ranges.map(_.count).sum
-        val mins = ranges.map(_.min)
-        val maxs = ranges.map(_.max)
+      // (count, ranged mins, ranged maxs) per file: from the manifest
+      // when every root has one (ONE tiny read, no listing, no sidecar
+      // opens); else from the legacy listing + per-file sidecars, where
+      // any file without a counted sidecar vetoes the pushdown
+      val stats: Option[(Long, Seq[Array[Byte]], Seq[Array[Byte]])] =
+        ManifestIndex.load(paths, conf) match {
+          case Some(metas) =>
+            Some((metas.map(_.count).sum,
+              metas.flatMap(_.min).toSeq, metas.flatMap(_.max).toSeq))
+          case None =>
+            val files = ProtoZstFiles.listAll(paths, conf)
+            val fs = new org.apache.hadoop.fs.Path(paths.head).getFileSystem(conf)
+            val sides = files.map(f =>
+              RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)))
+            if (sides.exists(s => s.isEmpty || s.get.count < 0L)) None
+            else {
+              val ranges = sides.map(_.get)
+              Some((ranges.map(_.count).sum,
+                ranges.map(_.min).toSeq, ranges.map(_.max).toSeq))
+            }
+        }
+      stats.map { case (total, mins, maxs) =>
         val ord = (a: Array[Byte], b: Array[Byte]) =>
           java.util.Arrays.compareUnsigned(a, b)
         val mn = if (mins.isEmpty) null else mins.reduce((a, b) => if (ord(a, b) <= 0) a else b)
@@ -276,8 +304,8 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
           case _: Min => mn
           case _: Max => mx
         }
-        Some((StructType(fields), values,
-          funcs.map(_.toString).mkString(", ")))
+        (StructType(fields), values,
+          funcs.map(_.toString).mkString(", "))
       }
     }
   }
@@ -356,6 +384,7 @@ object ProtoZstFiles {
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   def list(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] = {
+    MetaIO.dataListings.incrementAndGet()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Array.empty
@@ -444,10 +473,26 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
       s"ReadSchema: ${readSchema.simpleString}" +
       buckets.map(n => s", Buckets: $n").getOrElse("")
 
-  // the post-skip listing, fixed once so outputPartitioning() and
-  // planInputPartitions() describe the same file set
-  private lazy val plannedFiles: Array[String] =
-    ProtoZstScan.skipByRange(ProtoZstFiles.listAll(paths, conf.value), filters, conf)
+  /** The generation manifest's view of the roots, when EVERY root has
+    * one: file set + per-file stats from ONE tiny read per root — no
+    * data-directory listing, no per-file sidecar opens, ever (PlanSpec
+    * asserts both counters stay at zero). None (foreign/legacy dirs,
+    * explicit-file loads) falls back to listing + sidecars below.
+    */
+  private lazy val manifestMeta: Option[Array[FileMeta]] =
+    ManifestIndex.load(paths, conf.value)
+
+  // the post-skip metadata, fixed once so outputPartitioning() and
+  // planInputPartitions() describe the same file set. Manifest-backed:
+  // range skip evaluates against the in-memory entries.
+  private lazy val plannedMeta: Option[Array[FileMeta]] =
+    manifestMeta.map(ManifestIndex.skipByRange(_, filters))
+
+  private lazy val plannedFiles: Array[String] = plannedMeta match {
+    case Some(metas) => metas.map(_.path)
+    case None =>
+      ProtoZstScan.skipByRange(ProtoZstFiles.listAll(paths, conf.value), filters, conf)
+  }
 
   /** bucket id → that bucket's files, when EVERY planned file carries a
     * bucket tag (`-bNNNN` in the name, written by the bucketed writer).
@@ -493,13 +538,19 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    val ok = grouped.exists { g =>
-      val fs = new org.apache.hadoop.fs.Path(paths.head)
-        .getFileSystem(conf.value)
-      g.forall { case (_, files) =>
-        files.length == 1 && RangeSidecar
-          .read(fs, new org.apache.hadoop.fs.Path(files.head))
+    // sortedness attestation: from the manifest entries when present
+    // (no I/O), else from each file's sidecar
+    def attested(file: String): Boolean = plannedMeta match {
+      case Some(metas) => metas.exists(m => m.path == file && m.sorted)
+      case None =>
+        val fs = new org.apache.hadoop.fs.Path(paths.head)
+          .getFileSystem(conf.value)
+        RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(file))
           .exists(_.sorted)
+    }
+    val ok = grouped.exists { g =>
+      g.forall { case (_, files) =>
+        files.length == 1 && attested(files.head)
       }
     }
     if (ok)
@@ -534,16 +585,25 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
   // time stays flat in file count exactly where the stats matter
   private lazy val computedStatistics
       : org.apache.spark.sql.connector.read.Statistics = {
-    val fs = new org.apache.hadoop.fs.Path(paths.head)
-      .getFileSystem(conf.value)
-    val bytes = plannedFiles.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-    val sides = plannedFiles.map(f =>
-      RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)))
-    val rows =
-      if (sides.forall(s => s.isDefined && s.get.count >= 0L))
-        java.util.OptionalLong.of(sides.map(_.get.count).sum)
-      else java.util.OptionalLong.empty()
+    val (bytes, rows) = plannedMeta match {
+      // manifest-backed: bytes and counts were recorded at commit —
+      // zero getFileStatus, zero sidecar reads, O(1) I/O in file count
+      case Some(metas) =>
+        (metas.map(_.bytes).sum,
+          java.util.OptionalLong.of(metas.map(_.count).sum))
+      case None =>
+        val fs = new org.apache.hadoop.fs.Path(paths.head)
+          .getFileSystem(conf.value)
+        val b = plannedFiles.map(f =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        val sides = plannedFiles.map(f =>
+          RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)))
+        val r =
+          if (sides.forall(s => s.isDefined && s.get.count >= 0L))
+            java.util.OptionalLong.of(sides.map(_.get.count).sum)
+          else java.util.OptionalLong.empty()
+        (b, r)
+    }
     val size = math.max(1L, bytes * DecodeExpansion)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -562,6 +622,19 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
   // granularity that matters on a 1000-executor cluster: whole files).
   // When bucket-grouping is active, the unit is one BUCKET (all its
   // files), keyed for the planner via HasPartitionKey.
+  /** Runtime (DPP-style) prune of an already-planned file list: from
+    * the manifest's in-memory ranges when present, else per-file
+    * sidecar reads.
+    */
+  private def runtimeSkip(files: Array[String]): Array[String] =
+    plannedMeta match {
+      case Some(metas) =>
+        val byPath = metas.map(m => m.path -> m).toMap
+        ManifestIndex.skipByRange(files.flatMap(byPath.get), runtimeFilters)
+          .map(_.path)
+      case None => ProtoZstScan.skipByRange(files, runtimeFilters, conf)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
     grouped match {
       case Some(g) =>
@@ -570,12 +643,10 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
         // keep describing the same groups (an empty bucket just reads
         // nothing)
         g.map { case (b, fs) =>
-          ProtoZstBucketPartition(
-            ProtoZstScan.skipByRange(fs, runtimeFilters, conf), b)
-            : InputPartition
+          ProtoZstBucketPartition(runtimeSkip(fs), b): InputPartition
         }
       case None =>
-        ProtoZstScan.skipByRange(plannedFiles, runtimeFilters, conf)
+        runtimeSkip(plannedFiles)
           .map(ProtoZstInputPartition(_): InputPartition)
     }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -812,6 +883,7 @@ object RangeSidecar {
     */
   def read(fs: FileSystem, data: Path): Option[Range] =
     try {
+      MetaIO.sidecarReads.incrementAndGet()
       val p = sidecar(data)
       if (!fs.exists(p)) None
       else {
@@ -832,7 +904,14 @@ object RangeSidecar {
   }
 }
 
-case class ProtoZstCommit(files: Seq[String], rows: Long) extends WriterCommitMessage
+/** Task commit: the manifest entries (name + stats) of every file this
+  * task landed — what the driver-side job/epoch commit folds into the
+  * generation manifest. `files`/`rows` views keep rollback simple.
+  */
+case class ProtoZstCommit(entries: Seq[GenManifest.Entry]) extends WriterCommitMessage {
+  def files: Seq[String] = entries.map(_.name)
+  def rows: Long = entries.map(_.count).sum
+}
 
 /** Commit message for a task whose partition was empty: no file was
   * opened, so there is nothing to report — and nothing for a job-level
@@ -921,11 +1000,13 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None)
       override def commit(): WriterCommitMessage =
         if (states.isEmpty) ProtoZstEmptyCommit
         else {
-          val names = states.values.toSeq.map { st =>
+          val entries = states.values.toSeq.map { st =>
             st.os.close()
             st.os = null
             // sidecar first, data rename second: a listing that races
             // the commit sees either no data file, or data + sidecar
+            // (sidecars stay written for foreign readers and for
+            // explicit-file loads that bypass the manifest)
             if (st.minKey != null)
               RangeSidecar.write(fs, st.finalFile, st.minKey, st.maxKey,
                 st.sorted, st.n)
@@ -933,9 +1014,12 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None)
               RangeSidecar.delete(fs, st.finalFile)
               throw new java.io.IOException(s"rename failed: ${st.tmpFile}")
             }
-            st.name
+            GenManifest.Entry(st.name,
+              fs.getFileStatus(st.finalFile).getLen, st.n, st.sorted,
+              if (st.minKey == null) "" else GenManifest.hex(st.minKey),
+              if (st.minKey == null) "" else GenManifest.hex(st.maxKey))
           }
-          ProtoZstCommit(names, states.values.map(_.n).sum)
+          ProtoZstCommit(entries)
         }
 
       override def abort(): Unit = close()

@@ -83,6 +83,10 @@ class CatalogSpec extends AnyFunSuite {
     GraftBucket.writeSpec(dir, 4, conf)
     CellModel.nestRows(spark, sf0001)
       .writeTo(GraftCatalog.tableName(dir)).append()
+    // a foreign-managed directory: no manifest (a foreign writer would
+    // not maintain one), so membership comes from the listing again
+    val mp = new org.apache.hadoop.fs.Path(dir, graft.sources.GenManifest.DirName)
+    mp.getFileSystem(conf).delete(mp, true)
     // drop in an untagged file a foreign writer might have produced
     val os = new com.github.luben.zstd.ZstdOutputStream(
       new java.io.FileOutputStream(s"$dir/zz-foreign.proto.zst"))

@@ -185,4 +185,28 @@ class DedupSpec extends AnyFunSuite {
       s"CDC failed to re-sync: only $rem2 of $n2 chunks deduped")
     assert(n1 > 10) // non-vacuous chunking at this length
   }
+
+  test("q137 rarest-first prefixes keep a Zipf-hot shingle out of the buckets") {
+    import spark.implicits._
+    // 40 docs sharing ONE hot shingle (hash 1 — sorts FIRST by value,
+    // so a value-ordered prefix buckets the whole corpus on it) plus 3
+    // unique rare shingles each; true Jaccard between any two is
+    // 1/7 < 0.5. Docs 100/101 are the one genuine duplicate pair.
+    val base = (1 to 40).map(i =>
+      (i.toLong, Array(1L) ++ (0 until 3).map(j => 1000L + i * 10 + j)))
+    val dup = Seq((100L, Array(5L, 6L, 7L, 8L)), (101L, Array(5L, 6L, 7L, 8L)))
+    val d = (base ++ dup).toDF("doc_id", "hsh")
+    // |S|=4, t=0.5 → prefix length 3: value order includes the hot
+    // shingle in EVERY prefix → quadratic candidates; df order puts it
+    // last (df=40 vs 1) → it lands in no prefix at all
+    val naive = Dedup.prefixCandidates(d, rarestFirst = false).count()
+    val ranked = Dedup.prefixCandidates(d).count()
+    assert(naive >= 40L * 39 / 2, s"fixture not hot: $naive candidates")
+    assert(ranked <= 5L,
+      s"rarest-first prefixes did not defuse the hot shingle: $ranked")
+    // and pruning lost nothing: the true duplicate pair still surfaces
+    val pairs = Dedup.prefixJoinOf(d)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((100L, 101L)))
+  }
 }

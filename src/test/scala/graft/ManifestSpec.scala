@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CellModel, Sink}
+import graft.sources.{GenManifest, MetaIO, ProtoZstFiles}
+
+/** The generation manifest: commit protocol, manifest-backed planning
+  * (zero data-dir listings, zero per-file sidecar reads — the O(files)
+  * driver work the manifest exists to kill), and the atomic
+  * OPTIMIZE commit that replaced the `.swap` rename dance.
+  */
+class ManifestSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def conf = ProtoZstFiles.hadoopConf()
+
+  test("DSv2 write commits a manifest matching the listing; appends bump the version") {
+    val dir = freshDir("graft_man_w")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), dir)
+    val s1 = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    val listed = ProtoZstFiles.list(dir, conf).map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).sorted
+    assert(s1.entries.map(_.name).sorted.toSeq === listed.toSeq)
+    // per-entry stats are real: bytes match the files, counts sum to
+    // the written row count, every range-partitioned file has a range
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    s1.entries.foreach { e =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, e.name))
+      assert(e.bytes === st.getLen, e.name)
+      assert(e.hasRange && e.count > 0, e.name)
+    }
+    val total = spark.read.format("proto-zst").load(dir).count()
+    assert(s1.entries.map(_.count).sum === total)
+    // a second append commits the union at the next version
+    Sink.writeNested(CellModel.nestRows(spark, sf0001).limit(3)
+      .repartition(1), dir)
+    val s2 = GenManifest.read(dir, conf).getOrElse(fail("no manifest v2"))
+    assert(s2.version === s1.version + 1)
+    assert(s2.entries.length === s1.entries.length + 1)
+    assert(spark.read.format("proto-zst").load(dir).count() === total + 3)
+  }
+
+  test("manifest-backed scan plans and executes with zero listings and zero sidecar reads") {
+    val dir = freshDir("graft_man_plan")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), dir)
+    MetaIO.reset()
+    // plain scan + count
+    val n = spark.read.format("proto-zst").load(dir).count()
+    assert(n > 0)
+    // q60-style range predicate: plan-time file skip from the manifest
+    val scan = spark.read.format("proto-zst").load(dir)
+      .filter(col("key") >= lit("200".getBytes) && col("key") < lit("300".getBytes))
+      .select(decode(col("key"), "UTF-8").as("key"))
+    assert(scan.rdd.getNumPartitions < 4, "no manifest range skip")
+    scan.collect()
+    // q64-style stats: answered from the manifest at plan time
+    val agg = spark.read.format("proto-zst").load(dir)
+      .agg(count("*"), min(col("key")), max(col("key")))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    agg.collect()
+    assert(MetaIO.dataListings.get() === 0L,
+      s"${MetaIO.dataListings.get()} data-directory listings at plan/run time")
+    assert(MetaIO.sidecarReads.get() === 0L,
+      s"${MetaIO.sidecarReads.get()} per-file sidecar reads at plan/run time")
+    assert(MetaIO.manifestReads.get() > 0L)
+  }
+
+  test("optimize commits via one manifest swap; packed entries replace the smalls") {
+    val dir = freshDir("graft_man_opt")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(8, col("key")), dir)
+    val before = GenManifest.read(dir, conf).get
+    val rows = spark.read.format("proto-zst").load(dir)
+      .select(decode(col("key"), "UTF-8").as("key"), col("columns"))
+    val beforeRows = rows.collect().length
+    val (n0, n1) = Sink.optimizeSink(spark, dir)
+    assert(n1 < n0, s"no pack: $n0 -> $n1")
+    val after = GenManifest.read(dir, conf).get
+    assert(after.version > before.version)
+    assert(after.entries.length === n1)
+    assert(after.entries.forall(e => e.name.startsWith("packed-")))
+    // the listing converged to the manifest (originals GC'd post-commit)
+    val listed = ProtoZstFiles.list(dir, conf).map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).sorted
+    assert(after.entries.map(_.name).sorted.toSeq === listed.toSeq)
+    assert(spark.read.format("proto-zst").load(dir).count().toInt === beforeRows)
+  }
+
+  test("uncommitted packed files are invisible to manifest readers") {
+    val dir = freshDir("graft_man_crash")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), dir)
+    val n0 = spark.read.format("proto-zst").load(dir).count()
+    // simulate a crash after staging renames but BEFORE the manifest
+    // commit: a duplicate data file lands under an unreferenced name
+    val src = ProtoZstFiles.list(dir, conf).head
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(new java.net.URI(
+        if (src.startsWith("file:")) src else "file://" + src)),
+      java.nio.file.Paths.get(dir, "packed-deadbeef-orphan.proto.zst"))
+    // a listing-based reader would double-count; the manifest reader
+    // sees exactly the committed set
+    assert(spark.read.format("proto-zst").load(dir).count() === n0)
+    // and a subsequent optimize (packing the committed smalls) still
+    // never surfaces the orphan
+    Sink.optimizeSink(spark, dir)
+    assert(spark.read.format("proto-zst").load(dir).count() === n0)
+  }
+
+  test("a losing concurrent commit retries onto the latest snapshot") {
+    val dir = freshDir("graft_man_race")
+    val e1 = GenManifest.Entry("a.proto.zst", 10L, 1L, sorted = true, "00", "01")
+    val e2 = GenManifest.Entry("b.proto.zst", 20L, 2L, sorted = true, "02", "03")
+    GenManifest.append(dir, conf, Seq(e1))
+    // occupy the version the next commit will try first: the commit
+    // must lose the rename, re-read, and land one version later with
+    // the update applied exactly once
+    val md = new org.apache.hadoop.fs.Path(dir, GenManifest.DirName)
+    val fs = md.getFileSystem(conf)
+    val blocker = new org.apache.hadoop.fs.Path(md,
+      f"v${2L}%020d.manifest")
+    val os = fs.create(blocker, true)
+    // the blocker is what a concurrent winner would have committed:
+    // the v1 state plus its own file
+    os.write(("graft-manifest-v1\n2\n" +
+      "a.proto.zst\t10\t1\t1\t00\t01\n" +
+      "c.proto.zst\t30\t3\t1\t04\t05\n").getBytes("UTF-8")); os.close()
+    val committed = GenManifest.append(dir, conf, Seq(e2))
+    assert(committed.version === 3L)
+    assert(committed.entries.count(_.name == "b.proto.zst") === 1)
+    val latest = GenManifest.read(dir, conf).get
+    assert(latest.version === 3L)
+    // the loser's retry preserved the winner's commit AND applied its own
+    assert(latest.entries.map(_.name).toSet ===
+      Set("a.proto.zst", "b.proto.zst", "c.proto.zst"))
+  }
+}

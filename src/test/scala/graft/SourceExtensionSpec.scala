@@ -204,7 +204,7 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(parts.length < nFiles, s"planned ${parts.length} of $nFiles")
   }
 
-  test("aggregate pushdown answers from sidecars; a foreign file vetoes it") {
+  test("aggregate pushdown: manifest first, sidecar fallback, foreign-file veto") {
     import com.github.luben.zstd.ZstdOutputStream
     import graft.functions.ProtoWire
     val dir = java.nio.file.Files.createTempDirectory("graft_aggpush")
@@ -213,17 +213,31 @@ class SourceExtensionSpec extends AnyFunSuite {
       .repartitionByRange(4, col("key")), dir)
     def stats() = spark.read.format("proto-zst").load(dir)
       .agg(count("*").as("n"), min(col("key")).as("mn"), max(col("key")).as("mx"))
+    // 1) manifest-backed: the pushdown plans from ONE manifest read —
+    // no data-dir listing, no per-file sidecar opens
+    graft.sources.MetaIO.reset()
     val pushedPlan = stats().queryExecution.executedPlan.toString
     assert(pushedPlan.contains("PushedAggregation"), pushedPlan.take(2000))
     val Array(pushedRow) = stats().collect()
+    assert(graft.sources.MetaIO.dataListings.get() === 0L)
+    assert(graft.sources.MetaIO.sidecarReads.get() === 0L)
     // ground truth through the ordinary scan path
     val keys = spark.read.format("proto-zst").load(dir).collect()
       .map(r => new String(r.getAs[Array[Byte]](0)))
     assert(pushedRow.getLong(0) === keys.length.toLong)
     assert(new String(pushedRow.getAs[Array[Byte]](1)) === keys.min)
     assert(new String(pushedRow.getAs[Array[Byte]](2)) === keys.max)
-    // a sidecar-less foreign file flips the SAME query back to a real
-    // scan-and-aggregate — degraded, never wrong
+    // 2) a legacy directory (no manifest) still pushes down, now from
+    // the per-file sidecars
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val mp = new org.apache.hadoop.fs.Path(dir, graft.sources.GenManifest.DirName)
+    mp.getFileSystem(conf).delete(mp, true)
+    val sidecarPlan = stats().queryExecution.executedPlan.toString
+    assert(sidecarPlan.contains("PushedAggregation"), sidecarPlan.take(2000))
+    val Array(scRow) = stats().collect()
+    assert(scRow.getLong(0) === keys.length.toLong)
+    // 3) a sidecar-less foreign file flips the SAME query back to a
+    // real scan-and-aggregate — degraded, never wrong
     val os = new ZstdOutputStream(
       new java.io.FileOutputStream(s"$dir/zz-foreign.proto.zst"))
     os.write(ProtoWire.delimit(ProtoWire.encodeRow("~last".getBytes,
