@@ -118,8 +118,43 @@ def main():
             failures += 1
             continue
         print(f"OK   {name}: {len(srows)} rows")
+    failures += containment_audits(con, out_dir)
     print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
+
+
+def containment_audits(con, out_dir):
+    """Recall contracts the hash gate structurally cannot check.
+
+    q127's oracle replays the SAME q-gram blocking as the engine, so a
+    blocking recall loss (possible only for names shorter than
+    q*(k+1) = 9 chars) would cancel out of the hash comparison. This
+    audit recomputes ground truth by BRUTE FORCE — all-pairs edit
+    distance over the distinct name universe, no blocking — at the
+    verified SF, so a testdata regen that shifts name lengths fails
+    loudly here instead of silently losing pairs. Constants mirror
+    Dedup.FuzzyQ = 3 / FuzzyMaxDist = 2.
+    """
+    files = glob.glob(f"{out_dir}/q127_fuzzy_join/*.parquet")
+    if not files:
+        return 0  # subset run without q127
+    got = set(con.execute(
+        f"SELECT name_a, name_b, dist FROM read_parquet({files!r})"
+    ).fetchall())
+    brute = set(con.execute("""
+        WITH nm AS (SELECT DISTINCT p_name AS name FROM part
+                    WHERE len(p_name) >= 3)
+        SELECT a.name, b.name, levenshtein(a.name, b.name) AS dist
+        FROM nm a JOIN nm b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 2""").fetchall())
+    if got != brute:
+        print(f"FAIL q127 brute-force containment: engine {len(got)} pairs, "
+              f"brute force {len(brute)}; missing={sorted(brute - got)[:5]} "
+              f"extra={sorted(got - brute)[:5]}")
+        return 1
+    print(f"OK   q127 brute-force containment: {len(brute)} pairs, "
+          f"blocking lost nothing at this SF")
+    return 0
 
 
 if __name__ == "__main__":

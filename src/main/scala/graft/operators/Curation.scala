@@ -164,9 +164,12 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
   }
 
-  /** q121 split fractions in permille: 800 train / 100 val / 100 test. */
-  private val SplitTrainMilli = 800L
-  private val SplitValMilli = 900L
+  /** q121 split fractions in permille: 800 train / 100 val / 100 test.
+    * `private[graft]`: q140's nightly-drop composition applies the SAME
+    * thresholds, so they must not be able to drift apart.
+    */
+  private[graft] val SplitTrainMilli = 800L
+  private[graft] val SplitValMilli = 900L
 
   /** q121: DETERMINISTIC TRAIN/VAL/TEST SPLIT ASSIGNMENT — every doc
     * gets a split from a salted 60-bit hash of its TEXT (not its id):

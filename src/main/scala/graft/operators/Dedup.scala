@@ -559,6 +559,19 @@ object Dedup {
 
   private val SketchLgK = 12 // HLL registers: rsd ≈ 1.04/√2^12 ≈ 1.6%
   private val SketchBoundMilli = 100L // accepted |est−exact| ≤ 10%
+  // The q134/q138 oracles hard-code est_ok = 1 — a DETERMINISTIC gate
+  // over a statistical estimate. That is only sound while the accepted
+  // bound dwarfs the sketch's relative standard deviation: at ≥ 5×rsd
+  // the pass probability is ≈ 1 − 6e-7 per pair (Gaussian tail), so a
+  // failure means a broken sketch, not bad luck. Anyone tuning either
+  // constant must keep (or consciously revisit) this margin — the
+  // require makes the contract unskippable at class-load time.
+  private val SketchRsdMilli: Long =
+    math.ceil(1040.0 / math.sqrt((1L << SketchLgK).toDouble)).toLong
+  require(SketchBoundMilli >= 5 * SketchRsdMilli,
+    s"q134/q138 est_ok is pinned TRUE in the oracles; bound " +
+      s"${SketchBoundMilli}m must stay >= 5x rsd ${SketchRsdMilli}m " +
+      "or the deterministic hash gate becomes a coin flip")
 
   /** q134: MERGEABLE DISTINCT SKETCHES — per-source HLL sketches of
     * the shingle-hash sets, UNIONED pairwise to estimate cross-source
@@ -731,7 +744,54 @@ object Dedup {
           lit(SketchBoundMilli) * col("exact_n")).cast("int").as("est_ok"))
   }
 
+  /** q140: THE NIGHTLY DROP — the incremental steps q58/q121/q138 each
+    * prove alone, composed into ONE plan that takes the new-corpus
+    * drop (q58's doc_id ≡ 7 mod 10 convention) from raw text to a
+    * per-(source, split) ingest manifest with merged corpus stats,
+    * WITHOUT rescanning the base corpus where the design forbids it:
+    *
+    *  1. the drop is screened against the base (q58's exact-hash +
+    *     band/verify joins — the ONE place the base participates, and
+    *     only through its hash/signature tables, which a deployment
+    *     stores; this self-contained query rebuilds them);
+    *  2. accepted docs (`verdict = 'new'`) get content-keyed splits
+    *     (q121's salted-hash threshold — append-stable, so the drop
+    *     never reshuffles yesterday's splits) and token counts, read
+    *     from the INCREMENT slice only;
+    *  3. per-source distinct-shingle stats update by HLL merge
+    *     (q138): yesterday's persisted sketches are READ BACK from
+    *     their parquet state and unioned with increment-only
+    *     sketches — the base corpus contributes KB of state, zero
+    *     text; the exact count in the output exists only to bound-
+    *     check the estimate at test scale (q90/q134 discipline).
+    *
+    * Output: (source, split, n_docs, n_tokens, exact_n, est_ok) — the
+    * manifest a nightly ingest job would publish. The oracle replays
+    * the whole composition; the spec additionally asserts the plan
+    * reads the persisted sketch state (not a base rescan) for stats.
+    */
+  def nightlyDrop(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 7
+    val accepted = dedupIncremental(spark, dir)
+      .filter(col("verdict") === "new").select(col("doc_id"))
+    val perSplit = Tables.documents(spark, dir).filter(isNew)
+      .join(accepted, "doc_id")
+      .withColumn("bucket", graft.functions.HashOps
+        .md5_prefix60(concat(lit("split:"), col("text"))) % 1000)
+      .withColumn("split",
+        when(col("bucket") < Curation.SplitTrainMilli, "train")
+          .when(col("bucket") < Curation.SplitValMilli, "val")
+          .otherwise("test"))
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    perSplit.join(sketchIncrement(spark, dir), "source")
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        col("exact_n"), col("est_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_nightly_drop" -> nightlyDrop,
     "q138_sketch_increment" -> sketchIncrement,
     "q137_prefix_join" -> prefixJoin,
     "q134_sketch_union" -> sketchUnion,
@@ -984,7 +1044,35 @@ object Dedup {
        |  CAST(1 AS INTEGER) AS est_ok
        |FROM s GROUP BY source""".stripMargin
 
+  // the q58 verdict, q121 split rule, and q138 exact-side replayed as
+  // one composition — each CTE verbatim from its standalone oracle so
+  // the composed gate can never drift from the parts
+  private val nightlyDropSql =
+    s"""WITH v AS (@INC@),
+       |acc AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       |        JOIN v ON v.doc_id = d.doc_id AND v.verdict = 'new'),
+       |sp AS (SELECT source,
+       |         CASE WHEN ${sqlHash60("'split:' || text")} % 1000 < 800
+       |                THEN 'train'
+       |              WHEN ${sqlHash60("'split:' || text")} % 1000 < 900
+       |                THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         len($sqlWords) AS n_tokens
+       |       FROM acc),
+       |ps AS (SELECT source, split, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |       FROM sp GROUP BY source, split),
+       |ex AS (@EX@)
+       |SELECT ps.source, ps.split, ps.n_docs, ps.n_tokens,
+       |  ex.exact_n, ex.est_ok
+       |FROM ps JOIN ex ON ps.source = ex.source""".stripMargin
+      // placeholders spliced AFTER stripMargin: the embedded oracles
+      // contain `||` continuation lines a second margin strip would eat
+      .replace("@INC@", incrementalSql)
+      .replace("@EX@", sketchIncrementSql)
+
   val oracle: Map[String, String] = Map(
+    "q140_nightly_drop" -> nightlyDropSql,
     "q138_sketch_increment" -> sketchIncrementSql,
     "q137_prefix_join" -> prefixJoinSql,
     "q134_sketch_union" -> sketchUnionSql,

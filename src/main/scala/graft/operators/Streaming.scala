@@ -695,6 +695,59 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** q141: CHAINED STATEFUL OPERATORS — two event-time window
+    * aggregations in ONE streaming query (Spark 4's multi-stateful
+    * support): per-(hour, type) counts feed a downstream per-(day,
+    * type) roll-up over `window_time` of the hourly window, both
+    * append-mode and watermark-finalized. Every other streaming query
+    * here has exactly one stateful operator; this is the shape a real
+    * pipeline takes when a raw aggregate feeds a coarser one without
+    * landing in a table in between (hourly → daily rollup, session →
+    * per-cohort session stats).
+    *
+    * Finalization composes: an hourly window emits when the watermark
+    * passes its end (q107's `<=` comparison), its emission carries
+    * event time `window_time = end − 1µs`, and the daily window over
+    * those emissions emits when the PROPAGATED watermark passes the
+    * day end — so the final table holds exactly the days whose every
+    * hour the watermark closed: `day_end_ms <= wm_ms`, the oracle's
+    * comparison.
+    *
+    * Scale: state is (open hourly windows) + (open daily windows)
+    * inside the watermark horizon — both bounded by delay × key
+    * cardinality, never by history; the chain saves the intermediate
+    * table AND its re-read that a two-query pipeline would pay, and
+    * the hour→day shuffle is the only exchange between the stages.
+    */
+  private[graft] def chainedAggOf(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("us")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sv"))
+      .groupBy(window(window_time(col("window")), "1 day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("n_events"),
+        (sum(col("sv")).cast("double") / 100.0).as("sum_value"))
+      .select(expr(s"unix_micros(window.start) DIV $DayUs").as("day_bucket"),
+        col("event_type"), col("n_hours"), col("n_events"),
+        col("sum_value"))
+
+  def streamChainedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val name = "q141_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = Tables.eventsStream(spark, dir)
+    val agg = chainedAggOf(src
+      .select(col("event_type"), expr("ts DIV 1000").as("us"),
+        round(col("value") * 100, 0).cast("long").as("vc")))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q141", q)
+    }
+    spark.table(name)
+  }
+
   def streamWindowFinal(spark: SparkSession, dir: String): DataFrame = {
     val name = "q107_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -975,6 +1028,10 @@ object Streaming extends Serializable {
       .withColumn("max_seq", max(col("seq")).over(wmax))
       .filter(col("seq") === col("max_seq"))
       .select(col("event_type"), col("rnk"), col("user_id"), col("n_cells"))
+      // defensive: the Update-mode memory sink keeps re-delivered rows
+      // if a batch retries, which would duplicate (key, seq) — the
+      // snapshot must stay a set regardless of delivery count
+      .distinct()
   }
 
   /** The q130 run with every per-batch emission kept (seq-tagged) —
@@ -1035,6 +1092,9 @@ object Streaming extends Serializable {
       .filter(col("seq") === col("max_seq"))
       .select(col("user_id"), col("n_recent"), col("earliest_us"),
         col("latest_us"), col("value_bytes"))
+      // defensive: a retried batch re-delivers rows into the Update-
+      // mode memory sink — dedup so the snapshot stays a set
+      .distinct()
   }
 
   private[graft] def streamRecentBufferRaw(spark: SparkSession,
@@ -1066,6 +1126,7 @@ object Streaming extends Serializable {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_recent_buffer" -> streamRecentBuffer,
     "q130_stream_topk" -> streamTopUsers,
+    "q141_chained_windows" -> streamChainedAgg,
     "q117_stream_sliding" -> streamSlidingFinal,
     "q113_stream_upsert" -> streamUpsertSink,
     "q107_stream_window_final" -> streamWindowFinal,
@@ -1155,6 +1216,26 @@ object Streaming extends Serializable {
     // the final watermark closed — `window_end_ms <= wm_ms`, with
     // wm_ms = floor(max event µs / 1000) - 1 h (delay), mirroring the
     // engine's eviction comparison exactly
+    // chained finalization: hour windows the watermark closed
+    // (hour_end_ms <= wm_ms), rolled to days, keeping only days the
+    // watermark also closed (day_end_ms <= wm_ms) — the two stateful
+    // operators' eviction comparisons composed in integer ms, with
+    // wm_ms = floor(max event µs / 1000) - 1 h as in q107
+    "q141_chained_windows" ->
+      (s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
+          |              CAST(round(value*100,0) AS BIGINT) AS vc
+          |            FROM events),
+          |wm AS (SELECT max(us) // 1000 - 3600000 AS wm_ms FROM ev),
+          |h AS (SELECT us // 3600000000 AS hb, event_type,
+          |        count(*) AS n, sum(vc) AS sv
+          |      FROM ev GROUP BY 1, 2),
+          |hf AS (SELECT * FROM h, wm WHERE (hb + 1) * 3600000 <= wm.wm_ms)
+          |SELECT hb // 24 AS day_bucket, event_type,
+          |  count(*) AS n_hours, CAST(sum(n) AS BIGINT) AS n_events,
+          |  CAST(sum(sv) AS DOUBLE)/100.0 AS sum_value
+          |FROM hf
+          |GROUP BY 1, 2, hf.wm_ms
+          |HAVING (day_bucket + 1) * ${DayUs / 1000} <= hf.wm_ms""".stripMargin),
     "q107_stream_window_final" ->
       (s"""WITH wm AS (SELECT max(epoch_us(ts)) // 1000 - 3600000 AS wm_ms
           |            FROM events)

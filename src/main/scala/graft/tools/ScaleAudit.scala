@@ -1,16 +1,52 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
 import graft.QueryTraits
 
 /** Emit a markdown table of plan-shape facts per query — shuffle count,
   * broadcast count, join strategies, pushed filters — the mechanical
-  * half of the 100 TB audit (SCALE.md). Streaming/sink queries execute
-  * on construction and hold their scale logic in their own modules, so
-  * they are listed but not re-planned here.
+  * half of the 100 TB audit (SCALE.md).
+  *
+  * On-build queries (streaming runs, sink/fixture writes — the
+  * [[QueryTraits.executesOnBuild]] set) are AUDITED, not skipped: the
+  * builder runs under a [[StreamingQueryListener]] and the row records
+  * (a) the plan shape of the frame the query returns (tagged, since
+  * for snapshot-style queries that is the replay, not the build) and
+  * (b) every streaming state operator the build ran — operator name
+  * and rows in state at the last progress — so a state-operator-count
+  * regression in ANY streaming query changes this committed artifact.
+  * State MEMORY bytes are deliberately not recorded: they vary run to
+  * run (allocator noise) and would churn the table without signal.
   */
 object ScaleAudit {
+
+  /** Streaming progress collector: remembers the last progress per
+    * query NAME (uuid suffix stripped), with its state operators.
+    */
+  private final class StateListener extends StreamingQueryListener {
+    val seen = new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(String, Long)]]()
+    @volatile var eventCount = 0L
+    private def norm(name: String): String =
+      if (name == null) "(unnamed)"
+      else name.replaceAll("_[0-9a-f]{32}$", "")
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit =
+      eventCount += 1
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      eventCount += 1
+      val ops = e.progress.stateOperators.toSeq
+        .map(s => (s.operatorName, s.numRowsTotal))
+      if (ops.nonEmpty) seen.put(norm(e.progress.name), ops)
+    }
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      eventCount += 1
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -20,29 +56,58 @@ object ScaleAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val skip = QueryTraits.executesOnBuild
-    println("| query | shuffles | broadcasts | join strategies | pushed filter |")
-    println("|---|---|---|---|---|")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (skip(name)) {
-        println(s"| $name | — | — | (executes on build; audited in its module/spec) | — |")
-      } else {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val lines = plan.linesIterator.toSeq
-        def count(p: String) = lines.count(_.contains(p))
-        val shuffles = count("Exchange hashpartitioning") +
-          count("Exchange rangepartitioning") + count("Exchange RoundRobin")
-        val bcasts = count("BroadcastExchange")
-        val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
-          "ShuffledHashJoin", "BroadcastNestedLoopJoin")
-          .filter(j => plan.contains(j)) match {
-          case Nil => "none"
-          case js => js.mkString(", ")
-        }
-        val pushed = lines.find(_.contains("PushedFilters: ["))
-          .exists(!_.contains("PushedFilters: []"))
-        println(s"| $name | $shuffles | $bcasts | $joins | $pushed |")
+    val onBuild = QueryTraits.executesOnBuild
+    val listener = new StateListener
+    spark.streams.addListener(listener)
+
+    /** The listener bus is async: wait until every stream is done and
+      * no new events have arrived for half a second (bounded).
+      */
+    def drainStreams(): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline &&
+          (spark.streams.active.nonEmpty || last != listener.eventCount)) {
+        last = listener.eventCount
+        Thread.sleep(500)
       }
+    }
+
+    println("| query | shuffles | broadcasts | join strategies | pushed filter | streaming state |")
+    println("|---|---|---|---|---|---|")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val statesBefore = new java.util.HashMap(listener.seen)
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      def count(p: String) = lines.count(_.contains(p))
+      val shuffles = count("Exchange hashpartitioning") +
+        count("Exchange rangepartitioning") + count("Exchange RoundRobin")
+      val bcasts = count("BroadcastExchange")
+      val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "ShuffledHashJoin", "BroadcastNestedLoopJoin")
+        .filter(j => plan.contains(j)) match {
+        case Nil => "none"
+        case js => js.mkString(", ")
+      }
+      val pushed = lines.find(_.contains("PushedFilters: ["))
+        .exists(!_.contains("PushedFilters: []"))
+      val (tag, state) =
+        if (!onBuild(name)) ("", "—")
+        else {
+          drainStreams()
+          val fresh = new java.util.HashMap(listener.seen)
+          statesBefore.keySet().forEach { k =>
+            if (fresh.get(k) == statesBefore.get(k)) fresh.remove(k)
+          }
+          val ops = fresh.values().stream().toArray()
+            .flatMap(_.asInstanceOf[Seq[(String, Long)]])
+          val s =
+            if (ops.isEmpty) "no stateful operator"
+            else ops.map { case (op, rows) => s"$op rows=$rows" }
+              .mkString("; ")
+          (" (post-build frame)", s)
+        }
+      println(s"| $name | $shuffles | $bcasts | $joins$tag | $pushed | $state |")
     }
     spark.stop()
   }

@@ -209,4 +209,22 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet === Set((100L, 101L)))
   }
+
+  test("q140 nightly drop: merged stats read persisted sketch state, not the base corpus") {
+    val df = Dedup.nightlyDrop(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the stats side of the composition must scan yesterday's persisted
+    // sketches (the graft_sketch parquet state dir) — a base-corpus
+    // rescan for stats would defeat the incremental design
+    assert(plan.contains("graft_sketch"),
+      s"no persisted-sketch scan in plan:\n${plan.take(3000)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // sketch-merge bound holds for every source (q90/q134 discipline)
+    assert(rows.forall(_.getAs[Int]("est_ok") == 1))
+    // the manifest covers exactly the q58-accepted docs
+    val accepted = Dedup.dedupIncremental(spark, sf0001)
+      .filter(col("verdict") === "new").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === accepted)
+  }
 }

@@ -48,13 +48,18 @@ class KernelPropertySpec extends AnyFunSuite {
     import spark.implicits._
     val genWord = Gen.chooseNum(1, 12).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
-    val words = Gen.listOfN(400, genWord).sample.get.distinct
-    val got = words.toDF("w")
-      .select(col("w"), TextAnalysis.bpeTokens(col("w")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    words.foreach { w =>
-      assert(got(w) === refBpeTokens(w), s"word '$w'")
-    }
+    // a true Prop.forAll (shrinking + seed reporting on failure), with
+    // words BATCHED per trial so each evaluation is one small Spark job
+    // instead of 400 one-row jobs
+    val genBatch = Gen.listOfN(25, genWord).map(_.distinct)
+    check(Prop.forAll(genBatch) { words =>
+      words.isEmpty || {
+        val got = words.toDF("w")
+          .select(col("w"), TextAnalysis.bpeTokens(col("w")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        words.forall(w => got(w) == refBpeTokens(w))
+      }
+    }, n = 20)
   }
 
   /** Reference interval merge: sort, sweep, count islands and covered
@@ -83,19 +88,22 @@ class KernelPropertySpec extends AnyFunSuite {
       d <- Gen.chooseNum(1L, 120L)
     } yield (s, s + d)
     val genUser = Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n, genIv))
-    val users = Gen.listOfN(30, genUser).sample.get
-    val rows = users.zipWithIndex.flatMap { case (iv, u) =>
-      iv.zipWithIndex.map { case ((s, e), i) =>
-        (u.toLong, i.toLong, s, e)
+    // Prop.forAll over a BATCH of users per trial: shrinking/seed
+    // reporting like the q137 property, one Spark job per evaluation
+    val genBatch = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genUser))
+    check(Prop.forAll(genBatch) { users =>
+      val rows = users.zipWithIndex.flatMap { case (iv, u) =>
+        iv.zipWithIndex.map { case ((s, e), i) =>
+          (u.toLong, i.toLong, s, e)
+        }
       }
-    }
-    val got = Events.coverageOf(
-      rows.toDF("user_id", "event_id", "us", "end_us"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
-    users.zipWithIndex.foreach { case (iv, u) =>
-      val (isl, cov) = refCoverage(iv)
-      assert(got(u.toLong) === ((isl, cov)), s"user $u intervals $iv")
-    }
+      val got = Events.coverageOf(
+        rows.toDF("user_id", "event_id", "us", "end_us"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+      users.zipWithIndex.forall { case (iv, u) =>
+        got(u.toLong) == refCoverage(iv)
+      }
+    }, n = 20)
   }
 
   test("q137 prefix-filter theorem holds on random hash sets") {

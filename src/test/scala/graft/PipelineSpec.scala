@@ -866,6 +866,67 @@ class PipelineSpec extends AnyFunSuite {
       ((b - dayUs) / dayUs, "probe", 1L, 2.0)))
   }
 
+  test("q45 recall floors: every ANN method clears its minimum") {
+    // The driver's oracle hash pins q45's EXACT recall values — but a
+    // testdata regen re-baselines that hash silently, so a recall
+    // collapse could hide inside a "new corpus, new hash" round. These
+    // floors are corpus-independent guardrails: set ~15% under the
+    // observed sf0.001 values (ivf 916, lsh 750, pq 666, ivfpq 875,
+    // matryoshka 916 milli), they survive regen wiggle but fail
+    // loudly under a real degradation (e.g. a probe-count or band
+    // sabotage halves ivf/lsh recall).
+    val got = graft.operators.SimSearch.annRecall(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val floors = Map("ivf" -> 800L, "lsh" -> 600L, "pq" -> 550L,
+      "ivfpq" -> 750L, "matryoshka" -> 800L)
+    assert(got.keySet === floors.keySet, got.keySet)
+    floors.foreach { case (m, f) =>
+      assert(got(m) >= f, s"$m recall ${got(m)} milli < floor $f")
+    }
+  }
+
+  test("q141 runs TWO stateful window aggregates in one query, both bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    val b = 1700006400000000L // a day boundary
+    val in = MemoryStream[(String, Long, Long)](
+      org.apache.spark.sql.Encoders.product[(String, Long, Long)],
+      spark.sqlContext) // (event_type, us, vc)
+    val q = Streaming.chainedAggOf(
+      in.toDS().toDF("event_type", "us", "vc"))
+      .writeStream.format("memory").queryName("q141_spec")
+      .outputMode("append").start()
+    // day 0: one event in each of hours 0..23; day 1: one event in
+    // hour 0; driver at day 3 pushes the watermark past both day ends
+    val day0 = (0 until 24).map(h => ("A", b + h * hourUs + 1L, 100L))
+    in.addData(day0 ++ Seq(("A", b + dayUs + 1L, 200L),
+      ("A", b + 3 * dayUs, 0L)): _*)
+    q.processAllAvailable()
+    val rows = spark.table("q141_spec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val stateOps = q.lastProgress.stateOperators
+    q.stop()
+    // the daily roll-up is built FROM the finalized hourly windows:
+    // day 0 aggregates its 24 distinct hours, day 1 its single hour;
+    // the driver's own day stays open
+    assert(rows === Set(
+      (b / dayUs, "A", 24L, 24L, 24.0),
+      (b / dayUs + 1, "A", 1L, 1L, 2.0)))
+    // TWO stateful operators in ONE query — the chained-stateful
+    // capability every other streaming query here uses singly
+    assert(stateOps.length === 2,
+      stateOps.map(_.operatorName).mkString(","))
+    // and both hold only the watermark-open windows, not history:
+    // the driver's hour + day are all that can remain
+    stateOps.foreach { op =>
+      assert(op.numRowsTotal <= 4,
+        s"${op.operatorName} holds ${op.numRowsTotal} rows")
+    }
+  }
+
   test("q118 SCD2 intervals tile per customer and never repeat a status") {
     import org.apache.spark.sql.expressions.Window
     val iv = Relational.scd2Intervals(spark, sf0001).cache()
