@@ -441,26 +441,17 @@ object Sink {
     * skipping — and the DSv2 writer lands them (with fresh sidecars)
     * in a hidden staging dir via the usual tmp+rename task commit.
     *
-    * The swap is three phases of checked metadata-only renames, ordered
-    * so a directory-listing reader NEVER double-counts and a failure
-    * NEVER loses rows: (A) every packed file (data + `.range` sidecar)
-    * moves from staging into the directory under a `.swap`-suffixed
-    * name — invisible to readers, whose listing matches `*.proto.zst`
-    * only — with every `fs.rename` result verified; any refusal aborts
-    * with the originals untouched and every packed byte still present
-    * (in staging or under `.swap` names). (B) the originals and their
-    * sidecars are deleted — a concurrent reader may briefly UNDER-count
-    * (the same exposure as reading during any compaction without
-    * snapshot isolation), never see a row twice. (C) the `.swap` suffix
-    * comes off. Packed names embed the staging run's UUID
-    * (`packed-<run>-part-…`), so repeated optimize passes over the same
-    * directory can never collide even though task ids restart per
-    * application. The swap is still not atomic across files — a
-    * production deployment makes it so with a manifest/catalog pointer
-    * flip (the same upgrade the sink's directory-listing reads need for
-    * S3 anyway); crash BEFORE phase B leaves the readable directory
-    * untouched, and a crash anywhere leaves every row recoverable from
-    * the named staging/`.swap` files.
+    * The COMMIT depends on the directory's era. Manifest-backed
+    * directories (everything this sink writes) commit atomically by
+    * writing the next manifest version last ([[optimizeManifested]]):
+    * readers see the old or the new file set, never a mix, and a crash
+    * leaves only unreferenced garbage for [[vacuumUnreferenced]].
+    * Pre-manifest (foreign/legacy) directories fall back to the
+    * original three-phase `.swap` rename protocol
+    * ([[optimizeLegacy]]): staged files enter under hidden `.swap`
+    * names, originals are deleted (readers may briefly under-count,
+    * never double-count), the suffix comes off, and
+    * [[healPendingSwaps]] rolls a crashed phase C forward.
     *
     * Returns (files before, files after).
     */
@@ -502,10 +493,10 @@ object Sink {
     * either the old file set or the new one, never both and never a
     * partial mix — the `.swap` rename dance, its self-heal path, and
     * the brief under-count window are all gone. A crash before the
-    * commit leaves unreferenced packed files (garbage a later
-    * maintenance pass may delete) and a fully intact table; the
-    * original files are deleted only AFTER the commit, so the only
-    * post-crash cost is re-running the pack.
+    * commit leaves unreferenced packed files (garbage
+    * [[vacuumUnreferenced]] sweeps after its grace window) and a fully
+    * intact table; the original files are deleted only AFTER the
+    * commit, so the only post-crash cost is re-running the pack.
     */
   private def optimizeManifested(spark: SparkSession, outDir: String,
       snap: graft.sources.GenManifest.Snapshot,
@@ -557,6 +548,44 @@ object Sink {
     }
     fs.delete(staging, true)
     (nBefore, nBefore - small.length + packed.length)
+  }
+
+  /** GC for a manifest-backed directory: delete data files (and their
+    * sidecars) present on disk but absent from the committed manifest —
+    * the garbage a crashed OPTIMIZE leaves behind (staged `packed-*`
+    * files whose manifest commit never happened) plus any abandoned
+    * `.optimize-*` staging directory. Deleting unreferenced files is
+    * safe because manifest readers never see them; the `graceMs` age
+    * guard keeps the sweep from racing an IN-FLIGHT writer whose task
+    * files have landed but whose job commit (the manifest append) has
+    * not run yet — the same retention reasoning as Delta's VACUUM.
+    * Returns the number of data files removed.
+    */
+  def vacuumUnreferenced(outDir: String,
+      graceMs: Long = 24L * 3600 * 1000): Int = {
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(conf)
+    graft.sources.GenManifest.read(outDir, conf) match {
+      case None => 0 // no manifest — listing IS the table; nothing is garbage
+      case Some(snap) =>
+        val committed = snap.entries.map(_.name).toSet
+        val cutoff = System.currentTimeMillis() - graceMs
+        val removed = fs.listStatus(dirPath).count { s =>
+          val n = s.getPath.getName
+          val orphanData = s.isFile && n.endsWith(".proto.zst") &&
+            !committed(n) && s.getModificationTime < cutoff
+          if (orphanData) {
+            fs.delete(s.getPath, false)
+            graft.sources.RangeSidecar.delete(fs, s.getPath)
+          }
+          val staleStaging = s.isDirectory && n.startsWith(".optimize-") &&
+            s.getModificationTime < cutoff
+          if (staleStaging) fs.delete(s.getPath, true)
+          orphanData
+        }
+        removed
+    }
   }
 
   /** Pre-manifest directories (foreign/legacy writers): the original

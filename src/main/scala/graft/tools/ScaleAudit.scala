@@ -92,7 +92,7 @@ object ScaleAudit {
       val pushed = lines.find(_.contains("PushedFilters: ["))
         .exists(!_.contains("PushedFilters: []"))
       val (tag, state) =
-        if (!onBuild(name)) ("", "—")
+        if (!onBuild(name)) ("", "-")
         else {
           drainStreams()
           val fresh = new java.util.HashMap(listener.seen)

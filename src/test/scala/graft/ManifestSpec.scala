@@ -115,6 +115,31 @@ class ManifestSpec extends AnyFunSuite {
     assert(spark.read.format("proto-zst").load(dir).count() === n0)
   }
 
+  test("vacuumUnreferenced removes crash garbage but respects grace and the manifest") {
+    val dir = freshDir("graft_man_gc")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), dir)
+    val n0 = spark.read.format("proto-zst").load(dir).count()
+    val committed = ProtoZstFiles.list(dir, conf).length
+    // crash garbage: an unreferenced packed file + a stale staging dir
+    val src = ProtoZstFiles.list(dir, conf).head
+    val orphan = java.nio.file.Paths.get(dir, "packed-dead-orphan.proto.zst")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(new java.net.URI(
+        if (src.startsWith("file:")) src else "file://" + src)), orphan)
+    new java.io.File(dir, ".optimize-dead").mkdir()
+    // inside the grace window nothing moves (could be an in-flight job)
+    assert(Sink.vacuumUnreferenced(dir) === 0)
+    assert(java.nio.file.Files.exists(orphan))
+    // past the grace window the orphan and staging dir go; committed
+    // files and the readable table are untouched
+    assert(Sink.vacuumUnreferenced(dir, graceMs = 0L) === 1)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(!new java.io.File(dir, ".optimize-dead").exists())
+    assert(ProtoZstFiles.list(dir, conf).length === committed)
+    assert(spark.read.format("proto-zst").load(dir).count() === n0)
+  }
+
   test("a losing concurrent commit retries onto the latest snapshot") {
     val dir = freshDir("graft_man_race")
     val e1 = GenManifest.Entry("a.proto.zst", 10L, 1L, sorted = true, "00", "01")
