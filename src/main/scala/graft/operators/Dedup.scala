@@ -790,7 +790,58 @@ object Dedup {
         col("exact_n"), col("est_ok"))
   }
 
+  private val DupSpanN = 20 // tokens per exact-duplicate span
+
+  /** q143: DUPLICATED-SPAN COVERAGE — for every document, the fraction
+    * of its tokens covered by an exact [[DupSpanN]]-token span that
+    * occurs more than once in the corpus (within- or cross-document):
+    * the deduplicate-training-data diagnostic that motivates exact
+    * substring dedup — boilerplate headers, license blocks, templated
+    * passages show up as high `dup_milli` long before whole-doc
+    * hashes match. Composes two existing kernels: the one-pass
+    * shingle hasher (positional 20-gram hashes, `ShingleHash60Expr`)
+    * and q126's gaps-and-islands interval merge (overlapping dup
+    * spans coalesce, so a token is counted once however many
+    * duplicated spans cover it).
+    *
+    * Scale: span hashes are row-local; the duplicate test is ONE
+    * span-grain groupBy(h) with map-side partials + an equi-join back
+    * — never all-pairs; the island merge is a per-doc window. A
+    * 60-bit hash stands in for byte equality (the q15/q95 convention:
+    * collision probability ~2⁻⁶⁰ per pair); a production pass
+    * verifies flagged spans byte-wise before cutting.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= DupSpanN)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        col("ws"))
+    val spans = docs
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(graft.functions.HashOps.shingle_hash60(col("ws"), DupSpanN)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("pos"), col("col").as("h"))
+      .localCheckpoint(false) // feeds the dup aggregate AND the join back
+    val dupH = spans.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select(col("h"))
+    val cov = Events.coverageOf(
+      spans.join(dupH, "h")
+        .select(col("doc_id").as("user_id"), col("pos").as("event_id"),
+          col("pos").as("us"), (col("pos") + DupSpanN).as("end_us")))
+      .select(col("user_id").as("doc_id"), col("n_islands"),
+        col("covered_us"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_islands"), lit(0L)).as("dup_islands"),
+        coalesce(col("covered_us"), lit(0L)).as("dup_tokens"),
+        expr("coalesce(covered_us, 0) * 1000 DIV n_tokens").as("dup_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_dup_spans" -> dupSpans,
     "q140_nightly_drop" -> nightlyDrop,
     "q138_sketch_increment" -> sketchIncrement,
     "q137_prefix_join" -> prefixJoin,
@@ -1071,7 +1122,40 @@ object Dedup {
       .replace("@INC@", incrementalSql)
       .replace("@EX@", sketchIncrementSql)
 
+  // positional 20-gram hashes -> dup filter -> the q126 island sweep
+  // per doc, replayed with the same window arithmetic
+  private val dupSpansSql =
+    s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws
+       |      FROM w WHERE len(ws) >= $DupSpanN),
+       |g AS (SELECT doc_id, unnest(range(1, len(ws) - ${DupSpanN - 2})) AS i,
+       |        ws FROM d),
+       |h AS (SELECT doc_id, i - 1 AS pos,
+       |        ${sqlHash60(s"array_to_string(list_slice(ws, i, i + ${DupSpanN - 1}), ' ')")} AS h
+       |      FROM g),
+       |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+       |iv AS (SELECT doc_id, pos AS s, pos + $DupSpanN AS e
+       |       FROM h JOIN dup USING (h)),
+       |m AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |        AS prev_max FROM iv),
+       |f AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+       |        THEN 1 ELSE 0 END AS ni FROM m),
+       |s2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id
+       |         ORDER BY s ROWS UNBOUNDED PRECEDING) AS island FROM f),
+       |isl AS (SELECT doc_id, island, min(s) AS gs, max(e) AS ge
+       |        FROM s2 GROUP BY doc_id, island),
+       |cov AS (SELECT doc_id, count(*) AS n_islands,
+       |          sum(ge - gs) AS covered FROM isl GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_tokens,
+       |  CAST(coalesce(cov.n_islands, 0) AS BIGINT) AS dup_islands,
+       |  CAST(coalesce(cov.covered, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(coalesce(cov.covered, 0) * 1000 // d.n_tokens AS BIGINT)
+       |    AS dup_milli
+       |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q143_dup_spans" -> dupSpansSql,
     "q140_nightly_drop" -> nightlyDropSql,
     "q138_sketch_increment" -> sketchIncrementSql,
     "q137_prefix_join" -> prefixJoinSql,

@@ -608,7 +608,68 @@ object TextAnalysis {
         size(filter(col("thrs"), t => t <= col("v"))).as("bucket"))
   }
 
+  private val Bm25Query = Seq("spark", "merge", "vector")
+  private val Bm25TopK = 10
+
+  /** q142: BM25 RANKED RETRIEVAL — score every document against a
+    * fixed query term set with the Okapi BM25 family (k1 = 1.2,
+    * b = 0.75) and return the exact global top-[[Bm25TopK]]: the
+    * "find me training docs about X" / eval-set-mining primitive a
+    * corpus pipeline serves from its token statistics, composing
+    * q33's tf/df tables into a ranked search.
+    *
+    * Exactness: every factor is integer-scaled rational — libm-free,
+    * like q33's idf. With N docs, T total tokens, per-doc length dl:
+    *   norm_m   = 250 + (750·dl·N) DIV T          (≈1000·(1−b+b·dl/avgdl))
+    *   idf_k    = ((N−df)·2000+1000)·1000 DIV (df·2000+1000)
+    *                                              (≈1000·(N−df+0.5)/(df+0.5))
+    *   tfpart_k = tf·2200·1000 DIV (tf·1000 + 1200·norm_m DIV 1000)
+    *                                              (≈1000·tf·(k1+1)/(tf+k1·norm))
+    *   score_micro = Σ_t idf_k·tfpart_k — exact BIGINT end to end,
+    * the same floor-division on both engines, so the oracle replays
+    * the ranking bit-for-bit (a float ln/÷ would be libm-dependent).
+    *
+    * Scale: the (doc, word) tf shuffle is q33's; df for the QUERY
+    * terms is |Q| rows (broadcast); dl rides the same tf table; the
+    * global top-k is orderBy+limit — TakeOrderedAndProject heaps per
+    * partition, never a global sort — and the final rank is a window
+    * over the ≤ k surviving rows only.
+    */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds dl, corpus stats AND the score join
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("t_tokens"))
+    val qdf = tf.filter(col("w").isin(Bm25Query: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.filter(col("w").isin(Bm25Query: _*))
+      .join(broadcast(qdf), "w")
+      .join(dl, "doc_id")
+      .transform(withScalar(_, stats))
+      .withColumn("norm_m",
+        expr("250 + (750 * dl * n_docs) DIV t_tokens"))
+      .withColumn("idf_k",
+        expr("((n_docs - df) * 2000 + 1000) * 1000 DIV (df * 2000 + 1000)"))
+      .withColumn("tfpart_k",
+        expr("tf * 2200 * 1000 DIV (tf * 1000 + (1200 * norm_m) DIV 1000)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_k") * col("tfpart_k")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+    // rank over the ≤ TopK survivors of the TakeOrdered heap — the
+    // single-partition window is bounded by k, not the corpus
+    scored.orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .withColumn("rnk", row_number().over(Window.orderBy(
+        col("score_micro").desc, col("doc_id").asc)))
+      .select(col("rnk"), col("doc_id"), col("n_terms"), col("score_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_bm25_rank" -> bm25Rank,
     "q132_correlation" -> correlation,
     "q123_winsorize" -> winsorize,
     "q124_bpe_encode" -> bpeEncode,
@@ -845,7 +906,34 @@ object TextAnalysis {
        |    nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) AS beta
        |FROM g""".stripMargin
 
+  // the integer-scaled BM25 replayed term by term; `//` is the same
+  // floor division Spark's DIV performs on these (all-positive) values
+  private val bm25Sql = {
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, unnest($sqlWords) w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) tf FROM w GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY doc_id),
+       |st AS (SELECT count(DISTINCT doc_id) n_docs, sum(tf) t_tokens FROM tf),
+       |qdf AS (SELECT w, count(*) df FROM tf WHERE w IN ($inList) GROUP BY w),
+       |sc AS (SELECT tf.doc_id,
+       |         ((st.n_docs - qdf.df) * 2000 + 1000) * 1000
+       |           // (qdf.df * 2000 + 1000) AS idf_k,
+       |         tf.tf * 2200 * 1000 // (tf.tf * 1000 +
+       |           (1200 * (250 + (750 * dl.dl * st.n_docs) // st.t_tokens))
+       |             // 1000) AS tfpart_k
+       |       FROM tf JOIN qdf ON tf.w = qdf.w
+       |                JOIN dl ON dl.doc_id = tf.doc_id, st),
+       |agg AS (SELECT doc_id, CAST(sum(idf_k * tfpart_k) AS BIGINT) AS score_micro,
+       |          count(*) AS n_terms FROM sc GROUP BY doc_id),
+       |top AS (SELECT * FROM agg
+       |        ORDER BY score_micro DESC, doc_id ASC LIMIT $Bm25TopK)
+       |SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rnk,
+       |  doc_id, n_terms, score_micro
+       |FROM top""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q142_bm25_rank" -> bm25Sql,
     "q132_correlation" -> correlationSql,
     "q123_winsorize" -> winsorizeSql,
     "q124_bpe_encode" -> bpeEncodeSql,

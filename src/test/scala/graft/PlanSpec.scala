@@ -295,6 +295,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"global sort in:\n${plan.take(3000)}")
   }
 
+  test("q142 BM25 top-k heaps per partition; the rank window sees only k rows") {
+    val plan = physical(graft.operators.TextAnalysis.bm25Rank(spark, sf0001))
+    // the corpus-wide selection is the bounded heap, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // the only Window sits ABOVE the TakeOrdered limit (operates on
+    // <= k rows); no Window may touch the pre-limit corpus
+    val winIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      s"rank window must consume the TakeOrdered output:\n${plan.take(3000)}")
+  }
+
   test("q75 funnel chains its windows and final agg over ONE exchange") {
     val df = graft.operators.Events.funnel(spark, sf0001)
     df.collect() // finalize the AQE plan
