@@ -440,7 +440,48 @@ object Curation {
         col("n_tokens"), col("verdict"))
   }
 
+  /** q144 anonymity threshold and the acctbal generalization width. */
+  private val AnonK = 5
+  private val AnonBalWidth = 2000.0
+
+  /** q144: K-ANONYMITY AUDIT — the privacy gate a released dataset
+    * needs next to q49's redaction: every quasi-identifier class
+    * (nation, market segment, account-balance bucket) must hold ≥
+    * [[AnonK]] individuals or be generalized/suppressed before
+    * release. One row per level-0 class with its size, the size of
+    * its level-1 generalization (segment dropped — the first rung of
+    * the Samarati ladder), and the resulting action:
+    * `keep` (already k-anonymous), `generalize` (the coarser class
+    * rescues it), `suppress` (even generalized it identifies).
+    *
+    * Scale shape: ONE corpus shuffle — the level-0 groupBy with
+    * map-side partials; the level-1 ladder rung is an aggregate OF
+    * those aggregates (classes-sized input, never a second corpus
+    * scan), and joins back classes-to-classes. Deeper ladders extend
+    * the same way, each rung re-aggregating the previous rung's
+    * output — the rollup discipline applied to privacy. The bucket
+    * edge uses IEEE floor on one double division, bit-identical
+    * across engines.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val l0 = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / AnonBalWidth).as("bal_bucket"))
+      .groupBy(col("nation"), col("segment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val l1 = l0.groupBy(col("nation"), col("bal_bucket"))
+      .agg(sum(col("n")).as("n_generalized"))
+    l0.join(l1, Seq("nation", "bal_bucket"))
+      .select(col("nation"), col("segment"), col("bal_bucket"), col("n"),
+        col("n_generalized"),
+        when(col("n") >= AnonK, "keep")
+          .when(col("n_generalized") >= AnonK, "generalize")
+          .otherwise("suppress").as("action"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_k_anonymity" -> kAnonymity,
     "q139_release_manifest" -> releaseManifest,
     "q121_split_assign" -> splitAssign,
     "q122_weighted_sample" -> weightedSample,
@@ -643,7 +684,22 @@ object Curation {
        |  CAST(n_docs AS DOUBLE) / CAST(lang_docs AS DOUBLE) AS lang_share
        |FROM m JOIN t ON m.lang = t.lang""".stripMargin
 
+  private val kAnonymitySql =
+    s"""WITH l0 AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |        CAST(floor(c_acctbal / $AnonBalWidth) AS BIGINT) AS bal_bucket,
+       |        count(*) AS n
+       |      FROM customer GROUP BY 1, 2, 3),
+       |l1 AS (SELECT nation, bal_bucket,
+       |         CAST(sum(n) AS BIGINT) AS n_generalized
+       |       FROM l0 GROUP BY 1, 2)
+       |SELECT nation, segment, bal_bucket, n, n_generalized,
+       |  CASE WHEN n >= $AnonK THEN 'keep'
+       |       WHEN n_generalized >= $AnonK THEN 'generalize'
+       |       ELSE 'suppress' END AS action
+       |FROM l0 JOIN l1 USING (nation, bal_bucket)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q144_k_anonymity" -> kAnonymitySql,
     "q139_release_manifest" -> releaseManifestSql,
     "q121_split_assign" -> splitAssignSql,
     "q122_weighted_sample" -> weightedSampleSql,

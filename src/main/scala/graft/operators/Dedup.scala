@@ -840,7 +840,66 @@ object Dedup {
         expr("coalesce(covered_us, 0) * 1000 DIV n_tokens").as("dup_milli"))
   }
 
+  private val SnmWindow = 8 // neighborhood width (positions in sort order)
+  private val SnmKeyLen = 24 // sort-key prefix length (chars)
+
+  /** q145: SORTED-NEIGHBORHOOD dedup blocking (Hernández & Stolfo's
+    * merge/purge) — the third candidate-generation discipline next to
+    * hash banding (q15) and prefix filtering (q137): sort the corpus
+    * by a domain key (here the text's [[SnmKeyLen]]-char prefix),
+    * slide a [[SnmWindow]]-row window down the sorted order, and emit
+    * only pairs within the window; survivors are verified with the
+    * exact shingle-Jaccard kernel. Finds prefix-preserving near-dups
+    * in O(n·w) candidates where hashing needs no order and sorting
+    * needs no hashes — production systems run both and union.
+    *
+    * Scale shape: the global position comes from q55's two-phase
+    * ranker (ONE range shuffle + a numPartitions-row offset
+    * broadcast — no single-partition window). The windowed self-join
+    * is an EQUI-join on `position DIV w` (each left row probes its
+    * own stripe and the next — two slim keys/row, never a range
+    * scan), so candidates shuffle as (id, position) pairs and the
+    * heavy shingle arrays join back only for the ≤ n·w verified
+    * candidates. A 1000-executor sort of 100 TB is exactly the same
+    * plan: range exchange, per-partition index, stripe join.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), substring(col("text"), 1, SnmKeyLen).as("skey"),
+        words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("skey"), array_sort(array_distinct(
+        graft.functions.HashOps.shingle_hash60(col("ws"), 3))).as("hsh"))
+    val ranked = Relational.withGlobalRank(d,
+        Seq(col("skey").asc, col("doc_id").asc))
+      .withColumn("bucket", expr(s"(rnk - 1) DIV $SnmWindow"))
+      .localCheckpoint(eager = false) // slim candidate side + both verify probes
+    val slim = ranked.select(col("doc_id"), col("rnk"), col("bucket"))
+    val probes = slim.select(col("doc_id").as("doc_a"),
+      col("rnk").as("rn_a"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("jb"))
+    val cand = probes.join(
+        slim.select(col("doc_id").as("doc_b"), col("rnk").as("rn_b"),
+          col("bucket").as("jb")), "jb")
+      .filter((col("rn_b") - col("rn_a")).between(1, SnmWindow))
+      .select(col("doc_a"), col("doc_b"),
+        (col("rn_b") - col("rn_a")).as("gap"))
+    cand
+      .join(ranked.select(col("doc_id").as("doc_a"), col("hsh").as("hsa")),
+        "doc_a")
+      .join(ranked.select(col("doc_id").as("doc_b"), col("hsh").as("hsb")),
+        "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sorted_intersect_count(col("hsa"), col("hsb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("hsa")) + size(col("hsb")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("gap"), col("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_sorted_neighborhood" -> sortedNeighborhood,
     "q143_dup_spans" -> dupSpans,
     "q140_nightly_drop" -> nightlyDrop,
     "q138_sketch_increment" -> sketchIncrement,
@@ -1154,7 +1213,26 @@ object Dedup {
        |    AS dup_milli
        |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin
 
+  private val snmSql =
+    s"""WITH w AS (SELECT doc_id, substr(text, 1, $SnmKeyLen) skey,
+       |        $sqlWords ws FROM documents),
+       |d AS (SELECT doc_id, skey, list_sort(list_distinct(list_transform(
+       |        list_transform(range(1, len(ws)-1),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |        s -> ${sqlHash60("s")}))) hsh
+       |      FROM w WHERE len(ws) >= 3),
+       |r AS (SELECT doc_id, hsh,
+       |        row_number() OVER (ORDER BY skey, doc_id) rn FROM d),
+       |j AS (SELECT a.doc_id doc_a, b.doc_id doc_b, b.rn - a.rn gap,
+       |        len(list_intersect(a.hsh, b.hsh)) i,
+       |        len(a.hsh) la, len(b.hsh) lb
+       |      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND $SnmWindow)
+       |SELECT doc_a, doc_b, CAST(gap AS BIGINT) AS gap,
+       |  CAST(i AS DOUBLE)/(la+lb-i) AS jaccard
+       |FROM j WHERE CAST(i AS DOUBLE)/(la+lb-i) >= 0.5""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q145_sorted_neighborhood" -> snmSql,
     "q143_dup_spans" -> dupSpansSql,
     "q140_nightly_drop" -> nightlyDropSql,
     "q138_sketch_increment" -> sketchIncrementSql,

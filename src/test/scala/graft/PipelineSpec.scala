@@ -1188,6 +1188,54 @@ class PipelineSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("q144 k-anonymity: actions consistent, ladder conserves individuals") {
+    val got = graft.operators.Curation.kAnonymity(spark, sf0001).cache()
+    try {
+      // action agrees with the thresholds row by row
+      assert(got.filter(
+        (col("action") === "keep" && col("n") < 5) ||
+        (col("action") === "generalize" &&
+          (col("n") >= 5 || col("n_generalized") < 5)) ||
+        (col("action") === "suppress" && col("n_generalized") >= 5))
+        .count() === 0L)
+      // the level-1 rung is an exact re-aggregation of level 0
+      assert(got.groupBy(col("nation"), col("bal_bucket"))
+        .agg(sum(col("n")).as("s"), min(col("n_generalized")).as("g1"),
+          max(col("n_generalized")).as("g2"))
+        .filter(col("s") =!= col("g1") || col("s") =!= col("g2"))
+        .count() === 0L)
+      // classes partition the table: sizes sum to the customer count
+      val total = got.agg(sum(col("n"))).collect()(0).getLong(0)
+      assert(total === Tables.customer(spark, sf0001).count())
+    } finally { got.unpersist(); () }
+  }
+
+  test("q145 sorted neighborhood equals a single-window naive replay") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("skey"),
+        graft.functions.Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("skey"), array_sort(array_distinct(
+        graft.functions.HashOps.shingle_hash60(col("ws"), 3))).as("hsh"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("skey"), col("doc_id"))))
+    val naive = d.as("a").join(d.as("b"),
+        col("b.rn") - col("a.rn") >= 1 && col("b.rn") - col("a.rn") <= 8)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("b.rn") - col("a.rn")).cast("long").as("gap"),
+        (graft.functions.ArrayOps.sorted_intersect_count(
+          col("a.hsh"), col("b.hsh")).cast("double") /
+          (size(col("a.hsh")) + size(col("b.hsh")) -
+            graft.functions.ArrayOps.sorted_intersect_count(
+              col("a.hsh"), col("b.hsh")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val dist = graft.operators.Dedup.sortedNeighborhood(spark, sf0001)
+    assert(dist.count() > 0L, "SNM must be non-vacuous at sf0.001")
+    assert(dist.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(dist).count() === 0L)
+  }
 }
 
 /** Spec-local TTLConfig probe: q98's accumulator under
