@@ -668,7 +668,145 @@ object TextAnalysis {
       .select(col("rnk"), col("doc_id"), col("n_terms"), col("score_micro"))
   }
 
+  private val PmiMinPairs = 5L // bigram support floor
+  private val PmiTopK = 50
+
+  /** q146: COLLOCATION MINING — the highest-lift adjacent word pairs
+    * in the corpus ("new york"-style multiword expressions), the
+    * vocabulary-building sibling of q82's BPE pair counting: where
+    * BPE greedily merges the MOST FREQUENT pair, collocation mining
+    * ranks pairs by association strength
+    * lift = P(ab) / (P(a·)·P(·b)) so corpus-specific terms beat
+    * stopword pairs. Scored in exact integer arithmetic —
+    * `lift_milli = 1000·N·c(ab) DIV (c(a·)·c(·b))` with N total
+    * bigrams — so the cross-engine hash gate admits it (log-space
+    * PMI differs only by a monotone transform and would need libm);
+    * a [[PmiMinPairs]] support floor keeps one-off pairs from
+    * dominating the ratio.
+    *
+    * Scale shape: bigram extraction is row-local (no self-join — the
+    * pair list is a `transform` over each token array); ONE
+    * (w1, w2)-keyed shuffle with map-side partials builds the pair
+    * table, and BOTH marginals and the grand total are aggregates OF
+    * that aggregate (vocab²-bounded input, never a second corpus
+    * scan). Marginal joins are vocab-sized. The global top-k is
+    * orderBy+limit — TakeOrdered heaps per partition — and the rank
+    * window sees only the k survivors. At 2⁶³-straining corpus sizes
+    * the lift ratio switches to double log-space PMI; the plan shape
+    * is unchanged.
+    */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = Tables.documents(spark, dir)
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cab = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(eager = false) // feeds marginals, N, AND the lift join
+    val ca = cab.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val n = cab.agg(sum(col("c_ab")).as("n_bigrams"))
+    cab.filter(col("c_ab") >= PmiMinPairs)
+      .join(ca, "w1").join(cb, "w2")
+      .transform(withScalar(_, n))
+      .withColumn("lift_milli",
+        expr("1000 * n_bigrams * c_ab DIV (c_a * c_b)"))
+      .orderBy(col("lift_milli").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+      .withColumn("rnk", row_number().over(Window.orderBy(
+        col("lift_milli").desc, col("w1").asc, col("w2").asc)))
+      .select(col("rnk"), col("w1"), col("w2"), col("c_ab"), col("c_a"),
+        col("c_b"), col("lift_milli"))
+  }
+
+  /** q147 percentile targets (permille). */
+  private val QSkPs = Seq(500, 900, 990)
+
+  /** HDR-histogram bucket index of a positive BIGINT `v` (SQL shared
+    * verbatim by engine and oracle): values < 64 get exact unit
+    * buckets; larger values keep their 6 top bits — exponent
+    * e = bit length, mantissa m = v >> (e−6) ∈ [32,64) — as index
+    * e·64+m (disjoint from the unit range, monotone in v). Bucket
+    * width / lower bound ≤ 1/32, which is the sketch's HARD relative
+    * error bound — deterministic, unlike a sampling sketch. ~64
+    * buckets per octave, ≤ ~4K buckets over the full BIGINT range.
+    */
+  private def qskIdx(v: String): String =
+    s"CASE WHEN $v < 64 THEN $v ELSE " +
+      s"length(bin($v)) * 64 + shiftright($v, length(bin($v)) - 6) END"
+  /** Inclusive upper bound of bucket `idx` (its quantile estimate). */
+  private def qskUb(idx: String): String =
+    s"CASE WHEN $idx < 64 THEN $idx ELSE " +
+      s"shiftleft($idx % 64 + 1, $idx DIV 64 - 6) - 1 END"
+
+  /** q147: MERGEABLE QUANTILE SKETCH, persisted + incrementally
+    * merged — q138's sketch lifecycle applied to ORDER statistics:
+    * per-source log-histograms (HDR bucketing, [[qskIdx]]) of the
+    * BASE corpus document lengths are persisted to parquet, read
+    * back, and merged with the increment's histogram
+    * (doc_id % 10 == 7, q58's drop convention) by plain per-bucket
+    * ADDITION — the mergeability that lets a nightly drop update
+    * every percentile dashboard scanning only |increment|. p50/p90/
+    * p99 estimates come from the merged cumulative counts; each is
+    * bound-checked IN-PLAN against the exact rank-selected value,
+    * whose agreement is DETERMINISTIC (bucket width ≤ 1/32 of its
+    * lower bound — a hard guarantee, not an expectation; compare
+    * q134's 6σ statistical margin).
+    *
+    * Scale shape: bucketing is row-local; the sketch build is ONE
+    * (source, bucket) shuffle with map-side partials, output ≤ ~4K
+    * rows per source (KB-sized state, metadata tier); merge is a
+    * union + re-sum of sketch-sized frames; quantile selection is a
+    * window over the ≤ 4K buckets of each source. The exact side
+    * (per-source sort) exists only to check the contract at test
+    * scale — at 100 TB it is precisely what the sketch replaces.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1L)).as("v"))
+    val isNew = col("doc_id") % 10 === 7
+    def sketch(d: DataFrame): DataFrame = d
+      .withColumn("idx", expr(qskIdx("v")))
+      .groupBy(col("source"), col("idx")).agg(count(lit(1)).as("cnt"))
+    val skDir = Scratch.dir("graft_qsketch")
+    sketch(docs.filter(!isNew)).write.mode("overwrite").parquet(skDir)
+    val merged = spark.read.parquet(skDir)
+      .unionByName(sketch(docs.filter(isNew)))
+      .groupBy(col("source"), col("idx")).agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("ub", expr(qskUb("idx")))
+    val ps = QSkPs.map(p => s"($p)").mkString(", ")
+    val pTab = spark.sql(s"SELECT * FROM VALUES $ps AS t(p_milli)")
+    val est = cum.join(broadcast(pTab),
+        col("cum") * 1000 >= col("p_milli") * col("n"))
+      .groupBy(col("source"), col("p_milli"))
+      .agg(min(col("ub")).as("est_ub"), min(col("n")).as("n"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("v").asc, col("doc_id").asc)
+    val exact = docs
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("rn", row_number().over(wRank))
+      .join(broadcast(pTab), col("rn") === expr("(p_milli * ns + 999) DIV 1000"))
+      .select(col("source"), col("p_milli"), col("v"))
+    est.join(exact, Seq("source", "p_milli"))
+      .select(col("source"), col("p_milli"), col("n"), col("est_ub"),
+        col("v").as("exact_v"),
+        (col("est_ub") >= col("v") &&
+          (col("est_ub") - col("v")) * 32 <= col("v"))
+          .cast("int").as("est_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_quantile_sketch" -> quantileSketch,
+    "q146_pmi_bigrams" -> pmiBigrams,
     "q142_bm25_rank" -> bm25Rank,
     "q132_correlation" -> correlation,
     "q123_winsorize" -> winsorize,
@@ -932,7 +1070,60 @@ object TextAnalysis {
        |FROM top""".stripMargin
   }
 
+  private val pmiSql =
+    s"""WITH w AS (SELECT $sqlWords ws FROM documents),
+       |wf AS (SELECT ws FROM w WHERE len(ws) >= 2),
+       |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+       |         i -> {'w1': ws[i], 'w2': ws[i+1]})) p FROM wf),
+       |cab AS (SELECT p.w1 w1, p.w2 w2, count(*) c_ab FROM bg GROUP BY 1, 2),
+       |ca AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) c_a FROM cab GROUP BY 1),
+       |cb AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) c_b FROM cab GROUP BY 1),
+       |n AS (SELECT CAST(sum(c_ab) AS BIGINT) n_bigrams FROM cab),
+       |s AS (SELECT w1, w2, c_ab, c_a, c_b,
+       |        1000 * n_bigrams * c_ab // (c_a * c_b) lift_milli
+       |      FROM cab JOIN ca USING (w1) JOIN cb USING (w2), n
+       |      WHERE c_ab >= $PmiMinPairs),
+       |top AS (SELECT * FROM s
+       |        ORDER BY lift_milli DESC, w1 ASC, w2 ASC LIMIT $PmiTopK)
+       |SELECT row_number() OVER (ORDER BY lift_milli DESC, w1 ASC, w2 ASC)
+       |    AS rnk,
+       |  w1, w2, c_ab, c_a, c_b, lift_milli
+       |FROM top""".stripMargin
+
+  // the merged (base + increment) histogram is count-identical to the
+  // full-corpus histogram — per-bucket addition is exactly what the
+  // oracle replays in one pass; the ENGINE's persistence round trip is
+  // the part only the hash equality can witness
+  private val quantileSketchSql =
+    s"""WITH d AS (SELECT doc_id, source, greatest(n_chars, 1) v
+       |           FROM documents),
+       |b AS (SELECT source, idx, count(*) cnt FROM (
+       |        SELECT source, CASE WHEN v < 64 THEN v
+       |          ELSE length(bin(v)) * 64 + (v >> (length(bin(v)) - 6))
+       |          END idx FROM d)
+       |      GROUP BY 1, 2),
+       |c AS (SELECT source, idx, cnt,
+       |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY idx)
+       |          AS BIGINT) cum,
+       |        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) n,
+       |        CASE WHEN idx < 64 THEN idx
+       |          ELSE ((idx % 64 + 1) << (idx // 64 - 6)) - 1 END ub
+       |      FROM b),
+       |p AS (SELECT unnest([${QSkPs.mkString(", ")}]) p_milli),
+       |est AS (SELECT source, p_milli, min(ub) est_ub, min(n) n
+       |        FROM c JOIN p ON cum * 1000 >= p_milli * n GROUP BY 1, 2),
+       |r AS (SELECT source, v, doc_id,
+       |        row_number() OVER (PARTITION BY source ORDER BY v, doc_id) rn,
+       |        count(*) OVER (PARTITION BY source) ns FROM d),
+       |ex AS (SELECT source, p_milli, v FROM r
+       |       JOIN p ON rn = (p_milli * ns + 999) // 1000)
+       |SELECT source, p_milli, n, est_ub, v AS exact_v,
+       |  CAST(est_ub >= v AND (est_ub - v) * 32 <= v AS INTEGER) AS est_ok
+       |FROM est JOIN ex USING (source, p_milli)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q147_quantile_sketch" -> quantileSketchSql,
+    "q146_pmi_bigrams" -> pmiSql,
     "q142_bm25_rank" -> bm25Sql,
     "q132_correlation" -> correlationSql,
     "q123_winsorize" -> winsorizeSql,

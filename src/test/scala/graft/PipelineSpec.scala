@@ -1189,6 +1189,56 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q146 PMI: ranks strict, support floor holds, marginals conserve") {
+    val got = graft.operators.TextAnalysis.pmiBigrams(spark, sf0001).cache()
+    try {
+      val rows = got.orderBy(col("rnk")).collect()
+      assert(rows.nonEmpty && rows.length <= 50)
+      assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+      // lift is non-increasing down the ranking and support floor holds
+      val lifts = rows.map(_.getLong(6))
+      assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(_.getLong(3) >= 5L))
+      // marginals are true bigram marginals: recompute naively
+      val naive = Tables.documents(spark, sf0001)
+        .select(graft.functions.Portable.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      rows.foreach { r =>
+        val (w1, w2) = (r.getString(1), r.getString(2))
+        assert(r.getLong(3) === naive.count(p => p == (w1, w2)), s"c_ab $w1 $w2")
+        assert(r.getLong(4) === naive.count(_._1 == w1).toLong, s"c_a $w1")
+        assert(r.getLong(5) === naive.count(_._2 == w2).toLong, s"c_b $w2")
+      }
+    } finally { got.unpersist(); () }
+  }
+
+  test("q147 HDR bucket bound holds on adversarial values, quantiles exact-ok") {
+    // the deterministic contract behind est_ok: for EVERY v ≥ 1,
+    // bucket_ub(v) ≥ v and (bucket_ub(v) − v)·32 ≤ v
+    val vals = (Seq(1L, 2L, 31L, 32L, 63L, 64L, 65L, 127L, 128L, 1000L,
+      (1L << 40) - 1, 1L << 40, (1L << 40) + 1, Long.MaxValue / 2) ++
+      (0 to 61).map(b => 1L << b)).distinct
+    import spark.implicits._
+    val bad = vals.toDF("v")
+      .selectExpr("v",
+        "CASE WHEN v < 64 THEN v ELSE length(bin(v)) * 64 + " +
+          "shiftright(v, length(bin(v)) - 6) END AS idx")
+      .selectExpr("v",
+        "CASE WHEN idx < 64 THEN idx ELSE " +
+          "shiftleft(idx % 64 + 1, idx DIV 64 - 6) - 1 END AS ub")
+      .filter(col("ub") < col("v") || (col("ub") - col("v")) * 32 > col("v"))
+    assert(bad.count() === 0L)
+    // and the full sketch pipeline's self-check verdicts all pass
+    val got = graft.operators.TextAnalysis.quantileSketch(spark, sf0001)
+    assert(got.count() > 0L)
+    assert(got.filter(col("est_ok") =!= 1).count() === 0L)
+  }
+
   test("q144 k-anonymity: actions consistent, ladder conserves individuals") {
     val got = graft.operators.Curation.kAnonymity(spark, sf0001).cache()
     try {
