@@ -588,6 +588,112 @@ object Sink {
     }
   }
 
+  /** q148 erase range: the q60 key range, so the file-prune story and
+    * its oracle predicate are shared verbatim.
+    */
+  private val EraseLo = "200".getBytes("UTF-8")
+  private val EraseHi = "300".getBytes("UTF-8")
+
+  /** PHYSICAL ERASURE of a key range from a manifested generation —
+    * the right-to-be-forgotten primitive. Tombstones (q81's change
+    * feed, the reference's deletion model) only SHADOW data; an
+    * erasure request requires the bytes gone, which means rewriting
+    * files — and the manifest's per-file key ranges make that rewrite
+    * SURGICAL: only files whose [min,max] intersects the erase range
+    * are read, filtered, and re-staged; every other file is untouched
+    * (not read, not copied — at 100 TB with range-clustered keys,
+    * that is the difference between rewriting a few files and
+    * rewriting the table). Commit is the q77 discipline: staged files
+    * land under unreferenced `erased-*` names, one atomic manifest
+    * `replace` swaps them in, originals are deleted only after the
+    * commit — a reader sees the old table or the new one, never a
+    * partial erase; a crash before commit leaves the table intact
+    * plus sweepable garbage.
+    *
+    * Returns (files rewritten, files untouched).
+    */
+  private[graft] def eraseRange(spark: SparkSession, outDir: String,
+      lo: Array[Byte], hi: Array[Byte]): (Int, Int) = {
+    import java.util.Arrays.compareUnsigned
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(conf)
+    val snap = graft.sources.GenManifest.read(outDir, conf).getOrElse(
+      throw new IllegalStateException(
+        s"eraseRange requires a manifested directory: $outDir"))
+    val (touched, untouched) = snap.entries.partition { e =>
+      // conservative: a file with no recorded range might hold anything
+      !e.hasRange ||
+        (compareUnsigned(e.max, lo) >= 0 && compareUnsigned(e.min, hi) < 0)
+    }
+    if (touched.isEmpty) return (0, untouched.length)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(dirPath, ".erase-" + runId)
+    spark.read.format("proto-zst")
+      .load(touched.map(e => new org.apache.hadoop.fs.Path(dirPath, e.name)
+        .toString).toIndexedSeq: _*)
+      .filter(!(col("key") >= lit(lo) && col("key") < lit(hi)))
+      .write.format("proto-zst").mode("append").save(staging.toString)
+    val stagedSnap = graft.sources.GenManifest.read(staging.toString, conf)
+      .getOrElse(throw new IllegalStateException(
+        s"staging write left no manifest under $staging"))
+    val kept = stagedSnap.entries.map { e =>
+      val newName = "erased-" + runId + "-" + e.name
+      val src = new org.apache.hadoop.fs.Path(staging, e.name)
+      val dst = new org.apache.hadoop.fs.Path(dirPath, newName)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"erase aborted: rename refused for $src -> $dst; table " +
+            "unchanged (manifest not committed)")
+      fs.rename(graft.sources.RangeSidecar.sidecar(src),
+        graft.sources.RangeSidecar.sidecar(dst))
+      e.copy(name = newName)
+    }
+    graft.sources.GenManifest.replace(outDir, conf,
+      touched.map(_.name).toSet, kept)
+    // post-commit GC of the erased originals — the bytes actually go
+    touched.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(dirPath, e.name)
+      fs.delete(p, false)
+      graft.sources.RangeSidecar.delete(fs, p)
+    }
+    fs.delete(staging, true)
+    (touched.length, untouched.length)
+  }
+
+  /** q148 fixture: a fresh range-partitioned manifested generation
+    * with the [[EraseLo]], [[EraseHi]]) keys physically erased. Not
+    * shared with q60's [[rangedFixture]] — erasure mutates the
+    * directory.
+    */
+  private def erasedFixture(spark: SparkSession, dir: String): String =
+    fixture("erased:" + dir) {
+      val out = Scratch.dir("graft_erase")
+      writeNested(CellModel.nestRows(spark, dir)
+        .repartitionByRange(8, col("key")), out)
+      val (t, u) = eraseRange(spark, out, EraseLo, EraseHi)
+      require(t >= 1 && u >= 1, "erasure fixture must rewrite some files " +
+        s"and spare others (touched=$t untouched=$u) or it proves nothing")
+      out
+    }
+
+  /** q148: ERASURE READBACK — the full post-erase corpus through the
+    * manifest scan. The oracle rebuilds the same table from the raw
+    * rows MINUS the erased range, so hash equality proves both
+    * directions: every erased key is gone AND every surviving key's
+    * cells are byte-complete (a botched rewrite that dropped or
+    * duplicated a neighbor breaks the hash). File-surgery facts
+    * (untouched files not rewritten, atomic commit) are pinned by
+    * ManifestSpec, not the oracle.
+    */
+  def erasureRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.decode
+    val out = erasedFixture(spark, dir)
+    spark.read.format("proto-zst").load(out)
+      .select(decode(col("key"), "UTF-8").as("key"),
+        size(col("columns")).cast("long").as("n_cells"))
+  }
+
   /** Pre-manifest directories (foreign/legacy writers): the original
     * three-phase `.swap` rename protocol, kept so maintenance still
     * works where no manifest exists.
@@ -1037,6 +1143,7 @@ object Sink {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_erasure" -> erasureRead,
     "q111_partition_evolution" -> partitionEvolutionRead,
     "q109_schema_evolution" -> schemaEvolutionRead,
     "q103_vacuum_read" -> vacuumedRead,
@@ -1163,6 +1270,13 @@ object Sink {
       (s"SELECT key, count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells " +
         s"FROM (${Core.cellsSql}) " +
         "WHERE NOT partition_deleted AND key >= '200' AND key < '300' " +
+        "GROUP BY key"),
+    // q60's predicate NEGATED: the erase range is gone, everything
+    // else survives byte-complete
+    "q148_erasure" ->
+      (s"SELECT key, count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells " +
+        s"FROM (${Core.cellsSql}) " +
+        "WHERE NOT partition_deleted AND NOT (key >= '200' AND key < '300') " +
         "GROUP BY key"),
     "q61_compact_sink" -> compactSql,
     // the vacuum lost nothing: the head read through the surviving

@@ -167,4 +167,42 @@ class ManifestSpec extends AnyFunSuite {
     assert(latest.entries.map(_.name).toSet ===
       Set("a.proto.zst", "b.proto.zst", "c.proto.zst"))
   }
+
+  test("q148 erasure is surgical: untouched files keep their bytes, range is gone") {
+    val dir = freshDir("graft_man_erase")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(8, col("key")), dir)
+    val before = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def mtime(n: String) =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, n)).getModificationTime
+    val mtimes = before.entries.map(e => e.name -> mtime(e.name)).toMap
+    val preTotal = spark.read.format("proto-zst").load(dir).count()
+    val lo = "200".getBytes("UTF-8"); val hi = "300".getBytes("UTF-8")
+    val inRange = spark.read.format("proto-zst").load(dir)
+      .filter(col("key") >= lit(lo) && col("key") < lit(hi)).count()
+    assert(inRange > 0, "fixture must have keys to erase")
+
+    val (touched, untouched) = Sink.eraseRange(spark, dir, lo, hi)
+    assert(touched >= 1 && untouched >= 1,
+      s"erase must rewrite some files and spare others ($touched/$untouched)")
+
+    val after = GenManifest.read(dir, conf).getOrElse(fail("no manifest v2"))
+    val afterNames = after.entries.map(_.name).toSet
+    // spared files survive with IDENTICAL name and mtime — never rewritten
+    val spared = before.entries.map(_.name).filter(afterNames)
+    assert(spared.length === untouched)
+    spared.foreach(n => assert(mtime(n) === mtimes(n), s"$n was rewritten"))
+    // rewritten originals are deleted from disk; replacements are erased-*
+    before.entries.map(_.name).filterNot(afterNames).foreach { n =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, n)), s"$n not GC'd")
+    }
+    assert(afterNames.diff(before.entries.map(_.name).toSet)
+      .forall(_.startsWith("erased-")))
+    // the range is byte-gone and nothing else moved
+    val postFrame = spark.read.format("proto-zst").load(dir)
+    assert(postFrame.filter(
+      col("key") >= lit(lo) && col("key") < lit(hi)).count() === 0L)
+    assert(postFrame.count() === preTotal - inRange)
+  }
 }
