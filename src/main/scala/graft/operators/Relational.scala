@@ -708,7 +708,54 @@ object Relational {
         col("s.n_distinct"), col("s.min_value"), col("s.max_value"))
   }
 
+  private val PrIters = 3 // fixed power iterations (unrolled in the oracle)
+
+  /** q149: PAGERANK over the co-purchase graph — parts are nodes,
+    * every within-order part pair is a (directed, symmetric) edge,
+    * and [[PrIters]] damped power iterations (d = 0.85) rank parts
+    * by network centrality: the "which items anchor the catalog"
+    * signal a recommender or curation pipeline derives from
+    * transaction logs. All arithmetic is integer micro-units —
+    * rank starts at 10⁶, each step emits
+    * `150000 + Σ (r·850) DIV (1000·deg)` — so the fixpoint trajectory
+    * is bit-identical across engines (float PageRank would drift with
+    * summation order) and the oracle unrolls the same three steps as
+    * chained CTEs.
+    *
+    * Scale shape: edge generation is an equi-join on the order key
+    * (per-order fan-out is basket-size-bounded, never all-pairs);
+    * each iteration is ONE join of the edge list against the
+    * node-sized rank table plus ONE dst-keyed re-aggregation with
+    * map-side partials — the canonical distributed PageRank step.
+    * Edges and degrees are localCheckpointed once (built once, read
+    * every iteration — the persist every Pregel implementation does);
+    * iteration count is FIXED, so lineage stays bounded without
+    * iterative re-checkpointing. A hot node (q112's skew story) fans
+    * its in-edges across partitions; the partial aggregation absorbs
+    * them before the shuffle.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgeDeg = edges.join(deg, "src").localCheckpoint(eager = false)
+    var r = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    (1 to PrIters).foreach { _ =>
+      r = edgeDeg.join(r, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(r * 850) DIV (1000 * deg)")).as("contrib"))
+        .select(col("dst").as("id"), (lit(150000L) + col("contrib")).as("r"))
+    }
+    r.join(deg.select(col("src").as("id"), col("deg")), "id")
+      .select(col("id").as("p_partkey"), col("deg"),
+        col("r").as("rank_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_pagerank" -> pagerank,
     "q135_aqp_sample" -> aqpSample,
     "q118_scd2_intervals" -> scd2Intervals,
     "q119_cube" -> cubePricing,
@@ -742,7 +789,28 @@ object Relational {
     }.mkString("\nUNION ALL\n")
   }
 
+  private val pagerankSql = {
+    val steps = (1 to PrIters).map { k =>
+      s"""r$k AS (SELECT e.dst id,
+         |  150000 + CAST(sum((r.r * 850) // (1000 * d.deg)) AS BIGINT) r
+         |  FROM e JOIN r${k - 1} r ON e.src = r.id
+         |         JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey src, b.l_partkey dst FROM li a JOIN li b
+       |      ON a.l_orderkey = b.l_orderkey
+       |     AND a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, count(*) deg FROM e GROUP BY 1),
+       |r0 AS (SELECT src id, CAST(1000000 AS BIGINT) r FROM deg),
+       |$steps
+       |SELECT r$PrIters.id p_partkey, CAST(d2.deg AS BIGINT) deg,
+       |  r$PrIters.r rank_micro
+       |FROM r$PrIters JOIN deg d2 ON d2.src = r$PrIters.id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q149_pagerank" -> pagerankSql,
     "q135_aqp_sample" ->
       (s"""WITH l AS (SELECT o_orderpriority,
           |        CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc,

@@ -1189,6 +1189,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 pagerank matches a driver-side integer replay") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.toSeq.flatMap { order =>
+      for (a <- order.toSeq; b <- order.toSeq if a._2 != b._2)
+        yield (a._2, b._2)
+    }
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = deg.map { case (id, _) => id -> 1000000L }
+    (1 to 3).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          (r(src) * 850L) / (1000L * deg(src))
+        }.sum
+      }
+      r = contrib.map { case (id, c) => id -> (150000L + c) }
+    }
+    val got = graft.operators.Relational.pagerank(spark, sf0001)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(got.keySet === r.keySet)
+    r.foreach { case (id, rank) =>
+      assert(got(id)._1 === deg(id), s"deg $id")
+      assert(got(id)._2 === rank, s"rank $id")
+    }
+  }
+
   test("q146 PMI: ranks strict, support floor holds, marginals conserve") {
     val got = graft.operators.TextAnalysis.pmiBigrams(spark, sf0001).cache()
     try {
