@@ -20,6 +20,45 @@ import org.apache.spark.sql.expressions.Aggregator
   * sort is a deliberate simplicity trade a production kernel replaces
   * with a bounded priority queue at large k — same plan shape.
   */
+/** Bounded k-minimum-values (KMV / bottom-k) typed [[Aggregator]]: the
+  * k smallest DISTINCT longs of a group, kept sorted. This IS the KMV
+  * distinct sketch (Bar-Yossef et al.; Beyer et al.'s "distinct
+  * sampling"): the buffer is at most k values, partial-aggregates
+  * merge by sorted-union-truncate (order-insensitive, idempotent —
+  * re-inserting a seen hash is a no-op), so each map task ships at
+  * most k longs per group to the shuffle and the finished sketch is
+  * KB-sized state that unions with any other group's sketch WITHOUT
+  * rescanning data. Unlike HLL registers, the sketch retains the
+  * sample values themselves, so two sketches support set
+  * INTERSECTION/Jaccard estimates, not just unions — the q151 story.
+  *
+  * Inserts take the O(1) reject fast path once the buffer is warm
+  * (a >= max ⟹ untouched); accepted values binary-search into the
+  * sorted vector. Expected accepts per partition are k·H(n/k) — the
+  * classic bottom-k insertion bound — so the O(k) vector patch never
+  * dominates the scan.
+  */
+class KMinLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  import scala.collection.Searching.{Found, InsertionPoint}
+  private def ins(b: Seq[Long], a: Long): Seq[Long] =
+    if (b.length >= k && a >= b.last) b
+    else b.search(a) match {
+      case Found(_) => b // distinct semantics: duplicates never occupy a slot
+      case InsertionPoint(i) =>
+        val grown = b.take(i) ++ (a +: b.drop(i))
+        if (grown.length > k) grown.take(k) else grown
+    }
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] = ins(b, a)
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    b2.foldLeft(b1)(ins)
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 class TopKScored(k: Int)
     extends Aggregator[(Long, Long, Double), Seq[(Long, Double)],
       Seq[(Long, Double)]] {

@@ -520,20 +520,28 @@ object Dedup {
     * Recall contract, stated precisely: the positional-q-gram bound
     * (ed ≤ k destroys ≤ k·q grams) guarantees ≥ max(len)−q+1−k·q
     * MATCHING POSITIONS, so ≥1 shared gram STRING whenever
-    * max(len) ≥ q·(k+1) = 9 here — blocking is provably
-    * lossless for names of length ≥ 9 and heuristic below that (the
-    * spec's brute-force sweep proves nothing is lost on THIS corpus,
-    * whose names span 7–12 chars). The tighter multiset COUNT filter
-    * from the ppjoin literature is deliberately NOT applied: over
-    * distinct grams it is unsound (a repeated-trigram name like
-    * `aaaaaaaaaaaa` has ONE distinct gram and would be falsely
-    * pruned); `n_shared_grams` is reported as a signal, never used to
-    * prune.
+    * max(len) ≥ q·(k+1) = 9 here — gram blocking is provably lossless
+    * whenever the LONGER name has ≥ 9 chars. Pairs where BOTH names
+    * are shorter get a second, equally lossless candidate path: ed ≤ k
+    * forces |len(a)−len(b)| ≤ k, so the short tail (len ≤ 8) is
+    * length-band equi-joined (each short name fans out to its k=2
+    * neighboring lengths — a vocabulary-sized, alphabet-bounded set).
+    * Together the two generators make the ENGINE zero-false-negative
+    * for every input, and the ORACLE is the order-independent
+    * brute-force all-pairs join (the q137 discipline) — hash equality
+    * IS the corpus-wide no-recall-loss proof, every round, so a
+    * testdata regen with adversarial short names fails loudly instead
+    * of silently losing pairs. The tighter multiset COUNT filter from
+    * the ppjoin literature is deliberately NOT applied: over distinct
+    * grams it is unsound (a repeated-trigram name like `aaaaaaaaaaaa`
+    * has ONE distinct gram and would be falsely pruned);
+    * `n_shared_grams` is reported as a signal, never used to prune.
     *
     * Scale: the entity catalog is vocabulary-sized (distinct names),
     * orders smaller than the corpus that references it; gram-bucket
     * skew (a stop-gram shared by everything) is the q72 salting story
-    * if it appears.
+    * if it appears, and the length-band buckets are bounded by the
+    * count of ≤ 8-char names — an alphabet-bounded short tail.
     */
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     fuzzyJoinOf(Tables.part(spark, dir).select(col("p_name").as("name")))
@@ -542,15 +550,37 @@ object Dedup {
     * repeated-gram regression spec.
     */
   private[graft] def fuzzyJoinOf(names0: DataFrame): DataFrame = {
-    val names = names0.distinct().filter(length(col("name")) >= FuzzyQ)
-    val grams = names.select(col("name"), explode(array_distinct(
-      transform(sequence(lit(1), length(col("name")) - (FuzzyQ - 1)), i =>
-        col("name").substr(i, lit(FuzzyQ))))).as("g"))
-    grams.as("a")
+    val withGrams = names0.distinct()
+      .filter(length(col("name")) >= FuzzyQ)
+      .select(col("name"), array_distinct(
+        transform(sequence(lit(1), length(col("name")) - (FuzzyQ - 1)), i =>
+          col("name").substr(i, lit(FuzzyQ)))).as("gs"))
+      .localCheckpoint(eager = false) // feeds both generators + verify
+    val grams = withGrams.select(col("name"), explode(col("gs")).as("g"))
+    val gramCand = grams.as("a")
       .join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.name") < col("b.name"))
-      .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .agg(count(lit(1)).as("n_shared_grams"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    // lossless short-tail path: gram blocking only covers pairs whose
+    // LONGER name has >= q*(k+1) chars; both-short pairs come from a
+    // length-band equi-join instead (ed <= k forces |len diff| <= k)
+    val shortMax = FuzzyQ * (FuzzyMaxDist + 1) - 1
+    val short = withGrams.select(col("name"))
+      .filter(length(col("name")) <= shortMax)
+    val bandCand = short
+      .select(col("name"), explode(sequence(
+        length(col("name")) - FuzzyMaxDist,
+        length(col("name")) + FuzzyMaxDist)).as("lb")).as("a")
+      .join(short.select(col("name"), length(col("name")).as("lb")).as("b"),
+        col("a.lb") === col("b.lb") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    gramCand.union(bandCand).distinct()
+      .join(withGrams.select(col("name").as("name_a"), col("gs").as("ga")),
+        "name_a")
+      .join(withGrams.select(col("name").as("name_b"), col("gs").as("gb")),
+        "name_b")
+      .withColumn("n_shared_grams",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= FuzzyMaxDist)
       .select(col("name_a"), col("name_b"), col("n_shared_grams"),
@@ -744,6 +774,74 @@ object Dedup {
           lit(SketchBoundMilli) * col("exact_n")).cast("int").as("est_ok"))
   }
 
+  private val KmvK = 1024 // bottom-k sketch size (distinct k-min hashes)
+  // q151's est_ok is pinned TRUE in the oracle (the q134/q138 contract
+  // pattern): the KMV Jaccard estimator is a hypergeometric sample of
+  // k union elements, sd <= 0.5/sqrt(k) ≈ 15.7 milli absolute at
+  // k = 1024, so the accepted absolute bound must stay >= 6 sigma or
+  // the deterministic hash gate becomes a coin flip.
+  private val KmvBoundMilli = 100L
+  require(KmvBoundMilli.toDouble >= 6.0 * 500.0 / math.sqrt(KmvK.toDouble),
+    s"q151 est_ok is pinned TRUE; bound ${KmvBoundMilli}m must stay " +
+      s">= 6x the k=$KmvK KMV sd (${500.0 / math.sqrt(KmvK.toDouble)}m)")
+
+  /** q151: KMV (BOTTOM-K) SKETCH JACCARD — per-source k-minimum-values
+    * sketches of the shingle-hash sets ([[graft.functions.KMinLongs]]),
+    * pairwise-merged to estimate cross-source JACCARD directly: the
+    * set operation HLL registers structurally cannot support (q134
+    * unions two HLLs but must inclusion-exclude intersections from
+    * exact counts; a KMV sketch retains sample VALUES, so
+    * `|kmin_k(A∪B) ∩ A ∩ B| / k` estimates J(A,B) from the sketches
+    * alone). Merge is sorted-union-truncate — order-insensitive,
+    * idempotent, k longs of state — so per-source sketches build in
+    * ONE pass with map-side partials and any pair compares later
+    * without rescanning the corpus. The estimate is bound-checked
+    * IN-PLAN against the exact intersection join (the q90/q134
+    * discipline, |est−exact| ≤ [[KmvBoundMilli]] milli absolute) and
+    * every arithmetic step is integer (DIV), so the oracle replays
+    * the identical sketch — hash equality pins the estimator itself,
+    * not just the verdict.
+    *
+    * Scale: the exact intersection here exists only to check the
+    * contract at test scale and is the thing the sketch replaces at
+    * 100 TB; sketch state is k·8 bytes per source — metadata-tier.
+    */
+  def kmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = sourceShingles(Tables.documents(spark, dir))
+      .localCheckpoint(eager = false) // feeds sketch build + exact check
+    val km = sh.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.KMinLongs(KmvK).toColumn.name("kl"))
+      .toDF("source", "kl")
+    val dsh = sh.distinct()
+    val counts = dsh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = dsh.as("a").join(dsh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val sk = km.join(counts, "source")
+    sk.as("x").join(broadcast(sk.as("y")), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"),
+        col("x.kl").as("ka"), col("y.kl").as("kb"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("u",
+        slice(array_sort(array_union(col("ka"), col("kb"))), 1, KmvK))
+      .withColumn("kp", size(col("u")).cast("long"))
+      .withColumn("n_both", size(array_intersect(col("u"),
+        array_intersect(col("ka"), col("kb")))).cast("long"))
+      .withColumn("est_milli", expr("(1000 * n_both) DIV kp"))
+      .withColumn("exact_milli",
+        expr("(1000 * exact_inter) DIV (n_a + n_b - exact_inter)"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("exact_inter"), col("est_milli"), col("exact_milli"),
+        (abs(col("est_milli") - col("exact_milli")) <= KmvBoundMilli)
+          .cast("int").as("est_ok"))
+  }
+
   /** q140: THE NIGHTLY DROP — the incremental steps q58/q121/q138 each
     * prove alone, composed into ONE plan that takes the new-corpus
     * drop (q58's doc_id ≡ 7 mod 10 convention) from raw text to a
@@ -902,6 +1000,7 @@ object Dedup {
     "q145_sorted_neighborhood" -> sortedNeighborhood,
     "q143_dup_spans" -> dupSpans,
     "q140_nightly_drop" -> nightlyDrop,
+    "q151_kmv_jaccard" -> kmvJaccard,
     "q138_sketch_increment" -> sketchIncrement,
     "q137_prefix_join" -> prefixJoin,
     "q134_sketch_union" -> sketchUnion,
@@ -1090,18 +1189,21 @@ object Dedup {
       .replace("@PAIRS@", minhashSql)
       .replace("@H60@", sqlHash60("text"))
 
+  // Deliberately BRUTE FORCE (all pairs, no gram blocking): the oracle
+  // must not replay the engine's candidate generation, or the
+  // cross-engine hash gate is structurally blind to recall loss. The
+  // entity catalog is vocabulary-sized, so all-pairs is affordable in
+  // the oracle even though the engine never does it.
   private val fuzzyJoinSql =
-    s"""WITH nm AS (SELECT DISTINCT p_name AS name FROM part
-       |            WHERE len(p_name) >= $FuzzyQ),
-       |g AS (SELECT name, unnest(list_distinct(list_transform(
+    s"""WITH g AS (SELECT name, list_distinct(list_transform(
        |        range(1, len(name) - ${FuzzyQ - 2}),
-       |        i -> substr(name, CAST(i AS INTEGER), $FuzzyQ)))) AS g
-       |      FROM nm),
-       |c AS (SELECT a.name AS name_a, b.name AS name_b,
-       |        count(*) AS n_shared_grams
-       |      FROM g a JOIN g b ON a.g = b.g AND a.name < b.name
-       |      GROUP BY a.name, b.name),
-       |f AS (SELECT *, levenshtein(name_a, name_b) AS dist FROM c)
+       |        i -> substr(name, CAST(i AS INTEGER), $FuzzyQ))) AS gs
+       |      FROM (SELECT DISTINCT p_name AS name FROM part
+       |            WHERE len(p_name) >= $FuzzyQ)),
+       |f AS (SELECT a.name AS name_a, b.name AS name_b,
+       |        len(list_intersect(a.gs, b.gs)) AS n_shared_grams,
+       |        levenshtein(a.name, b.name) AS dist
+       |      FROM g a JOIN g b ON a.name < b.name)
        |SELECT name_a, name_b, CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
        |  dist
        |FROM f WHERE dist <= $FuzzyMaxDist""".stripMargin
@@ -1153,6 +1255,46 @@ object Dedup {
        |SELECT source, CAST(count(*) AS BIGINT) AS exact_n,
        |  CAST(1 AS INTEGER) AS est_ok
        |FROM s GROUP BY source""".stripMargin
+
+  // Full sketch REPLICATION, not just a pinned verdict: KMV is pure
+  // integer arithmetic over md5-derived hashes, so the oracle rebuilds
+  // the identical bottom-k sets and the identical estimate — a drifted
+  // merge or estimator changes est_milli and fails the hash directly.
+  private val kmvJaccardSql =
+    s"""WITH w AS (SELECT source, $sqlWords ws FROM documents),
+       |s AS (SELECT DISTINCT source, h FROM (
+       |    SELECT source, unnest(list_transform(
+       |        list_transform(range(1, len(ws)-1),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+       |        g -> ${sqlHash60("g")})) AS h
+       |    FROM w WHERE len(ws) >= 3)),
+       |km AS (SELECT source, list_sort(list(h)) kl FROM (
+       |    SELECT source, h FROM s
+       |    QUALIFY row_number() OVER (PARTITION BY source ORDER BY h)
+       |      <= $KmvK) GROUP BY source),
+       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) n FROM s
+       |        GROUP BY source),
+       |c AS (SELECT km.source, km.kl, cnt.n FROM km
+       |      JOIN cnt ON km.source = cnt.source),
+       |i AS (SELECT a.source sa, b.source sb, CAST(count(*) AS BIGINT) xi
+       |      FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+       |      GROUP BY 1, 2),
+       |p AS (SELECT x.source source_a, y.source source_b, x.n n_a, y.n n_b,
+       |        list_slice(list_sort(list_distinct(list_concat(x.kl, y.kl))),
+       |          1, $KmvK) u,
+       |        list_intersect(x.kl, y.kl) xb
+       |      FROM c x JOIN c y ON x.source < y.source),
+       |e AS (SELECT source_a, source_b, n_a, n_b,
+       |        CAST(len(u) AS BIGINT) kp,
+       |        CAST(len(list_intersect(u, xb)) AS BIGINT) n_both
+       |      FROM p)
+       |SELECT source_a, source_b, n_a, n_b,
+       |  coalesce(xi, 0) AS exact_inter,
+       |  CAST((1000 * n_both) // kp AS BIGINT) AS est_milli,
+       |  CAST((1000 * coalesce(xi, 0)) //
+       |    (n_a + n_b - coalesce(xi, 0)) AS BIGINT) AS exact_milli,
+       |  CAST(1 AS INTEGER) AS est_ok
+       |FROM e LEFT JOIN i ON source_a = i.sa AND source_b = i.sb""".stripMargin
 
   // the q58 verdict, q121 split rule, and q138 exact-side replayed as
   // one composition — each CTE verbatim from its standalone oracle so
@@ -1235,6 +1377,7 @@ object Dedup {
     "q145_sorted_neighborhood" -> snmSql,
     "q143_dup_spans" -> dupSpansSql,
     "q140_nightly_drop" -> nightlyDropSql,
+    "q151_kmv_jaccard" -> kmvJaccardSql,
     "q138_sketch_increment" -> sketchIncrementSql,
     "q137_prefix_join" -> prefixJoinSql,
     "q134_sketch_union" -> sketchUnionSql,

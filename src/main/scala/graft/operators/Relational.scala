@@ -754,7 +754,71 @@ object Relational {
         col("r").as("rank_micro"))
   }
 
+  /** q150: TRIANGLE COUNTING over the co-purchase graph (q149's node/
+    * edge derivation, deduplicated to a simple undirected graph) —
+    * per-part triangle participation, the local-clustering signal
+    * community detection and link-spam audits start from.
+    *
+    * The kernel is the degree-ordered node-iterator (Schank & Wagner's
+    * forward/compact-forward; the shape every distributed triangle
+    * paper from Cohen's MapReduce version onward uses): orient each
+    * edge from the lower-(degree, id) endpoint to the higher, build
+    * wedges by self-joining oriented edges on their SOURCE, and close
+    * each wedge with a semi-equi-join against the oriented edge list.
+    * Orientation is what makes this scale: every triangle is generated
+    * from exactly ONE of its three nodes (no triple counting, no
+    * dedup pass), and a hot hub with degree d contributes wedges only
+    * through its ORIENTED out-degree, which degree-ordering bounds by
+    * O(√m) on any graph (arboricity) — a value-ordered or unoriented
+    * wedge join would square the hub's degree instead (q112's skew
+    * lesson applied to graphs). Every join is an equi-join on a node
+    * key; nothing is ever all-pairs.
+    *
+    * The oracle is algorithm-INDEPENDENT: an id-ordered 3-way join
+    * counts each triangle once with no orientation machinery, so hash
+    * equality proves the oriented plan loses and invents nothing.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val und = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    trianglesOf(und)
+  }
+
+  /** The q150 kernel over an explicit simple undirected edge frame
+    * (`u` < `v`, deduplicated) — exposed for the crafted-graph spec.
+    */
+  private[graft] def trianglesOf(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false) // read by orientation + final join
+    val e = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint(eager = false) // wedge build reads it twice
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.s") === col("y.s") && col("x.t") =!= col("y.t"))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+    val tri = wedges.join(e,
+        col("b") === col("s") && col("c") === col("t"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("p_partkey"))
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_triangles"))
+      .join(deg.select(col("id").as("p_partkey"), col("deg")), "p_partkey")
+      .select(col("p_partkey"), col("deg"), col("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_triangles" -> triangles,
     "q149_pagerank" -> pagerank,
     "q135_aqp_sample" -> aqpSample,
     "q118_scd2_intervals" -> scd2Intervals,
@@ -809,7 +873,26 @@ object Relational {
        |FROM r$PrIters JOIN deg d2 ON d2.src = r$PrIters.id""".stripMargin
   }
 
+  // algorithm-independent ground truth: id-ordered 3-way join, no
+  // degree orientation — hash equality proves the oriented wedge plan
+  // finds every triangle exactly once
+  private val trianglesSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey u, b.l_partkey v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey),
+      |t AS (SELECT ab.u a, ab.v b, bc.v c
+      |      FROM e ab JOIN e bc ON ab.v = bc.u
+      |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+      |n AS (SELECT unnest([a, b, c]) p_partkey FROM t),
+      |d AS (SELECT p_partkey, CAST(count(*) AS BIGINT) deg FROM
+      |      (SELECT unnest([u, v]) p_partkey FROM e) GROUP BY 1)
+      |SELECT n.p_partkey, d.deg, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM n JOIN d ON n.p_partkey = d.p_partkey
+      |GROUP BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q150_triangles" -> trianglesSql,
     "q149_pagerank" -> pagerankSql,
     "q135_aqp_sample" ->
       (s"""WITH l AS (SELECT o_orderpriority,

@@ -119,4 +119,24 @@ class KernelPropertySpec extends AnyFunSuite {
       j < t || prefix(a).intersect(prefix(b)).nonEmpty
     }, n = 500)
   }
+
+  test("q151 KMinLongs == sorted-distinct-take-k under any split/order") {
+    val k = 8
+    val genVals = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 30L))) // dense range forces dups
+    val genSplit = Gen.chooseNum(0.0, 1.0)
+    check(Prop.forAll(genVals, genSplit) { (vals, frac) =>
+      val agg = new graft.functions.KMinLongs(k)
+      val ref = vals.distinct.sorted.take(k)
+      // single-pass reduce over one partition
+      val one = vals.foldLeft(agg.zero)(agg.reduce)
+      // two partitions merged (either order) — mergeability contract
+      val cut = (vals.length * frac).toInt
+      val (l, r) = vals.splitAt(cut)
+      val (bl, br) = (l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      one == ref && agg.merge(bl, br) == ref && agg.merge(br, bl) == ref &&
+        agg.merge(one, one) == ref // idempotent: re-union is a no-op
+    }, n = 500)
+  }
 }

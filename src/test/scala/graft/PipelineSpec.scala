@@ -1059,6 +1059,35 @@ class PipelineSpec extends AnyFunSuite {
       s"expected the ed-1 pair to survive, got ${got.mkString(";")}")
   }
 
+  test("q150 oriented wedges count K4's triangles once each; stars none") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, every node in exactly 3 of them;
+    // star 10-(11,12,13): zero triangles (its wedges never close), and
+    // its nodes must be ABSENT, not zero-rows
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L)).toDF("u", "v")
+    val got = graft.operators.Relational.trianglesOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L),
+      (4L, 3L, 3L)))
+  }
+
+  test("q127 short names with ZERO shared grams still pair (band path)") {
+    import spark.implicits._
+    // 'abc' vs 'bcd': ed = 2 but no shared trigram at all — the q-gram
+    // generator is structurally blind here (max len 3 < q*(k+1) = 9);
+    // the length-band path must surface the pair with
+    // n_shared_grams = 0. 'abcdefghij' is a gram-candidate against
+    // 'abc' (shared gram 'abc') but ed = 7 fails verify — candidates
+    // may over-generate, the output may not.
+    val got = graft.operators.Dedup.fuzzyJoinOf(
+      Seq("abc", "bcd", "abcdefghij").toDF("name")).collect()
+    assert(got.length === 1, s"expected exactly 1 pair, got " +
+      s"${got.mkString(";")}")
+    assert(got(0).getString(0) === "abc" && got(0).getString(1) === "bcd")
+    assert(got(0).getLong(2) === 0L && got(0).getInt(3) === 2)
+  }
+
   test("q130 MapState accumulates across real micro-batches") {
     // spec-local fixture pinned to 3 files so maxFilesPerTrigger=1
     // genuinely yields multiple batches (AQE can coalesce the shared
