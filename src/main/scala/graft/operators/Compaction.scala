@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * model so the DuckDB oracle can replay the identical merge:
   * generation 0 is [[CellModel.cellStrings]]; generation 1 is an
   * overlay of updates (keys ≡ 2 mod 5: new value, +1h writeTime) and
-  * cell tombstones (keys ≡ 4 mod 5: deletion at +1h).
+  * cell tombstones (keys ≡ 4 mod 5: deletion at +1h). ONE builder
+  * ([[generations]]) feeds q53 and q154, and ONE CTE string feeds both
+  * oracles, so the merge contract and the gc contract can never drift.
   *
   * Scale shape: ONE shuffle, on (key, name) — `max(struct(...))` is a
   * hash aggregation with map-side partials, so co-located generations
@@ -28,11 +30,10 @@ object Compaction {
 
   private val HourUs = 3600000000L // writeTime is µs
 
-  /** q53: newest-cell-wins merge of two generations with tombstone
-    * shadowing. Output: the reconciled live cell set, tagged with the
-    * generation each surviving cell came from.
+  /** The two-generation union (gen 0 + overlay gen 1), all cell kinds,
+    * partition tombstones still attached — the shared q53/q154 input.
     */
-  def compact(spark: SparkSession, dir: String): DataFrame = {
+  private def generations(spark: SparkSession, dir: String): DataFrame = {
     val gen0 = CellModel.cellStrings(spark, dir)
       .withColumn("gen", lit(0))
     val live0 = gen0.filter(col("kind") === "live")
@@ -48,25 +49,213 @@ object Compaction {
       .withColumn("kind", lit("deleted"))
       .withColumn("gen", lit(1))
     gen0.unionByName(updates).unionByName(tombstones)
-      .filter(!col("partition_deleted"))
+  }
+
+  /** Newest-cell-wins merge: per (key, name), the lexicographic
+    * struct-max picks the highest (write_time, gen) — the shared
+    * reconcile kernel of q53 and q154.
+    */
+  private def mergedOf(u: DataFrame): DataFrame =
+    u.filter(!col("partition_deleted"))
       .groupBy(col("key"), col("name"))
       // lexicographic struct max == newest writeTime wins (generation as
       // tie-break; unique here since the overlay always bumps the time)
       .agg(max(struct(col("write_time"), col("gen"), col("kind"),
         col("value"))).as("w"))
+
+  private def merged(spark: SparkSession, dir: String): DataFrame =
+    mergedOf(generations(spark, dir))
+
+  /** q53: newest-cell-wins merge of two generations with tombstone
+    * shadowing. Output: the reconciled live cell set, tagged with the
+    * generation each surviving cell came from.
+    */
+  def compact(spark: SparkSession, dir: String): DataFrame =
+    merged(spark, dir)
       .filter(col("w.kind") === "live")
       .select(col("key"), col("name"), col("w.value").as("value"),
         col("w.write_time").as("write_time"), col("w.gen").as("gen"))
+
+  private val GraceUs = 15L * 24 * 3600 * 1000000L // gc_grace analog: 15 days
+
+  /** q154: GC-GRACE TOMBSTONE PURGE — q53 drops every deletion marker,
+    * which is only safe when the compaction provably saw ALL
+    * generations; Cassandra's real contract (gc_grace_seconds) RETAINS
+    * markers younger than the grace window, because a marker purged
+    * too early lets an unmerged older generation (or a lagging
+    * replica) resurrect the deleted cell on the next merge. This
+    * operator emits the post-compaction cell set under that contract:
+    * live winners pass through; tombstone winners PURGE their shadowed
+    * data always, but the marker row itself survives iff
+    * `write_time ≥ max(write_time) − grace` (the horizon is derived
+    * from the data so both engines compute it identically, as a
+    * broadcast 1-row scalar — no driver-side collect).
+    *
+    * Scale: the same single (key, name) hash-aggregation shuffle as
+    * q53 plus a scalar broadcast; grace filtering is row-local on the
+    * merged output. At 100 TB the retained-marker fraction is what a
+    * size-tiered store carries between majors — this query is the
+    * audit that measures it (`kind` column: 'live' vs 'deleted').
+    */
+  def gcGrace(spark: SparkSession, dir: String): DataFrame =
+    gcGraceOf(generations(spark, dir))
+
+  /** The q154 kernel over an explicit generation-union frame — exposed
+    * for the resurrection/retention semantics spec.
+    */
+  private[graft] def gcGraceOf(u: DataFrame): DataFrame = {
+    val cutoff = u.filter(!col("partition_deleted"))
+      .agg((max(col("write_time")) - GraceUs).as("gc_cutoff"))
+    graft.functions.Portable.withScalar(mergedOf(u), cutoff)
+      .filter(col("w.kind") === "live" ||
+        (col("w.kind") === "deleted" &&
+          col("w.write_time") >= col("gc_cutoff")))
+      .select(col("key"), col("name"), col("w.kind").as("kind"),
+        col("w.value").as("value"), col("w.write_time").as("write_time"),
+        col("w.gen").as("gen"))
+  }
+
+  /** Integer-only tier function: tier = ⌊log₄(rows)⌋ as a CASE chain —
+    * the SAME SQL string runs in both engines, so no float log can
+    * drift the boundary. 15 tiers cover 4^15 ≈ 10⁹ rows per file.
+    */
+  private def tierCase(c: String): String =
+    (0 until 15).map(k => s"WHEN $c < ${1L << (2 * (k + 1))} THEN $k")
+      .mkString("CASE ", " ", " ELSE 15 END")
+
+  /** Deterministic multi-file generation layout for q153: nested rows
+    * split into 11 files by partition-key groups (8 small: key%32 =
+    * 0..7; 2 medium: 4 mods each; 1 large: the remaining 16 mods), so
+    * every file's ROW COUNT is a pure function of the data and the
+    * DuckDB oracle can replay the planner without reading the sink.
+    */
+  private[graft] def tieredFixture(spark: SparkSession, dir: String): String =
+    Sink.fixture("tiered:" + dir) {
+      val out = Scratch.dir("graft_tiered")
+      val nested = CellModel.nestRows(spark, dir)
+        .withColumn("g", col("key").cast("string").cast("long") % 32)
+      def part(p: org.apache.spark.sql.Column): DataFrame =
+        nested.filter(p).drop("g").coalesce(1)
+      (0 to 7).foreach(g => Sink.writeNested(part(col("g") === g), out))
+      Sink.writeNested(part(col("g") >= 8 && col("g") <= 11), out)
+      Sink.writeNested(part(col("g") >= 12 && col("g") <= 15), out)
+      Sink.writeNested(part(col("g") >= 16), out)
+      out
+    }
+
+  /** q153: SIZE-TIERED COMPACTION PLANNING from the generation
+    * MANIFEST — Cassandra's STCS decision ("bucket files of similar
+    * size; compact any bucket with ≥ min_threshold = 4 files"),
+    * planned WITHOUT opening a single data file: the sink's manifest
+    * already carries per-file row counts ([[graft.sources.GenManifest]]),
+    * so the planner reads one KB-sized snapshot and the whole decision
+    * is arithmetic over ≤ generations-many rows. That is the 100 TB
+    * point: with millions of files, the thing that must never be
+    * O(data) — or even O(listStatus) — is the compaction SCHEDULER;
+    * here it is O(manifest). Tiers are ⌊log₄(rows)⌋ ([[tierCase]] —
+    * integer CASE, shared verbatim with the oracle), `compact = 1`
+    * marks tiers at Cassandra's default min_threshold.
+    *
+    * The oracle recomputes every file's row count from the RAW table
+    * (the split rule is content-keyed), so the hash gate also proves
+    * the manifest's counts are truthful — the planner's input audit
+    * and the plan itself in one check.
+    */
+  def sizeTiered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tieredFixture(spark, dir)
+    val snap = graft.sources.GenManifest
+      .read(out, spark.sessionState.newHadoopConf())
+      .getOrElse(sys.error(s"q153: no manifest under $out"))
+    snap.entries.map(e => (e.name, e.count)).toDF("file", "n_rows")
+      .filter(col("n_rows") > 0)
+      .withColumn("tier", expr(tierCase("n_rows")))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("sum_rows"),
+        min(col("n_rows")).as("min_rows"), max(col("n_rows")).as("max_rows"))
+      .withColumn("compact", (col("n_files") >= 4).cast("int"))
+      .select(col("tier"), col("n_files"), col("sum_rows"),
+        col("min_rows"), col("max_rows"), col("compact"))
+  }
+
+  // Deterministic leveled layout for q156: two LEVELS in two sink
+  // directories (levels are separate rowsets with separate manifests).
+  // L0 holds two mutually-overlapping lexicographic key slices (the
+  // unsorted-flush shape); L1 holds three DISJOINT slices (the sorted
+  // run). ':' is the exclusive upper sentinel (ASCII after '9').
+  private val L0Slices = Seq(("1", "4"), ("3", "7"))
+  private val L1Slices = Seq(("0", "3"), ("3", "6"), ("6", ":"))
+
+  private[graft] def leveledFixture(spark: SparkSession,
+      dir: String): (String, String) =
+    Sink.fixture("leveled:" + dir) {
+      val nested = CellModel.nestRows(spark, dir)
+        .withColumn("ks", col("key").cast("string"))
+      val (out0, out1) = (Scratch.dir("graft_l0"), Scratch.dir("graft_l1"))
+      def slice(lo: String, hi: String): DataFrame =
+        nested.filter(col("ks") >= lo && col("ks") < hi).drop("ks")
+          .coalesce(1)
+      L0Slices.foreach { case (lo, hi) =>
+        Sink.writeNested(slice(lo, hi), out0) }
+      L1Slices.foreach { case (lo, hi) =>
+        Sink.writeNested(slice(lo, hi), out1) }
+      out0 + "," + out1
+    }.split(",") match { case Array(a, b) => (a, b) }
+
+  /** q156: LEVELED COMPACTION PLANNING from manifest KEY RANGES — the
+    * other half of Cassandra's compaction strategy menu (LCS; q153 is
+    * STCS): promoting an L0 file means rewriting every L1 file whose
+    * key range OVERLAPS it, so the planner's whole job is an interval
+    * join over per-file [min, max] key ranges. Those ranges live in
+    * the generation manifest ([[graft.sources.GenManifest.Entry]]
+    * minHex/maxHex — observed free at write time), so, like q153, the
+    * plan is computed from KB-sized metadata: no data file is opened,
+    * no directory listed. Output: per L0 file (identified by its
+    * min/max keys — file NAMES are task-random, ranges are content),
+    * the L1 fan-in and the total rows the promotion rewrites — the
+    * write-amplification figure an LCS scheduler budgets against.
+    *
+    * The oracle recomputes each slice's range and count from the raw
+    * table, so the hash also audits that the manifest's ranges are
+    * truthful — same double duty as q153.
+    *
+    * Scale: the interval join is over manifest rows (files), not data;
+    * at millions of files it is the classic bucketed interval join
+    * (q67) over the metadata tier — still never O(data).
+    */
+  def leveledPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (l0Dir, l1Dir) = leveledFixture(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    def entries(d: String) = graft.sources.GenManifest.read(d, conf)
+      .getOrElse(sys.error(s"q156: no manifest under $d"))
+      .entries.filter(_.count > 0)
+      .map(e => (new String(e.min, "UTF-8"), new String(e.max, "UTF-8"),
+        e.count))
+    val l0 = entries(l0Dir).toDF("mn0", "mx0", "rows0")
+    val l1 = entries(l1Dir).toDF("mn1", "mx1", "rows1")
+    l0.join(broadcast(l1),
+        col("mn0") <= col("mx1") && col("mn1") <= col("mx0"))
+      .groupBy(col("mn0").as("l0_min_key"), col("mx0").as("l0_max_key"),
+        col("rows0").as("l0_rows"))
+      .agg(count(lit(1)).as("n_l1_overlap"),
+        sum(col("rows1")).as("l1_rows"))
+      .select(col("l0_min_key"), col("l0_max_key"), col("l0_rows"),
+        col("n_l1_overlap"),
+        (col("l0_rows") + col("l1_rows")).as("rewrite_rows"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q53_compact" -> compact)
+    "q53_compact" -> compact,
+    "q153_size_tiered" -> sizeTiered,
+    "q154_gc_grace" -> gcGrace,
+    "q156_leveled_plan" -> leveledPlan)
 
-  /** Oracle: identical generations, merged with a row_number window —
-    * equivalent to the struct-max because (write_time, gen) is unique
-    * within each (key, name) group.
+  /** Shared oracle CTE: the identical two generations + the newest-wins
+    * window (equivalent to the struct-max because (write_time, gen) is
+    * unique within each (key, name) group). Both oracles read `r`.
     */
-  private val compactSql =
+  private val generationsSql =
     s"""WITH g0 AS (SELECT *, 0 AS gen FROM (${Core.cellsSql})),
        |upd AS (SELECT key, name, value || '@2' AS value,
        |          write_time + $HourUs AS write_time, kind,
@@ -83,9 +272,69 @@ object Compaction {
        |r AS (SELECT key, name, value, write_time, kind, gen,
        |        row_number() OVER (PARTITION BY key, name
        |          ORDER BY write_time DESC, gen DESC) AS rn
-       |      FROM u WHERE NOT partition_deleted)
+       |      FROM u WHERE NOT partition_deleted)""".stripMargin
+
+  private val compactSql =
+    s"""$generationsSql
        |SELECT key, name, value, write_time, gen
        |FROM r WHERE rn = 1 AND kind = 'live'""".stripMargin
 
-  val oracle: Map[String, String] = Map("q53_compact" -> compactSql)
+  private val gcGraceSql =
+    s"""$generationsSql,
+       |m AS (SELECT max(write_time) - $GraceUs AS gc_cutoff FROM u
+       |      WHERE NOT partition_deleted)
+       |SELECT key, name, kind, value, write_time, gen
+       |FROM r, m WHERE rn = 1 AND (kind = 'live'
+       |  OR (kind = 'deleted' AND write_time >= gc_cutoff))""".stripMargin
+
+  // replays the split rule from the raw table — the manifest's counts
+  // must agree or the hash fails (planner-input audit, see scaladoc)
+  private val sizeTieredSql = {
+    val tc = tierCase("n_rows")
+    s"""WITH k AS (SELECT DISTINCT CAST(key AS BIGINT) AS key
+       |      FROM (${Core.cellsSql}) WHERE NOT partition_deleted),
+       |grp AS (SELECT CASE
+       |    WHEN key % 32 <= 7 THEN CAST(key % 32 AS VARCHAR)
+       |    WHEN key % 32 <= 11 THEN 'g8_11'
+       |    WHEN key % 32 <= 15 THEN 'g12_15'
+       |    ELSE 'g16plus' END AS grp FROM k),
+       |f AS (SELECT grp, CAST(count(*) AS BIGINT) n_rows FROM grp
+       |      GROUP BY grp),
+       |t AS (SELECT $tc AS tier, n_rows FROM f)
+       |SELECT tier, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(n_rows) AS BIGINT) AS sum_rows,
+       |  min(n_rows) AS min_rows, max(n_rows) AS max_rows,
+       |  CAST(count(*) >= 4 AS INTEGER) AS compact
+       |FROM t GROUP BY tier""".stripMargin
+  }
+
+  // slice bounds spliced from the SAME Scala constants the fixture
+  // writes with; ranges and counts recomputed from the raw table so the
+  // hash audits the manifest's minHex/maxHex truthfulness
+  private val leveledPlanSql = {
+    def sliceRows(ss: Seq[(String, String)]) =
+      ss.map { case (lo, hi) => s"SELECT '$lo' AS lo, '$hi' AS hi" }
+        .mkString(" UNION ALL ")
+    s"""WITH kk AS (SELECT DISTINCT key FROM (${Core.cellsSql})
+       |      WHERE NOT partition_deleted),
+       |s0 AS (${sliceRows(L0Slices)}),
+       |s1 AS (${sliceRows(L1Slices)}),
+       |f0 AS (SELECT min(key) mn0, max(key) mx0,
+       |         CAST(count(*) AS BIGINT) rows0
+       |       FROM kk JOIN s0 ON key >= lo AND key < hi GROUP BY lo, hi),
+       |f1 AS (SELECT min(key) mn1, max(key) mx1,
+       |         CAST(count(*) AS BIGINT) rows1
+       |       FROM kk JOIN s1 ON key >= lo AND key < hi GROUP BY lo, hi)
+       |SELECT mn0 AS l0_min_key, mx0 AS l0_max_key, rows0 AS l0_rows,
+       |  CAST(count(*) AS BIGINT) AS n_l1_overlap,
+       |  CAST(rows0 + sum(rows1) AS BIGINT) AS rewrite_rows
+       |FROM f0 JOIN f1 ON mn0 <= mx1 AND mn1 <= mx0
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q53_compact" -> compactSql,
+    "q153_size_tiered" -> sizeTieredSql,
+    "q154_gc_grace" -> gcGraceSql,
+    "q156_leveled_plan" -> leveledPlanSql)
 }

@@ -147,7 +147,47 @@ object Core {
       .filter(col("ctype") === "purchase" && col("day") === IdxDay)
       .select(col("key"), col("n_cells"))
 
+  private val TokenRanges = 32 // contiguous spans of the 60-bit token ring
+  private val RangeSpan = 1L << 55 // 2^60 / 32
+
+  /** q155: TOKEN-RANGE SCAN PLANNING — how a 100 TB full scan actually
+    * parallelizes in the reference's world: Cassandra hashes each
+    * partition key to a TOKEN (originally MD5's RandomPartitioner —
+    * exactly this engine's md5-prefix [[graft.functions.Portable.hash60]])
+    * and splits the ring into contiguous ranges, each scanned
+    * independently. This query derives the [[TokenRanges]]-way split
+    * plan: per range, the partition/cell counts, the observed token
+    * bounds, and `load_milli` — the range's cell share in 1/1000ths of
+    * a perfectly uniform share — the imbalance number a scheduler
+    * compares against its straggler budget. The hash is what makes the
+    * plan safe: sequential hot keys (user_id is dense!) scatter
+    * uniformly, so range load tracks 1/[[TokenRanges]] regardless of
+    * key-space skew, and the ranges stay stable as data grows (tokens
+    * don't move — only densities do).
+    *
+    * Scale: one groupBy on `token DIV 2^55` (32 groups, map-side
+    * partials), one broadcast scalar for the share — no sort, no
+    * repartition of the corpus itself.
+    */
+  def tokenRanges(spark: SparkSession, dir: String): DataFrame = {
+    val c = CellModel.cellStrings(spark, dir)
+      .select(col("key"), graft.functions.Portable.hash60(col("key"))
+        .as("token"))
+    val perRange = c.groupBy(expr(s"token DIV $RangeSpan").as("range_id"))
+      .agg(countDistinct(col("key")).as("n_partitions"),
+        count(lit(1)).as("n_cells"),
+        min(col("token")).as("token_lo"),
+        max(col("token")).as("token_hi"))
+    val total = c.agg(count(lit(1)).as("total_cells"))
+    graft.functions.Portable.withScalar(perRange, total)
+      .withColumn("load_milli",
+        expr(s"(1000 * n_cells * $TokenRanges) DIV total_cells"))
+      .select(col("range_id"), col("n_partitions"), col("n_cells"),
+        col("token_lo"), col("token_hi"), col("load_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_token_ranges" -> tokenRanges,
     "q79_secondary_index" -> indexLookup,
     "q42_nest_chunked" -> CellModel.nestRowsChunked _,
     "q01_scan_project" -> scanProject,
@@ -204,7 +244,23 @@ object Core {
        |FROM body""".stripMargin
   }
 
+  private val tokenRangesSql =
+    s"""WITH c AS (SELECT key,
+       |        ${graft.functions.Portable.sqlHash60("key")} AS token
+       |      FROM ($cellsSql)),
+       |g AS (SELECT token // $RangeSpan AS range_id,
+       |        CAST(count(DISTINCT key) AS BIGINT) AS n_partitions,
+       |        CAST(count(*) AS BIGINT) AS n_cells,
+       |        min(token) AS token_lo, max(token) AS token_hi
+       |      FROM c GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS total_cells FROM c)
+       |SELECT range_id, n_partitions, n_cells, token_lo, token_hi,
+       |  CAST((1000 * n_cells * $TokenRanges) // total_cells AS BIGINT)
+       |    AS load_milli
+       |FROM g, t""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q155_token_ranges" -> tokenRangesSql,
     "q79_secondary_index" ->
       (s"SELECT key, count(*) AS n_cells FROM ($liveCellsSql) " +
         s"WHERE name LIKE '%:purchase' AND write_time // $DayUs = $IdxDay " +

@@ -303,6 +303,42 @@ object Curation {
       .select(col("doc_id"), col("source"), col("rank_in_source"))
   }
 
+  private val TokenBudget = 300L // per-source training-token budget
+
+  /** q157: TOKEN-BUDGET QUALITY FILL — the mixture step q63 (count
+    * cap) and q83 (ratio plan) don't cover: training runs are budgeted
+    * in TOKENS, and the docs spent against the budget should be the
+    * best ones, not a hash sample. Per source, docs are ranked by an
+    * integer quality proxy (lexical diversity:
+    * `1000·|distinct words| DIV |words|` — repetition-penalizing,
+    * deterministic) with doc_id tie-break, and the ranked PREFIX whose
+    * cumulative token count fits [[TokenBudget]] is kept — greedy
+    * highest-quality-first, the standard budgeted-curation shape
+    * (quality-classifier ordering swaps in for the proxy unchanged).
+    *
+    * Scale: one per-source window (sort-based, spillable — the q10
+    * shape); when budgets dwarf doc sizes the cutoff can instead be
+    * found by q116's histogram rank-selection over score buckets and
+    * applied as a row-local filter, same result, no full sort — the
+    * documented 100 TB escape hatch.
+    */
+  def tokenBudgetFill(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("CAST((1000 * size(array_distinct(ws))) DIV size(ws) AS BIGINT)")
+          .as("score_milli"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("score_milli"), col("cum_tokens"))
+  }
+
   /** Boilerplate window size (words) and the distinct-doc threshold at
     * which a window counts as boilerplate within its source.
     */
@@ -481,6 +517,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_token_budget" -> tokenBudgetFill,
     "q144_k_anonymity" -> kAnonymity,
     "q139_release_manifest" -> releaseManifest,
     "q121_split_assign" -> splitAssign,
@@ -495,6 +532,20 @@ object Curation {
     "q70_boilerplate" -> boilerplate)
 
   // ---- DuckDB oracles: identical algorithms, same hashes/thresholds ----
+
+  private val tokenBudgetSql =
+    s"""WITH d AS (SELECT doc_id, source, $sqlWords ws FROM documents),
+       |s AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) n_tokens,
+       |        CAST((1000 * len(list_distinct(ws))) // len(ws) AS BIGINT)
+       |          score_milli
+       |      FROM d WHERE len(ws) > 0),
+       |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+       |        ORDER BY score_milli DESC, doc_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        cum_tokens FROM s)
+       |SELECT doc_id, source, n_tokens, score_milli, cum_tokens
+       |FROM c WHERE cum_tokens <= $TokenBudget""".stripMargin
+
 
   private val redactSql = {
     val denyList = deny.map(w => s"'$w'").mkString(", ")
@@ -701,6 +752,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q144_k_anonymity" -> kAnonymitySql,
     "q139_release_manifest" -> releaseManifestSql,
+    "q157_token_budget" -> tokenBudgetSql,
     "q121_split_assign" -> splitAssignSql,
     "q122_weighted_sample" -> weightedSampleSql,
     "q100_pipeline" -> pipelineSql,

@@ -332,6 +332,55 @@ object TextAnalysis {
       .limit(30)
   }
 
+  private val CmsD = 4 // hash rows (pairwise-independent via salt)
+  private val CmsW = 2048 // buckets per row
+  private val CmsTopN = 20
+
+  /** q152: COUNT-MIN SKETCH point queries — the mergeable FREQUENCY
+    * sketch completing the sketch family (q134/q138 HLL: distinct;
+    * q147 quantile; q151 KMV: Jaccard): a [[CmsD]]×[[CmsW]] counter
+    * matrix where every token occurrence increments one bucket per
+    * hash row, and a token's frequency estimate is the MIN of its
+    * [[CmsD]] bucket counters. `ge_ok` is a THEOREM, not a statistical
+    * verdict (each bucket counts a superset of the token's
+    * occurrences, so est ≥ exact always — pinned 1 in the oracle as a
+    * hard fact); the overcount is bounded by colliding mass,
+    * E[est−exact] ≤ N/[[CmsW]] per row before the min. The estimate
+    * itself is deterministic integer arithmetic, so the oracle
+    * REBUILDS the identical sketch and the hash gate pins the
+    * estimator, not just the verdict (the q151 discipline).
+    *
+    * Scale: the sketch is ONE shuffle of at most D·W keys with
+    * map-side partials — counter matrices sum cell-wise, so per-split
+    * sketches merge without rescanning (the CRDT property every
+    * streaming/nightly frequency monitor needs); state is D·W longs,
+    * metadata-tier, vs a vocabulary-sized exact table. The exact side
+    * here exists to check the contract at test scale (q90 discipline);
+    * the probe set is the exact top-[[CmsTopN]] so the check runs
+    * where collisions matter most (heavy mass).
+    */
+  def cmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+    def rb(c: Column): Column = explode(array((0 until CmsD).map(r =>
+      struct(lit(r).as("r"),
+        pmod(hash60(concat(lit(s"cms$r:"), c)), lit(CmsW.toLong))
+          .as("b"))): _*))
+    val cells = toks.select(rb(col("w")).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w").asc).limit(CmsTopN)
+    val probes = top.select(col("w"), col("exact_n"), rb(col("w")).as("rb"))
+      .select(col("w"), col("exact_n"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    cells.join(broadcast(probes), Seq("r", "b"))
+      .groupBy(col("w"), col("exact_n"))
+      .agg(min(col("cnt")).as("est_n"))
+      .select(col("w"), col("exact_n"), col("est_n"),
+        (col("est_n") >= col("exact_n")).cast("int").as("ge_ok"))
+  }
+
   /** q73: EXACT grouped median — per-language median token count via a
     * VALUE HISTOGRAM: one (lang, value) count shuffle, a running-sum
     * window over each language's distinct-value histogram (state
@@ -805,6 +854,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_cms_heavy" -> cmsHeavy,
     "q147_quantile_sketch" -> quantileSketch,
     "q146_pmi_bigrams" -> pmiBigrams,
     "q142_bm25_rank" -> bm25Rank,
@@ -1121,7 +1171,31 @@ object TextAnalysis {
        |  CAST(est_ub >= v AND (est_ub - v) * 32 <= v AS INTEGER) AS est_ok
        |FROM est JOIN ex USING (source, p_milli)""".stripMargin
 
+  // full sketch replication (q151 discipline): the oracle rebuilds the
+  // same D×W counter matrix from the same salted hashes; ge_ok is the
+  // CMS no-underestimate theorem, pinned as literal truth
+  private val cmsHeavySql = {
+    val rows = (0 until CmsD).mkString("[", ", ", "]")
+    def b(expr: String) =
+      s"${sqlHash60(s"'cms' || CAST(r AS VARCHAR) || ':' || $expr")} % $CmsW"
+    s"""WITH t AS (SELECT unnest($sqlWords) w FROM documents),
+       |x AS (SELECT w, unnest($rows) r FROM t),
+       |cell AS (SELECT r, ${b("w")} b, CAST(count(*) AS BIGINT) cnt
+       |         FROM x GROUP BY 1, 2),
+       |top AS (SELECT w, CAST(count(*) AS BIGINT) exact_n FROM t
+       |        GROUP BY w ORDER BY exact_n DESC, w ASC LIMIT $CmsTopN),
+       |pb AS (SELECT w, exact_n, r, ${b("w")} b
+       |       FROM (SELECT w, exact_n, unnest($rows) r FROM top)),
+       |e AS (SELECT p.w, p.exact_n, min(c.cnt) est_n
+       |      FROM pb p JOIN cell c ON p.r = c.r AND p.b = c.b
+       |      GROUP BY 1, 2)
+       |SELECT w, exact_n, CAST(est_n AS BIGINT) AS est_n,
+       |  CAST(est_n >= exact_n AS INTEGER) AS ge_ok
+       |FROM e""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q152_cms_heavy" -> cmsHeavySql,
     "q147_quantile_sketch" -> quantileSketchSql,
     "q146_pmi_bigrams" -> pmiSql,
     "q142_bm25_rank" -> bm25Sql,

@@ -1072,6 +1072,116 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 3L, 3L)))
   }
 
+  test("q154 gc_grace: recent markers retained, old purged, no resurrection") {
+    import spark.implicits._
+    val d = 86400000000L // µs/day; grace = 15 days, max wt = day 100
+    // (key, name): live then RECENT delete -> marker kept, data gone;
+    // live then OLD delete -> fully purged; OLD delete then newer live
+    // -> live wins; untouched live -> passes through
+    val u = Seq(
+      ("k1", "a", "v", 1 * d, "live", false, 0),
+      ("k1", "a", "", 100 * d, "deleted", false, 1),
+      ("k1", "b", "v", 2 * d, "live", false, 0),
+      ("k1", "b", "", 10 * d, "deleted", false, 1),
+      ("k1", "c", "", 3 * d, "deleted", false, 0),
+      ("k1", "c", "vc", 90 * d, "live", false, 1),
+      ("k2", "d", "vd", 4 * d, "live", false, 0)
+    ).toDF("key", "name", "value", "write_time", "kind",
+      "partition_deleted", "gen")
+    val got = graft.operators.Compaction.gcGraceOf(u).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(("k1", "a", "deleted"), ("k1", "c", "live"),
+      ("k2", "d", "live")))
+  }
+
+  test("q153 planner is manifest-only: zero data listings, zero sidecars") {
+    graft.operators.Compaction.tieredFixture(spark, sf0001) // build untimed
+    graft.sources.MetaIO.reset()
+    val plan = graft.operators.Compaction.sizeTiered(spark, sf0001).collect()
+    assert(plan.nonEmpty)
+    assert(graft.sources.MetaIO.dataListings.get() === 0L,
+      s"${graft.sources.MetaIO.dataListings.get()} data listings while planning")
+    assert(graft.sources.MetaIO.sidecarReads.get() === 0L,
+      s"${graft.sources.MetaIO.sidecarReads.get()} sidecar reads while planning")
+    assert(graft.sources.MetaIO.manifestReads.get() > 0L)
+  }
+
+  test("q155 ranges partition the token ring and cover every cell") {
+    val rows = graft.operators.Core.tokenRanges(spark, sf0001).collect()
+    val span = 1L << 55
+    rows.foreach { r =>
+      val (id, lo, hi) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(lo >= id * span && hi < (id + 1) * span,
+        s"range $id bounds [$lo,$hi] escape its span")
+    }
+    val cells = graft.operators.CellModel.cellStrings(spark, sf0001).count()
+    assert(rows.map(r => r.getLong(2)).sum === cells,
+      "ranges must cover every cell exactly once")
+  }
+
+  test("q156 L0 files overlap exactly their straddled L1 runs, manifest-only") {
+    graft.operators.Compaction.leveledFixture(spark, sf0001) // build untimed
+    graft.sources.MetaIO.reset()
+    val rows = graft.operators.Compaction.leveledPlan(spark, sf0001).collect()
+    // fixture geometry: L0 ['1','4') straddles L1 ['0','3')+['3','6');
+    // L0 ['3','7') straddles ['3','6')+['6',':') — 2 each, never 3
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getLong(3) === 2L,
+        s"L0 [${r.getString(0)},${r.getString(1)}] fan-in ${r.getLong(3)}")
+      assert(r.getLong(4) > r.getLong(2), "rewrite must include L1 rows")
+    }
+    assert(graft.sources.MetaIO.dataListings.get() === 0L &&
+      graft.sources.MetaIO.sidecarReads.get() === 0L,
+      "LCS planning must touch only manifests")
+  }
+
+  test("q157 budget binds per source and the kept prefix is maximal") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("CAST((1000 * size(array_distinct(ws))) DIV size(ws) AS BIGINT)")
+          .as("score_milli"))
+    val kept = graft.operators.Curation.tokenBudgetFill(spark, sf0001)
+    val keptAgg = kept.groupBy(col("source"))
+      .agg(max(col("cum_tokens")).as("kept_tokens"),
+        count(lit(1)).as("n_kept"))
+    assert(keptAgg.filter(col("kept_tokens") > 300).count() === 0L)
+    // greedy maximality: the best-ranked DROPPED doc would overflow
+    val dropped = docs.join(kept.select(col("doc_id")), Seq("doc_id"),
+      "left_anti")
+    val nextUp = dropped
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("score_milli").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("n_tokens").as("next_tokens"))
+    val bad = nextUp.join(keptAgg, Seq("source"), "left")
+      .withColumn("kt", coalesce(col("kept_tokens"), lit(0L)))
+      .filter(col("kt") + col("next_tokens") <= 300)
+    assert(bad.count() === 0L, "a droppable doc still fit the budget")
+  }
+
+  test("q152 CMS never underestimates and overcounts stay collision-sized") {
+    val rows = graft.operators.TextAnalysis.cmsHeavy(spark, sf0001).collect()
+    assert(rows.length === 20)
+    val total = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.Portable.words(col("text"))))
+      .count()
+    rows.foreach { r =>
+      val (exact, est, geOk) = (r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(geOk === 1 && est >= exact)
+      // expected overcount per row is total/2048 before the 4-way min;
+      // 8x that is a loose deterministic pin on this fixed corpus
+      assert(est - exact <= 8 * total / 2048,
+        s"token ${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("q127 short names with ZERO shared grams still pair (band path)") {
     import spark.implicits._
     // 'abc' vs 'bcd': ed = 2 but no shared trigram at all — the q-gram

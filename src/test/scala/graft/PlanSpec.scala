@@ -154,8 +154,9 @@ class PlanSpec extends AnyFunSuite {
       "q97_ann_ivfpq", "q99_topk_agg", "q115_ivf_increment",
       // q125's coarse stage broadcasts the bounded NQ-row query set
       // (q19's discipline) before the equi-joined exact re-rank;
-      // q134's pair grid broadcasts the source-cardinality sketch table
-      "q125_ann_matryoshka", "q134_sketch_union")
+      // q134's/q151's pair grids broadcast the source-cardinality
+      // sketch table (one row per SOURCE, never per doc)
+      "q125_ann_matryoshka", "q134_sketch_union", "q151_kmv_jaccard")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
