@@ -186,7 +186,61 @@ object Core {
         col("token_lo"), col("token_hi"), col("load_milli"))
   }
 
+  /** q158: ANTI-ENTROPY RANGE DIGESTS — Cassandra's repair protocol
+    * ("nodetool repair") restated as a query: two replicas agree on a
+    * token range iff their per-range content DIGESTS match, and only
+    * mismatched ranges stream data — comparing 100 TB costs
+    * O(#ranges) digest exchanges, never a row-by-row diff. The digest
+    * is the XOR of a per-cell 60-bit content hash (key, name, value,
+    * write_time): XOR is order- and partition-insensitive (any task
+    * tree yields the same fold) and cells are unique per (key, name),
+    * so no self-cancellation — the same reason Merkle-leaf hashes can
+    * sum upward in any order. Replica B is a deterministic divergence
+    * of A (cells dropped by one salted hash — lost writes — and
+    * write_times rolled back by another — stale replays), so the
+    * oracle reproduces BOTH replicas and the verdict per range.
+    *
+    * Scale: two scans (one per replica), each ONE groupBy on the
+    * 32-key range id with map-side partial XORs; the comparison join
+    * is over 32 rows. `needs_repair` rises with divergence rate; the
+    * spec pins that un-diverged replicas digest-match on every range.
+    */
+  def rangeRepair(spark: SparkSession, dir: String): DataFrame = {
+    val a = CellModel.cellStrings(spark, dir)
+    // deterministic divergence: ~1/97 of cells lost, ~1/101 stale
+    val lost = graft.functions.Portable.hash60(
+      concat(lit("lost:"), col("name"))) % 97 === 3
+    val stale = graft.functions.Portable.hash60(
+      concat(lit("stale:"), col("name"))) % 101 === 5
+    val b = a.filter(!lost)
+      .withColumn("write_time",
+        when(stale, col("write_time") - 1000L).otherwise(col("write_time")))
+    rangeRepairOf(a, b)
+  }
+
+  /** The q158 comparison kernel over two explicit replica cell frames
+    * — exposed for the identity spec (a replica always agrees with
+    * itself on every range).
+    */
+  private[graft] def rangeRepairOf(a: DataFrame, b: DataFrame): DataFrame = {
+    def digests(df: DataFrame, dg: String, n: String): DataFrame = df
+      .select(
+        graft.functions.Portable.hash60(col("key")).as("token"),
+        graft.functions.Portable.hash60(concat_ws("|", col("key"),
+          col("name"), col("value"), col("write_time"))).as("h"))
+      .select(expr(s"token DIV $RangeSpan").as("range_id"), col("h"))
+      .groupBy(col("range_id"))
+      .agg(expr("bit_xor(h)").as(dg), count(lit(1)).as(n))
+    digests(a, "digest_a", "n_a")
+      .join(digests(b, "digest_b", "n_b"), Seq("range_id"), "full_outer")
+      .select(col("range_id"), col("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (!(col("digest_a") <=> col("digest_b"))).cast("int")
+          .as("needs_repair"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_range_repair" -> rangeRepair,
     "q155_token_ranges" -> tokenRanges,
     "q79_secondary_index" -> indexLookup,
     "q42_nest_chunked" -> CellModel.nestRowsChunked _,
@@ -259,7 +313,28 @@ object Core {
        |    AS load_milli
        |FROM g, t""".stripMargin
 
+  private val rangeRepairSql = {
+    import graft.functions.Portable.sqlHash60
+    val cellH = sqlHash60(
+      "key || '|' || name || '|' || value || '|' || CAST(write_time AS VARCHAR)")
+    def dig(src: String, dg: String, n: String) =
+      s"""SELECT ${sqlHash60("key")} // $RangeSpan AS range_id,
+         |  bit_xor($cellH) AS $dg, CAST(count(*) AS BIGINT) AS $n
+         |FROM $src GROUP BY 1""".stripMargin
+    s"""WITH a AS (SELECT key, name, value, write_time FROM ($cellsSql)),
+       |b AS (SELECT key, name, value,
+       |        CASE WHEN ${sqlHash60("'stale:' || name")} % 101 = 5
+       |          THEN write_time - 1000 ELSE write_time END AS write_time
+       |      FROM a WHERE ${sqlHash60("'lost:' || name")} % 97 <> 3),
+       |da AS (${dig("a", "dga", "n_a")}),
+       |db AS (${dig("b", "dgb", "n_b")})
+       |SELECT range_id, n_a, coalesce(n_b, 0) AS n_b,
+       |  CAST(dga IS DISTINCT FROM dgb AS INTEGER) AS needs_repair
+       |FROM da LEFT JOIN db USING (range_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q158_range_repair" -> rangeRepairSql,
     "q155_token_ranges" -> tokenRangesSql,
     "q79_secondary_index" ->
       (s"SELECT key, count(*) AS n_cells FROM ($liveCellsSql) " +

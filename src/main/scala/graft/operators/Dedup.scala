@@ -774,6 +774,76 @@ object Dedup {
           lit(SketchBoundMilli) * col("exact_n")).cast("int").as("est_ok"))
   }
 
+  /** q160: GOLDEN-RECORD ENTITY RESOLUTION — the full MDM composition
+    * the pieces q127/q54 each prove alone: fuzzy-match part names
+    * (q127's blocked join, unchanged), close matches into entity
+    * clusters (q54's min-label propagation with its loud convergence
+    * guard, over name-hash nodes plus self-loops so singletons keep
+    * their own label), elect a canonical name (lexicographic min per
+    * cluster — deterministic, engine-independent), then SURVIVORSHIP:
+    * merge every raw record of the entity into one golden row (modal
+    * brand with (count, brand)-max tie-break, max price in exact
+    * cents, size bounds, record/name counts). Names shorter than the
+    * gram width are outside the q127 contract and stay unresolved by
+    * design.
+    *
+    * Scale: candidate generation is q127's bucketed join; propagation
+    * is per-round edge-sized equi-joins (q54's checkpointed shape);
+    * survivorship is two keyed aggregations. The cluster graph is
+    * vocabulary-sized — orders below the record corpus that references
+    * it — so the whole resolution runs in the metadata tier, and the
+    * record-side join is one broadcast of the name→canonical map.
+    */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    val names = parts.select(col("p_name").as("name")).distinct()
+      .filter(length(col("name")) >= FuzzyQ)
+      .localCheckpoint(eager = false) // feeds pairs, nodes, record join
+    val pairs = fuzzyJoinOf(names).select(col("name_a"), col("name_b"))
+    val e = pairs.select(hash60(col("name_a")).as("src"),
+      hash60(col("name_b")).as("dst"))
+    val edges = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .union(names.select(hash60(col("name")).as("src"),
+        hash60(col("name")).as("dst")))
+      .distinct().localCheckpoint(eager = false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to ClusterRounds) labels = propagate(edges, labels)
+    val next = propagate(edges, labels)
+    val guarded = labels
+      .join(next.withColumnRenamed("label", "label_next"), "node")
+      .select(col("node"),
+        coalesce(
+          assert_true(col("label") === col("label_next"),
+            lit(s"q160: name clustering not converged after " +
+              s"$ClusterRounds rounds — raise ClusterRounds"))
+            .cast("long"),
+          col("label")).as("label"))
+    val named = names.select(col("name"), hash60(col("name")).as("node"))
+      .join(guarded, "node")
+    val canon = named.groupBy(col("label"))
+      .agg(min(col("name")).as("canonical"), count(lit(1)).as("n_names"))
+    val recs = parts
+      .join(broadcast(named.select(col("name").as("p_name"), col("label"))),
+        "p_name")
+      .join(broadcast(canon), "label")
+    val brand = recs.groupBy(col("canonical"), col("p_brand"))
+      .agg(count(lit(1)).as("bc"))
+      .groupBy(col("canonical"))
+      .agg(max(struct(col("bc"), col("p_brand"))).as("bw"))
+      .select(col("canonical"), col("bw.p_brand").as("brand"))
+    recs.groupBy(col("canonical"), col("n_names"))
+      .agg(count(lit(1)).as("n_records"),
+        max(expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)"))
+          .as("max_price_cents"),
+        min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"))
+      .join(brand, "canonical")
+      .select(col("canonical"), col("n_names"), col("n_records"),
+        col("brand"), col("max_price_cents"), col("min_size"),
+        col("max_size"))
+  }
+
   private val KmvK = 1024 // bottom-k sketch size (distinct k-min hashes)
   // q151's est_ok is pinned TRUE in the oracle (the q134/q138 contract
   // pattern): the KMV Jaccard estimator is a hypergeometric sample of
@@ -1000,6 +1070,7 @@ object Dedup {
     "q145_sorted_neighborhood" -> sortedNeighborhood,
     "q143_dup_spans" -> dupSpans,
     "q140_nightly_drop" -> nightlyDrop,
+    "q160_golden_record" -> goldenRecord,
     "q151_kmv_jaccard" -> kmvJaccard,
     "q138_sketch_increment" -> sketchIncrement,
     "q137_prefix_join" -> prefixJoin,
@@ -1296,6 +1367,40 @@ object Dedup {
        |  CAST(1 AS INTEGER) AS est_ok
        |FROM e LEFT JOIN i ON source_a = i.sa AND source_b = i.sb""".stripMargin
 
+  // q127's brute pairs (verbatim), a recursive-CTE closure (the q54
+  // oracle discipline), then canonical election + survivorship — the
+  // composed gate reuses each part's standalone oracle so they cannot
+  // drift
+  private val goldenRecordSql =
+    s"""WITH RECURSIVE
+       |p AS (SELECT name_a, name_b FROM (@FUZZY@)),
+       |nm AS (SELECT DISTINCT p_name AS name FROM part
+       |       WHERE len(p_name) >= $FuzzyQ),
+       |e AS (SELECT name_a s, name_b d FROM p
+       |      UNION ALL SELECT name_b, name_a FROM p),
+       |reach(node, label) AS (
+       |  SELECT name, name FROM nm
+       |  UNION
+       |  SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.node),
+       |lab AS (SELECT node, min(label) lbl FROM reach GROUP BY node),
+       |canon AS (SELECT lbl, min(node) AS canonical,
+       |          CAST(count(*) AS BIGINT) AS n_names FROM lab GROUP BY lbl),
+       |r AS (SELECT pr.*, c.canonical, c.n_names FROM part pr
+       |      JOIN lab ON pr.p_name = lab.node
+       |      JOIN canon c ON lab.lbl = c.lbl),
+       |br AS (SELECT canonical, p_brand, count(*) bc FROM r GROUP BY 1, 2),
+       |bw AS (SELECT canonical, p_brand AS brand FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY canonical
+       |      ORDER BY bc DESC, p_brand DESC) rn FROM br) WHERE rn = 1),
+       |agg AS (SELECT canonical, n_names, CAST(count(*) AS BIGINT) n_records,
+       |    max(CAST(round(p_retailprice * 100, 0) AS BIGINT)) max_price_cents,
+       |    min(p_size) min_size, max(p_size) max_size
+       |  FROM r GROUP BY 1, 2)
+       |SELECT agg.canonical, agg.n_names, agg.n_records, bw.brand,
+       |  agg.max_price_cents, agg.min_size, agg.max_size
+       |FROM agg JOIN bw USING (canonical)""".stripMargin
+      .replace("@FUZZY@", fuzzyJoinSql)
+
   // the q58 verdict, q121 split rule, and q138 exact-side replayed as
   // one composition — each CTE verbatim from its standalone oracle so
   // the composed gate can never drift from the parts
@@ -1377,6 +1482,7 @@ object Dedup {
     "q145_sorted_neighborhood" -> snmSql,
     "q143_dup_spans" -> dupSpansSql,
     "q140_nightly_drop" -> nightlyDropSql,
+    "q160_golden_record" -> goldenRecordSql,
     "q151_kmv_jaccard" -> kmvJaccardSql,
     "q138_sketch_increment" -> sketchIncrementSql,
     "q137_prefix_join" -> prefixJoinSql,

@@ -765,7 +765,46 @@ object SimSearch {
       .unionByName(row("matryoshka", annMatryoshka(spark, dir)))
   }
 
+  private val CoresetK = 10 // representatives kept per label
+
+  /** q159: LABEL-BALANCED CORESET — per class, the [[CoresetK]]
+    * vectors closest to the class's mean embedding: the deterministic
+    * class-balanced subset selection a fine-tune / eval pipeline uses
+    * where a random stratified sample (q52) would over-sample
+    * outliers. Centroids are the exact integer mean of the quantised
+    * vectors (the q59 floored-division kernel, one exploded (label,
+    * dim) sum with map-side partials); distances are exact integer d²
+    * against the broadcast label-count-sized centroid table; selection
+    * is a per-label window rank (k tiny — the q99 bounded-heap
+    * Aggregator is the drop-in when label cardinality explodes).
+    * Everything is integer arithmetic, so the oracle replays centroid,
+    * distance, and rank bit-for-bit.
+    */
+  def labelCoreset(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qv"))
+      .withColumn("n2", norm2(col("qv")))
+      .localCheckpoint(eager = false) // feeds centroid build + ranking
+    val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cv", expr("(s - ((s % n) + n) % n) DIV n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        p => p.getField("cv")).as("cqv"))
+      .withColumn("cn2", norm2(col("cqv")))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    e.join(broadcast(cent), "label")
+      .withColumn("d2",
+        col("n2") - lit(2L) * dotq(col("qv"), col("cqv")) + col("cn2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= CoresetK)
+      .select(col("label"), col("rnk"), col("vec_id"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_label_coreset" -> labelCoreset,
     "q125_ann_matryoshka" -> annMatryoshka,
     "q115_ivf_increment" -> ivfIncrement,
     "q99_topk_agg" -> annTopkAgg,
@@ -1157,7 +1196,29 @@ object SimSearch {
        |SELECT f.vec_id, f.cell, (d.vec_id IS NOT NULL) AS removed
        |FROM feat f LEFT JOIN dup d ON f.vec_id = d.vec_id""".stripMargin
 
+  // centroid/distance/rank replayed integer-for-integer (q59's mean
+  // kernel, the shared floored-division expression)
+  private val coresetSql =
+    s"""WITH e AS (SELECT vec_id, label, $sqlQvec qv FROM embeddings),
+       |px AS (SELECT label, unnest(range(1, len(qv)+1)) i, unnest(qv) v
+       |       FROM e),
+       |s AS (SELECT label, i, CAST(sum(v) AS BIGINT) s, count(*) cnt
+       |      FROM px GROUP BY label, i),
+       |c AS (SELECT label,
+       |        list((s - ((s % cnt) + cnt) % cnt) // cnt ORDER BY i) cqv
+       |      FROM s GROUP BY label),
+       |d AS (SELECT e.vec_id, e.label,
+       |        ${sqlNorm2("e.qv")} - 2*${sqlDotq("e.qv", "c.cqv")}
+       |          + ${sqlNorm2("c.cqv")} AS d2
+       |      FROM e JOIN c ON e.label = c.label),
+       |r AS (SELECT label, vec_id, d2,
+       |        row_number() OVER (PARTITION BY label
+       |          ORDER BY d2 ASC, vec_id ASC) rnk FROM d)
+       |SELECT label, rnk, vec_id, CAST(d2 AS BIGINT) AS d2
+       |FROM r WHERE rnk <= $CoresetK""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q159_label_coreset" -> coresetSql,
     "q115_ivf_increment" -> ivfIncSql,
     "q19_ann_brute" -> bruteSql,
     "q125_ann_matryoshka" -> matryoshkaSql,

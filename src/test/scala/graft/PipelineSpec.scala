@@ -1120,6 +1120,58 @@ class PipelineSpec extends AnyFunSuite {
       "ranges must cover every cell exactly once")
   }
 
+  test("q160 golden records conserve rows and names; clusters do merge") {
+    val parts = graft.sources.Tables.part(spark, sf0001)
+      .filter(length(col("p_name")) >= 3)
+    val got = graft.operators.Dedup.goldenRecord(spark, sf0001).cache()
+    try {
+      // conservation: every record and every distinct name lands in
+      // exactly one golden row
+      val sums = got.agg(sum(col("n_records")), sum(col("n_names")))
+        .collect()(0)
+      assert(sums.getLong(0) === parts.count())
+      assert(sums.getLong(1) ===
+        parts.select(col("p_name")).distinct().count())
+      // the fuzzy pairs at this SF are non-empty, so something merged
+      assert(got.filter(col("n_names") > 1).count() > 0L)
+      // canonical names are real names
+      assert(got.join(parts.select(col("p_name").as("canonical")).distinct(),
+        Seq("canonical"), "left_anti").count() === 0L)
+    } finally { got.unpersist(); () }
+  }
+
+  test("q158 identity replicas agree everywhere; divergence is detected") {
+    val a = graft.operators.CellModel.cellStrings(spark, sf0001)
+    // self-comparison: every range digest-matches with equal counts
+    val self = graft.operators.Core.rangeRepairOf(a, a).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getInt(3) === 0 && r.getLong(1) === r.getLong(2),
+        s"range ${r.getLong(0)} self-compare diverged")
+    }
+    // the simulated lost/stale divergence must flag at least one range
+    // and never invent rows (n_b <= n_a everywhere: B is a degradation)
+    val real = graft.operators.Core.rangeRepair(spark, sf0001).collect()
+    assert(real.exists(_.getInt(3) === 1), "no divergence detected")
+    real.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q159 coreset: k per label, ranks contiguous, d2 monotone in rank") {
+    val rows = graft.operators.SimSearch.labelCoreset(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (label, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1 to byRank.length).toSeq,
+        s"label $label ranks not contiguous")
+      assert(byRank.length <= 10)
+      byRank.sliding(2).foreach {
+        case Array(x, y) => assert(x._3 <= y._3,
+          s"label $label d2 not monotone at rank ${y._2}")
+        case _ =>
+      }
+    }
+  }
+
   test("q156 L0 files overlap exactly their straddled L1 runs, manifest-only") {
     graft.operators.Compaction.leveledFixture(spark, sf0001) // build untimed
     graft.sources.MetaIO.reset()
