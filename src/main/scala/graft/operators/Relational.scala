@@ -759,20 +759,22 @@ object Relational {
     * per-part triangle participation, the local-clustering signal
     * community detection and link-spam audits start from.
     *
-    * The kernel is the degree-ordered node-iterator (Schank & Wagner's
-    * forward/compact-forward; the shape every distributed triangle
-    * paper from Cohen's MapReduce version onward uses): orient each
-    * edge from the lower-(degree, id) endpoint to the higher, build
-    * wedges by self-joining oriented edges on their SOURCE, and close
-    * each wedge with a semi-equi-join against the oriented edge list.
-    * Orientation is what makes this scale: every triangle is generated
-    * from exactly ONE of its three nodes (no triple counting, no
-    * dedup pass), and a hot hub with degree d contributes wedges only
-    * through its ORIENTED out-degree, which degree-ordering bounds by
-    * O(√m) on any graph (arboricity) — a value-ordered or unoriented
-    * wedge join would square the hub's degree instead (q112's skew
-    * lesson applied to graphs). Every join is an equi-join on a node
-    * key; nothing is ever all-pairs.
+    * The kernel is degree-ordered compact-forward (Schank & Wagner;
+    * the shape every distributed triangle paper from Cohen's MapReduce
+    * version onward uses): orient each edge from the lower-(degree,
+    * id) endpoint to the higher, build each node's ORIENTED adjacency
+    * array, and close triangles per edge by intersecting the two
+    * endpoints' arrays — every triangle {s,t,w} with rank s < t < w
+    * surfaces exactly once, at its (s,t) edge (no triple counting, no
+    * dedup pass). Orientation is what makes this scale twice over: a
+    * hot hub with degree d keeps only its ORIENTED out-neighbors,
+    * which degree-ordering bounds by O(√m) on any graph (arboricity),
+    * so adjacency arrays are bounded (no mega-row) AND the Σ outdeg²
+    * wedge work stays inside a row-local array intersection instead
+    * of materializing as join rows — an unoriented wedge self-join
+    * would square the hub's degree through an exchange (q112's skew
+    * lesson applied to graphs). Every join is an edge-sized equi-join
+    * on a node key; nothing is ever all-pairs.
     *
     * The oracle is algorithm-INDEPENDENT: an id-ordered 3-way join
     * counts each triangle once with no orientation machinery, so hash
@@ -803,13 +805,23 @@ object Relational {
           struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .localCheckpoint(eager = false) // wedge build reads it twice
-    val wedges = e.as("x").join(e.as("y"),
-        col("x.s") === col("y.s") && col("x.t") =!= col("y.t"))
-      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
-    val tri = wedges.join(e,
-        col("b") === col("s") && col("c") === col("t"))
-      .select(col("a"), col("b"), col("c"))
+      .localCheckpoint(eager = false) // edge pass + adjacency build
+    // compact-forward proper: per-node ORIENTED adjacency arrays
+    // (bounded at O(√m) elements by the degree orientation —
+    // arboricity), then per-EDGE set intersection: for s→t, every
+    // w ∈ adj⁺(s) ∩ adj⁺(t) closes the triangle {s,t,w} exactly once
+    // (rank s < t < w). The Σ outdeg² wedge work happens INSIDE the
+    // row-local array intersection — 82M candidate checks at sf0.1
+    // never materialize as join rows; only real triangles explode.
+    // Shuffles: one adjacency build + two edge-keyed equi-joins, all
+    // edge-sized.
+    val adj = e.groupBy(col("s")).agg(collect_list(col("t")).as("nb"))
+      .localCheckpoint(eager = false) // probed from both edge ends
+    val tri = e
+      .join(adj.select(col("s"), col("nb").as("ns")), "s")
+      .join(adj.select(col("s").as("t"), col("nb").as("nt")), "t")
+      .select(col("s").as("a"), col("t").as("b"),
+        explode(array_intersect(col("ns"), col("nt"))).as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c")))
         .as("p_partkey"))
       .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_triangles"))

@@ -803,7 +803,81 @@ object SimSearch {
       .select(col("label"), col("rnk"), col("vec_id"), col("d2"))
   }
 
+  private val SrpBits = 256 // signature width
+  private val SrpDim = 64 // embedding dimensionality (driver testdata)
+
+  /** Driver-side md5-prefix60 — the Scala twin of
+    * [[graft.functions.Portable.hash60]] for plan-CONSTANT inputs (the
+    * SRP projection matrix), so the deterministic ±1 matrix can be
+    * embedded as a literal instead of 16k md5 calls per row. The
+    * oracle recomputes the same matrix with SQL md5 — the hash gate
+    * cross-checks this helper against DuckDB every round.
+    */
+  private def hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+  }
+
+  /** The ±1 Rademacher projection matrix, derived from the shared md5
+    * hash (row b, dim d ← parity of hash60("srp:b:d")) — deterministic,
+    * data-independent, identical in both engines.
+    */
+  private lazy val srpMatrix: Seq[Seq[Long]] =
+    (0 until SrpBits).map(b => (1 to SrpDim).map(d =>
+      if (hash60Local(s"srp:$b:$d") % 2 == 0) 1L else -1L))
+
+  /** q161: SIGNED-RANDOM-PROJECTION SIGNATURES for embeddings — the
+    * embedding-side sibling of q16's text SimHash (Charikar's SRP:
+    * sign of a ±1 projection preserves angles; hamming distance over
+    * [[SrpBits]] bits estimates cosine). Signatures are 256 bits = 32
+    * bytes/vector vs 256 float bytes — the compressed serving tier a
+    * billion-vector dedup/retrieval layer actually stores, with the
+    * same banding trick as q20 for candidate generation. This query
+    * audits the ESTIMATOR on a bounded sample: per (query, sampled
+    * corpus vector) pair, the hamming distance, the integer linear
+    * estimate `1000 − 2000·h DIV B` (the 1−2h/B small-angle form —
+    * deliberately trig-free so both engines compute identical
+    * integers), and the exact cosine for comparison. Everything from
+    * the projection matrix (md5-parity Rademacher — a plan literal
+    * here, recomputed via SQL md5 in the oracle) to the signature bits
+    * is integer-exact, so the hash gate pins the whole signature
+    * pipeline, not a statistical verdict.
+    *
+    * Scale: signatures are row-local (one codegen span over the
+    * scan); the pair audit broadcasts the bounded query set (q19's
+    * allow-listed discipline). Production candidate generation bands
+    * the signature (q20), never brute-forces hamming.
+    */
+  def srpSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val rl = typedLit(srpMatrix)
+    val sample = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NQ || col("vec_id") % 7 === 3)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("n2", norm2(col("qv")))
+      .withColumn("sig", transform(sequence(lit(0), lit(SrpBits - 1)), b =>
+        when(aggregate(
+          zip_with(col("qv"), element_at(rl, b + 1), (v, r) => v * r),
+          lit(0L), (acc, x) => acc + x) >= 0, 1).otherwise(0)))
+      .localCheckpoint(eager = false) // both sides of the pair audit
+    val q = sample.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("n2").as("qn2"), col("sig").as("qsig"))
+    sample.filter(col("vec_id") % 7 === 3)
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming", size(filter(
+        zip_with(col("sig"), col("qsig"), (a, b) => a =!= b), x => x))
+        .cast("long"))
+      .withColumn("est_milli",
+        lit(1000L) - expr(s"(2000 * hamming) DIV $SrpBits"))
+      .select(col("q_id"), col("vec_id"), col("hamming"), col("est_milli"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2"))
+          .as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_srp_bits" -> srpSignatures,
     "q159_label_coreset" -> labelCoreset,
     "q125_ann_matryoshka" -> annMatryoshka,
     "q115_ivf_increment" -> ivfIncrement,
@@ -1217,7 +1291,40 @@ object SimSearch {
        |SELECT label, rnk, vec_id, CAST(d2 AS BIGINT) AS d2
        |FROM r WHERE rnk <= $CoresetK""".stripMargin
 
+  // the projection matrix is REBUILT from SQL md5 here — the oracle
+  // cross-checks the engine's driver-side md5 literal every round
+  private val srpSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings
+       |           WHERE vec_id < $NQ OR vec_id % 7 = 3),
+       |n AS (SELECT vec_id, qv, ${sqlNorm2("qv")} n2 FROM e),
+       |rm AS (SELECT b,
+       |    list(CASE WHEN ${sqlHash60("'srp:' || b || ':' || d")} % 2 = 0
+       |      THEN 1 ELSE -1 END ORDER BY d) rv
+       |  FROM (SELECT unnest(range($SrpBits)) b),
+       |       (SELECT unnest(range(1, ${SrpDim + 1})) d)
+       |  GROUP BY b),
+       |sg AS (SELECT vec_id,
+       |    list(CASE WHEN s >= 0 THEN 1 ELSE 0 END ORDER BY b) sig
+       |  FROM (SELECT n.vec_id, rm.b,
+       |          list_sum(list_transform(range(1, ${SrpDim + 1}),
+       |            d -> n.qv[d] * rm.rv[d])) s
+       |        FROM n, rm)
+       |  GROUP BY vec_id),
+       |qs AS (SELECT n.vec_id q_id, n.qv qqv, n.n2 qn2, sg.sig qsig
+       |       FROM n JOIN sg USING (vec_id) WHERE n.vec_id < $NQ),
+       |cs AS (SELECT n.vec_id, n.qv, n.n2, sg.sig
+       |       FROM n JOIN sg USING (vec_id) WHERE n.vec_id % 7 = 3),
+       |p AS (SELECT qs.q_id, cs.vec_id, qs.qqv, qs.qn2, cs.qv, cs.n2,
+       |        CAST(len(list_filter(range(1, ${SrpBits + 1}),
+       |          i -> qs.qsig[i] <> cs.sig[i])) AS BIGINT) hamming
+       |      FROM qs, cs WHERE cs.vec_id <> qs.q_id)
+       |SELECT q_id, vec_id, hamming,
+       |  CAST(1000 - (2000 * hamming) // $SrpBits AS BIGINT) AS est_milli,
+       |  ${sqlCosineq(sqlDotq("qqv", "qv"), "qn2*n2")} AS cosine
+       |FROM p""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q161_srp_bits" -> srpSql,
     "q159_label_coreset" -> coresetSql,
     "q115_ivf_increment" -> ivfIncSql,
     "q19_ann_brute" -> bruteSql,

@@ -1120,6 +1120,23 @@ class PipelineSpec extends AnyFunSuite {
       "ranges must cover every cell exactly once")
   }
 
+  test("q161 SRP estimate tracks exact cosine (bounded mean error)") {
+    val rows = graft.operators.SimSearch.srpSignatures(spark, sf0001)
+      .filter(col("cosine").isNotNull)
+      .select(col("est_milli"), (col("cosine") * 1000).as("cm")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getLong(0) >= -1000L && r.getLong(0) <= 1000L))
+    // estimator-quality floor (q45's recall-floor discipline): the
+    // linear 1-2h/B form is biased at mid angles, but on this corpus
+    // the mean |est - exact| staying under 250 milli is what makes the
+    // 32-byte signature usable as a dedup pre-filter; a corpus regen
+    // or a broken projection that degrades it must fail loudly.
+    val mae = rows.map(r => math.abs(r.getLong(0) - r.getDouble(1)))
+      .sum / rows.length
+    assert(mae <= 250.0, f"SRP mean abs error $mae%.1f milli")
+  }
+
   test("q160 golden records conserve rows and names; clusters do merge") {
     val parts = graft.sources.Tables.part(spark, sf0001)
       .filter(length(col("p_name")) >= 3)

@@ -156,7 +156,9 @@ class PlanSpec extends AnyFunSuite {
       // (q19's discipline) before the equi-joined exact re-rank;
       // q134's/q151's pair grids broadcast the source-cardinality
       // sketch table (one row per SOURCE, never per doc)
-      "q125_ann_matryoshka", "q134_sketch_union", "q151_kmv_jaccard")
+      "q125_ann_matryoshka", "q134_sketch_union", "q151_kmv_jaccard",
+      // q161 broadcasts the bounded NQ-row query signature set
+      "q161_srp_bits")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
