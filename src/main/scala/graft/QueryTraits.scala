@@ -19,7 +19,8 @@ object QueryTraits {
     "q120_bloom_join", "q130_stream_topk", "q131_recent_buffer",
     "q138_sketch_increment", "q140_nightly_drop", "q141_chained_windows",
     "q147_quantile_sketch", "q148_erasure", "q153_size_tiered",
-    "q156_leveled_plan",
+    "q156_leveled_plan", "q162_stream_join_window",
+    "q163_stream_sketch_ledger",
     "q28_stream_window", "q29_sink_roundtrip", "q30_proto_source",
     "q31_stream_sessionize", "q36_noshuffle_stats", "q37_stream_sink",
     "q43_stream_dedup", "q46_key_pushdown", "q69_stream_stream_join",

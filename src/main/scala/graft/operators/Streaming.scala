@@ -824,6 +824,84 @@ object Streaming extends Serializable {
     spark.read.parquet(s"$target/g${latestGen(target).get}")
   }
 
+  // q163 sketch parameters: lgK = 12 and a 100-milli (10%) accepted
+  // bound — the q134/q138 contract (see Dedup.SketchRsdMilli's margin
+  // require: bound >= 5x rsd, so a pinned est_ok is a ~6-sigma fact,
+  // not a coin flip)
+  private val LedgerLgK = 12
+  private val LedgerBoundMilli = 100L
+
+  /** q163: STREAMING SKETCH LEDGER — per-type distinct-user counts
+    * maintained ACROSS micro-batches by folding HLL sketches into a
+    * keyed generation target (q113's idempotent-merge discipline
+    * applied to sketch state): each batch aggregates its own rows into
+    * per-type sketches, `hll_union`s them with the previous
+    * generation, and writes generation `g<batchId>` — re-running a
+    * batch overwrites its own generation, so at-least-once delivery
+    * composes to exactly-once. The final ledger's estimates are
+    * bound-checked in-plan against the exact batch-side distinct
+    * counts (q138's discipline), so a drifted union or a broken
+    * serialization round-trip fails the oracle hash.
+    *
+    * This is the production shape for "distinct anything" over an
+    * unbounded stream: exact distinct state grows with cardinality and
+    * `dropDuplicates` state needs watermark eviction, but the sketch
+    * ledger is KB-sized per key FOREVER, mergeable across streams and
+    * days, and never rescans history — the q134 mergeability story
+    * with a streaming writer.
+    */
+  /** The q163 fold: union one batch's per-type sketches into the
+    * previous ledger generation, write generation `g<batchId>` —
+    * exposed for the exactly-once/merge-order spec.
+    */
+  private[graft] def mergeSketchInto(target: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    val bs = batch.groupBy(col("event_type"))
+      .agg(expr(s"hll_sketch_agg(user_id, $LedgerLgK)").as("sk_new"))
+    // merge base = newest generation STRICTLY below this batch (never
+    // latestGen: a replayed batch must fold the same base again, so a
+    // crashed half-written g<batchId> is simply overwritten — HLL
+    // determinism makes the rewrite bit-identical, hence exactly-once)
+    val prev = Option(new java.io.File(target).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+      .map(_.getName.stripPrefix("g").toLong).filter(_ < batchId)
+      .sorted.lastOption
+    val merged = prev match {
+      case Some(g) =>
+        sp.read.parquet(s"$target/g$g")
+          .join(bs, Seq("event_type"), "full_outer")
+          .select(col("event_type"), expr("CASE " +
+            "WHEN sk IS NULL THEN sk_new WHEN sk_new IS NULL THEN sk " +
+            "ELSE hll_union(sk, sk_new) END").as("sk"))
+      case None => bs.select(col("event_type"), col("sk_new").as("sk"))
+    }
+    merged.write.mode("overwrite").parquet(s"$target/g$batchId")
+  }
+
+  def streamSketchLedger(spark: SparkSession, dir: String): DataFrame = {
+    val target = Scratch.dir("graft_sketch_ledger")
+    val src = Tables.eventsStream(spark, dir)
+      .select(col("event_type"), col("user_id"))
+    withStatePartitions(spark, 8) {
+      val q = src.writeStream
+        .option("checkpointLocation", Scratch.dir("graft_ledger_ckpt"))
+        .foreachBatch(mergeSketchInto(target) _)
+        .trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q163", q)
+    }
+    val ledger = spark.read.parquet(s"$target/g${latestGen(target).get}")
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("est_n"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_n"))
+    ledger.join(exact, "event_type")
+      .select(col("event_type"), col("exact_n"),
+        (abs(col("est_n") - col("exact_n")) * 1000 <=
+          lit(LedgerBoundMilli) * col("exact_n")).cast("int").as("est_ok"))
+  }
+
   private val AttributionGapUs = 3600000000L // 1 h view→purchase window
 
   /** q69: STREAM-STREAM JOIN — view events joined to purchase events of
@@ -872,6 +950,58 @@ object Streaming extends Serializable {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       runToCompletion("q69", q)
+    }
+    spark.table(name)
+  }
+
+  private val HourUs = 3600000000L // µs per hour
+
+  /** q162: STREAM-STREAM JOIN FEEDING A WINDOWED AGGREGATE — the
+    * join→agg chain of stateful operators (q141 chains agg→agg; this
+    * completes the pairings Spark 4's multi-stateful support allows):
+    * q69's attribution join, then an hourly conversion roll-up over
+    * the PURCHASE event time, in ONE query — no intermediate table,
+    * no second pipeline. The inner join emits each match as soon as
+    * both rows exist; the downstream window finalizes when the
+    * propagated query watermark (the MIN of both input watermarks,
+    * each max-event-time − 1 h) passes its end — q107's `<=`
+    * comparison, replayed by the oracle.
+    *
+    * Scale: join state = one attribution window per side (range
+    * condition + watermarks, exactly q69); agg state = open hourly
+    * windows inside the horizon. The user-key join shuffle and the
+    * window shuffle are the only exchanges, both map-side-combined.
+    */
+  private[graft] def joinWindowOf(views: DataFrame,
+      purchases: DataFrame): DataFrame =
+    views.withWatermark("view_time", "1 hour")
+      .join(purchases.withWatermark("purchase_time", "1 hour"),
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("view_time") &&
+          col("purchase_time") <= col("view_time") + expr("INTERVAL 1 HOUR"))
+      .groupBy(window(col("purchase_time"), "1 hour"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("purchase_us") - col("view_us")).as("sum_gap_us"))
+      .select(expr(s"unix_micros(window.start) DIV $HourUs")
+        .as("hour_bucket"), col("n_conversions"), col("sum_gap_us"))
+
+  def streamJoinWindow(spark: SparkSession, dir: String): DataFrame = {
+    val name = "q162_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    def src = Tables.eventsStream(spark, dir)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("ts DIV 1000").as("view_us"),
+        timestamp_micros(expr("ts DIV 1000")).as("view_time"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        expr("ts DIV 1000").as("purchase_us"),
+        timestamp_micros(expr("ts DIV 1000")).as("purchase_time"))
+    val agg = joinWindowOf(views, purchases)
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      runToCompletion("q162", q)
     }
     spark.table(name)
   }
@@ -1127,6 +1257,8 @@ object Streaming extends Serializable {
     "q131_recent_buffer" -> streamRecentBuffer,
     "q130_stream_topk" -> streamTopUsers,
     "q141_chained_windows" -> streamChainedAgg,
+    "q162_stream_join_window" -> streamJoinWindow,
+    "q163_stream_sketch_ledger" -> streamSketchLedger,
     "q117_stream_sliding" -> streamSlidingFinal,
     "q113_stream_upsert" -> streamUpsertSink,
     "q107_stream_window_final" -> streamWindowFinal,
@@ -1292,6 +1424,35 @@ object Streaming extends Serializable {
     // LEAST of the per-side maxima, minus the 1 h delay. A view's null
     // row emits when the join window's end lies strictly below it —
     // `window_end_ms < watermark_ms`, pinned by the boundary spec.
+    // est_ok pinned TRUE (q134's contract): the engine computed the
+    // verdict in-plan against the exact distinct count
+    "q163_stream_sketch_ledger" ->
+      ("""SELECT event_type, count(DISTINCT user_id) AS exact_n,
+         |  CAST(1 AS INTEGER) AS est_ok
+         |FROM events GROUP BY event_type""".stripMargin),
+    // q69's pairs grouped by purchase hour; a window emits iff its end
+    // lies at or below the final propagated watermark (q107's <=),
+    // which is the MIN of the two sides' (max event ms - 1 h)
+    "q162_stream_join_window" ->
+      (s"""WITH j AS (
+          |  SELECT epoch_us(p.ts) AS purchase_us,
+          |         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+          |  FROM events v JOIN events p
+          |    ON v.user_id = p.user_id
+          |   AND v.event_type = 'view' AND p.event_type = 'purchase'
+          |   AND epoch_us(p.ts) >= epoch_us(v.ts)
+          |   AND epoch_us(p.ts) <= epoch_us(v.ts) + $AttributionGapUs),
+          |wm AS (SELECT LEAST((SELECT max(epoch_us(ts)) // 1000 FROM events
+          |                     WHERE event_type = 'view'),
+          |                    (SELECT max(epoch_us(ts)) // 1000 FROM events
+          |                     WHERE event_type = 'purchase'))
+          |               - 3600000 AS wm_ms)
+          |SELECT purchase_us // 3600000000 AS hour_bucket,
+          |       CAST(count(*) AS BIGINT) AS n_conversions,
+          |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+          |FROM j, wm
+          |GROUP BY 1, wm_ms
+          |HAVING (hour_bucket + 1) * 3600000 <= wm_ms""".stripMargin),
     "q102_stream_outer_join" ->
       (s"""WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
           |           FROM events WHERE event_type = 'view'),

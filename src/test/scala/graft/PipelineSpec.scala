@@ -927,6 +927,64 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q162 join+window chain: TWO stateful ops, finalized hours only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val hourUs = 3600000000L
+    val b = 1700006400000000L // an hour boundary
+    // (user_id, view_id, view_us) / (p_user, purchase_id, purchase_us)
+    val vs = MemoryStream[(Long, Long, Long)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+      spark.sqlContext)
+    val ps = MemoryStream[(Long, Long, Long)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+      spark.sqlContext)
+    def viewsDf = vs.toDS().toDF("user_id", "view_id", "view_us")
+      .withColumn("view_time", timestamp_micros(col("view_us")))
+    def purchDf = ps.toDS().toDF("p_user", "purchase_id", "purchase_us")
+      .withColumn("purchase_time", timestamp_micros(col("purchase_us")))
+    val q = Streaming.joinWindowOf(viewsDf, purchDf)
+      .writeStream.format("memory").queryName("q162_spec")
+      .outputMode("append").start()
+    // hour 0: view at +1, purchase at +10 (one conversion, gap 9µs);
+    // driver rows 5 hours later push the watermark past hour 0's end
+    vs.addData((7L, 1L, b + 1L), (7L, 2L, b + 5 * hourUs))
+    ps.addData((7L, 10L, b + 10L), (7L, 11L, b + 5 * hourUs))
+    q.processAllAvailable()
+    val rows = spark.table("q162_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stateOps = q.lastProgress.stateOperators
+    q.stop()
+    // hour 0 finalized with its single conversion; the driver hour
+    // (which also self-joins) is still open and must NOT emit
+    assert(rows === Set((b / hourUs, 1L, 9L)), rows.toString)
+    assert(stateOps.length === 2, // symmetric join + window agg
+      stateOps.map(_.operatorName).mkString(","))
+  }
+
+  test("q163 sketch fold: batch-split invariant and replay-idempotent") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id"))
+    def estimates(target: String): Map[String, Long] =
+      spark.read.parquet(s"$target/g${
+          graft.operators.Streaming.latestGen(target).get}")
+        .select(col("event_type"), expr("hll_sketch_estimate(sk)"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one-shot ledger vs a 3-way split fold — identical registers
+    val t1 = java.nio.file.Files.createTempDirectory("q163a").toString
+    graft.operators.Streaming.mergeSketchInto(t1)(ev, 0L)
+    val t2 = java.nio.file.Files.createTempDirectory("q163b").toString
+    (0 to 2).foreach(i => graft.operators.Streaming.mergeSketchInto(t2)(
+      ev.filter(col("user_id") % 3 === i), i.toLong))
+    assert(estimates(t1) === estimates(t2),
+      "split fold diverged from one-shot sketch")
+    // replaying the last batch (crash recovery) must change nothing
+    graft.operators.Streaming.mergeSketchInto(t2)(
+      ev.filter(col("user_id") % 3 === 2), 2L)
+    assert(estimates(t1) === estimates(t2), "replay broke exactly-once")
+  }
+
   test("q118 SCD2 intervals tile per customer and never repeat a status") {
     import org.apache.spark.sql.expressions.Window
     val iv = Relational.scd2Intervals(spark, sf0001).cache()
