@@ -774,6 +774,40 @@ object Dedup {
           lit(SketchBoundMilli) * col("exact_n")).cast("int").as("est_ok"))
   }
 
+  /** q165: CLUSTER KEEPER ELECTION — which duplicate survives: q54
+    * elects the MIN-ID member (a storage convention); a curation
+    * pipeline keeps the BEST one. Per duplicate cluster (q54's label
+    * propagation, unchanged), members are scored by the q157 lexical
+    * diversity proxy and the (score DESC, doc_id ASC) argmax wins —
+    * computed as a `max(struct(score, −doc_id))` aggregation, never a
+    * per-cluster sort. Output is the replacement plan: keeper, its
+    * score, and how many duplicates it retires — the table a dedup
+    * executor joins against to rewrite the corpus.
+    *
+    * Scale: scoring is row-local; the election is ONE cluster-keyed
+    * aggregation with map-side partials (the q99 bounded-state shape
+    * at k = 1). A quality-classifier score swaps in for the proxy
+    * without touching the plan.
+    */
+  def clusterElect(spark: SparkSession, dir: String): DataFrame = {
+    val labs = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val scores = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        expr("CAST((1000 * size(array_distinct(ws))) DIV size(ws) AS BIGINT)")
+          .as("score_milli"))
+    labs.join(scores, "doc_id")
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(max(struct(col("score_milli"), (-col("doc_id")).as("nid")))
+        .as("k"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("k.nid")).as("keeper_doc_id"),
+        col("k.score_milli").as("keeper_score_milli"),
+        (col("cluster_size") - 1).as("n_dropped"))
+  }
+
   /** q160: GOLDEN-RECORD ENTITY RESOLUTION — the full MDM composition
     * the pieces q127/q54 each prove alone: fuzzy-match part names
     * (q127's blocked join, unchanged), close matches into entity
@@ -1070,6 +1104,7 @@ object Dedup {
     "q145_sorted_neighborhood" -> sortedNeighborhood,
     "q143_dup_spans" -> dupSpans,
     "q140_nightly_drop" -> nightlyDrop,
+    "q165_cluster_elect" -> clusterElect,
     "q160_golden_record" -> goldenRecord,
     "q151_kmv_jaccard" -> kmvJaccard,
     "q138_sketch_increment" -> sketchIncrement,
@@ -1186,7 +1221,9 @@ object Dedup {
     * min label), over the identical q15 pair set — so it also proves
     * the engine's fixed unroll reached the fixpoint.
     */
-  private val clustersSql =
+  // shared closure prefix (q54/q91 AND q165): true connected
+  // components via recursive CTE over the identical q15 pair set
+  private val closureCte =
     // stripMargin BEFORE substituting: minhashSql contains lines whose
     // first non-blank chars are a `||` concat, which an outer
     // stripMargin would truncate to `|`
@@ -1200,12 +1237,36 @@ object Dedup {
        |  UNION
        |  SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.node),
        |lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
-       |sz AS (SELECT cluster_id, count(*) cnt FROM lab GROUP BY cluster_id)
-       |SELECT lab.node AS doc_id, lab.cluster_id,
-       |       CAST(sz.cnt AS BIGINT) AS cluster_size,
-       |       (lab.node = lab.cluster_id) AS is_canonical
-       |FROM lab JOIN sz USING (cluster_id)""".stripMargin
+       |sz AS (SELECT cluster_id, count(*) cnt FROM lab GROUP BY cluster_id)""".stripMargin
       .replace("@PAIRS@", minhashSql)
+
+  // tails stripMargin'd SEPARATELY, then concatenated — an outer
+  // stripMargin over the substituted closureCte would truncate
+  // minhashSql's `||` continuation lines to `|`
+  private val clustersSql = closureCte + "\n" +
+    """SELECT lab.node AS doc_id, lab.cluster_id,
+      |       CAST(sz.cnt AS BIGINT) AS cluster_size,
+      |       (lab.node = lab.cluster_id) AS is_canonical
+      |FROM lab JOIN sz USING (cluster_id)""".stripMargin
+
+  // q54's closure + the q157 diversity score + a rank-1 election —
+  // keeper by QUALITY, not by min id
+  private val clusterElectSql = closureCte + ",\n" +
+    s"""s AS (SELECT doc_id,
+       |        CAST((1000 * len(list_distinct(ws))) // len(ws) AS BIGINT)
+       |          score_milli
+       |      FROM (SELECT doc_id, $sqlWords ws FROM documents)
+       |      WHERE len(ws) > 0),
+       |j AS (SELECT lab.node AS doc_id, lab.cluster_id,
+       |        CAST(sz.cnt AS BIGINT) AS cluster_size, s.score_milli
+       |      FROM lab JOIN sz USING (cluster_id)
+       |      JOIN s ON s.doc_id = lab.node),
+       |k AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY score_milli DESC, doc_id ASC) rn FROM j)
+       |SELECT cluster_id, cluster_size, doc_id AS keeper_doc_id,
+       |  score_milli AS keeper_score_milli,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+       |FROM k WHERE rn = 1""".stripMargin
 
   /** q66 replay: identical chunking, identical 60-bit chunk hash; the
     * first-occurrence keeper (`min(struct(doc_id, ci))` in the engine)
@@ -1482,6 +1543,7 @@ object Dedup {
     "q145_sorted_neighborhood" -> snmSql,
     "q143_dup_spans" -> dupSpansSql,
     "q140_nightly_drop" -> nightlyDropSql,
+    "q165_cluster_elect" -> clusterElectSql,
     "q160_golden_record" -> goldenRecordSql,
     "q151_kmv_jaccard" -> kmvJaccardSql,
     "q138_sketch_increment" -> sketchIncrementSql,

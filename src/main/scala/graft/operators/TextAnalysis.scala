@@ -381,6 +381,48 @@ object TextAnalysis {
         (col("est_n") >= col("exact_n")).cast("int").as("ge_ok"))
   }
 
+  private val DriftTopK = 30 // tokens audited (by combined count)
+  private val DriftPpm = 2000L // flag threshold: rate shift >= 2000 ppm
+
+  /** q164: VOCABULARY DRIFT AUDIT — per-token occurrence-rate shift
+    * between two corpus slices (doc_id parity stands in for
+    * yesterday/today or source-A/source-B): for the top-[[DriftTopK]]
+    * tokens by combined count, each slice's rate in parts-per-million
+    * (integer: `10⁶·n DIV N`) and a `shifted` flag at [[DriftPpm]].
+    * This is the cheap canary a corpus-refresh pipeline runs before
+    * retraining — a scraper change or a source swap shows up as rate
+    * shifts in head tokens long before any model metric moves. Rates
+    * are integer per-million (not chi²: the squared-count numerators
+    * overflow BIGINT at corpus scale, and a determinism contract that
+    * only holds below 2⁶³ is not a contract), so the oracle replays
+    * every value exactly.
+    *
+    * Scale: two conditional aggregates in ONE token-keyed shuffle
+    * (map-side partials), a scalar broadcast for the slice totals, and
+    * a TakeOrdered top-k — no joins between the slices, no second
+    * scan.
+    */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(words(col("text"))).as("w"))
+    val counts = toks.groupBy(col("w"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+    val totals = toks.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("ta"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("tb"))
+    graft.functions.Portable.withScalar(counts, totals)
+      .withColumn("ra_ppm", expr("(1000000 * na) DIV ta"))
+      .withColumn("rb_ppm", expr("(1000000 * nb) DIV tb"))
+      .withColumn("delta_ppm", abs(col("ra_ppm") - col("rb_ppm")))
+      .orderBy((col("na") + col("nb")).desc, col("w").asc)
+      .limit(DriftTopK)
+      .select(col("w"), col("na"), col("nb"), col("ra_ppm"), col("rb_ppm"),
+        col("delta_ppm"),
+        (col("delta_ppm") >= DriftPpm).cast("int").as("shifted"))
+  }
+
   /** q73: EXACT grouped median — per-language median token count via a
     * VALUE HISTOGRAM: one (lang, value) count shuffle, a running-sum
     * window over each language's distinct-value histogram (state
@@ -854,6 +896,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_vocab_drift" -> vocabDrift,
     "q152_cms_heavy" -> cmsHeavy,
     "q147_quantile_sketch" -> quantileSketch,
     "q146_pmi_bigrams" -> pmiBigrams,
@@ -1194,7 +1237,27 @@ object TextAnalysis {
        |FROM e""".stripMargin
   }
 
+  private val vocabDriftSql =
+    s"""WITH t AS (SELECT doc_id % 2 = 0 AS in_a, unnest($sqlWords) w
+       |           FROM documents),
+       |c AS (SELECT w,
+       |        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) na,
+       |        CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) nb
+       |      FROM t GROUP BY w),
+       |tt AS (SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) ta,
+       |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) tb
+       |       FROM t),
+       |r AS (SELECT w, na, nb,
+       |        CAST((1000000 * na) // ta AS BIGINT) ra_ppm,
+       |        CAST((1000000 * nb) // tb AS BIGINT) rb_ppm
+       |      FROM c, tt ORDER BY na + nb DESC, w ASC LIMIT $DriftTopK)
+       |SELECT w, na, nb, ra_ppm, rb_ppm,
+       |  abs(ra_ppm - rb_ppm) AS delta_ppm,
+       |  CAST(abs(ra_ppm - rb_ppm) >= $DriftPpm AS INTEGER) AS shifted
+       |FROM r""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q164_vocab_drift" -> vocabDriftSql,
     "q152_cms_heavy" -> cmsHeavySql,
     "q147_quantile_sketch" -> quantileSketchSql,
     "q146_pmi_bigrams" -> pmiSql,

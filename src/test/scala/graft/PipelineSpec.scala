@@ -985,6 +985,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(estimates(t1) === estimates(t2), "replay broke exactly-once")
   }
 
+  test("q165 keeper is a member and no member beats it") {
+    val labs = graft.operators.Dedup.dupClusters(spark, sf0001)
+      .select(col("doc_id"), col("cluster_id"))
+    val scores = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Portable.words(col("text"))
+        .as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        expr("CAST((1000 * size(array_distinct(ws))) DIV size(ws) AS BIGINT)")
+          .as("sc"))
+    val members = labs.join(scores, "doc_id")
+    val elect = graft.operators.Dedup.clusterElect(spark, sf0001)
+    // keeper is a real member with its claimed score
+    assert(elect.join(members,
+      elect("keeper_doc_id") === members("doc_id") &&
+        elect("cluster_id") === members("cluster_id") &&
+        elect("keeper_score_milli") === members("sc"), "left_anti")
+      .count() === 0L)
+    // and no member strictly beats it under (score DESC, doc_id ASC)
+    val beaten = elect.join(members, "cluster_id")
+      .filter(col("sc") > col("keeper_score_milli") ||
+        (col("sc") === col("keeper_score_milli") &&
+          col("doc_id") < col("keeper_doc_id")))
+    assert(beaten.count() === 0L, "a cluster member outranks its keeper")
+  }
+
+  test("q164 drift rates are per-slice consistent and bounded") {
+    val rows = graft.operators.TextAnalysis.vocabDrift(spark, sf0001)
+      .collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val (na, nb, ra, rb, delta, shifted) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))
+      assert(ra <= 1000000L && rb <= 1000000L)
+      assert(delta === math.abs(ra - rb))
+      assert((shifted === 1) === (delta >= 2000L))
+      assert(na + nb > 0L)
+    }
+  }
+
   test("q118 SCD2 intervals tile per customer and never repeat a status") {
     import org.apache.spark.sql.expressions.Window
     val iv = Relational.scd2Intervals(spark, sf0001).cache()
