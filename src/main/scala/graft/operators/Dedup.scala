@@ -774,6 +774,41 @@ object Dedup {
           lit(SketchBoundMilli) * col("exact_n")).cast("int").as("est_ok"))
   }
 
+  /** q168: CROSS-MODAL DEDUP AGREEMENT — the corpus pairs documents
+    * with embeddings by id (the caption↔vector convention of a
+    * multimodal corpus), so q15's TEXT near-dup pairs and q18's
+    * EMBEDDING near-dup pairs describe the same items through two
+    * modalities. This audit full-outer-joins the two pair sets and
+    * classifies each pair: `both` validates cheap text dedup against
+    * the semantic signal, `text_only` is surface duplication the
+    * embedding model separates (e.g. shared boilerplate), and
+    * `embed_only` is the semantic-duplicate mass that text hashing
+    * structurally cannot see — the number that decides whether a
+    * deployment needs the expensive embedding pass at all. Both input
+    * pair generators are the UNCHANGED q15/q18 operators (and the
+    * oracle splices their standalone SQL verbatim), so this gate can
+    * never drift from theirs.
+    *
+    * Scale: the pair sets are dedup outputs — orders smaller than the
+    * corpus — and the audit is one full-outer merge join on the pair
+    * key. Nothing here rescans documents or embeddings.
+    */
+  def modalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val t = dedupMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("text_dup"))
+    val g = dedupEmbed(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(1).as("embed_dup"))
+    t.join(g, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("text_dup"), lit(0)).as("text_dup"),
+        coalesce(col("embed_dup"), lit(0)).as("embed_dup"))
+      .withColumn("agreement",
+        when(col("text_dup") === 1 && col("embed_dup") === 1, "both")
+          .when(col("text_dup") === 1, "text_only")
+          .otherwise("embed_only"))
+  }
+
   /** q165: CLUSTER KEEPER ELECTION — which duplicate survives: q54
     * elects the MIN-ID member (a storage convention); a curation
     * pipeline keeps the BEST one. Per duplicate cluster (q54's label
@@ -1104,6 +1139,7 @@ object Dedup {
     "q145_sorted_neighborhood" -> sortedNeighborhood,
     "q143_dup_spans" -> dupSpans,
     "q140_nightly_drop" -> nightlyDrop,
+    "q168_modal_agreement" -> modalAgreement,
     "q165_cluster_elect" -> clusterElect,
     "q160_golden_record" -> goldenRecord,
     "q151_kmv_jaccard" -> kmvJaccard,
@@ -1239,6 +1275,29 @@ object Dedup {
        |lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
        |sz AS (SELECT cluster_id, count(*) cnt FROM lab GROUP BY cluster_id)""".stripMargin
       .replace("@PAIRS@", minhashSql)
+
+  // both pair generators spliced VERBATIM from their standalone
+  // oracles (stripMargin'd before substitution, see closureCte).
+  // LAZY: embedSql is declared further down; a strict val here would
+  // splice null at object init
+  private lazy val modalAgreementSql =
+    """WITH tp AS (SELECT doc_a, doc_b FROM (@TEXT@)),
+      |gp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM (@EMBED@)),
+      |u AS (SELECT coalesce(tp.doc_a, gp.doc_a) AS doc_a,
+      |        coalesce(tp.doc_b, gp.doc_b) AS doc_b,
+      |        CAST(CASE WHEN tp.doc_a IS NULL THEN 0 ELSE 1 END AS INTEGER)
+      |          AS text_dup,
+      |        CAST(CASE WHEN gp.doc_a IS NULL THEN 0 ELSE 1 END AS INTEGER)
+      |          AS embed_dup
+      |      FROM tp FULL OUTER JOIN gp
+      |        ON tp.doc_a = gp.doc_a AND tp.doc_b = gp.doc_b)
+      |SELECT doc_a, doc_b, text_dup, embed_dup,
+      |  CASE WHEN text_dup = 1 AND embed_dup = 1 THEN 'both'
+      |       WHEN text_dup = 1 THEN 'text_only'
+      |       ELSE 'embed_only' END AS agreement
+      |FROM u""".stripMargin
+      .replace("@TEXT@", minhashSql)
+      .replace("@EMBED@", embedSql)
 
   // tails stripMargin'd SEPARATELY, then concatenated — an outer
   // stripMargin over the substituted closureCte would truncate
@@ -1543,6 +1602,7 @@ object Dedup {
     "q145_sorted_neighborhood" -> snmSql,
     "q143_dup_spans" -> dupSpansSql,
     "q140_nightly_drop" -> nightlyDropSql,
+    "q168_modal_agreement" -> modalAgreementSql,
     "q165_cluster_elect" -> clusterElectSql,
     "q160_golden_record" -> goldenRecordSql,
     "q151_kmv_jaccard" -> kmvJaccardSql,

@@ -876,7 +876,43 @@ object SimSearch {
           .as("cosine"))
   }
 
+  private val NegK = 5 // negatives drawn per anchor
+
+  /** q167: DETERMINISTIC NEGATIVE SAMPLING — per anchor vector, [[NegK]]
+    * uniform negatives from OTHER classes, drawn by salted-hash
+    * priority (`hash60("neg:anchor:candidate")`, smallest-k wins):
+    * contrastive/triplet training needs fresh-but-reproducible
+    * negatives per anchor, and `rand()` destroys reproducibility
+    * across engines, runs, and retries (q52's argument, applied to
+    * pair mining). The per-(anchor, candidate) salt makes draws
+    * independent across anchors; APPEND-STABLE: a grown corpus only
+    * swaps in new candidates whose priorities beat old ones — it
+    * never reshuffles the surviving draw order.
+    *
+    * Scale: anchors broadcast (bounded query set, q19's discipline);
+    * priorities are row-local; selection is per-anchor smallest-k —
+    * the window form here, the q99 bounded-heap Aggregator when the
+    * anchor set stops being bounded. Mining HARD negatives instead is
+    * q34's probe path (nearest other-class neighbors) — this operator
+    * is the uniform baseline that every curriculum starts from.
+    */
+  def negSample(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val anchors = v.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"))
+    v.join(broadcast(anchors), col("label") =!= col("a_label"))
+      .withColumn("priority", hash60(concat_ws(":", lit("neg"),
+        col("anchor_id"), col("vec_id"))))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("priority"), col("vec_id"))))
+      .filter(col("neg_rank") <= NegK)
+      .select(col("anchor_id"), col("neg_rank"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("priority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_neg_sample" -> negSample,
     "q161_srp_bits" -> srpSignatures,
     "q159_label_coreset" -> labelCoreset,
     "q125_ann_matryoshka" -> annMatryoshka,
@@ -1323,7 +1359,21 @@ object SimSearch {
        |  ${sqlCosineq(sqlDotq("qqv", "qv"), "qn2*n2")} AS cosine
        |FROM p""".stripMargin
 
+  private val negSampleSql =
+    s"""WITH v AS (SELECT vec_id, label FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS a_label FROM v
+       |      WHERE vec_id < $NQ),
+       |c AS (SELECT a.anchor_id, v.vec_id, v.label,
+       |        ${sqlHash60("'neg:' || anchor_id || ':' || vec_id")} AS priority
+       |      FROM v, a WHERE v.label <> a.a_label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY priority, vec_id) AS neg_rank FROM c)
+       |SELECT anchor_id, neg_rank, vec_id AS neg_id, label AS neg_label,
+       |  priority
+       |FROM r WHERE neg_rank <= $NegK""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q167_neg_sample" -> negSampleSql,
     "q161_srp_bits" -> srpSql,
     "q159_label_coreset" -> coresetSql,
     "q115_ivf_increment" -> ivfIncSql,

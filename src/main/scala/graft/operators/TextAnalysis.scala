@@ -381,6 +381,44 @@ object TextAnalysis {
         (col("est_n") >= col("exact_n")).cast("int").as("ge_ok"))
   }
 
+  private val RagW = 64 // chunk window (tokens)
+  private val RagStride = 48 // stride => 16-token overlap between chunks
+
+  /** q166: OVERLAPPING CHUNK WINDOWS — RAG/embedding-ingest chunking:
+    * each document becomes sliding [[RagW]]-token windows at stride
+    * [[RagStride]] (16-token overlap, so a sentence straddling a cut
+    * is whole in the next chunk — the retrieval-quality property
+    * fixed disjoint chunks like q66's dedup strides don't need). Per
+    * chunk: position metadata (reconstruction contract: chunk i
+    * covers tokens [i·stride, i·stride+W)), token count (the tail
+    * chunk may be short, but a doc shorter than W still yields ONE
+    * chunk), and the 60-bit content hash an embedding cache keys on.
+    *
+    * Scale: pure row-local explode — one codegen span over the scan,
+    * output ∝ tokens·(W/stride); no shuffle anywhere. The hash column
+    * means downstream embedding jobs dedup identical chunks (q14 on
+    * chunk_hash) before paying GPU time.
+    */
+  def ragChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        // chunk count: floor((n-1-overlap)/stride)+1, min 1 — both
+        // engines clamp the negative-numerator case to 0, so DIV
+        // truncation vs // flooring cannot diverge
+        explode(sequence(lit(0), greatest(
+          expr(s"(size(ws) - ${1 + RagW - RagStride}) DIV $RagStride")
+            .cast("int"),
+          lit(0)))).as("ci"))
+      .select(col("doc_id"), col("ci").as("chunk_idx"),
+        (col("ci") * RagStride).as("start_tok"),
+        slice(col("ws"), col("ci") * RagStride + 1, lit(RagW)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        hash60(array_join(col("cw"), " ")).as("chunk_hash"))
+
   private val DriftTopK = 30 // tokens audited (by combined count)
   private val DriftPpm = 2000L // flag threshold: rate shift >= 2000 ppm
 
@@ -896,6 +934,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_rag_chunks" -> ragChunks,
     "q164_vocab_drift" -> vocabDrift,
     "q152_cms_heavy" -> cmsHeavy,
     "q147_quantile_sketch" -> quantileSketch,
@@ -1256,7 +1295,24 @@ object TextAnalysis {
        |  CAST(abs(ra_ppm - rb_ppm) >= $DriftPpm AS INTEGER) AS shifted
        |FROM r""".stripMargin
 
+  private val ragChunksSql =
+    s"""WITH d AS (SELECT doc_id, ws FROM
+       |      (SELECT doc_id, $sqlWords ws FROM documents)
+       |      WHERE len(ws) > 0),
+       |c AS (SELECT doc_id, ws, unnest(range(0,
+       |        greatest((len(ws) - ${1 + RagW - RagStride}) // $RagStride,
+       |          0) + 1)) ci
+       |      FROM d)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(ci * $RagStride AS BIGINT) AS start_tok,
+       |  CAST(len(list_slice(ws, ci * $RagStride + 1,
+       |    ci * $RagStride + $RagW)) AS BIGINT) AS n_tokens,
+       |  ${sqlHash60(s"array_to_string(list_slice(ws, ci * $RagStride + 1, ci * $RagStride + $RagW), ' ')")}
+       |    AS chunk_hash
+       |FROM c""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q166_rag_chunks" -> ragChunksSql,
     "q164_vocab_drift" -> vocabDriftSql,
     "q152_cms_heavy" -> cmsHeavySql,
     "q147_quantile_sketch" -> quantileSketchSql,

@@ -1025,6 +1025,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 chunk windows cover every token and overlap by stride") {
+    val lens = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(graft.functions.Portable.words(col("text"))).as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = graft.operators.TextAnalysis.ragChunks(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).groupBy(_._1)
+    assert(chunks.keySet === lens.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 0L, s"doc $doc first chunk not at 0")
+      sorted.zipWithIndex.foreach { case ((_, idx, start, n), i) =>
+        assert(idx === i.toLong && start === 48L * i)
+        assert(n > 0L && n <= 64L)
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 === lens(doc).toLong,
+        s"doc $doc tail chunk stops short of the last token")
+    }
+  }
+
+  test("q167 negatives: k per anchor, cross-label, no repeats") {
+    val labels = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.operators.SimSearch.negSample(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (anchor, ns) =>
+      assert(ns.length === 5 && ns.map(_._2).sorted.toSeq === (1 to 5))
+      assert(ns.map(_._3).distinct.length === 5, s"anchor $anchor repeats")
+      ns.foreach { case (_, _, neg, negLabel) =>
+        assert(labels(neg) === negLabel && negLabel != labels(anchor),
+          s"anchor $anchor drew a same-label negative $neg")
+      }
+    }
+  }
+
+  test("q168 agreement classes conserve the q15/q18 pair sets") {
+    val t = graft.operators.Dedup.dedupMinhash(spark, sf0001).count()
+    val g = graft.operators.Dedup.dedupEmbed(spark, sf0001).count()
+    val byClass = graft.operators.Dedup.modalAgreement(spark, sf0001)
+      .groupBy(col("agreement")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    assert(byClass("both") + byClass("text_only") === t)
+    assert(byClass("both") + byClass("embed_only") === g)
+    assert(byClass.keySet.subsetOf(Set("both", "text_only", "embed_only")))
+  }
+
   test("q118 SCD2 intervals tile per customer and never repeat a status") {
     import org.apache.spark.sql.expressions.Window
     val iv = Relational.scd2Intervals(spark, sf0001).cache()

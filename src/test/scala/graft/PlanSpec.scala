@@ -157,8 +157,8 @@ class PlanSpec extends AnyFunSuite {
       // q134's/q151's pair grids broadcast the source-cardinality
       // sketch table (one row per SOURCE, never per doc)
       "q125_ann_matryoshka", "q134_sketch_union", "q151_kmv_jaccard",
-      // q161 broadcasts the bounded NQ-row query signature set
-      "q161_srp_bits")
+      // q161/q167 broadcast the bounded NQ-row anchor/query set
+      "q161_srp_bits", "q167_neg_sample")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
