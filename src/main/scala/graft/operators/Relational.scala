@@ -734,12 +734,25 @@ object Relational {
     * its in-edges across partitions; the partial aggregation absorbs
     * them before the shuffle.
     */
+  /** Co-purchase multi-edges: all ordered within-order part pairs with
+    * unequal values — ONE orderkey shuffle + a row-local basket pair
+    * explode, multiset-identical to the naive lineitem self-join (the
+    * oracles still express it as the join) but without shuffling the
+    * fact table twice. Baskets are order-line-bounded, so the pair
+    * fan-out is row-local and capped — the market-basket discipline.
+    */
+  private def coPurchaseEdges(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_partkey")).as("basket"))
+      .select(explode(flatten(transform(col("basket"), x =>
+        transform(filter(col("basket"), y => y =!= x), y =>
+          struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a").join(li.as("b"), "l_orderkey")
-      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val edges = coPurchaseEdges(li)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgeDeg = edges.join(deg, "src").localCheckpoint(eager = false)
     var r = deg.select(col("src").as("id"), lit(1000000L).as("r"))
@@ -783,9 +796,9 @@ object Relational {
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val und = li.as("a").join(li.as("b"), "l_orderkey")
-      .filter(col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    val und = coPurchaseEdges(li)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
       .distinct()
     trianglesOf(und)
   }
