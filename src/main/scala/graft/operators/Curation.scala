@@ -303,6 +303,41 @@ object Curation {
       .select(col("doc_id"), col("source"), col("rank_in_source"))
   }
 
+  private val Epochs = 2 // epochs exported (0 and 1)
+  private val Shards = 8 // shards per epoch
+
+  /** q170: EPOCH-KEYED SHUFFLE SHARDING — the "global shuffle per
+    * training epoch" a data loader needs: for each epoch, every doc
+    * gets a fresh salted-hash key (`hash60("epoch:e:doc")`), lands in
+    * shard `key mod [[Shards]]`, and takes its position within the
+    * shard from the key order. Different epochs therefore see
+    * DECORRELATED permutations (new salt ⇒ independent keys) while
+    * any single epoch is fully reproducible across runs, engines, and
+    * worker counts — what `rand()`-shuffling cannot give (q52's
+    * argument, applied to epoch ordering). A loader reads shard files
+    * in position order and never materializes a global permutation.
+    *
+    * Scale: key/shard assignment is row-local; position is a
+    * per-(epoch, shard) window over corpus/[[Shards]] rows — the ONE
+    * sort this operator exists to bound (a global orderBy would sort
+    * the corpus once per epoch through a single range partition; this
+    * sorts each shard independently). Hash uniformity keeps shard
+    * sizes within sampling noise of corpus/shards at any scale.
+    */
+  def epochShards(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(Epochs - 1))).as("epoch"))
+      .withColumn("k", HashOps.md5_prefix60(concat_ws(":", lit("epoch"),
+        col("epoch"), col("doc_id"))))
+      .withColumn("shard", col("k") % Shards)
+    keyed.withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select(col("epoch").cast("int").as("epoch"), col("doc_id"),
+        col("shard"), col("pos"))
+  }
+
   private val TokenBudget = 300L // per-source training-token budget
 
   /** q157: TOKEN-BUDGET QUALITY FILL — the mixture step q63 (count
@@ -517,6 +552,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_epoch_shards" -> epochShards,
     "q157_token_budget" -> tokenBudgetFill,
     "q144_k_anonymity" -> kAnonymity,
     "q139_release_manifest" -> releaseManifest,
@@ -532,6 +568,19 @@ object Curation {
     "q70_boilerplate" -> boilerplate)
 
   // ---- DuckDB oracles: identical algorithms, same hashes/thresholds ----
+
+  private val epochShardsSql = {
+    val h = graft.functions.Portable.sqlHash60(
+      "'epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, unnest(range($Epochs)) AS epoch
+       |           FROM documents),
+       |k AS (SELECT doc_id, epoch, $h AS k FROM d),
+       |s AS (SELECT doc_id, epoch, k, k % $Shards AS shard FROM k)
+       |SELECT CAST(epoch AS INTEGER) AS epoch, doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard
+       |    ORDER BY k, doc_id) AS BIGINT) AS pos
+       |FROM s""".stripMargin
+  }
 
   private val tokenBudgetSql =
     s"""WITH d AS (SELECT doc_id, source, $sqlWords ws FROM documents),
@@ -752,6 +801,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q144_k_anonymity" -> kAnonymitySql,
     "q139_release_manifest" -> releaseManifestSql,
+    "q170_epoch_shards" -> epochShardsSql,
     "q157_token_budget" -> tokenBudgetSql,
     "q121_split_assign" -> splitAssignSql,
     "q122_weighted_sample" -> weightedSampleSql,

@@ -842,7 +842,47 @@ object Relational {
       .select(col("p_partkey"), col("deg"), col("n_triangles"))
   }
 
+  /** q169: NESTED EXAMPLE EXPORT — the denormalize-and-nest step that
+    * turns relational facts into self-contained training examples
+    * (one row = one order with its items inline, the JSONL shape
+    * sequence models consume): items collect per order in
+    * DETERMINISTIC comparator order (`sort_array` over
+    * (linenumber, partkey)-led structs — q04's nest discipline on a
+    * business entity), prices in exact cents, and the canonical `|`
+    * item string both engines can hash. No example straddles rows, so
+    * downstream shuffles/shards (q170) move whole examples.
+    *
+    * Scale: ONE order-key shuffle for the nest (map-side partials;
+    * group state = one order's items, basket-bounded) and a broadcast
+    * of nothing — the orders side joins post-aggregation on the same
+    * key, so AQE keeps it exchange-free. At 100 TB this is the
+    * canonical "export corpus" plan: nest ∝ fact table, never a
+    * window, never a global sort.
+    */
+  def nestedExport(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber"), col("l_partkey"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            .as("price_cents"),
+          col("l_quantity").cast("long").as("qty")).as("it"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("it"))).as("items"))
+      .select(col("l_orderkey").as("o_orderkey"),
+        size(col("items")).cast("long").as("n_items"),
+        aggregate(col("items"), lit(0L),
+          (acc, x) => acc + x.getField("price_cents")).as("total_cents"),
+        array_join(transform(col("items"), x =>
+          concat_ws(":", x.getField("l_linenumber"),
+            x.getField("l_partkey"), x.getField("price_cents"),
+            x.getField("qty"))), "|").as("items_str"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .join(items, "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_nested_export" -> nestedExport,
     "q150_triangles" -> triangles,
     "q149_pagerank" -> pagerank,
     "q135_aqp_sample" -> aqpSample,
@@ -916,7 +956,27 @@ object Relational {
       |FROM n JOIN d ON n.p_partkey = d.p_partkey
       |GROUP BY 1, 2""".stripMargin
 
+  // sort_array's lexicographic struct order == the ORDER BY list; the
+  // canonical item string makes the nest hash-comparable across engines
+  private val nestedExportSql =
+    """WITH it AS (SELECT l_orderkey, l_linenumber, l_partkey,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) price_cents,
+      |    CAST(l_quantity AS BIGINT) qty FROM lineitem),
+      |n AS (SELECT l_orderkey AS o_orderkey,
+      |    CAST(count(*) AS BIGINT) n_items,
+      |    CAST(sum(price_cents) AS BIGINT) total_cents,
+      |    string_agg(CAST(l_linenumber AS VARCHAR) || ':' ||
+      |        CAST(l_partkey AS VARCHAR) || ':' ||
+      |        CAST(price_cents AS VARCHAR) || ':' || CAST(qty AS VARCHAR),
+      |      '|' ORDER BY l_linenumber, l_partkey, price_cents, qty)
+      |      AS items_str
+      |  FROM it GROUP BY l_orderkey)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+      |  n.n_items, n.total_cents, n.items_str
+      |FROM orders o JOIN n ON o.o_orderkey = n.o_orderkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q169_nested_export" -> nestedExportSql,
     "q150_triangles" -> trianglesSql,
     "q149_pagerank" -> pagerankSql,
     "q135_aqp_sample" ->

@@ -1077,6 +1077,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(byClass.keySet.subsetOf(Set("both", "text_only", "embed_only")))
   }
 
+  test("q169 nested export conserves items and the canon string is complete") {
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val got = graft.operators.Relational.nestedExport(spark, sf0001).cache()
+    try {
+      assert(got.count() ===
+        li.select(col("l_orderkey")).distinct().count())
+      val sums = got.agg(sum(col("n_items"))).collect()(0).getLong(0)
+      assert(sums === li.count(), "an item went missing from the nest")
+      // the canonical string carries exactly n_items entries
+      assert(got.filter(size(split(col("items_str"), "\\|")) =!=
+        col("n_items")).count() === 0L)
+    } finally { got.unpersist(); () }
+  }
+
+  test("q170 epochs are complete, positions contiguous, permutations fresh") {
+    val rows = graft.operators.Curation.epochShards(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    (0 to 1).foreach { e =>
+      val ep = rows.filter(_._1 == e)
+      assert(ep.length.toLong === nDocs, s"epoch $e lost docs")
+      assert(ep.map(_._2).distinct.length.toLong === nDocs)
+      ep.groupBy(_._3).foreach { case (sh, ss) =>
+        assert(ss.map(_._4).sorted.toSeq === (1L to ss.length).toSeq,
+          s"epoch $e shard $sh positions not contiguous")
+      }
+    }
+    // decorrelation: epoch 1 must re-deal shards (same-shard rate near
+    // 1/8, loosely pinned — a shared salt would give 1.0)
+    val byDoc = rows.groupBy(_._2).view.mapValues(v =>
+      v.sortBy(_._1).map(_._3))
+    val same = byDoc.count { case (_, s) => s.head == s.last }
+    assert(same.toDouble / nDocs < 0.3,
+      s"epoch permutations correlated: $same/$nDocs same-shard")
+  }
+
   test("q118 SCD2 intervals tile per customer and never repeat a status") {
     import org.apache.spark.sql.expressions.Window
     val iv = Relational.scd2Intervals(spark, sf0001).cache()
