@@ -59,6 +59,41 @@ class KMinLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** Bounded bottom-k typed [[Aggregator]] over (group_key, sort1,
+  * sort2, payload) rows — [[TopKScored]]'s ASCENDING, all-integer
+  * sibling: per group, the k rows with the smallest (sort1, sort2),
+  * kept sorted, payload carried along untouched. Same scale argument
+  * as TopKScored: the buffer never exceeds k entries and Aggregators
+  * partial-aggregate, so each map task ships AT MOST k rows per group
+  * to the shuffle — the shape that replaces
+  * `row_number().over(Window.partitionBy(g).orderBy(s1, s2))` when a
+  * group's candidate set scales with the corpus (q159's per-label and
+  * q167's per-anchor selections: few groups × huge corpus means each
+  * window partition is corpus-sized, and the window form degenerates
+  * to a handful of mega-partition sorts). Ordering is (sort1 ASC,
+  * sort2 ASC) with sort2 a unique tiebreak by contract, so the output
+  * sequence order IS the rank — bit-identical to the window form,
+  * which the PlanSpec twin test pins.
+  */
+class BottomKRanked(k: Int)
+    extends Aggregator[(Long, Long, Long, Long), Seq[(Long, Long, Long)],
+      Seq[(Long, Long, Long)]] {
+  private def bounded(s: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    s.sortBy(t => (t._1, t._2)).take(k)
+  override def zero: Seq[(Long, Long, Long)] = Vector.empty
+  override def reduce(b: Seq[(Long, Long, Long)],
+      a: (Long, Long, Long, Long)): Seq[(Long, Long, Long)] =
+    bounded(b :+ ((a._2, a._3, a._4)))
+  override def merge(b1: Seq[(Long, Long, Long)],
+      b2: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = bounded(b1 ++ b2)
+  override def finish(r: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    bounded(r)
+  override def bufferEncoder: Encoder[Seq[(Long, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 class TopKScored(k: Int)
     extends Aggregator[(Long, Long, Double), Seq[(Long, Double)],
       Seq[(Long, Double)]] {

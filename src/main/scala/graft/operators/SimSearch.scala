@@ -775,12 +775,24 @@ object SimSearch {
     * vectors (the q59 floored-division kernel, one exploded (label,
     * dim) sum with map-side partials); distances are exact integer d²
     * against the broadcast label-count-sized centroid table; selection
-    * is a per-label window rank (k tiny — the q99 bounded-heap
-    * Aggregator is the drop-in when label cardinality explodes).
+    * is the bounded-heap [[graft.functions.BottomKRanked]] Aggregator:
+    * ≤ [[CoresetK]] rows per label reach the shuffle (map-side
+    * partials), so per-task memory is labels×k regardless of corpus
+    * size. A rank window here would be the scale-killer, NOT the
+    * escape hatch: with a handful of labels each window partition is
+    * |corpus|/|labels| rows, fully sorted on one task — the window
+    * form is only safe when group CARDINALITY is high enough to keep
+    * partitions small, the opposite of this configuration.
     * Everything is integer arithmetic, so the oracle replays centroid,
-    * distance, and rank bit-for-bit.
+    * distance, and rank bit-for-bit (sequence order IS the rank —
+    * PlanSpec pins the window-form twin bit-identical).
     */
-  def labelCoreset(spark: SparkSession, dir: String): DataFrame = {
+  /** The q159 scored frame — (label, d2, vec_id) for every corpus
+    * vector against its label's exact-integer centroid. Shared by the
+    * shipped Aggregator selection and the spec-only window twin so
+    * their bit-identity proof covers the same kernels.
+    */
+  private def coresetScored(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qv"))
       .withColumn("n2", norm2(col("qv")))
@@ -793,11 +805,36 @@ object SimSearch {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         p => p.getField("cv")).as("cqv"))
       .withColumn("cn2", norm2(col("cqv")))
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("d2").asc, col("vec_id").asc)
     e.join(broadcast(cent), "label")
       .withColumn("d2",
         col("n2") - lit(2L) * dotq(col("qv"), col("cqv")) + col("cn2"))
+      .select(col("label"), col("d2"), col("vec_id"))
+  }
+
+  def labelCoreset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    coresetScored(spark, dir)
+      .select(col("label").cast("long"), col("d2"), col("vec_id"), lit(0L))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.BottomKRanked(CoresetK).toColumn.name("top"))
+      .toDF("label", "top")
+      .select(col("label").cast("int").as("label"),
+        posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("label"), (col("i") + 1).as("rnk"),
+        col("s._2").as("vec_id"), col("s._1").as("d2"))
+  }
+
+  /** Spec-only rank-window twin of [[labelCoreset]]'s selection — the
+    * shape the Aggregator replaced (corpus-sized per-label sort
+    * partitions when labels are few); PlanSpec proves the two
+    * bit-identical over the same scored frame.
+    */
+  private[graft] def labelCoresetWindowForm(spark: SparkSession,
+      dir: String): DataFrame = {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    coresetScored(spark, dir)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= CoresetK)
       .select(col("label"), col("rnk"), col("vec_id"), col("d2"))
@@ -852,9 +889,18 @@ object SimSearch {
     */
   def srpSignatures(spark: SparkSession, dir: String): DataFrame = {
     val rl = typedLit(srpMatrix)
+    // Guard the hardcoded projection width: a corpus whose embedding
+    // dimensionality drifts from SrpDim would otherwise null-propagate
+    // through zip_with (bit=0) while the oracle's list_sum skips
+    // nulls — surfacing only as an opaque hash mismatch. Fail loudly
+    // in-plan instead.
     val sample = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NQ || col("vec_id") % 7 === 3)
       .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("qv", when(size(col("qv")) === SrpDim, col("qv"))
+        .otherwise(raise_error(concat(
+          lit(s"q161: SRP matrix is $SrpDim-wide but embedding has "),
+          size(col("qv")).cast("string"), lit(" dims")))))
       .withColumn("n2", norm2(col("qv")))
       .withColumn("sig", transform(sequence(lit(0), lit(SrpBits - 1)), b =>
         when(aggregate(
@@ -890,26 +936,60 @@ object SimSearch {
     * never reshuffles the surviving draw order.
     *
     * Scale: anchors broadcast (bounded query set, q19's discipline);
-    * priorities are row-local; selection is per-anchor smallest-k —
-    * the window form here, the q99 bounded-heap Aggregator when the
-    * anchor set stops being bounded. Mining HARD negatives instead is
-    * q34's probe path (nearest other-class neighbors) — this operator
-    * is the uniform baseline that every curriculum starts from.
+    * priorities are row-local; selection is per-anchor smallest-k via
+    * the bounded-heap [[graft.functions.BottomKRanked]] Aggregator —
+    * ≤ [[NegK]] survivors per anchor leave each map task, so the
+    * NQ×|corpus| candidate fan-out collapses BEFORE the shuffle. The
+    * rank-window form is exactly wrong here: a BOUNDED anchor set over
+    * a huge corpus means each per-anchor window partition holds nearly
+    * the whole corpus (NQ mega-partition sorts — bounded parallelism);
+    * windows only stay safe when anchors are numerous and groups
+    * correspondingly small. Mining HARD negatives instead is q34's
+    * probe path (nearest other-class neighbors) — this operator is the
+    * uniform baseline that every curriculum starts from.
     */
-  def negSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The q167 candidate frame — every (anchor, other-class candidate)
+    * pair with its salted-hash priority. Shared by the shipped
+    * Aggregator selection and the spec-only window twin.
+    */
+  private def negCandidates(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     val anchors = v.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("anchor_id"), col("label").as("a_label"))
     v.join(broadcast(anchors), col("label") =!= col("a_label"))
       .withColumn("priority", hash60(concat_ws(":", lit("neg"),
         col("anchor_id"), col("vec_id"))))
+      .select(col("anchor_id"), col("priority"), col("vec_id"), col("label"))
+  }
+
+  def negSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    negCandidates(spark, dir)
+      .select(col("anchor_id"), col("priority"), col("vec_id"),
+        col("label").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.BottomKRanked(NegK).toColumn.name("top"))
+      .toDF("anchor_id", "top")
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("anchor_id"), (col("i") + 1).as("neg_rank"),
+        col("s._2").as("neg_id"), col("s._3").cast("int").as("neg_label"),
+        col("s._1").as("priority"))
+  }
+
+  /** Spec-only rank-window twin of [[negSample]]'s selection (the NQ
+    * mega-partition-sort shape the Aggregator replaced); PlanSpec
+    * proves the two bit-identical over the same candidate frame.
+    */
+  private[graft] def negSampleWindowForm(spark: SparkSession,
+      dir: String): DataFrame =
+    negCandidates(spark, dir)
       .withColumn("neg_rank", row_number().over(
         Window.partitionBy(col("anchor_id"))
           .orderBy(col("priority"), col("vec_id"))))
       .filter(col("neg_rank") <= NegK)
       .select(col("anchor_id"), col("neg_rank"), col("vec_id").as("neg_id"),
         col("label").as("neg_label"), col("priority"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_neg_sample" -> negSample,

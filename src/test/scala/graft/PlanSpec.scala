@@ -362,6 +362,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** The round-7 `weak` closure: q159/q167 must select per-group top-k
+    * via the bounded-heap Aggregator (≤k rows per group leave each map
+    * task as a PARTIAL ObjectHashAggregate), never via a rank window —
+    * with few labels / a bounded anchor set over a huge corpus, each
+    * window partition is corpus-sized and the plan degenerates to a
+    * handful of mega-partition sorts.
+    */
+  test("q159/q167 plan no rank window; top-k partial-aggregates before the shuffle") {
+    import graft.operators.SimSearch
+    Seq("q159" -> SimSearch.labelCoreset(spark, sf0001),
+      "q167" -> SimSearch.negSample(spark, sf0001)).foreach { case (n, df) =>
+      val plan = physical(df)
+      assert(!plan.contains("Window"),
+        s"$n ranks through a window partition:\n${plan.take(3000)}")
+      assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+        s"$n: expected partial+final typed aggregation:\n${plan.take(3000)}")
+    }
+  }
+
+  test("q159/q167 bounded-heap selection is bit-identical to the rank-window form") {
+    import graft.operators.SimSearch
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString(""))
+        .toSeq.sorted
+    }
+    assert(canon(SimSearch.labelCoreset(spark, sf0001)) ===
+      canon(SimSearch.labelCoresetWindowForm(spark, sf0001)))
+    assert(canon(SimSearch.negSample(spark, sf0001)) ===
+      canon(SimSearch.negSampleWindowForm(spark, sf0001)))
+  }
+
   test("q24 fingerprint scans only (doc_id, text) and uses the native kernel") {
     val df = graft.operators.TextAnalysis.fingerprint(spark, sf0001)
     val plan = physical(df)
