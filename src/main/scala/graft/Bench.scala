@@ -60,6 +60,19 @@ object Bench {
     // query's steady-state time; the driver never sets it (full sweep).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Sweep hygiene: every shared fixture is checkpointed by the warm
+    // prelude above, so any persistent RDD that appears DURING a timed
+    // query is that query's private localCheckpoint blocks — garbage
+    // the moment its runs finish, but pinned in the executor JVM
+    // otherwise. 170 queries' accumulated blocks were enough memory
+    // pressure to read as phantom late-sweep regressions (q74 showed
+    // 3.1s in a full-sweep tail vs 0.33s standalone), so the delta is
+    // unpersisted after each query: sweep position stops mattering.
+    val protectedRdds = spark.sparkContext.getPersistentRDDs.keySet
+    def dropPrivateBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!protectedRdds.contains(id)) rdd.unpersist(blocking = false)
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -72,6 +85,7 @@ object Bench {
       }
       val runs = if (QueryTraits.executesOnBuild(name)) 3 else 2
       val outcomes = Seq.fill(runs)(once())
+      dropPrivateBlocks()
       name -> (outcomes.map(_._1), outcomes.forall(_._2))
     }
     val qs = results.map { case (k, (ts, _)) => s"\"" + k + "\":" + ts.min }

@@ -188,7 +188,7 @@ object Compaction {
 
   private[graft] def leveledFixture(spark: SparkSession,
       dir: String): (String, String) =
-    Sink.fixture("leveled:" + dir) {
+    Sink.fixture2("leveled:" + dir) {
       val nested = CellModel.nestRows(spark, dir)
         .withColumn("ks", col("key").cast("string"))
       val (out0, out1) = (Scratch.dir("graft_l0"), Scratch.dir("graft_l1"))
@@ -199,8 +199,8 @@ object Compaction {
         Sink.writeNested(slice(lo, hi), out0) }
       L1Slices.foreach { case (lo, hi) =>
         Sink.writeNested(slice(lo, hi), out1) }
-      out0 + "," + out1
-    }.split(",") match { case Array(a, b) => (a, b) }
+      (out0, out1)
+    }
 
   /** q156: LEVELED COMPACTION PLANNING from manifest KEY RANGES — the
     * other half of Cassandra's compaction strategy menu (LCS; q153 is

@@ -231,11 +231,18 @@ object Core {
       .select(expr(s"token DIV $RangeSpan").as("range_id"), col("h"))
       .groupBy(col("range_id"))
       .agg(expr("bit_xor(h)").as(dg), count(lit(1)).as(n))
+    // needs_repair folds in the row-count comparison alongside the
+    // digest: a divergence whose per-cell hash deltas XOR-cancel (or
+    // equal digests over unequal counts) must still flag — the digest
+    // alone is safe under the unique-(key, name) cell model but
+    // fragile if the kernel is reused on frames with duplicate cells.
     digests(a, "digest_a", "n_a")
       .join(digests(b, "digest_b", "n_b"), Seq("range_id"), "full_outer")
-      .select(col("range_id"), col("n_a"),
+      .select(col("range_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
-        (!(col("digest_a") <=> col("digest_b"))).cast("int")
+        (!(col("digest_a") <=> col("digest_b")) ||
+          !(col("n_a") <=> col("n_b"))).cast("int")
           .as("needs_repair"))
   }
 
@@ -328,8 +335,9 @@ object Core {
        |      FROM a WHERE ${sqlHash60("'lost:' || name")} % 97 <> 3),
        |da AS (${dig("a", "dga", "n_a")}),
        |db AS (${dig("b", "dgb", "n_b")})
-       |SELECT range_id, n_a, coalesce(n_b, 0) AS n_b,
-       |  CAST(dga IS DISTINCT FROM dgb AS INTEGER) AS needs_repair
+       |SELECT range_id, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       |  CAST((dga IS DISTINCT FROM dgb) OR (n_a IS DISTINCT FROM n_b)
+       |    AS INTEGER) AS needs_repair
        |FROM da LEFT JOIN db USING (range_id)""".stripMargin
   }
 

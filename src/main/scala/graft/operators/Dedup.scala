@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.functions.Portable._
+import graft.operators.Checkpoints._
 import graft.sources.Tables
 
 /** Deduplication operators over the `documents` / `embeddings` tables —
@@ -84,7 +85,7 @@ object Dedup {
     // re-hashing the corpus per branch — the local analog of persisting
     // the signature table, which is what a 100 TB deployment does
     // explicitly (storage is executor-local, GC-cleaned with the plan)
-    val d = docShingleHashes(spark, dir).localCheckpoint(false)
+    val d = docShingleHashes(spark, dir).cp()
     val sig = d.withColumn("mhs", array(hashAB.map { case (a, b) =>
       array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
     }: _*))
@@ -136,7 +137,7 @@ object Dedup {
     */
   private def pairGraph(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+      .select(col("doc_a"), col("doc_b")).cp()
     pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
   }
 
@@ -147,12 +148,34 @@ object Dedup {
     * materialises each round exactly once, the driver-loop structure a
     * production fixpoint iteration has anyway.
     */
-  private def propagate(edges: DataFrame, labels: DataFrame): DataFrame = {
+  private def propagateBody(edges: DataFrame, labels: DataFrame): DataFrame = {
     val msgs = edges.join(labels, edges("src") === labels("node"))
       .select(edges("dst").as("node"), labels("label"))
     labels.union(msgs)
       .groupBy("node").agg(min("label").as("label"))
-      .localCheckpoint(false)
+  }
+
+  private def propagate(edges: DataFrame, labels: DataFrame): DataFrame =
+    propagateBody(edges, labels).cpIter()
+
+  /** Audit hook (see [[SimSearch.fixturePlans]]): the label-propagation
+    * family's plans split at the iteration barrier — the pre-loop
+    * pair/edge pipelines and ONE propagation round — because the
+    * unrolled fixpoint cannot print un-truncated (the tree doubles
+    * every round; see [[Checkpoints.CpOps.cpIter]]). Total loop cost =
+    * the round row × rounds, over edge-sized inputs.
+    */
+  private[graft] def auditPlans(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val pg = pairGraph(spark, dir)
+    val seed = pg.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    Seq(
+      "q54/q91/q165:pair_graph" -> pg,
+      "q160:name_edges" -> goldenEdges(goldenNames(spark, dir)),
+      // round cost over materialized (truncated) inputs — the per-round
+      // marginal work, not a re-print of the pair pipeline
+      "fixpoint:propagate_round" -> propagateBody(pg.cpIter(), seed.cpIter()))
   }
 
   private def clusterOutput(labels: DataFrame): DataFrame = {
@@ -243,7 +266,7 @@ object Dedup {
     val isNew = col("doc_id") % 10 === 7
     val hashed = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("h"))
-    val sigs = docShingleHashes(spark, dir).localCheckpoint(false)
+    val sigs = docShingleHashes(spark, dir).cp()
     val bands = sigs.withColumn("mhs", array(hashAB.map { case (a, b) =>
         array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
       }: _*))
@@ -251,7 +274,7 @@ object Dedup {
         sequence(lit(0), lit(NumBands - 1)), b =>
           concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
             element_at(col("mhs"), b * 2 + 2)))).as("bkey"))
-      .localCheckpoint(false)
+      .cp()
     val exactDup = hashed.filter(isNew).join(
       hashed.filter(!isNew).select(col("h")).distinct(), "h")
       .select(col("doc_id")).distinct()
@@ -318,7 +341,7 @@ object Dedup {
         concat_ws(":", element_at(col("hs"), 1), element_at(col("hs"), 2),
           element_at(col("hs"), 3)))
       .select(col("doc_id"), col("hs"), col("anchor"))
-      .localCheckpoint(false) // both sides of the self-join share one gram pass
+      .cp() // both sides of the self-join share one gram pass
     val cand = grams.as("a").join(grams.as("b"),
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -555,7 +578,7 @@ object Dedup {
       .select(col("name"), array_distinct(
         transform(sequence(lit(1), length(col("name")) - (FuzzyQ - 1)), i =>
           col("name").substr(i, lit(FuzzyQ)))).as("gs"))
-      .localCheckpoint(eager = false) // feeds both generators + verify
+      .cp() // feeds both generators + verify
     val grams = withGrams.select(col("name"), explode(col("gs")).as("g"))
     val gramCand = grams.as("a")
       .join(grams.as("b"),
@@ -630,7 +653,7 @@ object Dedup {
   def sketchUnion(spark: SparkSession, dir: String): DataFrame = {
     val sh = sourceShingles(Tables.documents(spark, dir))
       .distinct() // the (source, shingle-hash) SET
-      .localCheckpoint(eager = false) // feeds counts, sketches, intersections
+      .cp() // feeds counts, sketches, intersections
     val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val sketches = sh.groupBy(col("source"))
       .agg(expr(s"hll_sketch_agg(h, $SketchLgK)").as("sk"))
@@ -686,7 +709,7 @@ object Dedup {
     * corpus stays linear where hash-ordered prefixes go quadratic.
     */
   def prefixJoin(spark: SparkSession, dir: String): DataFrame =
-    prefixJoinOf(docShingleHashes(spark, dir).localCheckpoint(false))
+    prefixJoinOf(docShingleHashes(spark, dir).cp())
 
   /** The q137 kernel over an explicit (doc_id, hsh) frame;
     * `rarestFirst = false` reproduces the naive value-ordered prefix —
@@ -863,19 +886,28 @@ object Dedup {
     * it — so the whole resolution runs in the metadata tier, and the
     * record-side join is one broadcast of the name→canonical map.
     */
-  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.part(spark, dir)
-    val names = parts.select(col("p_name").as("name")).distinct()
+  /** q160's name universe and its fuzzy-pair edge graph — split out so
+    * the audit can print the pre-fixpoint pipeline un-truncated.
+    */
+  private def goldenNames(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(col("p_name").as("name")).distinct()
       .filter(length(col("name")) >= FuzzyQ)
-      .localCheckpoint(eager = false) // feeds pairs, nodes, record join
+      .cp() // feeds pairs, nodes, record join
+
+  private def goldenEdges(names: DataFrame): DataFrame = {
     val pairs = fuzzyJoinOf(names).select(col("name_a"), col("name_b"))
     val e = pairs.select(hash60(col("name_a")).as("src"),
       hash60(col("name_b")).as("dst"))
-    val edges = e
-      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .union(names.select(hash60(col("name")).as("src"),
         hash60(col("name")).as("dst")))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().cp()
+  }
+
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    val names = goldenNames(spark, dir)
+    val edges = goldenEdges(names)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to ClusterRounds) labels = propagate(edges, labels)
@@ -948,7 +980,7 @@ object Dedup {
   def kmvJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = sourceShingles(Tables.documents(spark, dir))
-      .localCheckpoint(eager = false) // feeds sketch build + exact check
+      .cp() // feeds sketch build + exact check
     val km = sh.as[(String, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -1060,7 +1092,7 @@ object Dedup {
         posexplode(graft.functions.HashOps.shingle_hash60(col("ws"), DupSpanN)))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("long").as("pos"), col("col").as("h"))
-      .localCheckpoint(false) // feeds the dup aggregate AND the join back
+      .cp() // feeds the dup aggregate AND the join back
     val dupH = spans.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2).select(col("h"))
     val cov = Events.coverageOf(
@@ -1111,7 +1143,7 @@ object Dedup {
     val ranked = Relational.withGlobalRank(d,
         Seq(col("skey").asc, col("doc_id").asc))
       .withColumn("bucket", expr(s"(rnk - 1) DIV $SnmWindow"))
-      .localCheckpoint(eager = false) // slim candidate side + both verify probes
+      .cp() // slim candidate side + both verify probes
     val slim = ranked.select(col("doc_id"), col("rnk"), col("bucket"))
     val probes = slim.select(col("doc_id").as("doc_a"),
       col("rnk").as("rn_a"),

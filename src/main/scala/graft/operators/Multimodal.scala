@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints._
 import graft.sources.Tables
 
 /** A media record: opaque binary payload + typed metadata — the
@@ -185,7 +186,7 @@ object Multimodal {
     import spark.implicits._
     val ph = mediaTable(spark, dir).mapPartitions(phashBatch)
       .toDF("doc_id", "phash")
-      .localCheckpoint(eager = false) // both band sides + the verify
+      .cp() // both band sides + the verify
     val bands = ph.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(PhBands - 1))).as("b"))
       .select(col("doc_id"), col("phash"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints._
 import graft.sources.Tables
 
 /** Relational operator coverage over the TPC-H-ish testdata: hash/broadcast
@@ -274,6 +275,7 @@ object Relational {
     */
   def warmFixtures(spark: SparkSession, dir: String): Unit = {
     bucketedFixture(spark, dir)
+    coPurchaseFixture(spark, dir)
     ()
   }
 
@@ -368,7 +370,7 @@ object Relational {
     */
   def aqeSkewJoin(spark: SparkSession, dir: String): DataFrame =
     withSkewConfs(spark) {
-      skewJoinPlan(spark, dir).localCheckpoint(eager = true)
+      skewJoinPlan(spark, dir).cp(eager = true)
     }
 
   /** q55: GLOBAL RANK — total-order ranking without the scale-killer
@@ -415,7 +417,7 @@ object Relational {
       .withColumn("mid", monotonically_increasing_id())
       // both consumers (offset counts + the ranked join) must see the
       // SAME materialisation — and the sort pays once, not twice
-      .localCheckpoint(eager = false)
+      .cp()
       .withColumn("pid", shiftrightunsigned(col("mid"), 33))
       .withColumn("idx", col("mid").bitwiseAND(lit((1L << 33) - 1)))
     val offsets = withId.groupBy(col("pid"))
@@ -546,7 +548,7 @@ object Relational {
     */
   def bloomJoin(spark: SparkSession, dir: String): DataFrame =
     withBloomConfs(spark) {
-      bloomJoinPlan(spark, dir).localCheckpoint(eager = true)
+      bloomJoinPlan(spark, dir).cp(eager = true)
     }
 
   /** q128: DATA-QUALITY EXPECTATION REPORT — the deequ-style gate a
@@ -573,7 +575,7 @@ object Relational {
     val orders1 = o.agg(
       sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
       (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dups"))
-      .localCheckpoint(false) // one pass feeds both 1-row reports
+      .cp() // one pass feeds both 1-row reports
     val line1 = l.agg(
       sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
         .otherwise(0L)).as("bad_discount"),
@@ -581,7 +583,7 @@ object Relational {
         col("l_shipdate") >= expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'"), 1L)
         .otherwise(0L)).as("bad_shipdate"),
       count(lit(1)).as("n_rows"))
-      .localCheckpoint(false)
+      .cp()
     val orphanLine = l.select(col("l_orderkey"))
       .join(o.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
@@ -723,10 +725,13 @@ object Relational {
     * chained CTEs.
     *
     * Scale shape: edge generation is an equi-join on the order key
-    * (per-order fan-out is basket-size-bounded, never all-pairs);
-    * each iteration is ONE join of the edge list against the
-    * node-sized rank table plus ONE dst-keyed re-aggregation with
-    * map-side partials — the canonical distributed PageRank step.
+    * (per-order fan-out is basket-size-bounded, never all-pairs),
+    * built once as the shared consolidated `(src, dst, mult)` graph
+    * ([[coPurchaseFixture]]) so iterations run over distinct pairs,
+    * not parallel multi-edges; each iteration is ONE join of the edge
+    * list against the node-sized rank table plus ONE dst-keyed
+    * re-aggregation with map-side partials — the canonical
+    * distributed PageRank step.
     * Edges and degrees are localCheckpointed once (built once, read
     * every iteration — the persist every Pregel implementation does);
     * iteration count is FIXED, so lineage stays bounded without
@@ -749,17 +754,53 @@ object Relational {
           struct(x.as("src"), y.as("dst")))))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
 
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** The CONSOLIDATED co-purchase graph — `(src, dst, mult)`, one row
+    * per distinct node pair with its parallel-edge multiplicity —
+    * built ONCE per (context, sf dir) and shared by q149 and q150
+    * (the [[SimSearch]] centroid-fixture discipline applied to a
+    * derived edge list: both graph queries used to re-shuffle the
+    * fact table into identical multi-edges independently).
+    * Consolidation is exact for both consumers: q149's per-edge floor
+    * `(r·850) DIV (1000·deg)` is constant across parallel edges of a
+    * pair, so `mult · floor` replaces the per-edge sum bit-for-bit,
+    * and q150 only needs the distinct pairs. At 100 TB this is also
+    * the right on-disk shape — the multi-edge list is
+    * Σ basket² rows, the consolidated one is bounded by the distinct
+    * co-purchase pairs (catalog², typically far smaller and the thing
+    * you'd actually persist). Keyed by applicationId because
+    * localCheckpoint blocks die with the context that built them.
+    */
+  private val edgeFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val edgeLock = new Object
+  private def coPurchaseEdgesPlan(spark: SparkSession,
+      dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    val edges = coPurchaseEdges(li)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgeDeg = edges.join(deg, "src").localCheckpoint(eager = false)
+    coPurchaseEdges(li)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("mult"))
+  }
+  private def coPurchaseFixture(spark: SparkSession, dir: String): DataFrame =
+    edgeLock.synchronized(edgeFixtures.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      coPurchaseEdgesPlan(spark, dir).cp(eager = true)))
+
+  /** Audit hook (see [[SimSearch.fixturePlans]]): the un-checkpointed
+    * consolidated-edge build for SCALE.md's `fixture:*` rows.
+    */
+  private[graft] def fixturePlans(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] =
+    Seq("fixture:copurchase_edges" -> coPurchaseEdgesPlan(spark, dir))
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseFixture(spark, dir)
+    val deg = edges.groupBy(col("src")).agg(sum(col("mult")).as("deg"))
+    val edgeDeg = edges.join(deg, "src").cp()
     var r = deg.select(col("src").as("id"), lit(1000000L).as("r"))
     (1 to PrIters).foreach { _ =>
       r = edgeDeg.join(r, col("src") === col("id"))
         .groupBy(col("dst"))
-        .agg(sum(expr("(r * 850) DIV (1000 * deg)")).as("contrib"))
+        .agg(sum(expr("mult * ((r * 850) DIV (1000 * deg))")).as("contrib"))
         .select(col("dst").as("id"), (lit(150000L) + col("contrib")).as("r"))
     }
     r.join(deg.select(col("src").as("id"), col("deg")), "id")
@@ -794,12 +835,11 @@ object Relational {
     * equality proves the oriented plan loses and invents nothing.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val und = coPurchaseEdges(li)
+    // the shared consolidated graph is already one row per (src, dst);
+    // keeping src < dst picks each undirected pair's single survivor
+    val und = coPurchaseFixture(spark, dir)
       .filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
-      .distinct()
     trianglesOf(und)
   }
 
@@ -809,7 +849,7 @@ object Relational {
   private[graft] def trianglesOf(und: DataFrame): DataFrame = {
     val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = false) // read by orientation + final join
+      .cp() // read by orientation + final join
     val e = und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
@@ -818,7 +858,7 @@ object Relational {
           struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .localCheckpoint(eager = false) // edge pass + adjacency build
+      .cp() // edge pass + adjacency build
     // compact-forward proper: per-node ORIENTED adjacency arrays
     // (bounded at O(√m) elements by the degree orientation —
     // arboricity), then per-EDGE set intersection: for s→t, every
@@ -829,7 +869,7 @@ object Relational {
     // Shuffles: one adjacency build + two edge-keyed equi-joins, all
     // edge-sized.
     val adj = e.groupBy(col("s")).agg(collect_list(col("t")).as("nb"))
-      .localCheckpoint(eager = false) // probed from both edge ends
+      .cp() // probed from both edge ends
     val tri = e
       .join(adj.select(col("s"), col("nb").as("ns")), "s")
       .join(adj.select(col("s").as("t"), col("nb").as("nt")), "t")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
+import graft.operators.Checkpoints._
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbour search over `embeddings.embedding`
@@ -130,7 +131,7 @@ object SimSearch {
     // compute it once per action instead of once per branch (the
     // Dedup.scala signature-sharing pattern)
     val e = base(spark, dir).withColumn("sig", sigBits(col("qv")))
-      .localCheckpoint(eager = false)
+      .cp()
     val corpusBands = e.select(col("vec_id"),
       explode(bandKeys(col("sig"))).as("bkey"))
     val queryBands = e.filter(col("vec_id") < NQ)
@@ -164,7 +165,7 @@ object SimSearch {
     val e = base(spark, dir)
       .withColumn("qvh", slice(col("qv"), 1, MatDims))
       .withColumn("n2h", norm2(col("qvh")))
-      .localCheckpoint(eager = false) // feeds coarse scan AND re-rank
+      .cp() // feeds coarse scan AND re-rank
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("qvh").as("qqvh"),
         col("n2h").as("qn2h"))
@@ -223,7 +224,7 @@ object SimSearch {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         p => p.getField("cv")).as("cqv"))
       .withColumn("cn2", norm2(col("cqv")))
-      .localCheckpoint(eager = false)
+      .cp()
   }
 
   private def trainCentroids(e: DataFrame, k: Int): DataFrame =
@@ -250,7 +251,7 @@ object SimSearch {
     centLock.synchronized(centFixtures.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, k),
       trainCentroids(featurized(spark, dir), k)
-        .localCheckpoint(eager = true)))
+        .cp(eager = true)))
 
   /** Build every shared trained artifact eagerly (centroids at both
     * K's, PQ codebooks, IVF-PQ residual codebooks) — the Bench prelude
@@ -273,7 +274,7 @@ object SimSearch {
   }
 
   private[graft] def featurized(spark: SparkSession, dir: String): DataFrame =
-    base(spark, dir).localCheckpoint(eager = false)
+    base(spark, dir).cp()
 
   /** PRODUCTION fixpoint variant of [[trainCentroids]]: iterate
     * [[lloydRound]] until the K-row centroid table is bit-identical
@@ -334,7 +335,7 @@ object SimSearch {
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     // shared across training, the corpus lists, the probes and the
     // re-rank join (see annLsh)
-    val e = base(spark, dir).localCheckpoint(eager = false)
+    val e = base(spark, dir).cp()
     val cent = centroidFixture(spark, dir, NCells)
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
@@ -375,7 +376,7 @@ object SimSearch {
     * change. Output: per-cell membership and exact integer inertia.
     */
   def kmeansEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val e = base(spark, dir).localCheckpoint(eager = false)
+    val e = base(spark, dir).cp()
     val cent = centroidFixture(spark, dir, KmK)
     e.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
@@ -407,7 +408,7 @@ object SimSearch {
     * vector with its cell and removal verdict.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = base(spark, dir).localCheckpoint(eager = false)
+    val e = base(spark, dir).cp()
     val cent = centroidFixture(spark, dir, KmK)
     val feat = e.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
@@ -415,7 +416,7 @@ object SimSearch {
       .agg(min(struct(col("d2"), col("cell"), col("qv"), col("n2"))).as("w"))
       .select(col("vec_id"), col("w.cell").as("cell"),
         col("w.qv").as("qv"), col("w.n2").as("n2"))
-      .localCheckpoint(eager = false)
+      .cp()
     val dup = feat.as("a").join(feat.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosineq(dotq(col("a.qv"), col("b.qv")),
@@ -445,7 +446,7 @@ object SimSearch {
     val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), qvec(col("embedding")).as("qv"), col("label"))
       .withColumn("n2", norm2(col("qv")))
-      .localCheckpoint(eager = false)
+      .cp()
     val e = e0.select(col("vec_id"), col("qv"), col("n2"))
     val cent = centroidFixture(spark, dir, NCells)
     val scored = e0.crossJoin(broadcast(cent))
@@ -513,7 +514,7 @@ object SimSearch {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           p => p.getField("cv")).as("cqv"))
         .withColumn("cn2", norm2(col("cqv")))
-        .localCheckpoint(eager = false)
+        .cp()
     }
     cent
   }
@@ -557,11 +558,11 @@ object SimSearch {
     centLock.synchronized(pqBookFixtures.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir),
       pqCodebooks(pqSubs(featurized(spark, dir)))
-        .localCheckpoint(eager = true)))
+        .cp(eager = true)))
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = base(spark, dir).localCheckpoint(eager = false)
-    val subs = pqSubs(e).localCheckpoint(eager = false)
+    val e = base(spark, dir).cp()
+    val subs = pqSubs(e).cp()
     val books = pqBookFixture(spark, dir)
     val codes = subs.join(broadcast(books), "m")
       .withColumn("d2", dist2(col("sqv"), col("sn2"), col("cqv"), col("cn2")))
@@ -601,21 +602,36 @@ object SimSearch {
     */
   private val ivfPqBookFixtures =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def ivfPqBooksPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = featurized(spark, dir)
+    val cent = centroidFixture(spark, dir, NCells)
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"), col("qv"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"), col("w.qv").as("qv"))
+    val resid = assigned.join(broadcast(cent), "cell")
+      .select(col("vec_id"),
+        zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("qv"))
+    pqCodebooks(subsOf(resid))
+  }
   private def ivfPqBooks(spark: SparkSession, dir: String): DataFrame =
     centLock.synchronized(ivfPqBookFixtures.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir), {
-      val e = featurized(spark, dir)
-      val cent = centroidFixture(spark, dir, NCells)
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cell"), col("qv"))).as("w"))
-        .select(col("vec_id"), col("w.cell").as("cell"), col("w.qv").as("qv"))
-      val resid = assigned.join(broadcast(cent), "cell")
-        .select(col("vec_id"),
-          zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("qv"))
-      pqCodebooks(subsOf(resid)).localCheckpoint(eager = true)
-    }))
+      (spark.sparkContext.applicationId, dir),
+      ivfPqBooksPlan(spark, dir).cp(eager = true)))
+
+  /** Audit hook: the UN-checkpointed build pipelines of every shared
+    * trained artifact, so SCALE.md can count their shuffles on their
+    * own `fixture:*` rows (amortized once per corpus) instead of
+    * inlining training into every consumer's row.
+    */
+  private[graft] def fixturePlans(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = Seq(
+    s"fixture:centroids_k$KmK" -> trainCentroids(featurized(spark, dir), KmK),
+    s"fixture:centroids_k$NCells" ->
+      trainCentroids(featurized(spark, dir), NCells),
+    "fixture:pq_codebooks" -> pqCodebooks(pqSubs(featurized(spark, dir))),
+    "fixture:ivfpq_residual_books" -> ivfPqBooksPlan(spark, dir))
 
   /** q97: IVF-PQ with RESIDUAL codebooks — the production ANN shape
     * (FAISS `IVFx,PQy`): vectors assign to a trained coarse cell
@@ -644,14 +660,14 @@ object SimSearch {
     * raw-vector PQ at a quarter of the scoring work.
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = base(spark, dir).localCheckpoint(eager = false)
+    val e = base(spark, dir).cp()
     val cent = centroidFixture(spark, dir, NCells)
     val scored = e.crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
     val assigned = scored.groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cell"), col("qv"))).as("w"))
       .select(col("vec_id"), col("w.cell").as("cell"), col("w.qv").as("qv"))
-      .localCheckpoint(eager = false)
+      .cp()
     val books = ivfPqBooks(spark, dir)
       .select(col("m"), col("cell").as("code"), col("cqv"), col("cn2"))
     // encode: residual vs the assigned centroid, nearest book code per m
@@ -714,7 +730,7 @@ object SimSearch {
     * |arrivals| rows against a broadcast K-row table.
     */
   def ivfIncrement(spark: SparkSession, dir: String): DataFrame = {
-    val all = base(spark, dir).localCheckpoint(eager = false)
+    val all = base(spark, dir).cp()
     val baseSet = all.filter(col("vec_id") % 10 =!= 9)
     val newSet = all.filter(col("vec_id") % 10 === 9)
     // frozen quantizer: trained on the BASE corpus only (seeds = base
@@ -747,7 +763,7 @@ object SimSearch {
     // action and is shared by all three consumers below — no job runs
     // at query-build time (the q33 tfidf discipline)
     val b = annBrute(spark, dir).select(col("q_id"), col("vec_id"))
-      .localCheckpoint(eager = false)
+      .cp()
     // total in-plan as a broadcast 1-row aggregate instead of a
     // driver-side count()
     val tot = b.agg(count(lit(1)).as("n_brute"))
@@ -796,7 +812,7 @@ object SimSearch {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qv"))
       .withColumn("n2", norm2(col("qv")))
-      .localCheckpoint(eager = false) // feeds centroid build + ranking
+      .cp() // feeds centroid build + ranking
     val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -906,7 +922,7 @@ object SimSearch {
         when(aggregate(
           zip_with(col("qv"), element_at(rl, b + 1), (v, r) => v * r),
           lit(0L), (acc, x) => acc + x) >= 0, 1).otherwise(0)))
-      .localCheckpoint(eager = false) // both sides of the pair audit
+      .cp() // both sides of the pair audit
     val q = sample.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
         col("n2").as("qn2"), col("sig").as("qsig"))

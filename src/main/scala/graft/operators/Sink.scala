@@ -80,6 +80,15 @@ object Sink {
   private[operators] def fixture(key: String)(build: => String): String =
     fixtureLock.synchronized(fixtures.getOrElseUpdate(key, build))
 
+  /** Two-directory fixtures keep a real tuple — joining paths with a
+    * separator character would break on any temp root containing it.
+    */
+  private val fixtures2 =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private[operators] def fixture2(key: String)(
+      build: => (String, String)): (String, String) =
+    fixtureLock.synchronized(fixtures2.getOrElseUpdate(key, build))
+
   def nestedFixture(spark: SparkSession, dir: String): String =
     fixture("nested:" + dir) {
       val out = Scratch.dir("graft_fix")
@@ -259,15 +268,14 @@ object Sink {
     * marker, shadowing then dropping on merge).
     */
   def bucketedGens(spark: SparkSession, dir: String): (String, String) =
-    fixture("gens:" + dir)(buildGens(spark, dir)) match {
-      case v => val parts = v.split('|'); (parts(0), parts(1))
-    }
+    fixture2("gens:" + dir)(buildGens(spark, dir))
 
   /** Build a FRESH gen0/gen1 pair (not the shared fixture) — the
     * vacuum path (q103, spec) deletes generations, so it must never
     * operate on the fixture the q61/q80/q81 family still reads.
     */
-  private[graft] def buildGens(spark: SparkSession, dir: String): String = {
+  private[graft] def buildGens(spark: SparkSession,
+      dir: String): (String, String) = {
     graft.sources.GraftCatalog.ensure(spark)
     val conf = graft.sources.ProtoZstFiles.hadoopConf()
     val g0 = Scratch.dir("graft_gen0")
@@ -286,7 +294,7 @@ object Sink {
       .withColumn("write_time", col("write_time") + HourUs)
     CellModel.nestCells(CellModel.cellsOf(upd.unionByName(del)))
       .writeTo(graft.sources.GraftCatalog.tableName(g1)).append()
-    s"$g0|$g1"
+    (g0, g1)
   }
 
   /** q61: generation compaction STRAIGHT OVER THE SINK FILES with zero
@@ -1041,9 +1049,9 @@ object Sink {
 
   private def vacuumedFixture(spark: SparkSession, dir: String): String =
     fixture("vacuumed:" + dir) {
-      val parts = buildGens(spark, dir).split('|')
-      val (gen2, cutUs) = compactGeneration(spark, parts(0), parts(1))
-      vacuumGenerations(spark, Seq(parts(0), parts(1)), gen2, cutUs)
+      val (g0, g1) = buildGens(spark, dir)
+      val (gen2, cutUs) = compactGeneration(spark, g0, g1)
+      vacuumGenerations(spark, Seq(g0, g1), gen2, cutUs)
       gen2
     }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
+import graft.operators.Checkpoints._
 import graft.sources.Tables
 
 /** Text-analysis operators over `documents` — language ID, quality
@@ -130,7 +131,7 @@ object TextAnalysis {
       // feeds both the df aggregation and the score join — materialise
       // the exploded+shuffled term table once (see Dedup for the
       // cluster-scale analog: persist the term table explicitly)
-      .localCheckpoint(false)
+      .cp()
     // corpus size stays in-plan (broadcast 1-row aggregate) — no job
     // runs until the caller executes the returned DataFrame
     val nDocs = Tables.documents(spark, dir)
@@ -265,7 +266,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       // feeds the LM aggregate, the corpus total AND the score join
-      .localCheckpoint(false)
+      .cp()
     val cnt = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
     val total = tf.agg(sum(col("tf")).as("n_total"))
     val bits = withScalar(cnt, total)
@@ -436,9 +437,12 @@ object TextAnalysis {
     * every value exactly.
     *
     * Scale: two conditional aggregates in ONE token-keyed shuffle
-    * (map-side partials), a scalar broadcast for the slice totals, and
-    * a TakeOrdered top-k — no joins between the slices, no second
-    * scan.
+    * (map-side partials), a scalar broadcast for the slice totals —
+    * re-aggregated from the vocabulary-sized per-token counts
+    * (Σ na ≡ slice A's token total), NOT from a second corpus pass —
+    * and a TakeOrdered top-k; no joins between the slices, no second
+    * scan (the per-token table is checkpointed so both consumers read
+    * one materialization).
     */
   def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -447,9 +451,8 @@ object TextAnalysis {
     val counts = toks.groupBy(col("w"))
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
-    val totals = toks.agg(
-      sum(when(col("in_a"), 1L).otherwise(0L)).as("ta"),
-      sum(when(!col("in_a"), 1L).otherwise(0L)).as("tb"))
+      .cp() // feeds the drift table AND the slice totals
+    val totals = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     graft.functions.Portable.withScalar(counts, totals)
       .withColumn("ra_ppm", expr("(1000000 * na) DIV ta"))
       .withColumn("rb_ppm", expr("(1000000 * nb) DIV tb"))
@@ -769,7 +772,7 @@ object TextAnalysis {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false) // feeds dl, corpus stats AND the score join
+      .cp() // feeds dl, corpus stats AND the score join
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"),
       sum(col("tf")).as("t_tokens"))
@@ -834,7 +837,7 @@ object TextAnalysis {
           element_at(col("ws"), i + 1).as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val cab = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint(eager = false) // feeds marginals, N, AND the lift join
+      .cp() // feeds marginals, N, AND the lift join
     val ca = cab.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val cb = cab.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
     val n = cab.agg(sum(col("c_ab")).as("n_bigrams"))

@@ -73,11 +73,7 @@ object ScaleAudit {
       }
     }
 
-    println("| query | shuffles | broadcasts | join strategies | pushed filter | streaming state |")
-    println("|---|---|---|---|---|---|")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val statesBefore = new java.util.HashMap(listener.seen)
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+    def planFacts(plan: String): (Int, Int, String, Boolean) = {
       val lines = plan.linesIterator.toSeq
       def count(p: String) = lines.count(_.contains(p))
       val shuffles = count("Exchange hashpartitioning") +
@@ -91,6 +87,26 @@ object ScaleAudit {
       }
       val pushed = lines.find(_.contains("PushedFilters: ["))
         .exists(!_.contains("PushedFilters: []"))
+      (shuffles, bcasts, joins, pushed)
+    }
+    println("| query | shuffles | broadcasts | join strategies | pushed filter | streaming state |")
+    println("|---|---|---|---|---|---|")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val statesBefore = new java.util.HashMap(listener.seen)
+      // For queries that build lazily, disable lineage truncation while
+      // the frame is constructed so the counted plan covers the FULL
+      // pipeline instead of Scan ExistingRDD stubs at every lazy
+      // localCheckpoint (eager checkpoints — session-shared trained
+      // artifacts — stay materialized inputs and are audited on their
+      // own fixture rows below). On-build queries keep real
+      // checkpoints: their construction EXECUTES (streaming runs,
+      // fixpoint loops) and the loops rely on truncation to keep
+      // iterative lineage bounded.
+      graft.operators.Checkpoints.planAudit = !onBuild(name)
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        finally graft.operators.Checkpoints.planAudit = false
+      val (shuffles, bcasts, joins, pushed) = planFacts(plan)
       val (tag, state) =
         if (!onBuild(name)) ("", "-")
         else {
@@ -109,6 +125,21 @@ object ScaleAudit {
         }
       println(s"| $name | $shuffles | $bcasts | $joins$tag | $pushed | $state |")
     }
+    // Session-shared derived artifacts (trained centroids/codebooks,
+    // the consolidated co-purchase graph): their build pipelines are
+    // paid ONCE per corpus, so they get their own rows instead of
+    // being inlined into every consumer's counts.
+    graft.operators.Checkpoints.planAudit = true
+    try {
+      (graft.operators.SimSearch.fixturePlans(spark, dir) ++
+        graft.operators.Relational.fixturePlans(spark, dir) ++
+        graft.operators.Dedup.auditPlans(spark, dir))
+        .foreach { case (name, df) =>
+          val (shuffles, bcasts, joins, pushed) =
+            planFacts(df.queryExecution.executedPlan.toString)
+          println(s"| $name | $shuffles | $bcasts | $joins (one-off build) | $pushed | - |")
+        }
+    } finally graft.operators.Checkpoints.planAudit = false
     spark.stop()
   }
 }

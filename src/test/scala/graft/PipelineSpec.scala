@@ -623,8 +623,7 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSet
     // private generation pair — never the shared q61/q80/q81 fixture
-    val parts = Sink.buildGens(spark, sf0001).split('|')
-    val (g0, g1) = (parts(0), parts(1))
+    val (g0, g1) = Sink.buildGens(spark, sf0001)
     val headBefore = snap(Sink.asofOf(spark, g0, g1, Long.MaxValue))
     val (g2, cutUs) = Sink.compactGeneration(spark, g0, g1)
     val atCutBefore = snap(Sink.asofOf(spark, g0, g1, cutUs))
