@@ -4,8 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Route Spark's spill/temp dirs (shuffle blocks, temp streaming
+    // checkpoints — java.io.tmpdir is where forceDeleteTempCheckpoint
+    // locations are created) to the memory-backed scratch fs when one
+    // is mounted: the streaming family's per-micro-batch offset/commit
+    // fsyncs are the sweep's fixed cost, and none of this data needs
+    // to survive the JVM.
+    graft.operators.Scratch.preferredTmp.foreach { shm =>
+      System.setProperty("java.io.tmpdir", shm.toString)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
       .config("spark.sql.shuffle.partitions", cpus)
       // pin the session timezone in code (not only via sbt javaOptions)
       // so date predicates select the same rows under any launcher

@@ -998,7 +998,7 @@ object Relational {
 
   // sort_array's lexicographic struct order == the ORDER BY list; the
   // canonical item string makes the nest hash-comparable across engines
-  private val nestedExportSql =
+  private[operators] val nestedExportSql =
     """WITH it AS (SELECT l_orderkey, l_linenumber, l_partkey,
       |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) price_cents,
       |    CAST(l_quantity AS BIGINT) qty FROM lineitem),

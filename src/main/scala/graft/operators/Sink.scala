@@ -15,9 +15,24 @@ import graft.sources.Tables
   * repeated invocations (bench runs every query twice, rounds repeat)
   * stop accumulating zstd files and checkpoints in /tmp.
   */
-private[operators] object Scratch {
+private[graft] object Scratch {
+  /** Memory-backed scratch root when the host mounts one: streaming
+    * state stores and offset/commit logs fsync every micro-batch, and
+    * that constant machinery — not data volume — dominates the ~20
+    * on-build queries' sweep cost. Scratch is ephemeral by definition
+    * (the shutdown hook deletes it), so tmpfs semantics fit exactly;
+    * falls back to java.io.tmpdir when no tmpfs is mounted.
+    */
+  private[graft] lazy val preferredTmp: Option[java.nio.file.Path] =
+    Some(java.nio.file.Paths.get("/dev/shm")).filter(p =>
+      java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
+
   private lazy val root: java.nio.file.Path = {
-    val r = java.nio.file.Files.createTempDirectory("graft_scratch")
+    val r = preferredTmp match {
+      case Some(shm) => java.nio.file.Files.createTempDirectory(shm,
+        "graft_scratch")
+      case None => java.nio.file.Files.createTempDirectory("graft_scratch")
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() => delete(r.toFile)))
     r
   }
@@ -1067,6 +1082,7 @@ object Sink {
     vacuumedFixture(spark, dir)
     evolvedFixture(spark, dir)
     layoutFixture(spark, dir)
+    exportFixture(spark, dir)
     Core.indexFixture(spark, dir)
     ()
   }
@@ -1150,7 +1166,93 @@ object Sink {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  private[graft] val ExportEpochs = 2 // epochs in the release
+  private[graft] val ExportShards = 8 // shard files per epoch
+  private[graft] val ExportPrefixBytes = 6 // len("eE-sSS") — file-group id
+
+  /** q171: TRAINING-RELEASE EXPORT THROUGH THE ENGINE'S OWN SINK — the
+    * step that closes the q169→q170 loop: nested training examples
+    * (q169), epoch-sharded by salted hash (q170's decorrelated
+    * per-epoch permutations, applied to orders), WRITTEN as one
+    * proto-zst file per (epoch, shard) and read back for the oracle
+    * check. The write uses the sink's partitioned-export mode
+    * (`splitKeyPrefix`): rows cluster by (epoch, shard) — any hash
+    * partitioning works, collisions included, because the writer rolls
+    * files by key-prefix CONTENT, not by task — sort within partitions
+    * by the export key `eE-sSS:pPPPPPPPPPP`, and ALL shard files
+    * commit in ONE manifest version bump, so a release is visible
+    * atomically or not at all (the reference's one-file-per-unit
+    * contract, `Runner.java:75-82,147-156`, at training-release
+    * granularity). Each file is key-sorted, so its range sidecar
+    * attests the order and a loader streams positions 1..n without
+    * sorting; ManifestSpec pins file count, per-file ordering,
+    * range/group agreement, and the single version bump.
+    *
+    * Scale: the nest is q169's single order-key shuffle; shard/key
+    * assignment is row-local; the per-(epoch, shard) position window
+    * is bounded by corpus/shards (q170's one deliberate sort — it IS
+    * the file ordering); the write adds ONE exchange of epochs×shards
+    * partitions. Read-back fans out one partition per file.
+    */
+  def exportShards(spark: SparkSession, dir: String): DataFrame = {
+    val out = exportFixture(spark, dir)
+    spark.read.format("proto-zst").load(out)
+      .select(decode(col("key"), "UTF-8").as("k"),
+        decode(element_at(col("columns"), 1).getField("value"), "UTF-8")
+          .as("example"))
+      .select(substring(col("k"), 2, 1).cast("int").as("epoch"),
+        substring(col("k"), 5, 2).cast("long").as("shard"),
+        substring(col("k"), 9, 10).cast("long").as("pos"),
+        split(col("example"), "\\|").getItem(0).cast("long")
+          .as("o_orderkey"),
+        col("example"))
+  }
+
+  /** The release rows in sink schema plus their (epoch, shard) — the
+    * frame the export write clusters; exposed for the ManifestSpec.
+    */
+  private[graft] def exportKeyed(spark: SparkSession,
+      dir: String): DataFrame = {
+    val payload = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("n_items"), col("total_cents"),
+      col("items_str"))
+    Relational.nestedExport(spark, dir)
+      .withColumn("epoch", explode(sequence(lit(0), lit(ExportEpochs - 1))))
+      .withColumn("k", graft.functions.Portable.hash60(concat_ws(":",
+        lit("exp"), col("epoch"), col("o_orderkey"))))
+      .withColumn("shard", col("k") % ExportShards)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("k"), col("o_orderkey"))).cast("long"))
+      .select(
+        encode(format_string("e%d-s%02d:p%010d", col("epoch"), col("shard"),
+          col("pos")), "UTF-8").as("key"),
+        array(struct(
+          encode(lit("example"), "UTF-8").as("name"),
+          encode(payload, "UTF-8").as("value"),
+          col("k").as("write_time"))).as("columns"),
+        col("epoch"), col("shard"))
+  }
+
+  private[graft] def exportFixture(spark: SparkSession, dir: String): String =
+    fixture("export:" + dir) {
+      val out = Scratch.dir("graft_export")
+      writeExport(exportKeyed(spark, dir), out)
+      out
+    }
+
+  private[graft] def writeExport(keyed: DataFrame, out: String): Unit =
+    keyed
+      .repartition(ExportEpochs * ExportShards, col("epoch"), col("shard"))
+      .sortWithinPartitions(col("key"))
+      .select(col("key"), col("columns"))
+      .write.format("proto-zst")
+      .option("splitKeyPrefix", ExportPrefixBytes.toString)
+      .mode("append").save(out)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_export_sink" -> exportShards,
     "q148_erasure" -> erasureRead,
     "q111_partition_evolution" -> partitionEvolutionRead,
     "q109_schema_evolution" -> schemaEvolutionRead,
@@ -1195,7 +1297,31 @@ object Sink {
        |SELECT key, name, value, write_time
        |FROM r WHERE rn = 1 AND value <> ''""".stripMargin
 
+  /** q171 oracle: replay export (q169's SQL) + epoch-keyed sharding +
+    * per-shard positions — everything the sink round-trip must
+    * preserve, including the canonical example payload byte-for-byte.
+    */
+  private val exportShardsSql = {
+    val h = graft.functions.Portable.sqlHash60(
+      "'exp:' || CAST(epoch AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")
+    s"""WITH ex AS (${Relational.nestedExportSql}),
+       |e AS (SELECT ex.*, unnest(range($ExportEpochs)) AS epoch FROM ex),
+       |k AS (SELECT epoch, o_orderkey, o_custkey, o_orderstatus, n_items,
+       |        total_cents, items_str, $h AS k FROM e),
+       |s AS (SELECT *, k % $ExportShards AS shard FROM k)
+       |SELECT CAST(epoch AS INTEGER) AS epoch, shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard
+       |    ORDER BY k, o_orderkey) AS BIGINT) AS pos,
+       |  o_orderkey,
+       |  CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+       |    || '|' || o_orderstatus || '|' || CAST(n_items AS VARCHAR)
+       |    || '|' || CAST(total_cents AS VARCHAR) || '|' || items_str
+       |    AS example
+       |FROM s""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q171_export_sink" -> exportShardsSql,
     // replay the evolution null-fill: gen-1 rows (even ids) predate
     // (source, n_chars); the partition column is the generation id
     // both layouts hold the same rows; the layout only changes HOW the

@@ -131,10 +131,15 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
       }
     }
     val bucketSpec = buckets
+    // partitioned-export mode: roll a new file per key-prefix group
+    // (see ProtoZstWriterFactory.splitPrefix); a bucketed directory's
+    // layout wins if both are somehow set
+    val splitPrefix = Option(info.options.get("splitKeyPrefix")).map(_.toInt)
+      .filter(_ => buckets.isEmpty)
     new WriteBuilder {
       private def batchWrite: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-          new ProtoZstWriterFactory(dir, bucketSpec)
+          new ProtoZstWriterFactory(dir, bucketSpec, splitPrefix)
         override def commit(msgs: Array[WriterCommitMessage]): Unit =
           publish(msgs)
         override def abort(msgs: Array[WriterCommitMessage]): Unit =
@@ -142,7 +147,7 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
       }
       private def streamingWrite: StreamingWrite = new StreamingWrite {
         override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
-          new ProtoZstWriterFactory(dir, bucketSpec)
+          new ProtoZstWriterFactory(dir, bucketSpec, splitPrefix)
         override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
           publish(msgs)
         override def abort(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
@@ -923,7 +928,19 @@ case object ProtoZstEmptyCommit extends WriterCommitMessage
   * to the wire format here (key binary, columns array&lt;struct&gt; in,
   * framed bytes out). Lazily opened so empty partitions write nothing.
   */
-class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None)
+/** @param splitPrefix roll a NEW output file whenever the first
+  *   `splitPrefix` bytes of the key differ — the partitioned-export
+  *   write: cluster rows by their group upstream (any partitioning
+  *   that co-locates a group works, hash collisions included — the
+  *   writer splits by CONTENT, not by task), sort within partitions by
+  *   key, and every group becomes exactly one key-sorted, sidecar-
+  *   attested file, all committed in ONE manifest version bump. This
+  *   is how a training release ships one file per (epoch, shard)
+  *   without a task-per-group partitioner. Mutually exclusive with
+  *   `buckets` by construction (the caller sets one or the other).
+  */
+class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
+    splitPrefix: Option[Int] = None)
     extends DataWriterFactory with StreamingDataWriterFactory {
   // captured on the driver (newWriteBuilder runs there), deserialized on
   // each executor
@@ -967,18 +984,30 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None)
       }
 
       private val states =
-        scala.collection.mutable.LinkedHashMap.empty[Int, FileState]
+        scala.collection.mutable.LinkedHashMap.empty[String, FileState]
 
-      private def nameFor(bucket: Int): String = {
-        val tag = if (bucket < 0) "" else f"-b$bucket%04d"
+      private def nameFor(tag: String): String =
         f"part-e$epochId%06d-p$partitionId%05d-t$taskId$tag.proto.zst"
-      }
+
+      /** File-group id of a row: bucket number, key-prefix hex, or the
+        * task-wide "" group. Prefix groups hex-encode so the group id
+        * is filesystem-safe in the file name regardless of key bytes.
+        */
+      private def groupOf(key: Array[Byte]): String =
+        if (buckets.isDefined)
+          f"-b${GraftBucket.bucket(buckets.get, key)}%04d"
+        else splitPrefix match {
+          case Some(n) =>
+            if (key == null) "-knull"
+            else "-k" + key.take(n).map(b => f"${b & 0xff}%02x").mkString
+          case None => ""
+        }
 
       override def write(r: InternalRow): Unit = {
         val key = if (r.isNullAt(0)) null else r.getBinary(0)
         val cols = if (r.isNullAt(1)) null else r.getArray(1)
-        val b = buckets.map(GraftBucket.bucket(_, key)).getOrElse(-1)
-        val st = states.getOrElseUpdate(b, new FileState(nameFor(b)))
+        val g = groupOf(key)
+        val st = states.getOrElseUpdate(g, new FileState(nameFor(g)))
         val os = st.open()
         if (key != null) {
           if (st.minKey == null ||

@@ -205,4 +205,44 @@ class ManifestSpec extends AnyFunSuite {
       col("key") >= lit(lo) && col("key") < lit(hi)).count() === 0L)
     assert(postFrame.count() === preTotal - inRange)
   }
+
+  test("q171 export: one sorted file per (epoch, shard), one version bump") {
+    val dir = freshDir("graft_man_exp")
+    val keyed = Sink.exportKeyed(spark, sf0001)
+    Sink.writeExport(keyed, dir)
+    val s = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    // the whole release committed as ONE manifest version — a reader
+    // sees all epochs×shards files or none (commit atomicity at shard
+    // count): exactly one version file exists after the 16-file write
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val versions = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, GenManifest.DirName))
+      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+    assert(versions.length === 1, versions.toSeq)
+    assert(s.entries.length === Sink.ExportEpochs * Sink.ExportShards)
+    // exactly one file per (epoch, shard): every entry's key range
+    // stays inside one group prefix, and the groups are all distinct
+    val prefixes = s.entries.map { e =>
+      assert(e.hasRange && e.count > 0, e.name)
+      val (lo, hi) = (new String(e.min, "UTF-8"), new String(e.max, "UTF-8"))
+      assert(lo.take(Sink.ExportPrefixBytes) === hi.take(Sink.ExportPrefixBytes),
+        s"${e.name} spans groups: $lo..$hi")
+      lo.take(Sink.ExportPrefixBytes)
+    }
+    assert(prefixes.distinct.length === prefixes.length)
+    assert(s.entries.map(_.count).sum === keyed.count())
+    // every file is key-sorted (the attested ordering a loader streams
+    // positions from): sidecar says so, and the in-file row order IS
+    // ascending positions 1..n
+    s.entries.foreach { e =>
+      assert(e.sorted, s"${e.name} not order-attested")
+      val rows = spark.read.format("proto-zst").load(s"$dir/${e.name}")
+        .select(decode(col("key"), "UTF-8").as("k")).collect()
+        .map(_.getString(0))
+      assert(rows.length === e.count)
+      val pos = rows.map(_.split(":p")(1).toLong)
+      assert(pos.toSeq === (1L to pos.length).toSeq,
+        s"${e.name} positions not the in-file order")
+    }
+  }
 }
