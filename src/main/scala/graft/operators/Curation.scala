@@ -338,6 +338,61 @@ object Curation {
         col("shard"), col("pos"))
   }
 
+  private val PackStreams = 4 // parallel token streams packed independently
+  private val PackBudget = 64L // tokens per packed training sequence
+
+  /** q172: PACKED-SEQUENCE FRAGMENT INDEX — q57 places each DOC in the
+    * packed token stream (start offset + first sequence id, corpus
+    * order per (lang, block) shard); this operator finishes the job
+    * the loader actually needs done: one row per (document, sequence)
+    * FRAGMENT — which token span of the doc lands at which offset of
+    * which fixed-[[PackBudget]] sequence, straddles split across
+    * boundary rows — i.e. the index a packed-batch loader seeks by and
+    * an attention-mask builder resets document boundaries from. It
+    * also swaps q57's corpus order for the q170/q52 salted-hash
+    * shuffle (`hash60("pack:doc")`, then doc_id), so consecutive
+    * sequences mix sources/languages instead of clumping and the
+    * packing stays reproducible across engines, runs, and worker
+    * counts.
+    *
+    * The greedy NO-straddle variant (bin resets when a doc would
+    * overflow) is deliberately not this operator: its bin ids are a
+    * sequential recurrence over the stream — not expressible as one
+    * window pass, and not what token-budgeted pretraining uses anyway.
+    *
+    * Scale: one per-stream running-sum window (partitions bounded by
+    * corpus/[[PackStreams]] — q170's one deliberate sort, and the
+    * stream count scales with the cluster, not the corpus); the
+    * fragment explode is row-local (≤ n_tokens/budget + 1 rows per
+    * doc). Everything is integer offsets, so the oracle replays
+    * packing bit-for-bit.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long")
+        .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("k", HashOps.md5_prefix60(concat_ws(":", lit("pack"),
+        col("doc_id"))))
+      .withColumn("stream", col("k") % PackStreams)
+    val w = Window.partitionBy(col("stream")).orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(col("stream"), col("doc_id"), col("n_tokens"), col("start_off"),
+        explode(sequence(expr(s"start_off DIV $PackBudget"),
+          expr(s"(end_off - 1) DIV $PackBudget"))).as("seq"))
+      .withColumn("seq_start", col("seq") * PackBudget)
+      .select(col("stream"), col("seq"), col("doc_id"),
+        greatest(col("seq_start") - col("start_off"), lit(0L))
+          .as("off_in_doc"),
+        greatest(col("start_off") - col("seq_start"), lit(0L))
+          .as("off_in_seq"),
+        (least(col("seq_start") + PackBudget,
+            col("start_off") + col("n_tokens")) -
+          greatest(col("seq_start"), col("start_off"))).as("n_frag"))
+  }
+
   private val TokenBudget = 300L // per-source training-token budget
 
   /** q157: TOKEN-BUDGET QUALITY FILL — the mixture step q63 (count
@@ -552,6 +607,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_sequence_pack" -> sequencePack,
     "q170_epoch_shards" -> epochShards,
     "q157_token_budget" -> tokenBudgetFill,
     "q144_k_anonymity" -> kAnonymity,
@@ -580,6 +636,28 @@ object Curation {
        |  CAST(row_number() OVER (PARTITION BY epoch, shard
        |    ORDER BY k, doc_id) AS BIGINT) AS pos
        |FROM s""".stripMargin
+  }
+
+  private val sequencePackSql = {
+    val h = graft.functions.Portable.sqlHash60(
+      "'pack:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d0 AS (SELECT doc_id, CAST(len($sqlWords) AS BIGINT) n_tokens
+       |            FROM documents),
+       |d AS (SELECT doc_id, n_tokens, $h AS k FROM d0 WHERE n_tokens > 0),
+       |s AS (SELECT *, k % $PackStreams AS stream FROM d),
+       |o AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY stream
+       |        ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |        CURRENT ROW) AS BIGINT) end_off FROM s),
+       |p AS (SELECT stream, doc_id, n_tokens, end_off,
+       |        end_off - n_tokens AS start_off FROM o),
+       |f AS (SELECT p.*, unnest(range(start_off // $PackBudget,
+       |        (end_off - 1) // $PackBudget + 1)) AS seq FROM p)
+       |SELECT stream, seq, doc_id,
+       |  greatest(seq * $PackBudget - start_off, 0) AS off_in_doc,
+       |  greatest(start_off - seq * $PackBudget, 0) AS off_in_seq,
+       |  least(seq * $PackBudget + $PackBudget, start_off + n_tokens)
+       |    - greatest(seq * $PackBudget, start_off) AS n_frag
+       |FROM f""".stripMargin
   }
 
   private val tokenBudgetSql =
@@ -801,6 +879,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q144_k_anonymity" -> kAnonymitySql,
     "q139_release_manifest" -> releaseManifestSql,
+    "q172_sequence_pack" -> sequencePackSql,
     "q170_epoch_shards" -> epochShardsSql,
     "q157_token_budget" -> tokenBudgetSql,
     "q121_split_assign" -> splitAssignSql,

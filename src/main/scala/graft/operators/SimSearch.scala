@@ -938,6 +938,52 @@ object SimSearch {
           .as("cosine"))
   }
 
+  /** q173: INT8 QUANTIZATION CALIBRATION — per-dimension affine int8
+    * compression of the embedding corpus with an exact reconstruction-
+    * error report: calibrate `(min, span)` per dimension over the
+    * milli-quantised corpus, encode every value to
+    * `q8 = (v−mn)·255 DIV span` ∈ [0, 255], decode back, and return
+    * each vector's total/max absolute error — the audit a serving tier
+    * runs before switching its 4×-smaller int8 index on (the scalar-
+    * quantization sibling of q78's product quantization: PQ compresses
+    * by codebook, SQ by per-dim affine range). All arithmetic is
+    * integer (the DIVs truncate non-negative operands), so the oracle
+    * replays calibration, round trip, and error bit-for-bit.
+    *
+    * Scale: calibration is ONE dim-keyed aggregate (DIM groups,
+    * map-side partials) collected to a DIM-row literal (the K-row
+    * centroid discipline — bounded by the embedding width, never the
+    * corpus); encode/decode/error is then a row-local indexed
+    * `transform` over the scan — zero shuffles besides the DIM-group
+    * agg, no per-row join, nothing corpus-sized ever moves.
+    */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+    val cal = e.select(posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"),
+        greatest(max(col("v")) - min(col("v")), lit(1L)).as("span"))
+      .orderBy(col("pos")).collect() // DIM rows — bounded, corpus-free
+    val mnA = typedLit(cal.map(_.getLong(1)).toSeq)
+    val spA = typedLit(cal.map(_.getLong(2)).toSeq)
+    // integer division via double divide + trunc: operands are
+    // non-negative and < 2^31, exact in double, trunc ≡ floor ≡ DIV
+    def idiv(a: Column, b: Column): Column = (a / b).cast("long")
+    val errs = transform(col("qv"), (v, i) => {
+      val mn = element_at(mnA, i + 1)
+      val span = element_at(spA, i + 1)
+      val q8 = idiv((v - mn) * lit(255L), span)
+      abs(v - (mn + idiv(q8 * span, lit(255L))))
+    })
+    e.select(col("vec_id"), errs.as("errs"))
+      .select(col("vec_id"),
+        aggregate(col("errs"), lit(0L), (acc, x) => acc + x)
+          .as("sum_abs_err"),
+        array_max(col("errs")).as("max_abs_err"),
+        size(col("errs")).cast("long").as("n_dims"))
+  }
+
   private val NegK = 5 // negatives drawn per anchor
 
   /** q167: DETERMINISTIC NEGATIVE SAMPLING — per anchor vector, [[NegK]]
@@ -1008,6 +1054,7 @@ object SimSearch {
         col("label").as("neg_label"), col("priority"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_int8_quant" -> int8Quant,
     "q167_neg_sample" -> negSample,
     "q161_srp_bits" -> srpSignatures,
     "q159_label_coreset" -> labelCoreset,
@@ -1468,7 +1515,22 @@ object SimSearch {
        |  priority
        |FROM r WHERE neg_rank <= $NegK""".stripMargin
 
+  private val int8QuantSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |px AS (SELECT vec_id, unnest(range(1, len(qv)+1)) i, unnest(qv) v
+       |       FROM e),
+       |cal AS (SELECT i, min(v) mn, greatest(max(v) - min(v), 1) span
+       |        FROM px GROUP BY i),
+       |q AS (SELECT vec_id, v, mn, span, ((v - mn) * 255) // span AS q8
+       |      FROM px JOIN cal USING (i)),
+       |d AS (SELECT vec_id, abs(v - (mn + (q8 * span) // 255)) AS err FROM q)
+       |SELECT vec_id, CAST(sum(err) AS BIGINT) AS sum_abs_err,
+       |  CAST(max(err) AS BIGINT) AS max_abs_err,
+       |  CAST(count(*) AS BIGINT) AS n_dims
+       |FROM d GROUP BY vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q173_int8_quant" -> int8QuantSql,
     "q167_neg_sample" -> negSampleSql,
     "q161_srp_bits" -> srpSql,
     "q159_label_coreset" -> coresetSql,

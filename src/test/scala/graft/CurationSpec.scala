@@ -194,4 +194,49 @@ class CurationSpec extends AnyFunSuite {
     res.unpersist()
     ()
   }
+
+  test("q172 packing: token conservation, full sequences, contiguous fragments") {
+    val frags = Curation.sequencePack(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(frags.nonEmpty)
+    // every fragment is non-empty and fits the budget
+    val budget = 64L
+    frags.foreach { case (_, _, _, offDoc, offSeq, n) =>
+      assert(n >= 1 && n <= budget && offDoc >= 0 &&
+        offSeq >= 0 && offSeq + n <= budget)
+    }
+    // token conservation: each doc's fragments sum to its token count
+    // and tile the doc contiguously from offset 0
+    val byDoc = frags.groupBy(_._3)
+    val nTokens = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(graft.functions.Portable.words(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, fs) =>
+      val sorted = fs.sortBy(_._4)
+      assert(sorted.map(_._6).sum === nTokens(doc), s"doc $doc loses tokens")
+      sorted.foldLeft(0L) { case (expect, f) =>
+        assert(f._4 === expect, s"doc $doc gap at ${f._4}")
+        expect + f._6
+      }
+      ()
+    }
+    // every sequence except each stream's LAST is exactly full, and
+    // within a sequence the fragments tile [0, fill) contiguously
+    val byStream = frags.groupBy(_._1)
+    byStream.foreach { case (_, fs) =>
+      val lastSeq = fs.map(_._2).max
+      fs.groupBy(_._2).foreach { case (seq, sf) =>
+        val fill = sf.map(_._6).sum
+        if (seq < lastSeq) assert(fill === budget, s"seq $seq underfull")
+        val sorted = sf.sortBy(_._5)
+        sorted.foldLeft(0L) { case (expect, f) =>
+          assert(f._5 === expect, s"seq $seq gap at ${f._5}")
+          expect + f._6
+        }
+        ()
+      }
+    }
+  }
 }

@@ -1375,6 +1375,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q173 int8 round-trip errors match an exact reimplementation") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong))
+      .toMap
+    val dims = vecs.head._2.length
+    val cal = (0 until dims).map { i =>
+      val col = vecs.values.map(_(i))
+      val mn = col.min
+      (mn, math.max(col.max - mn, 1L))
+    }
+    val expect = vecs.map { case (id, qv) =>
+      val errs = qv.zipWithIndex.map { case (v, i) =>
+        val (mn, span) = cal(i)
+        val q8 = (v - mn) * 255 / span
+        math.abs(v - (mn + q8 * span / 255))
+      }
+      id -> ((errs.sum, errs.max))
+    }
+    val got = graft.operators.SimSearch.int8Quant(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (id, (s, m, n)) =>
+      assert(n === dims)
+      assert((s, m) === expect(id), s"vec $id")
+      // the affine contract: per-dim error never exceeds one level
+      assert(m <= cal.map(c => c._2 / 255 + 1).max)
+    }
+  }
+
   test("q156 L0 files overlap exactly their straddled L1 runs, manifest-only") {
     graft.operators.Compaction.leveledFixture(spark, sf0001) // build untimed
     graft.sources.MetaIO.reset()
