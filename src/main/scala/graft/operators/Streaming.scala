@@ -411,6 +411,64 @@ object Streaming extends Serializable {
         col("c.write_time").as("write_time"))
   }
 
+  private val SExpShards = 8 // shards per hour group
+
+  /** q174: STREAMING PARTITIONED EXPORT — q171's one-file-per-group
+    * release write, driven from a STREAM: events stream in, each gets
+    * a content-derived export key `hHH-sSS:eEEEEEEEEEEEE` (hour-of-day
+    * group, salted-hash shard, event id), and the proto-zst sink's
+    * `splitKeyPrefix` mode rolls one output file per (hour, shard)
+    * group per micro-batch task — continuous training-data ingest
+    * landing directly in loader-sharded layout, with each micro-batch's
+    * files folded into the generation manifest as ONE atomic epoch
+    * commit (the streaming half of q171's release atomicity; q37 is
+    * the unpartitioned sibling). Keys are content-derived, so the
+    * on-disk CONTENT is identical under any batch split — the oracle
+    * replays it from the raw table with no streaming machinery.
+    *
+    * Scale: key/shard assignment is row-local; one repartition on the
+    * group key per batch (collisions are free — the writer splits by
+    * content); manifest state is O(files). Group count (24×shards)
+    * scales with the cluster, not the corpus.
+    */
+  def streamExport(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = Scratch.dir("graft_sexp")
+    val ckpt = Scratch.dir("graft_sexp_ckpt")
+    val src = Tables.eventsStream(spark, dir)
+    val keyed = src
+      .withColumn("wt", expr("ts DIV 1000"))
+      .withColumn("hour", expr("(wt DIV 3600000000) % 24"))
+      .withColumn("shard", graft.functions.Portable.hash60(
+        concat_ws(":", lit("sx"), col("event_id"))) % SExpShards)
+      .select(
+        encode(format_string("h%02d-s%02d:e%012d", col("hour"), col("shard"),
+          col("event_id")), "UTF-8").as("key"),
+        array(struct(
+          encode(lit("event"), "UTF-8").as("name"),
+          encode(concat_ws("|", col("event_id"), col("user_id"),
+            col("event_type"), col("wt")), "UTF-8").as("value"),
+          col("wt").as("write_time"))).as("columns"),
+        col("hour"), col("shard"))
+    val q = keyed
+      .repartition(col("hour"), col("shard"))
+      .select(col("key"), col("columns"))
+      .writeStream.format("proto-zst")
+      .option("checkpointLocation", ckpt)
+      .option("splitKeyPrefix", "7")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    runToCompletion("q174", q)
+    spark.read.format("proto-zst").load(outDir)
+      .select(decode(col("key"), "UTF-8").as("k"),
+        decode(element_at(col("columns"), 1).getField("value"), "UTF-8")
+          .as("payload"))
+      .select(substring(col("k"), 2, 2).cast("long").as("hour"),
+        substring(col("k"), 6, 2).cast("long").as("shard"),
+        substring(col("k"), 10, 12).cast("long").as("event_id"),
+        col("payload"))
+  }
+
   /** q43: STREAMING DEDUP — the same events file streamed twice and
     * unioned (every record arrives exactly twice), then
     * `dropDuplicates("event_id")` collapses them in the state store
@@ -1270,6 +1328,7 @@ object Streaming extends Serializable {
     "q76_stream_funnel" -> streamFunnel,
     "q28_stream_window" -> streamWindowAgg,
     "q31_stream_sessionize" -> streamSessionize,
+    "q174_stream_export" -> streamExport,
     "q37_stream_sink" -> streamProtoSink,
     "q43_stream_dedup" -> streamDedup,
     "q48_stream_proto_source" -> streamProtoSource,
@@ -1283,6 +1342,23 @@ object Streaming extends Serializable {
        |FROM x, m
        |WHERE session_no < last_sn
        |   OR (end_us + $SessionGapUs) // 1000 < mx // 1000""".stripMargin
+
+  /** q174 oracle: the export keys/payloads replayed from the raw
+    * table — content-derived keys make the sink round trip
+    * batch-split-invariant, so no streaming machinery appears here.
+    */
+  private val streamExportSql = {
+    val h = graft.functions.Portable.sqlHash60(
+      "'sx:' || CAST(event_id AS VARCHAR)")
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |            epoch_us(ts) AS wt FROM events),
+       |k AS (SELECT *, (wt // 3600000000) % 24 AS hour,
+       |        $h % $SExpShards AS shard FROM e)
+       |SELECT CAST(hour AS BIGINT) AS hour, shard, event_id,
+       |  CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+       |    || '|' || event_type || '|' || CAST(wt AS VARCHAR) AS payload
+       |FROM k""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // the final ListState buffer == the batch last-N selection over the
@@ -1402,6 +1478,7 @@ object Streaming extends Serializable {
     "q76_stream_funnel" -> Events.oracle("q75_funnel"),
     "q28_stream_window" -> Events.oracle("q26_window_agg"),
     "q31_stream_sessionize" -> streamSessionSql,
+    "q174_stream_export" -> streamExportSql,
     "q37_stream_sink" -> graft.operators.Core.liveCellsSql,
     "q43_stream_dedup" ->
       ("SELECT event_type, count(*) AS n_events " +

@@ -206,6 +206,31 @@ class ManifestSpec extends AnyFunSuite {
     assert(postFrame.count() === preTotal - inRange)
   }
 
+  test("q174 streaming export: files split by group content, manifest complete") {
+    val read = graft.operators.Streaming.streamExport(spark, sf0001)
+    val total = read.count()
+    assert(total > 0)
+    // the read-back frame IS the oracle's content; here pin the disk
+    // layout: every manifest entry stays inside ONE (hour, shard)
+    // group prefix, and entry counts sum to the row count (nothing
+    // dropped or double-committed across micro-batch epochs)
+    val outDir = read.queryExecution.analyzed.collectLeaves().head match {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.name().stripPrefix("proto-zst(").stripSuffix(")")
+    }
+    val s = GenManifest.read(outDir, conf).getOrElse(fail("no manifest"))
+    assert(s.entries.map(_.count).sum === total)
+    val prefixes = s.entries.map { e =>
+      val (lo, hi) = (new String(e.min, "UTF-8"), new String(e.max, "UTF-8"))
+      assert(lo.take(7) === hi.take(7), s"${e.name} spans groups: $lo..$hi")
+      lo.take(7)
+    }
+    // at most one file per group per micro-batch epoch: with the
+    // single-file AvailableNow source that means groups are unique
+    assert(prefixes.distinct.length === prefixes.length,
+      "a group split across files within one epoch")
+  }
+
   test("q171 export: one sorted file per (epoch, shard), one version bump") {
     val dir = freshDir("graft_man_exp")
     val keyed = Sink.exportKeyed(spark, sf0001)
