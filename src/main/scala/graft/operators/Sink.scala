@@ -1235,6 +1235,15 @@ object Sink {
         col("epoch"), col("shard"))
   }
 
+  /** Audit hook (see [[SimSearch.fixturePlans]]): q171's release-build
+    * pipeline (nest → shard keys → position window → export rows) on
+    * its own row — the query's own row shows only the post-build
+    * replay scan.
+    */
+  private[graft] def auditPlans(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] =
+    Seq("q171:release_build" -> exportKeyed(spark, dir))
+
   private[graft] def exportFixture(spark: SparkSession, dir: String): String =
     fixture("export:" + dir) {
       val out = Scratch.dir("graft_export")

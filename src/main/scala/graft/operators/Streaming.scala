@@ -431,10 +431,17 @@ object Streaming extends Serializable {
     * content); manifest state is O(files). Group count (24×shards)
     * scales with the cluster, not the corpus.
     */
-  def streamExport(spark: SparkSession, dir: String): DataFrame = {
-    val outDir = Scratch.dir("graft_sexp")
-    val ckpt = Scratch.dir("graft_sexp_ckpt")
-    val src = Tables.eventsStream(spark, dir)
+  def streamExport(spark: SparkSession, dir: String): DataFrame =
+    streamExportOf(spark, Tables.eventsStream(spark, dir),
+      Scratch.dir("graft_sexp"), Scratch.dir("graft_sexp_ckpt"))
+
+  /** The q174 kernel over an explicit streaming source (ts = nano
+    * longs) — exposed so ManifestSpec can drive a MULTI-epoch run
+    * (maxFilesPerTrigger=1 over a split source) and prove the result
+    * batch-split-invariant with one manifest commit per epoch.
+    */
+  private[graft] def streamExportOf(spark: SparkSession, src: DataFrame,
+      outDir: String, ckpt: String): DataFrame = {
     val keyed = src
       .withColumn("wt", expr("ts DIV 1000"))
       .withColumn("hour", expr("(wt DIV 3600000000) % 24"))

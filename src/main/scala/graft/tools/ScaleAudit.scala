@@ -75,10 +75,18 @@ object ScaleAudit {
 
     def planFacts(plan: String): (Int, Int, String, Boolean) = {
       val lines = plan.linesIterator.toSeq
-      def count(p: String) = lines.count(_.contains(p))
-      val shuffles = count("Exchange hashpartitioning") +
-        count("Exchange rangepartitioning") + count("Exchange RoundRobin")
-      val bcasts = count("BroadcastExchange")
+      // Count DISTINCT exchange nodes, not occurrences: a subplan the
+      // query references more than once (then localCheckpoints — the
+      // audit bypasses that, so the tree prints it per reference)
+      // executes its exchange once; identical expression ids make the
+      // duplicates textually equal after the tree-prefix strip, and
+      // Spark's ReuseExchange gives the same guarantee even uncached.
+      def distinctCount(ps: String*): Int = lines
+        .filter(l => ps.exists(l.contains))
+        .map(_.dropWhile(c => !c.isLetter)).distinct.size
+      val shuffles = distinctCount("Exchange hashpartitioning",
+        "Exchange rangepartitioning", "Exchange RoundRobin")
+      val bcasts = distinctCount("BroadcastExchange")
       val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
         "ShuffledHashJoin", "BroadcastNestedLoopJoin")
         .filter(j => plan.contains(j)) match {
@@ -133,7 +141,8 @@ object ScaleAudit {
     try {
       (graft.operators.SimSearch.fixturePlans(spark, dir) ++
         graft.operators.Relational.fixturePlans(spark, dir) ++
-        graft.operators.Dedup.auditPlans(spark, dir))
+        graft.operators.Dedup.auditPlans(spark, dir) ++
+        graft.operators.Sink.auditPlans(spark, dir))
         .foreach { case (name, df) =>
           val (shuffles, bcasts, joins, pushed) =
             planFacts(df.queryExecution.executedPlan.toString)

@@ -139,4 +139,30 @@ class KernelPropertySpec extends AnyFunSuite {
         agg.merge(one, one) == ref // idempotent: re-union is a no-op
     }, n = 500)
   }
+
+  test("BottomKRanked == sort-take under any partitioning / merge order") {
+    val k = 5
+    val genRows = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, for {
+      s1 <- Gen.chooseNum(0L, 20L) // small domain → forced s1 ties
+      s2 <- Gen.chooseNum(0L, 1000000L)
+      p <- Gen.chooseNum(0L, 9L)
+    } yield (0L, s1, s2, p)))
+    val genSplit = Gen.chooseNum(0.0, 1.0)
+    check(Prop.forAll(genRows, genSplit) { (rows0, frac) =>
+      // sort2 is a UNIQUE tiebreak by contract (vec_id / doc_id);
+      // enforce it so stable-sort payload order can't differ by split
+      val rows = rows0.zipWithIndex.map { case ((z, s1, s2, p), i) =>
+        (z, s1, s2 * 64 + i, p) }
+      val agg = new graft.functions.BottomKRanked(k)
+      val ref = rows.map(t => (t._2, t._3, t._4))
+        .sortBy(t => (t._1, t._2)).take(k)
+      val one = rows.foldLeft(agg.zero)(agg.reduce)
+      val cut = (rows.length * frac).toInt
+      val (l, r) = rows.splitAt(cut)
+      val (bl, br) = (l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      one == ref && agg.merge(bl, br) == ref && agg.merge(br, bl) == ref &&
+        agg.finish(one) == ref
+    }, n = 500)
+  }
 }

@@ -231,6 +231,37 @@ class ManifestSpec extends AnyFunSuite {
       "a group split across files within one epoch")
   }
 
+  test("q174 multi-epoch run: content batch-split-invariant, one commit per epoch") {
+    // split the (normalized) events table into two files and stream
+    // them one per micro-batch: two epochs, two manifest commits, and
+    // byte-identical content vs the single-batch run
+    val srcDir = freshDir("graft_sexp_src")
+    graft.sources.Tables.events(spark, sf0001).repartition(2)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(maxFiles: Option[Int]): (Set[String], Int, Long) = {
+      val out = freshDir("graft_sexp_out")
+      val rd = spark.readStream.schema(schema)
+      val src = maxFiles.fold(rd)(n =>
+        rd.option("maxFilesPerTrigger", n.toString)).parquet(srcDir)
+      val frame = graft.operators.Streaming.streamExportOf(spark, src,
+        out, freshDir("graft_sexp_ck"))
+      val rows = frame.collect().map(_.mkString("|")).toSet
+      val s = GenManifest.read(out, conf).getOrElse(fail("no manifest"))
+      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+      val versions = fs.listStatus(
+        new org.apache.hadoop.fs.Path(out, GenManifest.DirName))
+        .count(_.getPath.getName.endsWith(".manifest"))
+      (rows, versions, s.entries.map(_.count).sum)
+    }
+    val (one, v1, n1) = run(None)
+    val (two, v2, n2) = run(Some(1))
+    assert(one === two, "content differs under batch split")
+    assert(n1 === n2 && n1 === one.size.toLong)
+    assert(v1 === 1, s"single-batch run committed $v1 versions")
+    assert(v2 === 2, s"two-epoch run committed $v2 versions")
+  }
+
   test("q171 export: one sorted file per (epoch, shard), one version bump") {
     val dir = freshDir("graft_man_exp")
     val keyed = Sink.exportKeyed(spark, sf0001)
