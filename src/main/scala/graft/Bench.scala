@@ -9,13 +9,21 @@ object Bench {
     // locations are created) to the memory-backed scratch fs when one
     // is mounted: the streaming family's per-micro-batch offset/commit
     // fsyncs are the sweep's fixed cost, and none of this data needs
-    // to survive the JVM.
-    graft.operators.Scratch.preferredTmp.foreach { shm =>
-      System.setProperty("java.io.tmpdir", shm.toString)
-    }
+    // to survive the JVM. Shuffle spill goes there ONLY with generous
+    // headroom — tmpfs is RAM-capped and spills happen exactly when
+    // memory is short, so a small /dev/shm must never take
+    // spark.local.dir (ENOSPC mid-sweep would fail queries that pass
+    // on disk).
+    val diskTmp = System.getProperty("java.io.tmpdir")
+    def shmWithHeadroom(gib: Long): Option[String] =
+      graft.operators.Scratch.preferredTmp
+        .filter(p => java.nio.file.Files.getFileStore(p).getUsableSpace >
+          gib * 1024 * 1024 * 1024)
+        .map(_.toString)
+    shmWithHeadroom(16).foreach(System.setProperty("java.io.tmpdir", _))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", shmWithHeadroom(64).getOrElse(diskTmp))
       .config("spark.sql.shuffle.partitions", cpus)
       // pin the session timezone in code (not only via sbt javaOptions)
       // so date predicates select the same rows under any launcher
@@ -48,13 +56,16 @@ object Bench {
     // index) before any query is timed — without it, whichever query
     // touches a fixture first absorbs its build cost and reads as a
     // regression in round-over-round comparisons.
-    try {
-      graft.operators.Sink.warmFixtures(spark, sfDir)
-      graft.operators.SimSearch.warmFixtures(spark, sfDir)
-      graft.operators.Relational.warmFixtures(spark, sfDir)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] fixture warm failed: ${e.getMessage}")
-    }
+    val warmOk =
+      try {
+        graft.operators.Sink.warmFixtures(spark, sfDir)
+        graft.operators.SimSearch.warmFixtures(spark, sfDir)
+        graft.operators.Relational.warmFixtures(spark, sfDir)
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fixture warm failed: ${e.getMessage}")
+        false
+      }
     // A failed query is recorded in "errors" (not silently timed as if
     // it succeeded) so the bench line can't mask a crash as a fast run.
     // Deterministic name order keeps per-round timings comparable; each
@@ -78,8 +89,14 @@ object Bench {
     // pressure to read as phantom late-sweep regressions (q74 showed
     // 3.1s in a full-sweep tail vs 0.33s standalone), so the delta is
     // unpersisted after each query: sweep position stops mattering.
+    // ONLY when the warm prelude succeeded: a fixture built lazily
+    // DURING a timed query would otherwise look private, and
+    // unpersisting an eager localCheckpoint's blocks breaks every
+    // later consumer of the cached truncated-lineage frame
+    // ("Checkpoint block not found") — hygiene must never outrank
+    // correctness.
     val protectedRdds = spark.sparkContext.getPersistentRDDs.keySet
-    def dropPrivateBlocks(): Unit =
+    def dropPrivateBlocks(): Unit = if (warmOk)
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!protectedRdds.contains(id)) rdd.unpersist(blocking = false)
       }

@@ -631,7 +631,8 @@ object SimSearch {
     s"fixture:centroids_k$NCells" ->
       trainCentroids(featurized(spark, dir), NCells),
     "fixture:pq_codebooks" -> pqCodebooks(pqSubs(featurized(spark, dir))),
-    "fixture:ivfpq_residual_books" -> ivfPqBooksPlan(spark, dir))
+    "fixture:ivfpq_residual_books" -> ivfPqBooksPlan(spark, dir),
+    "q173:calibration" -> int8CalPlan(spark, dir))
 
   /** q97: IVF-PQ with RESIDUAL codebooks — the production ANN shape
     * (FAISS `IVFx,PQy`): vectors assign to a trained coarse cell
@@ -957,13 +958,23 @@ object SimSearch {
     * `transform` over the scan — zero shuffles besides the DIM-group
     * agg, no per-row join, nothing corpus-sized ever moves.
     */
-  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
-    val cal = e.select(posexplode(col("qv")).as(Seq("pos", "v")))
+  /** q173's calibration pipeline — split out because it executes at
+    * query construction (a DIM-row collect, the centroid-literal
+    * discipline), so the query's own audit row shows the shuffle-free
+    * encode frame; this plan is counted on its `q173:calibration`
+    * row.
+    */
+  private def int8CalPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(qvec(col("embedding"))).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(min(col("v")).as("mn"),
         greatest(max(col("v")) - min(col("v")), lit(1L)).as("span"))
+
+  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+    val cal = int8CalPlan(spark, dir)
       .orderBy(col("pos")).collect() // DIM rows — bounded, corpus-free
     val mnA = typedLit(cal.map(_.getLong(1)).toSeq)
     val spA = typedLit(cal.map(_.getLong(2)).toSeq)

@@ -25,7 +25,12 @@ private[graft] object Scratch {
     */
   private[graft] lazy val preferredTmp: Option[java.nio.file.Path] =
     Some(java.nio.file.Paths.get("/dev/shm")).filter(p =>
-      java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
+      java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p) &&
+        // tmpfs is RAM-capped: require headroom well beyond what the
+        // scratch tree (fixtures, checkpoints, state stores) ever
+        // holds, or stay on the disk-backed default
+        java.nio.file.Files.getFileStore(p).getUsableSpace >
+          8L * 1024 * 1024 * 1024)
 
   private lazy val root: java.nio.file.Path = {
     val r = preferredTmp match {
@@ -1169,6 +1174,14 @@ object Sink {
   private[graft] val ExportEpochs = 2 // epochs in the release
   private[graft] val ExportShards = 8 // shard files per epoch
   private[graft] val ExportPrefixBytes = 6 // len("eE-sSS") — file-group id
+  // the key format `eE-sSS:pPPPPPPPPPP` is FIXED-WIDTH — the read-back
+  // parse offsets, the 6-byte group prefix, and the in-file ordering
+  // all assume it; widening either constant past its field silently
+  // merges groups and shifts every parse, so refuse loudly instead
+  require(ExportEpochs <= 10 && ExportShards <= 100,
+    s"export key fields are 1+2 digits; epochs=$ExportEpochs " +
+      s"shards=$ExportShards overflow them — widen the format AND the " +
+      "parse offsets AND ExportPrefixBytes together")
 
   /** q171: TRAINING-RELEASE EXPORT THROUGH THE ENGINE'S OWN SINK — the
     * step that closes the q169→q170 loop: nested training examples
@@ -1227,7 +1240,13 @@ object Sink {
           .orderBy(col("k"), col("o_orderkey"))).cast("long"))
       .select(
         encode(format_string("e%d-s%02d:p%010d", col("epoch"), col("shard"),
-          col("pos")), "UTF-8").as("key"),
+          // a pos past the 10-digit field would shift every later
+          // parse; fail loudly (the q161 guard discipline)
+          when(col("pos") < 10000000000L, col("pos"))
+            .otherwise(raise_error(concat(lit("q171: shard position "),
+              col("pos").cast("string"),
+              lit(" overflows the 10-digit key field"))))), "UTF-8")
+          .as("key"),
         array(struct(
           encode(lit("example"), "UTF-8").as("name"),
           encode(payload, "UTF-8").as("value"),

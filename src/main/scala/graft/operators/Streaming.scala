@@ -412,6 +412,13 @@ object Streaming extends Serializable {
   }
 
   private val SExpShards = 8 // shards per hour group
+  // len("hHH-sSS") — the writer's file-group id AND the spec's group
+  // check; the key format is fixed-width (hour two digits, shard two
+  // digits, event_id twelve), so the fields and this prefix must move
+  // together
+  private[graft] val SExpPrefixBytes = 7
+  require(SExpShards <= 100,
+    s"stream-export shard field is 2 digits; shards=$SExpShards overflows")
 
   /** q174: STREAMING PARTITIONED EXPORT — q171's one-file-per-group
     * release write, driven from a STREAM: events stream in, each gets
@@ -449,7 +456,13 @@ object Streaming extends Serializable {
         concat_ws(":", lit("sx"), col("event_id"))) % SExpShards)
       .select(
         encode(format_string("h%02d-s%02d:e%012d", col("hour"), col("shard"),
-          col("event_id")), "UTF-8").as("key"),
+          // an id past the 12-digit field would shift the payload
+          // parse; fail loudly (the q161 guard discipline)
+          when(col("event_id") < 1000000000000L, col("event_id"))
+            .otherwise(raise_error(concat(lit("q174: event_id "),
+              col("event_id").cast("string"),
+              lit(" overflows the 12-digit key field"))))), "UTF-8")
+          .as("key"),
         array(struct(
           encode(lit("event"), "UTF-8").as("name"),
           encode(concat_ws("|", col("event_id"), col("user_id"),
@@ -461,7 +474,7 @@ object Streaming extends Serializable {
       .select(col("key"), col("columns"))
       .writeStream.format("proto-zst")
       .option("checkpointLocation", ckpt)
-      .option("splitKeyPrefix", "7")
+      .option("splitKeyPrefix", SExpPrefixBytes.toString)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start(outDir)

@@ -989,25 +989,66 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
       private def nameFor(tag: String): String =
         f"part-e$epochId%06d-p$partitionId%05d-t$taskId$tag.proto.zst"
 
-      /** File-group id of a row: bucket number, key-prefix hex, or the
-        * task-wide "" group. Prefix groups hex-encode so the group id
-        * is filesystem-safe in the file name regardless of key bytes.
+      // Hot-path caches: the per-row cost must stay at an int bucket
+      // hash or a short byte compare — no string formatting per row.
+      // Bucketed writes index an array by bucket id (tag/name built
+      // once, on first use); prefix-split writes hex-encode the group
+      // only when the prefix CHANGES (clustered+sorted input switches
+      // groups once per file's worth of rows).
+      private lazy val bucketStates =
+        new Array[FileState](buckets.getOrElse(0))
+      private var lastPrefix: Array[Byte] = _ // null ⟺ cache empty
+      private var lastPrefixState: FileState = _
+      private var nullKeyState: FileState = _
+      private var soleState: FileState = _
+
+      /** File-group state of a row: bucket number, key-prefix group,
+        * or the task-wide single file. Prefix groups hex-encode so the
+        * group id is filesystem-safe regardless of key bytes.
         */
-      private def groupOf(key: Array[Byte]): String =
-        if (buckets.isDefined)
-          f"-b${GraftBucket.bucket(buckets.get, key)}%04d"
-        else splitPrefix match {
+      private def stateOf(key: Array[Byte]): FileState =
+        if (buckets.isDefined) {
+          val b = GraftBucket.bucket(buckets.get, key)
+          var st = bucketStates(b)
+          if (st == null) {
+            st = new FileState(nameFor(f"-b$b%04d"))
+            bucketStates(b) = st
+            states.put(st.name, st)
+          }
+          st
+        } else splitPrefix match {
           case Some(n) =>
-            if (key == null) "-knull"
-            else "-k" + key.take(n).map(b => f"${b & 0xff}%02x").mkString
-          case None => ""
+            if (key == null) {
+              if (nullKeyState == null) {
+                nullKeyState = new FileState(nameFor("-knull"))
+                states.put("-knull", nullKeyState)
+              }
+              nullKeyState
+            } else {
+              val p = key.take(n)
+              if (lastPrefix != null &&
+                  java.util.Arrays.equals(p, lastPrefix)) lastPrefixState
+              else {
+                val tag = "-k" + p.map(b => f"${b & 0xff}%02x").mkString
+                val st = states.getOrElseUpdate(tag,
+                  new FileState(nameFor(tag)))
+                lastPrefix = p
+                lastPrefixState = st
+                st
+              }
+            }
+          case None =>
+            if (soleState == null) {
+              soleState = new FileState(nameFor(""))
+              states.put("", soleState)
+            }
+            soleState
         }
 
       override def write(r: InternalRow): Unit = {
         val key = if (r.isNullAt(0)) null else r.getBinary(0)
         val cols = if (r.isNullAt(1)) null else r.getArray(1)
-        val g = groupOf(key)
-        val st = states.getOrElseUpdate(g, new FileState(nameFor(g)))
+        val st = stateOf(key)
         val os = st.open()
         if (key != null) {
           if (st.minKey == null ||

@@ -75,18 +75,20 @@ object ScaleAudit {
 
     def planFacts(plan: String): (Int, Int, String, Boolean) = {
       val lines = plan.linesIterator.toSeq
-      // Count DISTINCT exchange nodes, not occurrences: a subplan the
-      // query references more than once (then localCheckpoints — the
-      // audit bypasses that, so the tree prints it per reference)
-      // executes its exchange once; identical expression ids make the
-      // duplicates textually equal after the tree-prefix strip, and
-      // Spark's ReuseExchange gives the same guarantee even uncached.
-      def distinctCount(ps: String*): Int = lines
-        .filter(l => ps.exists(l.contains))
-        .map(_.dropWhile(c => !c.isLetter)).distinct.size
-      val shuffles = distinctCount("Exchange hashpartitioning",
+      // Occurrence counts over the printed tree — deliberately NOT
+      // deduplicated: a subplan the query references k times (then
+      // localCheckpoints; the audit bypasses that, so it prints per
+      // reference) shows its exchanges k×, but each duplicate carries
+      // fresh exprIds and a unique plan_id, so no text-level dedup is
+      // sound, and plan-node canonicalization can't see through the
+      // AQE leaf wrapper. SCALE.md's reading note defines the column
+      // as the worst-case-if-nothing-reused bound for exactly this
+      // reason; the per-family prose carries the executed shape.
+      def count(ps: String*): Int =
+        lines.count(l => ps.exists(l.contains))
+      val shuffles = count("Exchange hashpartitioning",
         "Exchange rangepartitioning", "Exchange RoundRobin")
-      val bcasts = distinctCount("BroadcastExchange")
+      val bcasts = count("BroadcastExchange")
       val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
         "ShuffledHashJoin", "BroadcastNestedLoopJoin")
         .filter(j => plan.contains(j)) match {

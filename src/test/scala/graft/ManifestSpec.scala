@@ -222,8 +222,9 @@ class ManifestSpec extends AnyFunSuite {
     assert(s.entries.map(_.count).sum === total)
     val prefixes = s.entries.map { e =>
       val (lo, hi) = (new String(e.min, "UTF-8"), new String(e.max, "UTF-8"))
-      assert(lo.take(7) === hi.take(7), s"${e.name} spans groups: $lo..$hi")
-      lo.take(7)
+      val n = graft.operators.Streaming.SExpPrefixBytes
+      assert(lo.take(n) === hi.take(n), s"${e.name} spans groups: $lo..$hi")
+      lo.take(n)
     }
     // at most one file per group per micro-batch epoch: with the
     // single-file AvailableNow source that means groups are unique
