@@ -32,12 +32,13 @@ object MetaIO {
   * committed file set with per-file stats (bytes, row count, key
   * min/max, sorted attestation). Readers list only the manifest
   * subdirectory — O(retained versions), never O(data files) — and read
-  * the highest version. Writers commit by writing a hidden temp file
-  * and renaming it to the NEXT version: the rename is the atomic commit
-  * point (rename-to-fresh-name never overwrites), and a loser of a
-  * concurrent race sees its rename refused, re-reads, and retries —
-  * single-file-rename atomicity, no lock service needed on any FS with
-  * atomic rename (HDFS, posix; an S3 deployment swaps the rename for a
+  * the highest version. Writers commit by staging a hidden temp file
+  * and publishing it create-if-absent as the NEXT version: on
+  * HDFS-like filesystems that is rename (which refuses an existing
+  * target), on file: schemes it is a HARD LINK (link(2) fails with
+  * EEXIST — posix rename would silently REPLACE a racer's snapshot).
+  * A loser of a concurrent race sees its publish refused, re-reads,
+  * and retries; no lock service needed (an S3 deployment swaps in a
   * conditional PUT, the same adaptation Delta's LogStore makes).
   *
   * The manifest is AUTHORITATIVE for directories that have one: the
@@ -71,7 +72,8 @@ object GenManifest {
     def max: Array[Byte] = unhex(maxHex)
   }
 
-  final case class Snapshot(version: Long, entries: Vector[Entry])
+  final case class Snapshot(version: Long, entries: Vector[Entry],
+      epochs: Set[String] = Set.empty)
 
   private def manifestDir(dir: String) = new Path(dir, DirName)
   private def versionFile(dir: String, v: Long) =
@@ -81,6 +83,14 @@ object GenManifest {
   private def render(s: Snapshot): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(Header).append('\n').append(s.version).append('\n')
+    // committed streaming epochs ride in the same atomic snapshot
+    // ("!epoch" can never collide with a file name — the writer only
+    // emits part-/packed-/erased- names); readers that predate the
+    // marker parse it as an entry named "!epoch", which no scan ever
+    // matches, so the format stays backward-benign
+    s.epochs.toSeq.sorted.foreach { k =>
+      sb.append("!epoch\t").append(k).append('\n')
+    }
     s.entries.foreach { e =>
       sb.append(e.name).append('\t').append(e.bytes).append('\t')
         .append(e.count).append('\t').append(if (e.sorted) 1 else 0)
@@ -94,10 +104,12 @@ object GenManifest {
     val ls = new String(bytes, "UTF-8").split("\n", -1)
     if (ls.length < 2 || ls(0) != Header) None
     else ls(1).toLongOption.map { v =>
-      Snapshot(v, ls.drop(2).filter(_.nonEmpty).toVector.map { l =>
+      val body = ls.drop(2).filter(_.nonEmpty).toVector
+      val (epochLines, entryLines) = body.partition(_.startsWith("!epoch\t"))
+      Snapshot(v, entryLines.map { l =>
         val f = l.split("\t", -1)
         Entry(f(0), f(1).toLong, f(2).toLong, f(3) == "1", f(4), f(5))
-      })
+      }, epochLines.map(_.stripPrefix("!epoch\t")).toSet)
     }
   }
 
@@ -109,21 +121,34 @@ object GenManifest {
   def read(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Option[Snapshot] = {
     MetaIO.manifestReads.incrementAndGet()
-    try {
-      val md = manifestDir(dir)
-      val fs = md.getFileSystem(conf)
-      val versions = fs.listStatus(md).flatMap(s => s.getPath.getName match {
-        case VersionName(v) => Some(v.toLong -> s.getPath)
-        case _ => None
-      })
-      if (versions.isEmpty) None
-      else {
+    val md = manifestDir(dir)
+    // "absence degrades, never lies": None means NO manifest exists
+    // (foreign/legacy dir). A version that was listed but vanished
+    // before open is a gc() race — concurrent commits superseded it —
+    // and MUST retry onto the newer version, not report no-manifest
+    // (the listing fallback would resurrect pre-compaction files).
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      try {
+        val fs = md.getFileSystem(conf)
+        val versions = fs.listStatus(md).flatMap(s => s.getPath.getName match {
+          case VersionName(v) => Some(v.toLong -> s.getPath)
+          case _ => None
+        })
+        if (versions.isEmpty) return None
         val (_, p) = versions.maxBy(_._1)
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        parse(bytes)
-      }
-    } catch { case _: java.io.FileNotFoundException => None }
+        try {
+          val in = fs.open(p)
+          val bytes = try in.readAllBytes() finally in.close()
+          return parse(bytes)
+        } catch {
+          case _: java.io.FileNotFoundException => () // gc race — retry
+        }
+      } catch { case _: java.io.FileNotFoundException => return None }
+    }
+    throw new java.io.IOException(
+      s"manifest for $dir kept vanishing mid-read after $attempts attempts")
   }
 
   /** Commit `update(current entries)` as the next version. Optimistic:
@@ -133,7 +158,30 @@ object GenManifest {
     * drop+replace both are). Returns the committed snapshot.
     */
   def commit(dir: String, conf: org.apache.hadoop.conf.Configuration)(
-      update: Vector[Entry] => Vector[Entry]): Snapshot = {
+      update: Vector[Entry] => Vector[Entry]): Snapshot =
+    commitLoop(dir, conf)(s =>
+      Some(Snapshot(s.version + 1, update(s.entries), s.epochs)))
+      .getOrElse(throw new IllegalStateException("unconditional commit skipped"))
+
+  /** Epoch-idempotent append — the streaming sink's exactly-once
+    * guard: the committed (query, epoch) keys live INSIDE the
+    * snapshot, so recording the epoch and publishing its files is one
+    * atomic version bump. Returns None when the epoch was ALREADY
+    * committed (a micro-batch replayed after a driver failure that
+    * struck between the manifest commit and Spark's own commit log) —
+    * the caller must then delete its freshly written duplicate files
+    * instead of publishing them.
+    */
+  def appendEpoch(dir: String, conf: org.apache.hadoop.conf.Configuration,
+      epochKey: String, entries: Seq[Entry]): Option[Snapshot] =
+    commitLoop(dir, conf)(s =>
+      if (s.epochs(epochKey)) None
+      else Some(Snapshot(s.version + 1, s.entries ++ entries,
+        s.epochs + epochKey)))
+
+  private def commitLoop(dir: String,
+      conf: org.apache.hadoop.conf.Configuration)(
+      step: Snapshot => Option[Snapshot]): Option[Snapshot] = {
     val md = manifestDir(dir)
     val fs = md.getFileSystem(conf)
     fs.mkdirs(md)
@@ -141,18 +189,39 @@ object GenManifest {
     while (true) {
       attempts += 1
       val cur = read(dir, conf)
-      val next = Snapshot(cur.map(_.version + 1).getOrElse(1L),
-        update(cur.map(_.entries).getOrElse(Vector.empty)))
+      val next = step(cur.getOrElse(Snapshot(0L, Vector.empty))) match {
+        case None => return None
+        case Some(n) => n
+      }
       val tmp = new Path(md,
         ".tmp-" + java.util.UUID.randomUUID().toString.replace("-", ""))
       val os = fs.create(tmp, true)
       try os.write(render(next)) finally os.close()
       val target = versionFile(dir, next.version)
-      // rename-to-fresh-name is the atomic commit point; `false` with
-      // the target now existing means a concurrent commit won — retry
-      if (fs.rename(tmp, target)) {
+      // The atomic commit point is create-if-absent of the version
+      // file. On HDFS-like filesystems rename refuses an existing
+      // target, but POSIX/LocalFileSystem rename silently REPLACES it
+      // — two racers would both "win" and one snapshot would vanish —
+      // so on file: schemes the tmp is HARD-LINKED into place
+      // (link(2) fails with EEXIST, the posix create-exclusive
+      // primitive; the same trick Delta's HDFSLogStore family uses).
+      val won =
+        if ("file" == target.toUri.getScheme ||
+            fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+            fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        else fs.rename(tmp, target)
+      if (won) {
+        fs.delete(tmp, false)
         gc(fs, dir, next.version)
-        return next
+        return Some(next)
       }
       fs.delete(tmp, false)
       if (attempts > 64)

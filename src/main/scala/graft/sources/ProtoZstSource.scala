@@ -130,6 +130,25 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
         ()
       }
     }
+    // Streaming epoch commit must be IDEMPOTENT (the StreamingWrite
+    // contract): a driver failure between our manifest commit and
+    // Spark's own commit log replays the micro-batch, whose retried
+    // tasks wrote a second set of files for the same data. The
+    // committed (query, epoch) key rides inside the manifest snapshot,
+    // so the duplicate commit is detected atomically and the replay's
+    // files are deleted instead of published.
+    val streamQueryId = info.queryId()
+    def publishEpoch(epochId: Long,
+        msgs: Array[WriterCommitMessage]): Unit = {
+      val entries = msgs.flatMap {
+        case c: ProtoZstCommit => c.entries
+        case _ => Seq.empty
+      }
+      if (entries.nonEmpty &&
+          GenManifest.appendEpoch(dir, ProtoZstFiles.hadoopConf(),
+            s"$streamQueryId/$epochId", entries.toIndexedSeq).isEmpty)
+        rollback(msgs)
+    }
     val bucketSpec = buckets
     // partitioned-export mode: roll a new file per key-prefix group
     // (see ProtoZstWriterFactory.splitPrefix); a bucketed directory's
@@ -149,7 +168,7 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
         override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
           new ProtoZstWriterFactory(dir, bucketSpec, splitPrefix)
         override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
-          publish(msgs)
+          publishEpoch(epochId, msgs)
         override def abort(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
           rollback(msgs)
       }
@@ -252,7 +271,27 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       case None => false
     }
 
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // same Aggregation; translating costs a manifest read (or a listing
+  // plus one sidecar read PER FILE on legacy dirs), so the result is
+  // memoized per builder — plan-time metadata I/O is paid once.
+  private var translated:
+      Option[(String, Option[(StructType, Array[Any], String)])] = None
+
   private def translate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any], String)] = {
+    val sig = agg.toString
+    translated match {
+      case Some((s, v)) if s == sig => v
+      case _ =>
+        val v = translateUncached(agg)
+        translated = Some((sig, v))
+        v
+    }
+  }
+
+  private def translateUncached(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[Any], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
@@ -277,8 +316,19 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       // when every root has one (ONE tiny read, no listing, no sidecar
       // opens); else from the legacy listing + per-file sidecars, where
       // any file without a counted sidecar vetoes the pushdown
+      // MIN/MAX need every file's range: a range-less entry (minHex ""
+      // — either a legacy all-null file, or a file whose true min is
+      // the EMPTY key, which hex-encodes to the same sentinel) could
+      // hold the global minimum, so its presence vetoes min/max
+      // pushdown; COUNT(*) only needs counts and survives.
+      val needRange = funcs.exists {
+        case _: Min | _: Max => true
+        case _ => false
+      }
       val stats: Option[(Long, Seq[Array[Byte]], Seq[Array[Byte]])] =
         ManifestIndex.load(paths, conf) match {
+          case Some(metas) if needRange && metas.exists(_.min.isEmpty) =>
+            None
           case Some(metas) =>
             Some((metas.map(_.count).sum,
               metas.flatMap(_.min).toSeq, metas.flatMap(_.max).toSeq))
@@ -677,11 +727,22 @@ case class ProtoZstOffset(n: Int)
 /** Streaming read of a proto-zst directory: each micro-batch delivers
   * the files that appeared since the previous offset, one partition per
   * file (the same unit of work as the batch scan — and as the
-  * reference's per-file pipeline). Assumes files are only ever ADDED
-  * and the sorted listing is stable for already-delivered prefixes
-  * (true for the sink's tmp+rename commit within an epoch); a
-  * production source would track seen paths in the checkpoint the way
-  * FileStreamSource does, at the cost of offsets growing with history.
+  * reference's per-file pipeline).
+  *
+  * Offset semantics: when the directory has a generation manifest, the
+  * offset is a position in the manifest's APPEND-ORDERED entry list.
+  * That prefix is immutable under appends — entries land in commit
+  * order, each job's files in ONE atomic version — so out-of-order
+  * task commits can never re-sort already-delivered positions, and
+  * aborted jobs can never shrink them (their files never enter the
+  * manifest at all). A manifest that SHRINKS mid-stream (OPTIMIZE /
+  * erasure on a live-tailed dir) fails loudly rather than delivering
+  * wrong files. Manifest-less (foreign/legacy) directories keep the
+  * sorted-listing positions, which assume files are only ever added
+  * and that the sorted prefix is stable — a production source for
+  * foreign dirs would track seen paths in the checkpoint the way
+  * FileStreamSource does, at the cost of offsets growing with
+  * history.
   */
 class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
     readSchema: StructType,
@@ -694,6 +755,18 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   // the stream object lives on the driver; only the reader factory ships
   private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
 
+  // mode pinned at stream construction: a dir written by this sink has
+  // a manifest from its first commit; a foreign dir never gains one
+  private val useManifest = GenManifest.read(path, conf.value).isDefined
+  private def currentFiles(): Seq[String] =
+    if (useManifest)
+      GenManifest.read(path, conf.value)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest for $path vanished mid-stream"))
+        .entries.map(e =>
+          new org.apache.hadoop.fs.Path(path, e.name).toString)
+    else ProtoZstFiles.list(path, conf.value).toSeq
+
   /** Admission control (parquet file-source parity): with
     * `maxFilesPerTrigger` set, each micro-batch admits at most that
     * many NEW files — ingest backpressure for a directory that
@@ -705,9 +778,9 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
     */
   @volatile private var fixedEnd: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    fixedEnd = Some(ProtoZstFiles.list(path, conf.value).length)
+    fixedEnd = Some(currentFiles().length)
   private def available(): Int =
-    fixedEnd.getOrElse(ProtoZstFiles.list(path, conf.value).length)
+    fixedEnd.getOrElse(currentFiles().length)
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
@@ -724,21 +797,26 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   override def reportLatestOffset(): Offset = ProtoZstOffset(available())
 
   override def initialOffset(): Offset = ProtoZstOffset(0)
-  override def latestOffset(): Offset =
-    ProtoZstOffset(ProtoZstFiles.list(path, conf.value).length)
+  override def latestOffset(): Offset = ProtoZstOffset(currentFiles().length)
   override def deserializeOffset(json: String): Offset =
     ProtoZstOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   // range skip applies AFTER the positional slice, so offsets keep
   // counting every file regardless of the predicate
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val endN = end.asInstanceOf[ProtoZstOffset].n
+    val files = currentFiles()
+    if (files.length < endN)
+      throw new IllegalStateException(
+        s"$path shrank under a live stream (${files.length} < $endN): " +
+          "OPTIMIZE/erasure on a tailed directory invalidates delivered " +
+          "offsets — stop the stream before compacting its source")
     ProtoZstScan.skipByRange(
-      ProtoZstFiles.list(path, conf.value)
-        .slice(start.asInstanceOf[ProtoZstOffset].n,
-          end.asInstanceOf[ProtoZstOffset].n),
+      files.slice(start.asInstanceOf[ProtoZstOffset].n, endN).toArray,
       filters, conf)
       .map(ProtoZstInputPartition(_): InputPartition)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
 }
@@ -946,6 +1024,15 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
   // each executor
   private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
 
+  // Per-JOB unique token baked into every file name: (epochId,
+  // partitionId, taskId) all RESTART across applications, so a second
+  // app appending to the same directory would otherwise regenerate
+  // identical names and clobber previously committed files + sidecars
+  // (posix rename silently replaces). Generated once on the driver at
+  // factory construction and serialized to every task — the same
+  // reason FileStreamSink/parquet embed a job UUID.
+  private val jobTag = java.util.UUID.randomUUID().toString.take(8)
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     make(partitionId, taskId, epochId = 0L)
 
@@ -987,7 +1074,7 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
         scala.collection.mutable.LinkedHashMap.empty[String, FileState]
 
       private def nameFor(tag: String): String =
-        f"part-e$epochId%06d-p$partitionId%05d-t$taskId$tag.proto.zst"
+        f"part-$jobTag-e$epochId%06d-p$partitionId%05d-t$taskId$tag.proto.zst"
 
       // Hot-path caches: the per-row cost must stay at an int bucket
       // hash or a short byte compare — no string formatting per row.
@@ -1046,22 +1133,30 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
         }
 
       override def write(r: InternalRow): Unit = {
-        val key = if (r.isNullAt(0)) null else r.getBinary(0)
+        // A null key and an empty key are the SAME bytes on the wire
+        // (proto3 default-skipping omits both; decode yields empty),
+        // so the writer normalizes null→empty BEFORE range/sort
+        // tracking: excluding null keys from min/max would record a
+        // range that doesn't cover rows that read back as empty keys,
+        // and a key = '' predicate (or pushed MIN(key)) would then be
+        // answered wrongly from metadata. The cost is conservative:
+        // an empty min hex-encodes to the no-range sentinel, so such
+        // files are simply never range-skipped.
+        val key =
+          if (r.isNullAt(0)) Array.emptyByteArray else r.getBinary(0)
         val cols = if (r.isNullAt(1)) null else r.getArray(1)
         val st = stateOf(key)
         val os = st.open()
-        if (key != null) {
-          if (st.minKey == null ||
-              java.util.Arrays.compareUnsigned(key, st.minKey) < 0)
-            st.minKey = key.clone()
-          if (st.maxKey == null ||
-              java.util.Arrays.compareUnsigned(key, st.maxKey) > 0)
-            st.maxKey = key.clone()
-          if (st.lastKey != null &&
-              java.util.Arrays.compareUnsigned(key, st.lastKey) < 0)
-            st.sorted = false
-          st.lastKey = key.clone()
-        } else st.sorted = false // null keys have no defined sort position
+        if (st.minKey == null ||
+            java.util.Arrays.compareUnsigned(key, st.minKey) < 0)
+          st.minKey = key.clone()
+        if (st.maxKey == null ||
+            java.util.Arrays.compareUnsigned(key, st.maxKey) > 0)
+          st.maxKey = key.clone()
+        if (st.lastKey != null &&
+            java.util.Arrays.compareUnsigned(key, st.lastKey) < 0)
+          st.sorted = false
+        st.lastKey = key.clone()
         val framed = ProtoWire.delimit(ProtoWire.encodeRow(key, cols))
         os.write(framed, 0, framed.length)
         st.n += 1
@@ -1168,6 +1263,25 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
       .map(_.dataType.asInstanceOf[ArrayType]
         .elementType.asInstanceOf[StructType].fieldNames)
       .getOrElse(Array.empty)
+    // index-compiled projectors — the per-row path must not string-match
+    // field names (billions of rows cross this loop on a large scan)
+    val innerProj: Array[ProtoWire.DecodedColumn => Any] =
+      innerFields.map {
+        case "name" => (c: ProtoWire.DecodedColumn) => c.name
+        case "value" => (c: ProtoWire.DecodedColumn) => c.value
+        case "write_time" => (c: ProtoWire.DecodedColumn) => c.writeTime
+      }
+    val topProj: Array[ProtoWire.DecodedRow => Any] =
+      readSchema.fieldNames.map {
+        case "key" => (r: ProtoWire.DecodedRow) => r.key: Any
+        case "columns" => (r: ProtoWire.DecodedRow) =>
+          new GenericArrayData(r.columns.map { c =>
+            val vals = new Array[Any](innerProj.length)
+            var i = 0
+            while (i < innerProj.length) { vals(i) = innerProj(i)(c); i += 1 }
+            new GenericInternalRow(vals)
+          }.toArray[Any]): Any
+      }
     new PartitionReader[InternalRow] {
       // frames stream straight off the decompressor: memory is bounded
       // by one message, never the decompressed file (the reference
@@ -1196,16 +1310,10 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
         if (rows.hasNext) {
           val r = rows.next()
           // project onto the pruned read schema, in its field order
-          cur = new GenericInternalRow(readSchema.fieldNames.map {
-            case "key" => r.key: Any
-            case "columns" =>
-              new GenericArrayData(r.columns.map(c =>
-                new GenericInternalRow(innerFields.map[Any] {
-                  case "name" => c.name
-                  case "value" => c.value
-                  case "write_time" => c.writeTime
-                })).toArray[Any]): Any
-          })
+          val vals = new Array[Any](topProj.length)
+          var i = 0
+          while (i < topProj.length) { vals(i) = topProj(i)(r); i += 1 }
+          cur = new GenericInternalRow(vals)
           true
         } else false
       override def get(): InternalRow = cur

@@ -140,6 +140,33 @@ class ManifestSpec extends AnyFunSuite {
     assert(spark.read.format("proto-zst").load(dir).count() === n0)
   }
 
+  test("appendEpoch commits an epoch exactly once; replays are refused") {
+    val dir = freshDir("graft_man_epoch")
+    val e1 = GenManifest.Entry("part-a.proto.zst", 10L, 1L, sorted = true,
+      "00", "01")
+    val e1r = GenManifest.Entry("part-a2.proto.zst", 10L, 1L, sorted = true,
+      "00", "01")
+    val e2 = GenManifest.Entry("part-b.proto.zst", 20L, 2L, sorted = true,
+      "02", "03")
+    // first commit of (query q, epoch 7) publishes
+    assert(GenManifest.appendEpoch(dir, conf, "q/7", Seq(e1)).isDefined)
+    // a replayed epoch 7 (retried tasks wrote e1r for the SAME data)
+    // must be refused — the caller deletes e1r instead of publishing
+    assert(GenManifest.appendEpoch(dir, conf, "q/7", Seq(e1r)).isEmpty)
+    // the next epoch and other queries proceed normally
+    assert(GenManifest.appendEpoch(dir, conf, "q/8", Seq(e2)).isDefined)
+    assert(GenManifest.appendEpoch(dir, conf, "q2/7", Seq.empty).isDefined)
+    val s = GenManifest.read(dir, conf).get
+    assert(s.entries.map(_.name) === Vector("part-a.proto.zst",
+      "part-b.proto.zst"))
+    assert(s.epochs === Set("q/7", "q/8", "q2/7"))
+    // the epoch markers survive ordinary (batch) appends on the same dir
+    GenManifest.append(dir, conf, Seq(GenManifest.Entry("part-c.proto.zst",
+      5L, 1L, sorted = true, "04", "05")))
+    assert(GenManifest.read(dir, conf).get.epochs === Set("q/7", "q/8", "q2/7"))
+    assert(GenManifest.appendEpoch(dir, conf, "q/8", Seq(e1r)).isEmpty)
+  }
+
   test("a losing concurrent commit retries onto the latest snapshot") {
     val dir = freshDir("graft_man_race")
     val e1 = GenManifest.Entry("a.proto.zst", 10L, 1L, sorted = true, "00", "01")
