@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shim
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native set-operation kernels for the dedup verify stage.
   *
@@ -50,6 +50,14 @@ object ArrayOps {
     */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    // ragged pairs MUST fail loudly: UnsafeArrayData.getLong has no
+    // runtime bounds check, so indexing b past its length would read
+    // adjacent buffer memory and return a silently wrong dot product —
+    // one dirty short-embedding row would poison dedup/ANN scores with
+    // no exception anywhere
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_long: ragged vectors ($n vs ${b.numElements()} dims)")
     var i = 0
     var s = 0L
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
@@ -99,7 +107,9 @@ object ArrayOps {
 }
 
 case class MergeColumnsExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // any array-of-struct cell shape; the struct layout is positional
+  override def inputTypes: Seq[Shim.AbstractType] = Seq(ArrayType, ArrayType)
   override def dataType: DataType = left.dataType
   override def prettyName: String = "merge_columns"
 
@@ -115,7 +125,9 @@ case class MergeColumnsExpr(left: Expression, right: Expression)
 }
 
 case class DotLongExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[Shim.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "dot_long"
 
@@ -131,7 +143,9 @@ case class DotLongExpr(left: Expression, right: Expression)
 }
 
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[Shim.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
 

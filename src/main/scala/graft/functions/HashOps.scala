@@ -3,11 +3,11 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native md5-prefix hash kernels for the dedup/fingerprint hot paths.
@@ -179,7 +179,9 @@ object HashOps {
     Shim.column(CdcChunks60Expr(Shim.expression(ws), mod))
 }
 
-case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
+case class Md5Prefix60Expr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[Shim.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix60"
 
@@ -193,7 +195,9 @@ case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-case class GramHash60Expr(child: Expression, n: Int) extends UnaryExpression {
+case class GramHash60Expr(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[Shim.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_hash60"
 
@@ -208,7 +212,8 @@ case class GramHash60Expr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 case class CdcChunks60Expr(child: Expression, mod: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[Shim.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("ci", LongType, nullable = false),
     StructField("s", IntegerType, nullable = false),
@@ -226,7 +231,9 @@ case class CdcChunks60Expr(child: Expression, mod: Int)
     copy(child = c)
 }
 
-case class ShingleHash60Expr(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleHash60Expr(child: Expression, k: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[Shim.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash60"
 

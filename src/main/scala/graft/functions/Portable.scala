@@ -40,13 +40,18 @@ object Portable {
     conv(substring(md5(s), 1, 4), 16, 10).cast("int")
 
   /** Word 3-gram shingles (with duplicates; wrap in array_distinct for
-    * set semantics). Requires size(ws) >= 3 — filter first.
+    * set semantics). TOTAL: arrays shorter than 3 words yield an empty
+    * shingle list, matching the DuckDB mirror (`range(1, len-1)` is
+    * empty there, but Spark's `sequence(1, size-2)` would DESCEND for
+    * small sizes and index out of bounds / wrap negatively).
     * DuckDB: `list_transform(range(1, len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])`.
     */
   def wordShingles(ws: Column): Column =
-    transform(sequence(lit(1), size(ws) - 2), i =>
-      concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-        element_at(ws, i + 2)))
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
 
   /** Milli-quantised embedding: array<long> of floor(x*1000). The
     * float→double widening is exact, so both engines floor the same
@@ -71,7 +76,13 @@ object Portable {
     * mirror: [[sqlCosineq]].
     */
   def cosineq(dot: Column, n2a: Column, n2b: Column): Column =
-    dot.cast("double") / sqrt(nullif((n2a * n2b).cast("double"), lit(0.0)))
+    // each norm casts to double BEFORE the multiply: the long product
+    // n2a*n2b overflows for large-norm/high-dim embeddings (ANSI mode
+    // throws, non-ANSI wraps) while each factor is far below 2^63; the
+    // oracle mirrors the same cast placement so rounding stays
+    // bit-identical
+    dot.cast("double") /
+      sqrt(nullif(n2a.cast("double") * n2b.cast("double"), lit(0.0)))
 
   /** Attach a broadcast 1-row aggregate (a scalar, e.g. a corpus count)
     * to every row of `df` — the in-plan alternative to a driver-side
@@ -108,6 +119,7 @@ object Portable {
     s"CAST(list_sum(list_transform($a, x -> x*x)) AS BIGINT)"
 
   /** DuckDB: cosine with the same zero-norm → NULL guard as [[cosineq]]. */
-  def sqlCosineq(dot: String, n2prod: String): String =
-    s"CAST($dot AS DOUBLE) / sqrt(nullif(CAST($n2prod AS DOUBLE), 0.0))"
+  def sqlCosineq(dot: String, n2a: String, n2b: String): String =
+    s"CAST($dot AS DOUBLE) / sqrt(nullif(CAST($n2a AS DOUBLE)" +
+      s"*CAST($n2b AS DOUBLE), 0.0))"
 }

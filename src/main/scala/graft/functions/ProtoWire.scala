@@ -4,11 +4,11 @@ import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shim
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType}
 
 /** Hand-rolled proto3 wire-format encoder for the reference's output
   * schema (`/root/reference/src/main/proto/sstable.proto:1-16`):
@@ -168,84 +168,8 @@ object ProtoWire {
     * `proto_delimited(proto_row(...))`) — the read side of the sink
     * format, used by the proto-zst DSv2 source.
     */
-  def decodeRows(buf: Array[Byte]): Iterator[DecodedRow] = new Iterator[DecodedRow] {
-    private var pos = 0
-    // bounded by the enclosing scope — see decodeStats
-    private def varint(limit: Long): Long = {
-      var v = 0L; var sh = 0; var b = 0
-      do {
-        if (pos >= limit)
-          throw new IllegalArgumentException(s"overrun at $pos")
-        b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
-        if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
-      } while ((b & 0x80) != 0)
-      v
-    }
-    // validated LEN — see decodeStats: corrupt lengths must throw, never
-    // move pos backwards (infinite loop) or zero-pad past the buffer
-    private def chk(l: Long, end: Long): Int =
-      if (l < 0 || l > end - pos) // NB not pos+l>end: pos+l can overflow
-        throw new IllegalArgumentException(s"bad LEN $l at $pos")
-      else l.toInt
-    private def skip(n: Int, end: Long): Unit =
-      if (pos + n > end)
-        throw new IllegalArgumentException(s"overrun at $pos")
-      else pos += n
-    private def bytesField(len: Int): Array[Byte] = {
-      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
-      pos += len
-      out
-    }
-    private def fixed64(end: Int): Long = {
-      if (pos + 8 > end)
-        throw new IllegalArgumentException(s"overrun at $pos")
-      var v = 0L; var i = 0
-      while (i < 8) { v |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
-      pos += 8
-      v
-    }
-    private def decodeColumn(end: Int): DecodedColumn = {
-      var name = Array.emptyByteArray
-      var value = Array.emptyByteArray
-      var wt = 0L
-      while (pos < end) {
-        val tag = varint(end)
-        ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 2) => name = bytesField(chk(varint(end), end))
-          case (2, 2) => value = bytesField(chk(varint(end), end))
-          case (3, 1) => wt = fixed64(end)
-          // NB evaluate the varint BEFORE touching pos — `pos += chk(...)`
-          // would read pos before the varint advances it
-          case (_, 2) => val l = chk(varint(end), end); pos += l
-          case (_, 0) => varint(end)
-          case (_, 1) => skip(8, end)
-          case (_, 5) => skip(4, end)
-          case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
-        }
-      }
-      DecodedColumn(name, value, wt)
-    }
-    override def hasNext: Boolean = pos < buf.length
-    override def next(): DecodedRow = {
-      val frameLen = chk(varint(buf.length), buf.length) // len BEFORE pos
-      val end = pos + frameLen
-      var key = Array.emptyByteArray
-      val cols = Seq.newBuilder[DecodedColumn]
-      while (pos < end) {
-        val tag = varint(end)
-        ((tag >> 3).toInt, (tag & 7).toInt) match {
-          case (1, 2) => key = bytesField(chk(varint(end), end))
-          case (2, 2) => val l = chk(varint(end), end); cols += decodeColumn(pos + l)
-          case (_, 2) => val l = chk(varint(end), end); pos += l
-          case (_, 0) => varint(end)
-          case (_, 1) => skip(8, end)
-          case (_, 5) => skip(4, end)
-          case (f, w) => throw new IllegalArgumentException(s"field $f wire $w")
-        }
-      }
-      DecodedRow(key, cols.result())
-    }
-  }
+  def decodeRows(buf: Array[Byte]): Iterator[DecodedRow] =
+    decodeRowsPruned(buf, wantColumns = true, _ => true)
 
   /** Pruned + filtered decode for the DSv2 source — the engine analog of
     * the reference's index-assisted key seek
@@ -470,7 +394,10 @@ object ProtoWire {
   * static encoder above — no UDF/serialization round trip.
   */
 case class ProtoEncodeRowExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // columns: any array-of-struct with the positional (name, value,
+  // write_time) cell layout
+  override def inputTypes: Seq[Shim.AbstractType] = Seq(BinaryType, ArrayType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "proto_row"
@@ -487,7 +414,9 @@ case class ProtoEncodeRowExpr(left: Expression, right: Expression)
 }
 
 /** Catalyst expression: varint length prefix (writeDelimitedTo framing). */
-case class VarintDelimitExpr(child: Expression) extends UnaryExpression {
+case class VarintDelimitExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[Shim.AbstractType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "proto_delimited"
 

@@ -3,23 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Bounded top-k typed [[Aggregator]] over (q_id, vec_id, cosine)
-  * rows — the §4.3 "top-k heap aggregator" extension point: per-group
-  * top-k WITHOUT a per-group window sort. The buffer never holds more
-  * than k entries, and because Aggregators partial-aggregate, each map
-  * task ships AT MOST k rows per group to the shuffle — at 100 TB the
-  * difference between "sort every group's candidate set" (the window
-  * form ranks all rows before cutting) and "merge tasks×k survivors"
-  * (the TakeOrdered shape, but PER GROUP and composable inside any
-  * aggregation).
-  *
-  * Ordering matches the window form exactly: cosine DESC then vec_id
-  * ASC, with cosine computed by the same IEEE expression
-  * ([[Portable.cosineq]]) on both paths, so q99 hash-matches q19's
-  * brute-force oracle. k is tiny by contract; the O(k log k) insert
-  * sort is a deliberate simplicity trade a production kernel replaces
-  * with a bounded priority queue at large k — same plan shape.
-  */
 /** Bounded k-minimum-values (KMV / bottom-k) typed [[Aggregator]]: the
   * k smallest DISTINCT longs of a group, kept sorted. This IS the KMV
   * distinct sketch (Bar-Yossef et al.; Beyer et al.'s "distinct
@@ -94,6 +77,23 @@ class BottomKRanked(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** Bounded top-k typed [[Aggregator]] over (q_id, vec_id, cosine)
+  * rows — the §4.3 "top-k heap aggregator" extension point: per-group
+  * top-k WITHOUT a per-group window sort. The buffer never holds more
+  * than k entries, and because Aggregators partial-aggregate, each map
+  * task ships AT MOST k rows per group to the shuffle — at 100 TB the
+  * difference between "sort every group's candidate set" (the window
+  * form ranks all rows before cutting) and "merge tasks×k survivors"
+  * (the TakeOrdered shape, but PER GROUP and composable inside any
+  * aggregation).
+  *
+  * Ordering matches the window form exactly: cosine DESC then vec_id
+  * ASC, with cosine computed by the same IEEE expression
+  * ([[Portable.cosineq]]) on both paths, so q99 hash-matches q19's
+  * brute-force oracle. k is tiny by contract; the O(k log k) insert
+  * sort is a deliberate simplicity trade a production kernel replaces
+  * with a bounded priority queue at large k — same plan shape.
+  */
 class TopKScored(k: Int)
     extends Aggregator[(Long, Long, Double), Seq[(Long, Double)],
       Seq[(Long, Double)]] {

@@ -1281,7 +1281,7 @@ object Dedup {
     s"""WITH e AS (SELECT vec_id, label, $sqlQvec qv FROM embeddings),
        |n AS (SELECT vec_id, label, qv, ${sqlNorm2("qv")} n2 FROM e),
        |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b, a.label AS "label",
-       |        CAST(${sqlDotq("a.qv", "b.qv")} AS DOUBLE) / sqrt(nullif(CAST(a.n2*b.n2 AS DOUBLE), 0.0)) cosine
+       |        CAST(${sqlDotq("a.qv", "b.qv")} AS DOUBLE) / sqrt(nullif(CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE), 0.0)) cosine
        |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, label, cosine FROM p WHERE cosine >= 0.35""".stripMargin
 

@@ -1089,7 +1089,7 @@ object SimSearch {
   private val bruteSql =
     s"""$baseSql,
        |s AS (SELECT q.vec_id q_id, c.vec_id vec_id,
-       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM n q JOIN n c ON q.vec_id < $NQ AND c.vec_id <> q.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
@@ -1101,13 +1101,13 @@ object SimSearch {
        |        list_transform(range(1, ${MatDims + 1}), i -> qv[i]) qvh FROM n),
        |hn AS (SELECT vec_id, qv, n2, qvh, ${sqlNorm2("qvh")} n2h FROM h),
        |c AS (SELECT q.vec_id q_id, x.vec_id vec_id,
-       |        CAST(${sqlDotq("q.qvh", "x.qvh")} AS DOUBLE) / sqrt(nullif(CAST(q.n2h*x.n2h AS DOUBLE), 0.0)) ccos
+       |        CAST(${sqlDotq("q.qvh", "x.qvh")} AS DOUBLE) / sqrt(nullif(CAST(q.n2h AS DOUBLE)*CAST(x.n2h AS DOUBLE), 0.0)) ccos
        |      FROM hn q JOIN hn x ON q.vec_id < $NQ AND x.vec_id <> q.vec_id),
        |cr AS (SELECT q_id, vec_id,
        |        row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, vec_id ASC) crnk FROM c),
        |cand AS (SELECT q_id, vec_id FROM cr WHERE crnk <= $MatC),
        |s AS (SELECT cand.q_id, cand.vec_id,
-       |        CAST(${sqlDotq("q.qv", "x.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*x.n2 AS DOUBLE), 0.0)) cosine
+       |        CAST(${sqlDotq("q.qv", "x.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(x.n2 AS DOUBLE), 0.0)) cosine
        |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n x ON x.vec_id = cand.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
@@ -1123,7 +1123,7 @@ object SimSearch {
        |         FROM bands q JOIN bands c ON q.bkey = c.bkey
        |         WHERE q.vec_id < $NQ AND c.vec_id <> q.vec_id),
        |s AS (SELECT cand.q_id, cand.vec_id,
-       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
@@ -1155,7 +1155,7 @@ object SimSearch {
        |         FROM probes p JOIN corpus c ON c.cell = p.cell
        |         WHERE c.vec_id <> p.q_id),
        |s AS (SELECT cand.q_id, cand.vec_id,
-       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
@@ -1207,7 +1207,7 @@ object SimSearch {
        |        ORDER BY adist ASC, vec_id ASC) rn
        |    FROM adist) WHERE rn <= $PqShort),
        |s AS (SELECT short.q_id, short.vec_id,
-       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM short JOIN n q ON q.vec_id = short.q_id
        |                 JOIN n c ON c.vec_id = short.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
@@ -1288,7 +1288,7 @@ object SimSearch {
        |        ORDER BY adist ASC, vec_id ASC) rn
        |    FROM adist) WHERE rn <= $PqShort),
        |s AS (SELECT short.q_id, short.vec_id,
-       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM short JOIN n q ON q.vec_id = short.q_id
        |                 JOIN n c ON c.vec_id = short.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
@@ -1322,7 +1322,7 @@ object SimSearch {
        |         FROM probes p JOIN corpus c ON c.cell = p.cell
        |         WHERE c.vec_id <> p.q_id),
        |s AS (SELECT cand.q_id, cand.vec_id,
-       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2*c.n2 AS DOUBLE), 0.0)) cosine
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE), 0.0)) cosine
        |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.vec_id),
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
@@ -1456,7 +1456,7 @@ object SimSearch {
        |        FROM feat a JOIN feat b
        |          ON a.cell = b.cell AND a.vec_id < b.vec_id
        |        WHERE CAST(${sqlDotq("a.qv", "b.qv")} AS DOUBLE)
-       |          / sqrt(nullif(CAST(a.n2*b.n2 AS DOUBLE), 0.0)) >= $SemThr)
+       |          / sqrt(nullif(CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE), 0.0)) >= $SemThr)
        |SELECT f.vec_id, f.cell, (d.vec_id IS NOT NULL) AS removed
        |FROM feat f LEFT JOIN dup d ON f.vec_id = d.vec_id""".stripMargin
 
@@ -1510,7 +1510,7 @@ object SimSearch {
        |      FROM qs, cs WHERE cs.vec_id <> qs.q_id)
        |SELECT q_id, vec_id, hamming,
        |  CAST(1000 - (2000 * hamming) // $SrpBits AS BIGINT) AS est_milli,
-       |  ${sqlCosineq(sqlDotq("qqv", "qv"), "qn2*n2")} AS cosine
+       |  ${sqlCosineq(sqlDotq("qqv", "qv"), "qn2", "n2")} AS cosine
        |FROM p""".stripMargin
 
   private val negSampleSql =

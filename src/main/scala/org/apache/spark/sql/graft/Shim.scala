@@ -11,6 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * libraries shipping native expressions.
   */
 object Shim {
+  /** Public alias for the `private[sql]` abstract-type lattice, so the
+    * engine's expressions can declare `ExpectsInputTypes.inputTypes`
+    * from their own package.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -345,5 +345,34 @@ class SourceExtensionSpec extends AnyFunSuite {
       .collect()(0)
     assert((cdc.getLong(0), cdc.getInt(1), cdc.getInt(2), cdc.getBoolean(3))
       === ((0L, 1, 2, true)))
+    // merge_columns reachable from SQL: b wins the write_time tie
+    val merged = spark.sql(
+      "SELECT merge_columns(" +
+        "array(named_struct('name', cast('c' as binary), " +
+        "'value', cast('old' as binary), 'write_time', 1L)), " +
+        "array(named_struct('name', cast('c' as binary), " +
+        "'value', cast('new' as binary), 'write_time', 1L))) m")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(merged.length === 1 &&
+      new String(merged.head.getAs[Array[Byte]](1), "UTF-8") === "new")
+  }
+
+  test("malformed SQL calls to registered functions fail at analysis, not per row") {
+    // wrong arity: named error instead of IndexOutOfBounds from es(1)
+    val e1 = intercept[Exception](spark.sql("SELECT gram_hash60('x')"))
+    assert(e1.getMessage.contains("gram_hash60"), e1.getMessage)
+    // wrong input type: ExpectsInputTypes rejects during analysis
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT md5_prefix60(cast(42 as int))").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT dot_long(array('a'), array('b'))").collect())
+    // non-positive literal modulus: caught at build, never / by zero per row
+    val e2 = intercept[Exception](
+      spark.sql("SELECT cdc_chunks60(array('a'), 0)"))
+    assert(e2.getMessage.contains("cdc_chunks60"), e2.getMessage)
+    // non-literal width: rejected with the function named
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT gram_hash60(text, n_chars) FROM (SELECT 'x' text, 3 n_chars)"))
+    assert(e3.getMessage.contains("gram_hash60"), e3.getMessage)
   }
 }
