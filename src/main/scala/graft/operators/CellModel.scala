@@ -117,8 +117,7 @@ object CellModel {
   val NestChunk = 16
 
   def nestRowsChunked(spark: SparkSession, dir: String): DataFrame =
-    cellStrings(spark, dir)
-      .filter(!col("partition_deleted") && col("kind") === "live")
+    liveCellStrings(spark, dir)
       .withColumn("chunk", expr(s"(row_number() OVER (PARTITION BY key " +
         s"ORDER BY name, value, write_time) - 1) DIV $NestChunk"))
       .groupBy(col("key"), col("chunk"))

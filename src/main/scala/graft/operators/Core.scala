@@ -178,7 +178,11 @@ object Core {
         count(lit(1)).as("n_cells"),
         min(col("token")).as("token_lo"),
         max(col("token")).as("token_hi"))
-    val total = c.agg(count(lit(1)).as("total_cells"))
+    // total = Σ n_cells over the 32 perRange rows: a second c.agg()
+    // would re-scan the corpus and re-run the per-row md5 pass (the
+    // grouped and global aggregates are different subtrees — no
+    // exchange reuse); aggregating the grouped result costs 32 rows
+    val total = perRange.agg(sum(col("n_cells")).as("total_cells"))
     graft.functions.Portable.withScalar(perRange, total)
       .withColumn("load_milli",
         expr(s"(1000 * n_cells * $TokenRanges) DIV total_cells"))
@@ -338,7 +342,7 @@ object Core {
        |SELECT range_id, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
        |  CAST((dga IS DISTINCT FROM dgb) OR (n_a IS DISTINCT FROM n_b)
        |    AS INTEGER) AS needs_repair
-       |FROM da LEFT JOIN db USING (range_id)""".stripMargin
+       |FROM da FULL JOIN db USING (range_id)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
