@@ -339,20 +339,40 @@ object Streaming extends Serializable {
         s.startUs, s.endUs, s.endUs - s.startUs)
       if (state.hasTimedOut) {
         val s = state.get
-        state.remove()
+        // keep a CLOSED marker (startUs = -1) carrying the session
+        // counter instead of removing state: removal would restart
+        // session_no at 1 when the user returns in a later batch,
+        // emitting a second distinct session under an already-used
+        // (user_id, session_no) key. The marker is three longs per
+        // ever-seen user (q98's boundedness — production adds a TTL);
+        // it registers no timeout, so it never re-fires.
+        state.update(OpenSession(s.sessNo, -1L, -1L, 0))
         Iterator.single(out(s))
       } else {
         // batch arrival order is unordered within the micro-batch;
         // per-user sort is the same bounded work the batch window does
         val sorted = events.toSeq.sortBy(e => (e.us, e.event_id))
-        var open = state.getOption.orNull
+        val prior = state.getOption
+        var open = prior.filter(_.startUs >= 0).orNull
+        // sessions already numbered for this user (0 unless a closed
+        // marker is present)
+        val closedCount = prior.filter(_.startUs < 0).map(_.sessNo)
+          .getOrElse(0L)
         val closed = Seq.newBuilder[SessionOut]
         sorted.foreach { e =>
-          if (open == null) open = OpenSession(1, e.us, e.us, 1)
+          if (open == null) open = OpenSession(closedCount + 1, e.us, e.us, 1)
           else if (e.us - open.endUs > SessionGapUs) {
             closed += out(open)
             open = OpenSession(open.sessNo + 1, e.us, e.us, 1)
-          } else open = open.copy(endUs = e.us, n = open.n + 1)
+          } else open = open.copy(
+            // max() guards CROSS-batch late events (in-batch order is
+            // sorted above, but flatMapGroupsWithState still hands the
+            // fold rows behind the watermark from later batches): a
+            // late event may join the open session, but must never
+            // move its end backwards — a regressed endUs corrupts
+            // duration and makes the next gap test open a spurious
+            // session
+            endUs = math.max(open.endUs, e.us), n = open.n + 1)
         }
         if (open != null) {
           state.update(open)
@@ -754,9 +774,7 @@ object Streaming extends Serializable {
     val name = "q117_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val src = Tables.eventsStream(spark, dir)
-    val agg = src
-      .select(col("event_type"), expr("ts DIV 1000").as("us"),
-        round(col("value") * 100, 0).cast("long").as("vc"))
+    val agg = typedCents(src)
       .withColumn("event_time", timestamp_micros(col("us")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "7 days", "1 day"),
@@ -815,9 +833,7 @@ object Streaming extends Serializable {
     val name = "q141_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val src = Tables.eventsStream(spark, dir)
-    val agg = chainedAggOf(src
-      .select(col("event_type"), expr("ts DIV 1000").as("us"),
-        round(col("value") * 100, 0).cast("long").as("vc")))
+    val agg = chainedAggOf(typedCents(src))
     withStatePartitions(spark, 8) {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -826,13 +842,20 @@ object Streaming extends Serializable {
     spark.table(name)
   }
 
+  /** The (event_type, µs, value-cents) projection the watermark-
+    * finalization family (q107/q117/q141) shares — the value-cents
+    * discipline stated once, so a guard or scaling change cannot
+    * silently diverge the three drivers.
+    */
+  private def typedCents(src: DataFrame): DataFrame =
+    src.select(col("event_type"), expr("ts DIV 1000").as("us"),
+      round(col("value") * 100, 0).cast("long").as("vc"))
+
   def streamWindowFinal(spark: SparkSession, dir: String): DataFrame = {
     val name = "q107_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val src = Tables.eventsStream(spark, dir)
-    val agg = windowFinalOf(src
-      .select(col("event_type"), expr("ts DIV 1000").as("us"),
-        round(col("value") * 100, 0).cast("long").as("vc")))
+    val agg = windowFinalOf(typedCents(src))
     withStatePartitions(spark, 8) {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -842,16 +865,22 @@ object Streaming extends Serializable {
   }
 
   /** q113's MERGE: fold one micro-batch of per-key rows into a keyed
-    * parquet target — current generation anti-joined on the batch's
-    * keys (drop superseded rows), union the batch, write generation
-    * `g<batchId>`. Readers take the highest generation; re-running a
-    * batch overwrites ITS generation, so foreachBatch's at-least-once
-    * delivery composes to exactly-once — the idempotent-sink contract.
+    * parquet target — the merge BASE is the newest generation STRICTLY
+    * below this batch (never the unbounded latest: a replayed batch
+    * must fold the same base again, so a crashed half-written
+    * g<batchId> is simply overwritten with the identical rewrite —
+    * reading the latest would make the replay consume its own partial
+    * output, and even a clean replay would read and overwrite the same
+    * path). Anti-join the base on the batch's keys (drop superseded
+    * rows), union the batch, write generation `g<batchId>`. Readers
+    * take the highest generation; foreachBatch's at-least-once
+    * delivery thus composes to exactly-once — the idempotent-sink
+    * contract (the same discipline [[mergeSketchInto]] documents).
     */
   private[graft] def mergeIntoKeyed(target: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val sp = batch.sparkSession
-    val merged = latestGen(target) match {
+    val merged = latestGen(target, below = Some(batchId)) match {
       case Some(g) =>
         val cur = sp.read.parquet(s"$target/g$g")
         cur.join(batch, Seq("user_id"), "left_anti").unionByName(batch)
@@ -860,10 +889,16 @@ object Streaming extends Serializable {
     merged.write.mode("overwrite").parquet(s"$target/g$batchId")
   }
 
-  private[graft] def latestGen(target: String): Option[Long] =
+  /** Newest generation under `target`, optionally restricted to ids
+    * strictly below an EXCLUSIVE bound (the replay-safe merge base —
+    * see [[mergeIntoKeyed]]).
+    */
+  private[graft] def latestGen(target: String,
+      below: Option[Long] = None): Option[Long] =
     Option(new java.io.File(target).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("g"))
-      .map(_.getName.stripPrefix("g").toLong).sorted.lastOption
+      .map(_.getName.stripPrefix("g").toLong)
+      .filter(g => below.forall(g < _)).sorted.lastOption
 
   /** q113: STREAMING UPSERT SINK via `foreachBatch` — the escape hatch
     * every production pipeline ends at when the destination isn't a
@@ -938,13 +973,11 @@ object Streaming extends Serializable {
     val bs = batch.groupBy(col("event_type"))
       .agg(expr(s"hll_sketch_agg(user_id, $LedgerLgK)").as("sk_new"))
     // merge base = newest generation STRICTLY below this batch (never
-    // latestGen: a replayed batch must fold the same base again, so a
-    // crashed half-written g<batchId> is simply overwritten — HLL
-    // determinism makes the rewrite bit-identical, hence exactly-once)
-    val prev = Option(new java.io.File(target).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("g"))
-      .map(_.getName.stripPrefix("g").toLong).filter(_ < batchId)
-      .sorted.lastOption
+    // the unbounded latest: a replayed batch must fold the same base
+    // again, so a crashed half-written g<batchId> is simply
+    // overwritten — HLL determinism makes the rewrite bit-identical,
+    // hence exactly-once)
+    val prev = latestGen(target, below = Some(batchId))
     val merged = prev match {
       case Some(g) =>
         sp.read.parquet(s"$target/g$g")
@@ -1124,10 +1157,12 @@ object Streaming extends Serializable {
     *
     * Parity contract (q31's closed-subset discipline): the final
     * watermark is `floor(max event µs/1000)ms - 1 h`; a view emits its
-    * null row iff `view_ms + 1 h <= watermark` (eviction is
-    * `state < watermark` on ms values — pinned empirically, mirrored
-    * in the oracle). Views younger than that stay in state and emit
-    * nothing; the oracle filters to exactly the finalized set.
+    * null row iff `view_ms + 1 h < watermark` — STRICT: eviction is
+    * `state < watermark` on ms values, pinned empirically and mirrored
+    * by the oracle's `<`, so the boundary view whose expiry EQUALS the
+    * watermark stays in state. Views younger than that stay in state
+    * and emit nothing; the oracle filters to exactly the finalized
+    * set.
     */
   def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = "q102_sink_" +
@@ -1165,7 +1200,13 @@ object Streaming extends Serializable {
     * holds because `AvailableNow` folds the bounded fixture in one
     * micro-batch, so the single emitted row per user IS the final
     * state; a multi-batch deployment gets one row per (user, batch) and
-    * the downstream upsert keeps the latest.
+    * the downstream upsert keeps the latest. KNOWN approximation under
+    * cross-batch REORDERING: the three-longs state is first-wins — a
+    * later batch delivering an EARLIER view cannot retroactively lower
+    * t1 or resurrect a click it previously rejected (the batch q75,
+    * with full history, would); exact parity under arbitrary reorder
+    * requires buffering per-step event history until the watermark,
+    * which this operator deliberately trades away for O(1) state.
     */
   def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
