@@ -338,7 +338,7 @@ object Curation {
         col("shard"), col("pos"))
   }
 
-  private val PackStreams = 4 // parallel token streams packed independently
+  private[graft] val PackStreams = 4 // toy default; sequencePack takes streams as an argument
   private val PackBudget = 64L // tokens per packed training sequence
 
   /** q172: PACKED-SEQUENCE FRAGMENT INDEX — q57 places each DOC in the
@@ -361,20 +361,23 @@ object Curation {
     * window pass, and not what token-budgeted pretraining uses anyway.
     *
     * Scale: one per-stream running-sum window (partitions bounded by
-    * corpus/[[PackStreams]] — q170's one deliberate sort, and the
-    * stream count scales with the cluster, not the corpus); the
+    * corpus/streams — q170's one deliberate sort; the stream count is
+    * the `streams` ARGUMENT, scaled with the cluster, not the corpus —
+    * [[PackStreams]] is only the toy default); the
     * fragment explode is row-local (≤ n_tokens/budget + 1 rows per
     * doc). Everything is integer offsets, so the oracle replays
     * packing bit-for-bit.
     */
-  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+  def sequencePack(spark: SparkSession, dir: String,
+      streams: Int = PackStreams): DataFrame = {
+    require(streams >= 1, s"need at least one pack stream, got $streams")
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), size(words(col("text"))).cast("long")
         .as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("k", HashOps.md5_prefix60(concat_ws(":", lit("pack"),
         col("doc_id"))))
-      .withColumn("stream", col("k") % PackStreams)
+      .withColumn("stream", col("k") % streams)
     val w = Window.partitionBy(col("stream")).orderBy(col("k"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("end_off", sum(col("n_tokens")).over(w))
@@ -607,7 +610,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q172_sequence_pack" -> sequencePack,
+    "q172_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "q170_epoch_shards" -> epochShards,
     "q157_token_budget" -> tokenBudgetFill,
     "q144_k_anonymity" -> kAnonymity,

@@ -876,11 +876,25 @@ object SimSearch {
 
   /** The ±1 Rademacher projection matrix, derived from the shared md5
     * hash (row b, dim d ← parity of hash60("srp:b:d")) — deterministic,
-    * data-independent, identical in both engines.
+    * data-independent, identical in both engines — PACKED one 64-bit
+    * mask per projection row (bit i set ⟺ dim i+1 projects +1). The
+    * plan embeds [[SrpBits]] long literals and unpacks signs in-plan
+    * (`shiftright`/AND — codegen integer ops), instead of a
+    * [[SrpBits]]×[[SrpDim]] = 16,384-element nested array literal:
+    * same signatures bit-for-bit, 64× smaller plan tree (the unpacked
+    * literal measurably taxed full-sweep analysis/codegen caches).
+    * [[PlanSpec]] pins mask↔parity agreement against [[hash60Local]].
     */
-  private lazy val srpMatrix: Seq[Seq[Long]] =
-    (0 until SrpBits).map(b => (1 to SrpDim).map(d =>
-      if (hash60Local(s"srp:$b:$d") % 2 == 0) 1L else -1L))
+  private[graft] lazy val srpMasks: Seq[Long] =
+    (0 until SrpBits).map { b =>
+      (0 until SrpDim).foldLeft(0L) { (m, i) =>
+        if (hash60Local(s"srp:$b:${i + 1}") % 2 == 0) m | (1L << i) else m
+      }
+    }
+
+  /** Parity of hash60("srp:b:d") — exposed for the mask-agreement spec. */
+  private[graft] def srpSignAt(b: Int, d: Int): Long =
+    if (hash60Local(s"srp:$b:$d") % 2 == 0) 1L else -1L
 
   /** q161: SIGNED-RANDOM-PROJECTION SIGNATURES for embeddings — the
     * embedding-side sibling of q16's text SimHash (Charikar's SRP:
@@ -905,7 +919,10 @@ object SimSearch {
     * the signature (q20), never brute-forces hamming.
     */
   def srpSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val rl = typedLit(srpMatrix)
+    val masks = typedLit(srpMasks)
+    // sign of dim i+1 under projection row m: 2·bit(m, i) − 1 ∈ {−1, 1}
+    def srpSign(m: Column, i: Column): Column =
+      call_function("shiftright", m, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)
     // Guard the hardcoded projection width: a corpus whose embedding
     // dimensionality drifts from SrpDim would otherwise null-propagate
     // through zip_with (bit=0) while the oracle's list_sum skips
@@ -921,7 +938,8 @@ object SimSearch {
       .withColumn("n2", norm2(col("qv")))
       .withColumn("sig", transform(sequence(lit(0), lit(SrpBits - 1)), b =>
         when(aggregate(
-          zip_with(col("qv"), element_at(rl, b + 1), (v, r) => v * r),
+          zip_with(col("qv"), sequence(lit(0), lit(SrpDim - 1)), (v, d) =>
+            v * srpSign(element_at(masks, b + 1), d)),
           lit(0L), (acc, x) => acc + x) >= 0, 1).otherwise(0)))
       .cp() // both sides of the pair audit
     val q = sample.filter(col("vec_id") < NQ)

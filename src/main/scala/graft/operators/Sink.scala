@@ -1171,17 +1171,23 @@ object Sink {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  // Release-shape DEFAULTS, sized for the toy corpus: at 100 TB the
+  // caller passes epochs/shards matched to the cluster (shard count ≈
+  // loader parallelism) — both are operator ARGUMENTS below, and the
+  // non-default shape is spec-covered, so the "scales with the
+  // cluster" posture is tested, not just documented.
   private[graft] val ExportEpochs = 2 // epochs in the release
   private[graft] val ExportShards = 8 // shard files per epoch
   private[graft] val ExportPrefixBytes = 6 // len("eE-sSS") — file-group id
   // the key format `eE-sSS:pPPPPPPPPPP` is FIXED-WIDTH — the read-back
   // parse offsets, the 6-byte group prefix, and the in-file ordering
-  // all assume it; widening either constant past its field silently
-  // merges groups and shifts every parse, so refuse loudly instead
-  require(ExportEpochs <= 10 && ExportShards <= 100,
-    s"export key fields are 1+2 digits; epochs=$ExportEpochs " +
-      s"shards=$ExportShards overflow them — widen the format AND the " +
-      "parse offsets AND ExportPrefixBytes together")
+  // all assume it; a shape past either field would silently merge
+  // groups and shift every parse, so refuse loudly instead
+  private def requireExportShape(epochs: Int, shards: Int): Unit =
+    require(epochs >= 1 && shards >= 1 && epochs <= 10 && shards <= 100,
+      s"export key fields are 1+2 digits; epochs=$epochs " +
+        s"shards=$shards overflow them — widen the format AND the " +
+        "parse offsets AND ExportPrefixBytes together")
 
   /** q171: TRAINING-RELEASE EXPORT THROUGH THE ENGINE'S OWN SINK — the
     * step that closes the q169→q170 loop: nested training examples
@@ -1223,17 +1229,20 @@ object Sink {
 
   /** The release rows in sink schema plus their (epoch, shard) — the
     * frame the export write clusters; exposed for the ManifestSpec.
+    * `epochs`/`shards` default to the toy release shape; a cluster
+    * deployment passes its own (see [[requireExportShape]] bounds).
     */
-  private[graft] def exportKeyed(spark: SparkSession,
-      dir: String): DataFrame = {
+  private[graft] def exportKeyed(spark: SparkSession, dir: String,
+      epochs: Int = ExportEpochs, shards: Int = ExportShards): DataFrame = {
+    requireExportShape(epochs, shards)
     val payload = concat_ws("|", col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("n_items"), col("total_cents"),
       col("items_str"))
     Relational.nestedExport(spark, dir)
-      .withColumn("epoch", explode(sequence(lit(0), lit(ExportEpochs - 1))))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
       .withColumn("k", graft.functions.Portable.hash60(concat_ws(":",
         lit("exp"), col("epoch"), col("o_orderkey"))))
-      .withColumn("shard", col("k") % ExportShards)
+      .withColumn("shard", col("k") % shards)
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("epoch"), col("shard"))
@@ -1270,14 +1279,17 @@ object Sink {
       out
     }
 
-  private[graft] def writeExport(keyed: DataFrame, out: String): Unit =
+  private[graft] def writeExport(keyed: DataFrame, out: String,
+      epochs: Int = ExportEpochs, shards: Int = ExportShards): Unit = {
+    requireExportShape(epochs, shards)
     keyed
-      .repartition(ExportEpochs * ExportShards, col("epoch"), col("shard"))
+      .repartition(epochs * shards, col("epoch"), col("shard"))
       .sortWithinPartitions(col("key"))
       .select(col("key"), col("columns"))
       .write.format("proto-zst")
       .option("splitKeyPrefix", ExportPrefixBytes.toString)
       .mode("append").save(out)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_export_sink" -> exportShards,

@@ -431,14 +431,15 @@ object Streaming extends Serializable {
         col("c.write_time").as("write_time"))
   }
 
+  // toy default; the operator takes shards as an ARGUMENT (loader
+  // parallelism scales with the cluster) and the non-default shape is
+  // spec-covered
   private val SExpShards = 8 // shards per hour group
   // len("hHH-sSS") — the writer's file-group id AND the spec's group
   // check; the key format is fixed-width (hour two digits, shard two
   // digits, event_id twelve), so the fields and this prefix must move
   // together
   private[graft] val SExpPrefixBytes = 7
-  require(SExpShards <= 100,
-    s"stream-export shard field is 2 digits; shards=$SExpShards overflows")
 
   /** q174: STREAMING PARTITIONED EXPORT — q171's one-file-per-group
     * release write, driven from a STREAM: events stream in, each gets
@@ -456,7 +457,9 @@ object Streaming extends Serializable {
     * Scale: key/shard assignment is row-local; one repartition on the
     * group key per batch (collisions are free — the writer splits by
     * content); manifest state is O(files). Group count (24×shards)
-    * scales with the cluster, not the corpus.
+    * scales with the cluster, not the corpus — shards is the kernel's
+    * ARGUMENT ([[SExpShards]] only the toy default), and ManifestSpec
+    * covers a non-default shape.
     */
   def streamExport(spark: SparkSession, dir: String): DataFrame =
     streamExportOf(spark, Tables.eventsStream(spark, dir),
@@ -468,12 +471,14 @@ object Streaming extends Serializable {
     * batch-split-invariant with one manifest commit per epoch.
     */
   private[graft] def streamExportOf(spark: SparkSession, src: DataFrame,
-      outDir: String, ckpt: String): DataFrame = {
+      outDir: String, ckpt: String, shards: Int = SExpShards): DataFrame = {
+    require(shards >= 1 && shards <= 100,
+      s"stream-export shard field is 2 digits; shards=$shards overflows")
     val keyed = src
       .withColumn("wt", expr("ts DIV 1000"))
       .withColumn("hour", expr("(wt DIV 3600000000) % 24"))
       .withColumn("shard", graft.functions.Portable.hash60(
-        concat_ws(":", lit("sx"), col("event_id"))) % SExpShards)
+        concat_ws(":", lit("sx"), col("event_id"))) % shards)
       .select(
         encode(format_string("h%02d-s%02d:e%012d", col("hour"), col("shard"),
           // an id past the 12-digit field would shift the payload
@@ -1208,11 +1213,21 @@ object Streaming extends Serializable {
     * requires buffering per-step event history until the watermark,
     * which this operator deliberately trades away for O(1) state.
     */
-  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame =
+    streamFunnelOf(spark, Tables.eventsStream(spark, dir))
+
+  /** The q76 kernel over an explicit streaming source (ts = nano
+    * longs) — exposed so the divergence spec can drive a MULTI-batch
+    * run (maxFilesPerTrigger=1 over a split source) that CONSTRUCTS
+    * the cross-batch reordering the scaladoc documents, and pin the
+    * first-wins answer by test instead of prose.
+    */
+  private[graft] def streamFunnelOf(spark: SparkSession,
+      src: DataFrame): DataFrame = {
     import spark.implicits._
     val name = "q76_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val evs = Tables.eventsStream(spark, dir)
+    val evs = src
       .select(col("user_id"), col("event_id"),
         col("event_type").as("etype"), expr("ts DIV 1000").as("us"))
       .as[(Long, Long, String, Long)]

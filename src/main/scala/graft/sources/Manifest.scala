@@ -163,6 +163,17 @@ object GenManifest {
       Some(Snapshot(s.version + 1, update(s.entries), s.epochs)))
       .getOrElse(throw new IllegalStateException("unconditional commit skipped"))
 
+  /** `queryId/epochId` split at the LAST slash (query ids are UUIDs —
+    * no slashes — but splitting last-wins keeps any foreign key with
+    * embedded slashes well-defined). None for a key with no parsable
+    * numeric epoch, which then falls back to set-membership semantics.
+    */
+  private def epochSplit(k: String): Option[(String, Long)] = {
+    val i = k.lastIndexOf('/')
+    if (i < 0) None
+    else k.substring(i + 1).toLongOption.map(e => (k.substring(0, i), e))
+  }
+
   /** Epoch-idempotent append — the streaming sink's exactly-once
     * guard: the committed (query, epoch) keys live INSIDE the
     * snapshot, so recording the epoch and publishing its files is one
@@ -171,13 +182,38 @@ object GenManifest {
     * struck between the manifest commit and Spark's own commit log) —
     * the caller must then delete its freshly written duplicate files
     * instead of publishing them.
+    *
+    * Retention exploits epoch MONOTONICITY: Spark commits a query's
+    * epochs in increasing order and only ever replays the LATEST
+    * uncommitted one, so a key at-or-below the recorded max for its
+    * query is by definition a replay — refused — and only the MAX
+    * committed epoch per query is retained. Snapshot state stays
+    * O(files + queries), not O(total epochs ever committed): a
+    * long-lived stream's manifest renders/parses/commits at constant
+    * epoch cost, matching the sink's "state is O(files)" posture
+    * (entries get OPTIMIZE/erasure compaction; this is the epochs'
+    * analog). Keys with no `/<digits>` suffix — none are produced by
+    * this sink — keep exact set semantics and are never pruned.
     */
   def appendEpoch(dir: String, conf: org.apache.hadoop.conf.Configuration,
       epochKey: String, entries: Seq[Entry]): Option[Snapshot] =
-    commitLoop(dir, conf)(s =>
-      if (s.epochs(epochKey)) None
-      else Some(Snapshot(s.version + 1, s.entries ++ entries,
-        s.epochs + epochKey)))
+    commitLoop(dir, conf) { s =>
+      val replay = epochSplit(epochKey) match {
+        case Some((q, e)) => s.epochs.exists(k =>
+          epochSplit(k).exists { case (q2, e2) => q2 == q && e2 >= e })
+        case None => s.epochs(epochKey)
+      }
+      if (replay) None
+      else {
+        val pruned = epochSplit(epochKey) match {
+          case Some((q, _)) =>
+            s.epochs.filterNot(k => epochSplit(k).exists(_._1 == q))
+          case None => s.epochs
+        }
+        Some(Snapshot(s.version + 1, s.entries ++ entries,
+          pruned + epochKey))
+      }
+    }
 
   private def commitLoop(dir: String,
       conf: org.apache.hadoop.conf.Configuration)(

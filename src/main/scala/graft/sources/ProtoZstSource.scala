@@ -337,7 +337,17 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
             val fs = new org.apache.hadoop.fs.Path(paths.head).getFileSystem(conf)
             val sides = files.map(f =>
               RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)))
-            if (sides.exists(s => s.isEmpty || s.get.count < 0L)) None
+            // a sidecar predating the count line (count < 0) vetoes
+            // everything; for MIN/MAX the empty-sentinel min addition-
+            // ally vetoes, mirroring the manifest-path veto above: an
+            // empty min is either a file whose true minimum is the
+            // empty key, or a LEGACY sidecar whose writer excluded
+            // null-key rows from min/max while counting them — those
+            // rows read back as EMPTY keys today, so trusting the
+            // recorded min would answer pushed MIN(key) differently
+            // from the unpushed scan.
+            if (sides.exists(s => s.isEmpty || s.get.count < 0L) ||
+                (needRange && sides.exists(_.get.min.isEmpty))) None
             else {
               val ranges = sides.map(_.get)
               Some((ranges.map(_.count).sum,
@@ -755,17 +765,51 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   // the stream object lives on the driver; only the reader factory ships
   private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
 
-  // mode pinned at stream construction: a dir written by this sink has
-  // a manifest from its first commit; a foreign dir never gains one
-  private val useManifest = GenManifest.read(path, conf.value).isDefined
-  private def currentFiles(): Seq[String] =
-    if (useManifest)
-      GenManifest.read(path, conf.value)
-        .getOrElse(throw new IllegalStateException(
+  // Offset MODE: manifest-ordered when the directory has a generation
+  // manifest at first poll, sorted-listing otherwise. A stream opened
+  // on a sink dir BEFORE its first commit (empty dir, concurrent
+  // writer) starts in listing mode, so each listing-mode poll
+  // RE-PROBES for a manifest and switches over the moment one appears
+  // — but only while THIS stream has delivered nothing in listing
+  // mode (a sink dir's pre-commit listing is empty, so the switch
+  // happens at offset 0 and the two orderings never mix). A manifest
+  // appearing AFTER listing-mode deliveries (a foreign dir
+  // retrofitted mid-stream) has no sound offset mapping — listing
+  // positions are sorted-by-name, manifest positions append-ordered —
+  // so that fails loudly instead of silently re-numbering delivered
+  // files. Once in manifest mode the stream never leaves it. (Across
+  // a RESTART the checkpoint's ints can't say which mode numbered
+  // them; the first poll re-pins by manifest presence, which is
+  // correct for every this-sink lifecycle — the manifest exists from
+  // the first commit on — and remains the documented limit for
+  // foreign dirs retrofitted between runs.)
+  private object Mode { val Undecided = 0; val Manifest = 1; val Listing = 2 }
+  @volatile private var mode = Mode.Undecided
+  // files delivered (planned) while in LISTING mode — the point past
+  // which listing positions are load-bearing and a switch must refuse
+  @volatile private var listedDeliveries = 0
+  private def currentFiles(): Seq[String] = {
+    val snap = GenManifest.read(path, conf.value)
+    mode match {
+      case Mode.Undecided =>
+        mode = if (snap.isDefined) Mode.Manifest else Mode.Listing
+      case Mode.Listing if snap.isDefined =>
+        if (listedDeliveries > 0)
+          throw new IllegalStateException(
+            s"$path gained a manifest after $listedDeliveries files were " +
+              "delivered under sorted-listing offsets; the two orderings " +
+              "are incompatible — restart the stream from a fresh " +
+              "checkpoint to adopt manifest offsets")
+        mode = Mode.Manifest
+      case _ => ()
+    }
+    if (mode == Mode.Manifest)
+      snap.getOrElse(throw new IllegalStateException(
           s"manifest for $path vanished mid-stream"))
         .entries.map(e =>
           new org.apache.hadoop.fs.Path(path, e.name).toString)
     else ProtoZstFiles.list(path, conf.value).toSeq
+  }
 
   /** Admission control (parquet file-source parity): with
     * `maxFilesPerTrigger` set, each micro-batch admits at most that
@@ -807,6 +851,8 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val endN = end.asInstanceOf[ProtoZstOffset].n
     val files = currentFiles()
+    if (mode == Mode.Listing && endN > listedDeliveries)
+      listedDeliveries = endN
     if (files.length < endN)
       throw new IllegalStateException(
         s"$path shrank under a live stream (${files.length} < $endN): " +
@@ -1086,12 +1132,15 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
         new Array[FileState](buckets.getOrElse(0))
       private var lastPrefix: Array[Byte] = _ // null ⟺ cache empty
       private var lastPrefixState: FileState = _
-      private var nullKeyState: FileState = _
       private var soleState: FileState = _
 
       /** File-group state of a row: bucket number, key-prefix group,
         * or the task-wide single file. Prefix groups hex-encode so the
         * group id is filesystem-safe regardless of key bytes.
+        * Normalization contract: write() maps null keys to the empty
+        * byte array BEFORE calling here (see its comment), so `key` is
+        * never null — null-key rows land in the "-k" empty-prefix
+        * group, the same group their on-wire empty form reads back as.
         */
       private def stateOf(key: Array[Byte]): FileState =
         if (buckets.isDefined) {
@@ -1105,24 +1154,16 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
           st
         } else splitPrefix match {
           case Some(n) =>
-            if (key == null) {
-              if (nullKeyState == null) {
-                nullKeyState = new FileState(nameFor("-knull"))
-                states.put("-knull", nullKeyState)
-              }
-              nullKeyState
-            } else {
-              val p = key.take(n)
-              if (lastPrefix != null &&
-                  java.util.Arrays.equals(p, lastPrefix)) lastPrefixState
-              else {
-                val tag = "-k" + p.map(b => f"${b & 0xff}%02x").mkString
-                val st = states.getOrElseUpdate(tag,
-                  new FileState(nameFor(tag)))
-                lastPrefix = p
-                lastPrefixState = st
-                st
-              }
+            val p = key.take(n)
+            if (lastPrefix != null &&
+                java.util.Arrays.equals(p, lastPrefix)) lastPrefixState
+            else {
+              val tag = "-k" + p.map(b => f"${b & 0xff}%02x").mkString
+              val st = states.getOrElseUpdate(tag,
+                new FileState(nameFor(tag)))
+              lastPrefix = p
+              lastPrefixState = st
+              st
             }
           case None =>
             if (soleState == null) {

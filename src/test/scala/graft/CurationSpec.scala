@@ -195,11 +195,19 @@ class CurationSpec extends AnyFunSuite {
     ()
   }
 
-  test("q172 packing: token conservation, full sequences, contiguous fragments") {
-    val frags = Curation.sequencePack(spark, sf0001).collect()
+  /** The q172 packing invariants at an arbitrary stream count — the
+    * fan-out is a cluster-scaled argument, so the contract must hold
+    * at any value, not just the compiled default.
+    */
+  private def checkSequencePack(streams: Int): Unit = {
+    val frags = Curation.sequencePack(spark, sf0001, streams).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(frags.nonEmpty)
+    // stream ids land in [0, streams); at this corpus size every
+    // stream is populated
+    assert(frags.forall(f => f._1 >= 0 && f._1 < streams))
+    assert(frags.map(_._1).distinct.length === streams)
     // every fragment is non-empty and fits the budget
     val budget = 64L
     frags.foreach { case (_, _, _, offDoc, offSeq, n) =>
@@ -238,5 +246,13 @@ class CurationSpec extends AnyFunSuite {
         ()
       }
     }
+  }
+
+  test("q172 packing: token conservation, full sequences, contiguous fragments") {
+    checkSequencePack(graft.operators.Curation.PackStreams)
+  }
+
+  test("q172 packing holds at a non-default stream count") {
+    checkSequencePack(3)
   }
 }

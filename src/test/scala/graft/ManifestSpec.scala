@@ -159,12 +159,25 @@ class ManifestSpec extends AnyFunSuite {
     val s = GenManifest.read(dir, conf).get
     assert(s.entries.map(_.name) === Vector("part-a.proto.zst",
       "part-b.proto.zst"))
-    assert(s.epochs === Set("q/7", "q/8", "q2/7"))
+    // epoch retention is max-per-query (monotonic commits): committing
+    // q/8 PRUNES q/7 — a long-lived stream keeps the snapshot at one
+    // key per query, never one per micro-batch ever committed
+    assert(s.epochs === Set("q/8", "q2/7"))
     // the epoch markers survive ordinary (batch) appends on the same dir
     GenManifest.append(dir, conf, Seq(GenManifest.Entry("part-c.proto.zst",
       5L, 1L, sorted = true, "04", "05")))
-    assert(GenManifest.read(dir, conf).get.epochs === Set("q/7", "q/8", "q2/7"))
+    assert(GenManifest.read(dir, conf).get.epochs === Set("q/8", "q2/7"))
     assert(GenManifest.appendEpoch(dir, conf, "q/8", Seq(e1r)).isEmpty)
+    // a STALE epoch below the retained max is also a replay, even
+    // though its own key was pruned from the set — monotonicity is the
+    // refusal rule, not set membership
+    assert(GenManifest.appendEpoch(dir, conf, "q/7", Seq(e1r)).isEmpty)
+    assert(GenManifest.appendEpoch(dir, conf, "q/6", Seq(e1r)).isEmpty)
+    // non-numeric keys (foreign callers) keep exact set semantics
+    assert(GenManifest.appendEpoch(dir, conf, "release-final", Seq.empty).isDefined)
+    assert(GenManifest.appendEpoch(dir, conf, "release-final", Seq.empty).isEmpty)
+    assert(GenManifest.read(dir, conf).get.epochs ===
+      Set("q/8", "q2/7", "release-final"))
   }
 
   test("a losing concurrent commit retries onto the latest snapshot") {
@@ -267,13 +280,17 @@ class ManifestSpec extends AnyFunSuite {
     graft.sources.Tables.events(spark, sf0001).repartition(2)
       .write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
+    // a NON-default shard count (5 vs the toy 8): the split-invariance
+    // and per-epoch-commit contract must hold at whatever fan-out the
+    // cluster passes, not just the compiled default (the default shape
+    // is covered by the q174 layout test above)
     def run(maxFiles: Option[Int]): (Set[String], Int, Long) = {
       val out = freshDir("graft_sexp_out")
       val rd = spark.readStream.schema(schema)
       val src = maxFiles.fold(rd)(n =>
         rd.option("maxFilesPerTrigger", n.toString)).parquet(srcDir)
       val frame = graft.operators.Streaming.streamExportOf(spark, src,
-        out, freshDir("graft_sexp_ck"))
+        out, freshDir("graft_sexp_ck"), shards = 5)
       val rows = frame.collect().map(_.mkString("|")).toSet
       val s = GenManifest.read(out, conf).getOrElse(fail("no manifest"))
       val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
@@ -290,20 +307,24 @@ class ManifestSpec extends AnyFunSuite {
     assert(v2 === 2, s"two-epoch run committed $v2 versions")
   }
 
-  test("q171 export: one sorted file per (epoch, shard), one version bump") {
+  /** The q171 release-layout contract at an arbitrary (epochs, shards)
+    * shape: ONE manifest version for the whole release, exactly one
+    * key-sorted file per (epoch, shard) group, counts conserved.
+    */
+  private def checkExportLayout(epochs: Int, shards: Int): Unit = {
     val dir = freshDir("graft_man_exp")
-    val keyed = Sink.exportKeyed(spark, sf0001)
-    Sink.writeExport(keyed, dir)
+    val keyed = Sink.exportKeyed(spark, sf0001, epochs, shards)
+    Sink.writeExport(keyed, dir, epochs, shards)
     val s = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
     // the whole release committed as ONE manifest version — a reader
     // sees all epochs×shards files or none (commit atomicity at shard
-    // count): exactly one version file exists after the 16-file write
+    // count): exactly one version file exists after the write
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     val versions = fs.listStatus(
       new org.apache.hadoop.fs.Path(dir, GenManifest.DirName))
       .map(_.getPath.getName).filter(_.endsWith(".manifest"))
     assert(versions.length === 1, versions.toSeq)
-    assert(s.entries.length === Sink.ExportEpochs * Sink.ExportShards)
+    assert(s.entries.length === epochs * shards)
     // exactly one file per (epoch, shard): every entry's key range
     // stays inside one group prefix, and the groups are all distinct
     val prefixes = s.entries.map { e =>
@@ -328,5 +349,15 @@ class ManifestSpec extends AnyFunSuite {
       assert(pos.toSeq === (1L to pos.length).toSeq,
         s"${e.name} positions not the in-file order")
     }
+  }
+
+  test("q171 export: one sorted file per (epoch, shard), one version bump") {
+    checkExportLayout(Sink.ExportEpochs, Sink.ExportShards)
+  }
+
+  test("q171 export holds at a non-default (epochs, shards) shape") {
+    // the "shard count scales with the cluster" claim, exercised: the
+    // same layout contract at 3 epochs × 5 shards (neither the default)
+    checkExportLayout(3, 5)
   }
 }

@@ -456,6 +456,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(stream.exceptAll(batch).count() === 0)
   }
 
+  /** The ONE documented engine/batch divergence, constructed and
+    * pinned: under cross-batch REORDERING the q76 three-longs state is
+    * first-wins — a later batch delivering an EARLIER view can neither
+    * retroactively lower t1 nor resurrect a click the state already
+    * rejected (batch q75, with full history, would do both). This test
+    * builds exactly that reordering (two files streamed oldest-first,
+    * one per micro-batch) and asserts the documented first-wins
+    * answer, so the approximation is held by test, not prose.
+    */
+  test("q76 cross-batch reordering: the first-wins approximation is pinned") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val srcDir = Files.createTempDirectory("graft_funnel_src")
+    def writeBatch(name: String, mtimeMs: Long,
+        rows: Seq[(Long, Long, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_funnel_tmp").toString
+      rows.toDF("user_id", "event_id", "event_type", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(srcDir.toString, name)
+      Files.copy(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      // the file source admits oldest-first: the mtimes ARE the batch order
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+      ()
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    def ns(us: Long) = us * 1000L // streamFunnelOf divides ts by 1000
+    // batch 1: user 1 completes view→click; user 2 offers a click with
+    // no view yet (rejected by the step-order gate)
+    writeBatch("b1.parquet", t0, Seq(
+      (1L, 1L, "view", ns(200)), (1L, 2L, "click", ns(300)),
+      (2L, 5L, "click", ns(100))))
+    // batch 2 delivers EARLIER events: user 1 an earlier view (must not
+    // lower t1=200) and a purchase at 250 < t2=300 (must stay
+    // rejected); user 2 the view at 50 that PRECEDES its dead click
+    // (the click must not resurrect)
+    writeBatch("b2.parquet", t0 + 60000, Seq(
+      (1L, 3L, "view", ns(50)), (1L, 4L, "purchase", ns(250)),
+      (2L, 6L, "view", ns(50))))
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val got = Streaming.streamFunnelOf(spark, src)
+      .select(col("user_id"), col("view_us"), col("click_us"),
+        col("purchase_us"), col("funnel_depth"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))
+      .sortBy(r => (r._1, r._5)).toSeq
+    // one emission per (user, batch); the SECOND emission per user is
+    // the documented first-wins state — batch q75 over the union would
+    // instead give user 1 t1=50 and user 2 (50, 100, depth 2)
+    assert(got === Seq(
+      (1L, Some(200L), Some(300L), None, 2),
+      (1L, Some(200L), Some(300L), None, 2),
+      (2L, None, None, None, 0),
+      (2L, Some(50L), None, None, 1)))
+  }
+
   test("q82 BPE pair counts match a driver-side trainer over word freqs") {
     val wf = Tables.documents(spark, sf0001)
       .select(explode(graft.functions.Portable.words(col("text"))).as("w"))
@@ -1321,6 +1382,19 @@ class PipelineSpec extends AnyFunSuite {
     val mae = rows.map(r => math.abs(r.getLong(0) - r.getDouble(1)))
       .sum / rows.length
     assert(mae <= 250.0, f"SRP mean abs error $mae%.1f milli")
+  }
+
+  test("q161 packed SRP masks decode to the md5-parity matrix") {
+    val masks = graft.operators.SimSearch.srpMasks
+    assert(masks.length === 256)
+    // every (row, dim): the in-plan unpack 2·bit(m,i)−1 must equal the
+    // md5-parity sign the oracle recomputes — the exactness of the
+    // whole signature pipeline rides on this bit↔parity agreement
+    for (b <- masks.indices; i <- 0 until 64) {
+      val fromMask = ((masks(b) >>> i) & 1L) * 2L - 1L
+      assert(fromMask === graft.operators.SimSearch.srpSignAt(b, i + 1),
+        s"projection row $b dim ${i + 1}")
+    }
   }
 
   test("q160 golden records conserve rows and names; clusters do merge") {

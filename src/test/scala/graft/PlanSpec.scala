@@ -179,6 +179,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** q173 is in executesOnBuild (its DIM-row calibration collect runs a
+    * job at construction), so the cartesian sweep above skips it — this
+    * is its carve-out: the post-build ENCODE frame is still inspected,
+    * and must be the claimed shape (row-local encode/decode/error over
+    * the corpus scan with the calibration vector as a literal: ZERO
+    * exchanges, no join of any kind).
+    */
+  test("q173 encode frame is exchange-free and join-free") {
+    val plan = physical(graft.operators.SimSearch.int8Quant(spark, sf0001))
+    assert(!plan.contains("Exchange"),
+      s"q173 encode frame shuffles or broadcasts:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"),
+      s"q173 encode frame plans a join:\n${plan.take(3000)}")
+  }
+
   test("q46 pushes the key range into the proto-zst scan and prunes columns") {
     val plan = physical(graft.operators.Sink.keyPushdownScan(spark, sf0001))
     val scanLine = plan.linesIterator
