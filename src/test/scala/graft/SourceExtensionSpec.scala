@@ -251,6 +251,86 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(new String(fb.getAs[Array[Byte]](2)) === "~last") // '~' > digits
   }
 
+  test("stream opened pre-commit adopts manifest offsets; a late manifest fails loudly") {
+    import com.github.luben.zstd.ZstdOutputStream
+    import graft.functions.ProtoWire
+    import graft.sources.{GenManifest, ProtoZstMicroBatchStream, ProtoZstTable}
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    // 1) a stream opened on a sink directory BEFORE its first commit:
+    // empty dir, no manifest — it starts on (empty) listing offsets
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbs_pre")
+      .toFile.getAbsolutePath
+    val stream = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
+      ProtoZstTable.Schema, Array.empty)
+    assert(stream.latestOffset().json().toInt === 0)
+    // 2) the first sink commit creates the manifest; the stream's next
+    // poll re-probes and adopts manifest offsets (nothing was delivered
+    // in listing mode, so the switch is sound) and delivers every
+    // committed file
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(2, col("key")), dir)
+    val n = GenManifest.read(dir, conf).get.entries.length
+    assert(n >= 2)
+    val end = stream.latestOffset()
+    assert(end.json().toInt === n)
+    assert(stream.planInputPartitions(stream.initialOffset(), end).length === n)
+    // 3) a FOREIGN dir that already delivered files under sorted-listing
+    // offsets and only then gains a manifest has no sound offset
+    // mapping — the stream must fail loudly, not silently renumber
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_mbs_late")
+      .toFile.getAbsolutePath
+    val os = new ZstdOutputStream(
+      new java.io.FileOutputStream(s"$dir2/a.proto.zst"))
+    os.write(ProtoWire.delimit(ProtoWire.encodeRow("k1".getBytes,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))))
+    os.close()
+    val s2 = new ProtoZstMicroBatchStream(dir2, ignoreCorrupt = false,
+      ProtoZstTable.Schema, Array.empty)
+    assert(s2.planInputPartitions(s2.initialOffset(), s2.latestOffset())
+      .length === 1)
+    GenManifest.append(dir2, conf, Seq(GenManifest.Entry(
+      "a.proto.zst", 10L, 1L, sorted = true, "6b31", "6b31")))
+    val ex = intercept[IllegalStateException](s2.latestOffset())
+    assert(ex.getMessage.contains("gained a manifest"))
+  }
+
+  test("legacy empty-min sidecar vetoes MIN/MAX pushdown; COUNT(*) survives") {
+    import graft.sources.RangeSidecar
+    val dir = java.nio.file.Files.createTempDirectory("graft_sideveto")
+      .toFile.getAbsolutePath
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(3, col("key")), dir)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    // make the dir LEGACY (no manifest): pushdown must come from the
+    // per-file sidecars, the path the veto protects
+    val mp = new org.apache.hadoop.fs.Path(dir, graft.sources.GenManifest.DirName)
+    mp.getFileSystem(conf).delete(mp, true)
+    val trueCount = spark.read.format("proto-zst").load(dir).count()
+    // rewrite one sidecar to the empty-min sentinel — the shape a
+    // pre-normalization writer left when it excluded null-key rows
+    // from min/max while still counting them
+    val f = new java.io.File(dir).listFiles((_, n) => n.endsWith(".proto.zst"))
+      .map(_.getAbsolutePath).sorted.head
+    val fp = new org.apache.hadoop.fs.Path(f)
+    val fs = fp.getFileSystem(conf)
+    val old = RangeSidecar.read(fs, fp).getOrElse(fail("no sidecar"))
+    RangeSidecar.write(fs, fp, Array.emptyByteArray, Array.emptyByteArray,
+      sorted = false, old.count)
+    // MIN/MAX over an empty-sentinel sidecar cannot be trusted (the
+    // recorded range may exclude rows that read back as empty keys):
+    // the pushdown is vetoed and the query falls back to a real scan
+    val mmPlan = spark.read.format("proto-zst").load(dir)
+      .agg(min(col("key")), max(col("key")))
+      .queryExecution.executedPlan.toString
+    assert(!mmPlan.contains("PushedAggregation"), mmPlan.take(2000))
+    // COUNT(*) needs only the counts, which the sentinel sidecar still
+    // carries — it keeps planning from metadata and stays correct
+    val cFrame = spark.read.format("proto-zst").load(dir).agg(count("*"))
+    assert(cFrame.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(cFrame.collect()(0).getLong(0) === trueCount)
+  }
+
   test("runtime In-filter drops whole files by sidecar range, keeps matches") {
     import graft.sources.{ProtoZstScan, ProtoZstTable, ProtoZstInputPartition}
     val outDir = Sink.rangedFixture(spark, sf0001)
