@@ -883,7 +883,8 @@ object SimSearch {
     * [[SrpBits]]×[[SrpDim]] = 16,384-element nested array literal:
     * same signatures bit-for-bit, 64× smaller plan tree (the unpacked
     * literal measurably taxed full-sweep analysis/codegen caches).
-    * [[PlanSpec]] pins mask↔parity agreement against [[hash60Local]].
+    * PipelineSpec ("q161 packed SRP masks decode to the md5-parity
+    * matrix") pins mask↔parity agreement against [[hash60Local]].
     */
   private[graft] lazy val srpMasks: Seq[Long] =
     (0 until SrpBits).map { b =>

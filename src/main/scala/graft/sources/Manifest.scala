@@ -80,6 +80,36 @@ object GenManifest {
     new Path(manifestDir(dir), f"v$v%020d.manifest")
   private val VersionName = """v(\d{20})\.manifest""".r
 
+  /** Create the manifest MARKER — the (possibly still empty)
+    * `_graft_manifest/` directory — for a directory this engine is
+    * about to write. The writer calls this on the DRIVER before any
+    * task opens a data file, which closes the task-commit → job-commit
+    * window: tasks rename their files into the directory as they
+    * finish, but a marker-governed reader plans from snapshots only,
+    * so those not-yet-published (and possibly later-aborted) files
+    * stay invisible — the directory reads as an EMPTY table until the
+    * first snapshot commits, never as "whatever the listing happens to
+    * catch mid-job".
+    */
+  def mark(dir: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val md = manifestDir(dir)
+    md.getFileSystem(conf).mkdirs(md)
+    ()
+  }
+
+  /** Whether the directory is manifest-GOVERNED: a committed snapshot
+    * exists, or the bare [[mark]] marker does (a sink write is in
+    * flight or aborted before its first commit). Governed directories
+    * must never fall back to listing — the snapshot set, possibly
+    * empty, is the table.
+    */
+  def governed(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val md = manifestDir(dir)
+    try md.getFileSystem(conf).exists(md)
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
   private def render(s: Snapshot): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(Header).append('\n').append(s.version).append('\n')
@@ -301,7 +331,11 @@ object ManifestIndex {
   /** Metas for ALL roots, or None if ANY root lacks a manifest (an
     * explicit-file path or a foreign directory makes the whole scan
     * fall back to the listing path — a partial mix would double-read).
-    * Sorted by full path, matching the listing path's global order.
+    * A root with the bare [[GenManifest.mark]] marker but no snapshot
+    * yet (a sink write in flight before its first commit) contributes
+    * ZERO files — governed means the snapshot set is authoritative,
+    * and nothing is committed. Sorted by full path, matching the
+    * listing path's global order.
     */
   def load(paths: Seq[String],
       conf: org.apache.hadoop.conf.Configuration): Option[Array[FileMeta]] = {
@@ -309,7 +343,9 @@ object ManifestIndex {
       GenManifest.read(p, conf).map(_.entries.map(e =>
         FileMeta(new Path(p, e.name).toString, e.bytes, e.count, e.sorted,
           if (e.hasRange) Some(e.min) else None,
-          if (e.hasRange) Some(e.max) else None)))
+          if (e.hasRange) Some(e.max) else None))
+      ).orElse(
+        if (GenManifest.governed(p, conf)) Some(Vector.empty) else None)
     }
     if (per.exists(_.isEmpty)) None
     else Some(per.flatMap(_.get).toArray.distinctBy(_.path).sortBy(_.path))

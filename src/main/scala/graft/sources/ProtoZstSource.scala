@@ -156,17 +156,26 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
     val splitPrefix = Option(info.options.get("splitKeyPrefix")).map(_.toInt)
       .filter(_ => buckets.isEmpty)
     new WriteBuilder {
+      // Factory creation runs on the DRIVER before any task starts:
+      // marking here makes the directory manifest-governed BEFORE the
+      // first data file can appear, so readers racing the job plan
+      // from snapshots (empty until the first commit) instead of
+      // listing not-yet-published task files.
       private def batchWrite: BatchWrite = new BatchWrite {
-        override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+        override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
+          GenManifest.mark(dir, ProtoZstFiles.hadoopConf())
           new ProtoZstWriterFactory(dir, bucketSpec, splitPrefix)
+        }
         override def commit(msgs: Array[WriterCommitMessage]): Unit =
           publish(msgs)
         override def abort(msgs: Array[WriterCommitMessage]): Unit =
           rollback(msgs)
       }
       private def streamingWrite: StreamingWrite = new StreamingWrite {
-        override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory =
+        override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory = {
+          GenManifest.mark(dir, ProtoZstFiles.hadoopConf())
           new ProtoZstWriterFactory(dir, bucketSpec, splitPrefix)
+        }
         override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
           publishEpoch(epochId, msgs)
         override def abort(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
@@ -338,16 +347,17 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
             val sides = files.map(f =>
               RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)))
             // a sidecar predating the count line (count < 0) vetoes
-            // everything; for MIN/MAX the empty-sentinel min addition-
-            // ally vetoes, mirroring the manifest-path veto above: an
-            // empty min is either a file whose true minimum is the
-            // empty key, or a LEGACY sidecar whose writer excluded
-            // null-key rows from min/max while counting them — those
-            // rows read back as EMPTY keys today, so trusting the
-            // recorded min would answer pushed MIN(key) differently
-            // from the unpushed scan.
+            // everything; MIN/MAX additionally demand NORMALIZED (v2)
+            // sidecars with a non-empty min, mirroring the manifest-
+            // path veto above: a v1 sidecar may come from a writer
+            // that excluded null-key rows from min/max while counting
+            // them — those rows read back as EMPTY keys today, so its
+            // recorded range can be wrong even when non-empty — and
+            // an empty-sentinel min is ambiguous at any version
+            // (all-null legacy file vs a true empty-key minimum).
             if (sides.exists(s => s.isEmpty || s.get.count < 0L) ||
-                (needRange && sides.exists(_.get.min.isEmpty))) None
+                (needRange && sides.exists(s =>
+                  !s.get.normalized || s.get.min.isEmpty))) None
             else {
               val ranges = sides.map(_.get)
               Some((ranges.map(_.count).sum,
@@ -482,7 +492,11 @@ object ProtoZstScan {
   }
 
   /** Drop files whose `.range` sidecar proves the pushed key predicate
-    * can't match; files without a readable sidecar always scan.
+    * can't match; files without a readable sidecar always scan. Only
+    * NORMALIZED (v2) sidecars may skip: a v1 range can exclude
+    * null-key rows that read back as empty keys, so trusting it could
+    * drop a file an empty-key predicate actually matches
+    * ([[RangeSidecar.Range]]'s vintage contract).
     */
   def skipByRange(files: Array[String],
       filters: Array[org.apache.spark.sql.sources.Filter],
@@ -494,8 +508,8 @@ object ProtoZstScan {
       val couldMatch = KeyPredicate.compileRange(filters)
       files.filter { f =>
         RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(f)) match {
-          case Some(r) => couldMatch(r.min, r.max)
-          case None => true
+          case Some(r) if r.normalized => couldMatch(r.min, r.max)
+          case _ => true
         }
       }
     }
@@ -610,8 +624,11 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
       case None =>
         val fs = new org.apache.hadoop.fs.Path(paths.head)
           .getFileSystem(conf.value)
+        // v1 sortedness was tracked over non-null keys only; empty
+        // keys interleaved among them would break a sort-assuming
+        // merge, so only normalized sidecars may attest order
         RangeSidecar.read(fs, new org.apache.hadoop.fs.Path(file))
-          .exists(_.sorted)
+          .exists(r => r.normalized && r.sorted)
     }
     val ok = grouped.exists { g =>
       g.forall { case (_, files) =>
@@ -765,35 +782,45 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   // the stream object lives on the driver; only the reader factory ships
   private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
 
-  // Offset MODE: manifest-ordered when the directory has a generation
-  // manifest at first poll, sorted-listing otherwise. A stream opened
-  // on a sink dir BEFORE its first commit (empty dir, concurrent
-  // writer) starts in listing mode, so each listing-mode poll
-  // RE-PROBES for a manifest and switches over the moment one appears
-  // — but only while THIS stream has delivered nothing in listing
-  // mode (a sink dir's pre-commit listing is empty, so the switch
-  // happens at offset 0 and the two orderings never mix). A manifest
-  // appearing AFTER listing-mode deliveries (a foreign dir
-  // retrofitted mid-stream) has no sound offset mapping — listing
-  // positions are sorted-by-name, manifest positions append-ordered —
-  // so that fails loudly instead of silently re-numbering delivered
-  // files. Once in manifest mode the stream never leaves it. (Across
-  // a RESTART the checkpoint's ints can't say which mode numbered
-  // them; the first poll re-pins by manifest presence, which is
-  // correct for every this-sink lifecycle — the manifest exists from
-  // the first commit on — and remains the documented limit for
-  // foreign dirs retrofitted between runs.)
+  // Offset MODE: manifest-ordered when the directory is manifest-
+  // GOVERNED (a committed snapshot, or the bare marker the writer
+  // creates driver-side BEFORE any task lands a data file),
+  // sorted-listing otherwise. A governed-but-uncommitted directory
+  // reads as EMPTY — task-committed files of an in-flight (possibly
+  // later aborted) job are invisible until the job's one atomic
+  // manifest commit, exactly like the batch scan. A stream opened on
+  // a sink dir before even the marker exists (writer not started)
+  // begins in listing mode over an empty listing; each listing-mode
+  // poll RE-PROBES and switches the moment the directory becomes
+  // governed — but only while THIS stream has delivered nothing in
+  // listing mode (for a sink dir that is always the case: the marker
+  // precedes the first data file). A manifest appearing AFTER
+  // listing-mode deliveries (a foreign dir retrofitted mid-stream)
+  // has no sound offset mapping — listing positions are
+  // sorted-by-name, manifest positions append-ordered — so that
+  // fails loudly instead of silently re-numbering delivered files.
+  // Once in manifest mode the stream never leaves it. (Across a
+  // RESTART the checkpoint's ints can't say which mode numbered them;
+  // the first poll re-pins by governance, which is correct for every
+  // this-sink lifecycle — the marker exists from the first write on —
+  // and remains the documented limit for foreign dirs retrofitted
+  // between runs.)
   private object Mode { val Undecided = 0; val Manifest = 1; val Listing = 2 }
   @volatile private var mode = Mode.Undecided
   // files delivered (planned) while in LISTING mode — the point past
   // which listing positions are load-bearing and a switch must refuse
   @volatile private var listedDeliveries = 0
+  // a governed dir whose snapshots ALL disappear after one was read is
+  // an anomaly (gc never removes the newest); before the first commit
+  // an empty snapshot set is the normal in-flight-write state
+  @volatile private var sawSnapshot = false
   private def currentFiles(): Seq[String] = {
     val snap = GenManifest.read(path, conf.value)
+    def isGoverned = snap.isDefined || GenManifest.governed(path, conf.value)
     mode match {
       case Mode.Undecided =>
-        mode = if (snap.isDefined) Mode.Manifest else Mode.Listing
-      case Mode.Listing if snap.isDefined =>
+        mode = if (isGoverned) Mode.Manifest else Mode.Listing
+      case Mode.Listing if isGoverned =>
         if (listedDeliveries > 0)
           throw new IllegalStateException(
             s"$path gained a manifest after $listedDeliveries files were " +
@@ -803,11 +830,15 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
         mode = Mode.Manifest
       case _ => ()
     }
-    if (mode == Mode.Manifest)
-      snap.getOrElse(throw new IllegalStateException(
-          s"manifest for $path vanished mid-stream"))
-        .entries.map(e =>
+    if (mode == Mode.Manifest) snap match {
+      case Some(s) =>
+        sawSnapshot = true
+        s.entries.map(e =>
           new org.apache.hadoop.fs.Path(path, e.name).toString)
+      case None if !sawSnapshot => Seq.empty // governed, nothing committed yet
+      case None => throw new IllegalStateException(
+        s"manifest for $path vanished mid-stream")
+    }
     else ProtoZstFiles.list(path, conf.value).toSeq
   }
 
@@ -988,27 +1019,37 @@ object RangeSidecar {
     * (the writer observes this for free while tracking min/max; the
     * scan may only report per-partition ordering for files that RECORD
     * sortedness — a foreign or unsorted write must degrade the report,
-    * never corrupt a sort-assuming merge join), and the file's total
-    * row count (-1 when the sidecar predates the count line). The
-    * count feeds aggregate pushdown: COUNT(*)/MIN(key)/MAX(key) over a
+    * never corrupt a sort-assuming merge join), the file's total
+    * row count (-1 when the sidecar predates the count line), and
+    * whether the sidecar's VERSION attests null-key NORMALIZATION
+    * (header v2): v2 writers fold null keys into the range/sort
+    * tracking as their on-wire empty form, so v2 ranges cover every
+    * row a read decodes. A v1 sidecar may have been written by a
+    * pre-normalization build that EXCLUDED null-key rows from
+    * min/max/sortedness while counting them — its range can miss rows
+    * that now read back as empty keys — so range-dependent metadata
+    * answers (MIN/MAX pushdown, file skipping, sort attestation)
+    * trust only v2; counts stay trusted at both versions. The count
+    * feeds aggregate pushdown: COUNT(*)/MIN(key)/MAX(key) over a
     * directory can be answered from sidecars alone, no frame ever
     * decompressed.
     */
   final case class Range(min: Array[Byte], max: Array[Byte],
-      sorted: Boolean, count: Long = -1L)
+      sorted: Boolean, count: Long = -1L, normalized: Boolean = false)
 
   def write(fs: FileSystem, data: Path,
       min: Array[Byte], max: Array[Byte], sorted: Boolean,
       count: Long): Unit = {
     val os = fs.create(sidecar(data), true)
     val s = if (sorted) 1 else 0
-    try os.write(s"v1\n${hex(min)}\n${hex(max)}\n$s\n$count\n".getBytes("UTF-8"))
+    try os.write(s"v2\n${hex(min)}\n${hex(max)}\n$s\n$count\n".getBytes("UTF-8"))
     finally os.close()
   }
 
   /** None for missing or unreadable sidecars — skipping is strictly
     * best-effort. Short (pre-sorted-flag / pre-count) sidecars read as
-    * unsorted / count-unknown, which are the safe directions.
+    * unsorted / count-unknown, which are the safe directions; v1
+    * headers read as un-normalized (see [[Range]]).
     */
   def read(fs: FileSystem, data: Path): Option[Range] =
     try {
@@ -1019,10 +1060,11 @@ object RangeSidecar {
         val in = fs.open(p)
         val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         val ls = txt.split("\n", -1)
-        if (ls.length >= 3 && ls(0) == "v1")
+        if (ls.length >= 3 && (ls(0) == "v1" || ls(0) == "v2"))
           Some(Range(unhex(ls(1)), unhex(ls(2)),
             ls.length >= 4 && ls(3) == "1",
-            if (ls.length >= 5) ls(4).toLongOption.getOrElse(-1L) else -1L))
+            if (ls.length >= 5) ls(4).toLongOption.getOrElse(-1L) else -1L,
+            normalized = ls(0) == "v2"))
         else None
       }
     } catch { case _: Exception => None }

@@ -331,6 +331,86 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(cFrame.collect()(0).getLong(0) === trueCount)
   }
 
+  test("an in-flight write's task files stay invisible until the manifest commit") {
+    import com.github.luben.zstd.ZstdOutputStream
+    import graft.functions.ProtoWire
+    import graft.sources.{GenManifest, ProtoZstMicroBatchStream, ProtoZstTable}
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("graft_inflight")
+      .toFile.getAbsolutePath
+    // simulate the task-commit → job-commit window: the writer marked
+    // the dir (driver-side, before tasks), one task has renamed its
+    // file into place, the job's manifest commit has NOT happened
+    GenManifest.mark(dir, conf)
+    val os = new ZstdOutputStream(
+      new java.io.FileOutputStream(s"$dir/part-task.proto.zst"))
+    os.write(ProtoWire.delimit(ProtoWire.encodeRow("k1".getBytes,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))))
+    os.close()
+    // batch scan: the governed dir reads as EMPTY (a listing would
+    // have surfaced the unpublished — possibly later aborted — file)
+    assert(spark.read.format("proto-zst").load(dir).count() === 0L)
+    // streaming: same — offsets stay at zero until the commit
+    val stream = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
+      ProtoZstTable.Schema, Array.empty)
+    assert(stream.latestOffset().json().toInt === 0)
+    // the job commit publishes atomically; both paths now see the file
+    GenManifest.append(dir, conf, Seq(GenManifest.Entry(
+      "part-task.proto.zst", 10L, 1L, sorted = true, "6b31", "6b31")))
+    assert(spark.read.format("proto-zst").load(dir).count() === 1L)
+    assert(stream.latestOffset().json().toInt === 1)
+  }
+
+  test("v1 (pre-normalization) sidecars answer counts but never ranges") {
+    import graft.sources.RangeSidecar
+    val dir = java.nio.file.Files.createTempDirectory("graft_v1side")
+      .toFile.getAbsolutePath
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(3, col("key")), dir)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val mp = new org.apache.hadoop.fs.Path(dir, graft.sources.GenManifest.DirName)
+    mp.getFileSystem(conf).delete(mp, true)
+    val trueCount = spark.read.format("proto-zst").load(dir).count()
+    // rewrite one sidecar AS a v1 vintage, keeping its (correct)
+    // range and count: a pre-normalization writer may have excluded
+    // null-key rows from the range while counting them, and the bytes
+    // alone can't prove this file didn't — so the version is the gate
+    val f = new java.io.File(dir).listFiles((_, n) => n.endsWith(".proto.zst"))
+      .map(_.getAbsolutePath).sorted.head
+    val fp = new org.apache.hadoop.fs.Path(f)
+    val fs = fp.getFileSystem(conf)
+    val old = RangeSidecar.read(fs, fp).getOrElse(fail("no sidecar"))
+    assert(old.normalized) // current writer attests normalization
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val osc = fs.create(RangeSidecar.sidecar(fp), true)
+    osc.write((s"v1\n${hex(old.min)}\n${hex(old.max)}\n1\n${old.count}\n")
+      .getBytes("UTF-8")); osc.close()
+    assert(!RangeSidecar.read(fs, fp).get.normalized)
+    // MIN/MAX pushdown is vetoed by the v1 vintage...
+    val mmPlan = spark.read.format("proto-zst").load(dir)
+      .agg(min(col("key")), max(col("key")))
+      .queryExecution.executedPlan.toString
+    assert(!mmPlan.contains("PushedAggregation"), mmPlan.take(2000))
+    // ...COUNT(*) still answers from metadata, correctly
+    val cFrame = spark.read.format("proto-zst").load(dir).agg(count("*"))
+    assert(cFrame.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(cFrame.collect()(0).getLong(0) === trueCount)
+    // ...and range SKIPPING never trusts the v1 file: a predicate that
+    // provably misses the v1 file's recorded range still scans it
+    // (normalized siblings keep skipping, so planned < total only
+    // through them; the v1 file is always planned)
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val probe = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("key", old.max :+ 0xff.toByte),
+      LessThan("key", old.max :+ 0xff.toByte :+ 0xff.toByte))
+    val kept = graft.sources.ProtoZstScan.skipByRange(
+      new java.io.File(dir).listFiles((_, n) => n.endsWith(".proto.zst"))
+        .map(_.getAbsolutePath).sorted,
+      probe, new graft.sources.SerializableHadoopConf(conf))
+    assert(kept.contains(f), "a v1 sidecar was trusted for range skip")
+  }
+
   test("runtime In-filter drops whole files by sidecar range, keeps matches") {
     import graft.sources.{ProtoZstScan, ProtoZstTable, ProtoZstInputPartition}
     val outDir = Sink.rangedFixture(spark, sf0001)
