@@ -307,6 +307,58 @@ class ManifestSpec extends AnyFunSuite {
     assert(v2 === 2, s"two-epoch run committed $v2 versions")
   }
 
+  test("16 racing committers all land exactly once; replayed epochs lose exactly once") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = freshDir("graft_man_storm")
+    val pool = Executors.newFixedThreadPool(16)
+    try {
+      // 16 concurrent appends of disjoint entries: every commit must
+      // retry-through contention onto the latest snapshot and land its
+      // entries exactly once — the create-if-absent publish is the only
+      // arbiter, no lock service
+      val gate = new CountDownLatch(1)
+      val appends = (0 until 12).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            gate.await()
+            GenManifest.append(dir, conf, Seq(GenManifest.Entry(
+              f"part-race-$i%02d.proto.zst", 10L + i, 1L, sorted = true,
+              "00", "01")))
+            ()
+          }
+        })
+      }
+      // plus 4 racing REPLAYS of one (query, epoch): exactly one may
+      // publish, the rest must see the refusal (None)
+      val epochWins = new java.util.concurrent.atomic.AtomicInteger
+      val epochs = (0 until 4).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            gate.await()
+            if (GenManifest.appendEpoch(dir, conf, "storm/5",
+                Seq(GenManifest.Entry(f"part-ep-$i%02d.proto.zst", 7L, 1L,
+                  sorted = true, "02", "03"))).isDefined)
+              epochWins.incrementAndGet()
+            ()
+          }
+        })
+      }
+      gate.countDown()
+      (appends ++ epochs).foreach(_.get(60, TimeUnit.SECONDS))
+      val s = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+      // every disjoint append landed exactly once, in 13 committed
+      // versions (12 appends + the one winning epoch), and the losers'
+      // entries never entered the snapshot
+      assert(epochWins.get() === 1)
+      assert(s.version === 13L)
+      val names = s.entries.map(_.name)
+      assert(names.distinct.length === names.length)
+      assert(names.count(_.startsWith("part-race-")) === 12)
+      assert(names.count(_.startsWith("part-ep-")) === 1)
+      assert(s.epochs === Set("storm/5"))
+    } finally { pool.shutdownNow(); () }
+  }
+
   /** The q171 release-layout contract at an arbitrary (epochs, shards)
     * shape: ONE manifest version for the whole release, exactly one
     * key-sorted file per (epoch, shard) group, counts conserved.
