@@ -39,6 +39,20 @@ object Portable {
   def hash16(s: Column): Column =
     conv(substring(md5(s), 1, 4), 16, 10).cast("int")
 
+  /** The q157 integer lexical-diversity proxy over a word array:
+    * `1000·|distinct| DIV |words|` — repetition-penalizing and
+    * deterministic. ONE site shared by every quality-ranked consumer
+    * (q157 token-budget fill, q165 keeper election) so retuning the
+    * proxy can't decouple them. Caller guarantees `size(ws) > 0`.
+    * The double divide + trunc ≡ integer DIV here (q173's idiv
+    * argument: operands non-negative, numerator ≤ ~2·10^12 ≪ 2^53 is
+    * exact in double, and the quotient can't round across an integer
+    * because the gap to one is ≥ 1/2^31 ≫ half an ulp of 1000).
+    * DuckDB: `(1000 * len(list_distinct(ws))) // len(ws)`.
+    */
+  def scoreMilli(ws: Column): Column =
+    ((lit(1000L) * size(array_distinct(ws))) / size(ws)).cast("long")
+
   /** Word 3-gram shingles (with duplicates; wrap in array_distinct for
     * set semantics). TOTAL: arrays shorter than 3 words yield an empty
     * shingle list, matching the DuckDB mirror (`range(1, len-1)` is

@@ -421,7 +421,7 @@ object Curation {
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"), col("source"),
         size(col("ws")).cast("long").as("n_tokens"),
-        expr("CAST((1000 * size(array_distinct(ws))) DIV size(ws) AS BIGINT)")
+        scoreMilli(col("ws"))
           .as("score_milli"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score_milli").desc, col("doc_id").asc)

@@ -79,6 +79,21 @@ object Dedup {
     * small rows per doc, and bucket sizes stay bounded because a
     * 2-hash band collision for non-near-dups is ~j² rare.
     */
+  /** (doc_id, band key) rows of a shingle-hash signature frame — the
+    * ONE Scala site for the MinHash family + 4×2 banding, shared by
+    * q15 (corpus self-join) and q58 (increment×corpus), exactly as the
+    * oracle side shares `sigBandsSql`: the two consumers can no more
+    * drift here than their SQL twins can.
+    */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.withColumn("mhs", array(hashAB.map { case (a, b) =>
+        array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
+      }: _*))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+          concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
+            element_at(col("mhs"), b * 2 + 2)))).as("bkey"))
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // the signature table feeds 4 plan branches (band self-join + both
     // verify probes); localCheckpoint materialises it once instead of
@@ -86,13 +101,7 @@ object Dedup {
     // the signature table, which is what a 100 TB deployment does
     // explicitly (storage is executor-local, GC-cleaned with the plan)
     val d = docShingleHashes(spark, dir).cp()
-    val sig = d.withColumn("mhs", array(hashAB.map { case (a, b) =>
-      array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
-    }: _*))
-    val bands = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-        concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
-          element_at(col("mhs"), b * 2 + 2)))).as("bkey"))
+    val bands = bandsOf(d)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -224,7 +233,12 @@ object Dedup {
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
     def checksum(l: DataFrame): (Long, Long) = {
-      val r = l.agg(sum(col("label")), count(lit(1))).collect()(0)
+      // coalesce: an EMPTY label table (a corpus with zero near-dup
+      // pairs) sums to null, which must read as the stable empty
+      // checksum — not NPE — so the loop converges to an empty result
+      // exactly like the unrolled q54 does on the same input
+      val r = l.agg(coalesce(sum(col("label")), lit(0L)), count(lit(1)))
+        .collect()(0)
       (r.getLong(0), r.getLong(1))
     }
     var prev = (-1L, -1L)
@@ -267,14 +281,7 @@ object Dedup {
     val hashed = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("h"))
     val sigs = docShingleHashes(spark, dir).cp()
-    val bands = sigs.withColumn("mhs", array(hashAB.map { case (a, b) =>
-        array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
-      }: _*))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), lit(NumBands - 1)), b =>
-          concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
-            element_at(col("mhs"), b * 2 + 2)))).as("bkey"))
-      .cp()
+    val bands = bandsOf(sigs).cp()
     val exactDup = hashed.filter(isNew).join(
       hashed.filter(!isNew).select(col("h")).distinct(), "h")
       .select(col("doc_id")).distinct()
@@ -516,7 +523,10 @@ object Dedup {
     val split = Tables.documents(spark, dir)
       .select(col("doc_id"), (hash60(col("text")) % 1000).as("m"))
       .select(col("doc_id"),
-        when(col("m") < 800, "train").when(col("m") < 900, "val")
+        // q121's shared fractions (Curation.SplitTrainMilli/ValMilli):
+        // one tuning site for every split consumer, oracle included
+        when(col("m") < Curation.SplitTrainMilli, "train")
+          .when(col("m") < Curation.SplitValMilli, "val")
           .otherwise("test").as("split"))
     val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
     pairs
@@ -570,11 +580,20 @@ object Dedup {
     fuzzyJoinOf(Tables.part(spark, dir).select(col("p_name").as("name")))
 
   /** The q127 kernel over an explicit `name` column — exposed for the
-    * repeated-gram regression spec.
+    * repeated-gram regression spec. Normalizes (distinct + length
+    * floor) before handing off to [[fuzzyJoinNormalized]].
     */
-  private[graft] def fuzzyJoinOf(names0: DataFrame): DataFrame = {
-    val withGrams = names0.distinct()
-      .filter(length(col("name")) >= FuzzyQ)
+  private[graft] def fuzzyJoinOf(names0: DataFrame): DataFrame =
+    fuzzyJoinNormalized(names0.distinct()
+      .filter(length(col("name")) >= FuzzyQ))
+
+  /** The kernel proper, over names the CALLER guarantees distinct and
+    * ≥ [[FuzzyQ]] chars — q160 feeds its already-normalized,
+    * checkpointed name universe here directly, so the vocabulary isn't
+    * re-distinct'd and re-checkpointed a second time per run.
+    */
+  private def fuzzyJoinNormalized(names0: DataFrame): DataFrame = {
+    val withGrams = names0
       .select(col("name"), array_distinct(
         transform(sequence(lit(1), length(col("name")) - (FuzzyQ - 1)), i =>
           col("name").substr(i, lit(FuzzyQ)))).as("gs"))
@@ -854,7 +873,7 @@ object Dedup {
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"),
-        expr("CAST((1000 * size(array_distinct(ws))) DIV size(ws) AS BIGINT)")
+        scoreMilli(col("ws"))
           .as("score_milli"))
     labs.join(scores, "doc_id")
       .groupBy(col("cluster_id"), col("cluster_size"))
@@ -895,7 +914,9 @@ object Dedup {
       .cp() // feeds pairs, nodes, record join
 
   private def goldenEdges(names: DataFrame): DataFrame = {
-    val pairs = fuzzyJoinOf(names).select(col("name_a"), col("name_b"))
+    // names is goldenNames: already distinct, length-filtered and
+    // checkpointed — go straight to the kernel
+    val pairs = fuzzyJoinNormalized(names).select(col("name_a"), col("name_b"))
     val e = pairs.select(hash60(col("name_a")).as("src"),
       hash60(col("name_b")).as("dst"))
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -1398,9 +1419,10 @@ object Dedup {
        |FROM h GROUP BY doc_id""".stripMargin
 
   private val splitLeakageSql =
-    """WITH pr AS (SELECT doc_a, doc_b FROM (@PAIRS@)),
+    s"""WITH pr AS (SELECT doc_a, doc_b FROM (@PAIRS@)),
        |s AS (SELECT doc_id,
-       |        CASE WHEN m < 800 THEN 'train' WHEN m < 900 THEN 'val'
+       |        CASE WHEN m < ${Curation.SplitTrainMilli} THEN 'train'
+       |             WHEN m < ${Curation.SplitValMilli} THEN 'val'
        |             ELSE 'test' END split
        |      FROM (SELECT doc_id, @H60@ % 1000 m FROM documents))
        |SELECT sa.split AS split_a, sb.split AS split_b,
@@ -1561,10 +1583,10 @@ object Dedup {
        |acc AS (SELECT d.doc_id, d.source, d.text FROM documents d
        |        JOIN v ON v.doc_id = d.doc_id AND v.verdict = 'new'),
        |sp AS (SELECT source,
-       |         CASE WHEN ${sqlHash60("'split:' || text")} % 1000 < 800
-       |                THEN 'train'
-       |              WHEN ${sqlHash60("'split:' || text")} % 1000 < 900
-       |                THEN 'val'
+       |         CASE WHEN ${sqlHash60("'split:' || text")} % 1000
+       |                < ${Curation.SplitTrainMilli} THEN 'train'
+       |              WHEN ${sqlHash60("'split:' || text")} % 1000
+       |                < ${Curation.SplitValMilli} THEN 'val'
        |              ELSE 'test' END AS split,
        |         len($sqlWords) AS n_tokens
        |       FROM acc),

@@ -67,16 +67,24 @@ object SimSearch {
         col("n2").as("qn2"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2"))
-          .as("cosine"))
-      .filter(col("cosine").isNotNull)
+        // null cosine (a zero-norm vector) rides the heap as −∞: the
+        // typed Aggregator can't hold nulls, but (−score, id) ordering
+        // over −∞ IS q19's `cosine DESC NULLS LAST, vec_id` — so a
+        // query with < K finite candidates emits the same null-cosine
+        // tail rows as the window form, instead of silently fewer rows
+        // (−∞ can't collide with a real cosine: the range is [−1, 1])
+        coalesce(
+          cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2")),
+          lit(Double.NegativeInfinity)).as("cosine"))
       .as[(Long, Long, Double)]
     scored.groupByKey(_._1)
       .agg(new graft.functions.TopKScored(K).toColumn.name("top"))
       .toDF("q_id", "top")
       .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
       .select(col("q_id"), (col("i") + 1).as("rnk"),
-        col("s._1").as("vec_id"), col("s._2").as("cosine"))
+        col("s._1").as("vec_id"),
+        when(col("s._2") === Double.NegativeInfinity,
+          lit(null).cast("double")).otherwise(col("s._2")).as("cosine"))
   }
 
   /** Shared exact re-rank tail for the bucketed ANN variants: join the
@@ -246,12 +254,26 @@ object SimSearch {
   private val centFixtures =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
   private val centLock = new Object
+
+  /** Drop cache entries built by a DEAD SparkContext (their plans
+    * reference checkpoint blocks that died with it) — called under
+    * [[centLock]] on every fixture insert, so a JVM that cycles
+    * sessions holds at most one application's worth of cached plans
+    * instead of accumulating stranded plan trees forever.
+    */
+  private def evictStale[K, V](m: scala.collection.concurrent.TrieMap[K, V],
+      appOf: K => String, liveApp: String): Unit =
+    m.keysIterator.filter(appOf(_) != liveApp).toList.foreach(m.remove)
+
   private def centroidFixture(spark: SparkSession, dir: String,
       k: Int): DataFrame =
-    centLock.synchronized(centFixtures.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, k),
-      trainCentroids(featurized(spark, dir), k)
-        .cp(eager = true)))
+    centLock.synchronized {
+      val app = spark.sparkContext.applicationId
+      evictStale(centFixtures, (k: (String, String, Int)) => k._1, app)
+      centFixtures.getOrElseUpdate((app, dir, k),
+        trainCentroids(featurized(spark, dir), k)
+          .cp(eager = true))
+    }
 
   /** Build every shared trained artifact eagerly (centroids at both
     * K's, PQ codebooks, IVF-PQ residual codebooks) — the Bench prelude
@@ -480,14 +502,11 @@ object SimSearch {
     * 16-dim slice and its exact integer norm². All [[PqM]] subspaces
     * ride ONE keyed table — training, encoding and scoring below are
     * ordinary keyed joins/aggregations over `m`, not per-subspace
-    * unrolled plans.
+    * unrolled plans. Delegates to [[subsOf]] — the ONE site for the
+    * [[PqDs]] slicing arithmetic, so codebook training, encoding, and
+    * query-side splits can never disagree on the subspace layout.
     */
-  private def pqSubs(e: DataFrame): DataFrame =
-    e.select(col("vec_id"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
-      .select(col("vec_id"), col("m"),
-        slice(col("qv"), col("m") * PqDs + 1, lit(PqDs)).as("sqv"))
-      .withColumn("sn2", norm2(col("sqv")))
+  private def pqSubs(e: DataFrame): DataFrame = subsOf(e)
 
   /** Per-subspace codebooks: seeds = subvectors of vectors
     * 0..[[PqKs]]-1, then [[PqIters]] Lloyd rounds — the q59 trainer
@@ -555,10 +574,13 @@ object SimSearch {
   private val pqBookFixtures =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def pqBookFixture(spark: SparkSession, dir: String): DataFrame =
-    centLock.synchronized(pqBookFixtures.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir),
-      pqCodebooks(pqSubs(featurized(spark, dir)))
-        .cp(eager = true)))
+    centLock.synchronized {
+      val app = spark.sparkContext.applicationId
+      evictStale(pqBookFixtures, (k: (String, String)) => k._1, app)
+      pqBookFixtures.getOrElseUpdate((app, dir),
+        pqCodebooks(pqSubs(featurized(spark, dir)))
+          .cp(eager = true))
+    }
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = base(spark, dir).cp()
@@ -585,14 +607,18 @@ object SimSearch {
     rerank(e, short)
   }
 
-  /** Subvector split of an arbitrary (vec_id, qv) frame — [[pqSubs]]
-    * generalized so q97 can split RESIDUALS with the same kernel.
+  /** Subvector split of an arbitrary (keys..., qv) frame — the single
+    * [[PqM]]×[[PqDs]] subspace-layout kernel behind [[pqSubs]], q97's
+    * residual split, and the query-side distance tables. `keys` are
+    * the passenger columns carried through the explode (vector id by
+    * default; (q_id, cell) for per-probe query residuals).
     */
-  private def subsOf(v: DataFrame): DataFrame =
-    v.select(col("vec_id"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
-      .select(col("vec_id"), col("m"),
-        slice(col("qv"), col("m") * PqDs + 1, lit(PqDs)).as("sqv"))
+  private def subsOf(v: DataFrame,
+      keys: Seq[String] = Seq("vec_id")): DataFrame =
+    v.select(keys.map(col) :+
+        explode(sequence(lit(0), lit(PqM - 1))).as("m") :+ col("qv"): _*)
+      .select(keys.map(col) :+ col("m") :+
+        slice(col("qv"), col("m") * PqDs + 1, lit(PqDs)).as("sqv"): _*)
       .withColumn("sn2", norm2(col("sqv")))
 
   /** q97's residual codebooks, once per session (see
@@ -616,9 +642,12 @@ object SimSearch {
     pqCodebooks(subsOf(resid))
   }
   private def ivfPqBooks(spark: SparkSession, dir: String): DataFrame =
-    centLock.synchronized(ivfPqBookFixtures.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir),
-      ivfPqBooksPlan(spark, dir).cp(eager = true)))
+    centLock.synchronized {
+      val app = spark.sparkContext.applicationId
+      evictStale(ivfPqBookFixtures, (k: (String, String)) => k._1, app)
+      ivfPqBookFixtures.getOrElseUpdate((app, dir),
+        ivfPqBooksPlan(spark, dir).cp(eager = true))
+    }
 
   /** Audit hook: the UN-checkpointed build pipelines of every shared
     * trained artifact, so SCALE.md can count their shuffles on their
@@ -696,12 +725,7 @@ object SimSearch {
       .join(broadcast(cent), "cell")
       .select(col("q_id"), col("cell"),
         zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("qv"))
-    val qdt = qresid
-      .select(col("q_id"), col("cell"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qv"))
-      .select(col("q_id"), col("cell"), col("m"),
-        slice(col("qv"), col("m") * PqDs + 1, lit(PqDs)).as("sqv"))
-      .withColumn("sn2", norm2(col("sqv")))
+    val qdt = subsOf(qresid, keys = Seq("q_id", "cell"))
       .join(broadcast(books), "m")
       .select(col("q_id"), col("cell"), col("m"), col("code"),
         dist2(col("sqv"), col("sn2"), col("cqv"), col("cn2")).as("d2"))
