@@ -520,6 +520,48 @@ object Curation {
         col("target_milli"), col("rate_milli"), col("kept_tokens"))
   }
 
+  /** q175: TEMPERATURE-FLATTENED MIXTURE WEIGHTS — the targetless
+    * sibling of q83: instead of hand-set shares, each language's
+    * sampling weight is its token count raised to α = 1/2 (the
+    * mT5/UL2-style temperature flattening that up-samples low-resource
+    * languages without drowning the head), normalized over the corpus:
+    * `weight_micro = ⌊√n_s⌋·10⁶ DIV Σ⌊√n⌋`. Per language the plan
+    * also reports the tokens drawn under a budget equal to the corpus
+    * size and the implied epochs over that language's data in milli —
+    * epochs > 1000 is the signature effect: the rare language is seen
+    * more than once per pass while the head is subsampled.
+    *
+    * All-integer after one IEEE `floor(sqrt(double))` (correctly
+    * rounded and therefore engine-identical; exact in double through
+    * 2^52 tokens). Exactness bound: `total_tokens · weight_micro`
+    * stays in int64 through ~9.2·10¹² corpus tokens (≈ 37 TB of
+    * text); past that, widen the two products to DECIMAL(38,0) — a
+    * cast, not a plan change.
+    *
+    * Scale: per-language totals are ONE map-side-combined aggregation
+    * over a handful of keys; the normalizer is a 1-row broadcast
+    * scalar ([[graft.functions.Portable.withScalar]]). The plan output
+    * is metadata-sized at any corpus scale — it feeds q52's salted
+    * sampler exactly like q83's rates do.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), size(words(col("text"))).as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("w_root",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = toks.agg(sum(col("w_root")).as("root_sum"),
+      sum(col("n_tokens")).as("total_tokens"))
+    withScalar(toks, tot)
+      .withColumn("share_micro", expr("n_tokens * 1000000 DIV total_tokens"))
+      .withColumn("weight_micro", expr("w_root * 1000000 DIV root_sum"))
+      .withColumn("tokens_drawn",
+        expr("total_tokens * weight_micro DIV 1000000"))
+      .withColumn("epochs_milli", expr("tokens_drawn * 1000 DIV n_tokens"))
+      .select(col("lang"), col("n_tokens"), col("share_micro"),
+        col("weight_micro"), col("tokens_drawn"), col("epochs_milli"))
+  }
+
   /** q100: the END-TO-END CURATION PIPELINE as ONE declarative plan —
     * every document's final disposition through the gates a
     * pretraining corpus actually runs, in policy order: quality screen
@@ -619,6 +661,7 @@ object Curation {
     "q122_weighted_sample" -> weightedSample,
     "q100_pipeline" -> curationPipeline,
     "q83_mixture_plan" -> mixturePlan,
+    "q175_mix_temperature" -> mixTemperature,
     "q49_redact" -> redact,
     "q50_repetition" -> repetition,
     "q51_contamination" -> contamination,
@@ -796,6 +839,28 @@ object Curation {
        |FROM toks JOIN tgt USING (lang), tot""".stripMargin
   }
 
+  // q175: same per-language totals, ⌊√n⌋ flattening, identical integer
+  // normalization order (weight first, then drawn, then epochs)
+  private val mixTemperatureSql =
+    s"""WITH d AS (SELECT lang, len($sqlWords) n FROM documents),
+       |toks AS (SELECT lang, CAST(sum(n) AS BIGINT) n_tokens
+       |         FROM d GROUP BY lang),
+       |r AS (SELECT lang, n_tokens,
+       |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) w_root
+       |      FROM toks),
+       |s AS (SELECT CAST(sum(w_root) AS BIGINT) root_sum,
+       |        CAST(sum(n_tokens) AS BIGINT) total_tokens FROM r),
+       |w AS (SELECT lang, n_tokens,
+       |        n_tokens * 1000000 // total_tokens AS share_micro,
+       |        w_root * 1000000 // root_sum AS weight_micro,
+       |        total_tokens
+       |      FROM r, s)
+       |SELECT lang, n_tokens, share_micro, weight_micro,
+       |  total_tokens * weight_micro // 1000000 AS tokens_drawn,
+       |  (total_tokens * weight_micro // 1000000) * 1000 // n_tokens
+       |    AS epochs_milli
+       |FROM w""".stripMargin
+
   /** q100 replay: compose the q22/q14/q15/q83/q52 oracle fragments in
     * the same gate order.
     */
@@ -889,6 +954,7 @@ object Curation {
     "q122_weighted_sample" -> weightedSampleSql,
     "q100_pipeline" -> pipelineSql,
     "q83_mixture_plan" -> mixturePlanSql,
+    "q175_mix_temperature" -> mixTemperatureSql,
     "q49_redact" -> redactSql,
     "q50_repetition" -> repetitionSql,
     "q51_contamination" -> contaminationSql,

@@ -79,20 +79,31 @@ object Dedup {
     * small rows per doc, and bucket sizes stay bounded because a
     * 2-hash band collision for non-near-dups is ~j² rare.
     */
-  /** (doc_id, band key) rows of a shingle-hash signature frame — the
-    * ONE Scala site for the MinHash family + 4×2 banding, shared by
-    * q15 (corpus self-join) and q58 (increment×corpus), exactly as the
-    * oracle side shares `sigBandsSql`: the two consumers can no more
-    * drift here than their SQL twins can.
+  /** Adds the 8-slot MinHash signature array `mhs` to a shingle-hash
+    * frame — the ONE Scala site for the universal-hash family, shared
+    * by the banding below and by q177's slot-agreement estimator,
+    * exactly as the oracle side shares `sigBandsSql`'s `sig` CTE.
+    */
+  private def sigOf(d: DataFrame): DataFrame =
+    d.withColumn("mhs", array(hashAB.map { case (a, b) =>
+      array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
+    }: _*))
+
+  /** (doc_id, band key) rows from a signature frame ([[sigOf]] output)
+    * — 4×2 banding, shared by q15 (corpus self-join), q58
+    * (increment×corpus) and q177 (calibration pairs).
+    */
+  private def bandsFromSig(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
+          element_at(col("mhs"), b * 2 + 2)))).as("bkey"))
+
+  /** [[sigOf]] + [[bandsFromSig]] for consumers that never touch the
+    * signatures themselves.
     */
   private def bandsOf(sigs: DataFrame): DataFrame =
-    sigs.withColumn("mhs", array(hashAB.map { case (a, b) =>
-        array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
-      }: _*))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-          concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
-            element_at(col("mhs"), b * 2 + 2)))).as("bkey"))
+    bandsFromSig(sigOf(sigs))
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // the signature table feeds 4 plan branches (band self-join + both
@@ -115,6 +126,55 @@ object Dedup {
         (size(col("hsa")) + size(col("hsb")) - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** q177: MINHASH CALIBRATION AUDIT — is the sketch telling the
+    * truth? For every LSH candidate pair, the signature-agreement
+    * Jaccard estimate (fraction of the [[NumHashes]] slots that agree,
+    * in milli — an unbiased estimator of true Jaccard) is compared
+    * against the EXACT shingle-set Jaccard, and the audit reports the
+    * calibration curve: per estimate bucket (9 possible values,
+    * 0/125/…/1000), the pair count and the exact-Jaccard sum/min/max.
+    * This is the q45-for-MinHash: the number that justifies q15's
+    * banding parameters on a NEW corpus before trusting them, and the
+    * evidence for retuning [[NumHashes]]/[[NumBands]] when the
+    * estimator's spread per bucket is too wide.
+    *
+    * Scale: signatures are row-local ([[sigOf]]); candidates are the
+    * SAME banded equi-join as q15 (never all-pairs — the audit costs
+    * what the dedup itself costs); the exact verify is the q15
+    * merge-intersect kernel per candidate; the curve is a 9-group
+    * aggregation with map-side partials. All-integer outputs
+    * (milli-Jaccard), hash-stable on any engine.
+    */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    // one signature pass feeds the band join AND both per-pair probes
+    val sig = sigOf(docShingleHashes(spark, dir)).cp()
+    val bands = bandsFromSig(sig)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("hsh").as("hsa"),
+        col("mhs").as("ma")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("hsh").as("hsb"),
+        col("mhs").as("mb")), "doc_b")
+      .withColumn("agree",
+        size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y),
+          b => b)))
+      // 1000/NumHashes = 125 exactly, so the estimate is integer milli
+      .withColumn("est_milli",
+        (col("agree") * (1000 / NumHashes)).cast("long"))
+      .withColumn("inter",
+        graft.functions.ArrayOps.sorted_intersect_count(col("hsa"), col("hsb")))
+      .withColumn("exact_milli",
+        expr("1000 * inter DIV (size(hsa) + size(hsb) - inter)"))
+      .groupBy(col("est_milli"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("exact_milli")).as("sum_exact_milli"),
+        min(col("exact_milli")).as("min_exact_milli"),
+        max(col("exact_milli")).as("max_exact_milli"))
   }
 
   /** q54: duplicate CLUSTERS — connected components over the q15
@@ -866,16 +926,8 @@ object Dedup {
     * at k = 1). A quality-classifier score swaps in for the proxy
     * without touching the plan.
     */
-  def clusterElect(spark: SparkSession, dir: String): DataFrame = {
-    val labs = dupClusters(spark, dir)
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    val scores = Tables.documents(spark, dir)
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) > 0)
-      .select(col("doc_id"),
-        scoreMilli(col("ws"))
-          .as("score_milli"))
-    labs.join(scores, "doc_id")
+  def clusterElect(spark: SparkSession, dir: String): DataFrame =
+    scoredClusterMembers(spark, dir)
       .groupBy(col("cluster_id"), col("cluster_size"))
       .agg(max(struct(col("score_milli"), (-col("doc_id")).as("nid")))
         .as("k"))
@@ -883,7 +935,55 @@ object Dedup {
         (-col("k.nid")).as("keeper_doc_id"),
         col("k.score_milli").as("keeper_score_milli"),
         (col("cluster_size") - 1).as("n_dropped"))
+
+  /** Cluster members joined with their lexical-diversity scores — the
+    * shared input of the q165 election and the q176 preference pairs:
+    * q54's labels, [[graft.functions.Portable.scoreMilli]] per member
+    * (docs with zero words carry no score and drop out, same as the
+    * oracles' `len(ws) > 0` gate).
+    */
+  private def scoredClusterMembers(spark: SparkSession,
+      dir: String): DataFrame = {
+    val labs = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val scores = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), scoreMilli(col("ws")).as("score_milli"))
+    labs.join(scores, "doc_id")
   }
+
+  /** q176: PREFERENCE-PAIR CONSTRUCTION — alignment data from the
+    * dedup byproduct: within each near-dup cluster the members are
+    * variants of the same content at different quality, so (best,
+    * worst) per cluster is a natural (chosen, rejected) preference
+    * pair with a quality margin — the cheap seed corpus for a reward
+    * model, mined from data the pipeline already computed. Chosen =
+    * (score DESC, doc_id ASC) argmax, rejected = (score ASC, doc_id
+    * DESC) argmin — deterministic and distinct whenever ≥ 2 members
+    * carry scores (an all-tied cluster still yields min-id vs max-id).
+    *
+    * Scale: ONE cluster-keyed aggregation carrying two k=1 bounded
+    * heaps (`max(struct)`/`min(struct)` with map-side partials) over
+    * the pair-graph members only — a tiny fraction of any corpus. A
+    * learned quality score swaps in for the proxy without touching
+    * the plan (same discipline as q165).
+    */
+  def prefPairs(spark: SparkSession, dir: String): DataFrame =
+    scoredClusterMembers(spark, dir)
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(count(lit(1)).as("n_scored"),
+        max(struct(col("score_milli"), (-col("doc_id")).as("nid")))
+          .as("c"),
+        min(struct(col("score_milli"), (-col("doc_id")).as("nid")))
+          .as("r"))
+      .filter(col("n_scored") >= 2)
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("c.nid")).as("chosen_doc_id"),
+        col("c.score_milli").as("chosen_score_milli"),
+        (-col("r.nid")).as("rejected_doc_id"),
+        col("r.score_milli").as("rejected_score_milli"),
+        (col("c.score_milli") - col("r.score_milli")).as("margin_milli"))
 
   /** q160: GOLDEN-RECORD ENTITY RESOLUTION — the full MDM composition
     * the pieces q127/q54 each prove alone: fuzzy-match part names
@@ -1193,6 +1293,8 @@ object Dedup {
     "q143_dup_spans" -> dupSpans,
     "q140_nightly_drop" -> nightlyDrop,
     "q168_modal_agreement" -> modalAgreement,
+    "q176_pref_pairs" -> prefPairs,
+    "q177_minhash_calibration" -> minhashCalibration,
     "q165_cluster_elect" -> clusterElect,
     "q160_golden_record" -> goldenRecord,
     "q151_kmv_jaccard" -> kmvJaccard,
@@ -1363,7 +1465,9 @@ object Dedup {
 
   // q54's closure + the q157 diversity score + a rank-1 election —
   // keeper by QUALITY, not by min id
-  private val clusterElectSql = closureCte + ",\n" +
+  // scored cluster members (q165 AND q176 — the SQL twin of
+  // scoredClusterMembers): q54's closure + the q157 diversity score
+  private val scoredMembersCte =
     s"""s AS (SELECT doc_id,
        |        CAST((1000 * len(list_distinct(ws))) // len(ws) AS BIGINT)
        |          score_milli
@@ -1372,13 +1476,60 @@ object Dedup {
        |j AS (SELECT lab.node AS doc_id, lab.cluster_id,
        |        CAST(sz.cnt AS BIGINT) AS cluster_size, s.score_milli
        |      FROM lab JOIN sz USING (cluster_id)
-       |      JOIN s ON s.doc_id = lab.node),
-       |k AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
-       |        ORDER BY score_milli DESC, doc_id ASC) rn FROM j)
-       |SELECT cluster_id, cluster_size, doc_id AS keeper_doc_id,
-       |  score_milli AS keeper_score_milli,
-       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
-       |FROM k WHERE rn = 1""".stripMargin
+       |      JOIN s ON s.doc_id = lab.node)""".stripMargin
+
+  private val clusterElectSql = closureCte + ",\n" + scoredMembersCte +
+    ",\n" +
+    """k AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+      |        ORDER BY score_milli DESC, doc_id ASC) rn FROM j)
+      |SELECT cluster_id, cluster_size, doc_id AS keeper_doc_id,
+      |  score_milli AS keeper_score_milli,
+      |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+      |FROM k WHERE rn = 1""".stripMargin
+
+  // q176: both rank-1 elections over the same scored members, glued by
+  // cluster — chosen (score DESC, id ASC), rejected (score ASC, id
+  // DESC), clusters with ≥ 2 scored members only
+  private val prefPairsSql = closureCte + ",\n" + scoredMembersCte +
+    ",\n" +
+    """k AS (SELECT *,
+      |        row_number() OVER (PARTITION BY cluster_id
+      |          ORDER BY score_milli DESC, doc_id ASC) rc,
+      |        row_number() OVER (PARTITION BY cluster_id
+      |          ORDER BY score_milli ASC, doc_id DESC) rr,
+      |        count(*) OVER (PARTITION BY cluster_id) ns FROM j)
+      |SELECT c.cluster_id, c.cluster_size,
+      |  c.doc_id AS chosen_doc_id, c.score_milli AS chosen_score_milli,
+      |  r.doc_id AS rejected_doc_id, r.score_milli AS rejected_score_milli,
+      |  c.score_milli - r.score_milli AS margin_milli
+      |FROM k c JOIN k r ON c.cluster_id = r.cluster_id
+      |WHERE c.rc = 1 AND r.rr = 1 AND c.ns >= 2""".stripMargin
+
+  // q177: candidates and per-pair probes spliced from the SAME
+  // sig/bands CTEs as q15 — the estimate is slot agreement over `sig`,
+  // the truth is the exact intersection over `d`
+  private val minhashCalibrationSql =
+    s"""@SB@,
+      |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+      |         FROM bands a JOIN bands b
+      |           ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |p AS (SELECT doc_a, doc_b,
+      |        CAST(${1000 / NumHashes} * len(list_filter(
+      |          range($NumHashes), i -> x.mhs[i+1] = y.mhs[i+1]))
+      |          AS BIGINT) est_milli,
+      |        len(list_intersect(x.hsh, y.hsh)) i,
+      |        len(x.hsh) la, len(y.hsh) lb
+      |      FROM cand JOIN sig x ON x.doc_id = cand.doc_a
+      |                JOIN sig y ON y.doc_id = cand.doc_b),
+      |e AS (SELECT est_milli,
+      |        CAST(1000 * i AS BIGINT) // (la + lb - i) exact_milli
+      |      FROM p)
+      |SELECT est_milli, CAST(count(*) AS BIGINT) n_pairs,
+      |  CAST(sum(exact_milli) AS BIGINT) sum_exact_milli,
+      |  CAST(min(exact_milli) AS BIGINT) min_exact_milli,
+      |  CAST(max(exact_milli) AS BIGINT) max_exact_milli
+      |FROM e GROUP BY est_milli""".stripMargin
+      .replace("@SB@", sigBandsSql)
 
   /** q66 replay: identical chunking, identical 60-bit chunk hash; the
     * first-occurrence keeper (`min(struct(doc_id, ci))` in the engine)
@@ -1658,6 +1809,8 @@ object Dedup {
     "q140_nightly_drop" -> nightlyDropSql,
     "q168_modal_agreement" -> modalAgreementSql,
     "q165_cluster_elect" -> clusterElectSql,
+    "q176_pref_pairs" -> prefPairsSql,
+    "q177_minhash_calibration" -> minhashCalibrationSql,
     "q160_golden_record" -> goldenRecordSql,
     "q151_kmv_jaccard" -> kmvJaccardSql,
     "q138_sketch_increment" -> sketchIncrementSql,

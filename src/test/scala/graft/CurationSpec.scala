@@ -255,4 +255,39 @@ class CurationSpec extends AnyFunSuite {
   test("q172 packing holds at a non-default stream count") {
     checkSequencePack(3)
   }
+
+  test("q175 temperature weights match an exact BigInt replay and flatten the mixture") {
+    // independent replay: per-language token totals from the raw docs,
+    // then the published integer formula in BigInt (no Spark exprs)
+    val langs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.map(_.getString(1).split(" ").count(_.nonEmpty).toLong).sum
+      }
+    val rootSum = langs.values.map(n => math.sqrt(n.toDouble).toLong).sum
+    val total = langs.values.sum
+    val expected = langs.map { case (l, n) =>
+      val w = BigInt(math.sqrt(n.toDouble).toLong) * 1000000 / rootSum
+      val drawn = BigInt(total) * w / 1000000
+      (l, n, BigInt(n) * 1000000 / total, w, drawn, drawn * 1000 / n)
+    }.map { case (l, n, s, w, d, e) =>
+      (l, n, s.toLong, w.toLong, d.toLong, e.toLong)
+    }.toSet
+    val rows = Curation.mixTemperature(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSet === expected)
+    // normalization: weights sum to 10^6 minus at most one floor ulp
+    // per language
+    val wsum = rows.map(_._4).sum
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length)
+    // the flattening effect: the rarest language is up-sampled at
+    // least as hard as any other, the head language the least
+    val byTokens = rows.sortBy(_._2)
+    assert(byTokens.head._6 === rows.map(_._6).max,
+      "rarest language is not the most up-sampled")
+    assert(byTokens.last._6 === rows.map(_._6).min,
+      "head language is not the most down-sampled")
+  }
 }

@@ -227,4 +227,65 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("verdict") === "new").count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === accepted)
   }
+
+  test("q176 preference pairs: chosen/rejected match a brute per-cluster election") {
+    // independent ground truth: clusters from q54 (already union-find
+    // checked above) joined with scores recomputed here, elected by an
+    // in-memory sort instead of the engine's bounded max/min structs
+    val scores = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .collect()
+      .map { r =>
+        val ws = r.getSeq[String](1)
+        r.getLong(0) -> 1000L * ws.distinct.size / ws.size
+      }.toMap
+    val members = Dedup.dupClusters(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (d, _, _) => scores.contains(d) }
+      .groupBy(_._2)
+    val expected = members.collect {
+      case (cid, ms) if ms.length >= 2 =>
+        val ranked = ms.map { case (d, _, _) => (scores(d), d) }
+          .sortBy { case (s, d) => (-s, d) }
+        val (cs, cd) = ranked.head
+        // rejected: lowest score, ties broken by HIGHEST doc id
+        val (rs, rd) = ranked.map { case (s, d) => (s, -d) }
+          .sortBy(identity).head match { case (s, nd) => (s, -nd) }
+        (cid, ms.head._3, cd, cs, rd, rs, cs - rs)
+    }.toSet
+    val got = Dedup.prefPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture has no multi-member clusters")
+    got.foreach { case (_, _, cd, _, rd, _, m) =>
+      assert(cd != rd, "chosen == rejected")
+      assert(m >= 0, "negative margin")
+    }
+  }
+
+  test("q177 calibration buckets are consistent and cover every verified q15 pair") {
+    val rows = Dedup.minhashCalibration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, n, sum, mn, mx) =>
+      // 8 slots → estimates are exact multiples of 125 within [0, 1000]
+      assert(est % 125 == 0 && est >= 0 && est <= 1000, s"bucket $est")
+      assert(n > 0 && mn >= 0 && mx <= 1000 && mn <= mx)
+      assert(mn * n <= sum && sum <= mx * n, "sum outside [min,max]·n")
+    }
+    // the audit scores every LSH candidate, so it covers at least the
+    // pairs q15 verified and kept
+    val q15 = Dedup.dedupMinhash(spark, sf0001).count()
+    assert(rows.map(_._2).sum >= q15)
+    // planted near-dups (exact ≈ 970 milli) must surface in
+    // high-agreement buckets whose exact floor stays high — the curve
+    // is calibrated, not scrambled (deterministic on this fixture)
+    val high = rows.filter(_._1 >= 875)
+    assert(high.nonEmpty && high.forall(_._4 >= 500),
+      s"high-agreement buckets miscalibrated: ${high.mkString(", ")}")
+  }
 }
