@@ -599,6 +599,49 @@ object Dedup {
       .withColumn("leaked", col("split_a") =!= col("split_b"))
   }
 
+  private val LeakN = 8 // decontamination gram width — the 8–13-token
+  // overlap convention published eval decontamination uses, at the
+  // low end because the corpus' documents are ~10²-token scale
+
+  /** q178: CROSS-SPLIT N-GRAM LEAKAGE — decontamination at n-gram
+    * granularity, the check q96 (whole-document near-dup leakage)
+    * cannot make: for every TEST-split document, what fraction of its
+    * distinct word-[[LeakN]]-grams also appears anywhere in the TRAIN
+    * split. This is the published-eval hygiene number (the "13-gram
+    * overlap" style audit): a test doc can be far from every train doc
+    * by whole-document similarity and still have most of its n-grams
+    * memorizable verbatim. Splits are q96/q121's content-hash
+    * assignment ([[Curation.SplitTrainMilli]]/[[Curation.SplitValMilli]]
+    * — the one shared tuning site), so this audit and the assignment
+    * it audits can never use different splits.
+    *
+    * Scale: gram hashing is row-local ([[graft.functions.HashOps]]
+    * one-pass kernel); the train gram set and the probe are ONE
+    * gram-hash-keyed equi-join (distinct + left join with map-side
+    * partials) — exactly the shape production decontamination runs,
+    * where the train gram table is the big side and shards by hash.
+    * The per-doc fraction is exact integer milli.
+    */
+  def ngramLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), (hash60(col("text")) % 1000).as("m"),
+        words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= LeakN)
+      .select(col("doc_id"), col("m"), array_distinct(
+        graft.functions.HashOps.shingle_hash60(col("ws"), LeakN)).as("gs"))
+      .cp() // feeds the train gram set AND the test probes
+    val train = d.filter(col("m") < Curation.SplitTrainMilli)
+      .select(explode(col("gs")).as("g")).distinct()
+      .withColumn("seen", lit(1L))
+    val test = d.filter(col("m") >= Curation.SplitValMilli)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    test.join(train, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .withColumn("leak_milli", expr("1000 * n_seen DIV n_grams"))
+  }
+
   private val FuzzyQ = 3 // q-gram width
   private val FuzzyMaxDist = 2 // edit-distance acceptance threshold
 
@@ -1295,6 +1338,7 @@ object Dedup {
     "q168_modal_agreement" -> modalAgreement,
     "q176_pref_pairs" -> prefPairs,
     "q177_minhash_calibration" -> minhashCalibration,
+    "q178_ngram_leakage" -> ngramLeakage,
     "q165_cluster_elect" -> clusterElect,
     "q160_golden_record" -> goldenRecord,
     "q151_kmv_jaccard" -> kmvJaccard,
@@ -1585,6 +1629,28 @@ object Dedup {
       .replace("@PAIRS@", minhashSql)
       .replace("@H60@", sqlHash60("text"))
 
+  // q178: the same split convention as q96's oracle, grams joined with
+  // the shingle kernel's single-space convention (q15's sqlShingles)
+  private val ngramLeakageSql = {
+    val gram = (0 until LeakN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, ${sqlHash60("text")} % 1000 m, $sqlWords ws
+       |           FROM documents),
+       |g AS (SELECT doc_id, m, list_distinct(list_transform(
+       |        range(1, len(ws) - ${LeakN - 2}),
+       |        i -> ${sqlHash60(gram)})) gs
+       |      FROM w WHERE len(ws) >= $LeakN),
+       |tr AS (SELECT DISTINCT unnest(gs) g FROM g
+       |       WHERE m < ${Curation.SplitTrainMilli}),
+       |te AS (SELECT doc_id, unnest(gs) g FROM g
+       |       WHERE m >= ${Curation.SplitValMilli}),
+       |j AS (SELECT doc_id, CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END seen
+       |      FROM te LEFT JOIN tr USING (g))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(seen) AS BIGINT) AS n_seen,
+       |  CAST(1000 * sum(seen) AS BIGINT) // count(*) AS leak_milli
+       |FROM j GROUP BY doc_id""".stripMargin
+  }
+
   // Deliberately BRUTE FORCE (all pairs, no gram blocking): the oracle
   // must not replay the engine's candidate generation, or the
   // cross-engine hash gate is structurally blind to recall loss. The
@@ -1818,6 +1884,7 @@ object Dedup {
     "q134_sketch_union" -> sketchUnionSql,
     "q127_fuzzy_join" -> fuzzyJoinSql,
     "q96_split_leakage" -> splitLeakageSql,
+    "q178_ngram_leakage" -> ngramLeakageSql,
     "q95_cdc_chunks" -> cdcChunkSql,
     "q54_dup_clusters" -> clustersSql,
     "q91_clusters_converged" -> clustersSql,

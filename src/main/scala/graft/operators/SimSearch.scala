@@ -450,6 +450,50 @@ object SimSearch {
         coalesce(col("removed"), lit(false)).as("removed"))
   }
 
+  private val QuotaK = 24 // per-cell diversity quota
+
+  /** q180: CLUSTER-BALANCED DIVERSITY SAMPLE — cap every semantic
+    * region at [[QuotaK]] vectors: assign each vector to its nearest
+    * q59 centroid (q68's cells), then keep a deterministic per-cell
+    * quota by salted-hash priority. Where q68 removes near-DUPLICATES
+    * within a cell and q159 balances LABELS, this flattens semantic
+    * DENSITY — the over-represented topic contributes the same sample
+    * budget as the rare one, the embedding-space analog of q175's
+    * per-language temperature flattening (and the cheap version of the
+    * facility-location selection the data-pruning literature ends at).
+    * Hash priorities (not distance ranks) make the sample unbiased
+    * WITHIN each cell and append-stable: re-running after a corpus
+    * grow only swaps members whose priorities beat the incumbents.
+    *
+    * Scale: assignment is q34's broadcast-argmin (row-local, map-side
+    * partials); selection is the q159 bounded-heap Aggregator — at
+    * most [[QuotaK]] rows per cell leave each map task, so the shuffle
+    * carries cells×K rows no matter the corpus size. No windows, no
+    * per-cell sorts.
+    */
+  def cellQuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = base(spark, dir).cp()
+    val cent = centroidFixture(spark, dir, KmK)
+    val asg = e.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"))
+    asg
+      .withColumn("pri", graft.functions.HashOps.md5_prefix60(
+        concat(lit("quota:"), col("vec_id").cast("string"))))
+      .select(col("cell").cast("long"), col("pri"), col("vec_id"), lit(0L))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.BottomKRanked(QuotaK).toColumn.name("top"))
+      .toDF("cell", "top")
+      .select(col("cell").cast("int").as("cell"),
+        posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("cell"), (col("i") + 1).as("rnk"),
+        col("s._2").as("vec_id"), col("s._1").as("pri"))
+  }
+
   /** q85: FILTERED vector search — top-K under a metadata predicate
     * (here: even labels only), the production shape where ANN meets a
     * WHERE clause. Strategy is FILTER-THEN-PROBE over the trained IVF:
@@ -1122,6 +1166,7 @@ object SimSearch {
     "q45_ann_recall" -> annRecall,
     "q59_kmeans_embed" -> kmeansEmbed,
     "q68_semantic_dedup" -> semanticDedup,
+    "q180_cell_quota" -> ((sp: SparkSession, d: String) => cellQuotaSample(sp, d)),
     "q78_ann_pq" -> annPq,
     "q85_ann_filtered" -> annFiltered)
 
@@ -1524,6 +1569,24 @@ object SimSearch {
        |SELECT label, rnk, vec_id, CAST(d2 AS BIGINT) AS d2
        |FROM r WHERE rnk <= $CoresetK""".stripMargin
 
+  // q180: the q68 training/assignment chain verbatim (a3), hash
+  // priorities, per-cell rank — the window form is fine oracle-side
+  private val cellQuotaSql =
+    s"""$baseSql,
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $KmK),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")},
+       |p AS (SELECT vec_id, cell,
+       |        ${sqlHash60("'quota:' || CAST(vec_id AS VARCHAR)")} pri
+       |      FROM a3),
+       |r AS (SELECT cell, vec_id, pri, row_number() OVER (
+       |        PARTITION BY cell ORDER BY pri ASC, vec_id ASC) rnk FROM p)
+       |SELECT cell, rnk, vec_id, pri FROM r WHERE rnk <= $QuotaK""".stripMargin
+
   // the projection matrix is REBUILT from SQL md5 here — the oracle
   // cross-checks the engine's driver-side md5 literal every round
   private val srpSql =
@@ -1596,6 +1659,7 @@ object SimSearch {
     "q45_ann_recall" -> recallSql,
     "q59_kmeans_embed" -> kmeansSql,
     "q68_semantic_dedup" -> semdedupSql,
+    "q180_cell_quota" -> cellQuotaSql,
     "q78_ann_pq" -> pqSql,
     "q85_ann_filtered" -> filteredSql,
     "q97_ann_ivfpq" -> ivfpqSql,

@@ -464,6 +464,52 @@ object TextAnalysis {
         (col("delta_ppm") >= DriftPpm).cast("int").as("shifted"))
   }
 
+  private val HeadKs = Seq(5, 20, 10000) // vocabulary budgets audited —
+  // two head points that genuinely cut the test corpus' vocabulary
+  // (so the rank sums are exercised, not saturated) plus a
+  // production-scale budget; real deployments audit 2^k ladders
+
+  /** q179: VOCABULARY HEAD-COVERAGE CURVE — for each candidate
+    * vocabulary budget K in [[HeadKs]], the exact fraction of all
+    * corpus token OCCURRENCES covered by the top-K terms (integer
+    * milli). This is the tokenizer-budget planning number — how big a
+    * vocabulary must be before OOV/byte-fallback mass becomes
+    * negligible — and the Zipf head check a corpus drop is screened
+    * with (a drop whose head coverage collapses is boilerplate- or
+    * spam-shifted; cf. q164's per-token drift, this is the
+    * distribution-level summary).
+    *
+    * Scale: ONE corpus token shuffle builds the term counts
+    * (checkpointed — the ranker and the totals read one
+    * materialization); ranking is the q55 two-phase global ranker over
+    * the VOCABULARY-sized count table (range shuffle, no
+    * single-partition window); the curve itself is one conditional
+    * aggregate folded to [[HeadKs]]-many rows. Exact integers end to
+    * end.
+    */
+  def headCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .cp() // feeds the global ranker AND the totals
+    val ranked = Relational.withGlobalRank(cnt,
+      Seq(col("n").desc, col("w").asc))
+    val tot = cnt.agg(sum(col("n")).as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    val sums = HeadKs.map(k =>
+      sum(when(col("rnk") <= k, col("n"))).as(s"c$k"))
+    withScalar(ranked, tot)
+      .groupBy(col("n_total"), col("n_vocab"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("n_vocab"), col("n_total"),
+        explode(array(HeadKs.map(k => struct(lit(k.toLong).as("k"),
+          coalesce(col(s"c$k"), lit(0L)).as("c"))): _*)).as("s"))
+      .select(col("s.k").as("top_k"), col("n_vocab"), col("n_total"),
+        col("s.c").as("covered_tokens"))
+      .withColumn("coverage_milli",
+        expr("1000 * covered_tokens DIV n_total"))
+  }
+
   /** q73: EXACT grouped median — per-language median token count via a
     * VALUE HISTOGRAM: one (lang, value) count shuffle, a running-sum
     * window over each language's distinct-value histogram (state
@@ -939,6 +985,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_rag_chunks" -> ragChunks,
     "q164_vocab_drift" -> vocabDrift,
+    "q179_head_coverage" -> headCoverage,
     "q152_cms_heavy" -> cmsHeavy,
     "q147_quantile_sketch" -> quantileSketch,
     "q146_pmi_bigrams" -> pmiBigrams,
@@ -1279,6 +1326,27 @@ object TextAnalysis {
        |FROM e""".stripMargin
   }
 
+  // q179: same term counts, rank by (n DESC, w ASC), the same three
+  // conditional sums — a window rank is fine oracle-side (DuckDB is
+  // single-node; the engine's two-phase ranker exists for scale)
+  private val headCoverageSql = {
+    val ks = HeadKs.map(k => s"($k)").mkString(", ")
+    s"""WITH t AS (SELECT unnest($sqlWords) w FROM documents),
+       |c AS (SELECT w, count(*) n FROM t GROUP BY w),
+       |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w ASC) rnk
+       |      FROM c),
+       |s AS (SELECT CAST(sum(n) AS BIGINT) n_total,
+       |        CAST(count(*) AS BIGINT) n_vocab FROM c),
+       |k (top_k) AS (VALUES $ks),
+       |cov AS (SELECT CAST(top_k AS BIGINT) top_k,
+       |          CAST(sum(CASE WHEN rnk <= top_k THEN n ELSE 0 END)
+       |            AS BIGINT) covered_tokens
+       |        FROM r CROSS JOIN k GROUP BY top_k)
+       |SELECT top_k, n_vocab, n_total, covered_tokens,
+       |  1000 * covered_tokens // n_total AS coverage_milli
+       |FROM cov, s""".stripMargin
+  }
+
   private val vocabDriftSql =
     s"""WITH t AS (SELECT doc_id % 2 = 0 AS in_a, unnest($sqlWords) w
        |           FROM documents),
@@ -1317,6 +1385,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "q166_rag_chunks" -> ragChunksSql,
     "q164_vocab_drift" -> vocabDriftSql,
+    "q179_head_coverage" -> headCoverageSql,
     "q152_cms_heavy" -> cmsHeavySql,
     "q147_quantile_sketch" -> quantileSketchSql,
     "q146_pmi_bigrams" -> pmiSql,

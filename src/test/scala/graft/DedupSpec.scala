@@ -288,4 +288,37 @@ class DedupSpec extends AnyFunSuite {
     assert(high.nonEmpty && high.forall(_._4 >= 500),
       s"high-agreement buckets miscalibrated: ${high.mkString(", ")}")
   }
+
+  test("q178 leakage matches a brute string-gram replay over the raw splits") {
+    // fully independent: md5-prefix60 via MessageDigest, string grams
+    // (no hash collisions assumed — a collision would fail loudly)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(text: String): Set[String] = {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.length < 8) Set.empty
+      else ws.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val train = docs.filter { case (_, t) => h60(t) % 1000 < 800 }
+      .flatMap { case (_, t) => grams(t) }.toSet
+    val expected = docs
+      .filter { case (_, t) => h60(t) % 1000 >= 900 }
+      .map { case (id, t) => id -> grams(t) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, gs) =>
+        val seen = gs.count(train)
+        (id, gs.size.toLong, seen.toLong, 1000L * seen / gs.size)
+      }.toSet
+    val got = Dedup.ngramLeakage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "no test-split docs with >= 8 words")
+  }
 }

@@ -1449,6 +1449,56 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q179 head coverage matches a brute frequency-sort replay") {
+    val freq = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    val ranked = freq.toSeq.sortBy { case (w, n) => (-n, w) }
+    val total = freq.values.sum
+    val expected = Seq(5, 20, 10000).map { k =>
+      val covered = ranked.take(k).map(_._2).sum
+      (k.toLong, freq.size.toLong, total, covered, 1000L * covered / total)
+    }.toSet
+    val got = graft.operators.TextAnalysis.headCoverage(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    // the curve is a genuine curve at this SF, not saturated
+    assert(got.map(_._5).size > 1, "all budgets saturated — raise cuts")
+  }
+
+  test("q180 quota sample: per-cell caps, contiguous ranks, hash-min members") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // q68 computes the IDENTICAL assignment (same fixture, same
+    // argmin tie-break) and is itself brute-checked above — reuse it
+    // as the cell ground truth, then replay the per-cell bottom-k
+    // election by independent md5 priorities
+    val cells = graft.operators.SimSearch.semanticDedup(spark, sf0001)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val expected = cells.groupBy(_._2).toSeq.flatMap { case (cell, ms) =>
+      ms.toSeq.map { case (v, _) => (h60(s"quota:$v"), v) }
+        .sortBy(identity).take(24).zipWithIndex
+        .map { case ((pri, v), i) => (cell, i + 1, v, pri) }
+    }.toSet
+    val got = graft.operators.SimSearch.cellQuotaSample(spark, sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    got.groupBy(_._1).foreach { case (cell, rs) =>
+      assert(rs.size <= 24, s"cell $cell over quota")
+      assert(rs.map(_._2).toSeq.sorted === (1 to rs.size).toSeq,
+        s"cell $cell ranks not contiguous")
+    }
+  }
+
   test("q173 int8 round-trip errors match an exact reimplementation") {
     val vecs = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding")).collect()

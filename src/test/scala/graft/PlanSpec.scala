@@ -158,7 +158,10 @@ class PlanSpec extends AnyFunSuite {
       // sketch table (one row per SOURCE, never per doc)
       "q125_ann_matryoshka", "q134_sketch_union", "q151_kmv_jaccard",
       // q161/q167 broadcast the bounded NQ-row anchor/query set
-      "q161_srp_bits", "q167_neg_sample")
+      "q161_srp_bits", "q167_neg_sample",
+      // q180 broadcasts the KmK-row trained centroid table for the
+      // q34-style assignment argmin
+      "q180_cell_quota")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
