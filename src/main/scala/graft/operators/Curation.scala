@@ -171,6 +171,19 @@ object Curation {
   private[graft] val SplitTrainMilli = 800L
   private[graft] val SplitValMilli = 900L
 
+  /** The ONE split-bucket function — q121's salted content hash. Every
+    * split consumer (q96 pair-leakage audit, q140's nightly
+    * composition, q178 n-gram decontamination) derives its buckets
+    * HERE, so every audit measures the split the pipeline actually
+    * ships, and retuning the salt or the hash cannot silently decouple
+    * an audit from the assignment it audits. SQL twin below.
+    */
+  private[graft] def splitBucket(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    HashOps.md5_prefix60(concat(lit("split:"), text)) % 1000
+  private[graft] val splitBucketSql: String =
+    s"${sqlHash60("'split:' || text")} % 1000"
+
   /** q121: DETERMINISTIC TRAIN/VAL/TEST SPLIT ASSIGNMENT — every doc
     * gets a split from a salted 60-bit hash of its TEXT (not its id):
     * content-keyed, so byte-identical duplicates land in the same
@@ -187,8 +200,7 @@ object Curation {
     */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket",
-        HashOps.md5_prefix60(concat(lit("split:"), col("text"))) % 1000)
+      .withColumn("bucket", splitBucket(col("text")))
       .select(col("doc_id"), col("lang"), col("bucket"),
         when(col("bucket") < SplitTrainMilli, "train")
           .when(col("bucket") < SplitValMilli, "val")
@@ -895,10 +907,10 @@ object Curation {
 
   private val splitAssignSql =
     s"""SELECT doc_id, lang,
-       |  ${sqlHash60("'split:' || text")} % 1000 AS bucket,
-       |  CASE WHEN ${sqlHash60("'split:' || text")} % 1000 < $SplitTrainMilli
+       |  $splitBucketSql AS bucket,
+       |  CASE WHEN $splitBucketSql < $SplitTrainMilli
        |         THEN 'train'
-       |       WHEN ${sqlHash60("'split:' || text")} % 1000 < $SplitValMilli
+       |       WHEN $splitBucketSql < $SplitValMilli
        |         THEN 'val'
        |       ELSE 'test' END AS split
        |FROM documents""".stripMargin

@@ -133,8 +133,10 @@ object Dedup {
     * Jaccard estimate (fraction of the [[NumHashes]] slots that agree,
     * in milli — an unbiased estimator of true Jaccard) is compared
     * against the EXACT shingle-set Jaccard, and the audit reports the
-    * calibration curve: per estimate bucket (9 possible values,
-    * 0/125/…/1000), the pair count and the exact-Jaccard sum/min/max.
+    * calibration curve: per estimate bucket (multiples of
+    * 1000/[[NumHashes]]; band candidates share ≥ one 2-hash band, so
+    * the attainable floor is 250), the pair count and the
+    * exact-Jaccard sum/min/max.
     * This is the q45-for-MinHash: the number that justifies q15's
     * banding parameters on a NEW corpus before trusting them, and the
     * evidence for retuning [[NumHashes]]/[[NumBands]] when the
@@ -148,6 +150,12 @@ object Dedup {
     * (milli-Jaccard), hash-stable on any engine.
     */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    // the estimate scale is embedded as the integer 1000/NumHashes in
+    // BOTH engines: a retune to a non-divisor (the scaladoc invites
+    // retuning) would silently deflate every bucket on both sides at
+    // once — the one failure the cross-engine hash gate cannot see
+    require(1000 % NumHashes == 0,
+      s"q177 milli estimate needs NumHashes | 1000, got $NumHashes")
     // one signature pass feeds the band join AND both per-pair probes
     val sig = sigOf(docShingleHashes(spark, dir)).cp()
     val bands = bandsFromSig(sig)
@@ -581,10 +589,11 @@ object Dedup {
     */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val split = Tables.documents(spark, dir)
-      .select(col("doc_id"), (hash60(col("text")) % 1000).as("m"))
+      // q121's shared bucket function AND fractions
+      // (Curation.splitBucket / SplitTrainMilli / SplitValMilli): the
+      // audit measures the split the pipeline ships, from one site
+      .select(col("doc_id"), Curation.splitBucket(col("text")).as("m"))
       .select(col("doc_id"),
-        // q121's shared fractions (Curation.SplitTrainMilli/ValMilli):
-        // one tuning site for every split consumer, oracle included
         when(col("m") < Curation.SplitTrainMilli, "train")
           .when(col("m") < Curation.SplitValMilli, "val")
           .otherwise("test").as("split"))
@@ -610,10 +619,11 @@ object Dedup {
     * split. This is the published-eval hygiene number (the "13-gram
     * overlap" style audit): a test doc can be far from every train doc
     * by whole-document similarity and still have most of its n-grams
-    * memorizable verbatim. Splits are q96/q121's content-hash
-    * assignment ([[Curation.SplitTrainMilli]]/[[Curation.SplitValMilli]]
-    * — the one shared tuning site), so this audit and the assignment
-    * it audits can never use different splits.
+    * memorizable verbatim. Splits come from [[Curation.splitBucket]] —
+    * the q121 assignment function itself, with its
+    * [[Curation.SplitTrainMilli]]/[[Curation.SplitValMilli]] fractions
+    * — so this audit and the assignment it audits can never use
+    * different splits.
     *
     * Scale: gram hashing is row-local ([[graft.functions.HashOps]]
     * one-pass kernel); the train gram set and the probe are ONE
@@ -624,7 +634,7 @@ object Dedup {
     */
   def ngramLeakage(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), (hash60(col("text")) % 1000).as("m"),
+      .select(col("doc_id"), Curation.splitBucket(col("text")).as("m"),
         words(col("text")).as("ws"))
       .filter(size(col("ws")) >= LeakN)
       .select(col("doc_id"), col("m"), array_distinct(
@@ -1209,8 +1219,7 @@ object Dedup {
       .filter(col("verdict") === "new").select(col("doc_id"))
     val perSplit = Tables.documents(spark, dir).filter(isNew)
       .join(accepted, "doc_id")
-      .withColumn("bucket", graft.functions.HashOps
-        .md5_prefix60(concat(lit("split:"), col("text"))) % 1000)
+      .withColumn("bucket", Curation.splitBucket(col("text")))
       .withColumn("split",
         when(col("bucket") < Curation.SplitTrainMilli, "train")
           .when(col("bucket") < Curation.SplitValMilli, "val")
@@ -1619,7 +1628,7 @@ object Dedup {
        |        CASE WHEN m < ${Curation.SplitTrainMilli} THEN 'train'
        |             WHEN m < ${Curation.SplitValMilli} THEN 'val'
        |             ELSE 'test' END split
-       |      FROM (SELECT doc_id, @H60@ % 1000 m FROM documents))
+       |      FROM (SELECT doc_id, @BUCKET@ m FROM documents))
        |SELECT sa.split AS split_a, sb.split AS split_b,
        |       CAST(count(*) AS BIGINT) AS n_pairs,
        |       sa.split <> sb.split AS leaked
@@ -1627,13 +1636,14 @@ object Dedup {
        |        JOIN s sb ON pr.doc_b = sb.doc_id
        |GROUP BY 1, 2, 4""".stripMargin
       .replace("@PAIRS@", minhashSql)
-      .replace("@H60@", sqlHash60("text"))
+      .replace("@BUCKET@", Curation.splitBucketSql)
 
-  // q178: the same split convention as q96's oracle, grams joined with
-  // the shingle kernel's single-space convention (q15's sqlShingles)
+  // q178: the shipped split convention (Curation.splitBucketSql, the
+  // q121 oracle's own expression), grams joined with the shingle
+  // kernel's single-space convention (q15's sqlShingles)
   private val ngramLeakageSql = {
     val gram = (0 until LeakN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
-    s"""WITH w AS (SELECT doc_id, ${sqlHash60("text")} % 1000 m, $sqlWords ws
+    s"""WITH w AS (SELECT doc_id, ${Curation.splitBucketSql} m, $sqlWords ws
        |           FROM documents),
        |g AS (SELECT doc_id, m, list_distinct(list_transform(
        |        range(1, len(ws) - ${LeakN - 2}),
@@ -1800,9 +1810,9 @@ object Dedup {
        |acc AS (SELECT d.doc_id, d.source, d.text FROM documents d
        |        JOIN v ON v.doc_id = d.doc_id AND v.verdict = 'new'),
        |sp AS (SELECT source,
-       |         CASE WHEN ${sqlHash60("'split:' || text")} % 1000
+       |         CASE WHEN ${Curation.splitBucketSql}
        |                < ${Curation.SplitTrainMilli} THEN 'train'
-       |              WHEN ${sqlHash60("'split:' || text")} % 1000
+       |              WHEN ${Curation.splitBucketSql}
        |                < ${Curation.SplitValMilli} THEN 'val'
        |              ELSE 'test' END AS split,
        |         len($sqlWords) AS n_tokens

@@ -542,16 +542,6 @@ object SimSearch {
   private val PqIters = 1 // Lloyd rounds per codebook
   private val PqShort = 32 // ADC shortlist size fed to the exact re-rank
 
-  /** Subvector features: one row per (vector, subspace) with the
-    * 16-dim slice and its exact integer norm². All [[PqM]] subspaces
-    * ride ONE keyed table — training, encoding and scoring below are
-    * ordinary keyed joins/aggregations over `m`, not per-subspace
-    * unrolled plans. Delegates to [[subsOf]] — the ONE site for the
-    * [[PqDs]] slicing arithmetic, so codebook training, encoding, and
-    * query-side splits can never disagree on the subspace layout.
-    */
-  private def pqSubs(e: DataFrame): DataFrame = subsOf(e)
-
   /** Per-subspace codebooks: seeds = subvectors of vectors
     * 0..[[PqKs]]-1, then [[PqIters]] Lloyd rounds — the q59 trainer
     * keyed by (m, cell) so all [[PqM]] codebooks train in the same
@@ -622,13 +612,13 @@ object SimSearch {
       val app = spark.sparkContext.applicationId
       evictStale(pqBookFixtures, (k: (String, String)) => k._1, app)
       pqBookFixtures.getOrElseUpdate((app, dir),
-        pqCodebooks(pqSubs(featurized(spark, dir)))
+        pqCodebooks(subsOf(featurized(spark, dir)))
           .cp(eager = true))
     }
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = base(spark, dir).cp()
-    val subs = pqSubs(e).cp()
+    val subs = subsOf(e).cp()
     val books = pqBookFixture(spark, dir)
     val codes = subs.join(broadcast(books), "m")
       .withColumn("d2", dist2(col("sqv"), col("sn2"), col("cqv"), col("cn2")))
@@ -652,7 +642,7 @@ object SimSearch {
   }
 
   /** Subvector split of an arbitrary (keys..., qv) frame — the single
-    * [[PqM]]×[[PqDs]] subspace-layout kernel behind [[pqSubs]], q97's
+    * [[PqM]]×[[PqDs]] subspace-layout kernel behind corpus encoding, q97's
     * residual split, and the query-side distance tables. `keys` are
     * the passenger columns carried through the explode (vector id by
     * default; (q_id, cell) for per-probe query residuals).
@@ -703,7 +693,7 @@ object SimSearch {
     s"fixture:centroids_k$KmK" -> trainCentroids(featurized(spark, dir), KmK),
     s"fixture:centroids_k$NCells" ->
       trainCentroids(featurized(spark, dir), NCells),
-    "fixture:pq_codebooks" -> pqCodebooks(pqSubs(featurized(spark, dir))),
+    "fixture:pq_codebooks" -> pqCodebooks(subsOf(featurized(spark, dir))),
     "fixture:ivfpq_residual_books" -> ivfPqBooksPlan(spark, dir),
     "q173:calibration" -> int8CalPlan(spark, dir))
 

@@ -93,7 +93,23 @@ object GenManifest {
     */
   def mark(dir: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
     val md = manifestDir(dir)
-    md.getFileSystem(conf).mkdirs(md)
+    val fs = md.getFileSystem(conf)
+    if (!fs.exists(md)) {
+      // Refuse to take governance over a directory that already holds
+      // UNTRACKED data files: the first snapshot starts from an empty
+      // entry set, so marking here would silently hide them from every
+      // future read (of this job AND of the pre-existing data). A
+      // foreign/legacy directory must be imported (re-exported through
+      // the sink) before this engine writes into it. One listStatus,
+      // driver-side, once per directory lifetime.
+      if (ProtoZstFiles.list(dir, conf).nonEmpty)
+        throw new IllegalStateException(
+          s"refusing to write into $dir: it holds data files not " +
+            "tracked by any manifest, and governing it would hide them " +
+            "— import the directory through the sink (or write " +
+            "elsewhere) first")
+      fs.mkdirs(md)
+    }
     ()
   }
 
@@ -171,7 +187,14 @@ object GenManifest {
         try {
           val in = fs.open(p)
           val bytes = try in.readAllBytes() finally in.close()
-          return parse(bytes)
+          // a COMMITTED version that does not parse is corruption or a
+          // newer format — absence degrades, never lies: this must not
+          // read as "no manifest" (the governed() fallback would then
+          // report an EMPTY table over committed data)
+          return Some(parse(bytes).getOrElse(throw new java.io.IOException(
+            s"manifest $p exists but does not parse — corrupt bytes or " +
+              "a newer engine's format; refusing to misread the table " +
+              "as empty")))
         } catch {
           case _: java.io.FileNotFoundException => () // gc race — retry
         }

@@ -792,13 +792,14 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   // a sink dir before even the marker exists (writer not started)
   // begins in listing mode over an empty listing; each listing-mode
   // poll RE-PROBES and switches the moment the directory becomes
-  // governed — but only while THIS stream has delivered nothing in
-  // listing mode (for a sink dir that is always the case: the marker
-  // precedes the first data file). A manifest appearing AFTER
-  // listing-mode deliveries (a foreign dir retrofitted mid-stream)
-  // has no sound offset mapping — listing positions are
-  // sorted-by-name, manifest positions append-ordered — so that
-  // fails loudly instead of silently re-numbering delivered files.
+  // governed — but only while NO listing position is load-bearing:
+  // nothing planned AND no offset issued to the offset log (for a
+  // sink dir that is always the case: the marker precedes the first
+  // data file). A manifest appearing after listing offsets became
+  // load-bearing (a foreign dir retrofitted mid-stream) has no sound
+  // offset mapping — listing positions are sorted-by-name, manifest
+  // positions append-ordered — so that fails loudly instead of
+  // silently re-numbering delivered files.
   // Once in manifest mode the stream never leaves it. (Across a
   // RESTART the checkpoint's ints can't say which mode numbered them;
   // the first poll re-pins by governance, which is correct for every
@@ -807,30 +808,38 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   // between runs.)
   private object Mode { val Undecided = 0; val Manifest = 1; val Listing = 2 }
   @volatile private var mode = Mode.Undecided
-  // files delivered (planned) while in LISTING mode — the point past
-  // which listing positions are load-bearing and a switch must refuse
+  // listing positions that are LOAD-BEARING: the max of files already
+  // planned AND offsets already issued to the engine's offset log
+  // while in listing mode — a switch past either must refuse (an
+  // issued-but-not-yet-planned offset would otherwise be replayed
+  // against manifest-append order, silently renumbering the batch)
   @volatile private var listedDeliveries = 0
+  @volatile private var listedIssued = 0
   // a governed dir whose snapshots ALL disappear after one was read is
   // an anomaly (gc never removes the newest); before the first commit
   // an empty snapshot set is the normal in-flight-write state
   @volatile private var sawSnapshot = false
   private def currentFiles(): Seq[String] = {
-    val snap = GenManifest.read(path, conf.value)
-    def isGoverned = snap.isDefined || GenManifest.governed(path, conf.value)
     mode match {
+      // governed() is ONE exists() probe — the listing-mode poll never
+      // pays a manifest read until the directory actually becomes
+      // governed (foreign dirs would otherwise pay listStatus of a
+      // nonexistent manifest dir on every trigger, forever)
       case Mode.Undecided =>
-        mode = if (isGoverned) Mode.Manifest else Mode.Listing
-      case Mode.Listing if isGoverned =>
-        if (listedDeliveries > 0)
+        mode = if (GenManifest.governed(path, conf.value)) Mode.Manifest
+          else Mode.Listing
+      case Mode.Listing if GenManifest.governed(path, conf.value) =>
+        val pinned = math.max(listedDeliveries, listedIssued)
+        if (pinned > 0)
           throw new IllegalStateException(
-            s"$path gained a manifest after $listedDeliveries files were " +
-              "delivered under sorted-listing offsets; the two orderings " +
-              "are incompatible — restart the stream from a fresh " +
+            s"$path gained a manifest after $pinned sorted-listing " +
+              "offsets became load-bearing; the two orderings are " +
+              "incompatible — restart the stream from a fresh " +
               "checkpoint to adopt manifest offsets")
         mode = Mode.Manifest
       case _ => ()
     }
-    if (mode == Mode.Manifest) snap match {
+    if (mode == Mode.Manifest) GenManifest.read(path, conf.value) match {
       case Some(s) =>
         sawSnapshot = true
         s.entries.map(e =>
@@ -867,12 +876,19 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
       case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
       case _ => total
     }
+    // the engine will log this offset: listing positions up to it are
+    // now load-bearing even before any partition is planned
+    if (mode == Mode.Listing && end > listedIssued) listedIssued = end
     ProtoZstOffset(end)
   }
   override def reportLatestOffset(): Offset = ProtoZstOffset(available())
 
   override def initialOffset(): Offset = ProtoZstOffset(0)
-  override def latestOffset(): Offset = ProtoZstOffset(currentFiles().length)
+  override def latestOffset(): Offset = {
+    val n = currentFiles().length
+    if (mode == Mode.Listing && n > listedIssued) listedIssued = n
+    ProtoZstOffset(n)
+  }
   override def deserializeOffset(json: String): Offset =
     ProtoZstOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()

@@ -305,10 +305,10 @@ class DedupSpec extends AnyFunSuite {
       if (ws.length < 8) Set.empty
       else ws.sliding(8).map(_.mkString(" ")).toSet
     }
-    val train = docs.filter { case (_, t) => h60(t) % 1000 < 800 }
+    val train = docs.filter { case (_, t) => h60("split:" + t) % 1000 < 800 }
       .flatMap { case (_, t) => grams(t) }.toSet
     val expected = docs
-      .filter { case (_, t) => h60(t) % 1000 >= 900 }
+      .filter { case (_, t) => h60("split:" + t) % 1000 >= 900 }
       .map { case (id, t) => id -> grams(t) }
       .filter(_._2.nonEmpty)
       .map { case (id, gs) =>
