@@ -245,11 +245,144 @@ object Compaction {
         (col("l0_rows") + col("l1_rows")).as("rewrite_rows"))
   }
 
+  private[graft] val TwcsW = 4 // time windows across the fixture corpus
+
+  /** Deterministic time-windowed generation layout for q181: live
+    * cells of non-tombstoned partitions land in the file(s) of their
+    * write-time WINDOW — the flush behavior TWCS assumes (a memtable
+    * flushed every period holds only that period's writes). Windows
+    * are [[TwcsW]] equal spans of the corpus write-time range; every
+    * CLOSED window is split 2 ways by key (two flushes), the NEWEST 4
+    * ways (many small current-window flushes — the shape STCS is left
+    * to manage inside the window). All splits are content-keyed, so
+    * every file's row count and time range are pure functions of the
+    * data and the oracle replays the planner without reading the sink.
+    */
+  private[graft] def twcsFixture(spark: SparkSession, dir: String): String =
+    Sink.fixture("twcs:" + dir) {
+      import graft.operators.Checkpoints._
+      val out = Scratch.dir("graft_twcs")
+      val cells = CellModel.cells(spark, dir)
+        .filter(!col("partition_deleted") && col("kind") === "live")
+      val b = cells.agg(min(col("write_time")), max(col("write_time"))).head
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val newest = (mx - mn) * TwcsW / (mx - mn + 1)
+      // one nest shuffle feeds every per-(window, split) slice write
+      val nested = cells
+        .withColumn("w",
+          expr(s"((write_time - $mn) * $TwcsW) DIV ${mx - mn + 1}"))
+        .withColumn("kn", col("key").cast("string").cast("long"))
+        .withColumn("sub", when(col("w") === newest, col("kn") % 4)
+          .otherwise(col("kn") % 2))
+        .groupBy(col("w"), col("sub"), col("key"))
+        .agg(sort_array(collect_list(struct(col("name"), col("value"),
+          col("write_time")))).as("columns"))
+        .cp(eager = true)
+      (0 until TwcsW).foreach { w =>
+        (0 until (if (w == newest) 4 else 2)).foreach { s =>
+          Sink.writeNested(nested
+            .filter(col("w") === w && col("sub") === s)
+            .select(col("key"), col("columns")).coalesce(1), out)
+        }
+      }
+      out
+    }
+
+  /** q181: TIME-WINDOW COMPACTION PLANNING from manifest TIME RANGES —
+    * the third strategy in Cassandra's menu (TWCS; q153 is STCS, q156
+    * is LCS): bucket files by the write-time window of their newest
+    * cell, MAJOR-compact every closed window down to one file (an
+    * old window never receives new writes, so one immutable file per
+    * window is the steady state TTL expiry can drop wholesale), and
+    * leave the current window to size-tiering. The per-file min/max
+    * cell write time is the Statistics-sidecar stat Cassandra keeps
+    * per SSTable (`SSTableReaderPatched.java:123-178` reads that
+    * sidecar family) — here it rides the generation manifest
+    * ([[graft.sources.GenManifest.Entry.times]], observed free at
+    * write), so, like q153/q156, the whole plan is arithmetic over
+    * ONE KB-sized snapshot: no data file opened, no directory listed
+    * (CompactionSpec pins both counters at zero).
+    *
+    * Output per window: file count, row totals/extrema, and the
+    * action — 'major' (closed window, >1 file), 'stcs' (current
+    * window at Cassandra's min_threshold = 4), or 'none'.
+    *
+    * The oracle recomputes every file's window and row count from the
+    * RAW table (the fixture's split rule is content-keyed), so the
+    * hash gate also proves the manifest's time ranges are truthful —
+    * planner-input audit and plan in one check, the q153 double duty.
+    */
+  def twcsPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = twcsFixture(spark, dir)
+    val snap = graft.sources.GenManifest
+      .read(out, spark.sessionState.newHadoopConf())
+      .getOrElse(sys.error(s"q181: no manifest under $out"))
+    val timed = snap.entries.filter(e => e.count > 0 && e.times.isDefined)
+      .map(e => (e.name, e.count, e.times.get._1, e.times.get._2))
+    require(timed.nonEmpty, s"q181: no timed manifest entries under $out")
+    val (mn, mx) = (timed.map(_._3).min, timed.map(_._4).max)
+    val newest = (mx - mn) * TwcsW / (mx - mn + 1)
+    timed.map { case (_, n, _, mxT) =>
+      ((mxT - mn) * TwcsW / (mx - mn + 1), n)
+    }.toDF("win", "n_rows")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("sum_rows"),
+        min(col("n_rows")).as("min_rows"), max(col("n_rows")).as("max_rows"))
+      .withColumn("action",
+        when(col("win") < newest,
+          when(col("n_files") > 1, "major").otherwise("none"))
+          .otherwise(when(col("n_files") >= 4, "stcs").otherwise("none")))
+      .select(col("win"), col("n_files"), col("sum_rows"),
+        col("min_rows"), col("max_rows"), col("action"))
+  }
+
+  /** q183: MATERIALIZED-VIEW DELTA MAINTENANCE — Cassandra's MV
+    * contract re-keys base rows by a data COLUMN (here: the MV
+    * partition key is the cell VALUE, its clustering is (base key,
+    * name)), and the base write path must emit, for every base cell
+    * whose value changes, paired view mutations: a DELETE of the old
+    * view row and an INSERT of the new one — the view can never be
+    * rebuilt by rescan at 100 TB, it is maintained by deltas. Old
+    * state = generation 0's live cells; new state = the q53
+    * newest-wins merge of gen 0 + the overlay. Ops: value changed →
+    * delete + insert; cell tombstoned → delete; cell newly appearing
+    * live → insert. Unchanged cells emit NOTHING — the delta stream
+    * is proportional to the write rate, not the table.
+    *
+    * Scale: two equi-joins on (key, name) between old and new — both
+    * sides hash-partition the same way, so AQE plans one co-located
+    * exchange pair; every op is then row-local. No window, no rescan
+    * of the base beyond the two states it already reconciles.
+    */
+  def mvDelta(spark: SparkSession, dir: String): DataFrame = {
+    val old = generations(spark, dir)
+      .filter(col("gen") === 0 && col("kind") === "live" &&
+        !col("partition_deleted"))
+      .select(col("key"), col("name"), col("value"))
+    val neu = merged(spark, dir)
+      .filter(col("w.kind") === "live")
+      .select(col("key"), col("name"), col("w.value").as("value"))
+    val dels = old.as("o")
+      .join(neu.as("n"), Seq("key", "name"), "left")
+      .filter(col("n.value").isNull || col("n.value") =!= col("o.value"))
+      .select(lit("delete").as("op"), col("o.value").as("mv_key"),
+        col("key"), col("name"))
+    val ins = neu.as("n")
+      .join(old.as("o"), Seq("key", "name"), "left")
+      .filter(col("o.value").isNull || col("o.value") =!= col("n.value"))
+      .select(lit("insert").as("op"), col("n.value").as("mv_key"),
+        col("key"), col("name"))
+    dels.unionByName(ins)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_compact" -> compact,
     "q153_size_tiered" -> sizeTiered,
     "q154_gc_grace" -> gcGrace,
-    "q156_leveled_plan" -> leveledPlan)
+    "q156_leveled_plan" -> leveledPlan,
+    "q181_twcs_plan" -> twcsPlan,
+    "q183_mv_delta" -> mvDelta)
 
   /** Shared oracle CTE: the identical two generations + the newest-wins
     * window (equivalent to the struct-max because (write_time, gen) is
@@ -332,9 +465,55 @@ object Compaction {
        |GROUP BY 1, 2, 3""".stripMargin
   }
 
+  // replays window assignment, the content-keyed split rule, and the
+  // TWCS action from the raw table — all operands of the `//` floors
+  // are non-negative, so DuckDB's floor division matches Spark's
+  // truncating DIV (and Scala's Long `/` on the manifest side)
+  private val twcsPlanSql =
+    s"""WITH c AS (SELECT CAST(key AS BIGINT) AS kn, key, write_time
+       |      FROM (${Core.cellsSql})
+       |      WHERE NOT partition_deleted AND kind = 'live'),
+       |b AS (SELECT min(write_time) mn, max(write_time) mx FROM c),
+       |nw AS (SELECT ((mx - mn) * $TwcsW) // (mx - mn + 1) AS newest
+       |       FROM b),
+       |wi AS (SELECT ((write_time - mn) * $TwcsW) // (mx - mn + 1) AS w,
+       |         kn, key FROM c, b),
+       |f AS (SELECT w,
+       |        CASE WHEN w = newest THEN kn % 4 ELSE kn % 2 END AS sub,
+       |        CAST(count(DISTINCT key) AS BIGINT) AS n_rows
+       |      FROM wi, nw GROUP BY 1, 2)
+       |SELECT w AS win, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(n_rows) AS BIGINT) AS sum_rows,
+       |  min(n_rows) AS min_rows, max(n_rows) AS max_rows,
+       |  CASE WHEN w < (SELECT newest FROM nw)
+       |       THEN CASE WHEN count(*) > 1 THEN 'major' ELSE 'none' END
+       |       ELSE CASE WHEN count(*) >= 4 THEN 'stcs' ELSE 'none' END
+       |  END AS action
+       |FROM f GROUP BY w""".stripMargin
+
+  // shares generationsSql with q53/q154 — old state is g0's live cells
+  // of non-tombstoned partitions, new state is the rn=1 live merge
+  private val mvDeltaSql =
+    s"""$generationsSql,
+       |old AS (SELECT key, name, value FROM g0
+       |        WHERE kind = 'live' AND NOT partition_deleted),
+       |neu AS (SELECT key, name, value FROM r
+       |        WHERE rn = 1 AND kind = 'live')
+       |SELECT 'delete' AS op, o.value AS mv_key, o.key AS key,
+       |       o.name AS name
+       |FROM old o LEFT JOIN neu n ON o.key = n.key AND o.name = n.name
+       |WHERE n.value IS NULL OR n.value <> o.value
+       |UNION ALL
+       |SELECT 'insert' AS op, n.value AS mv_key, n.key AS key,
+       |       n.name AS name
+       |FROM neu n LEFT JOIN old o ON o.key = n.key AND o.name = n.name
+       |WHERE o.value IS NULL OR o.value <> n.value""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q53_compact" -> compactSql,
     "q153_size_tiered" -> sizeTieredSql,
     "q154_gc_grace" -> gcGraceSql,
-    "q156_leveled_plan" -> leveledPlanSql)
+    "q156_leveled_plan" -> leveledPlanSql,
+    "q181_twcs_plan" -> twcsPlanSql,
+    "q183_mv_delta" -> mvDeltaSql)
 }

@@ -250,8 +250,99 @@ object Core {
           .as("needs_repair"))
   }
 
+  // Scaled-down analogs of Cassandra's tombstone_warn_threshold =
+  // 1000 / tombstone_failure_threshold = 100000 (read-path guardrails;
+  // the synthetic corpus runs ~4-23 tombstones per partition at
+  // sf0.01, so these produce a real ok/warn/abort mix)
+  private val TombWarn = 12L
+  private val TombAbort = 20L
+
+  /** q182: TOMBSTONE-DENSITY READ AUDIT — Cassandra's
+    * tombstone_warn_threshold / tombstone_failure_threshold contract
+    * per partition: a read of a partition scans every cell the merge
+    * touches, and the ones that are TOMBSTONES (cell kind 'deleted' —
+    * `SSTableIdentityIteratorPatched.java:33-78` deserializes exactly
+    * these deletion markers) are pure overhead that can abort the read
+    * outright. The audit reports, per live partition, the scanned /
+    * live / tombstone cell counts and the verdict at the (scaled)
+    * thresholds — the table an operator reads before raising gc_grace
+    * or blaming a slow partition. Partition-tombstoned keys are
+    * excluded: their read touches only the partition deletion marker,
+    * never the shadowed cells. 'expiring' cells count as scanned but
+    * not as tombstones (the model carries no TTL expiry instant, so
+    * none have expired yet — Cassandra would count expired ones).
+    *
+    * Scale: pure projection + ONE count-aggregation on the partition
+    * key with map-side partials; verdict is a row-local CASE. The
+    * 100 TB posture is the same as the read path it audits: no joins,
+    * no windows, no second scan.
+    */
+  def tombstoneAudit(spark: SparkSession, dir: String): DataFrame =
+    CellModel.cellStrings(spark, dir)
+      .filter(!col("partition_deleted"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_scanned"),
+        sum(when(col("kind") === "live", 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("kind") === "deleted", 1L).otherwise(0L))
+          .as("n_tombstones"))
+      .withColumn("verdict",
+        when(col("n_tombstones") >= TombAbort, "abort")
+          .when(col("n_tombstones") >= TombWarn, "warn")
+          .otherwise("ok"))
+
+  /** q186: ROW-LEVEL READ REPAIR — the step Cassandra takes after
+    * q158's digests disagree (or inline, on a digest-mismatched read):
+    * reconcile two replicas cell by cell under newest-wins and emit
+    * the REPAIR MUTATIONS — which replica receives which winning cell
+    * — rather than a verdict. Replicas A and B are independent
+    * deterministic divergences of the same truth (each misses cells
+    * by its own salted hash — lost writes — and rolls some write
+    * times back — stale replays), so repairs flow BOTH directions and
+    * the oracle replays the full exchange. A cell equal on both
+    * replicas emits NOTHING: repair traffic is proportional to
+    * divergence, never to the table — q158 bounds which ranges to
+    * even compare, this bounds what to ship.
+    *
+    * Scale: ONE full-outer equi-join on (key, name) — both replicas
+    * hash-partition identically, and in production the q158 range
+    * verdict prunes the join inputs to mismatched ranges first.
+    * Everything after the join is row-local.
+    */
+  def readRepair(spark: SparkSession, dir: String): DataFrame = {
+    val truth = CellModel.liveCellStrings(spark, dir)
+    def h(salt: String) = graft.functions.Portable.hash60(
+      concat(lit(salt), col("name")))
+    def replica(lostSalt: String, lostMod: Long, lostRes: Long,
+        staleSalt: String, staleMod: Long, staleRes: Long,
+        rollback: Long): DataFrame =
+      truth.filter(h(lostSalt) % lostMod =!= lostRes)
+        .withColumn("write_time",
+          when(h(staleSalt) % staleMod === staleRes,
+            col("write_time") - rollback).otherwise(col("write_time")))
+    val a = replica("lostA:", 97, 3, "staleA:", 101, 5, 1000L)
+      .select(col("key"), col("name"), col("value").as("va"),
+        col("write_time").as("wa"))
+    val b = replica("lostB:", 89, 7, "staleB:", 103, 11, 2000L)
+      .select(col("key"), col("name"), col("value").as("vb"),
+        col("write_time").as("wb"))
+    a.join(b, Seq("key", "name"), "full_outer")
+      .withColumn("repair_target",
+        when(col("wa").isNull, "a")
+          .when(col("wb").isNull, "b")
+          .when(col("wa") < col("wb"), "a")
+          .when(col("wb") < col("wa"), "b"))
+      .filter(col("repair_target").isNotNull)
+      .select(col("key"), col("name"), col("repair_target"),
+        when(col("repair_target") === "a", col("vb")).otherwise(col("va"))
+          .as("value"),
+        when(col("repair_target") === "a", col("wb")).otherwise(col("wa"))
+          .as("write_time"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_range_repair" -> rangeRepair,
+    "q182_tombstone_audit" -> tombstoneAudit,
+    "q186_read_repair" -> readRepair,
     "q155_token_ranges" -> tokenRanges,
     "q79_secondary_index" -> indexLookup,
     "q42_nest_chunked" -> CellModel.nestRowsChunked _,
@@ -345,8 +436,48 @@ object Core {
        |FROM da FULL JOIN db USING (range_id)""".stripMargin
   }
 
+  private val readRepairSql = {
+    def h(salt: String) =
+      graft.functions.Portable.sqlHash60(s"'$salt' || name")
+    def rep(lostSalt: String, lostMod: Long, lostRes: Long,
+        staleSalt: String, staleMod: Long, staleRes: Long, rollback: Long) =
+      s"""SELECT key, name, value,
+         |  CASE WHEN ${h(staleSalt)} % $staleMod = $staleRes
+         |       THEN write_time - $rollback ELSE write_time END AS wt
+         |FROM t WHERE ${h(lostSalt)} % $lostMod <> $lostRes""".stripMargin
+    s"""WITH t AS ($liveCellsSql),
+       |a AS (${rep("lostA:", 97, 3, "staleA:", 101, 5, 1000L)}),
+       |b AS (${rep("lostB:", 89, 7, "staleB:", 103, 11, 2000L)}),
+       |j AS (SELECT coalesce(a.key, b.key) AS key,
+       |        coalesce(a.name, b.name) AS name,
+       |        a.value AS va, a.wt AS wa, b.value AS vb, b.wt AS wb
+       |      FROM a FULL JOIN b ON a.key = b.key AND a.name = b.name),
+       |r AS (SELECT key, name, va, wa, vb, wb,
+       |        CASE WHEN wa IS NULL THEN 'a' WHEN wb IS NULL THEN 'b'
+       |             WHEN wa < wb THEN 'a' WHEN wb < wa THEN 'b'
+       |        END AS repair_target FROM j)
+       |SELECT key, name, repair_target,
+       |  CASE WHEN repair_target = 'a' THEN vb ELSE va END AS value,
+       |  CASE WHEN repair_target = 'a' THEN wb ELSE wa END AS write_time
+       |FROM r WHERE repair_target IS NOT NULL""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q158_range_repair" -> rangeRepairSql,
+    "q186_read_repair" -> readRepairSql,
+    "q182_tombstone_audit" ->
+      s"""SELECT key, CAST(count(*) AS BIGINT) AS n_scanned,
+         |  CAST(sum(CASE WHEN kind = 'live' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_live,
+         |  CAST(sum(CASE WHEN kind = 'deleted' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tombstones,
+         |  CASE WHEN sum(CASE WHEN kind = 'deleted' THEN 1 ELSE 0 END)
+         |         >= $TombAbort THEN 'abort'
+         |       WHEN sum(CASE WHEN kind = 'deleted' THEN 1 ELSE 0 END)
+         |         >= $TombWarn THEN 'warn'
+         |       ELSE 'ok' END AS verdict
+         |FROM ($cellsSql) WHERE NOT partition_deleted
+         |GROUP BY key""".stripMargin,
     "q155_token_ranges" -> tokenRangesSql,
     "q79_secondary_index" ->
       (s"SELECT key, count(*) AS n_cells FROM ($liveCellsSql) " +

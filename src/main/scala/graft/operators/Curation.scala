@@ -663,7 +663,98 @@ object Curation {
           .otherwise("suppress").as("action"))
   }
 
+  private val AffBuckets = 256L // hashed-unigram feature space
+  private val AffTarget = "src0" // the reference domain being matched
+
+  /** q184: DOMAIN-AFFINITY IMPORTANCE SCORING — DSIR-style data
+    * selection (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how much its
+    * hashed-unigram profile looks like a TARGET domain ([[AffTarget]])
+    * relative to the whole corpus, then keep the high-affinity tail as
+    * the up-weighted training slice. The published method weights by a
+    * product of per-feature probability ratios; this engine keeps the
+    * cross-engine hash gate by using the RATIO OF EXACT INTEGER MASS
+    * SUMS instead — score = (Σ_w target-count of w's bucket) · N_corpus
+    * over (Σ_w corpus-count) · N_target, in milli via one integer DIV:
+    * >1000 means the document's vocabulary sits in buckets the target
+    * over-uses. Every operand is an exact long (widen to decimal past
+    * ~10⁶-token buckets, the q132 discipline), so no float log-sum can
+    * drift between engines.
+    *
+    * Scale: one explode + ONE [[AffBuckets]]-row count table (KB-sized,
+    * broadcast back), one per-doc sum aggregation. The counts cost a
+    * second narrow scan here; a production pipeline reads them from
+    * the corpus stats it already maintains (q92's profile tier).
+    */
+  def domainAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(words(col("text"))).as("w"))
+      .withColumn("f",
+        hash60(concat(lit("aff:"), col("w"))) % AffBuckets)
+    val counts = toks.groupBy(col("f"))
+      .agg(count(lit(1)).as("cnt_s"),
+        sum(when(col("source") === AffTarget, 1L).otherwise(0L))
+          .as("cnt_t"))
+    val totals = counts.agg(sum(col("cnt_s")).as("ns"),
+      sum(col("cnt_t")).as("nt"))
+    graft.functions.Portable.withScalar(
+      toks.join(broadcast(counts), "f")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("cnt_t")).as("st"),
+          sum(col("cnt_s")).as("ss")),
+      totals)
+      .withColumn("score_milli", expr("(1000 * st * ns) DIV (ss * nt)"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("score_milli"),
+        (col("score_milli") >= 1000L).cast("int").as("selected"))
+  }
+
+  private val FimRate = 700L // milli of eligible docs FIM-transformed
+
+  /** q188: FILL-IN-THE-MIDDLE SPAN ASSIGNMENT — the FIM data
+    * transformation (Bavarian et al., "Efficient Training of Language
+    * Models to Fill in the Middle"): a deterministic fraction
+    * ([[FimRate]]‰) of documents is split into (prefix, middle,
+    * suffix) token spans for infilling training, the rest pass
+    * through untouched; transformed docs draw PSM vs SPM ordering
+    * 50/50. Every choice — the gate, both cut points, the mode — is a
+    * salted content-keyed hash of the doc id, so the assignment is
+    * append-stable (re-running over a grown corpus never re-splits an
+    * old doc — the q52/q121 discipline) and the oracle replays it
+    * bit-for-bit. Spans PARTITION the doc exactly: p+m+s = n_tokens
+    * always (the spec asserts it), with empty middles legal (u = v).
+    *
+    * Scale: pure row-local projection — zero shuffles, zero joins;
+    * composes in front of q172's packer as a per-row map.
+    */
+  def fimSpans(spark: SparkSession, dir: String): DataFrame = {
+    val ids = col("doc_id").cast("string")
+    def h(salt: String) = hash60(concat(lit(salt), ids))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("gate", h("fimg:") % 1000)
+      .withColumn("u", h("fim1:") % col("n_tokens"))
+      .withColumn("v", h("fim2:") % col("n_tokens"))
+      .withColumn("applied", col("gate") < FimRate)
+      .withColumn("lo", least(col("u"), col("v")))
+      .withColumn("hi", greatest(col("u"), col("v")))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("applied"), col("lo")).otherwise(col("n_tokens"))
+          .as("p_len"),
+        when(col("applied"), col("hi") - col("lo")).otherwise(lit(0L))
+          .as("m_len"),
+        when(col("applied"), col("n_tokens") - col("hi")).otherwise(lit(0L))
+          .as("s_len"),
+        when(!col("applied"), "none")
+          .when(h("fimm:") % 2 === 0, "psm").otherwise("spm").as("mode"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_domain_affinity" -> domainAffinity,
+    "q188_fim_spans" -> fimSpans,
     "q172_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "q170_epoch_shards" -> epochShards,
     "q157_token_budget" -> tokenBudgetFill,
@@ -956,7 +1047,50 @@ object Curation {
        |       ELSE 'suppress' END AS action
        |FROM l0 JOIN l1 USING (nation, bal_bucket)""".stripMargin
 
+  private val domainAffinitySql = {
+    val h = graft.functions.Portable.sqlHash60("'aff:' || w")
+    s"""WITH t AS (SELECT doc_id, source, unnest($sqlWords) AS w
+       |           FROM documents),
+       |f AS (SELECT doc_id, source, $h % $AffBuckets AS f FROM t),
+       |c AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt_s,
+       |        CAST(sum(CASE WHEN source = '$AffTarget' THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS cnt_t
+       |      FROM f GROUP BY f),
+       |tot AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS ns,
+       |               CAST(sum(cnt_t) AS BIGINT) AS nt FROM c),
+       |d AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST(sum(cnt_t) AS BIGINT) AS st,
+       |        CAST(sum(cnt_s) AS BIGINT) AS ss
+       |      FROM f JOIN c USING (f) GROUP BY doc_id, source)
+       |SELECT doc_id, source, n_tokens,
+       |  (1000 * st * ns) // (ss * nt) AS score_milli,
+       |  CAST((1000 * st * ns) // (ss * nt) >= 1000 AS INTEGER) AS selected
+       |FROM d, tot""".stripMargin
+  }
+
+  private val fimSpansSql = {
+    def h(salt: String) = graft.functions.Portable.sqlHash60(
+      s"'$salt' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, CAST(len($sqlWords) AS BIGINT) AS n
+       |           FROM documents),
+       |e AS (SELECT doc_id, n, ${h("fimg:")} % 1000 AS gate,
+       |        ${h("fim1:")} % n AS u, ${h("fim2:")} % n AS v,
+       |        ${h("fimm:")} % 2 AS m
+       |      FROM d WHERE n >= 2)
+       |SELECT doc_id, n AS n_tokens,
+       |  CASE WHEN gate < $FimRate THEN least(u, v) ELSE n END AS p_len,
+       |  CASE WHEN gate < $FimRate THEN greatest(u, v) - least(u, v)
+       |       ELSE 0 END AS m_len,
+       |  CASE WHEN gate < $FimRate THEN n - greatest(u, v)
+       |       ELSE 0 END AS s_len,
+       |  CASE WHEN gate >= $FimRate THEN 'none'
+       |       WHEN m = 0 THEN 'psm' ELSE 'spm' END AS mode
+       |FROM e""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q184_domain_affinity" -> domainAffinitySql,
+    "q188_fim_spans" -> fimSpansSql,
     "q144_k_anonymity" -> kAnonymitySql,
     "q139_release_manifest" -> releaseManifestSql,
     "q172_sequence_pack" -> sequencePackSql,

@@ -1141,7 +1141,39 @@ object SimSearch {
       .select(col("anchor_id"), col("neg_rank"), col("vec_id").as("neg_id"),
         col("label").as("neg_label"), col("priority"))
 
+  /** q185: PER-DIMENSION VARIANCE AUDIT — the number that justifies
+    * (or indicts) q125's matryoshka truncation and q173's per-corpus
+    * quantization range: for each of the [[SrpDim]] embedding
+    * dimensions, the exact population variance of the milli-quantised
+    * values, ranked descending, with a flag for whether the dimension
+    * falls inside the [[MatDims]]-wide coarse-stage prefix. A
+    * matryoshka-trained embedding concentrates variance in the prefix;
+    * a flat profile means prefix truncation throws away signal and the
+    * coarse stage should use a projection instead.
+    *
+    * Exactness: variance rides the q132 power-sum form — n·Σx² − (Σx)²
+    * over exact longs, never a streamed float moment (x ≤ 10³ ⇒ safe
+    * to ~10⁶ vectors per the same audit; widen to decimal past that).
+    *
+    * Scale: ONE posexplode + ONE aggregation on the dimension id (at
+    * most [[SrpDim]] groups, map-side partials); the rank window sorts
+    * [[SrpDim]] rows on one partition — bounded by dimensionality, not
+    * by the corpus.
+    */
+  def dimVariance(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir)
+      .select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("var_n", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("var_n").desc, col("d").asc)))
+      .select(col("d"), col("n"), col("sx"), col("var_n"), col("rnk"),
+        (col("d") < MatDims).cast("int").as("in_prefix"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_dim_variance" -> dimVariance,
     "q173_int8_quant" -> int8Quant,
     "q167_neg_sample" -> negSample,
     "q161_srp_bits" -> srpSignatures,
@@ -1636,7 +1668,21 @@ object SimSearch {
        |  CAST(count(*) AS BIGINT) AS n_dims
        |FROM d GROUP BY vec_id""".stripMargin
 
+  private val dimVarianceSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |x AS (SELECT CAST(i - 1 AS INTEGER) AS d, qv[CAST(i AS INTEGER)] AS x
+       |      FROM e, range(1, ${SrpDim + 1}) AS r(i)),
+       |g AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx
+       |      FROM x GROUP BY d)
+       |SELECT d, n, sx, n * sxx - sx * sx AS var_n,
+       |  row_number() OVER (ORDER BY n * sxx - sx * sx DESC, d ASC) AS rnk,
+       |  CAST(d < $MatDims AS INTEGER) AS in_prefix
+       |FROM g""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q185_dim_variance" -> dimVarianceSql,
     "q173_int8_quant" -> int8QuantSql,
     "q167_neg_sample" -> negSampleSql,
     "q161_srp_bits" -> srpSql,

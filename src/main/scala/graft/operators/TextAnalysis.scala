@@ -716,6 +716,32 @@ object TextAnalysis {
         nullif(col("n_bpe_tokens"), lit(0L)))
   }
 
+  /** q187: TOKENIZER FERTILITY AUDIT — per language, BPE tokens per
+    * word in milli: the number multilingual pipelines watch before
+    * trusting a shared tokenizer (a language with 3× the fertility of
+    * English pays 3× the context budget per word and trains on
+    * effectively shorter documents). Uses q124's merge table through
+    * the SAME [[bpeTokens]] kernel (and the oracle through
+    * [[sqlBpeTokensOfWs]]), so the audit measures the tokenizer the
+    * encode path ships. Integer-rational: fertility_milli =
+    * 1000·Σtokens DIV Σwords, exact longs end to end.
+    *
+    * Scale: token counting is row-local (the per-word fold), then ONE
+    * aggregation on the language key with map-side partials — the
+    * same shape as q21/q23.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), words(col("text")).as("ws"))
+      .select(col("lang"), size(col("ws")).cast("long").as("nw"),
+        aggregate(transform(col("ws"), w => bpeTokens(w)), lit(0L),
+          (a, x) => a + x).as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpe_tokens"))
+      .withColumn("fertility_milli",
+        expr("(1000 * n_bpe_tokens) DIV nullif(n_words, 0)"))
+
   /** q132: GROUPED FEATURE CORRELATION — exact-sum Pearson r and OLS
     * slope between document char length and token count per language:
     * the feature-redundancy screen a pipeline runs before treating two
@@ -993,6 +1019,7 @@ object TextAnalysis {
     "q132_correlation" -> correlation,
     "q123_winsorize" -> winsorize,
     "q124_bpe_encode" -> bpeEncode,
+    "q187_tokenizer_fertility" -> tokenizerFertility,
     "q116_equifreq_bucketing" -> equifreqBucketing,
     "q94_lm_quality" -> lmQuality,
     "q90_approx_stats" -> approxStats,
@@ -1179,22 +1206,29 @@ object TextAnalysis {
        |  CAST(sum(w) AS DOUBLE)/count(*) AS mean_winsorized
        |FROM j GROUP BY lang, t_lo, t_hi""".stripMargin
 
-  private val bpeEncodeSql = {
+  /** DuckDB twin of [[bpeTokens]] summed over a word list `ws` — the
+    * ONE site for the oracle-side merge-table fold, shared by q124 and
+    * q187 so the two can never disagree on the tokenizer.
+    */
+  private val sqlBpeTokensOfWs: String = {
     val init = "'[' || array_to_string(list_transform(range(1, len(w)+1), " +
       "i -> substr(w, CAST(i AS INTEGER), 1)), '][') || '][</w>]'"
     val enc = bpeMerges.foldLeft(init) { case (s, (a, b)) =>
       s"replace($s, '[$a][$b]', '[$a$b]')"
     }
+    s"coalesce(CAST(list_sum(list_transform(list_transform(ws, w -> $enc)," +
+      " s -> len(s) - len(replace(s, '[', '')))) AS BIGINT), 0)"
+  }
+
+  private val bpeEncodeSql =
     s"""WITH d AS (SELECT doc_id, $sqlWords ws FROM documents),
        |t AS (SELECT doc_id, len(ws) AS n_words,
        |  coalesce(CAST(list_sum(list_transform(ws, w -> len(w) + 1)) AS BIGINT), 0) AS n_char_tokens,
-       |  coalesce(CAST(list_sum(list_transform(list_transform(ws, w -> $enc),
-       |    s -> len(s) - len(replace(s, '[', '')))) AS BIGINT), 0) AS n_bpe_tokens
+       |  $sqlBpeTokensOfWs AS n_bpe_tokens
        |FROM d)
        |SELECT doc_id, n_words, n_char_tokens, n_bpe_tokens,
        |  CAST(n_char_tokens AS DOUBLE)/nullif(n_bpe_tokens, 0) AS compression
        |FROM t""".stripMargin
-  }
 
   private val equifreqSql =
     s"""WITH d AS (SELECT doc_id, CAST(len($sqlWords) AS INTEGER) v
@@ -1393,6 +1427,16 @@ object TextAnalysis {
     "q132_correlation" -> correlationSql,
     "q123_winsorize" -> winsorizeSql,
     "q124_bpe_encode" -> bpeEncodeSql,
+    "q187_tokenizer_fertility" ->
+      s"""WITH d AS (SELECT lang, $sqlWords ws FROM documents),
+         |t AS (SELECT lang, CAST(len(ws) AS BIGINT) AS nw,
+         |        $sqlBpeTokensOfWs AS nb FROM d)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |  (1000 * CAST(sum(nb) AS BIGINT))
+         |    // nullif(CAST(sum(nw) AS BIGINT), 0) AS fertility_milli
+         |FROM t GROUP BY lang""".stripMargin,
     "q116_equifreq_bucketing" -> equifreqSql,
     "q94_lm_quality" -> lmQualitySql,
     "q90_approx_stats" -> approxStatsSql,

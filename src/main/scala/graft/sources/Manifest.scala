@@ -61,12 +61,19 @@ object GenManifest {
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
   /** One committed data file: name (relative to the directory), on-disk
-    * bytes, row count, whether its rows were written key-sorted, and
-    * the key range (absent when every key in the file was null). The
-    * writer observes all of this for free while writing.
+    * bytes, row count, whether its rows were written key-sorted, the
+    * key range (absent when every key in the file was null), and the
+    * cell write-time range in µs (absent when the file holds no cells
+    * — and in manifests written before the field existed). The writer
+    * observes all of this for free while writing; the time range is
+    * the per-file min/max timestamp Cassandra keeps in SSTable
+    * metadata (`SSTableReaderPatched.java:123-178` reads the analogous
+    * Statistics sidecar), and it is what makes time-window compaction
+    * planning (q181) and temporal file skipping O(manifest).
     */
   final case class Entry(name: String, bytes: Long, count: Long,
-      sorted: Boolean, minHex: String, maxHex: String) {
+      sorted: Boolean, minHex: String, maxHex: String,
+      times: Option[(Long, Long)] = None) {
     def hasRange: Boolean = minHex.nonEmpty
     def min: Array[Byte] = unhex(minHex)
     def max: Array[Byte] = unhex(maxHex)
@@ -138,9 +145,16 @@ object GenManifest {
       sb.append("!epoch\t").append(k).append('\n')
     }
     s.entries.foreach { e =>
+      // trailing fields are ADDITIVE: readers split with an unbounded
+      // limit and index only the fields they know, so an older engine
+      // reads a timed manifest correctly (and a newer engine reads an
+      // old six-field line as times = None) — same vintage discipline
+      // as the sidecar's `normalized` flag
       sb.append(e.name).append('\t').append(e.bytes).append('\t')
         .append(e.count).append('\t').append(if (e.sorted) 1 else 0)
         .append('\t').append(e.minHex).append('\t').append(e.maxHex)
+        .append('\t').append(e.times.fold("")(_._1.toString))
+        .append('\t').append(e.times.fold("")(_._2.toString))
         .append('\n')
     }
     sb.toString.getBytes("UTF-8")
@@ -154,7 +168,9 @@ object GenManifest {
       val (epochLines, entryLines) = body.partition(_.startsWith("!epoch\t"))
       Snapshot(v, entryLines.map { l =>
         val f = l.split("\t", -1)
-        Entry(f(0), f(1).toLong, f(2).toLong, f(3) == "1", f(4), f(5))
+        Entry(f(0), f(1).toLong, f(2).toLong, f(3) == "1", f(4), f(5),
+          if (f.length >= 8 && f(6).nonEmpty) Some((f(6).toLong, f(7).toLong))
+          else None)
       }, epochLines.map(_.stripPrefix("!epoch\t")).toSet)
     }
   }
@@ -348,7 +364,8 @@ object GenManifest {
   * of (listStatus + per-file sidecar) pairs.
   */
 final case class FileMeta(path: String, bytes: Long, count: Long,
-    sorted: Boolean, min: Option[Array[Byte]], max: Option[Array[Byte]])
+    sorted: Boolean, min: Option[Array[Byte]], max: Option[Array[Byte]],
+    times: Option[(Long, Long)] = None)
 
 object ManifestIndex {
   /** Metas for ALL roots, or None if ANY root lacks a manifest (an
@@ -366,7 +383,7 @@ object ManifestIndex {
       GenManifest.read(p, conf).map(_.entries.map(e =>
         FileMeta(new Path(p, e.name).toString, e.bytes, e.count, e.sorted,
           if (e.hasRange) Some(e.min) else None,
-          if (e.hasRange) Some(e.max) else None))
+          if (e.hasRange) Some(e.max) else None, e.times))
       ).orElse(
         if (GenManifest.governed(p, conf)) Some(Vector.empty) else None)
     }
@@ -388,4 +405,15 @@ object ManifestIndex {
         case _ => true
       })
     }
+
+  /** Drop metas whose recorded CELL write-time range provably misses
+    * the closed µs window [lo, hi] — the temporal twin of
+    * [[skipByRange]], and the move Cassandra makes when a read carries
+    * a timestamp bound (skip whole SSTables from the Statistics
+    * sidecar's min/max timestamp). Metas without time stats (legacy
+    * manifests; files holding only cell-less rows) always scan —
+    * absence degrades to reading, never to skipping.
+    */
+  def skipByTime(metas: Array[FileMeta], lo: Long, hi: Long): Array[FileMeta] =
+    metas.filter(_.times.forall { case (mn, mx) => mx >= lo && mn <= hi })
 }

@@ -239,6 +239,29 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
     }
+  /** Temporal file skip, opt-in: a CLOSED µs window over CELL write
+    * times. A manifest-governed scan drops whole files whose recorded
+    * time range provably misses the window ([[ManifestIndex
+    * .skipByTime]]) — Cassandra's SSTable-level min/max-timestamp skip.
+    * CONTRACT: the caller asserts it only cares about cells written
+    * inside the window; rows of skipped files (including their
+    * cell-less rows) do not appear, and KEPT files still return ALL
+    * their rows — the row-level predicate stays the query's job, this
+    * option only prunes I/O. Listing-path scans (foreign dirs,
+    * explicit files) and legacy manifests have no time stats and read
+    * everything — absence degrades to reading.
+    */
+  private val timeBounds: Option[(Long, Long)] = {
+    val lo = Option(options.get("minWriteTimeUs")).map(_.toLong)
+    val hi = Option(options.get("maxWriteTimeUs")).map(_.toLong)
+    if (lo.isEmpty && hi.isEmpty) None
+    else {
+      val b = (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+      require(b._1 <= b._2,
+        s"empty write-time window: minWriteTimeUs ${b._1} > maxWriteTimeUs ${b._2}")
+      Some(b)
+    }
+  }
   private var required: StructType = ProtoZstTable.Schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var aggregated: Option[(StructType, Array[Any], String)] = None
@@ -270,12 +293,15 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = translate(agg).isDefined
+      : Boolean = timeBounds.isEmpty && translate(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    translate(agg) match {
+    // a time-bounded scan must NOT collapse to whole-corpus sidecar
+    // stats: the pushed COUNT/MIN/MAX would cover pruned files' rows
+    if (timeBounds.isDefined) false
+    else translate(agg) match {
       case Some(v) => aggregated = Some(v); true
       case None => false
     }
@@ -390,7 +416,7 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       new ProtoZstAggScan(paths.mkString(","), schema, values, desc)
     case None =>
       new ProtoZstScan(paths, ignoreCorrupt, required, pushed, buckets,
-        viaCatalog, maxFilesPerTrigger)
+        viaCatalog, maxFilesPerTrigger, timeBounds)
   }
 }
 
@@ -519,7 +545,8 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     override val readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
     buckets: Option[Int] = None, viaCatalog: Boolean = false,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan
+    maxFilesPerTrigger: Option[Int] = None,
+    timeBounds: Option[(Long, Long)] = None) extends Scan
     with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -550,7 +577,9 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
   override def description(): String =
     s"proto-zst PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${readSchema.simpleString}" +
-      buckets.map(n => s", Buckets: $n").getOrElse("")
+      buckets.map(n => s", Buckets: $n").getOrElse("") +
+      timeBounds.map { case (lo, hi) =>
+        s", WriteTimeWindowUs: [$lo, $hi]" }.getOrElse("")
 
   /** The generation manifest's view of the roots, when EVERY root has
     * one: file set + per-file stats from ONE tiny read per root — no
@@ -565,7 +594,12 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
   // planInputPartitions() describe the same file set. Manifest-backed:
   // range skip evaluates against the in-memory entries.
   private lazy val plannedMeta: Option[Array[FileMeta]] =
-    manifestMeta.map(ManifestIndex.skipByRange(_, filters))
+    manifestMeta.map { m =>
+      val ranged = ManifestIndex.skipByRange(m, filters)
+      timeBounds.fold(ranged) { case (lo, hi) =>
+        ManifestIndex.skipByTime(ranged, lo, hi)
+      }
+    }
 
   private lazy val plannedFiles: Array[String] = plannedMeta match {
     case Some(metas) => metas.map(_.path)
@@ -1165,6 +1199,9 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
         var maxKey: Array[Byte] = _
         var lastKey: Array[Byte] = _
         var sorted = true // until a key arrives below its predecessor
+        // cell write-time range; minT > maxT ⟺ no cell seen yet
+        var minT = Long.MaxValue
+        var maxT = Long.MinValue
         def open(): ZstdOutputStream = {
           if (os == null) {
             fs.mkdirs(dirPath)
@@ -1256,6 +1293,22 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
             java.util.Arrays.compareUnsigned(key, st.lastKey) < 0)
           st.sorted = false
         st.lastKey = key.clone()
+        if (cols != null) {
+          // per-file cell write-time range, observed free (the same
+          // walk encodeRow is about to make). A null write time
+          // encodes as the proto3 default 0 and READS BACK as 0, so 0
+          // is what the range must cover — the write-time twin of the
+          // null-key normalization above.
+          var i = 0
+          val nc = cols.numElements()
+          while (i < nc) {
+            val c = cols.getStruct(i, 3)
+            val t = if (c.isNullAt(2)) 0L else c.getLong(2)
+            if (t < st.minT) st.minT = t
+            if (t > st.maxT) st.maxT = t
+            i += 1
+          }
+        }
         val framed = ProtoWire.delimit(ProtoWire.encodeRow(key, cols))
         os.write(framed, 0, framed.length)
         st.n += 1
@@ -1281,7 +1334,8 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
             GenManifest.Entry(st.name,
               fs.getFileStatus(st.finalFile).getLen, st.n, st.sorted,
               if (st.minKey == null) "" else GenManifest.hex(st.minKey),
-              if (st.minKey == null) "" else GenManifest.hex(st.maxKey))
+              if (st.minKey == null) "" else GenManifest.hex(st.maxKey),
+              if (st.minT <= st.maxT) Some((st.minT, st.maxT)) else None)
           }
           ProtoZstCommit(entries)
         }

@@ -97,4 +97,62 @@ class CellModelSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
   }
+
+  test("q182 tombstone audit matches a local replay of counts and verdicts") {
+    val cells = CellModel.cellStrings(spark, SparkTestSession.sf0001)
+      .filter(!col("partition_deleted"))
+      .select("key", "kind").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = cells.groupBy(_._1).map { case (k, cs) =>
+      val tombs = cs.count(_._2 == "deleted").toLong
+      k -> (cs.length.toLong, cs.count(_._2 == "live").toLong, tombs,
+        if (tombs >= 20) "abort" else if (tombs >= 12) "warn" else "ok")
+    }
+    val got = Core.tombstoneAudit(spark, SparkTestSession.sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got === expected)
+    // partition-tombstoned keys never appear: their read touches only
+    // the partition deletion marker
+    assert(!got.keySet.exists(_.toLong % 50 == 0))
+  }
+
+  test("q186 read repair matches a local replica reconcile; flows both ways") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val truth = CellModel.liveCellStrings(spark, SparkTestSession.sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    def replica(lostSalt: String, lostMod: Long, lostRes: Long,
+        staleSalt: String, staleMod: Long, staleRes: Long, rb: Long) =
+      truth.filter(c => h60(lostSalt + c._2) % lostMod != lostRes)
+        .map { c =>
+          val wt = if (h60(staleSalt + c._2) % staleMod == staleRes)
+            c._4 - rb else c._4
+          (c._1, c._2) -> (c._3, wt)
+        }.toMap
+    val a = replica("lostA:", 97, 3, "staleA:", 101, 5, 1000L)
+    val b = replica("lostB:", 89, 7, "staleB:", 103, 11, 2000L)
+    val expected = (a.keySet ++ b.keySet).flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (None, Some((v, w))) => Some((k._1, k._2, "a", v, w))
+        case (Some((v, w)), None) => Some((k._1, k._2, "b", v, w))
+        case (Some((_, wa)), Some((v, wb))) if wa < wb =>
+          Some((k._1, k._2, "a", v, wb))
+        case (Some((v, wa)), Some((_, wb))) if wb < wa =>
+          Some((k._1, k._2, "b", v, wa))
+        case _ => None
+      }
+    }
+    val got = Core.readRepair(spark, SparkTestSession.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got === expected)
+    // divergence is bidirectional by construction — repairs hit BOTH
+    // replicas, and something actually diverged
+    assert(got.exists(_._3 == "a") && got.exists(_._3 == "b"))
+  }
 }

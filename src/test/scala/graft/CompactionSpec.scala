@@ -40,4 +40,64 @@ class CompactionSpec extends AnyFunSuite {
     assert(base.exceptAll(rest).count() === 0)
     assert(out.filter(col("gen") === 0).count() === base.count())
   }
+
+  test("q181 TWCS plan matches a local replay of windows, files, actions") {
+    val got = Compaction.twcsPlan(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    val cells = live.select("key", "write_time").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (mn, mx) = (cells.map(_._2).min, cells.map(_._2).max)
+    val W = Compaction.TwcsW
+    val newest = (mx - mn) * W / (mx - mn + 1)
+    def w(t: Long) = (t - mn) * W / (mx - mn + 1)
+    val files = cells.map { case (k, t) =>
+      val win = w(t)
+      ((win, if (win == newest) k.toLong % 4 else k.toLong % 2), k)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong)
+    val expected = files.toSeq.groupBy(_._1._1).map { case (win, fs) =>
+      val counts = fs.map(_._2)
+      val action =
+        if (win < newest) { if (counts.length > 1) "major" else "none" }
+        else if (counts.length >= 4) "stcs" else "none"
+      win -> (counts.length.toLong, counts.sum, counts.min, counts.max,
+        action)
+    }
+    assert(got === expected)
+    // the fixture's shape actually exercises both actions
+    assert(got.values.exists(_._5 === "major"))
+    assert(got(newest)._5 === "stcs")
+  }
+
+  test("q183 MV deltas: updates pair delete+insert, tombstones delete, rest silent") {
+    val ops = Compaction.mvDelta(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val liveByKey = live.select("key", "name", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def keyMod(k: String) = k.toLong % 5
+    // updated keys (2 mod 5): every live cell emits exactly one delete
+    // of the OLD value and one insert of the value@2
+    val updCells = liveByKey.filter(c => keyMod(c._1) == 2)
+    assert(ops.filter(o => keyMod(o._3) == 2 && o._1 == "delete").toSet ===
+      updCells.map(c => ("delete", c._3, c._1, c._2)).toSet)
+    assert(ops.filter(o => keyMod(o._3) == 2 && o._1 == "insert").toSet ===
+      updCells.map(c => ("insert", c._3 + "@2", c._1, c._2)).toSet)
+    // tombstoned keys (4 mod 5): delete only, nothing inserted
+    val delCells = liveByKey.filter(c => keyMod(c._1) == 4)
+    assert(ops.filter(o => keyMod(o._3) == 4).toSet ===
+      delCells.map(c => ("delete", c._3, c._1, c._2)).toSet)
+    // unchanged keys emit NOTHING — the delta stream is write-rate
+    // proportional, the property that makes MV maintenance viable
+    assert(!ops.exists(o => keyMod(o._3) != 2 && keyMod(o._3) != 4))
+  }
+
+  test("q181 plans from the manifest alone: no listing, no data read") {
+    Compaction.twcsFixture(spark, sf0001) // build outside the window
+    graft.sources.MetaIO.reset()
+    assert(Compaction.twcsPlan(spark, sf0001).collect().nonEmpty)
+    assert(graft.sources.MetaIO.dataListings.get() === 0L)
+    assert(graft.sources.MetaIO.sidecarReads.get() === 0L)
+    assert(graft.sources.MetaIO.manifestReads.get() > 0L)
+  }
 }

@@ -290,4 +290,72 @@ class CurationSpec extends AnyFunSuite {
     assert(byTokens.last._6 === rows.map(_._6).min,
       "head language is not the most down-sampled")
   }
+
+  test("q184 affinity scores match an exact integer replay; target skews high") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val feats = docs.map { case (id, src, text) =>
+      (id, src, text.split(" ").filter(_.nonEmpty)
+        .map(w => h60("aff:" + w) % 256))
+    }
+    val cntS = feats.flatMap(_._3).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val cntT = feats.filter(_._2 == "src0").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .withDefaultValue(0L)
+    val (ns, nt) = (cntS.values.sum, cntT.values.sum)
+    val expected = feats.filter(_._3.nonEmpty).map { case (id, src, fs) =>
+      val st = fs.map(cntT).sum
+      val ss = fs.map(cntS).sum
+      val score = 1000L * st * ns / (ss * nt)
+      (id, src, fs.length.toLong, score, if (score >= 1000) 1 else 0)
+    }.toSet
+    val rows = Curation.domainAffinity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(rows.toSet === expected)
+    // the target domain must score itself above the corpus mean more
+    // often than the rest — the discriminative floor that makes the
+    // score usable for resampling at all
+    val (tgt, rest) = rows.partition(_._2 == "src0")
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def selRate(xs: Array[(Long, String, Long, Long, Int)]) =
+      xs.count(_._5 == 1).toDouble / xs.length
+    assert(selRate(tgt) > selRate(rest),
+      s"target select-rate ${selRate(tgt)} not above rest ${selRate(rest)}")
+  }
+
+  test("q188 FIM spans partition every doc exactly and replay the hash gates") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = Curation.fimSpans(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, p, m, s, mode) =>
+      // spans always partition the doc exactly
+      assert(p + m + s === n, s"doc $id")
+      assert(p >= 0 && m >= 0 && s >= 0, s"doc $id")
+      val gate = h60("fimg:" + id) % 1000
+      if (gate < 700) {
+        val (u, v) = (h60("fim1:" + id) % n, h60("fim2:" + id) % n)
+        assert(p === math.min(u, v) && m === math.abs(u - v), s"doc $id")
+        assert(mode === (if (h60("fimm:" + id) % 2 == 0) "psm" else "spm"),
+          s"doc $id")
+      } else {
+        assert((p, m, s, mode) === (n, 0L, 0L, "none"), s"doc $id")
+      }
+    }
+    // both orderings and the pass-through gate all occur at this SF
+    assert(Set("psm", "spm", "none").subsetOf(rows.map(_._6).toSet))
+  }
 }

@@ -412,4 +412,94 @@ class ManifestSpec extends AnyFunSuite {
     // same layout contract at 3 epochs × 5 shards (neither the default)
     checkExportLayout(3, 5)
   }
+
+  test("manifest entries carry truthful cell write-time ranges") {
+    val dir = freshDir("graft_man_t")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), dir)
+    val s = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    // nestRows keeps cell-less rows (live partitions whose cells are
+    // all non-live), so a file CAN be time-less; every file here holds
+    // at least one cell at sf0.001, so all entries must attest
+    assert(s.entries.nonEmpty && s.entries.forall(_.times.isDefined))
+    s.entries.foreach { e =>
+      val (mn, mx) = e.times.get
+      assert(mn <= mx, e.name)
+    }
+    // the union of per-file ranges is exactly the corpus range
+    val corpus = CellModel.liveCells(spark, sf0001)
+      .agg(min(col("write_time")), max(col("write_time"))).head
+    assert(s.entries.map(_.times.get._1).min === corpus.getLong(0))
+    assert(s.entries.map(_.times.get._2).max === corpus.getLong(1))
+    // and each file's recorded range covers its actual decoded cells
+    s.entries.foreach { e =>
+      val r = spark.read.format("proto-zst").load(s"$dir/${e.name}")
+        .select(explode(col("columns")).as("c"))
+        .agg(min(col("c.write_time")), max(col("c.write_time"))).head
+      assert(r.getLong(0) >= e.times.get._1 &&
+        r.getLong(1) <= e.times.get._2, e.name)
+    }
+  }
+
+  test("a legacy six-field manifest parses as time-less; skips degrade") {
+    val dir = freshDir("graft_man_legacy")
+    // write through the sink to get a real file, then rewrite its
+    // manifest line in the PRE-TIMES format (the vintage an older
+    // engine committed)
+    Sink.writeNested(CellModel.nestRows(spark, sf0001).limit(5)
+      .repartition(1), dir)
+    val s = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    val e = s.entries.head
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val legacy = new org.apache.hadoop.fs.Path(dir,
+      f"_graft_manifest/v${s.version + 1}%020d.manifest")
+    val os = fs.create(legacy, true)
+    os.write((s"graft-manifest-v1\n${s.version + 1}\n" +
+      s"${e.name}\t${e.bytes}\t${e.count}\t${if (e.sorted) 1 else 0}" +
+      s"\t${e.minHex}\t${e.maxHex}\n").getBytes("UTF-8"))
+    os.close()
+    val s2 = GenManifest.read(dir, conf).getOrElse(fail("no legacy parse"))
+    assert(s2.version === s.version + 1)
+    assert(s2.entries.head.times.isEmpty)
+    // a time-bounded scan over a time-less manifest reads EVERYTHING —
+    // absence degrades to reading, never to skipping
+    val n = spark.read.format("proto-zst")
+      .option("minWriteTimeUs", Long.MaxValue.toString).load(dir).count()
+    assert(n === e.count)
+  }
+
+  test("write-time window option prunes files from manifest time ranges") {
+    val dir = freshDir("graft_man_twin")
+    val cells = CellModel.liveCells(spark, sf0001)
+    val mid = cells.agg(expr("percentile_approx(write_time, 0.5)"))
+      .head.getLong(0)
+    def nest(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("name"), col("value"),
+        col("write_time")))).as("columns")).coalesce(1)
+    // two files with disjoint time ranges
+    Sink.writeNested(nest(cells.filter(col("write_time") < mid)), dir)
+    Sink.writeNested(nest(cells.filter(col("write_time") >= mid)), dir)
+    val newRows = cells.filter(col("write_time") >= mid)
+      .select(col("key")).distinct().count()
+    MetaIO.reset()
+    val scan = spark.read.format("proto-zst")
+      .option("minWriteTimeUs", mid.toString).load(dir)
+    assert(scan.rdd.getNumPartitions === 1, "old-window file not pruned")
+    assert(scan.count() === newRows)
+    // the window also vetoes the collapsed sidecar-stats aggregation:
+    // a pushed COUNT would cover the pruned file's rows
+    val agg = spark.read.format("proto-zst")
+      .option("minWriteTimeUs", mid.toString).load(dir).agg(count("*"))
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(agg.head.getLong(0) === newRows)
+    assert(MetaIO.dataListings.get() === 0L)
+    assert(MetaIO.sidecarReads.get() === 0L)
+    // an inverted window is a caller bug, refused at build time
+    intercept[Exception] {
+      spark.read.format("proto-zst").option("minWriteTimeUs", "10")
+        .option("maxWriteTimeUs", "5").load(dir).count()
+    }
+  }
 }

@@ -342,6 +342,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q187 fertility equals q124's per-doc token counts folded by language") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    val perDoc = TextAnalysis.bpeEncode(spark, sf0001)
+      .join(docs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = TextAnalysis.tokenizerFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length === perDoc.size)
+    got.foreach { case (lang, nd, nw, nb, fert) =>
+      assert((nd, nw, nb) === perDoc(lang), lang)
+      assert(fert === 1000L * nb / nw, lang)
+    }
+  }
+
+  test("q185 per-dimension variances match an exact driver-side replay") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)
+        .map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val dims = vecs.head.length
+    val expected = (0 until dims).map { d =>
+      val xs = vecs.map(_(d))
+      val (n, sx, sxx) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+      d -> (n, sx, n * sxx - sx * sx)
+    }.toMap
+    val rows = SimSearch.dimVariance(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(rows.length === dims)
+    rows.foreach { case (d, n, sx, vn, _, inPrefix) =>
+      assert((n, sx, vn) === expected(d), s"dim $d")
+      assert(inPrefix === (if (d < 32) 1 else 0), s"dim $d")
+    }
+    // ranks are the descending variance order, dim as tie-break
+    val byRank = rows.sortBy(_._5).map(r => (r._4, r._1))
+    assert(byRank.toSeq ===
+      rows.map(r => (r._4, r._1)).sortBy(t => (-t._1, t._2)).toSeq)
+  }
+
   test("q85 filtered search returns only predicate-passing exact neighbours") {
     val labels = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("label")).collect()
