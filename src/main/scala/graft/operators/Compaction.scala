@@ -376,13 +376,51 @@ object Compaction {
     dels.unionByName(ins)
   }
 
+  /** q189: HOT-WINDOW READ THROUGH TEMPORAL FILE SKIPPING — the read
+    * pattern TWCS layouts exist to serve ("what happened in the
+    * current window?"): the scan passes a `minWriteTimeUs` bound and
+    * the source drops every closed-window file at PLAN time from the
+    * manifest's recorded time ranges ([[graft.sources.ManifestIndex
+    * .skipByTime]]) — Cassandra's SSTable min/max-timestamp skip. The
+    * row-level window predicate is still applied in-plan (the option's
+    * contract: it prunes I/O, the query keeps its own filter), so the
+    * result is correct with or without the skip; the skip is what
+    * makes it cheap. ManifestSpec + the spec here pin the pruning
+    * mechanically (planned partitions = newest-window files only,
+    * zero data-dir listings).
+    *
+    * Output: per partition key, its live-cell count in the newest
+    * window — replayed by the oracle from the raw table.
+    */
+  def hotWindowRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = twcsFixture(spark, dir)
+    val snap = graft.sources.GenManifest
+      .read(out, spark.sessionState.newHadoopConf())
+      .getOrElse(sys.error(s"q189: no manifest under $out"))
+    val timed = snap.entries.filter(e => e.count > 0 && e.times.isDefined)
+    val (mn, mx) = (timed.map(_.times.get._1).min,
+      timed.map(_.times.get._2).max)
+    val newest = (mx - mn) * TwcsW / (mx - mn + 1)
+    // smallest write time inside the newest window
+    val tLo = mn + (newest * (mx - mn + 1) + TwcsW - 1) / TwcsW
+    spark.read.format("proto-zst")
+      .option("minWriteTimeUs", tLo.toString).load(out)
+      .select(decode(col("key"), "UTF-8").as("key"),
+        explode(col("columns")).as("c"))
+      .filter(expr(
+        s"((c.write_time - $mn) * $TwcsW) DIV ${mx - mn + 1}") === newest)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_cells"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_compact" -> compact,
     "q153_size_tiered" -> sizeTiered,
     "q154_gc_grace" -> gcGrace,
     "q156_leveled_plan" -> leveledPlan,
     "q181_twcs_plan" -> twcsPlan,
-    "q183_mv_delta" -> mvDelta)
+    "q183_mv_delta" -> mvDelta,
+    "q189_hot_window_read" -> hotWindowRead)
 
   /** Shared oracle CTE: the identical two generations + the newest-wins
     * window (equivalent to the struct-max because (write_time, gen) is
@@ -509,7 +547,19 @@ object Compaction {
        |FROM neu n LEFT JOIN old o ON o.key = n.key AND o.name = n.name
        |WHERE o.value IS NULL OR o.value <> n.value""".stripMargin
 
+  private val hotWindowReadSql =
+    s"""WITH c AS (SELECT key, write_time FROM (${Core.cellsSql})
+       |      WHERE NOT partition_deleted AND kind = 'live'),
+       |b AS (SELECT min(write_time) mn, max(write_time) mx FROM c),
+       |w AS (SELECT key,
+       |        ((write_time - mn) * $TwcsW) // (mx - mn + 1) AS w,
+       |        ((mx - mn) * $TwcsW) // (mx - mn + 1) AS nw
+       |      FROM c, b)
+       |SELECT key, CAST(count(*) AS BIGINT) AS n_cells
+       |FROM w WHERE w = nw GROUP BY key""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q189_hot_window_read" -> hotWindowReadSql,
     "q53_compact" -> compactSql,
     "q153_size_tiered" -> sizeTieredSql,
     "q154_gc_grace" -> gcGraceSql,

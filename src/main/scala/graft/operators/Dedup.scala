@@ -608,6 +608,37 @@ object Dedup {
       .withColumn("leaked", col("split_a") =!= col("split_b"))
   }
 
+  /** q190: CROSS-SOURCE DUPLICATION MATRIX — q15's near-dup pair set
+    * folded onto document provenance: per unordered source pair, how
+    * many near-duplicate pairs connect them. The off-diagonal is the
+    * SYNDICATION map (which crawl sources mirror which), the number
+    * that picks q165's keeper-priority source order and tells a
+    * mixture planner that two "distinct" sources are really one
+    * corpus counted twice; the diagonal is each source's internal
+    * duplication load. Same shape as q96 with provenance in place of
+    * split — one shared pair kernel ([[dedupMinhash]]), so this audit
+    * and the dedup it audits can never disagree on candidates.
+    *
+    * Scale: the pair set is band-join bounded (never all-pairs); the
+    * two provenance joins are broadcast-size (doc_id → source), and
+    * the matrix is at most sources² rows.
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b")), "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("source_lo"),
+        greatest(col("source_a"), col("source_b")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source",
+        (col("source_lo") =!= col("source_hi")).cast("int"))
+  }
+
   private val LeakN = 8 // decontamination gram width — the 8–13-token
   // overlap convention published eval decontamination uses, at the
   // low end because the corpus' documents are ~10²-token scale
@@ -1356,6 +1387,7 @@ object Dedup {
     "q134_sketch_union" -> sketchUnion,
     "q127_fuzzy_join" -> fuzzyJoin,
     "q96_split_leakage" -> splitLeakage,
+    "q190_cross_source_dups" -> crossSourceDups,
     "q95_cdc_chunks" -> dedupCdcChunks,
     "q14_dedup_exact" -> dedupExact,
     "q15_dedup_minhash" -> dedupMinhash,
@@ -1638,6 +1670,20 @@ object Dedup {
       .replace("@PAIRS@", minhashSql)
       .replace("@BUCKET@", Curation.splitBucketSql)
 
+  private val crossSourceDupsSql =
+    s"""WITH pr AS (SELECT doc_a, doc_b FROM (@PAIRS@)),
+       |s AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_lo,
+       |       greatest(sa.source, sb.source) AS source_hi,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(least(sa.source, sb.source)
+       |         <> greatest(sa.source, sb.source) AS INTEGER)
+       |         AS cross_source
+       |FROM pr JOIN s sa ON pr.doc_a = sa.doc_id
+       |        JOIN s sb ON pr.doc_b = sb.doc_id
+       |GROUP BY 1, 2, 4""".stripMargin
+      .replace("@PAIRS@", minhashSql)
+
   // q178: the shipped split convention (Curation.splitBucketSql, the
   // q121 oracle's own expression), grams joined with the shingle
   // kernel's single-space convention (q15's sqlShingles)
@@ -1894,6 +1940,7 @@ object Dedup {
     "q134_sketch_union" -> sketchUnionSql,
     "q127_fuzzy_join" -> fuzzyJoinSql,
     "q96_split_leakage" -> splitLeakageSql,
+    "q190_cross_source_dups" -> crossSourceDupsSql,
     "q178_ngram_leakage" -> ngramLeakageSql,
     "q95_cdc_chunks" -> cdcChunkSql,
     "q54_dup_clusters" -> clustersSql,

@@ -100,4 +100,30 @@ class CompactionSpec extends AnyFunSuite {
     assert(graft.sources.MetaIO.sidecarReads.get() === 0L)
     assert(graft.sources.MetaIO.manifestReads.get() > 0L)
   }
+
+  test("q189 prunes closed-window files at plan time; result unchanged") {
+    val dir = Compaction.twcsFixture(spark, sf0001)
+    val total = graft.sources.GenManifest
+      .read(dir, spark.sessionState.newHadoopConf())
+      .get.entries.count(_.count > 0)
+    graft.sources.MetaIO.reset()
+    val hot = Compaction.hotWindowRead(spark, sf0001)
+    // the temporal option dropped every closed-window file from the
+    // PLAN — fewer partitions than committed files, before any task ran
+    assert(hot.rdd.getNumPartitions < total,
+      s"${hot.rdd.getNumPartitions} partitions for $total files")
+    val got = hot.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(graft.sources.MetaIO.dataListings.get() === 0L)
+    assert(graft.sources.MetaIO.sidecarReads.get() === 0L)
+    // correctness does not depend on the skip: the full read under the
+    // same in-plan window predicate yields the identical result
+    val cells = live.select("key", "write_time").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (mn, mx) = (cells.map(_._2).min, cells.map(_._2).max)
+    val W = Compaction.TwcsW
+    val newest = (mx - mn) * W / (mx - mn + 1)
+    val expected = cells.filter(c => (c._2 - mn) * W / (mx - mn + 1) == newest)
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap.toSet
+    assert(got === expected)
+  }
 }

@@ -321,4 +321,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.nonEmpty, "no test-split docs with >= 8 words")
   }
+
+  test("q190 matrix folds exactly q15's pairs onto sources, canonically") {
+    val srcOf = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.dedupMinhash(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case ((lo, hi), ps) =>
+      (lo, hi, ps.length.toLong, if (lo != hi) 1 else 0)
+    }.toSet
+    val got = Dedup.crossSourceDups(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === expected)
+    // canonical: every row has source_lo <= source_hi, so a pair can
+    // never be counted under both orderings
+    assert(got.forall(r => r._1 <= r._2))
+  }
 }
