@@ -262,6 +262,18 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       Some(b)
     }
   }
+  /** Streaming start cut (Kafka's `startingTimestamp` analog): on the
+    * FIRST start of a stream (no checkpointed offset), skip the
+    * longest manifest-order PREFIX of files whose recorded time range
+    * is provably entirely older than this µs instant — a tail-read of
+    * a long-lived sink directory starts at the live edge instead of
+    * replaying the whole backlog. Prefix-only, so offset arithmetic is
+    * untouched; the cut stops at the first file that cannot be proven
+    * old (no time stats, or a range reaching the instant). Listing-
+    * mode (foreign) directories have no attested times and start at 0.
+    */
+  private val startingWriteTimeUs: Option[Long] =
+    Option(options.get("startingWriteTimeUs")).map(_.toLong)
   private var required: StructType = ProtoZstTable.Schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var aggregated: Option[(StructType, Array[Any], String)] = None
@@ -416,7 +428,7 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       new ProtoZstAggScan(paths.mkString(","), schema, values, desc)
     case None =>
       new ProtoZstScan(paths, ignoreCorrupt, required, pushed, buckets,
-        viaCatalog, maxFilesPerTrigger, timeBounds)
+        viaCatalog, maxFilesPerTrigger, timeBounds, startingWriteTimeUs)
   }
 }
 
@@ -546,7 +558,8 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     filters: Array[org.apache.spark.sql.sources.Filter],
     buckets: Option[Int] = None, viaCatalog: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    timeBounds: Option[(Long, Long)] = None) extends Scan
+    timeBounds: Option[(Long, Long)] = None,
+    startingWriteTimeUs: Option[Long] = None) extends Scan
     with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -773,7 +786,7 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
       throw new UnsupportedOperationException(
         "proto-zst streaming read monitors exactly one directory, got " + paths)
     new ProtoZstMicroBatchStream(paths.head, ignoreCorrupt, readSchema,
-      filters, maxFilesPerTrigger)
+      filters, maxFilesPerTrigger, startingWriteTimeUs)
   }
 }
 
@@ -808,7 +821,8 @@ case class ProtoZstOffset(n: Int)
 class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
     readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    startingWriteTimeUs: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -917,7 +931,24 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   }
   override def reportLatestOffset(): Offset = ProtoZstOffset(available())
 
-  override def initialOffset(): Offset = ProtoZstOffset(0)
+  /** First-start position. With `startingWriteTimeUs` set, the longest
+    * manifest-order prefix of files PROVABLY older than the instant
+    * (recorded max cell time < T) is skipped — Kafka's
+    * `startingTimestamp` for a sink directory: tail from the live edge
+    * without replaying the backlog. The cut stops at the first file it
+    * cannot prove old (time-less entry, or a range reaching T), so it
+    * is conservative: it may replay extra, never skip live data. The
+    * prefix cut keeps offset arithmetic untouched — later polls still
+    * count every file. Only called when no checkpointed offset exists;
+    * restarts resume from the checkpoint, as they must.
+    */
+  override def initialOffset(): Offset = ProtoZstOffset(
+    startingWriteTimeUs.fold(0) { t =>
+      currentFiles() // resolves the offset mode by governance
+      if (mode != Mode.Manifest) 0
+      else GenManifest.read(path, conf.value).fold(0)(
+        _.entries.iterator.takeWhile(_.times.exists(_._2 < t)).length)
+    })
   override def latestOffset(): Offset = {
     val n = currentFiles().length
     if (mode == Mode.Listing && n > listedIssued) listedIssued = n

@@ -535,4 +535,40 @@ class SourceExtensionSpec extends AnyFunSuite {
       "SELECT gram_hash60(text, n_chars) FROM (SELECT 'x' text, 3 n_chars)"))
     assert(e3.getMessage.contains("gram_hash60"), e3.getMessage)
   }
+
+  test("startingWriteTimeUs skips exactly the provably-old backlog prefix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sts")
+      .toFile.getAbsolutePath
+    val cells = CellModel.liveCells(spark, sf0001)
+    val mid = cells.agg(expr("percentile_approx(write_time, 0.5)"))
+      .head.getLong(0)
+    def nest(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("name"), col("value"),
+        col("write_time")))).as("columns")).coalesce(1)
+    // two commits in time order: the backlog, then the live edge
+    Sink.writeNested(nest(cells.filter(col("write_time") < mid)), dir)
+    Sink.writeNested(nest(cells.filter(col("write_time") >= mid)), dir)
+    def drain(name: String, opts: Map[String, String]): Long = {
+      val q = opts.foldLeft(spark.readStream.format("proto-zst")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(dir)
+        .select(col("key"), explode(col("columns")).as("c"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    val newRows = cells.filter(col("write_time") >= mid).count()
+    val allRows = cells.count()
+    // first start at the instant: the old-window file is never planned
+    assert(drain("sts_cut", Map("startingWriteTimeUs" -> mid.toString))
+      === newRows)
+    // no option: the full backlog replays
+    assert(drain("sts_all", Map.empty) === allRows)
+    // an instant past everything: nothing replays, the stream tails
+    assert(drain("sts_future",
+      Map("startingWriteTimeUs" -> Long.MaxValue.toString)) === 0L)
+  }
 }
