@@ -608,6 +608,33 @@ object Dedup {
       .withColumn("leaked", col("split_a") =!= col("split_b"))
   }
 
+  /** q191: SOFT-DEDUP SAMPLING WEIGHTS — the SemDeDup/D4 move: instead
+    * of DROPPING near-duplicates (q54 keeps one canonical doc per
+    * cluster), keep every copy but weight each by 1/cluster_size, so
+    * each distinct CONTENT contributes equal expected training mass
+    * regardless of how many times the crawl caught it. Hard dedup
+    * loses the (often useful) distributional signal of which
+    * boilerplate variants exist; soft dedup keeps it while removing
+    * the over-counting. Weights are integer milli (1000 DIV size —
+    * the q122 sampler consumes them directly as rate buckets);
+    * singletons — docs in no q15 candidate pair — weigh exactly 1000.
+    * Cluster sizes come from the SAME q54 label propagation, so the
+    * weights and the hard-dedup verdicts can never disagree on what a
+    * cluster is.
+    *
+    * Scale: q54's checkpointed propagation (pair-graph sized), then
+    * ONE left equi-join of the corpus against the label table — the
+    * label side is bounded by the number of DUPLICATED docs, which can
+    * be corpus-scale, so the plan correctly stays a shuffle join and
+    * broadcasts only when statistics prove the label table small.
+    */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(dupClusters(spark, dir)
+        .select(col("doc_id"), col("cluster_size")), Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight_milli", expr("1000 DIV cluster_size"))
+
   /** q190: CROSS-SOURCE DUPLICATION MATRIX — q15's near-dup pair set
     * folded onto document provenance: per unordered source pair, how
     * many near-duplicate pairs connect them. The off-diagonal is the
@@ -1388,6 +1415,7 @@ object Dedup {
     "q127_fuzzy_join" -> fuzzyJoin,
     "q96_split_leakage" -> splitLeakage,
     "q190_cross_source_dups" -> crossSourceDups,
+    "q191_soft_dedup" -> softDedupWeights,
     "q95_cdc_chunks" -> dedupCdcChunks,
     "q14_dedup_exact" -> dedupExact,
     "q15_dedup_minhash" -> dedupMinhash,
@@ -1547,6 +1575,16 @@ object Dedup {
       |       CAST(sz.cnt AS BIGINT) AS cluster_size,
       |       (lab.node = lab.cluster_id) AS is_canonical
       |FROM lab JOIN sz USING (cluster_id)""".stripMargin
+
+  // q191: the q54 closure's cluster sizes left-joined onto the whole
+  // corpus; docs outside every pair are singletons of size 1
+  private val softDedupSql = closureCte + "\n" +
+    """SELECT d.doc_id, d.source,
+      |       CAST(coalesce(sz.cnt, 1) AS BIGINT) AS cluster_size,
+      |       1000 // CAST(coalesce(sz.cnt, 1) AS BIGINT) AS weight_milli
+      |FROM documents d
+      |LEFT JOIN lab ON lab.node = d.doc_id
+      |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id""".stripMargin
 
   // q54's closure + the q157 diversity score + a rank-1 election —
   // keeper by QUALITY, not by min id
@@ -1941,6 +1979,7 @@ object Dedup {
     "q127_fuzzy_join" -> fuzzyJoinSql,
     "q96_split_leakage" -> splitLeakageSql,
     "q190_cross_source_dups" -> crossSourceDupsSql,
+    "q191_soft_dedup" -> softDedupSql,
     "q178_ngram_leakage" -> ngramLeakageSql,
     "q95_cdc_chunks" -> cdcChunkSql,
     "q54_dup_clusters" -> clustersSql,

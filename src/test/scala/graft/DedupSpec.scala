@@ -343,4 +343,29 @@ class DedupSpec extends AnyFunSuite {
     // never be counted under both orderings
     assert(got.forall(r => r._1 <= r._2))
   }
+
+  test("q191 weights equal 1000/q54-cluster-size; singletons weigh 1000") {
+    val sizes = Dedup.dupClusters(spark, sf0001)
+      .select(col("doc_id"), col("cluster_size")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Dedup.softDedupWeights(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.length === nDocs, "every corpus doc gets a weight")
+    rows.foreach { case (id, size, w) =>
+      assert(size === sizes.getOrElse(id, 1L), s"doc $id")
+      assert(w === 1000L / size, s"doc $id")
+    }
+    // equal-mass property: a cluster's total weight is 1000 up to the
+    // integer floor (lost mass < cluster_size milli), so no content is
+    // over-counted however many copies the crawl caught
+    rows.filter(r => sizes.contains(r._1)).groupBy(r => sizes(r._1))
+      .foreach { case (size, rs) =>
+        val perCluster = rs.map(_._3).sum / (rs.length / size)
+        assert(perCluster <= 1000L && perCluster > 1000L - size,
+          s"size-$size clusters sum to $perCluster")
+      }
+    assert(rows.exists(_._2 > 1) && rows.exists(_._2 === 1L),
+      "fixture exercises both clustered docs and singletons")
+  }
 }
