@@ -265,7 +265,7 @@ object SimSearch {
       appOf: K => String, liveApp: String): Unit =
     m.keysIterator.filter(appOf(_) != liveApp).toList.foreach(m.remove)
 
-  private def centroidFixture(spark: SparkSession, dir: String,
+  private[graft] def centroidFixture(spark: SparkSession, dir: String,
       k: Int): DataFrame =
     centLock.synchronized {
       val app = spark.sparkContext.applicationId
@@ -1172,8 +1172,82 @@ object SimSearch {
       .select(col("d"), col("n"), col("sx"), col("var_n"), col("rnk"),
         (col("d") < MatDims).cast("int").as("in_prefix"))
 
+  /** q192: EMBEDDING SECOND-MOMENT (COVARIANCE) MATRIX — the exact
+    * integer input to PCA / whitening / OPQ rotation decisions: for
+    * every unordered dimension pair (i ≤ j) of the quantised
+    * embeddings, n·Σxᵢxⱼ − Σxᵢ·Σxⱼ over exact longs (q132's power-sum
+    * discipline lifted from scalars to the [[SrpDim]]² upper
+    * triangle). q185 is this matrix's diagonal; the off-diagonal is
+    * what tells you whether matryoshka prefixes are decorrelated
+    * enough to truncate or whether retrieval wants a rotation first.
+    *
+    * Scale: the per-vector outer product explodes map-side, but the
+    * hash aggregation's partial combine collapses everything to at
+    * most dims·(dims+1)/2 groups PER TASK before the exchange — the
+    * shuffle carries tasks × 2,080 rows, never corpus × 2,080. The
+    * per-dimension sum table is [[SrpDim]] rows, broadcast twice.
+    * Overflow audit: |x| ≤ 10³ ⇒ safe to ~10⁶ vectors; widen to
+    * decimal past that (same bound as q185).
+    */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir)
+    val sums = e.select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(col("x")).as("sx"))
+    e.select(posexplode(col("qv")).as(Seq("i", "xi")), col("qv"))
+      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sxy"))
+      .join(broadcast(sums.select(col("d").as("i"), col("sx").as("sxi"))),
+        "i")
+      .join(broadcast(sums.select(col("d").as("j"), col("sx").as("sxj"))),
+        "j")
+      .select(col("i"), col("j"), col("n"), col("sxy"),
+        (col("n") * col("sxy") - col("sxi") * col("sxj")).as("cov_n"))
+  }
+
+  /** q193: IVF CELL-BALANCE AUDIT — the index-maintenance number for
+    * q34/q97's coarse quantizer: per trained cell, how many corpus
+    * vectors land in it and its load relative to the uniform ideal
+    * (milli; 1000 = perfectly balanced, ≥ 2000 flags a cell carrying
+    * over twice its share). A skewed cell makes probed searches scan
+    * corpus-sized lists (the ANN equivalent of a hot shuffle
+    * partition) — this audit is what schedules re-training the
+    * quantizer or splitting hot cells, the same decision q112 makes
+    * for joins. Empty cells surface with zero counts: they waste
+    * probe budget and signal over-provisioned [[NCells]].
+    *
+    * Scale: ONE argmin assignment against the broadcast K-row trained
+    * centroid table (shared [[centroidFixture]] — the audit measures
+    * the index the queries actually probe) and a [[NCells]]-group
+    * count; the scalar total rides a 1-row broadcast.
+    */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = base(spark, dir)
+    val cent = centroidFixture(spark, dir, NCells)
+    val counts = e.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("w"))
+      .select(col("w.cell").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    // both sides are K-row; the post-aggregation side has no stats, so
+    // pin the broadcast rather than let it fall to a sort-merge
+    val byCell = cent.select(col("cell"))
+      .join(broadcast(counts), Seq("cell"), "left")
+      .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
+    graft.functions.Portable.withScalar(byCell,
+      counts.agg(sum(col("n_vectors")).as("total")))
+      .withColumn("balance_milli",
+        expr(s"(1000 * n_vectors * $NCells) DIV total"))
+      .select(col("cell"), col("n_vectors"), col("balance_milli"),
+        (col("balance_milli") >= 2000L).cast("int").as("skewed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_dim_variance" -> dimVariance,
+    "q192_embed_covariance" -> embedCovariance,
+    "q193_ivf_balance" -> ivfBalance,
     "q173_int8_quant" -> int8Quant,
     "q167_neg_sample" -> negSample,
     "q161_srp_bits" -> srpSignatures,
@@ -1681,8 +1755,44 @@ object SimSearch {
        |  CAST(d < $MatDims AS INTEGER) AS in_prefix
        |FROM g""".stripMargin
 
+  private val embedCovarianceSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |x AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS d,
+       |        qv[CAST(i AS INTEGER)] AS x
+       |      FROM e, range(1, ${SrpDim + 1}) AS r(i)),
+       |p AS (SELECT a.d AS i, b.d AS j, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+       |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.d >= a.d
+       |      GROUP BY 1, 2),
+       |s AS (SELECT d, CAST(sum(x) AS BIGINT) AS sx FROM x GROUP BY d)
+       |SELECT i, j, n, sxy, n * sxy - si.sx * sj.sx AS cov_n
+       |FROM p JOIN s si ON si.d = i JOIN s sj ON sj.d = j""".stripMargin
+
+  // replays the q34 training chain verbatim (cent0 → 2 Lloyd updates →
+  // final assignment), then counts per cell against the uniform ideal
+  private val ivfBalanceSql =
+    s"""$baseSql,
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $NCells),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")},
+       |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) n_vectors
+       |        FROM a3 GROUP BY cell),
+       |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) total FROM cnt)
+       |SELECT c.cell, CAST(coalesce(cnt.n_vectors, 0) AS BIGINT) AS n_vectors,
+       |  (1000 * coalesce(cnt.n_vectors, 0) * $NCells) // total
+       |    AS balance_milli,
+       |  CAST((1000 * coalesce(cnt.n_vectors, 0) * $NCells) // total >= 2000
+       |    AS INTEGER) AS skewed
+       |FROM centn2 c LEFT JOIN cnt USING (cell), tot""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q185_dim_variance" -> dimVarianceSql,
+    "q192_embed_covariance" -> embedCovarianceSql,
+    "q193_ivf_balance" -> ivfBalanceSql,
     "q173_int8_quant" -> int8QuantSql,
     "q167_neg_sample" -> negSampleSql,
     "q161_srp_bits" -> srpSql,

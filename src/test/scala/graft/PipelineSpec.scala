@@ -389,6 +389,59 @@ class PipelineSpec extends AnyFunSuite {
       rows.map(r => (r._4, r._1)).sortBy(t => (-t._1, t._2)).toSeq)
   }
 
+  test("q192 covariance: q185 diagonal, full triangle, spot-replayed pairs") {
+    val rows = SimSearch.embedCovariance(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val dims = 64
+    assert(rows.size === dims * (dims + 1) / 2, "full upper triangle")
+    // the diagonal IS q185's variance column
+    val vars = SimSearch.dimVariance(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    (0 until dims).foreach(d => assert(rows((d, d))._3 === vars(d), s"dim $d"))
+    // exact replay of a few off-diagonal pairs
+    val vecs = Tables.embeddings(spark, sf0001).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0)
+        .map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    Seq((0, 1), (3, 40), (62, 63)).foreach { case (i, j) =>
+      val n = vecs.length.toLong
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val cov = n * sxy - vecs.map(_(i)).sum * vecs.map(_(j)).sum
+      assert(rows((i, j)) === ((n, sxy, cov)), s"pair ($i,$j)")
+    }
+  }
+
+  test("q193 cell loads replay the trained argmin assignment exactly") {
+    val rows = SimSearch.ivfBalance(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length === 16, "one row per trained cell, empties included")
+    val total = rows.map(_._2).sum
+    assert(total === Tables.embeddings(spark, sf0001).count())
+    rows.foreach { case (cell, n, bal, skewed) =>
+      assert(bal === 1000L * n * 16 / total, s"cell $cell")
+      assert(skewed === (if (bal >= 2000) 1 else 0), s"cell $cell")
+    }
+    // the audit counts the SAME assignment q34 probes: replay argmin
+    // against the shared trained centroids, exact integer distances
+    val cent = SimSearch.centroidFixture(spark, sf0001, 16).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val got = rows.map(r => r._1 -> r._2).toMap
+    val expected = Tables.embeddings(spark, sf0001).select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000).toLong)
+        .toArray)
+      .map { qv =>
+        val n2 = qv.map(x => x * x).sum
+        cent.map { case (cell, cqv, cn2) =>
+          val dot = qv.zip(cqv).map { case (a, b) => a * b }.sum
+          (n2 - 2 * dot + cn2, cell)
+        }.min._2
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    (0 until 16).foreach { c =>
+      assert(got(c) === expected.getOrElse(c, 0L), s"cell $c")
+    }
+  }
+
   test("q85 filtered search returns only predicate-passing exact neighbours") {
     val labels = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("label")).collect()
