@@ -752,9 +752,38 @@ object Curation {
           .when(h("fimm:") % 2 === 0, "psm").otherwise("spm").as("mode"))
   }
 
+  /** q195: LOSS-MASK BUDGET PER PACKED SEQUENCE — the loader-facing
+    * composition of q172's fragment index with q100's gate verdicts:
+    * fragments of documents the pipeline rejects stay IN the packed
+    * sequence (dropping them would re-flow every later fragment and
+    * destabilize the pack layout under any gate retune) but are
+    * LOSS-MASKED, so the trainer keeps long-range context while
+    * gradients flow only through kept docs. Per (stream, sequence):
+    * fragment count, total tokens, masked tokens, and the trainable
+    * fraction in milli — the number a training run budgets real
+    * gradient tokens with (a sequence below ~500‰ trainable is
+    * usually cheaper to drop outright; this table is how you find
+    * them).
+    *
+    * Scale: the fragment index and the verdicts are the shared q172/
+    * q100 plans; the composition is ONE doc_id equi-join and ONE
+    * (stream, seq) aggregation with map-side partials.
+    */
+  def lossMaskBudget(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(spark, dir)
+      .join(curationPipeline(spark, dir)
+        .select(col("doc_id"),
+          (col("verdict") =!= "kept").cast("long").as("m")), "doc_id")
+      .groupBy(col("stream"), col("seq"))
+      .agg(count(lit(1)).as("n_frags"), sum(col("n_frag")).as("n_tokens"),
+        sum(col("n_frag") * col("m")).as("n_masked"))
+      .withColumn("trainable_milli",
+        expr("(1000 * (n_tokens - n_masked)) DIV n_tokens"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_domain_affinity" -> domainAffinity,
     "q188_fim_spans" -> fimSpans,
+    "q195_loss_mask" -> lossMaskBudget,
     "q172_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "q170_epoch_shards" -> epochShards,
     "q157_token_budget" -> tokenBudgetFill,
@@ -996,6 +1025,24 @@ object Curation {
       .replace("@PAIRS@", Dedup.minhashSql)
       .replace("@RATES@", mixturePlanSql)
 
+  // q195: fragment index × gate verdicts, both spliced verbatim from
+  // their standalone oracles (CTE-in-subquery, the q194 discipline)
+  private val lossMaskSql =
+    s"""WITH fr AS (SELECT stream, seq, doc_id, n_frag FROM (@FRAGS@)),
+       |m AS (SELECT doc_id,
+       |        CASE WHEN verdict = 'kept' THEN 0 ELSE 1 END AS m
+       |      FROM (@PIPE@))
+       |SELECT stream, seq, CAST(count(*) AS BIGINT) AS n_frags,
+       |  CAST(sum(n_frag) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_frag * m) AS BIGINT) AS n_masked,
+       |  (1000 * (CAST(sum(n_frag) AS BIGINT)
+       |     - CAST(sum(n_frag * m) AS BIGINT)))
+       |    // CAST(sum(n_frag) AS BIGINT) AS trainable_milli
+       |FROM fr JOIN m USING (doc_id)
+       |GROUP BY stream, seq""".stripMargin
+      .replace("@FRAGS@", sequencePackSql)
+      .replace("@PIPE@", pipelineSql)
+
   private val splitAssignSql =
     s"""SELECT doc_id, lang,
        |  $splitBucketSql AS bucket,
@@ -1091,6 +1138,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q184_domain_affinity" -> domainAffinitySql,
     "q188_fim_spans" -> fimSpansSql,
+    "q195_loss_mask" -> lossMaskSql,
     "q144_k_anonymity" -> kAnonymitySql,
     "q139_release_manifest" -> releaseManifestSql,
     "q172_sequence_pack" -> sequencePackSql,

@@ -710,6 +710,60 @@ object Dedup {
       .withColumn("leak_milli", expr("1000 * n_seen DIV n_grams"))
   }
 
+  private val GramQuarantineMilli = 500L // q194 gram-leak threshold
+
+  /** q194: EVAL-SET DECONTAMINATION VERDICTS — the REPAIR step the
+    * q96/q178 audits feed: for every TEST-split document, decide
+    * whether its eval score can be trusted, quarantining docs that
+    * leak through EITHER channel — a q15 near-dup partner in the
+    * train split (whole-document leakage) or ≥
+    * [[GramQuarantineMilli]]‰ of its [[LeakN]]-grams present anywhere
+    * in train (verbatim-memorization leakage; docs too short to gram
+    * carry 0). Quarantine means EXCLUDE FROM EVAL — the published
+    * convention — never "move to train", which would re-leak the
+    * partner in the other direction on the next split audit. All
+    * three kernels are the shared shipping ones ([[Curation
+    * .splitBucket]], [[dedupMinhash]], [[ngramLeakage]]), so the
+    * verdicts govern exactly the split, candidates, and grams the
+    * pipeline uses.
+    *
+    * Scale: the pair channel is the band-join pair set against a
+    * train-id semi-join; the gram channel is q178's one gram shuffle;
+    * the final assembly is two left joins on doc_id. Nothing rescans
+    * the corpus beyond what the audits already scan.
+    */
+  def evalDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir)
+      .select(col("doc_id"), Curation.splitBucket(col("text")).as("m"))
+    val test = split.filter(col("m") >= Curation.SplitValMilli)
+      .select(col("doc_id"))
+    val train = split.filter(col("m") < Curation.SplitTrainMilli)
+      .select(col("doc_id").as("partner"))
+    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairLeaked = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
+      .unionByName(pairs
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("partner")))
+      .join(train, "partner").select(col("doc_id")).distinct()
+      .withColumn("pair_leak", lit(1))
+    val gram = ngramLeakage(spark, dir)
+      .select(col("doc_id"), col("leak_milli"))
+    test.join(pairLeaked, Seq("doc_id"), "left")
+      .join(gram, Seq("doc_id"), "left")
+      .withColumn("leak_milli", coalesce(col("leak_milli"), lit(0L)))
+      .withColumn("pair_leak", coalesce(col("pair_leak"), lit(0)))
+      .withColumn("gram_leak",
+        (col("leak_milli") >= GramQuarantineMilli).cast("int"))
+      .withColumn("reason",
+        when(col("pair_leak") === 1 && col("gram_leak") === 1, "both")
+          .when(col("pair_leak") === 1, "pair")
+          .when(col("gram_leak") === 1, "gram")
+          .otherwise("none"))
+      .select(col("doc_id"), col("leak_milli"), col("reason"),
+        when(col("reason") === "none", "keep").otherwise("quarantine")
+          .as("verdict"))
+  }
+
   private val FuzzyQ = 3 // q-gram width
   private val FuzzyMaxDist = 2 // edit-distance acceptance threshold
 
@@ -1416,6 +1470,7 @@ object Dedup {
     "q96_split_leakage" -> splitLeakage,
     "q190_cross_source_dups" -> crossSourceDups,
     "q191_soft_dedup" -> softDedupWeights,
+    "q194_eval_decontam" -> evalDecontam,
     "q95_cdc_chunks" -> dedupCdcChunks,
     "q14_dedup_exact" -> dedupExact,
     "q15_dedup_minhash" -> dedupMinhash,
@@ -1722,6 +1777,40 @@ object Dedup {
        |GROUP BY 1, 2, 4""".stripMargin
       .replace("@PAIRS@", minhashSql)
 
+  // q194: both leak channels spliced from their standalone oracles —
+  // the pair set verbatim, the gram audit as a CTE-in-subquery.
+  // LAZY: ngramLeakageSql is declared below; a strict val would
+  // splice null at object init (the embedSql precedent)
+  private lazy val evalDecontamSql =
+    s"""WITH s AS (SELECT doc_id, ${Curation.splitBucketSql} m
+       |           FROM documents),
+       |te AS (SELECT doc_id FROM s WHERE m >= ${Curation.SplitValMilli}),
+       |tr AS (SELECT doc_id AS partner FROM s
+       |       WHERE m < ${Curation.SplitTrainMilli}),
+       |pr AS (SELECT doc_a, doc_b FROM (@PAIRS@)),
+       |pl AS (SELECT DISTINCT u.doc_id FROM (
+       |         SELECT doc_a AS doc_id, doc_b AS partner FROM pr
+       |         UNION ALL SELECT doc_b, doc_a FROM pr) u
+       |       JOIN tr ON tr.partner = u.partner),
+       |gl AS (SELECT doc_id, leak_milli FROM (@GRAM@)),
+       |v AS (SELECT te.doc_id,
+       |        coalesce(gl.leak_milli, 0) AS leak_milli,
+       |        CASE WHEN pl.doc_id IS NOT NULL THEN 1 ELSE 0 END pairlk,
+       |        CASE WHEN coalesce(gl.leak_milli, 0)
+       |               >= $GramQuarantineMilli THEN 1 ELSE 0 END gramlk
+       |      FROM te LEFT JOIN pl ON pl.doc_id = te.doc_id
+       |           LEFT JOIN gl ON gl.doc_id = te.doc_id)
+       |SELECT doc_id, leak_milli,
+       |  CASE WHEN pairlk = 1 AND gramlk = 1 THEN 'both'
+       |       WHEN pairlk = 1 THEN 'pair'
+       |       WHEN gramlk = 1 THEN 'gram'
+       |       ELSE 'none' END AS reason,
+       |  CASE WHEN pairlk = 0 AND gramlk = 0 THEN 'keep'
+       |       ELSE 'quarantine' END AS verdict
+       |FROM v""".stripMargin
+      .replace("@PAIRS@", minhashSql)
+      .replace("@GRAM@", ngramLeakageSql)
+
   // q178: the shipped split convention (Curation.splitBucketSql, the
   // q121 oracle's own expression), grams joined with the shingle
   // kernel's single-space convention (q15's sqlShingles)
@@ -1980,6 +2069,7 @@ object Dedup {
     "q96_split_leakage" -> splitLeakageSql,
     "q190_cross_source_dups" -> crossSourceDupsSql,
     "q191_soft_dedup" -> softDedupSql,
+    "q194_eval_decontam" -> evalDecontamSql,
     "q178_ngram_leakage" -> ngramLeakageSql,
     "q95_cdc_chunks" -> cdcChunkSql,
     "q54_dup_clusters" -> clustersSql,

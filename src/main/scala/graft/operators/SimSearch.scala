@@ -1232,12 +1232,13 @@ object SimSearch {
       .select(col("w.cell").as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
     // both sides are K-row; the post-aggregation side has no stats, so
-    // pin the broadcast rather than let it fall to a sort-merge
-    val byCell = cent.select(col("cell"))
+    // pin the broadcast rather than let it fall to a sort-merge. The
+    // corpus total is a whole-frame window over the SAME K-row table —
+    // bounded by NCells, and no scalar join enters the plan at all.
+    cent.select(col("cell"))
       .join(broadcast(counts), Seq("cell"), "left")
       .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
-    graft.functions.Portable.withScalar(byCell,
-      counts.agg(sum(col("n_vectors")).as("total")))
+      .withColumn("total", sum(col("n_vectors")).over(Window.partitionBy()))
       .withColumn("balance_milli",
         expr(s"(1000 * n_vectors * $NCells) DIV total"))
       .select(col("cell"), col("n_vectors"), col("balance_milli"),
@@ -1781,13 +1782,16 @@ object SimSearch {
        |${kmAssignSql("centn2", "3")},
        |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) n_vectors
        |        FROM a3 GROUP BY cell),
-       |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) total FROM cnt)
-       |SELECT c.cell, CAST(coalesce(cnt.n_vectors, 0) AS BIGINT) AS n_vectors,
-       |  (1000 * coalesce(cnt.n_vectors, 0) * $NCells) // total
-       |    AS balance_milli,
-       |  CAST((1000 * coalesce(cnt.n_vectors, 0) * $NCells) // total >= 2000
-       |    AS INTEGER) AS skewed
-       |FROM centn2 c LEFT JOIN cnt USING (cell), tot""".stripMargin
+       |b AS (SELECT c.cell,
+       |        CAST(coalesce(cnt.n_vectors, 0) AS BIGINT) AS n_vectors
+       |      FROM centn2 c LEFT JOIN cnt USING (cell)),
+       |w AS (SELECT cell, n_vectors,
+       |        (1000 * n_vectors * $NCells)
+       |          // CAST(sum(n_vectors) OVER () AS BIGINT) AS balance_milli
+       |      FROM b)
+       |SELECT cell, n_vectors, balance_milli,
+       |  CAST(balance_milli >= 2000 AS INTEGER) AS skewed
+       |FROM w""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q185_dim_variance" -> dimVarianceSql,

@@ -358,4 +358,26 @@ class CurationSpec extends AnyFunSuite {
     // both orderings and the pass-through gate all occur at this SF
     assert(Set("psm", "spm", "none").subsetOf(rows.map(_._6).toSet))
   }
+
+  test("q195 masks compose q172 fragments with q100 verdicts exactly") {
+    val verdicts = Curation.curationPipeline(spark, sf0001)
+      .select(col("doc_id"), col("verdict")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1) != "kept")).toMap
+    val frags = Curation.sequencePack(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val expected = frags.groupBy(f => (f._1, f._2)).map { case (k, fs) =>
+      val masked = fs.filter(f => verdicts(f._3)).map(_._4).sum
+      val total = fs.map(_._4).sum
+      k -> (fs.length.toLong, total, masked,
+        1000L * (total - masked) / total)
+    }
+    val got = Curation.lossMaskBudget(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === expected)
+    // token conservation: masking never changes the pack layout
+    assert(got.values.map(_._2).sum === frags.map(_._4).sum)
+    // the gate actually bites at this SF, and some sequences stay clean
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 == 0))
+  }
 }

@@ -368,4 +368,38 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.exists(_._2 > 1) && rows.exists(_._2 === 1L),
       "fixture exercises both clustered docs and singletons")
   }
+
+  test("q194 verdicts compose the shipped split, pair, and gram kernels") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(t: String) = h60("split:" + t) % 1000
+    val testIds = docs.filter(d => bucket(d._2) >= 900).map(_._1).toSet
+    val trainIds = docs.filter(d => bucket(d._2) < 800).map(_._1).toSet
+    val pairs = Dedup.dedupMinhash(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairLeaked = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a)
+    }.filter { case (d, p) => testIds(d) && trainIds(p) }.map(_._1).toSet
+    val gramMilli = Dedup.ngramLeakage(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val expected = testIds.map { id =>
+      val lm = gramMilli.getOrElse(id, 0L)
+      val (p, g) = (pairLeaked(id), lm >= 500)
+      val reason =
+        if (p && g) "both" else if (p) "pair" else if (g) "gram" else "none"
+      (id, lm, reason, if (reason == "none") "keep" else "quarantine")
+    }
+    val got = Dedup.evalDecontam(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got === expected)
+    assert(got.size === testIds.size, "every test doc gets a verdict")
+  }
 }

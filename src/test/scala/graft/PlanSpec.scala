@@ -159,9 +159,9 @@ class PlanSpec extends AnyFunSuite {
       "q125_ann_matryoshka", "q134_sketch_union", "q151_kmv_jaccard",
       // q161/q167 broadcast the bounded NQ-row anchor/query set
       "q161_srp_bits", "q167_neg_sample",
-      // q180 broadcasts the KmK-row trained centroid table for the
+      // q180/q193 broadcast the K-row trained centroid table for the
       // q34-style assignment argmin
-      "q180_cell_quota")
+      "q180_cell_quota", "q193_ivf_balance")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {

@@ -571,4 +571,44 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(drain("sts_future",
       Map("startingWriteTimeUs" -> Long.MaxValue.toString)) === 0L)
   }
+
+  test("batch/stream seam at one instant covers every cell exactly once") {
+    // the lambda-architecture handoff the temporal options exist for:
+    // a batch job reads the CLOSED window (maxWriteTimeUs = T-1), a
+    // stream tails from the same instant (startingWriteTimeUs = T) —
+    // together they must see each cell exactly once, no gap at the
+    // seam and no double count, PROVIDED files are written window-pure
+    // (each wholly before or from T, the sink layout TWCS maintains)
+    val dir = java.nio.file.Files.createTempDirectory("graft_seam")
+      .toFile.getAbsolutePath
+    val cells = CellModel.liveCells(spark, sf0001)
+    val t = cells.agg(expr("percentile_approx(write_time, 0.5)"))
+      .head.getLong(0)
+    def nest(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("name"), col("value"),
+        col("write_time")))).as("columns")).coalesce(1)
+    Sink.writeNested(nest(cells.filter(col("write_time") < t)), dir)
+    Sink.writeNested(nest(cells.filter(col("write_time") >= t)), dir)
+    val batchSide = spark.read.format("proto-zst")
+      .option("maxWriteTimeUs", (t - 1).toString).load(dir)
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.name")).collect().map(_.getAs[Array[Byte]](0).toSeq)
+    val q = spark.readStream.format("proto-zst")
+      .option("startingWriteTimeUs", t.toString).load(dir)
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.name"))
+      .writeStream.format("memory").queryName("seam_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamSide = spark.table("seam_stream").collect()
+      .map(_.getAs[Array[Byte]](0).toSeq)
+    val total = cells.count()
+    assert(batchSide.length + streamSide.length === total,
+      s"${batchSide.length} + ${streamSide.length} != $total")
+    // cell names are unique corpus-wide: exactly-once ⟺ no overlap
+    assert((batchSide.toSet & streamSide.toSet).isEmpty, "seam overlap")
+  }
 }
