@@ -1291,7 +1291,66 @@ object Sink {
       .mode("append").save(out)
   }
 
+  /** q196 fixture: one directory, two append-only commits split at the
+    * live corpus's midpoint write time (exact integer midpoint, so the
+    * DuckDB oracle reproduces the cut bit-for-bit) — a two-release
+    * export history. Returns (dir, v1, v2): the manifest versions the
+    * two commits landed as, captured from the manifest itself rather
+    * than assumed.
+    */
+  private[graft] def versionPinFixture(spark: SparkSession,
+      dir: String): (String, String) =
+    fixture2("vpin:" + dir) {
+      val out = Scratch.dir("graft_vpin")
+      val conf = graft.sources.ProtoZstFiles.hadoopConf()
+      val cells = CellModel.liveCells(spark, dir)
+      val b = cells.agg(min(col("write_time")), max(col("write_time"))).head()
+      val t = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      def nest(df: DataFrame) = df.groupBy(col("key"))
+        .agg(sort_array(collect_list(struct(col("name"), col("value"),
+          col("write_time")))).as("columns"))
+      def version() = graft.sources.GenManifest.read(out, conf)
+        .getOrElse(throw new IllegalStateException(
+          s"export left no manifest under $out")).version
+      writeNested(nest(cells.filter(col("write_time") < t)), out)
+      val v1 = version()
+      writeNested(nest(cells.filter(col("write_time") >= t)), out)
+      (out, s"$v1,${version()}")
+    }
+
+  /** q196: PINNED-VERSION (time-travel) READ — the reproducibility
+    * primitive a training release needs: "re-read exactly release N"
+    * long after later commits appended more data. The same directory
+    * is read three ways — pinned at v1 (the first release: later
+    * appends must be invisible), pinned at v2, and HEAD (which must
+    * equal the v2 pin bit-for-bit) — through the `manifestVersion`
+    * scan option, which plans the file set, stats, and pushdown from
+    * THAT snapshot and throws (never lists, never answers from HEAD)
+    * when the version is gc'd or the directory ungoverned.
+    *
+    * Scale: each read plans from ONE tiny manifest open regardless of
+    * file count; the pin is a planning-time choice with zero
+    * execution-path cost. Pins stay valid across append-only commits
+    * (exactly the release/export history); OPTIMIZE/erasure delete
+    * replaced files immediately — erasure must be irreversible — so
+    * pins across maintenance fail loudly at scan, never resurrect.
+    */
+  def versionPin(spark: SparkSession, dir: String): DataFrame = {
+    val (out, vs) = versionPinFixture(spark, dir)
+    val Array(v1, v2) = vs.split(',')
+    def stats(df: DataFrame, side: String) = df
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(size(col("columns"))), lit(0L)).as("n_cells"))
+      .select(lit(side).as("side"), col("n_rows"), col("n_cells"))
+    def pinned(v: String) = spark.read.format("proto-zst")
+      .option("manifestVersion", v).load(out)
+    stats(pinned(v1), "v1")
+      .unionByName(stats(pinned(v2), "v2"))
+      .unionByName(stats(spark.read.format("proto-zst").load(out), "head"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_version_pin" -> versionPin,
     "q171_export_sink" -> exportShards,
     "q148_erasure" -> erasureRead,
     "q111_partition_evolution" -> partitionEvolutionRead,
@@ -1360,7 +1419,30 @@ object Sink {
        |FROM s""".stripMargin
   }
 
+  // q196: the two commits partition the live cells at the exact
+  // integer midpoint write time; a version pin reads its commit's
+  // rows (nested per key WITHIN each commit, so a key spanning the
+  // cut contributes one row to EACH), and HEAD equals the v2 pin
+  private val versionPinSql =
+    s"""WITH lc AS (${Core.liveCellsSql}),
+       |b AS (SELECT min(write_time) + (max(write_time) - min(write_time)) // 2
+       |        AS t FROM lc),
+       |p1 AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_rows,
+       |         CAST(count(*) AS BIGINT) AS n_cells
+       |       FROM lc, b WHERE write_time < t),
+       |p2 AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_rows,
+       |         CAST(count(*) AS BIGINT) AS n_cells
+       |       FROM lc, b WHERE write_time >= t)
+       |SELECT 'v1' AS side, n_rows, n_cells FROM p1
+       |UNION ALL
+       |SELECT 'v2', p1.n_rows + p2.n_rows, p1.n_cells + p2.n_cells
+       |FROM p1, p2
+       |UNION ALL
+       |SELECT 'head', p1.n_rows + p2.n_rows, p1.n_cells + p2.n_cells
+       |FROM p1, p2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q196_version_pin" -> versionPinSql,
     "q171_export_sink" -> exportShardsSql,
     // replay the evolution null-fill: gen-1 rows (even ids) predate
     // (source, n_chars); the partition column is the generation id

@@ -220,6 +220,46 @@ object GenManifest {
       s"manifest for $dir kept vanishing mid-read after $attempts attempts")
   }
 
+  /** TIME TRAVEL: read the snapshot at a SPECIFIC committed version —
+    * the table-format "read release N" primitive. Strict where [[read]]
+    * degrades: a missing version (never committed, or gc'd past the
+    * [[Retain]] horizon) throws with the retained range, because
+    * silently answering from HEAD would hand a "pinned" reader someone
+    * else's data. CONTRACT: a pinned version's FILES are only
+    * guaranteed present while every later commit was append-only (the
+    * export/streaming-sink pattern); file-rewriting maintenance
+    * (OPTIMIZE, erasure) deletes replaced originals immediately — by
+    * design, since erasure exists precisely to make bytes
+    * unrecoverable — so pinned reads across such a commit fail at
+    * scan time, never resurrect erased data.
+    */
+  def readAt(dir: String, conf: org.apache.hadoop.conf.Configuration,
+      version: Long): Snapshot = {
+    MetaIO.manifestReads.incrementAndGet()
+    val fs = manifestDir(dir).getFileSystem(conf)
+    val p = versionFile(dir, version)
+    try {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      parse(bytes).getOrElse(throw new java.io.IOException(
+        s"manifest $p exists but does not parse — corrupt bytes or a " +
+          "newer engine's format; refusing to misread the table"))
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        val have =
+          try fs.listStatus(manifestDir(dir)).flatMap(_.getPath.getName match {
+            case VersionName(v) => Some(v.toLong)
+            case _ => None
+          }).sorted.toSeq
+          catch { case _: java.io.FileNotFoundException => Seq.empty[Long] }
+        throw new IllegalArgumentException(
+          s"manifest version $version not retained under $dir " +
+            s"(retained: ${if (have.isEmpty) "none — not a manifest-governed directory"
+            else have.mkString(", ")}); versions older than the " +
+            s"last $Retain are gc'd at commit")
+    }
+  }
+
   /** Commit `update(current entries)` as the next version. Optimistic:
     * on a rename refusal (a concurrent commit won the version), the
     * latest snapshot is re-read and `update` re-applied — so `update`
@@ -380,16 +420,30 @@ object ManifestIndex {
   def load(paths: Seq[String],
       conf: org.apache.hadoop.conf.Configuration): Option[Array[FileMeta]] = {
     val per = paths.map { p =>
-      GenManifest.read(p, conf).map(_.entries.map(e =>
-        FileMeta(new Path(p, e.name).toString, e.bytes, e.count, e.sorted,
-          if (e.hasRange) Some(e.min) else None,
-          if (e.hasRange) Some(e.max) else None, e.times))
-      ).orElse(
+      GenManifest.read(p, conf).map(metas(p, _)).orElse(
         if (GenManifest.governed(p, conf)) Some(Vector.empty) else None)
     }
     if (per.exists(_.isEmpty)) None
     else Some(per.flatMap(_.get).toArray.distinctBy(_.path).sortBy(_.path))
   }
+
+  private def metas(root: String,
+      s: GenManifest.Snapshot): Vector[FileMeta] =
+    s.entries.map(e =>
+      FileMeta(new Path(root, e.name).toString, e.bytes, e.count, e.sorted,
+        if (e.hasRange) Some(e.min) else None,
+        if (e.hasRange) Some(e.max) else None, e.times))
+
+  /** TIME-TRAVEL planning view: the file set AT a pinned manifest
+    * version. STRICT — throws (never falls back to a listing) when the
+    * root has no manifest or the version is outside the retained
+    * horizon: a listing fallback here would silently plan HEAD under a
+    * reader that asked for a specific release.
+    */
+  def loadAt(root: String, conf: org.apache.hadoop.conf.Configuration,
+      version: Long): Array[FileMeta] =
+    metas(root, GenManifest.readAt(root, conf, version))
+      .toArray.sortBy(_.path)
 
   /** Drop metas whose recorded key range provably misses the pushed
     * predicate — the manifest-backed version of

@@ -274,6 +274,25 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     */
   private val startingWriteTimeUs: Option[Long] =
     Option(options.get("startingWriteTimeUs")).map(_.toLong)
+  /** TIME TRAVEL, opt-in: plan the scan from the manifest snapshot at
+    * this pinned version instead of HEAD — the "read release N"
+    * primitive (Delta's `versionAsOf`). Strict by design: requires ONE
+    * manifest-governed root (each root numbers its own versions — a
+    * multi-root pin would be ambiguous) and a RETAINED version; any
+    * miss throws at plan time rather than silently answering from HEAD
+    * or a listing. Valid across append-only commits (the export /
+    * streaming-sink history); file-rewriting maintenance (OPTIMIZE,
+    * erasure) deletes replaced originals immediately — erasure must be
+    * irreversible — so a pin older than such a commit fails at read.
+    */
+  private val manifestVersion: Option[Long] =
+    Option(options.get("manifestVersion")).map { v =>
+      val n = v.toLong
+      require(n >= 1, s"manifestVersion must be a committed version >= 1, got $n")
+      require(paths.size == 1,
+        s"manifestVersion pins ONE directory's snapshot; got ${paths.size} roots")
+      n
+    }
   private var required: StructType = ProtoZstTable.Schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var aggregated: Option[(StructType, Array[Any], String)] = None
@@ -372,8 +391,16 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
         case _: Min | _: Max => true
         case _ => false
       }
+      // a pinned version answers from THAT snapshot's stats (strict:
+      // loadAt throws on a gc'd version, so the legacy sidecar
+      // fallback below — which reads HEAD-era files — stays unreachable
+      // under a pin)
+      val metaView = manifestVersion match {
+        case Some(v) => Some(ManifestIndex.loadAt(paths.head, conf, v))
+        case None => ManifestIndex.load(paths, conf)
+      }
       val stats: Option[(Long, Seq[Array[Byte]], Seq[Array[Byte]])] =
-        ManifestIndex.load(paths, conf) match {
+        metaView match {
           case Some(metas) if needRange && metas.exists(_.min.isEmpty) =>
             None
           case Some(metas) =>
@@ -428,7 +455,8 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       new ProtoZstAggScan(paths.mkString(","), schema, values, desc)
     case None =>
       new ProtoZstScan(paths, ignoreCorrupt, required, pushed, buckets,
-        viaCatalog, maxFilesPerTrigger, timeBounds, startingWriteTimeUs)
+        viaCatalog, maxFilesPerTrigger, timeBounds, startingWriteTimeUs,
+        manifestVersion)
   }
 }
 
@@ -559,7 +587,8 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     buckets: Option[Int] = None, viaCatalog: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     timeBounds: Option[(Long, Long)] = None,
-    startingWriteTimeUs: Option[Long] = None) extends Scan
+    startingWriteTimeUs: Option[Long] = None,
+    manifestVersion: Option[Long] = None) extends Scan
     with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -592,7 +621,8 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
       s"ReadSchema: ${readSchema.simpleString}" +
       buckets.map(n => s", Buckets: $n").getOrElse("") +
       timeBounds.map { case (lo, hi) =>
-        s", WriteTimeWindowUs: [$lo, $hi]" }.getOrElse("")
+        s", WriteTimeWindowUs: [$lo, $hi]" }.getOrElse("") +
+      manifestVersion.map(v => s", ManifestVersion: $v").getOrElse("")
 
   /** The generation manifest's view of the roots, when EVERY root has
     * one: file set + per-file stats from ONE tiny read per root — no
@@ -601,7 +631,13 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     * explicit-file loads) falls back to listing + sidecars below.
     */
   private lazy val manifestMeta: Option[Array[FileMeta]] =
-    ManifestIndex.load(paths, conf.value)
+    manifestVersion match {
+      // pinned: plan from exactly that snapshot — loadAt throws on a
+      // missing/gc'd version or a non-governed root, so the listing
+      // fallback below can never quietly answer a pinned read from HEAD
+      case Some(v) => Some(ManifestIndex.loadAt(paths.head, conf.value, v))
+      case None => ManifestIndex.load(paths, conf.value)
+    }
 
   // the post-skip metadata, fixed once so outputPartitioning() and
   // planInputPartitions() describe the same file set. Manifest-backed:
@@ -785,6 +821,11 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     if (paths.length != 1)
       throw new UnsupportedOperationException(
         "proto-zst streaming read monitors exactly one directory, got " + paths)
+    if (manifestVersion.isDefined)
+      throw new UnsupportedOperationException(
+        "manifestVersion pins a frozen snapshot — it cannot tail new " +
+          "commits; use a batch read for a pinned version, or " +
+          "startingWriteTimeUs to start a stream at an instant")
     new ProtoZstMicroBatchStream(paths.head, ignoreCorrupt, readSchema,
       filters, maxFilesPerTrigger, startingWriteTimeUs)
   }

@@ -502,4 +502,116 @@ class ManifestSpec extends AnyFunSuite {
         .option("maxWriteTimeUs", "5").load(dir).count()
     }
   }
+
+  /** Tiny single-file commit for the version-pin tests: keys with one
+    * cell each, all metadata real (range, count, times).
+    */
+  private def pinCommit(dir: String, keys: String*): Unit = {
+    import spark.implicits._
+    Sink.writeNested(keys.toSeq.toDF("k")
+      .select(encode(col("k"), "UTF-8").as("key"),
+        array(struct(encode(col("k"), "UTF-8").as("name"),
+          encode(col("k"), "UTF-8").as("value"),
+          lit(7L).as("write_time"))).as("columns"))
+      .repartition(1), dir)
+  }
+
+  private def pinnedKeys(dir: String, version: Option[Long]): Set[String] = {
+    val r = version.foldLeft(spark.read.format("proto-zst"))(
+      (r, v) => r.option("manifestVersion", v.toString))
+    r.load(dir).select(decode(col("key"), "UTF-8")).collect()
+      .map(_.getString(0)).toSet
+  }
+
+  test("q196 pin: a pinned version stays frozen across appends; head-pin == HEAD") {
+    val dir = freshDir("graft_man_pin")
+    pinCommit(dir, "a", "b", "c")
+    val v1 = GenManifest.read(dir, conf).get.version
+    pinCommit(dir, "d", "e")
+    val v2 = GenManifest.read(dir, conf).get.version
+    assert(pinnedKeys(dir, Some(v1)) === Set("a", "b", "c"))
+    assert(pinnedKeys(dir, Some(v2)) === Set("a", "b", "c", "d", "e"))
+    assert(pinnedKeys(dir, None) === Set("a", "b", "c", "d", "e"))
+    // a pinned COUNT collapses to THAT snapshot's manifest stats
+    val pinned = spark.read.format("proto-zst")
+      .option("manifestVersion", v1.toString).load(dir).agg(count("*"))
+    assert(pinned.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(pinned.head().getLong(0) === 3L)
+  }
+
+  test("q196 pin misses fail loudly: gc'd version, foreign dir, stream tail") {
+    val dir = freshDir("graft_man_pin_err")
+    // five commits; Retain = 3 keeps the last three snapshot files
+    (1 to 5).foreach(i => pinCommit(dir, s"k$i"))
+    val head = GenManifest.read(dir, conf).get.version
+    assert(pinnedKeys(dir, Some(head - 2)).size === head.toInt - 2)
+    val gone = intercept[Exception] {
+      pinnedKeys(dir, Some(head - 4))
+    }
+    assert(gone.getMessage.contains("not retained"), gone.getMessage)
+    assert(gone.getMessage.contains((head - 2).toString), gone.getMessage)
+    // a directory without a manifest can never answer a pinned read —
+    // degrading to the listing would silently serve HEAD
+    val foreign = freshDir("graft_man_pin_foreign")
+    val src = ProtoZstFiles.list(dir, conf).head
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(new java.net.URI(
+        if (src.startsWith("file:")) src else "file://" + src)),
+      java.nio.file.Paths.get(foreign, "data.proto.zst"))
+    val nf = intercept[Exception] { pinnedKeys(foreign, Some(1L)) }
+    assert(nf.getMessage.contains("not a manifest-governed"), nf.getMessage)
+    // a pinned snapshot is frozen — tailing it as a stream is refused
+    val st = intercept[Exception] {
+      val q = spark.readStream.format("proto-zst")
+        .option("manifestVersion", head.toString).load(dir)
+        .writeStream.format("memory").queryName("pin_stream")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(st.getMessage.contains("cannot tail"), st.getMessage)
+  }
+
+  test("q196 pin across OPTIMIZE fails at scan — never resurrects replaced files") {
+    val dir = freshDir("graft_man_pin_opt")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), dir)
+    val v = GenManifest.read(dir, conf).get.version
+    Sink.optimizeSink(spark, dir)
+    // planning still sees the old snapshot (retained), but the replaced
+    // originals are deleted at commit by design — erasure must be
+    // irreversible, so pins across maintenance fail instead of lying
+    val e = intercept[Exception] {
+      spark.read.format("proto-zst").option("manifestVersion", v.toString)
+        .load(dir).select(col("key")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).contains("does not exist")),
+      chain(e).map(_.toString).mkString("\n"))
+  }
+
+  test("q196 replays: v1 holds the pre-midpoint nest, v2 == head") {
+    val rows = graft.operators.Sink.versionPin(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cells = CellModel.liveCells(spark, sf0001)
+      .select(col("key"), col("write_time")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1)))
+    val ts = cells.map(_._2)
+    val t = ts.min + (ts.max - ts.min) / 2
+    val first = cells.filter(_._2 < t)
+    val second = cells.filter(_._2 >= t)
+    assert(rows("v1") === (first.map(_._1).distinct.length.toLong,
+      first.length.toLong))
+    assert(rows("v2") === (
+      first.map(_._1).distinct.length.toLong +
+        second.map(_._1).distinct.length.toLong,
+      cells.length.toLong))
+    assert(rows("head") === rows("v2"),
+      "the head read and the head-version pin must agree bit-for-bit")
+  }
 }
