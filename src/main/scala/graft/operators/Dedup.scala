@@ -1344,7 +1344,7 @@ object Dedup {
         col("exact_n"), col("est_ok"))
   }
 
-  private val DupSpanN = 20 // tokens per exact-duplicate span
+  private[graft] val DupSpanN = 20 // tokens per exact-duplicate span
 
   /** q143: DUPLICATED-SPAN COVERAGE — for every document, the fraction
     * of its tokens covered by an exact [[DupSpanN]]-token span that
@@ -1392,6 +1392,95 @@ object Dedup {
         coalesce(col("n_islands"), lit(0L)).as("dup_islands"),
         coalesce(col("covered_us"), lit(0L)).as("dup_tokens"),
         expr("coalesce(covered_us, 0) * 1000 DIV n_tokens").as("dup_milli"))
+  }
+
+  /** q197: EXACT-SUBSTRING DEDUP SURGERY — the repair step q143
+    * diagnoses. Every duplicated [[DupSpanN]]-token span elects ONE
+    * canonical occurrence corpus-wide (the lexicographically first
+    * (doc_id, pos) — deterministic, and append-stable while ids are);
+    * every OTHER occurrence is cut. Overlapping cuts coalesce through
+    * q126's island merge, so per document the audit reports tokens
+    * cut, tokens kept, and the cut fraction in milli — the exact
+    * substring-dedup accounting (the "train on each passage once"
+    * repair), with the corpus-level guarantee that no passage
+    * disappears entirely: its canonical home always survives.
+    *
+    * Scale: identical shape to q143 — row-local positional span
+    * hashes, ONE span-grain groupBy with map-side partials, an
+    * equi-join back, a per-doc island window — plus the canonical
+    * election, a min(struct) that rides the SAME duplicate-test
+    * aggregate for free. Never all-pairs, never a global sort.
+    */
+  def dupSpanSurgery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= DupSpanN)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        col("ws"))
+    val spans = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.HashOps.shingle_hash60(col("ws"), DupSpanN)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+      .cp() // feeds the owner election AND the join back
+    val owner = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("own"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"), col("own.doc_id").as("own_doc"),
+        col("own.pos").as("own_pos"))
+    val cut = spans.join(owner, "h")
+      .filter(!(col("doc_id") === col("own_doc") &&
+        col("pos") === col("own_pos")))
+    val cov = Events.coverageOf(
+      cut.select(col("doc_id").as("user_id"), col("pos").as("event_id"),
+        col("pos").as("us"), (col("pos") + DupSpanN).as("end_us")))
+      .select(col("user_id").as("doc_id"), col("covered_us"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_us"), lit(0L)).as("cut_tokens"),
+        (col("n_tokens") - coalesce(col("covered_us"), lit(0L)))
+          .as("kept_tokens"),
+        expr("coalesce(covered_us, 0) * 1000 DIV n_tokens").as("cut_milli"))
+  }
+
+  /** q198: QUALITY×DUPLICATION CALIBRATION — does the cheap quality
+    * gate's verdict predict the expensive duplication problems? Per
+    * q22 quality bucket: corpus count, exact-duplicate rate (q14's
+    * content-hash kernel: the text occurs more than once verbatim)
+    * and near-duplicate rate (q15 band-join pair membership), both in
+    * milli. This is the audit that justifies (or refutes) running
+    * gates cheapest-first in q100's pipeline: if `short`/`repetitive`
+    * docs duplicate at 10× the `ok` rate, the quality gate is also a
+    * cheap pre-dedup filter; if the rates are flat, it is not.
+    *
+    * Scale: three shared kernels (row-local scoring, one
+    * content-hash shuffle, the banded pair join), assembled by two
+    * doc_id left joins and ONE bucket-grain aggregation with map-side
+    * partials. Nothing here adds a pass over the corpus.
+    */
+  def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("quality_bucket"))
+    val exact = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(dedupExact(spark, dir).filter(col("n_copies") >= 2)
+        .select(col("content_hash")), "content_hash")
+      .select(col("doc_id")).withColumn("is_exact", lit(1L))
+    val pairs = dedupMinhash(spark, dir)
+    val near = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("is_near", lit(1L))
+    q.join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .groupBy(col("quality_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"))
+      .withColumn("exact_milli", expr("1000 * n_exact_dup DIV n_docs"))
+      .withColumn("near_milli", expr("1000 * n_near_dup DIV n_docs"))
   }
 
   private val SnmWindow = 8 // neighborhood width (positions in sort order)
@@ -1471,6 +1560,8 @@ object Dedup {
     "q190_cross_source_dups" -> crossSourceDups,
     "q191_soft_dedup" -> softDedupWeights,
     "q194_eval_decontam" -> evalDecontam,
+    "q197_span_surgery" -> dupSpanSurgery,
+    "q198_quality_dup_calibration" -> qualityDupCalibration,
     "q95_cdc_chunks" -> dedupCdcChunks,
     "q14_dedup_exact" -> dedupExact,
     "q15_dedup_minhash" -> dedupMinhash,
@@ -2034,6 +2125,65 @@ object Dedup {
        |    AS dup_milli
        |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin
 
+  // q197: q143's span CTEs plus the canonical election (lexicographic
+  // tuple min, the engine's min(struct) twin); only non-canonical
+  // occurrences become cut intervals, then the same island merge
+  private val spanSurgerySql =
+    s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws
+       |      FROM w WHERE len(ws) >= $DupSpanN),
+       |g AS (SELECT doc_id, unnest(range(1, len(ws) - ${DupSpanN - 2})) AS i,
+       |        ws FROM d),
+       |h AS (SELECT doc_id, i - 1 AS pos,
+       |        ${sqlHash60(s"array_to_string(list_slice(ws, i, i + ${DupSpanN - 1}), ' ')")} AS h
+       |      FROM g),
+       |own AS (SELECT h, min((doc_id, pos)) AS own FROM h
+       |        GROUP BY h HAVING count(*) >= 2),
+       |iv AS (SELECT doc_id, pos AS s, pos + $DupSpanN AS e
+       |       FROM h JOIN own USING (h) WHERE (doc_id, pos) <> own),
+       |m AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |        AS prev_max FROM iv),
+       |f AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+       |        THEN 1 ELSE 0 END AS ni FROM m),
+       |s2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id
+       |         ORDER BY s ROWS UNBOUNDED PRECEDING) AS island FROM f),
+       |isl AS (SELECT doc_id, island, min(s) AS gs, max(e) AS ge
+       |        FROM s2 GROUP BY doc_id, island),
+       |cov AS (SELECT doc_id, sum(ge - gs) AS covered FROM isl
+       |        GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_tokens,
+       |  CAST(coalesce(cov.covered, 0) AS BIGINT) AS cut_tokens,
+       |  CAST(d.n_tokens - coalesce(cov.covered, 0) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(coalesce(cov.covered, 0) * 1000 // d.n_tokens AS BIGINT)
+       |    AS cut_milli
+       |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin
+
+  // q198: the q22 bucket expression spliced whole, the q14 exact-dup
+  // grouping and the q15 pair set inlined as membership flags
+  private val qualityDupSql =
+    s"""WITH q AS (SELECT doc_id, quality_bucket
+       |           FROM (${TextAnalysis.qualitySql})),
+       |eh AS (SELECT md5(text) AS content_hash FROM documents
+       |       GROUP BY 1 HAVING count(*) >= 2),
+       |e AS (SELECT doc_id, 1 AS is_exact FROM documents
+       |      JOIN eh ON md5(text) = content_hash),
+       |pr AS (SELECT doc_a, doc_b FROM (@PAIRS@)),
+       |n AS (SELECT DISTINCT doc_id, 1 AS is_near FROM (
+       |        SELECT doc_a AS doc_id FROM pr
+       |        UNION ALL SELECT doc_b FROM pr) u)
+       |SELECT quality_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(is_exact, 0)) AS BIGINT) AS n_exact_dup,
+       |  CAST(sum(coalesce(is_near, 0)) AS BIGINT) AS n_near_dup,
+       |  (1000 * CAST(sum(coalesce(is_exact, 0)) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS exact_milli,
+       |  (1000 * CAST(sum(coalesce(is_near, 0)) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS near_milli
+       |FROM q LEFT JOIN e USING (doc_id) LEFT JOIN n USING (doc_id)
+       |GROUP BY quality_bucket""".stripMargin
+      .replace("@PAIRS@", minhashSql)
+
   private val snmSql =
     s"""WITH w AS (SELECT doc_id, substr(text, 1, $SnmKeyLen) skey,
        |        $sqlWords ws FROM documents),
@@ -2070,6 +2220,8 @@ object Dedup {
     "q190_cross_source_dups" -> crossSourceDupsSql,
     "q191_soft_dedup" -> softDedupSql,
     "q194_eval_decontam" -> evalDecontamSql,
+    "q197_span_surgery" -> spanSurgerySql,
+    "q198_quality_dup_calibration" -> qualityDupSql,
     "q178_ngram_leakage" -> ngramLeakageSql,
     "q95_cdc_chunks" -> cdcChunkSql,
     "q54_dup_clusters" -> clustersSql,

@@ -1227,6 +1227,33 @@ object Sink {
         col("example"))
   }
 
+  /** q199: RELEASE SHARD-BALANCE AUDIT — the loader-facing twin of
+    * q193's IVF cell balance: per (epoch, shard) of the q171 release,
+    * row count and load-vs-uniform-ideal in milli (1000 = perfectly
+    * even), with a ≥2× skew flag. A training loader reads one shard
+    * per worker, so a skewed shard IS the straggler — this table is
+    * what decides whether the release re-shards before a run. Read
+    * through the engine's own sink (the shipped release bytes, not
+    * the pre-write frame), so the audit covers the whole write path.
+    *
+    * Scale: the read fans out one partition per release file; the
+    * audit is ONE (epoch, shard)-grain aggregation with map-side
+    * partials, and the per-epoch total is a window over the
+    * epochs×shards-row aggregate — bounded by the release shape,
+    * never by the corpus (the q193 convention).
+    */
+  def exportBalance(spark: SparkSession, dir: String): DataFrame =
+    exportShards(spark, dir)
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("epoch_total", sum(col("n_rows")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("epoch"))))
+      .withColumn("balance_milli",
+        expr(s"(1000 * n_rows * $ExportShards) DIV epoch_total"))
+      .select(col("epoch"), col("shard"), col("n_rows"),
+        col("balance_milli"),
+        (col("balance_milli") >= 2000).cast("int").as("skewed"))
+
   /** The release rows in sink schema plus their (epoch, shard) — the
     * frame the export write clusters; exposed for the ManifestSpec.
     * `epochs`/`shards` default to the toy release shape; a cluster
@@ -1351,6 +1378,7 @@ object Sink {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_version_pin" -> versionPin,
+    "q199_export_balance" -> exportBalance,
     "q171_export_sink" -> exportShards,
     "q148_erasure" -> erasureRead,
     "q111_partition_evolution" -> partitionEvolutionRead,
@@ -1441,8 +1469,27 @@ object Sink {
        |SELECT 'head', p1.n_rows + p2.n_rows, p1.n_cells + p2.n_cells
        |FROM p1, p2""".stripMargin
 
+  // q199: the q171 release rows re-aggregated at (epoch, shard) grain;
+  // the per-epoch total is a window over the release-shape-row frame
+  // spliced via @EXPORT@ AFTER stripMargin — the export SQL contains
+  // `||` concatenations that a pre-strip interpolation would corrupt
+  private val exportBalanceSql =
+    s"""WITH x AS (@EXPORT@),
+       |c AS (SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_rows
+       |      FROM x GROUP BY epoch, shard),
+       |w AS (SELECT epoch, shard, n_rows,
+       |        (1000 * n_rows * $ExportShards)
+       |          // CAST(sum(n_rows) OVER (PARTITION BY epoch) AS BIGINT)
+       |          AS balance_milli
+       |      FROM c)
+       |SELECT epoch, shard, n_rows, balance_milli,
+       |  CAST(balance_milli >= 2000 AS INTEGER) AS skewed
+       |FROM w""".stripMargin
+      .replace("@EXPORT@", exportShardsSql)
+
   val oracle: Map[String, String] = Map(
     "q196_version_pin" -> versionPinSql,
+    "q199_export_balance" -> exportBalanceSql,
     "q171_export_sink" -> exportShardsSql,
     // replay the evolution null-fill: gen-1 rows (even ids) predate
     // (source, n_chars); the partition column is the generation id

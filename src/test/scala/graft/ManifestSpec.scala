@@ -595,6 +595,27 @@ class ManifestSpec extends AnyFunSuite {
       chain(e).map(_.toString).mkString("\n"))
   }
 
+  test("q199 export balance: per-shard loads replay; the full release shape is covered") {
+    val rows = Sink.exportShards(spark, sf0001)
+      .select(col("epoch"), col("shard")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val counts = rows.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val epochTotals = rows.groupBy(_._1).map { case (e, v) =>
+      e -> v.length.toLong }
+    val expected = counts.map { case ((e, s), n) =>
+      val bm = 1000L * n * Sink.ExportShards / epochTotals(e)
+      (e, s, n, bm, if (bm >= 2000) 1 else 0)
+    }.toSet
+    val got = Sink.exportBalance(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got === expected)
+    // hash sharding left no (epoch, shard) slot empty at this SF —
+    // every loader worker gets a file to read
+    assert(got.size === Sink.ExportEpochs * Sink.ExportShards)
+  }
+
   test("q196 replays: v1 holds the pre-midpoint nest, v2 == head") {
     val rows = graft.operators.Sink.versionPin(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
