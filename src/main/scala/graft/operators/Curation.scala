@@ -780,7 +780,84 @@ object Curation {
       .withColumn("trainable_milli",
         expr("(1000 * (n_tokens - n_masked)) DIV n_tokens"))
 
+  /** q200 bucket width in milli of the lexical-diversity difficulty
+    * score — buckets 0..4 (a perfectly diverse 1000‰ doc lands in 4).
+    */
+  private val CurrBucketMilli = 250L
+
+  /** q200: CURRICULUM ORDER — the deterministic easy→hard training
+    * order curriculum schedules need: difficulty = lexical diversity
+    * in milli (distinct/total words — integer-exact on both engines),
+    * coarse difficulty buckets ordered ascending, and WITHIN a bucket
+    * a salted-hash shuffle (the q170 convention) so consecutive
+    * positions mix sources instead of clumping. Output is the per-doc
+    * (bucket, global position) table a curriculum loader reads in
+    * position order.
+    *
+    * Scale: the global position comes from q55's two-phase ranker
+    * ([[Relational.withGlobalRank]]): ONE range exchange on (bucket,
+    * salt) + a numPartitions-row offset broadcast — no global
+    * single-partition window, no driver sort. The same plan ranks
+    * 100 TB on 1000 executors.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        expr("CAST(1000 AS BIGINT) * size(array_distinct(ws)) DIV size(ws)")
+          .as("difficulty_milli"))
+      .withColumn("bucket", expr(s"difficulty_milli DIV $CurrBucketMilli"))
+      .withColumn("h", HashOps.md5_prefix60(
+        concat(lit("curr:"), col("doc_id").cast("string"))))
+    Relational.withGlobalRank(d,
+        Seq(col("bucket").asc, col("h").asc, col("doc_id").asc))
+      .select(col("doc_id"), col("difficulty_milli"), col("bucket"),
+        col("rnk").as("pos"))
+  }
+
+  private val ShufEpochs = 4 // epochs audited for shuffle decorrelation
+
+  /** q201: EPOCH-SHUFFLE DECORRELATION AUDIT — multi-epoch training
+    * only sees "different" data orders if the per-epoch permutations
+    * are actually decorrelated; correlated shards re-batch the same
+    * doc neighborhoods every epoch. For every epoch pair under the
+    * q170 salt convention (`epoch:<e>:<doc>`, epochs 0..3 — a
+    * superset of the shipped release's two): the fraction of docs
+    * assigned the SAME shard in both epochs, in milli. Uniform
+    * independent hashing predicts ≈ 1000/shards; a pair far above
+    * that means the salt leaked correlation and the release needs a
+    * new one.
+    *
+    * Scale: ONE doc-grain aggregation collects each doc's E shard
+    * assignments (E rows in, one E-entry array out, map-side
+    * partials); the E·(E−1)/2 pair expansion is row-local; the final
+    * aggregate has E²/2 keys. Never an epoch-pair self-join of the
+    * corpus.
+    */
+  def shuffleDecorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(ShufEpochs - 1))))
+      .withColumn("shard", HashOps.md5_prefix60(concat_ws(":",
+        lit("epoch"), col("epoch"), col("doc_id"))) % Shards)
+    a.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("epoch"), col("shard"))))
+        .as("sa"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${ShufEpochs - 2}), i ->
+           |  transform(sequence(i + 1, ${ShufEpochs - 1}), j ->
+           |    struct(sa[i].epoch AS e1, sa[j].epoch AS e2,
+           |      CAST(sa[i].shard = sa[j].shard AS BIGINT) AS agree))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.e1").as("e1"), col("p.e2").as("e2"), col("p.agree"))
+      .groupBy(col("e1"), col("e2"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("agree")).as("n_agree"))
+      .withColumn("agree_milli", expr("1000 * n_agree DIV n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_curriculum" -> curriculumOrder,
+    "q201_shuffle_decorrelation" -> shuffleDecorrelation,
     "q184_domain_affinity" -> domainAffinity,
     "q188_fim_spans" -> fimSpans,
     "q195_loss_mask" -> lossMaskBudget,
@@ -1135,7 +1212,47 @@ object Curation {
        |FROM e""".stripMargin
   }
 
+  // q200: the difficulty score, bucketing, and salt mirrored exactly;
+  // the global rank is the plain window DuckDB can afford at oracle SF
+  private val curriculumSql = {
+    val h = graft.functions.Portable.sqlHash60(
+      "'curr:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |d AS (SELECT doc_id,
+       |        1000 * len(list_distinct(ws)) // len(ws) AS difficulty_milli
+       |      FROM w WHERE len(ws) > 0),
+       |b AS (SELECT doc_id, difficulty_milli,
+       |        difficulty_milli // $CurrBucketMilli AS bucket, $h AS h
+       |      FROM d)
+       |SELECT doc_id, CAST(difficulty_milli AS BIGINT) AS difficulty_milli,
+       |  CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(row_number() OVER (ORDER BY bucket, h, doc_id) AS BIGINT)
+       |    AS pos
+       |FROM b""".stripMargin
+  }
+
+  // q201: the q170 salt expression verbatim; the oracle affords the
+  // epoch-pair self-join the engine deliberately avoids
+  private val shuffleDecorrSql = {
+    val h = graft.functions.Portable.sqlHash60(
+      "'epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, unnest(range($ShufEpochs)) AS epoch
+       |           FROM documents),
+       |a AS (SELECT doc_id, epoch, $h % $Shards AS shard FROM d)
+       |SELECT CAST(x.epoch AS INTEGER) AS e1,
+       |  CAST(y.epoch AS INTEGER) AS e2,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN x.shard = y.shard THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_agree,
+       |  (1000 * CAST(sum(CASE WHEN x.shard = y.shard THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS agree_milli
+       |FROM a x JOIN a y ON x.doc_id = y.doc_id AND x.epoch < y.epoch
+       |GROUP BY x.epoch, y.epoch""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q200_curriculum" -> curriculumSql,
+    "q201_shuffle_decorrelation" -> shuffleDecorrSql,
     "q184_domain_affinity" -> domainAffinitySql,
     "q188_fim_spans" -> fimSpansSql,
     "q195_loss_mask" -> lossMaskSql,

@@ -359,6 +359,58 @@ class CurationSpec extends AnyFunSuite {
     assert(Set("psm", "spm", "none").subsetOf(rows.map(_._6).toSet))
   }
 
+  test("q200 curriculum: brute order replay; buckets ascend contiguously") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expected = docs.toSeq
+      .filter(_._2.nonEmpty)
+      .map { case (id, ws) =>
+        val dm = 1000L * ws.distinct.length / ws.length
+        (dm / 250, h60("curr:" + id), id, dm)
+      }
+      .sortBy { case (b, h, id, _) => (b, h, id) }
+      .zipWithIndex
+      .map { case ((b, _, id, dm), i) => (id, dm, b, i + 1L) }
+      .toSet
+    val got = Curation.curriculumOrder(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    // positions sorted by bucket: each bucket occupies one contiguous
+    // range (the property a curriculum schedule consumes)
+    val byPos = got.toSeq.sortBy(_._4).map(_._3)
+    assert(byPos === byPos.sorted)
+    assert(byPos.distinct.size >= 2, "fixture spans multiple buckets")
+  }
+
+  test("q201 decorrelation: brute pair agreement; hashing is near-uniform") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val shards = docs.keys.toSeq.map(id =>
+      id -> (0 until 4).map(e => h60(s"epoch:$e:$id") % 8)).toMap
+    val expected = (for {
+      e1 <- 0 until 4; e2 <- (e1 + 1) until 4
+    } yield {
+      val n = shards.size.toLong
+      val agree = shards.values.count(v => v(e1) == v(e2)).toLong
+      (e1, e2, n, agree, 1000L * agree / n)
+    }).toSet
+    val got = Curation.shuffleDecorrelation(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.size === 6, "all C(4,2) epoch pairs audited")
+    // independent hashing predicts ~125 permille agreement (1/8); a
+    // correlated salt would spike toward 1000
+    assert(got.forall(_._5 < 400), got.toString)
+  }
+
   test("q195 masks compose q172 fragments with q100 verdicts exactly") {
     val verdicts = Curation.curationPipeline(spark, sf0001)
       .select(col("doc_id"), col("verdict")).collect()
