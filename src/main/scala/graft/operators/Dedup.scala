@@ -1483,6 +1483,32 @@ object Dedup {
       .withColumn("near_milli", expr("1000 * n_near_dup DIV n_docs"))
   }
 
+  private val CshShards = 16L // q202 dedup-domain shard count
+
+  /** q202: DEDUP-CO-LOCATED SHARDING — the layout that makes
+    * distributed dedup embarrassingly parallel: each document's shard
+    * is a salted hash of its q54 CLUSTER id (the closure's min-label;
+    * docs outside every near-dup pair are singletons keyed by their
+    * own id), so every near-duplicate cluster lands WHOLE in one
+    * shard. A per-shard local dedup pass is then globally complete —
+    * no cross-shard candidate can exist, because candidacy (the q15
+    * band join) is exactly what defined the clusters. The spec pins
+    * the property over the live pair set; [[CshShards]] is the toy
+    * default (a cluster deployment shards to its executor count).
+    *
+    * Scale: the q54 closure's one label table left-joined onto the
+    * corpus (doc-grain equi-join); the shard key is row-local. The
+    * output is the partitioning a 100 TB dedup job repartitions by
+    * ONCE, after which every pass is shard-local.
+    */
+  def clusterSharding(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(dupClusters(spark, dir).select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("shard", graft.functions.HashOps.md5_prefix60(
+        concat(lit("csh:"), col("cluster_id").cast("string"))) % CshShards)
+
   private val SnmWindow = 8 // neighborhood width (positions in sort order)
   private val SnmKeyLen = 24 // sort-key prefix length (chars)
 
@@ -1562,6 +1588,7 @@ object Dedup {
     "q194_eval_decontam" -> evalDecontam,
     "q197_span_surgery" -> dupSpanSurgery,
     "q198_quality_dup_calibration" -> qualityDupCalibration,
+    "q202_cluster_sharding" -> clusterSharding,
     "q95_cdc_chunks" -> dedupCdcChunks,
     "q14_dedup_exact" -> dedupExact,
     "q15_dedup_minhash" -> dedupMinhash,
@@ -1731,6 +1758,16 @@ object Dedup {
       |FROM documents d
       |LEFT JOIN lab ON lab.node = d.doc_id
       |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id""".stripMargin
+
+  // q202: the q54 closure's labels onto the whole corpus (q191's
+  // singleton convention), shard = salted hash of the cluster id
+  private val clusterShardingSql = closureCte + "\n" +
+    s"""SELECT d.doc_id,
+       |  coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+       |  ${graft.functions.Portable.sqlHash60(
+            "'csh:' || CAST(coalesce(lab.cluster_id, d.doc_id) AS VARCHAR)")}
+       |    % $CshShards AS shard
+       |FROM documents d LEFT JOIN lab ON lab.node = d.doc_id""".stripMargin
 
   // q54's closure + the q157 diversity score + a rank-1 election —
   // keeper by QUALITY, not by min id
@@ -2222,6 +2259,7 @@ object Dedup {
     "q194_eval_decontam" -> evalDecontamSql,
     "q197_span_surgery" -> spanSurgerySql,
     "q198_quality_dup_calibration" -> qualityDupSql,
+    "q202_cluster_sharding" -> clusterShardingSql,
     "q178_ngram_leakage" -> ngramLeakageSql,
     "q95_cdc_chunks" -> cdcChunkSql,
     "q54_dup_clusters" -> clustersSql,

@@ -239,6 +239,14 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
     }
+  // byte-denominated backpressure twin (Delta parity): whole files are
+  // admitted while their attested sizes fit, always at least one
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+      n
+    }
   /** Temporal file skip, opt-in: a CLOSED µs window over CELL write
     * times. A manifest-governed scan drops whole files whose recorded
     * time range provably misses the window ([[ManifestIndex
@@ -456,7 +464,7 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     case None =>
       new ProtoZstScan(paths, ignoreCorrupt, required, pushed, buckets,
         viaCatalog, maxFilesPerTrigger, timeBounds, startingWriteTimeUs,
-        manifestVersion)
+        manifestVersion, maxBytesPerTrigger)
   }
 }
 
@@ -524,7 +532,16 @@ object ProtoZstFiles {
       .map(org.apache.spark.sql.graft.Shim.hadoopConf)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
-  def list(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] = {
+  def list(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] =
+    listWithSizes(path, conf).map(_._1)
+
+  /** As [[list]] but keeping each file's length from the SAME
+    * listStatus (no extra round-trips) — the streaming byte-budget
+    * admission's listing-mode source; manifest mode reads bytes from
+    * the snapshot and never stats a file.
+    */
+  def listWithSizes(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[(String, Long)] = {
     MetaIO.dataListings.incrementAndGet()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -535,7 +552,8 @@ object ProtoZstFiles {
         if (st.isFile) Array(st)
         else fs.listStatus(p)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".proto.zst"))
-      files.sortBy(_.getPath.getName).map(_.getPath.toString)
+      files.sortBy(_.getPath.getName)
+        .map(s => (s.getPath.toString, s.getLen))
     }
   }
 
@@ -588,7 +606,8 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     maxFilesPerTrigger: Option[Int] = None,
     timeBounds: Option[(Long, Long)] = None,
     startingWriteTimeUs: Option[Long] = None,
-    manifestVersion: Option[Long] = None) extends Scan
+    manifestVersion: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan
     with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -827,7 +846,7 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
           "commits; use a batch read for a pinned version, or " +
           "startingWriteTimeUs to start a stream at an instant")
     new ProtoZstMicroBatchStream(paths.head, ignoreCorrupt, readSchema,
-      filters, maxFilesPerTrigger, startingWriteTimeUs)
+      filters, maxFilesPerTrigger, startingWriteTimeUs, maxBytesPerTrigger)
   }
 }
 
@@ -863,7 +882,8 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
     readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
     maxFilesPerTrigger: Option[Int] = None,
-    startingWriteTimeUs: Option[Long] = None)
+    startingWriteTimeUs: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -908,7 +928,14 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   // an anomaly (gc never removes the newest); before the first commit
   // an empty snapshot set is the normal in-flight-write state
   @volatile private var sawSnapshot = false
-  private def currentFiles(): Seq[String] = {
+  private def currentFiles(): Seq[String] = currentMetas().map(_._1)
+
+  /** (path, bytes) per file in offset order. Bytes come FREE in both
+    * modes — manifest entries attest them at commit, and the listing
+    * already holds FileStatus — so byte-budget admission never adds a
+    * metadata round-trip.
+    */
+  private def currentMetas(): Seq[(String, Long)] = {
     mode match {
       // governed() is ONE exists() probe — the listing-mode poll never
       // pays a manifest read until the directory actually becomes
@@ -932,12 +959,12 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
       case Some(s) =>
         sawSnapshot = true
         s.entries.map(e =>
-          new org.apache.hadoop.fs.Path(path, e.name).toString)
+          (new org.apache.hadoop.fs.Path(path, e.name).toString, e.bytes))
       case None if !sawSnapshot => Seq.empty // governed, nothing committed yet
       case None => throw new IllegalStateException(
         s"manifest for $path vanished mid-stream")
     }
-    else ProtoZstFiles.list(path, conf.value).toSeq
+    else ProtoZstFiles.listWithSizes(path, conf.value).toSeq
   }
 
   /** Admission control (parquet file-source parity): with
@@ -961,9 +988,27 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ProtoZstOffset].n
     val total = available()
-    val end = limit match {
+    val byCount = limit match {
       case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
       case _ => total
+    }
+    // byte-budget admission (Delta's maxBytesPerTrigger convention):
+    // admit whole files while their ATTESTED sizes fit the budget, but
+    // always at least one — a single file over budget must flow, not
+    // stall the stream forever. Composes with maxFilesPerTrigger
+    // (whichever cap bites first). Sizes cost nothing: manifest bytes
+    // or the listing's own FileStatus.
+    val end = maxBytesPerTrigger match {
+      case None => byCount
+      case Some(budget) =>
+        val sizes = currentMetas()
+        var e = s
+        var acc = 0L
+        while (e < byCount && (e == s || acc + sizes(e)._2 <= budget)) {
+          acc += sizes(e)._2
+          e += 1
+        }
+        e
     }
     // the engine will log this offset: listing positions up to it are
     // now load-bearing even before any partition is planned

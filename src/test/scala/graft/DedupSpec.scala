@@ -439,6 +439,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size >= 2)
   }
 
+  test("q202 sharding co-locates every near-dup cluster; singletons keyed by self") {
+    val rows = Dedup.clusterSharding(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val shardOf = rows.map(t => t._1 -> t._3).toMap
+    val clusterOf = rows.map(t => t._1 -> t._2).toMap
+    // THE property: both endpoints of every candidate pair land in the
+    // same shard — per-shard local dedup is globally complete
+    val pairs = Dedup.dedupMinhash(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(shardOf(a) === shardOf(b), s"pair ($a,$b) split across shards")
+      assert(clusterOf(a) === clusterOf(b))
+    }
+    // docs outside every pair are singletons keyed by their own id
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    rows.filterNot(t => inPairs(t._1)).foreach { case (d, c, _) =>
+      assert(c === d)
+    }
+    // every doc is covered, and the layout actually spreads
+    assert(rows.length ===
+      graft.sources.Tables.documents(spark, sf0001).count())
+    assert(rows.map(_._3).distinct.length > 1)
+  }
+
   test("q194 verdicts compose the shipped split, pair, and gram kernels") {
     def h60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

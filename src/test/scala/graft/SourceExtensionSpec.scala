@@ -179,6 +179,64 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(batchTotal === full)
   }
 
+  test("maxBytesPerTrigger admits whole files by attested size, at least one") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bytelim")
+      .toFile.getAbsolutePath
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), outDir)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val sizes = graft.sources.ProtoZstFiles.listWithSizes(outDir, conf)
+      .map(_._2)
+    assert(sizes.length >= 2)
+    val full = spark.read.format("proto-zst").load(outDir)
+      .select(explode(col("columns"))).count()
+    def run(budget: Long): (Long, Long) = {
+      val name = "q48_bytelim_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val before = graft.sources.MetaIO.dataListings.get()
+      val q = spark.readStream.format("proto-zst")
+        .option("maxBytesPerTrigger", budget)
+        .load(outDir)
+        .select(col("key"), explode(col("columns")).as("c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the sink is manifest-governed: byte admission reads attested
+      // sizes from the snapshot, never a data-directory listing
+      assert(graft.sources.MetaIO.dataListings.get() === before)
+      val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+      (batches, spark.table(name).count())
+    }
+    // a budget of one max-sized file admits exactly one file per batch
+    val (perFile, rows1) = run(sizes.max)
+    assert(perFile === sizes.length.toLong,
+      s"expected ${sizes.length} one-file batches, got $perFile")
+    assert(rows1 === full)
+    // a 1-byte budget must still progress (at-least-one rule), never stall
+    val (starved, rows2) = run(1L)
+    assert(starved === sizes.length.toLong)
+    assert(rows2 === full)
+    // a budget covering everything drains in one batch
+    val (one, rows3) = run(sizes.sum + 1)
+    assert(one === 1L)
+    assert(rows3 === full)
+    // a non-positive budget is a caller bug, refused at scan build
+    // (stream construction is async — the refusal surfaces as the
+    // query's terminal exception)
+    val bad = spark.readStream.format("proto-zst")
+      .option("maxBytesPerTrigger", "0").load(outDir)
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.awaitTermination()
+    }
+    assert(e.getMessage.contains("must be positive") ||
+      String.valueOf(e.getCause).contains("must be positive"), e.getMessage)
+  }
+
   test("micro-batch stream skips sliced files by range sidecar; offsets count all") {
     import graft.sources.{ProtoZstMicroBatchStream, ProtoZstTable}
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
