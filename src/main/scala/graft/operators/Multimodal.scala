@@ -203,11 +203,53 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  private val MbImage = 2L // image slots per composed batch
+  private val MbText = 6L // text slots per composed batch
+
+  /** q203: MODALITY-RATIO BATCH COMPOSITION — interleaved multimodal
+    * training wants every loader batch at a FIXED modality mix (here
+    * [[MbImage]] image + [[MbText]] text slots); a random shuffle
+    * only hits that ratio in expectation, with high-variance batches
+    * at the tail. Composition: modality is the deterministic
+    * `doc_id % 4` fake (the container has no real media), each
+    * modality is independently hash-shuffled and ranked, and batch b
+    * takes image ranks [2b, 2b+2) and text ranks [6b, 6b+6) — exact
+    * quotas, append-stable, no coordination between modalities. The
+    * audit emits per-batch modality counts and a completeness flag
+    * (tail batches go underfull when one modality's supply runs dry —
+    * the rows a loader drops or pads).
+    *
+    * Scale: ONE range exchange ranks both modalities (the q55
+    * two-phase ranker over (modality, salt)); per-modality positions
+    * are the global rank minus a 2-row broadcast offset; the batch
+    * math is row-local and the audit is one batch-grain aggregate.
+    */
+  def modalBatches(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("modality",
+        when(col("doc_id") % 4 === 0, "image").otherwise("text"))
+      .withColumn("h", graft.functions.HashOps.md5_prefix60(
+        concat(lit("mb:"), col("doc_id").cast("string"))))
+    val ranked = Relational.withGlobalRank(d,
+      Seq(col("modality").asc, col("h").asc, col("doc_id").asc))
+    val offs = ranked.groupBy(col("modality")).agg(min(col("rnk")).as("base"))
+    ranked.join(broadcast(offs), "modality")
+      .withColumn("quota", when(col("modality") === "image",
+        lit(MbImage)).otherwise(lit(MbText)))
+      .withColumn("batch", expr("(rnk - base) DIV quota"))
+      .groupBy(col("batch"))
+      .agg(sum((col("modality") === "image").cast("long")).as("n_image"),
+        sum((col("modality") === "text").cast("long")).as("n_text"))
+      .withColumn("complete",
+        (col("n_image") === MbImage && col("n_text") === MbText).cast("int"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_phash_dedup" -> phashDedup,
     "q25_multimodal" -> multimodal,
     "q32_frame_sample" -> frameSample,
-    "q41_media_resize" -> mediaResize)
+    "q41_media_resize" -> mediaResize,
+    "q203_modal_batches" -> modalBatches)
 
   // The payload is utf-8 of ASCII text, so payload bytes == ascii codes
   // of the text characters and the oracle can be expressed over `text`.
@@ -270,9 +312,38 @@ object Multimodal {
        |FROM p WHERE hamming <= $PhHamT AND n_share >= 1""".stripMargin
   }
 
+  // q203: per-modality row_number is the oracle's affordable twin of
+  // the two-phase ranker; same salt, same quota arithmetic
+  private val modalBatchesSql = {
+    val h = graft.functions.Portable.sqlHash60(
+      "'mb:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id,
+       |        CASE WHEN doc_id % 4 = 0 THEN 'image' ELSE 'text' END
+       |          AS modality, $h AS h
+       |      FROM documents),
+       |r AS (SELECT modality,
+       |        row_number() OVER (PARTITION BY modality ORDER BY h, doc_id)
+       |          - 1 AS mrank
+       |      FROM d),
+       |b AS (SELECT modality, mrank //
+       |        (CASE WHEN modality = 'image' THEN $MbImage
+       |              ELSE $MbText END) AS batch FROM r),
+       |c AS (SELECT batch,
+       |        CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_image,
+       |        CAST(sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_text
+       |      FROM b GROUP BY batch)
+       |SELECT batch, n_image, n_text,
+       |  CAST(n_image = $MbImage AND n_text = $MbText AS INTEGER)
+       |    AS complete
+       |FROM c""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q110_phash_dedup" -> phashSql,
     "q25_multimodal" -> multimodalSql,
     "q32_frame_sample" -> frameSampleSql,
-    "q41_media_resize" -> resizeSql)
+    "q41_media_resize" -> resizeSql,
+    "q203_modal_batches" -> modalBatchesSql)
 }

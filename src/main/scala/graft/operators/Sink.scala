@@ -1376,9 +1376,42 @@ object Sink {
       .unionByName(stats(spark.read.format("proto-zst").load(out), "head"))
   }
 
+  /** q204: VERSION-DELTA READ — incremental consumption between two
+    * manifest versions WITHOUT a stream: the snapshots name their file
+    * sets, so "what did release v2 add over v1" is a driver-side set
+    * difference of two tiny manifest reads, then a multi-path load of
+    * exactly the appended files. The batch complement of the change
+    * feed (q81 diffs overlaid VALUES; this diffs appended FILES) and
+    * the catch-up path for a consumer that polls releases instead of
+    * tailing: cost ∝ the delta, never the corpus, and the result is
+    * provably the appended rows bit-for-bit (the oracle is the
+    * source-side slice). Append-only histories only — a version pair
+    * spanning OPTIMIZE/erasure has removed files too, and this read
+    * (like any delta consumer) must then fall back to a full re-read;
+    * the spec pins that refusal surface via q196's machinery.
+    */
+  def versionDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (out, vs) = versionPinFixture(spark, dir)
+    val Array(v1, v2) = vs.split(',').map(_.toLong)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val before = graft.sources.GenManifest.readAt(out, conf, v1)
+      .entries.map(_.name).toSet
+    val added = graft.sources.GenManifest.readAt(out, conf, v2)
+      .entries.map(_.name).filterNot(before)
+    val paths = added.map(n =>
+      new org.apache.hadoop.fs.Path(out, n).toString)
+    spark.read.format("proto-zst").load(paths: _*)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_version_pin" -> versionPin,
     "q199_export_balance" -> exportBalance,
+    "q204_version_delta" -> versionDelta,
     "q171_export_sink" -> exportShards,
     "q148_erasure" -> erasureRead,
     "q111_partition_evolution" -> partitionEvolutionRead,
@@ -1487,9 +1520,19 @@ object Sink {
        |FROM w""".stripMargin
       .replace("@EXPORT@", exportShardsSql)
 
+  // q204: the delta files hold exactly the post-midpoint slice of the
+  // live cells — the q196 fixture's second commit
+  private val versionDeltaSql =
+    s"""WITH lc AS (${Core.liveCellsSql}),
+       |b AS (SELECT min(write_time) + (max(write_time) - min(write_time)) // 2
+       |        AS t FROM lc)
+       |SELECT key, name, value, write_time
+       |FROM lc, b WHERE write_time >= t""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q196_version_pin" -> versionPinSql,
     "q199_export_balance" -> exportBalanceSql,
+    "q204_version_delta" -> versionDeltaSql,
     "q171_export_sink" -> exportShardsSql,
     // replay the evolution null-fill: gen-1 rows (even ids) predate
     // (source, n_chars); the partition column is the generation id

@@ -616,6 +616,24 @@ class ManifestSpec extends AnyFunSuite {
     assert(got.size === Sink.ExportEpochs * Sink.ExportShards)
   }
 
+  test("q204 delta ∪ v1-pin == head, disjoint — the incremental-consumer identity") {
+    def cells(df: org.apache.spark.sql.DataFrame): Set[(Seq[Byte], Long)] =
+      df.select(explode(col("columns")).as("c"))
+        .select(col("c.name"), col("c.write_time")).collect()
+        .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1))).toSet
+    val (out, vs) = Sink.versionPinFixture(spark, sf0001)
+    val v1 = vs.split(',').head
+    val pin1 = cells(spark.read.format("proto-zst")
+      .option("manifestVersion", v1).load(out))
+    val head = cells(spark.read.format("proto-zst").load(out))
+    val delta = Sink.versionDelta(spark, sf0001).collect()
+      .map(r => (r.getString(1).getBytes("UTF-8").toSeq, r.getLong(3)))
+      .toSet
+    assert((pin1 & delta).isEmpty, "delta overlaps the pinned release")
+    assert((pin1 | delta) === head, "delta misses appended cells")
+    assert(delta.nonEmpty && pin1.nonEmpty)
+  }
+
   test("q196 replays: v1 holds the pre-midpoint nest, v2 == head") {
     val rows = graft.operators.Sink.versionPin(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

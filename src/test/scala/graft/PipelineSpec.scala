@@ -245,6 +245,37 @@ class PipelineSpec extends AnyFunSuite {
       col("brightness_milli") > 122000).count() === 0)
   }
 
+  test("q203 modal batches: exact quotas replayed; only tails go underfull") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val ids = Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val byModality = ids.groupBy(id => if (id % 4 == 0) "image" else "text")
+    val assigns = byModality.toSeq.flatMap { case (m, ms) =>
+      val quota = if (m == "image") 2 else 6
+      ms.map(id => (h60("mb:" + id), id))
+        .sorted.zipWithIndex
+        .map { case (_, i) => (m, i.toLong / quota) }
+    }
+    val expected = assigns.groupBy(_._2).map { case (b, xs) =>
+      val ni = xs.count(_._1 == "image").toLong
+      val nt = xs.count(_._1 == "text").toLong
+      (b, ni, nt, if (ni == 2 && nt == 6) 1 else 0)
+    }.toSet
+    val got = Multimodal.modalBatches(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === expected)
+    // the mix holds: complete batches exist, and underfull ones can
+    // only be each modality's final partial batch (≤ 2 total), because
+    // the 1:3 modality split matches the 2:6 quota by construction
+    assert(got.count(_._4 === 1) >= 1)
+    assert(got.count(_._4 === 0) <= 2, got.filter(_._4 === 0).toString)
+  }
+
   test("q32 frame sampling fans out ceil(frames/stride) rows per doc") {
     import org.apache.spark.sql.functions.{ceil => sceil, expr}
     val perDoc = Multimodal.frameSample(spark, sf0001)
