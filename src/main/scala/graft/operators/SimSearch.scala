@@ -840,6 +840,48 @@ object SimSearch {
       .unionByName(row("matryoshka", annMatryoshka(spark, dir)))
   }
 
+  /** q205: FILTERED-SEARCH RECALL — closes q85's loop the way q45
+    * closes the unfiltered ladder's: truth is the EXACT brute top-K
+    * over only the predicate-qualifying corpus (filter-then-score),
+    * the approximate side is q85's filter-then-probe IVF, and the
+    * output is one recall row. This is the number a production
+    * filtered-vector-search deployment tunes NProbe against: a
+    * predicate empties some probed cells, so filtered recall sits
+    * below the unfiltered q45 figure unless probes widen — measuring
+    * it is how you notice.
+    *
+    * Scale: the truth side is q19's broadcast-query brute scan
+    * narrowed by the predicate; the hit test is one left-semi join on
+    * two K·NQ-row frames; totals are 1-row broadcast aggregates.
+    */
+  def annFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"), col("label"))
+      .withColumn("n2", norm2(col("qv")))
+      .cp()
+    val q = e0.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("n2").as("qn2"))
+    val truth = e0.filter(col("label") % 2 === 0)
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2"))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id"))
+      .cp()
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    annFiltered(spark, dir).select(col("q_id"), col("vec_id"))
+      .join(truth, Seq("q_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .transform(withScalar(_, tot))
+      .select(lit("ivf_filtered").as("method"), col("n_hits"),
+        col("n_truth"),
+        expr("n_hits * 1000 DIV n_truth").as("recall_milli"))
+  }
+
   private val CoresetK = 10 // representatives kept per label
 
   /** q159: LABEL-BALANCED CORESET — per class, the [[CoresetK]]
@@ -1265,7 +1307,8 @@ object SimSearch {
     "q68_semantic_dedup" -> semanticDedup,
     "q180_cell_quota" -> ((sp: SparkSession, d: String) => cellQuotaSample(sp, d)),
     "q78_ann_pq" -> annPq,
-    "q85_ann_filtered" -> annFiltered)
+    "q85_ann_filtered" -> annFiltered,
+    "q205_filtered_recall" -> annFilteredRecall)
 
   private val baseSql =
     s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
@@ -1513,6 +1556,32 @@ object SimSearch {
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
        |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
   }
+
+  // q205: the filtered brute truth beside q85's plan (spliced as a
+  // CTE-in-subquery AFTER stripMargin — the @-placeholder discipline)
+  private val filteredRecallSql =
+    s"""$baseSql,
+       |ap AS (SELECT q_id, vec_id FROM (@FILT@)),
+       |fb0 AS (SELECT x.vec_id q_id, c.vec_id,
+       |    CAST(${sqlDotq("x.qv", "c.qv")} AS DOUBLE)
+       |      / sqrt(nullif(CAST(x.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE), 0.0))
+       |      AS cosine
+       |  FROM n x
+       |  JOIN n c ON c.vec_id <> x.vec_id
+       |  JOIN embeddings emb ON emb.vec_id = c.vec_id
+       |    AND emb.label % 2 = 0
+       |  WHERE x.vec_id < $NQ),
+       |fb AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id ASC) rnk FROM fb0)
+       |  WHERE rnk <= $K),
+       |tot AS (SELECT count(*) t FROM fb)
+       |SELECT 'ivf_filtered' AS method,
+       |  (SELECT count(*) FROM ap JOIN fb USING (q_id, vec_id)) AS n_hits,
+       |  (SELECT t FROM tot) AS n_truth,
+       |  (SELECT count(*) FROM ap JOIN fb USING (q_id, vec_id)) * 1000
+       |    // (SELECT t FROM tot) AS recall_milli""".stripMargin
+      .replace("@FILT@", filteredSql)
 
   private val recallSql =
     s"""WITH brute AS (SELECT q_id, vec_id FROM ($bruteSql)),
@@ -1812,6 +1881,7 @@ object SimSearch {
     "q180_cell_quota" -> cellQuotaSql,
     "q78_ann_pq" -> pqSql,
     "q85_ann_filtered" -> filteredSql,
+    "q205_filtered_recall" -> filteredRecallSql,
     "q97_ann_ivfpq" -> ivfpqSql,
     // identical result contract to q19 — the aggregator vs window proof
     "q99_topk_agg" -> bruteSql)

@@ -125,6 +125,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(res((0L, 1)) === best._1)
   }
 
+  test("q205 filtered recall scores q85 against an independent filtered truth") {
+    val rows = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000).toLong).toArray,
+        r.getAs[Number](2).longValue))
+    val vecs = rows.map(t => t._1 -> t._2).toMap
+    val evenIds = rows.filter(_._3 % 2 == 0).map(_._1).toSet
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble /
+        math.sqrt((a.map(x => x * x).sum * b.map(x => x * x).sum).toDouble)
+    }
+    // truth: per query, top-3 cosine among even-label non-self vectors
+    val truth = (0L until 8L).flatMap { q =>
+      rows.filter(t => evenIds(t._1) && t._1 != q)
+        .map(t => (cos(vecs(q), t._2), t._1))
+        .sortBy { case (c, id) => (-c, id) }
+        .take(3).map { case (_, id) => (q, id) }
+    }.toSet
+    val approx = SimSearch.annFiltered(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expHits = (approx & truth).size.toLong
+    val got = SimSearch.annFilteredRecall(spark, sf0001).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getString(0) === "ivf_filtered")
+    assert(r.getLong(1) === expHits)
+    assert(r.getLong(2) === truth.size.toLong)
+    assert(r.getLong(3) === 1000L * expHits / truth.size)
+    // the predicate leaves every query K qualifying candidates at this
+    // SF, and the probe finds a usable share of them
+    assert(truth.size === 24)
+    assert(r.getLong(3) > 0)
+  }
+
   test("q99 top-k aggregator output is identical to the q19 window form") {
     val win = SimSearch.annBrute(spark, sf0001)
     val agg = SimSearch.annTopkAgg(spark, sf0001)
