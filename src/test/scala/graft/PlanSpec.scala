@@ -161,7 +161,11 @@ class PlanSpec extends AnyFunSuite {
       "q161_srp_bits", "q167_neg_sample",
       // q180/q193 broadcast the K-row trained centroid table for the
       // q34-style assignment argmin
-      "q180_cell_quota", "q193_ivf_balance")
+      "q180_cell_quota", "q193_ivf_balance",
+      // q205 inherits q45's shapes: the brute truth broadcasts the
+      // bounded NQ-row query set, and the recall row cross-joins two
+      // 1-row aggregates (withScalar)
+      "q205_filtered_recall")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
