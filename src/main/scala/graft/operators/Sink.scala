@@ -1376,6 +1376,75 @@ object Sink {
       .unionByName(stats(spark.read.format("proto-zst").load(out), "head"))
   }
 
+  /** q206: WHOLE-FILE TTL EXPIRY — the payoff move of time-window
+    * layouts (Cassandra's TWCS drops entire expired SSTables; Delta
+    * drops whole partitions past retention): every manifest entry
+    * whose recorded cell write-time range ends PROVABLY before the
+    * cutoff is removed by ONE atomic manifest commit — the expired
+    * files are never opened, never read, never rewritten; at 100 TB,
+    * retiring a day costs one tiny commit plus unlinks instead of a
+    * corpus compaction. Conservative by construction: a time-less
+    * entry (legacy manifest; a file of cell-less rows) can't prove
+    * itself old and is KEPT — absence degrades to retaining, never to
+    * deleting. Physical deletes follow the commit (the OPTIMIZE
+    * discipline: a reader sees the old set or the new set, a crash
+    * leaves sweepable garbage, and — like erasure — expiry
+    * invalidates pinned versions older than the commit, by design).
+    * Returns the number of files expired.
+    */
+  def expireByTime(outDir: String, cutoffUs: Long): Int = {
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val snap = graft.sources.GenManifest.read(outDir, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"$outDir has no manifest: whole-file expiry needs attested " +
+          "write-time ranges; use a row-level filter + rewrite instead"))
+    val expired = snap.entries.filter(_.times.exists(_._2 < cutoffUs))
+    if (expired.isEmpty) return 0
+    graft.sources.GenManifest.replace(outDir, conf,
+      expired.map(_.name).toSet, Vector.empty)
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(conf)
+    expired.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(dirPath, e.name)
+      fs.delete(p, false)
+      graft.sources.RangeSidecar.delete(fs, p)
+    }
+    expired.length
+  }
+
+  /** q206's query surface: a private two-commit temporal history (the
+    * q196 midpoint split — NOT the shared pin fixture, which must stay
+    * unexpired), expired at the midpoint, then read back flat: the
+    * surviving cells must be exactly the post-cutoff slice, proven by
+    * the DuckDB oracle. The expiry itself runs once (fixture-cached).
+    */
+  private[graft] def ttlExpireFixture(spark: SparkSession,
+      dir: String): String =
+    fixture("ttl:" + dir) {
+      val out = Scratch.dir("graft_ttl")
+      val cells = CellModel.liveCells(spark, dir)
+      val b = cells.agg(min(col("write_time")), max(col("write_time"))).head()
+      val t = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      def nest(df: DataFrame) = df.groupBy(col("key"))
+        .agg(sort_array(collect_list(struct(col("name"), col("value"),
+          col("write_time")))).as("columns"))
+      writeNested(nest(cells.filter(col("write_time") < t)), out)
+      writeNested(nest(cells.filter(col("write_time") >= t)), out)
+      val n = expireByTime(out, t)
+      require(n > 0, s"TTL fixture expired no files under $out")
+      out
+    }
+
+  def ttlExpiredRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = ttlExpireFixture(spark, dir)
+    spark.read.format("proto-zst").load(out)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+  }
+
   /** q204: VERSION-DELTA READ — incremental consumption between two
     * manifest versions WITHOUT a stream: the snapshots name their file
     * sets, so "what did release v2 add over v1" is a driver-side set
@@ -1412,6 +1481,7 @@ object Sink {
     "q196_version_pin" -> versionPin,
     "q199_export_balance" -> exportBalance,
     "q204_version_delta" -> versionDelta,
+    "q206_ttl_expire" -> ttlExpiredRead,
     "q171_export_sink" -> exportShards,
     "q148_erasure" -> erasureRead,
     "q111_partition_evolution" -> partitionEvolutionRead,
@@ -1533,6 +1603,10 @@ object Sink {
     "q196_version_pin" -> versionPinSql,
     "q199_export_balance" -> exportBalanceSql,
     "q204_version_delta" -> versionDeltaSql,
+    // q206: whole-file expiry at the midpoint leaves exactly the
+    // post-cutoff slice — the same contract as the delta read, reached
+    // by dropping files instead of selecting them
+    "q206_ttl_expire" -> versionDeltaSql,
     "q171_export_sink" -> exportShardsSql,
     // replay the evolution null-fill: gen-1 rows (even ids) predate
     // (source, n_chars); the partition column is the generation id

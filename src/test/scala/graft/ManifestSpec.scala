@@ -634,6 +634,49 @@ class ManifestSpec extends AnyFunSuite {
     assert(delta.nonEmpty && pin1.nonEmpty)
   }
 
+  test("q206 TTL expiry drops exactly the provably-old files, keeps time-less ones") {
+    val dir = freshDir("graft_ttl_unit")
+    // two window-pure commits: cells below/above a fixed instant
+    import spark.implicits._
+    def commitAt(t: Long, keys: String*): Unit =
+      Sink.writeNested(keys.toSeq.toDF("k")
+        .select(encode(col("k"), "UTF-8").as("key"),
+          array(struct(encode(col("k"), "UTF-8").as("name"),
+            encode(col("k"), "UTF-8").as("value"),
+            lit(t).as("write_time"))).as("columns"))
+        .repartition(1), dir)
+    commitAt(10L, "old1", "old2")
+    commitAt(20L, "new1", "new2", "new3")
+    // plus a TIME-LESS entry (legacy manifest shape): a real file
+    // committed without write-time stats — unprovable age, must survive
+    val conf0 = conf
+    val src = ProtoZstFiles.listWithSizes(dir, conf0).head
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf0)
+    val legacy = new org.apache.hadoop.fs.Path(dir, "legacy.proto.zst")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(src._1), fs, legacy, false, conf0)
+    GenManifest.commit(dir, conf0)(es => es :+ GenManifest.Entry(
+      "legacy.proto.zst", src._2, 2L, sorted = false, "", "", None))
+    val before = spark.read.format("proto-zst").load(dir).count()
+    val n = Sink.expireByTime(dir, 15L)
+    assert(n === 1, "exactly the pre-cutoff commit's file expires")
+    val snap = GenManifest.read(dir, conf0).get
+    assert(snap.entries.exists(_.name == "legacy.proto.zst"),
+      "time-less entry survived (absence degrades to retaining)")
+    assert(snap.entries.forall(e => e.times.forall(_._2 >= 15L)))
+    // the expired file is physically gone; survivors intact
+    assert(ProtoZstFiles.list(dir, conf0).length === snap.entries.length)
+    assert(spark.read.format("proto-zst").load(dir).count() === before - 2)
+    // a second expiry at the same cutoff is a no-op
+    assert(Sink.expireByTime(dir, 15L) === 0)
+    // a manifest-less directory is refused, not listing-guessed
+    val foreign = freshDir("graft_ttl_foreign")
+    val e = intercept[IllegalArgumentException] {
+      Sink.expireByTime(foreign, 15L)
+    }
+    assert(e.getMessage.contains("no manifest"), e.getMessage)
+  }
+
   test("q196 replays: v1 holds the pre-midpoint nest, v2 == head") {
     val rows = graft.operators.Sink.versionPin(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
