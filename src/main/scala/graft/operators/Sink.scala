@@ -1323,7 +1323,9 @@ object Sink {
     * DuckDB oracle reproduces the cut bit-for-bit) — a two-release
     * export history. Returns (dir, v1, v2): the manifest versions the
     * two commits landed as, captured from the manifest itself rather
-    * than assumed.
+    * than assumed. (The versions ride the fixture as "v1,v2" — unlike
+    * the comma-joined PATHS a past review rejected, both fields are
+    * decimal longs, so the join is unambiguous by construction.)
     */
   private[graft] def versionPinFixture(spark: SparkSession,
       dir: String): (String, String) =
