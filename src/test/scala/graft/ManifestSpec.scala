@@ -677,6 +677,32 @@ class ManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no manifest"), e.getMessage)
   }
 
+  test("TTL expiry under a live stream trips the shrank-directory guard") {
+    import graft.sources.{ProtoZstMicroBatchStream, ProtoZstTable}
+    val dir = freshDir("graft_ttl_stream")
+    import spark.implicits._
+    def commitAt(t: Long, keys: String*): Unit =
+      Sink.writeNested(keys.toSeq.toDF("k")
+        .select(encode(col("k"), "UTF-8").as("key"),
+          array(struct(encode(col("k"), "UTF-8").as("name"),
+            encode(col("k"), "UTF-8").as("value"),
+            lit(t).as("write_time"))).as("columns"))
+        .repartition(1), dir)
+    commitAt(10L, "old1")
+    commitAt(20L, "new1")
+    val stream = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
+      ProtoZstTable.Schema, Array.empty)
+    val end = stream.latestOffset() // both files' offsets now issued
+    assert(Sink.expireByTime(dir, 15L) === 1)
+    // delivered offsets outrun the shrunken directory: the planner must
+    // refuse loudly (silently renumbering would replay wrong files) —
+    // same contract as OPTIMIZE/erasure on a tailed source
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(stream.initialOffset(), end)
+    }
+    assert(e.getMessage.contains("shrank"), e.getMessage)
+  }
+
   test("q196 replays: v1 holds the pre-midpoint nest, v2 == head") {
     val rows = graft.operators.Sink.versionPin(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
