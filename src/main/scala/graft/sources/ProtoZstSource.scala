@@ -1002,6 +1002,16 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
       case None => byCount
       case Some(budget) =>
         val sizes = currentMetas()
+        // an AvailableNow run's fixed end can outrun a directory that
+        // shrank mid-run (expiry/OPTIMIZE on a tailed source): raise
+        // the planner's loud contract here rather than an index crash
+        // or — worse — a silent cap that would hide the shrink
+        if (byCount > sizes.length)
+          throw new IllegalStateException(
+            s"$path shrank under a live stream (${sizes.length} < " +
+              s"$byCount): OPTIMIZE/erasure/expiry on a tailed " +
+              "directory invalidates delivered offsets — stop the " +
+              "stream before compacting its source")
         var e = s
         var acc = 0L
         while (e < byCount && (e == s || acc + sizes(e)._2 <= budget)) {

@@ -701,6 +701,18 @@ class ManifestSpec extends AnyFunSuite {
       stream.planInputPartitions(stream.initialOffset(), end)
     }
     assert(e.getMessage.contains("shrank"), e.getMessage)
+    // the byte-budget admission walk hits the same wall one call
+    // earlier (an AvailableNow fixed end outrunning the shrunken
+    // sizes) and must raise the same loud contract, not an index crash
+    val budgeted = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
+      ProtoZstTable.Schema, Array.empty, maxBytesPerTrigger = Some(1L))
+    budgeted.prepareForTriggerAvailableNow()
+    assert(Sink.expireByTime(dir, 25L) === 1) // drops the second file too
+    val e2 = intercept[IllegalStateException] {
+      budgeted.latestOffset(graft.sources.ProtoZstOffset(0),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    assert(e2.getMessage.contains("shrank"), e2.getMessage)
   }
 
   test("q196 replays: v1 holds the pre-midpoint nest, v2 == head") {
