@@ -307,6 +307,14 @@ object Core {
     * hash-partition identically, and in production the q158 range
     * verdict prunes the join inputs to mismatched ranges first.
     * Everything after the join is row-local.
+    *
+    * Tie-break: Cassandra's cell reconcile breaks equal write times by
+    * value bytes (greater value wins), so timestamp-tied divergent
+    * values still converge. The fixture's divergences alter times and
+    * presence but never values, so the arm is unreachable here — it
+    * exists so the kernel IS the reconcile, not an approximation of it
+    * (both engines carry the arm; string comparison is binary-collated
+    * lexicographic on both).
     */
   def readRepair(spark: SparkSession, dir: String): DataFrame = {
     val truth = CellModel.liveCellStrings(spark, dir)
@@ -330,7 +338,9 @@ object Core {
         when(col("wa").isNull, "a")
           .when(col("wb").isNull, "b")
           .when(col("wa") < col("wb"), "a")
-          .when(col("wb") < col("wa"), "b"))
+          .when(col("wb") < col("wa"), "b")
+          .when(col("va") < col("vb"), "a")
+          .when(col("vb") < col("va"), "b"))
       .filter(col("repair_target").isNotNull)
       .select(col("key"), col("name"), col("repair_target"),
         when(col("repair_target") === "a", col("vb")).otherwise(col("va"))
@@ -455,6 +465,7 @@ object Core {
        |r AS (SELECT key, name, va, wa, vb, wb,
        |        CASE WHEN wa IS NULL THEN 'a' WHEN wb IS NULL THEN 'b'
        |             WHEN wa < wb THEN 'a' WHEN wb < wa THEN 'b'
+       |             WHEN va < vb THEN 'a' WHEN vb < va THEN 'b'
        |        END AS repair_target FROM j)
        |SELECT key, name, repair_target,
        |  CASE WHEN repair_target = 'a' THEN vb ELSE va END AS value,

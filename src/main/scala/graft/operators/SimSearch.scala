@@ -1228,11 +1228,23 @@ object SimSearch {
     * most dims·(dims+1)/2 groups PER TASK before the exchange — the
     * shuffle carries tasks × 2,080 rows, never corpus × 2,080. The
     * per-dimension sum table is [[SrpDim]] rows, broadcast twice.
-    * Overflow audit: |x| ≤ 10³ ⇒ safe to ~10⁶ vectors; widen to
-    * decimal past that (same bound as q185).
+    * Overflow: every term (the sxy accumulation, n·sxy, sxi·sxj) is
+    * bounded by n²·max|x|², so the kernel carries an IN-PLAN guard
+    * (q161's raise_error discipline) that refuses loudly once that
+    * bound approaches Long range — a corpus too big for exact longs
+    * must widen the power sums to decimal, never silently corrupt the
+    * matrix behind a clean-looking hash.
     */
-  def embedCovariance(spark: SparkSession, dir: String): DataFrame = {
-    val e = base(spark, dir)
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame =
+    covKernel(base(spark, dir))
+
+  private[graft] def covKernel(e: DataFrame): DataFrame = {
+    // scalar bound check: one map-side-combined agg (count + max |x|),
+    // a 1-row broadcast into the output. Doubles are exact far beyond
+    // the 2× headroom compared against (cov_n ≤ 2·n²·max|x|²).
+    val guard = e.agg(count(lit(1)).cast("double").as("gn"),
+      max(aggregate(col("qv"), lit(0L), (a, x) => greatest(a, abs(x))))
+        .cast("double").as("gmax"))
     val sums = e.select(posexplode(col("qv")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(sum(col("x")).as("sx"))
     e.select(posexplode(col("qv")).as(Seq("i", "xi")), col("qv"))
@@ -1244,8 +1256,14 @@ object SimSearch {
         "i")
       .join(broadcast(sums.select(col("d").as("j"), col("sx").as("sxj"))),
         "j")
+      .crossJoin(broadcast(guard))
       .select(col("i"), col("j"), col("n"), col("sxy"),
-        (col("n") * col("sxy") - col("sxi") * col("sxj")).as("cov_n"))
+        when(col("gn") * col("gn") * col("gmax") * col("gmax") >
+            lit(Long.MaxValue.toDouble / 2),
+          raise_error(lit("q192: n²·max|x|² exceeds " +
+            "exact-long range — widen the power sums to decimal")))
+          .otherwise(col("n") * col("sxy") - col("sxi") * col("sxj"))
+          .as("cov_n"))
   }
 
   /** q193: IVF CELL-BALANCE AUDIT — the index-maintenance number for

@@ -239,8 +239,9 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
     }
-  // byte-denominated backpressure twin (Delta parity): whole files are
-  // admitted while their attested sizes fit, always at least one
+  // byte-denominated backpressure twin (Delta parity — a soft max):
+  // whole files are admitted until their attested sizes reach the
+  // budget, the crossing file included, always at least one
   private val maxBytesPerTrigger: Option[Long] =
     Option(options.get("maxBytesPerTrigger")).map { v =>
       val n = v.toLong
@@ -987,21 +988,30 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
       .getOrElse(ReadLimit.allAvailable())
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ProtoZstOffset].n
-    val total = available()
-    val byCount = limit match {
-      case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
-      case _ => total
-    }
-    // byte-budget admission (Delta's maxBytesPerTrigger convention):
-    // admit whole files while their ATTESTED sizes fit the budget, but
-    // always at least one — a single file over budget must flow, not
-    // stall the stream forever. Composes with maxFilesPerTrigger
-    // (whichever cap bites first). Sizes cost nothing: manifest bytes
-    // or the listing's own FileStatus.
+    // byte-budget admission (Delta's maxBytesPerTrigger convention — a
+    // SOFT max): admit whole files while the running total is still
+    // under budget, so the file that CROSSES the budget flows in the
+    // same batch and a single over-budget file can never stall the
+    // stream. Composes with maxFilesPerTrigger (whichever cap bites
+    // first). Sizes cost nothing — manifest bytes or the listing's own
+    // FileStatus — and ONE metadata snapshot serves both the total and
+    // the budget walk: a poll costs one round-trip, and the
+    // shrank-directory guard judges a single consistent view instead
+    // of spanning two reads.
     val end = maxBytesPerTrigger match {
-      case None => byCount
+      case None =>
+        val total = available()
+        limit match {
+          case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
+          case _ => total
+        }
       case Some(budget) =>
         val sizes = currentMetas()
+        val total = fixedEnd.getOrElse(sizes.length)
+        val byCount = limit match {
+          case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
+          case _ => total
+        }
         // an AvailableNow run's fixed end can outrun a directory that
         // shrank mid-run (expiry/OPTIMIZE on a tailed source): raise
         // the planner's loud contract here rather than an index crash
@@ -1012,9 +1022,11 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
               s"$byCount): OPTIMIZE/erasure/expiry on a tailed " +
               "directory invalidates delivered offsets — stop the " +
               "stream before compacting its source")
+        // budget is validated positive at scan build, so acc = 0 always
+        // admits the first new file — the at-least-one rule for free
         var e = s
         var acc = 0L
-        while (e < byCount && (e == s || acc + sizes(e)._2 <= budget)) {
+        while (e < byCount && acc < budget) {
           acc += sizes(e)._2
           e += 1
         }

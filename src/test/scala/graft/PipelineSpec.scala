@@ -478,6 +478,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q192 overflow guard refuses once n²·max|x|² leaves exact-long range") {
+    import spark.implicits._
+    // n = 2, max|x| = 3·10⁹ → n²·max|x|² = 3.6·10¹⁹ > Long.Max/2: the
+    // in-plan guard must refuse rather than emit a silently-overflowed
+    // matrix (3·10⁹ squared already wraps a long on its own)
+    val hot = Seq(Seq(3000000000L, 1L), Seq(2L, 4L)).toDF("qv")
+    val e = intercept[Exception](SimSearch.covKernel(hot).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("exact-long range"), msgs)
+    // the same kernel inside the bound computes the exact triangle
+    val ok = SimSearch.covKernel(Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("qv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ok.size === 3)
+    // n·Σxy − Σx·Σy by hand: (0,0): 2·10−16=4; (0,1): 2·14−4·6=4; (1,1): 2·20−36=4
+    assert(ok((0, 0)) === ((2L, 10L, 4L)))
+    assert(ok((0, 1)) === ((2L, 14L, 4L)))
+    assert(ok((1, 1)) === ((2L, 20L, 4L)))
+  }
+
   test("q193 cell loads replay the trained argmin assignment exactly") {
     val rows = SimSearch.ivfBalance(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))

@@ -209,10 +209,21 @@ class SourceExtensionSpec extends AnyFunSuite {
       val batches = q.recentProgress.count(_.numInputRows > 0).toLong
       (batches, spark.table(name).count())
     }
-    // a budget of one max-sized file admits exactly one file per batch
+    // soft-max walk (Delta's convention): each batch admits whole files
+    // while the running total is still UNDER budget, so the file that
+    // crosses the budget ships in the same batch
+    def expectedBatches(budget: Long): Long = {
+      var batches = 0L; var i = 0
+      while (i < sizes.length) {
+        var acc = 0L
+        while (i < sizes.length && acc < budget) { acc += sizes(i); i += 1 }
+        batches += 1
+      }
+      batches
+    }
     val (perFile, rows1) = run(sizes.max)
-    assert(perFile === sizes.length.toLong,
-      s"expected ${sizes.length} one-file batches, got $perFile")
+    assert(perFile === expectedBatches(sizes.max),
+      s"expected ${expectedBatches(sizes.max)} batches, got $perFile")
     assert(rows1 === full)
     // a 1-byte budget must still progress (at-least-one rule), never stall
     val (starved, rows2) = run(1L)
@@ -222,6 +233,12 @@ class SourceExtensionSpec extends AnyFunSuite {
     val (one, rows3) = run(sizes.sum + 1)
     assert(one === 1L)
     assert(rows3 === full)
+    // the SOFT max distinguisher: one byte under the total still drains
+    // in ONE batch — the crossing (last) file is admitted, where a
+    // hard whole-files-that-fit cap would need two
+    val (soft, rows4) = run(sizes.sum - 1)
+    assert(soft === 1L, s"soft-max budget split into $soft batches")
+    assert(rows4 === full)
     // a non-positive budget is a caller bug, refused at scan build
     // (stream construction is async — the refusal surfaces as the
     // query's terminal exception)
