@@ -1447,6 +1447,144 @@ object Sink {
         col("c.write_time").as("write_time"))
   }
 
+  /** q207: TIME-WINDOW MAJOR COMPACTION — executing q181's `major`
+    * verdict through the manifest: every CLOSED time window (its upper
+    * bound at-or-before `cutoffUs`, so under TWCS's rule it can never
+    * receive new writes) holding more than one file is rewritten down
+    * to ONE key-sorted file, and ALL windows swap in through a SINGLE
+    * atomic manifest commit (the q77 OPTIMIZE discipline: staged files
+    * are invisible until the commit, originals are deleted only after
+    * it, a crash leaves sweepable garbage and a fully intact table).
+    * Files bucket by the window of their NEWEST recorded cell —
+    * Cassandra TWCS's bucketing; time-less entries cannot prove a
+    * window and are left alone (q206's conservatism: absence degrades
+    * to keeping, never to rewriting). The packed file's manifest entry
+    * carries its own observed write-time range (the writer records it
+    * for free), so q189's temporal skip and q206's whole-file expiry
+    * keep firing on the compacted layout — one immutable file per
+    * closed window is exactly the steady state expiry drops wholesale.
+    * Physical re-layout preserves the row MULTISET (the Delta-OPTIMIZE
+    * contract): newest-wins reconcile stays a read-side kernel (q53),
+    * so reads are bit-equal before and after. Idempotent: a second run
+    * finds one file per closed window and commits nothing. Like expiry
+    * and OPTIMIZE, compacting under a live stream is caught loudly by
+    * the source's shrank-directory guard — stop the stream first.
+    *
+    * Scale: the plan is arithmetic over one KB-sized manifest snapshot
+    * (no file opened, no listing); execution reads only the closed
+    * windows' files — the bounded backlog q181 flagged, never the
+    * corpus — and the commit is one rename. Returns (windows
+    * compacted, files replaced).
+    */
+  def compactWindows(spark: SparkSession, outDir: String,
+      windowUs: Long, cutoffUs: Long): (Int, Int) = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val snap = graft.sources.GenManifest.read(outDir, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"$outDir has no manifest: window compaction plans from " +
+          "attested write-time ranges; use OPTIMIZE for listing-era " +
+          "directories"))
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(conf)
+    val closed = snap.entries
+      .filter(_.times.isDefined)
+      .groupBy(e => e.times.get._2 / windowUs)
+      .filter { case (w, es) =>
+        (w + 1) * windowUs <= cutoffUs && es.length > 1 }
+      .toSeq.sortBy(_._1)
+    if (closed.isEmpty) return (0, 0)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(dirPath, ".wmajor-" + runId)
+    val packed = closed.flatMap { case (w, es) =>
+      val winDir = new org.apache.hadoop.fs.Path(staging, "w" + w)
+      spark.read.format("proto-zst")
+        .load(es.map(e =>
+          new org.apache.hadoop.fs.Path(dirPath, e.name).toString): _*)
+        .coalesce(1).sortWithinPartitions(col("key"))
+        .write.format("proto-zst").mode("append").save(winDir.toString)
+      // the staging write produced its own manifest — reuse its entries
+      // (bytes/counts/key ranges/TIME ranges) instead of re-reading
+      // any file metadata
+      val staged = graft.sources.GenManifest.read(winDir.toString, conf)
+        .getOrElse(throw new IllegalStateException(
+          s"staging write left no manifest under $winDir"))
+      staged.entries.map { e =>
+        val newName = s"wmajor-$runId-w$w-${e.name}"
+        val src = new org.apache.hadoop.fs.Path(winDir, e.name)
+        val dst = new org.apache.hadoop.fs.Path(dirPath, newName)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"window compaction aborted: rename refused for $src -> " +
+              s"$dst; table unchanged (manifest not committed), staged " +
+              s"files retained under $staging")
+        fs.rename(graft.sources.RangeSidecar.sidecar(src),
+          graft.sources.RangeSidecar.sidecar(dst))
+        e.copy(name = newName)
+      }
+    }
+    // THE commit: one atomic manifest swap covers every closed window
+    val replaced = closed.flatMap(_._2)
+    graft.sources.GenManifest.replace(outDir, conf,
+      replaced.map(_.name).toSet, packed.toVector)
+    // post-commit GC: the replaced originals and the staging tree
+    replaced.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(dirPath, e.name)
+      fs.delete(p, false)
+      graft.sources.RangeSidecar.delete(fs, p)
+    }
+    fs.delete(staging, true)
+    (closed.length, replaced.length)
+  }
+
+  /** q207's query surface: a private multi-window, multi-file layout
+    * (live cells bucketed into absolute `windowUs` windows of their
+    * write time, two hash-split files per window — each file's newest
+    * cell provably inside its window), window-major-compacted below
+    * the newest window's lower bound, then read back flat: the
+    * surviving cells must be EXACTLY the original live-cell projection
+    * — the oracle (q77's read-equivalence discipline) proves physical
+    * re-layout changed nothing a reader can see. The compaction runs
+    * once (fixture-cached).
+    */
+  private[graft] def wmajorFixture(spark: SparkSession,
+      dir: String): String =
+    fixture("wmajor:" + dir) {
+      val out = Scratch.dir("graft_wmajor")
+      val cells = CellModel.liveCells(spark, dir)
+      val b = cells.agg(min(col("write_time")), max(col("write_time"))).head()
+      val windowUs = (b.getLong(1) - b.getLong(0)) / 3 + 1
+      def nest(df: DataFrame) = df.groupBy(col("key"))
+        .agg(sort_array(collect_list(struct(col("name"), col("value"),
+          col("write_time")))).as("columns"))
+      val winOf = expr(s"write_time DIV $windowUs")
+      val wins = cells.select(winOf.as("w")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      require(wins.length >= 3, s"wmajor fixture: ${wins.length} windows")
+      wins.foreach { w =>
+        (0 to 1).foreach { s =>
+          writeNested(nest(cells.filter(winOf === w &&
+            crc32(col("name")) % 2 === s)).coalesce(1), out)
+        }
+      }
+      val (nw, nf) =
+        compactWindows(spark, out, windowUs, wins.last * windowUs)
+      require(nw == wins.length - 1 && nf == 2 * nw,
+        s"wmajor fixture compacted ($nw windows, $nf files), expected " +
+          s"(${wins.length - 1}, ${2 * (wins.length - 1)})")
+      out
+    }
+
+  def windowCompactedRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = wmajorFixture(spark, dir)
+    spark.read.format("proto-zst").load(out)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        decode(col("c.name"), "UTF-8").as("name"),
+        decode(col("c.value"), "UTF-8").as("value"),
+        col("c.write_time").as("write_time"))
+  }
+
   /** q204: VERSION-DELTA READ — incremental consumption between two
     * manifest versions WITHOUT a stream: the snapshots name their file
     * sets, so "what did release v2 add over v1" is a driver-side set
@@ -1484,6 +1622,7 @@ object Sink {
     "q199_export_balance" -> exportBalance,
     "q204_version_delta" -> versionDelta,
     "q206_ttl_expire" -> ttlExpiredRead,
+    "q207_window_compact" -> windowCompactedRead,
     "q171_export_sink" -> exportShards,
     "q148_erasure" -> erasureRead,
     "q111_partition_evolution" -> partitionEvolutionRead,
@@ -1609,6 +1748,11 @@ object Sink {
     // post-cutoff slice — the same contract as the delta read, reached
     // by dropping files instead of selecting them
     "q206_ttl_expire" -> versionDeltaSql,
+    // q207: window-major compaction preserves the row multiset — the
+    // compacted directory reads back as the full live-cell projection
+    // (q77's read-equivalence contract, reached by merging a window's
+    // files instead of packing small ones)
+    "q207_window_compact" -> Core.liveCellsSql,
     "q171_export_sink" -> exportShardsSql,
     // replay the evolution null-fill: gen-1 rows (even ids) predate
     // (source, n_chars); the partition column is the generation id

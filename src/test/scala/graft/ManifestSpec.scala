@@ -677,6 +677,96 @@ class ManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no manifest"), e.getMessage)
   }
 
+  test("q207 window compaction: one commit, preserved time ranges, idempotent") {
+    val dir = freshDir("graft_wmajor_unit")
+    import spark.implicits._
+    def commitAt(t: Long, keys: String*): Unit =
+      Sink.writeNested(keys.toSeq.toDF("k")
+        .select(encode(col("k"), "UTF-8").as("key"),
+          array(struct(encode(col("k"), "UTF-8").as("name"),
+            encode(col("k"), "UTF-8").as("value"),
+            lit(t).as("write_time"))).as("columns"))
+        .repartition(1), dir)
+    // two files in window 0 (t∈[0,10)), two in window 1, one in the
+    // OPEN window 2, plus a time-less legacy entry — only the closed
+    // multi-file windows may move
+    commitAt(3L, "a1", "a2"); commitAt(5L, "a3")
+    commitAt(12L, "b1"); commitAt(14L, "b2", "b3")
+    commitAt(25L, "c1")
+    val conf0 = conf
+    val src = ProtoZstFiles.listWithSizes(dir, conf0).head
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf0)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(src._1), fs,
+      new org.apache.hadoop.fs.Path(dir, "legacy.proto.zst"), false, conf0)
+    GenManifest.commit(dir, conf0)(es => es :+ GenManifest.Entry(
+      "legacy.proto.zst", src._2, 2L, sorted = false, "", "", None))
+    val before = spark.read.format("proto-zst").load(dir)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("k"),
+        col("c.write_time").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val v0 = GenManifest.read(dir, conf0).get.version
+    assert(Sink.compactWindows(spark, dir, 10L, 20L) === ((2, 4)))
+    val snap = GenManifest.read(dir, conf0).get
+    // ONE atomic commit covered both windows
+    assert(snap.version === v0 + 1)
+    // 2 packed + open + legacy; packed entries carry the OBSERVED
+    // time range of their window's cells, so temporal skip and expiry
+    // keep firing on the compacted layout
+    assert(snap.entries.length === 4)
+    val packed = snap.entries.filter(_.name.startsWith("wmajor-"))
+      .sortBy(_.times.get._1)
+    assert(packed.map(_.times) === Seq(Some((3L, 5L)), Some((12L, 14L))))
+    assert(packed.forall(e => e.sorted && e.count > 0 && e.hasRange))
+    assert(snap.entries.exists(_.name == "legacy.proto.zst"),
+      "time-less entry survived (absence degrades to keeping)")
+    // the disk holds exactly the committed set; reads are bit-equal
+    assert(ProtoZstFiles.list(dir, conf0).length === snap.entries.length)
+    val after = spark.read.format("proto-zst").load(dir)
+      .select(col("key"), explode(col("columns")).as("c"))
+      .select(decode(col("key"), "UTF-8").as("k"),
+        col("c.write_time").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(after.toSeq === before.toSeq, "row multiset preserved")
+    // idempotent: every closed window is already one file
+    assert(Sink.compactWindows(spark, dir, 10L, 20L) === ((0, 0)))
+    assert(GenManifest.read(dir, conf0).get.version === v0 + 1)
+    // the TWCS payoff composes: expiry drops the packed window-0 file
+    assert(Sink.expireByTime(dir, 10L) === 1)
+    assert(!GenManifest.read(dir, conf0).get.entries
+      .exists(_.times.exists(_._2 < 10L)))
+    // a manifest-less directory is refused, not listing-guessed
+    val e = intercept[IllegalArgumentException] {
+      Sink.compactWindows(spark, freshDir("graft_wmajor_foreign"), 10L, 20L)
+    }
+    assert(e.getMessage.contains("no manifest"), e.getMessage)
+  }
+
+  test("window compaction under a live stream trips the shrank-directory guard") {
+    import graft.sources.{ProtoZstMicroBatchStream, ProtoZstTable}
+    val dir = freshDir("graft_wmajor_stream")
+    import spark.implicits._
+    def commitAt(t: Long, keys: String*): Unit =
+      Sink.writeNested(keys.toSeq.toDF("k")
+        .select(encode(col("k"), "UTF-8").as("key"),
+          array(struct(encode(col("k"), "UTF-8").as("name"),
+            encode(col("k"), "UTF-8").as("value"),
+            lit(t).as("write_time"))).as("columns"))
+        .repartition(1), dir)
+    commitAt(3L, "a1"); commitAt(5L, "a2"); commitAt(25L, "c1")
+    val stream = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
+      ProtoZstTable.Schema, Array.empty)
+    val end = stream.latestOffset() // all three offsets now issued
+    assert(Sink.compactWindows(spark, dir, 10L, 20L) === ((1, 2)))
+    // 2 files became 1: delivered offsets outrun the directory — the
+    // planner must refuse loudly, same contract as OPTIMIZE/expiry
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(stream.initialOffset(), end)
+    }
+    assert(e.getMessage.contains("shrank"), e.getMessage)
+  }
+
   test("TTL expiry under a live stream trips the shrank-directory guard") {
     import graft.sources.{ProtoZstMicroBatchStream, ProtoZstTable}
     val dir = freshDir("graft_ttl_stream")
