@@ -24,7 +24,7 @@ object QueryTraits {
     "q138_sketch_increment", "q140_nightly_drop", "q141_chained_windows",
     "q147_quantile_sketch", "q148_erasure", "q153_size_tiered",
     "q156_leveled_plan", "q181_twcs_plan", "q189_hot_window_read",
-    "q162_stream_join_window",
+    "q162_stream_join_window", "q208_stream_curate",
     "q163_stream_sketch_ledger", "q171_export_sink", "q174_stream_export",
     "q28_stream_window", "q29_sink_roundtrip", "q30_proto_source",
     "q31_stream_sessionize", "q36_noshuffle_stats", "q37_stream_sink",

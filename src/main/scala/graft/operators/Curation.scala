@@ -31,7 +31,7 @@ object Curation {
     * scrubber matches by regex; list chosen to be non-vacuous on the
     * synthetic corpus (459/500 docs hit at sf0.01).
     */
-  private val deny = Seq("key", "hash", "secret", "token", "password")
+  private[operators] val deny = Seq("key", "hash", "secret", "token", "password")
 
   /** q49: sensitive-term redaction — row-local rewrite of the token
     * stream with a redaction count per doc. Zero shuffles; the whole
@@ -447,8 +447,8 @@ object Curation {
   /** Boilerplate window size (words) and the distinct-doc threshold at
     * which a window counts as boilerplate within its source.
     */
-  private val BoilerWords = 5
-  private val BoilerMinDocs = 2
+  private[operators] val BoilerWords = 5
+  private[operators] val BoilerMinDocs = 2
 
   /** q70: per-source BOILERPLATE removal — CCNet's line-dedup step
     * (Wenzek et al.: strip lines repeated across a domain's pages —
@@ -1031,7 +1031,7 @@ object Curation {
        |FROM hs t LEFT JOIN b ON b.source = t.source AND b.h = t.h
        |GROUP BY t.doc_id""".stripMargin
 
-  private val mixturePlanSql = {
+  private[operators] val mixturePlanSql = {
     val targetRows = mixTargets
       .map { case (l, t) => s"('$l', $t)" }.mkString(", ")
     s"""WITH d AS (SELECT lang, len($sqlWords) n FROM documents),

@@ -50,7 +50,7 @@ object TextAnalysis {
         (-col("best.negscore")).as("score"))
   }
 
-  private val stops = Seq("the", "a", "of", "and")
+  private[operators] val stops = Seq("the", "a", "of", "and")
 
   /** q22: document quality scoring — length, lexical diversity,
     * stopword ratio, and an integer-threshold bucket.

@@ -62,6 +62,17 @@ object Tables {
       .parquet(dir))
   }
 
+  /** Streaming twin of [[documents]]: the file-stream source over the
+    * testdata dir, glob-filtered to the documents table, schema
+    * resolved from the batch reader (a file stream can't infer).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(onDisk)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

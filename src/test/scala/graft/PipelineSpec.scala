@@ -478,6 +478,57 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q208 stream curation: 2-batch split + redelivery equals the batch gates") {
+    import graft.sources.GenManifest
+    val docs = Tables.documents(spark, sf0001)
+    val inv = Streaming.boilerInventory(spark, sf0001)
+    val rates = Streaming.mixtureRates(spark, sf0001)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (mid, maxId) = (ids(ids.length / 2), ids.last)
+    // a gate-PASSING doc from the first half, duplicated into the
+    // second file under a fresh id: same (text, lang, source) → same
+    // content tuple, landing in the OTHER micro-batch
+    val dupId = Streaming.curationGates(docs, inv, rates)
+      .filter(col("doc_id") < mid)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val dupH = docs.filter(col("doc_id") === dupId)
+      .select(md5(col("text"))).head().getString(0)
+    val dupRow = docs.filter(col("doc_id") === dupId)
+      .withColumn("doc_id", lit(maxId + 1))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sing_src")
+      .toFile.getAbsolutePath
+    docs.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    docs.filter(col("doc_id") >= mid).unionByName(dupRow).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    // redelivery (the q84 union) on top of the 2-file split: each leg
+    // admits one file per trigger → two data micro-batches, the
+    // duplicate pair straddling them
+    def leg = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_sing_out")
+      .toFile.getAbsolutePath
+    val got = Streaming.streamCurateOf(spark, leg.union(leg), inv, rates,
+      out, java.nio.file.Files.createTempDirectory("graft_sing_ck")
+        .toFile.getAbsolutePath)
+      .collect().map(_.mkString("|")).sorted
+    val want = Streaming.curationGates(docs.unionByName(dupRow), inv, rates)
+      .select(col("h"), col("lang"), col("shard"), col("n_tokens"),
+        col("n_redactions"), col("boiler_milli"))
+      .distinct().collect().map(_.mkString("|")).sorted
+    assert(got.toSeq === want.toSeq,
+      "split+redelivered stream diverged from the batch gate composition")
+    assert(got.count(_.startsWith(dupH + "|")) === 1,
+      "cross-batch duplicate must collapse to one exported tuple")
+    // each data micro-batch folded in as ONE atomic epoch commit
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val versions = fs.listStatus(
+      new org.apache.hadoop.fs.Path(out, GenManifest.DirName))
+      .count(_.getPath.getName.endsWith(".manifest"))
+    assert(versions === 2, s"expected 2 epoch commits, saw $versions")
+  }
+
   test("q192 overflow guard refuses once n²·max|x|² leaves exact-long range") {
     import spark.implicits._
     // n = 2, max|x| = 3·10⁹ → n²·max|x|² = 3.6·10¹⁹ > Long.Max/2: the
