@@ -882,6 +882,83 @@ object SimSearch {
         expr("n_hits * 1000 DIV n_truth").as("recall_milli"))
   }
 
+  // q209 adaptive-probe knobs: widen until the qualifying candidate
+  // pool reaches the floor (or the cap), never below the static base
+  private val CandFloor = 80L
+  private val MaxProbe = 12
+
+  /** q209: ADAPTIVE PROBE WIDENING for filtered search — the
+    * self-tuning step q205's audit motivates: a selective predicate
+    * empties probed cells, and a STATIC NProbe silently under-recalls
+    * until a human reads the recall row. Here each query widens its
+    * own probe list down the cell-distance ranking until the
+    * PREDICATE-QUALIFYING candidate pool reaches [[CandFloor]]
+    * (admission mirrors the byte-budget stream rule: cells are taken
+    * while the pool so far is under the floor, so the crossing cell is
+    * included), bounded by [[MaxProbe]] and never below the static
+    * [[NProbe]] base. The pool arithmetic needs no data I/O beyond
+    * what q85 already plans: per-cell qualifying counts are the
+    * inverted-list LENGTHS (metadata a deployed index keeps next to
+    * the lists), joined to the per-query cell ranking and prefix-
+    * summed in a bounded window (NQ × [[NCells]] rows). Output is
+    * q85's top-K shape plus the per-query `n_probes` actually used —
+    * the tuning loop's telemetry.
+    *
+    * Scale: counts are one [[NCells]]-group aggregate over the
+    * assignment q85 computes anyway; the widening window is bounded
+    * by queries × cells; candidate generation stays a probed
+    * equi-join, never all-pairs. The oracle replays the widened probe
+    * set exactly (the q85 chain-replay discipline).
+    */
+  def annFilteredAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"), col("label"))
+      .withColumn("n2", norm2(col("qv")))
+      .cp()
+    adaptiveFiltered(e0, centroidFixture(spark, dir, NCells),
+      col("label") % 2 === 0, CandFloor, MaxProbe)
+  }
+
+  /** The q209 kernel over explicit features/centroids/predicate —
+    * exposed so the spec can construct a geometry where the static
+    * probe demonstrably returns nothing and the adaptive one recovers
+    * the true neighbours. `floor = 0` degenerates to q85's static
+    * probing (the admission clause never fires past the base).
+    */
+  private[graft] def adaptiveFiltered(e0: DataFrame, cent: DataFrame,
+      pred: Column, floor: Long, cap: Int): DataFrame = {
+    val e = e0.select(col("vec_id"), col("qv"), col("n2"))
+    val scored = e0.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+    val corpus = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"), col("label"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"),
+        col("w.label").as("label"))
+      .filter(pred)
+    val counts = corpus.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val ranked = scored.filter(col("vec_id") < NQ)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cell"))))
+      .select(col("vec_id").as("q_id"), col("cell"), col("rn"))
+    val widened = ranked
+      .join(broadcast(counts), Seq("cell"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("cum", sum(col("n")).over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rn"))))
+      .filter(col("rn") <= cap &&
+        (col("rn") <= NProbe || col("cum") - col("n") < floor))
+    val probesUsed = widened.groupBy(col("q_id"))
+      .agg(max(col("rn")).as("n_probes"))
+    val cand = corpus
+      .join(broadcast(widened.select(col("q_id"), col("cell"))), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    rerank(e, cand).join(broadcast(probesUsed), "q_id")
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"),
+        col("n_probes"))
+  }
+
   private val CoresetK = 10 // representatives kept per label
 
   /** q159: LABEL-BALANCED CORESET — per class, the [[CoresetK]]
@@ -1326,6 +1403,7 @@ object SimSearch {
     "q180_cell_quota" -> ((sp: SparkSession, d: String) => cellQuotaSample(sp, d)),
     "q78_ann_pq" -> annPq,
     "q85_ann_filtered" -> annFiltered,
+    "q209_ann_adaptive" -> annFilteredAdaptive,
     "q205_filtered_recall" -> annFilteredRecall)
 
   private val baseSql =
@@ -1573,6 +1651,49 @@ object SimSearch {
        |r AS (SELECT q_id, vec_id, cosine,
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
        |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
+  }
+
+  /** q209 replay: q85's train/assign/probe chain, then the adaptive
+    * widening verbatim — per-cell qualifying counts, prefix sums down
+    * each query's cell ranking, the floor/cap admission, and the
+    * per-query probes-used audit.
+    */
+  private val adaptiveSql = {
+    val probeD2 = s"x.n2 - 2*${sqlDotq("x.qv", "c.cqv")} + c.cn2"
+    s"""$baseSql,
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $NCells),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")},
+       |corpus AS (SELECT a3.vec_id, a3.cell
+       |           FROM a3 JOIN embeddings emb ON emb.vec_id = a3.vec_id
+       |           WHERE emb.label % 2 = 0),
+       |counts AS (SELECT cell, count(*) n FROM corpus GROUP BY cell),
+       |ranked AS (SELECT x.vec_id q_id, c.cell,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $probeD2, c.cell) rn
+       |    FROM n x CROSS JOIN centn2 c WHERE x.vec_id < $NQ),
+       |prc AS (SELECT r.q_id, r.cell, r.rn, coalesce(cn.n, 0) n,
+       |      sum(coalesce(cn.n, 0)) OVER (PARTITION BY r.q_id
+       |        ORDER BY r.rn) cum
+       |    FROM ranked r LEFT JOIN counts cn USING (cell)),
+       |wide AS (SELECT q_id, cell, rn FROM prc
+       |    WHERE rn <= $MaxProbe
+       |      AND (rn <= $NProbe OR cum - n < $CandFloor)),
+       |np AS (SELECT q_id, max(rn) n_probes FROM wide GROUP BY q_id),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id
+       |         FROM wide p JOIN corpus c ON c.cell = p.cell
+       |         WHERE c.vec_id <> p.q_id),
+       |s AS (SELECT cand.q_id, cand.vec_id,
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE), 0.0)) cosine
+       |      FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n c ON c.vec_id = cand.vec_id),
+       |r AS (SELECT q_id, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
+       |SELECT q_id, rnk, vec_id, cosine, n_probes
+       |FROM r JOIN np USING (q_id) WHERE rnk <= $K""".stripMargin
   }
 
   // q205: the filtered brute truth beside q85's plan (spliced as a
@@ -1899,6 +2020,7 @@ object SimSearch {
     "q180_cell_quota" -> cellQuotaSql,
     "q78_ann_pq" -> pqSql,
     "q85_ann_filtered" -> filteredSql,
+    "q209_ann_adaptive" -> adaptiveSql,
     "q205_filtered_recall" -> filteredRecallSql,
     "q97_ann_ivfpq" -> ivfpqSql,
     // identical result contract to q19 — the aggregator vs window proof

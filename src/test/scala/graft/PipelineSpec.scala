@@ -529,6 +529,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(versions === 2, s"expected 2 epoch commits, saw $versions")
   }
 
+  test("q209 adaptive probes recover what the static probe misses") {
+    import spark.implicits._
+    // 1-D geometry on the qv plane: six trained cells at x = 0..50;
+    // the query sits in cell 0, the static NProbe=4 probes (cells
+    // 0-3) hold only predicate-FAILING vectors, and the true
+    // qualifying neighbours live in cell 4 (probe rank 5). A farther
+    // qualifying vector in cell 5 proves the widening STOPS at the
+    // floor instead of draining the cell list.
+    val cent = (0 to 5).map(c =>
+      (c, Seq(c * 10L, 0L), c * 10L * (c * 10L))).toDF("cell", "cqv", "cn2")
+    def v(id: Long, x: Long, label: Long) = (id, Seq(x, 0L), x * x, label)
+    val e0 = (Seq(v(0, 1, 0)) ++ // the query (vec_id < NQ), label-passing
+      Seq(v(110, 9, 1), v(111, 11, 1), v(120, 19, 1), v(121, 21, 1),
+        v(130, 29, 1), v(131, 31, 1)) ++ // cells 1-3: predicate-failing
+      Seq(v(200, 39, 0), v(201, 40, 0), v(202, 41, 0)) ++ // cell 4: truth
+      Seq(v(210, 51, 0))) // cell 5: qualifying but beyond the floor
+      .toDF("vec_id", "qv", "n2", "label")
+    val static = SimSearch.adaptiveFiltered(e0, cent, col("label") === 0,
+      floor = 0L, cap = 4).collect()
+    assert(static.isEmpty,
+      "static NProbe=4 must return nothing: its probed cells hold no " +
+        "qualifying candidate (the silent under-recall q209 fixes)")
+    val adaptive = SimSearch.adaptiveFiltered(e0, cent, col("label") === 0,
+      floor = 2L, cap = 12).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(4)))
+      .sortBy(_._2)
+    assert(adaptive.toSeq === Seq((0L, 1, 200L, 5), (0L, 2, 201L, 5),
+      (0L, 3, 202L, 5)),
+      s"adaptive probing diverged: ${adaptive.toSeq}")
+  }
+
   test("q192 overflow guard refuses once n²·max|x|² leaves exact-long range") {
     import spark.implicits._
     // n = 2, max|x| = 3·10⁹ → n²·max|x|² = 3.6·10¹⁹ > Long.Max/2: the

@@ -165,7 +165,11 @@ class PlanSpec extends AnyFunSuite {
       // q205 inherits q45's shapes: the brute truth broadcasts the
       // bounded NQ-row query set, and the recall row cross-joins two
       // 1-row aggregates (withScalar)
-      "q205_filtered_recall")
+      "q205_filtered_recall",
+      // q209 broadcasts the K-row trained centroid table for the
+      // q34-style assignment argmin (q85's shape plus the bounded
+      // widening window)
+      "q209_ann_adaptive")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
