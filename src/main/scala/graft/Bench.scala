@@ -1,7 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Machine-load telemetry: 1/5/15-min loadavg and cumulative steal
+    * ticks (field 8 of /proc/stat's cpu line). Sampled before and
+    * after the sweep and emitted into the bench JSON so a
+    * contention-inflated artifact is SELF-EVIDENT — a sweep that
+    * starts at loadavg 30 on a 32-thread box is measuring the
+    * neighbors, not the engine. Best-effort: absent /proc (non-Linux)
+    * degrades to empty fields, never a crash.
+    */
+  private def loadavg(): Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+  private def stealTicks(): Long =
+    try scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu "))
+      .map(_.trim.split("\\s+").drop(1).lift(7).fold(0L)(_.toLong))
+      .getOrElse(0L)
+    catch { case _: Throwable => 0L }
+
   def main(args: Array[String]): Unit = {
+    val load0 = loadavg()
+    val steal0 = stealTicks()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Route Spark's spill/temp dirs (shuffle blocks, temp streaming
@@ -125,7 +146,14 @@ object Bench {
     val errs = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"errors":$errs,"sf":"$sfDir"}""")
+    val load = {
+      val l1 = loadavg().mkString("[", ",", "]")
+      val l0 = load0.mkString("[", ",", "]")
+      s"""{"loadavg_start":$l0,"loadavg_end":$l1,""" +
+        s""""steal_ticks":${stealTicks() - steal0},""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"errors":$errs,"load":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
