@@ -22,6 +22,7 @@ object SparkEntry {
     * analysis, event windows). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Relational.queries ++ Dedup.queries ++
+      DedupClusters.queries ++ Decontam.queries ++ Sketches.queries ++
       TextAnalysis.queries ++ SimSearch.queries ++ Events.queries ++
       Multimodal.queries ++ Streaming.queries ++ Sink.queries ++
       Curation.queries ++ Compaction.queries ++ Layout.queries
@@ -30,6 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Core.oracle ++ Relational.oracle ++ Dedup.oracle ++
+      DedupClusters.oracle ++ Decontam.oracle ++ Sketches.oracle ++
       TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle ++
       Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle ++
       Curation.oracle ++ Compaction.oracle ++ Layout.oracle

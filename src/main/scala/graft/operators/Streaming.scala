@@ -1119,7 +1119,7 @@ object Streaming extends Serializable {
   }
 
   // q163 sketch parameters: lgK = 12 and a 100-milli (10%) accepted
-  // bound — the q134/q138 contract (see Dedup.SketchRsdMilli's margin
+  // bound — the q134/q138 contract (see Sketches.SketchRsdMilli's margin
   // require: bound >= 5x rsd, so a pinned est_ok is a ~6-sigma fact,
   // not a coin flip)
   private val LedgerLgK = 12

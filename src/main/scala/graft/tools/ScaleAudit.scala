@@ -143,7 +143,7 @@ object ScaleAudit {
     try {
       (graft.operators.SimSearch.fixturePlans(spark, dir) ++
         graft.operators.Relational.fixturePlans(spark, dir) ++
-        graft.operators.Dedup.auditPlans(spark, dir) ++
+        graft.operators.DedupClusters.auditPlans(spark, dir) ++
         graft.operators.Sink.auditPlans(spark, dir))
         .foreach { case (name, df) =>
           val (shuffles, bcasts, joins, pushed) =

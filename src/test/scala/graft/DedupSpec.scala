@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Portable
-import graft.operators.Dedup
+import graft.operators.{Decontam, Dedup, DedupClusters, Sketches}
 
 /** Semantic checks for the dedup operators against brute-force ground
   * truth on sf0.001 (small enough for all-pairs).
@@ -82,7 +82,7 @@ class DedupSpec extends AnyFunSuite {
     }
     val truth = parent.keys.map(n => n -> find(n)).toMap
     val sizes = truth.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
-    val got = Dedup.dupClusters(spark, sf0001).collect()
+    val got = DedupClusters.dupClusters(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .toMap
     assert(got.keySet === truth.keySet)
@@ -98,8 +98,8 @@ class DedupSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .toSet
-    val unrolled = rows(Dedup.dupClusters(spark, sf0001))
-    val looped = rows(Dedup.dupClustersConverged(spark, sf0001))
+    val unrolled = rows(DedupClusters.dupClusters(spark, sf0001))
+    val looped = rows(DedupClusters.dupClustersConverged(spark, sf0001))
     assert(looped === unrolled)
     assert(looped.nonEmpty)
   }
@@ -240,7 +240,7 @@ class DedupSpec extends AnyFunSuite {
         val ws = r.getSeq[String](1)
         r.getLong(0) -> 1000L * ws.distinct.size / ws.size
       }.toMap
-    val members = Dedup.dupClusters(spark, sf0001)
+    val members = DedupClusters.dupClusters(spark, sf0001)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .filter { case (d, _, _) => scores.contains(d) }
@@ -255,7 +255,7 @@ class DedupSpec extends AnyFunSuite {
           .sortBy(identity).head match { case (s, nd) => (s, -nd) }
         (cid, ms.head._3, cd, cs, rd, rs, cs - rs)
     }.toSet
-    val got = Dedup.prefPairs(spark, sf0001).collect()
+    val got = DedupClusters.prefPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6))).toSet
     assert(got === expected)
@@ -315,7 +315,7 @@ class DedupSpec extends AnyFunSuite {
         val seen = gs.count(train)
         (id, gs.size.toLong, seen.toLong, 1000L * seen / gs.size)
       }.toSet
-    val got = Dedup.ngramLeakage(spark, sf0001).collect()
+    val got = Decontam.ngramLeakage(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got === expected)
@@ -345,10 +345,10 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("q191 weights equal 1000/q54-cluster-size; singletons weigh 1000") {
-    val sizes = Dedup.dupClusters(spark, sf0001)
+    val sizes = DedupClusters.dupClusters(spark, sf0001)
       .select(col("doc_id"), col("cluster_size")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val rows = Dedup.softDedupWeights(spark, sf0001).collect()
+    val rows = DedupClusters.softDedupWeights(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
     assert(rows.length === nDocs, "every corpus doc gets a weight")
@@ -427,7 +427,7 @@ class DedupSpec extends AnyFunSuite {
       val nn = ds.count(d => nearIds(d._1)).toLong
       (b, n, e, nn, 1000 * e / n, 1000 * nn / n)
     }.toSet
-    val got = Dedup.qualityDupCalibration(spark, sf0001).collect()
+    val got = Decontam.qualityDupCalibration(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSet
     assert(got === expected)
@@ -440,7 +440,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("q202 sharding co-locates every near-dup cluster; singletons keyed by self") {
-    val rows = Dedup.clusterSharding(spark, sf0001).collect()
+    val rows = DedupClusters.clusterSharding(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val shardOf = rows.map(t => t._1 -> t._3).toMap
     val clusterOf = rows.map(t => t._1 -> t._2).toMap
@@ -483,7 +483,7 @@ class DedupSpec extends AnyFunSuite {
     val pairLeaked = pairs.flatMap { case (a, b) =>
       Seq(a -> b, b -> a)
     }.filter { case (d, p) => testIds(d) && trainIds(p) }.map(_._1).toSet
-    val gramMilli = Dedup.ngramLeakage(spark, sf0001).collect()
+    val gramMilli = Decontam.ngramLeakage(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     val expected = testIds.map { id =>
       val lm = gramMilli.getOrElse(id, 0L)
@@ -492,7 +492,7 @@ class DedupSpec extends AnyFunSuite {
         if (p && g) "both" else if (p) "pair" else if (g) "gram" else "none"
       (id, lm, reason, if (reason == "none") "keep" else "quarantine")
     }
-    val got = Dedup.evalDecontam(spark, sf0001).collect()
+    val got = Decontam.evalDecontam(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getString(3))).toSet
     assert(got === expected)

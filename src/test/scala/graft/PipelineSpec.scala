@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CellModel, Events, Multimodal, Relational, SimSearch, Sink, Streaming}
+import graft.operators.{CellModel, DedupClusters, Events, Multimodal, Relational, SimSearch, Sink, Streaming}
 import graft.sources.Tables
 
 /** Cross-operator semantic invariants on sf0.001: conservation laws,
@@ -1316,7 +1316,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("q165 keeper is a member and no member beats it") {
-    val labs = graft.operators.Dedup.dupClusters(spark, sf0001)
+    val labs = graft.operators.DedupClusters.dupClusters(spark, sf0001)
       .select(col("doc_id"), col("cluster_id"))
     val scores = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id"), graft.functions.Portable.words(col("text"))
@@ -1326,7 +1326,7 @@ class PipelineSpec extends AnyFunSuite {
         expr("CAST((1000 * size(array_distinct(ws))) DIV size(ws) AS BIGINT)")
           .as("sc"))
     val members = labs.join(scores, "doc_id")
-    val elect = graft.operators.Dedup.clusterElect(spark, sf0001)
+    val elect = graft.operators.DedupClusters.clusterElect(spark, sf0001)
     // keeper is a real member with its claimed score
     assert(elect.join(members,
       elect("keeper_doc_id") === members("doc_id") &&
@@ -1398,7 +1398,7 @@ class PipelineSpec extends AnyFunSuite {
   test("q168 agreement classes conserve the q15/q18 pair sets") {
     val t = graft.operators.Dedup.dedupMinhash(spark, sf0001).count()
     val g = graft.operators.Dedup.dedupEmbed(spark, sf0001).count()
-    val byClass = graft.operators.Dedup.modalAgreement(spark, sf0001)
+    val byClass = graft.operators.DedupClusters.modalAgreement(spark, sf0001)
       .groupBy(col("agreement")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
       .withDefaultValue(0L)
@@ -1670,7 +1670,7 @@ class PipelineSpec extends AnyFunSuite {
   test("q160 golden records conserve rows and names; clusters do merge") {
     val parts = graft.sources.Tables.part(spark, sf0001)
       .filter(length(col("p_name")) >= 3)
-    val got = graft.operators.Dedup.goldenRecord(spark, sf0001).cache()
+    val got = graft.operators.DedupClusters.goldenRecord(spark, sf0001).cache()
     try {
       // conservation: every record and every distinct name lands in
       // exactly one golden row
