@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Relational.queries ++ Dedup.queries ++
       DedupClusters.queries ++ Decontam.queries ++ Sketches.queries ++
+      Retrieval.queries ++
       TextAnalysis.queries ++ SimSearch.queries ++ Events.queries ++
       Multimodal.queries ++ Streaming.queries ++ Sink.queries ++
       Curation.queries ++ Compaction.queries ++ Layout.queries
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracle ++ Relational.oracle ++ Dedup.oracle ++
       DedupClusters.oracle ++ Decontam.oracle ++ Sketches.oracle ++
+      Retrieval.oracle ++
       TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle ++
       Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle ++
       Curation.oracle ++ Compaction.oracle ++ Layout.oracle

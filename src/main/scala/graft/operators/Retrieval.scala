@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+import graft.operators.Checkpoints._
+import graft.sources.Tables
+
+/** HYBRID (sparse + dense) RETRIEVAL — the fusion tier a training-data
+  * mining / RAG pipeline runs on top of the two ranking families the
+  * engine already serves: q142's exact-integer BM25 (sparse, lexical)
+  * and q19's cosine ranking (dense, semantic). Neither family alone is
+  * the production answer — lexical misses paraphrase, dense misses
+  * rare exact terms — so deployments fuse both lists per query with
+  * reciprocal-rank fusion (Cormack et al.: score = Σ 1/(k+rank),
+  * k = 60), which needs no score calibration between rankers because
+  * it consumes only RANKS. Everything here is integer-exact
+  * (`1000000 DIV (60 + rank)` micro-units), so the DuckDB oracle
+  * replays the full hybrid bit-for-bit.
+  */
+object Retrieval {
+  private val HybridNQ = 8 // query documents: doc_id < HybridNQ (≡ q19's vec_id query set)
+  private val RrfPool = 10 // per-ranker pool depth fed to the fusion
+  private val RrfKC = 60 // the standard RRF damping constant
+  private val HybridK = 5 // fused results returned per query
+
+  /** q210: RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL, doc-as-query: for
+    * each query document, the sparse ranker scores the corpus with
+    * q142's Okapi BM25 integer-rational arithmetic (norm_m / idf_k /
+    * tfpart_k verbatim) against the query doc's DISTINCT words as the
+    * term set, the dense ranker is the exact cosine over the aligned
+    * embeddings (vec_id ≡ doc_id), and each query's two
+    * top-[[RrfPool]] lists fuse by RRF micro-score with doc_id as the
+    * deterministic tie-break. Output: the fused top-[[HybridK]] per
+    * query with both source ranks (NULL where a doc appeared in only
+    * one list — exactly the case fusion exists to reconcile).
+    *
+    * Scale: tf is q33's one (doc, word) shuffle, materialized once and
+    * reused (dl, stats, query terms, score join); the query-term and
+    * per-ranker pool frames are bounded by the query set and broadcast
+    * (q19's discipline — a huge query set would swap the rank windows
+    * for q10's salted two-phase top-k and the dense side for the q34
+    * probe path); the fusion is a pool×pool outer join, RrfPool·NQ
+    * rows. Overflow: idf_k ≤ ~667·N and tfpart_k ≤ 2200, so per-query
+    * sums stay inside exact longs to ~10¹⁰ docs (q142's bound).
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    // ---- shared sparse statistics (q142's exact kernel) ----
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .cp() // feeds dl, stats, query terms AND the score join
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("t_tokens"))
+    val qterms = tf.filter(col("doc_id") < HybridNQ)
+      .select(col("doc_id").as("q_id"), col("w"))
+    val qdf = tf.join(broadcast(qterms.select(col("w")).distinct()), "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val sparse = tf
+      .join(broadcast(qterms), "w")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(qdf), "w")
+      .join(dl, "doc_id")
+      .transform(withScalar(_, stats))
+      .withColumn("norm_m",
+        expr("250 + (750 * dl * n_docs) DIV t_tokens"))
+      .withColumn("idf_k",
+        expr("((n_docs - df) * 2000 + 1000) * 1000 DIV (df * 2000 + 1000)"))
+      .withColumn("tfpart_k",
+        expr("tf * 2200 * 1000 DIV (tf * 1000 + (1200 * norm_m) DIV 1000)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("idf_k") * col("tfpart_k")).as("s_score"))
+      .withColumn("s_rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("s_score").desc, col("doc_id").asc)))
+      .filter(col("s_rnk") <= RrfPool)
+      .select(col("q_id"), col("doc_id"), col("s_rnk"))
+    // ---- dense ranker: exact cosine over the aligned embeddings ----
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("n2", norm2(col("qv")))
+      .cp() // corpus side and the broadcast query side
+    val q = e.filter(col("vec_id") < HybridNQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("n2").as("qn2"))
+    val dense = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2"))
+          .as("cosine"))
+      .withColumn("d_rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("doc_id").asc)))
+      .filter(col("d_rnk") <= RrfPool)
+      .select(col("q_id"), col("doc_id"), col("d_rnk"))
+    // ---- reciprocal-rank fusion over the two bounded pools ----
+    sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 DIV ($RrfKC + s_rnk)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfKC + d_rnk)"), lit(0L)))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= HybridK)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf_micro"),
+        col("s_rnk"), col("d_rnk"))
+  }
+
+  /** q210 replay: q142's CTE chain with the doc-as-query term set, the
+    * q19 brute cosine, the same two pool cuts, and the integer RRF.
+    */
+  private val hybridRrfSql =
+    s"""WITH w AS (SELECT doc_id, unnest($sqlWords) w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) tf FROM w GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, sum(tf) dl FROM tf GROUP BY doc_id),
+       |st AS (SELECT count(DISTINCT doc_id) n_docs, sum(tf) t_tokens
+       |       FROM tf),
+       |qt AS (SELECT DISTINCT doc_id q_id, w FROM tf
+       |       WHERE doc_id < $HybridNQ),
+       |qdf AS (SELECT w, count(*) df FROM tf
+       |        WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY w),
+       |sc AS (SELECT qt.q_id, tf.doc_id,
+       |         ((st.n_docs - qdf.df) * 2000 + 1000) * 1000
+       |           // (qdf.df * 2000 + 1000) AS idf_k,
+       |         tf.tf * 2200 * 1000 // (tf.tf * 1000 +
+       |           (1200 * (250 + (750 * dl.dl * st.n_docs) // st.t_tokens))
+       |             // 1000) AS tfpart_k
+       |       FROM tf JOIN qt ON tf.w = qt.w AND tf.doc_id <> qt.q_id
+       |                JOIN qdf ON tf.w = qdf.w
+       |                JOIN dl ON dl.doc_id = tf.doc_id, st),
+       |sagg AS (SELECT q_id, doc_id,
+       |           CAST(sum(idf_k * tfpart_k) AS BIGINT) s_score
+       |         FROM sc GROUP BY q_id, doc_id),
+       |sp AS (SELECT q_id, doc_id, s_rnk FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY s_score DESC, doc_id ASC) s_rnk FROM sagg)
+       |  WHERE s_rnk <= $RrfPool),
+       |e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |n AS (SELECT vec_id, qv, ${sqlNorm2("qv")} n2 FROM e),
+       |ds AS (SELECT q.vec_id q_id, c.vec_id doc_id,
+       |         CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE)
+       |           / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE),
+       |               0.0)) cosine
+       |       FROM n q JOIN n c
+       |         ON q.vec_id < $HybridNQ AND c.vec_id <> q.vec_id),
+       |dp AS (SELECT q_id, doc_id, d_rnk FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, doc_id ASC) d_rnk FROM ds)
+       |  WHERE d_rnk <= $RrfPool),
+       |f AS (SELECT coalesce(sp.q_id, dp.q_id) q_id,
+       |        coalesce(sp.doc_id, dp.doc_id) doc_id, sp.s_rnk, dp.d_rnk,
+       |        coalesce(1000000 // ($RrfKC + sp.s_rnk), 0)
+       |          + coalesce(1000000 // ($RrfKC + dp.d_rnk), 0) rrf_micro
+       |      FROM sp FULL JOIN dp
+       |        ON sp.q_id = dp.q_id AND sp.doc_id = dp.doc_id)
+       |SELECT q_id, rnk, doc_id, rrf_micro, s_rnk, d_rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf_micro DESC, doc_id ASC) rnk FROM f)
+       |WHERE rnk <= $HybridK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_hybrid_rrf" -> hybridRrf)
+
+  val oracle: Map[String, String] = Map(
+    "q210_hybrid_rrf" -> hybridRrfSql)
+}

@@ -690,6 +690,56 @@ object Streaming extends Serializable {
         element_at(col("p"), 3).cast("long").as("boiler_milli"))
   }
 
+  /** q211: THE NIGHTLY NEAR-DUP SWEEP over the content-addressed
+    * corpus — the batch half of the q208 contract: the streaming loop
+    * defers near-duplicate quarantine (banded minhash joins need
+    * corpus-wide candidate generation no single-pass state can hold),
+    * so a nightly job lifts q15's verified doc-id pairs to CONTENT
+    * space (the removed partner's md5, the only identity the exported
+    * corpus carries) and anti-flags them against the curated content
+    * tuples. Output = the exported corpus with its `quarantined`
+    * verdict — stream ingest ∘ this sweep converges to the full batch
+    * gate ladder including near-dup, which is exactly the q100
+    * composition q208's scaladoc promises by deferral. The curated
+    * side is built batch-side from the SAME [[curationGates]] kernel:
+    * q208's split-parity spec proves that set equals the streamed
+    * export, so the sweep's contract transfers.
+    *
+    * Scale: the near-partner hash set is pair-sized (broadcast); the
+    * sweep is ONE content-hash equi-join against it — a nightly cost
+    * proportional to the dup rate, never a corpus rescan beyond the
+    * gate projection it already owns.
+    */
+  def ingestSweep(spark: SparkSession, dir: String): DataFrame = {
+    val curated = curationGates(Tables.documents(spark, dir),
+      boilerInventory(spark, dir), mixtureRates(spark, dir))
+      .select(col("h"), col("lang"), col("shard"), col("n_tokens"),
+        col("n_redactions"), col("boiler_milli"))
+      .distinct()
+    val nearH = Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .join(Tables.documents(spark, dir), "doc_id")
+      .select(md5(col("text")).as("h")).distinct()
+      .withColumn("quar", lit(1))
+    curated.join(broadcast(nearH), Seq("h"), "left")
+      .withColumn("quarantined", coalesce(col("quar"), lit(0)))
+      .drop("quar")
+  }
+
+  // q211: the gate composition's DISTINCT tuples, near-dup partners
+  // lifted to content hashes (the pair oracle spliced verbatim).
+  // LAZY: curateGatesSql is declared below; a strict val would splice
+  // null at object init (the evalDecontamSql precedent)
+  private lazy val ingestSweepSql = (curateGatesSql + """,
+    |g AS (SELECT DISTINCT h, lang, shard, n_tokens, n_redactions,
+    |        boiler_milli FROM gated),
+    |nh AS (SELECT DISTINCT md5(d.text) h
+    |       FROM (SELECT DISTINCT doc_b FROM (@PAIRS@)) p
+    |       JOIN documents d ON d.doc_id = p.doc_b)
+    |SELECT g.*, CASE WHEN nh.h IS NULL THEN 0 ELSE 1 END AS quarantined
+    |FROM g LEFT JOIN nh ON nh.h = g.h""".stripMargin)
+    .replace("@PAIRS@", Dedup.minhashSql)
+
   /** q43: STREAMING DEDUP — the same events file streamed twice and
     * unioned (every record arrives exactly twice), then
     * `dropDuplicates("event_id")` collapses them in the state store
@@ -1569,7 +1619,7 @@ object Streaming extends Serializable {
     * — which is exactly what at-least-once delivery + full-tuple dedup
     * state must converge to under ANY batch split.
     */
-  private val streamCurateSql = {
+  private val curateGatesSql = {
     import graft.functions.Portable.{sqlHash60, sqlWords}
     val stopsList = TextAnalysis.stops.map(w => s"'$w'").mkString(", ")
     val denyList = Curation.deny.map(w => s"'$w'").mkString(", ")
@@ -1601,14 +1651,18 @@ object Streaming extends Serializable {
        |      WHERE q.n_words >= 40 AND q.n_stop * 5 < q.n_words
        |        AND q.n_uniq * 3 > q.n_words
        |        AND nb.n_boiler * 2 < nb.n_chunks
-       |        AND ${sqlHash60("'csample:' || q.h")} % 1000 < r.rate_milli)
-       |SELECT DISTINCT h, lang, shard, n_tokens, n_redactions, boiler_milli
-       |FROM gated""".stripMargin
+       |        AND ${sqlHash60("'csample:' || q.h")} % 1000 < r.rate_milli)"""
+      .stripMargin
       .replace("@RATES@", Curation.mixturePlanSql)
   }
 
+  private val streamCurateSql = curateGatesSql +
+    "\nSELECT DISTINCT h, lang, shard, n_tokens, n_redactions, boiler_milli" +
+    "\nFROM gated"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_stream_curate" -> streamCurate,
+    "q211_ingest_sweep" -> ingestSweep,
     "q131_recent_buffer" -> streamRecentBuffer,
     "q130_stream_topk" -> streamTopUsers,
     "q141_chained_windows" -> streamChainedAgg,
@@ -1659,6 +1713,7 @@ object Streaming extends Serializable {
 
   val oracle: Map[String, String] = Map(
     "q208_stream_curate" -> streamCurateSql,
+    "q211_ingest_sweep" -> ingestSweepSql,
     // the final ListState buffer == the batch last-N selection over the
     // same live cells (name reconstructed exactly as CellModel writes
     // it; octet_length mirrors byte-length of the UTF-8 value)

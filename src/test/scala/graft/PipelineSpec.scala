@@ -529,6 +529,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(versions === 2, s"expected 2 epoch commits, saw $versions")
   }
 
+  test("q210 hybrid fusion: RRF arithmetic, pool bounds, dense ranks = q19") {
+    import graft.operators.Retrieval
+    val rows = Retrieval.hybridRrf(spark, sf0001).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5)))
+    }
+    assert(rows.length === 40, "8 queries × fused top-5")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to 5), s"query $q ranks")
+      // fused order is rrf-desc with doc_id tie-break
+      val order = rs.sortBy(_._2).map(r => (-r._4, r._3))
+      assert(order.toSeq === order.sorted.toSeq, s"query $q fusion order")
+    }
+    rows.foreach { case (q, _, d, rrf, s, dn) =>
+      assert(s.nonEmpty || dn.nonEmpty, s"($q,$d) in neither pool")
+      assert(s.forall(r => r >= 1 && r <= 10) && dn.forall(r => r >= 1 && r <= 10))
+      // the fused score IS the integer RRF of the two ranks
+      val expect = s.fold(0L)(r => 1000000L / (60 + r)) +
+        dn.fold(0L)(r => 1000000L / (60 + r))
+      assert(rrf === expect, s"($q,$d) rrf")
+    }
+    // the dense ranks are q19's exact cosine ranking: every fused row
+    // ranked ≤3 dense-side must be exactly the brute top-3 row
+    val brute = SimSearch.annBrute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val checked = rows.flatMap { case (q, _, d, _, _, dn) =>
+      dn.filter(_ <= 3).map(r => ((q, r), d)) }
+    assert(checked.nonEmpty, "no dense-ranked rows reached the fusion")
+    checked.foreach { case (k, d) =>
+      assert(brute(k) === d, s"dense rank $k diverged from q19") }
+  }
+
+  test("q211 sweep quarantines exactly the near-dup partner hashes") {
+    import graft.operators.{Dedup, Streaming}
+    val rows = Streaming.ingestSweep(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(6)))
+    val nearH = Dedup.dedupMinhash(spark, sf0001)
+      .select(col("doc_b")).distinct()
+      .join(Tables.documents(spark, sf0001),
+        col("doc_b") === col("doc_id"))
+      .select(md5(col("text"))).collect().map(_.getString(0)).toSet
+    rows.foreach { case (h, q) =>
+      assert((q == 1) === nearH.contains(h), s"hash $h") }
+    assert(rows.exists(_._2 == 1) && rows.exists(_._2 == 0),
+      "sweep must flag some content and keep the rest at this SF")
+    // the sweep covers exactly the exported corpus: one verdict row
+    // per q208 content tuple (the stream's set, by the split-parity
+    // proof above)
+    assert(rows.length ===
+      Streaming.streamCurate(spark, sf0001).count().toInt,
+      "sweep rows = exported content tuples")
+  }
+
   test("q209 adaptive probes recover what the static probe misses") {
     import spark.implicits._
     // 1-D geometry on the qv plane: six trained cells at x = 0..50;
