@@ -23,9 +23,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Relational.queries ++ Dedup.queries ++
       DedupClusters.queries ++ Decontam.queries ++ Sketches.queries ++
-      Retrieval.queries ++
+      Retrieval.queries ++ VectorOps.queries ++ AnnPq.queries ++
       TextAnalysis.queries ++ SimSearch.queries ++ Events.queries ++
       Multimodal.queries ++ Streaming.queries ++ Sink.queries ++
+      SinkMaintain.queries ++ Releases.queries ++ StreamCurate.queries ++
       Curation.queries ++ Compaction.queries ++ Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,8 +34,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracle ++ Relational.oracle ++ Dedup.oracle ++
       DedupClusters.oracle ++ Decontam.oracle ++ Sketches.oracle ++
-      Retrieval.oracle ++
+      Retrieval.oracle ++ VectorOps.oracle ++ AnnPq.oracle ++
       TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle ++
       Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle ++
+      SinkMaintain.oracle ++ Releases.oracle ++ StreamCurate.oracle ++
       Curation.oracle ++ Compaction.oracle ++ Layout.oracle
 }

@@ -1,0 +1,299 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+
+/** THE STREAMING CURATION INGEST LOOP and its batch complement — q208
+  * (row-local gate ladder -> watermark-TTL dedup state -> per-epoch
+  * atomic manifest export, one streaming query) and q211 (the nightly
+  * near-dup sweep over the content-addressed export). Split from
+  * `Streaming.scala` along the events/documents seam: everything here
+  * runs over the documents corpus and shares `curationGates` between
+  * the stream, the batch twin, and the DuckDB oracles.
+  */
+object StreamCurate {
+  /** q208 export-key shape: 2-digit shard field, "lXX-sYY" prefix the
+    * sink splits files on, and the synthetic ingest epoch (µs) the
+    * watermark clock hangs off. */
+  private[graft] val CIngShards = 4
+  private[graft] val CIngPrefixBytes = 7
+  private[graft] val CIngEpochUs = 1700000000000000L
+
+  /** q208's ROW-LOCAL gate ladder, shared verbatim by the stream and
+    * the spec's batch twin: quality screen (q22's thresholds),
+    * redaction count (q49's deny list), boilerplate-domination drop
+    * against a BATCH-DERIVED per-source inventory (q70's chunk hashes,
+    * refreshed nightly in production and applied online as a literal
+    * map — 374 entries at sf0.1, a broadcast join at 100 TB), and the
+    * mixture-rate sample (q83's planned rates, keyed on the CONTENT
+    * hash so every replay of a document draws the same fate). Every
+    * column out of this ladder is a deterministic function of
+    * (text, lang, source) — doc_id survives only to drive the ingest
+    * clock, so the exported record is identical whichever arrival
+    * survives dedup. One WholeStageCodegen span over the stream; no
+    * shuffle, no state.
+    */
+  private[graft] def curationGates(docs: DataFrame,
+      boiler: Map[String, Seq[Long]], rates: Map[String, Long]): DataFrame = {
+    import graft.functions.Portable.{hash60, words}
+    val B = Curation.BoilerWords
+    val boilerLit = typedLit(boiler)
+    docs
+      .withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("ws"))).cast("long"))
+      .withColumn("n_stop", size(filter(col("ws"),
+        w => w.isInCollection(TextAnalysis.stops))).cast("long"))
+      .filter(col("n_words") >= 40 && col("n_stop") * 5 < col("n_words") &&
+        col("n_uniq") * 3 > col("n_words"))
+      .withColumn("h", md5(col("text")))
+      .withColumn("n_redactions", size(filter(col("ws"),
+        w => w.isInCollection(Curation.deny))).cast("long"))
+      .withColumn("chs", transform(expr(
+        s"""transform(sequence(0L, CAST(size(ws)-1 AS BIGINT) DIV $B),
+           |  i -> array_join(slice(ws, CAST(i*$B+1 AS INT), $B), ' '))"""
+          .stripMargin), c => hash60(c)))
+      .withColumn("n_chunks", size(col("chs")).cast("long"))
+      .withColumn("n_boiler", size(filter(col("chs"), c => array_contains(
+        coalesce(element_at(boilerLit, col("source")),
+          typedLit(Seq.empty[Long])), c))).cast("long"))
+      .filter(col("n_boiler") * 2 < col("n_chunks"))
+      .withColumn("boiler_milli", expr("(1000 * n_boiler) DIV n_chunks"))
+      .withColumn("rate_milli", element_at(typedLit(rates), col("lang")))
+      .filter(col("rate_milli").isNotNull &&
+        hash60(concat(lit("csample:"), col("h"))) % 1000 < col("rate_milli"))
+      .withColumn("shard",
+        hash60(concat(lit("cshard:"), col("h"))) % CIngShards)
+      .select(col("doc_id"), col("h"), col("lang"), col("shard"),
+        col("n_words").as("n_tokens"), col("n_redactions"),
+        col("boiler_milli"))
+  }
+
+  /** The per-source boilerplate-chunk inventory (q70's `boiler` side,
+    * collected): the nightly batch product a streaming ingest applies
+    * online. KB-sized — phrases repeated across documents of one
+    * source are a vanishing fraction of any corpus.
+    */
+  private[graft] def boilerInventory(spark: SparkSession,
+      dir: String): Map[String, Seq[Long]] = {
+    import graft.functions.Portable.{hash60, words}
+    val B = Curation.BoilerWords
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""transform(sequence(0L, CAST(size(ws)-1 AS BIGINT) DIV $B),
+           |  i -> array_join(slice(ws, CAST(i*$B+1 AS INT), $B), ' '))"""
+          .stripMargin)).as("chunk"))
+      .withColumn("ch", hash60(col("chunk")))
+      .groupBy(col("source"), col("ch"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= Curation.BoilerMinDocs)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).toSeq.sorted }
+  }
+
+  private[graft] def mixtureRates(spark: SparkSession,
+      dir: String): Map[String, Long] =
+    Curation.mixturePlan(spark, dir)
+      .select(col("lang"), col("rate_milli")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** q208: THE STREAMING CURATION INGEST LOOP — the production shape a
+    * continuous 100 TB corpus build runs, composed as ONE streaming
+    * query: documents stream in (unioned with themselves — the
+    * at-least-once redelivery a real ingest tier produces, q84's
+    * discipline), flow through [[curationGates]]' row-local ladder
+    * (quality → redaction count → boilerplate drop → mixture sample),
+    * collapse in `dropDuplicatesWithinWatermark` state keyed on the
+    * FULL exported content tuple (replays and exact content dups both
+    * die here; state ages out an hour past the ingest watermark), and
+    * land in the proto-zst sink under content-derived
+    * `lLL-sSS:<md5>` keys — `splitKeyPrefix` rolls one file per
+    * (lang, shard) group per batch, and each micro-batch folds into
+    * the generation manifest as ONE atomic epoch commit (q174's
+    * release atomicity). Export rows are content tuples, not doc ids:
+    * whichever arrival survives dedup, the bytes are identical — what
+    * makes the result batch-split-invariant and lets the DuckDB
+    * oracle (the batch gate composition + DISTINCT) hash-match a
+    * stream. Near-dup quarantine stays in the nightly batch sweep
+    * (q140): banded minhash joins need corpus-wide candidate
+    * generation, which no single-pass stream state can hold.
+    *
+    * Scale: gates are stateless row-local; dedup state is bounded by
+    * content seen per watermark hour; the only exchange per batch is
+    * the dedup hash shuffle plus the (lang, shard) export
+    * repartition. Group count scales with the cluster, not the
+    * corpus.
+    */
+  def streamCurate(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documentsStream(spark, dir)
+    streamCurateOf(spark, src.union(src),
+      boilerInventory(spark, dir), mixtureRates(spark, dir),
+      Scratch.dir("graft_sing"), Scratch.dir("graft_sing_ckpt"))
+  }
+
+  /** The q208 kernel over an explicit source + side inputs — exposed
+    * so PipelineSpec can drive a 2-batch split (maxFilesPerTrigger=1,
+    * a duplicate straddling the batches) and prove gate parity with
+    * the batch composition plus cross-batch dedup.
+    */
+  private[graft] def streamCurateOf(spark: SparkSession, src: DataFrame,
+      boiler: Map[String, Seq[Long]], rates: Map[String, Long],
+      outDir: String, ckpt: String): DataFrame = {
+    import graft.functions.Portable.hash60
+    val gated = curationGates(src, boiler, rates)
+      .withColumn("event_time",
+        timestamp_micros(lit(CIngEpochUs) + col("doc_id")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("h", "lang", "shard", "n_tokens",
+        "n_redactions", "boiler_milli")
+    Streaming.withStatePartitions(spark, 8) {
+      val q = gated
+        .select(
+          encode(format_string("l%s-s%02d:%s", col("lang"), col("shard"),
+            col("h")), "UTF-8").as("key"),
+          array(struct(
+            encode(lit("doc"), "UTF-8").as("name"),
+            encode(concat_ws("|", col("n_tokens"), col("n_redactions"),
+              col("boiler_milli")), "UTF-8").as("value"),
+            // content-derived write time: deterministic bytes whichever
+            // arrival survives, spread inside the ingest hour so the
+            // manifest's temporal ranges stay meaningful
+            (lit(CIngEpochUs) + hash60(concat(lit("ctime:"), col("h")))
+              % lit(3600000000L)).as("write_time"))).as("columns"),
+          col("lang"), col("shard"))
+        .repartition(col("lang"), col("shard"))
+        .select(col("key"), col("columns"))
+        .writeStream.format("proto-zst")
+        .option("checkpointLocation", ckpt)
+        .option("splitKeyPrefix", CIngPrefixBytes.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(outDir)
+      Streaming.runToCompletion("q208", q)
+    }
+    spark.read.format("proto-zst").load(outDir)
+      .select(decode(col("key"), "UTF-8").as("k"),
+        decode(element_at(col("columns"), 1).getField("value"), "UTF-8")
+          .as("v"))
+      .select(substring(col("k"), 9, 32).as("h"),
+        substring(col("k"), 2, 2).as("lang"),
+        substring(col("k"), 6, 2).cast("long").as("shard"),
+        split(col("v"), "\\|").as("p"))
+      .select(col("h"), col("lang"), col("shard"),
+        element_at(col("p"), 1).cast("long").as("n_tokens"),
+        element_at(col("p"), 2).cast("long").as("n_redactions"),
+        element_at(col("p"), 3).cast("long").as("boiler_milli"))
+  }
+
+  /** q211: THE NIGHTLY NEAR-DUP SWEEP over the content-addressed
+    * corpus — the batch half of the q208 contract: the streaming loop
+    * defers near-duplicate quarantine (banded minhash joins need
+    * corpus-wide candidate generation no single-pass state can hold),
+    * so a nightly job lifts q15's verified doc-id pairs to CONTENT
+    * space (the removed partner's md5, the only identity the exported
+    * corpus carries) and anti-flags them against the curated content
+    * tuples. Output = the exported corpus with its `quarantined`
+    * verdict — stream ingest ∘ this sweep converges to the full batch
+    * gate ladder including near-dup, which is exactly the q100
+    * composition q208's scaladoc promises by deferral. The curated
+    * side is built batch-side from the SAME [[curationGates]] kernel:
+    * q208's split-parity spec proves that set equals the streamed
+    * export, so the sweep's contract transfers.
+    *
+    * Scale: the near-partner hash set is pair-sized (broadcast); the
+    * sweep is ONE content-hash equi-join against it — a nightly cost
+    * proportional to the dup rate, never a corpus rescan beyond the
+    * gate projection it already owns.
+    */
+  def ingestSweep(spark: SparkSession, dir: String): DataFrame = {
+    val curated = curationGates(Tables.documents(spark, dir),
+      boilerInventory(spark, dir), mixtureRates(spark, dir))
+      .select(col("h"), col("lang"), col("shard"), col("n_tokens"),
+        col("n_redactions"), col("boiler_milli"))
+      .distinct()
+    val nearH = Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .join(Tables.documents(spark, dir), "doc_id")
+      .select(md5(col("text")).as("h")).distinct()
+      .withColumn("quar", lit(1))
+    curated.join(broadcast(nearH), Seq("h"), "left")
+      .withColumn("quarantined", coalesce(col("quar"), lit(0)))
+      .drop("quar")
+  }
+
+  // q211: the gate composition's DISTINCT tuples, near-dup partners
+  // lifted to content hashes (the pair oracle spliced verbatim).
+  // LAZY: curateGatesSql is declared below; a strict val would splice
+  // null at object init (the evalDecontamSql precedent)
+  private lazy val ingestSweepSql = (curateGatesSql + """,
+    |g AS (SELECT DISTINCT h, lang, shard, n_tokens, n_redactions,
+    |        boiler_milli FROM gated),
+    |nh AS (SELECT DISTINCT md5(d.text) h
+    |       FROM (SELECT DISTINCT doc_b FROM (@PAIRS@)) p
+    |       JOIN documents d ON d.doc_id = p.doc_b)
+    |SELECT g.*, CASE WHEN nh.h IS NULL THEN 0 ELSE 1 END AS quarantined
+    |FROM g LEFT JOIN nh ON nh.h = g.h""".stripMargin)
+    .replace("@PAIRS@", Dedup.minhashSql)
+
+
+  /** q208 replay: the same gate ladder over the raw table (quality,
+    * deny count, q70's inventory + domination drop, q83's rates with
+    * the content-keyed sampler), then DISTINCT over the content tuple
+    * — which is exactly what at-least-once delivery + full-tuple dedup
+    * state must converge to under ANY batch split.
+    */
+  private val curateGatesSql = {
+    import graft.functions.Portable.{sqlHash60, sqlWords}
+    val stopsList = TextAnalysis.stops.map(w => s"'$w'").mkString(", ")
+    val denyList = Curation.deny.map(w => s"'$w'").mkString(", ")
+    val B = Curation.BoilerWords
+    s"""WITH w AS (SELECT doc_id, lang, source, md5(text) h, $sqlWords ws
+       |           FROM documents),
+       |q AS (SELECT doc_id, lang, source, h, len(ws) n_words,
+       |        len(list_distinct(ws)) n_uniq,
+       |        len(list_filter(ws, x -> x IN ($stopsList))) n_stop,
+       |        len(list_filter(ws, x -> x IN ($denyList))) n_redactions
+       |      FROM w),
+       |c AS (SELECT doc_id, source,
+       |        array_to_string(ws[CAST(i*$B+1 AS BIGINT):CAST((i+1)*$B AS BIGINT)], ' ') chunk
+       |      FROM w, LATERAL unnest(range((len(ws)-1)//$B + 1)) t(i)
+       |      WHERE len(ws) > 0),
+       |hs AS (SELECT doc_id, source, ${sqlHash60("chunk")} ch FROM c),
+       |b AS (SELECT source, ch FROM hs GROUP BY source, ch
+       |      HAVING count(DISTINCT doc_id) >= ${Curation.BoilerMinDocs}),
+       |nb AS (SELECT t.doc_id, count(*) n_chunks, count(b.ch) n_boiler
+       |       FROM hs t LEFT JOIN b ON b.source = t.source AND b.ch = t.ch
+       |       GROUP BY t.doc_id),
+       |rates AS (SELECT lang, rate_milli FROM (@RATES@)),
+       |gated AS (SELECT q.h, q.lang,
+       |        ${sqlHash60("'cshard:' || q.h")} % $CIngShards AS shard,
+       |        CAST(q.n_words AS BIGINT) AS n_tokens,
+       |        CAST(q.n_redactions AS BIGINT) AS n_redactions,
+       |        1000 * nb.n_boiler // nb.n_chunks AS boiler_milli
+       |      FROM q JOIN nb USING (doc_id) JOIN rates r ON r.lang = q.lang
+       |      WHERE q.n_words >= 40 AND q.n_stop * 5 < q.n_words
+       |        AND q.n_uniq * 3 > q.n_words
+       |        AND nb.n_boiler * 2 < nb.n_chunks
+       |        AND ${sqlHash60("'csample:' || q.h")} % 1000 < r.rate_milli)"""
+      .stripMargin
+      .replace("@RATES@", Curation.mixturePlanSql)
+  }
+
+  private val streamCurateSql = curateGatesSql +
+    "\nSELECT DISTINCT h, lang, shard, n_tokens, n_redactions, boiler_milli" +
+    "\nFROM gated"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_stream_curate" -> streamCurate,
+    "q211_ingest_sweep" -> ingestSweep)
+
+  val oracle: Map[String, String] = Map(
+    "q208_stream_curate" -> streamCurateSql,
+    "q211_ingest_sweep" -> ingestSweepSql)
+}

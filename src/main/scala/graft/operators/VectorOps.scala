@@ -1,0 +1,528 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+import graft.operators.Checkpoints._
+import graft.sources.Tables
+
+/** EMBEDDING-SPACE STATISTICS, COMPRESSION AND SAMPLING — the
+  * vector-column operators that do not probe an index: label-balanced
+  * coresets (q159), SRP bit signatures (q161), int8 scalar-quantization
+  * calibration (q173), deterministic negative sampling (q167), the
+  * per-dimension variance audit (q185) and the exact integer
+  * covariance matrix (q192, overflow-guarded). Split from
+  * `SimSearch.scala` along the index/statistics seam; the shared
+  * feature projection and oracle base CTE stay there
+  * (`SimSearch.base` / `SimSearch.baseSql`).
+  */
+object VectorOps {
+  private val CoresetK = 10 // representatives kept per label
+
+  /** q159: LABEL-BALANCED CORESET — per class, the [[CoresetK]]
+    * vectors closest to the class's mean embedding: the deterministic
+    * class-balanced subset selection a fine-tune / eval pipeline uses
+    * where a random stratified sample (q52) would over-sample
+    * outliers. Centroids are the exact integer mean of the quantised
+    * vectors (the q59 floored-division kernel, one exploded (label,
+    * dim) sum with map-side partials); distances are exact integer d²
+    * against the broadcast label-count-sized centroid table; selection
+    * is the bounded-heap [[graft.functions.BottomKRanked]] Aggregator:
+    * ≤ [[CoresetK]] rows per label reach the shuffle (map-side
+    * partials), so per-task memory is labels×k regardless of corpus
+    * size. A rank window here would be the scale-killer, NOT the
+    * escape hatch: with a handful of labels each window partition is
+    * |corpus|/|labels| rows, fully sorted on one task — the window
+    * form is only safe when group CARDINALITY is high enough to keep
+    * partitions small, the opposite of this configuration.
+    * Everything is integer arithmetic, so the oracle replays centroid,
+    * distance, and rank bit-for-bit (sequence order IS the rank —
+    * PlanSpec pins the window-form twin bit-identical).
+    */
+  /** The q159 scored frame — (label, d2, vec_id) for every corpus
+    * vector against its label's exact-integer centroid. Shared by the
+    * shipped Aggregator selection and the spec-only window twin so
+    * their bit-identity proof covers the same kernels.
+    */
+  private def coresetScored(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qv"))
+      .withColumn("n2", norm2(col("qv")))
+      .cp() // feeds centroid build + ranking
+    val cent = e.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cv", expr("(s - ((s % n) + n) % n) DIV n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        p => p.getField("cv")).as("cqv"))
+      .withColumn("cn2", norm2(col("cqv")))
+    e.join(broadcast(cent), "label")
+      .withColumn("d2",
+        col("n2") - lit(2L) * dotq(col("qv"), col("cqv")) + col("cn2"))
+      .select(col("label"), col("d2"), col("vec_id"))
+  }
+
+  def labelCoreset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    coresetScored(spark, dir)
+      .select(col("label").cast("long"), col("d2"), col("vec_id"), lit(0L))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.BottomKRanked(CoresetK).toColumn.name("top"))
+      .toDF("label", "top")
+      .select(col("label").cast("int").as("label"),
+        posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("label"), (col("i") + 1).as("rnk"),
+        col("s._2").as("vec_id"), col("s._1").as("d2"))
+  }
+
+  /** Spec-only rank-window twin of [[labelCoreset]]'s selection — the
+    * shape the Aggregator replaced (corpus-sized per-label sort
+    * partitions when labels are few); PlanSpec proves the two
+    * bit-identical over the same scored frame.
+    */
+  private[graft] def labelCoresetWindowForm(spark: SparkSession,
+      dir: String): DataFrame = {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    coresetScored(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= CoresetK)
+      .select(col("label"), col("rnk"), col("vec_id"), col("d2"))
+  }
+
+  private val SrpBits = 256 // signature width
+
+  private val SrpDim = 64 // embedding dimensionality (driver testdata)
+
+  /** Driver-side md5-prefix60 — the Scala twin of
+    * [[graft.functions.Portable.hash60]] for plan-CONSTANT inputs (the
+    * SRP projection matrix), so the deterministic ±1 matrix can be
+    * embedded as a literal instead of 16k md5 calls per row. The
+    * oracle recomputes the same matrix with SQL md5 — the hash gate
+    * cross-checks this helper against DuckDB every round.
+    */
+  private def hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+  }
+
+  /** The ±1 Rademacher projection matrix, derived from the shared md5
+    * hash (row b, dim d ← parity of hash60("srp:b:d")) — deterministic,
+    * data-independent, identical in both engines — PACKED one 64-bit
+    * mask per projection row (bit i set ⟺ dim i+1 projects +1). The
+    * plan embeds [[SrpBits]] long literals and unpacks signs in-plan
+    * (`shiftright`/AND — codegen integer ops), instead of a
+    * [[SrpBits]]×[[SrpDim]] = 16,384-element nested array literal:
+    * same signatures bit-for-bit, 64× smaller plan tree (the unpacked
+    * literal measurably taxed full-sweep analysis/codegen caches).
+    * PipelineSpec ("q161 packed SRP masks decode to the md5-parity
+    * matrix") pins mask↔parity agreement against [[hash60Local]].
+    */
+  private[graft] lazy val srpMasks: Seq[Long] =
+    (0 until SrpBits).map { b =>
+      (0 until SrpDim).foldLeft(0L) { (m, i) =>
+        if (hash60Local(s"srp:$b:${i + 1}") % 2 == 0) m | (1L << i) else m
+      }
+    }
+
+  /** Parity of hash60("srp:b:d") — exposed for the mask-agreement spec. */
+  private[graft] def srpSignAt(b: Int, d: Int): Long =
+    if (hash60Local(s"srp:$b:$d") % 2 == 0) 1L else -1L
+
+  /** q161: SIGNED-RANDOM-PROJECTION SIGNATURES for embeddings — the
+    * embedding-side sibling of q16's text SimHash (Charikar's SRP:
+    * sign of a ±1 projection preserves angles; hamming distance over
+    * [[SrpBits]] bits estimates cosine). Signatures are 256 bits = 32
+    * bytes/vector vs 256 float bytes — the compressed serving tier a
+    * billion-vector dedup/retrieval layer actually stores, with the
+    * same banding trick as q20 for candidate generation. This query
+    * audits the ESTIMATOR on a bounded sample: per (query, sampled
+    * corpus vector) pair, the hamming distance, the integer linear
+    * estimate `1000 − 2000·h DIV B` (the 1−2h/B small-angle form —
+    * deliberately trig-free so both engines compute identical
+    * integers), and the exact cosine for comparison. Everything from
+    * the projection matrix (md5-parity Rademacher — a plan literal
+    * here, recomputed via SQL md5 in the oracle) to the signature bits
+    * is integer-exact, so the hash gate pins the whole signature
+    * pipeline, not a statistical verdict.
+    *
+    * Scale: signatures are row-local (one codegen span over the
+    * scan); the pair audit broadcasts the bounded query set (q19's
+    * allow-listed discipline). Production candidate generation bands
+    * the signature (q20), never brute-forces hamming.
+    */
+  def srpSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val masks = typedLit(srpMasks)
+    // sign of dim i+1 under projection row m: 2·bit(m, i) − 1 ∈ {−1, 1}
+    def srpSign(m: Column, i: Column): Column =
+      call_function("shiftright", m, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)
+    // Guard the hardcoded projection width: a corpus whose embedding
+    // dimensionality drifts from SrpDim would otherwise null-propagate
+    // through zip_with (bit=0) while the oracle's list_sum skips
+    // nulls — surfacing only as an opaque hash mismatch. Fail loudly
+    // in-plan instead.
+    val sample = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < SimSearch.NQ || col("vec_id") % 7 === 3)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("qv", when(size(col("qv")) === SrpDim, col("qv"))
+        .otherwise(raise_error(concat(
+          lit(s"q161: SRP matrix is $SrpDim-wide but embedding has "),
+          size(col("qv")).cast("string"), lit(" dims")))))
+      .withColumn("n2", norm2(col("qv")))
+      .withColumn("sig", transform(sequence(lit(0), lit(SrpBits - 1)), b =>
+        when(aggregate(
+          zip_with(col("qv"), sequence(lit(0), lit(SrpDim - 1)), (v, d) =>
+            v * srpSign(element_at(masks, b + 1), d)),
+          lit(0L), (acc, x) => acc + x) >= 0, 1).otherwise(0)))
+      .cp() // both sides of the pair audit
+    val q = sample.filter(col("vec_id") < SimSearch.NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("n2").as("qn2"), col("sig").as("qsig"))
+    sample.filter(col("vec_id") % 7 === 3)
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming", size(filter(
+        zip_with(col("sig"), col("qsig"), (a, b) => a =!= b), x => x))
+        .cast("long"))
+      .withColumn("est_milli",
+        lit(1000L) - expr(s"(2000 * hamming) DIV $SrpBits"))
+      .select(col("q_id"), col("vec_id"), col("hamming"), col("est_milli"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2"))
+          .as("cosine"))
+  }
+
+  /** q173: INT8 QUANTIZATION CALIBRATION — per-dimension affine int8
+    * compression of the embedding corpus with an exact reconstruction-
+    * error report: calibrate `(min, span)` per dimension over the
+    * milli-quantised corpus, encode every value to
+    * `q8 = (v−mn)·255 DIV span` ∈ [0, 255], decode back, and return
+    * each vector's total/max absolute error — the audit a serving tier
+    * runs before switching its 4×-smaller int8 index on (the scalar-
+    * quantization sibling of q78's product quantization: PQ compresses
+    * by codebook, SQ by per-dim affine range). All arithmetic is
+    * integer (the DIVs truncate non-negative operands), so the oracle
+    * replays calibration, round trip, and error bit-for-bit.
+    *
+    * Scale: calibration is ONE dim-keyed aggregate (DIM groups,
+    * map-side partials) collected to a DIM-row literal (the SimSearch.K-row
+    * centroid discipline — bounded by the embedding width, never the
+    * corpus); encode/decode/error is then a row-local indexed
+    * `transform` over the scan — zero shuffles besides the DIM-group
+    * agg, no per-row join, nothing corpus-sized ever moves.
+    */
+  /** q173's calibration pipeline — split out because it executes at
+    * query construction (a DIM-row collect, the centroid-literal
+    * discipline), so the query's own audit row shows the shuffle-free
+    * encode frame; this plan is counted on its `q173:calibration`
+    * row.
+    */
+  private[operators] def int8CalPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(qvec(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"),
+        greatest(max(col("v")) - min(col("v")), lit(1L)).as("span"))
+
+  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+    val cal = int8CalPlan(spark, dir)
+      .orderBy(col("pos")).collect() // DIM rows — bounded, corpus-free
+    val mnA = typedLit(cal.map(_.getLong(1)).toSeq)
+    val spA = typedLit(cal.map(_.getLong(2)).toSeq)
+    // integer division via double divide + trunc: operands are
+    // non-negative and < 2^31, exact in double, trunc ≡ floor ≡ DIV
+    def idiv(a: Column, b: Column): Column = (a / b).cast("long")
+    val errs = transform(col("qv"), (v, i) => {
+      val mn = element_at(mnA, i + 1)
+      val span = element_at(spA, i + 1)
+      val q8 = idiv((v - mn) * lit(255L), span)
+      abs(v - (mn + idiv(q8 * span, lit(255L))))
+    })
+    e.select(col("vec_id"), errs.as("errs"))
+      .select(col("vec_id"),
+        aggregate(col("errs"), lit(0L), (acc, x) => acc + x)
+          .as("sum_abs_err"),
+        array_max(col("errs")).as("max_abs_err"),
+        size(col("errs")).cast("long").as("n_dims"))
+  }
+
+  private val NegK = 5 // negatives drawn per anchor
+
+  /** q167: DETERMINISTIC NEGATIVE SAMPLING — per anchor vector, [[NegK]]
+    * uniform negatives from OTHER classes, drawn by salted-hash
+    * priority (`hash60("neg:anchor:candidate")`, smallest-k wins):
+    * contrastive/triplet training needs fresh-but-reproducible
+    * negatives per anchor, and `rand()` destroys reproducibility
+    * across engines, runs, and retries (q52's argument, applied to
+    * pair mining). The per-(anchor, candidate) salt makes draws
+    * independent across anchors; APPEND-STABLE: a grown corpus only
+    * swaps in new candidates whose priorities beat old ones — it
+    * never reshuffles the surviving draw order.
+    *
+    * Scale: anchors broadcast (bounded query set, q19's discipline);
+    * priorities are row-local; selection is per-anchor smallest-k via
+    * the bounded-heap [[graft.functions.BottomKRanked]] Aggregator —
+    * ≤ [[NegK]] survivors per anchor leave each map task, so the
+    * SimSearch.NQ×|corpus| candidate fan-out collapses BEFORE the shuffle. The
+    * rank-window form is exactly wrong here: a BOUNDED anchor set over
+    * a huge corpus means each per-anchor window partition holds nearly
+    * the whole corpus (SimSearch.NQ mega-partition sorts — bounded parallelism);
+    * windows only stay safe when anchors are numerous and groups
+    * correspondingly small. Mining HARD negatives instead is q34's
+    * probe path (nearest other-class neighbors) — this operator is the
+    * uniform baseline that every curriculum starts from.
+    */
+  /** The q167 candidate frame — every (anchor, other-class candidate)
+    * pair with its salted-hash priority. Shared by the shipped
+    * Aggregator selection and the spec-only window twin.
+    */
+  private def negCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val anchors = v.filter(col("vec_id") < SimSearch.NQ)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"))
+    v.join(broadcast(anchors), col("label") =!= col("a_label"))
+      .withColumn("priority", hash60(concat_ws(":", lit("neg"),
+        col("anchor_id"), col("vec_id"))))
+      .select(col("anchor_id"), col("priority"), col("vec_id"), col("label"))
+  }
+
+  def negSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    negCandidates(spark, dir)
+      .select(col("anchor_id"), col("priority"), col("vec_id"),
+        col("label").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.BottomKRanked(NegK).toColumn.name("top"))
+      .toDF("anchor_id", "top")
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("anchor_id"), (col("i") + 1).as("neg_rank"),
+        col("s._2").as("neg_id"), col("s._3").cast("int").as("neg_label"),
+        col("s._1").as("priority"))
+  }
+
+  /** Spec-only rank-window twin of [[negSample]]'s selection (the SimSearch.NQ
+    * mega-partition-sort shape the Aggregator replaced); PlanSpec
+    * proves the two bit-identical over the same candidate frame.
+    */
+  private[graft] def negSampleWindowForm(spark: SparkSession,
+      dir: String): DataFrame =
+    negCandidates(spark, dir)
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("priority"), col("vec_id"))))
+      .filter(col("neg_rank") <= NegK)
+      .select(col("anchor_id"), col("neg_rank"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("priority"))
+
+  /** q185: PER-DIMENSION VARIANCE AUDIT — the number that justifies
+    * (or indicts) q125's matryoshka truncation and q173's per-corpus
+    * quantization range: for each of the [[SrpDim]] embedding
+    * dimensions, the exact population variance of the milli-quantised
+    * values, ranked descending, with a flag for whether the dimension
+    * falls inside the [[SimSearch.MatDims]]-wide coarse-stage prefix. A
+    * matryoshka-trained embedding concentrates variance in the prefix;
+    * a flat profile means prefix truncation throws away signal and the
+    * coarse stage should use a projection instead.
+    *
+    * Exactness: variance rides the q132 power-sum form — n·Σx² − (Σx)²
+    * over exact longs, never a streamed float moment (x ≤ 10³ ⇒ safe
+    * to ~10⁶ vectors per the same audit; widen to decimal past that).
+    *
+    * Scale: ONE posexplode + ONE aggregation on the dimension id (at
+    * most [[SrpDim]] groups, map-side partials); the rank window sorts
+    * [[SrpDim]] rows on one partition — bounded by dimensionality, not
+    * by the corpus.
+    */
+  def dimVariance(spark: SparkSession, dir: String): DataFrame =
+    SimSearch.base(spark, dir)
+      .select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("var_n", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("var_n").desc, col("d").asc)))
+      .select(col("d"), col("n"), col("sx"), col("var_n"), col("rnk"),
+        (col("d") < SimSearch.MatDims).cast("int").as("in_prefix"))
+
+  /** q192: EMBEDDING SECOND-MOMENT (COVARIANCE) MATRIX — the exact
+    * integer input to PCA / whitening / OPQ rotation decisions: for
+    * every unordered dimension pair (i ≤ j) of the quantised
+    * embeddings, n·Σxᵢxⱼ − Σxᵢ·Σxⱼ over exact longs (q132's power-sum
+    * discipline lifted from scalars to the [[SrpDim]]² upper
+    * triangle). q185 is this matrix's diagonal; the off-diagonal is
+    * what tells you whether matryoshka prefixes are decorrelated
+    * enough to truncate or whether retrieval wants a rotation first.
+    *
+    * Scale: the per-vector outer product explodes map-side, but the
+    * hash aggregation's partial combine collapses everything to at
+    * most dims·(dims+1)/2 groups PER TASK before the exchange — the
+    * shuffle carries tasks × 2,080 rows, never corpus × 2,080. The
+    * per-dimension sum table is [[SrpDim]] rows, broadcast twice.
+    * Overflow: every term (the sxy accumulation, n·sxy, sxi·sxj) is
+    * bounded by n²·max|x|², so the kernel carries an IN-PLAN guard
+    * (q161's raise_error discipline) that refuses loudly once that
+    * bound approaches Long range — a corpus too big for exact longs
+    * must widen the power sums to decimal, never silently corrupt the
+    * matrix behind a clean-looking hash.
+    */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame =
+    covKernel(SimSearch.base(spark, dir))
+
+  private[graft] def covKernel(e: DataFrame): DataFrame = {
+    // scalar bound check: one map-side-combined agg (count + max |x|),
+    // a 1-row broadcast into the output. Doubles are exact far beyond
+    // the 2× headroom compared against (cov_n ≤ 2·n²·max|x|²).
+    val guard = e.agg(count(lit(1)).cast("double").as("gn"),
+      max(aggregate(col("qv"), lit(0L), (a, x) => greatest(a, abs(x))))
+        .cast("double").as("gmax"))
+    val sums = e.select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(col("x")).as("sx"))
+    e.select(posexplode(col("qv")).as(Seq("i", "xi")), col("qv"))
+      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sxy"))
+      .join(broadcast(sums.select(col("d").as("i"), col("sx").as("sxi"))),
+        "i")
+      .join(broadcast(sums.select(col("d").as("j"), col("sx").as("sxj"))),
+        "j")
+      .crossJoin(broadcast(guard))
+      .select(col("i"), col("j"), col("n"), col("sxy"),
+        when(col("gn") * col("gn") * col("gmax") * col("gmax") >
+            lit(Long.MaxValue.toDouble / 2),
+          raise_error(lit("q192: n²·max|x|² exceeds " +
+            "exact-long range — widen the power sums to decimal")))
+          .otherwise(col("n") * col("sxy") - col("sxi") * col("sxj"))
+          .as("cov_n"))
+  }
+
+  // centroid/distance/rank replayed integer-for-integer (q59's mean
+  // kernel, the shared floored-division expression)
+  private val coresetSql =
+    s"""WITH e AS (SELECT vec_id, label, $sqlQvec qv FROM embeddings),
+       |px AS (SELECT label, unnest(range(1, len(qv)+1)) i, unnest(qv) v
+       |       FROM e),
+       |s AS (SELECT label, i, CAST(sum(v) AS BIGINT) s, count(*) cnt
+       |      FROM px GROUP BY label, i),
+       |c AS (SELECT label,
+       |        list((s - ((s % cnt) + cnt) % cnt) // cnt ORDER BY i) cqv
+       |      FROM s GROUP BY label),
+       |d AS (SELECT e.vec_id, e.label,
+       |        ${sqlNorm2("e.qv")} - 2*${sqlDotq("e.qv", "c.cqv")}
+       |          + ${sqlNorm2("c.cqv")} AS d2
+       |      FROM e JOIN c ON e.label = c.label),
+       |r AS (SELECT label, vec_id, d2,
+       |        row_number() OVER (PARTITION BY label
+       |          ORDER BY d2 ASC, vec_id ASC) rnk FROM d)
+       |SELECT label, rnk, vec_id, CAST(d2 AS BIGINT) AS d2
+       |FROM r WHERE rnk <= $CoresetK""".stripMargin
+
+  // the projection matrix is REBUILT from SQL md5 here — the oracle
+  // cross-checks the engine's driver-side md5 literal every round
+  private val srpSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings
+       |           WHERE vec_id < ${SimSearch.NQ} OR vec_id % 7 = 3),
+       |n AS (SELECT vec_id, qv, ${sqlNorm2("qv")} n2 FROM e),
+       |rm AS (SELECT b,
+       |    list(CASE WHEN ${sqlHash60("'srp:' || b || ':' || d")} % 2 = 0
+       |      THEN 1 ELSE -1 END ORDER BY d) rv
+       |  FROM (SELECT unnest(range($SrpBits)) b),
+       |       (SELECT unnest(range(1, ${SrpDim + 1})) d)
+       |  GROUP BY b),
+       |sg AS (SELECT vec_id,
+       |    list(CASE WHEN s >= 0 THEN 1 ELSE 0 END ORDER BY b) sig
+       |  FROM (SELECT n.vec_id, rm.b,
+       |          list_sum(list_transform(range(1, ${SrpDim + 1}),
+       |            d -> n.qv[d] * rm.rv[d])) s
+       |        FROM n, rm)
+       |  GROUP BY vec_id),
+       |qs AS (SELECT n.vec_id q_id, n.qv qqv, n.n2 qn2, sg.sig qsig
+       |       FROM n JOIN sg USING (vec_id) WHERE n.vec_id < ${SimSearch.NQ}),
+       |cs AS (SELECT n.vec_id, n.qv, n.n2, sg.sig
+       |       FROM n JOIN sg USING (vec_id) WHERE n.vec_id % 7 = 3),
+       |p AS (SELECT qs.q_id, cs.vec_id, qs.qqv, qs.qn2, cs.qv, cs.n2,
+       |        CAST(len(list_filter(range(1, ${SrpBits + 1}),
+       |          i -> qs.qsig[i] <> cs.sig[i])) AS BIGINT) hamming
+       |      FROM qs, cs WHERE cs.vec_id <> qs.q_id)
+       |SELECT q_id, vec_id, hamming,
+       |  CAST(1000 - (2000 * hamming) // $SrpBits AS BIGINT) AS est_milli,
+       |  ${sqlCosineq(sqlDotq("qqv", "qv"), "qn2", "n2")} AS cosine
+       |FROM p""".stripMargin
+
+  private val negSampleSql =
+    s"""WITH v AS (SELECT vec_id, label FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS a_label FROM v
+       |      WHERE vec_id < ${SimSearch.NQ}),
+       |c AS (SELECT a.anchor_id, v.vec_id, v.label,
+       |        ${sqlHash60("'neg:' || anchor_id || ':' || vec_id")} AS priority
+       |      FROM v, a WHERE v.label <> a.a_label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY priority, vec_id) AS neg_rank FROM c)
+       |SELECT anchor_id, neg_rank, vec_id AS neg_id, label AS neg_label,
+       |  priority
+       |FROM r WHERE neg_rank <= $NegK""".stripMargin
+
+  private val int8QuantSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |px AS (SELECT vec_id, unnest(range(1, len(qv)+1)) i, unnest(qv) v
+       |       FROM e),
+       |cal AS (SELECT i, min(v) mn, greatest(max(v) - min(v), 1) span
+       |        FROM px GROUP BY i),
+       |q AS (SELECT vec_id, v, mn, span, ((v - mn) * 255) // span AS q8
+       |      FROM px JOIN cal USING (i)),
+       |d AS (SELECT vec_id, abs(v - (mn + (q8 * span) // 255)) AS err FROM q)
+       |SELECT vec_id, CAST(sum(err) AS BIGINT) AS sum_abs_err,
+       |  CAST(max(err) AS BIGINT) AS max_abs_err,
+       |  CAST(count(*) AS BIGINT) AS n_dims
+       |FROM d GROUP BY vec_id""".stripMargin
+
+  private val dimVarianceSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |x AS (SELECT CAST(i - 1 AS INTEGER) AS d, qv[CAST(i AS INTEGER)] AS x
+       |      FROM e, range(1, ${SrpDim + 1}) AS r(i)),
+       |g AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx
+       |      FROM x GROUP BY d)
+       |SELECT d, n, sx, n * sxx - sx * sx AS var_n,
+       |  row_number() OVER (ORDER BY n * sxx - sx * sx DESC, d ASC) AS rnk,
+       |  CAST(d < ${SimSearch.MatDims} AS INTEGER) AS in_prefix
+       |FROM g""".stripMargin
+
+  private val embedCovarianceSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |x AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS d,
+       |        qv[CAST(i AS INTEGER)] AS x
+       |      FROM e, range(1, ${SrpDim + 1}) AS r(i)),
+       |p AS (SELECT a.d AS i, b.d AS j, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+       |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.d >= a.d
+       |      GROUP BY 1, 2),
+       |s AS (SELECT d, CAST(sum(x) AS BIGINT) AS sx FROM x GROUP BY d)
+       |SELECT i, j, n, sxy, n * sxy - si.sx * sj.sx AS cov_n
+       |FROM p JOIN s si ON si.d = i JOIN s sj ON sj.d = j""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_dim_variance" -> dimVariance,
+    "q192_embed_covariance" -> embedCovariance,
+    "q173_int8_quant" -> int8Quant,
+    "q167_neg_sample" -> negSample,
+    "q161_srp_bits" -> srpSignatures,
+    "q159_label_coreset" -> labelCoreset)
+
+  val oracle: Map[String, String] = Map(
+    "q185_dim_variance" -> dimVarianceSql,
+    "q192_embed_covariance" -> embedCovarianceSql,
+    "q161_srp_bits" -> srpSql,
+    "q159_label_coreset" -> coresetSql,
+    "q167_neg_sample" -> negSampleSql,
+    "q173_int8_quant" -> int8QuantSql)
+}

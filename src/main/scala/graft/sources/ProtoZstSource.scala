@@ -854,243 +854,6 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
 /** Offset = position in the sorted file listing (count of files already
   * delivered). `json` is just that integer.
   */
-case class ProtoZstOffset(n: Int)
-    extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json: String = n.toString
-}
-
-/** Streaming read of a proto-zst directory: each micro-batch delivers
-  * the files that appeared since the previous offset, one partition per
-  * file (the same unit of work as the batch scan — and as the
-  * reference's per-file pipeline).
-  *
-  * Offset semantics: when the directory has a generation manifest, the
-  * offset is a position in the manifest's APPEND-ORDERED entry list.
-  * That prefix is immutable under appends — entries land in commit
-  * order, each job's files in ONE atomic version — so out-of-order
-  * task commits can never re-sort already-delivered positions, and
-  * aborted jobs can never shrink them (their files never enter the
-  * manifest at all). A manifest that SHRINKS mid-stream (OPTIMIZE /
-  * erasure on a live-tailed dir) fails loudly rather than delivering
-  * wrong files. Manifest-less (foreign/legacy) directories keep the
-  * sorted-listing positions, which assume files are only ever added
-  * and that the sorted prefix is stable — a production source for
-  * foreign dirs would track seen paths in the checkpoint the way
-  * FileStreamSource does, at the cost of offsets growing with
-  * history.
-  */
-class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
-    readSchema: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter],
-    maxFilesPerTrigger: Option[Int] = None,
-    startingWriteTimeUs: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
-
-  // the stream object lives on the driver; only the reader factory ships
-  private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
-
-  // Offset MODE: manifest-ordered when the directory is manifest-
-  // GOVERNED (a committed snapshot, or the bare marker the writer
-  // creates driver-side BEFORE any task lands a data file),
-  // sorted-listing otherwise. A governed-but-uncommitted directory
-  // reads as EMPTY — task-committed files of an in-flight (possibly
-  // later aborted) job are invisible until the job's one atomic
-  // manifest commit, exactly like the batch scan. A stream opened on
-  // a sink dir before even the marker exists (writer not started)
-  // begins in listing mode over an empty listing; each listing-mode
-  // poll RE-PROBES and switches the moment the directory becomes
-  // governed — but only while NO listing position is load-bearing:
-  // nothing planned AND no offset issued to the offset log (for a
-  // sink dir that is always the case: the marker precedes the first
-  // data file). A manifest appearing after listing offsets became
-  // load-bearing (a foreign dir retrofitted mid-stream) has no sound
-  // offset mapping — listing positions are sorted-by-name, manifest
-  // positions append-ordered — so that fails loudly instead of
-  // silently re-numbering delivered files.
-  // Once in manifest mode the stream never leaves it. (Across a
-  // RESTART the checkpoint's ints can't say which mode numbered them;
-  // the first poll re-pins by governance, which is correct for every
-  // this-sink lifecycle — the marker exists from the first write on —
-  // and remains the documented limit for foreign dirs retrofitted
-  // between runs.)
-  private object Mode { val Undecided = 0; val Manifest = 1; val Listing = 2 }
-  @volatile private var mode = Mode.Undecided
-  // listing positions that are LOAD-BEARING: the max of files already
-  // planned AND offsets already issued to the engine's offset log
-  // while in listing mode — a switch past either must refuse (an
-  // issued-but-not-yet-planned offset would otherwise be replayed
-  // against manifest-append order, silently renumbering the batch)
-  @volatile private var listedDeliveries = 0
-  @volatile private var listedIssued = 0
-  // a governed dir whose snapshots ALL disappear after one was read is
-  // an anomaly (gc never removes the newest); before the first commit
-  // an empty snapshot set is the normal in-flight-write state
-  @volatile private var sawSnapshot = false
-  private def currentFiles(): Seq[String] = currentMetas().map(_._1)
-
-  /** (path, bytes) per file in offset order. Bytes come FREE in both
-    * modes — manifest entries attest them at commit, and the listing
-    * already holds FileStatus — so byte-budget admission never adds a
-    * metadata round-trip.
-    */
-  private def currentMetas(): Seq[(String, Long)] = {
-    mode match {
-      // governed() is ONE exists() probe — the listing-mode poll never
-      // pays a manifest read until the directory actually becomes
-      // governed (foreign dirs would otherwise pay listStatus of a
-      // nonexistent manifest dir on every trigger, forever)
-      case Mode.Undecided =>
-        mode = if (GenManifest.governed(path, conf.value)) Mode.Manifest
-          else Mode.Listing
-      case Mode.Listing if GenManifest.governed(path, conf.value) =>
-        val pinned = math.max(listedDeliveries, listedIssued)
-        if (pinned > 0)
-          throw new IllegalStateException(
-            s"$path gained a manifest after $pinned sorted-listing " +
-              "offsets became load-bearing; the two orderings are " +
-              "incompatible — restart the stream from a fresh " +
-              "checkpoint to adopt manifest offsets")
-        mode = Mode.Manifest
-      case _ => ()
-    }
-    if (mode == Mode.Manifest) GenManifest.read(path, conf.value) match {
-      case Some(s) =>
-        sawSnapshot = true
-        s.entries.map(e =>
-          (new org.apache.hadoop.fs.Path(path, e.name).toString, e.bytes))
-      case None if !sawSnapshot => Seq.empty // governed, nothing committed yet
-      case None => throw new IllegalStateException(
-        s"manifest for $path vanished mid-stream")
-    }
-    else ProtoZstFiles.listWithSizes(path, conf.value).toSeq
-  }
-
-  /** Admission control (parquet file-source parity): with
-    * `maxFilesPerTrigger` set, each micro-batch admits at most that
-    * many NEW files — ingest backpressure for a directory that
-    * accumulates faster than one batch should swallow. Under
-    * `Trigger.AvailableNow` the target end offset is FIXED at prepare
-    * time, so a rate-limited run processes exactly the files present
-    * at start across ceil(n/limit) batches and then terminates, even
-    * while new files keep landing (they belong to the next run).
-    */
-  @volatile private var fixedEnd: Option[Int] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    fixedEnd = Some(currentFiles().length)
-  private def available(): Int =
-    fixedEnd.getOrElse(currentFiles().length)
-
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[ProtoZstOffset].n
-    // byte-budget admission (Delta's maxBytesPerTrigger convention — a
-    // SOFT max): admit whole files while the running total is still
-    // under budget, so the file that CROSSES the budget flows in the
-    // same batch and a single over-budget file can never stall the
-    // stream. Composes with maxFilesPerTrigger (whichever cap bites
-    // first). Sizes cost nothing — manifest bytes or the listing's own
-    // FileStatus — and ONE metadata snapshot serves both the total and
-    // the budget walk: a poll costs one round-trip, and the
-    // shrank-directory guard judges a single consistent view instead
-    // of spanning two reads.
-    val end = maxBytesPerTrigger match {
-      case None =>
-        val total = available()
-        limit match {
-          case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
-          case _ => total
-        }
-      case Some(budget) =>
-        val sizes = currentMetas()
-        val total = fixedEnd.getOrElse(sizes.length)
-        val byCount = limit match {
-          case mf: ReadMaxFiles => math.min(total, s + mf.maxFiles())
-          case _ => total
-        }
-        // an AvailableNow run's fixed end can outrun a directory that
-        // shrank mid-run (expiry/OPTIMIZE on a tailed source): raise
-        // the planner's loud contract here rather than an index crash
-        // or — worse — a silent cap that would hide the shrink
-        if (byCount > sizes.length)
-          throw new IllegalStateException(
-            s"$path shrank under a live stream (${sizes.length} < " +
-              s"$byCount): OPTIMIZE/erasure/expiry on a tailed " +
-              "directory invalidates delivered offsets — stop the " +
-              "stream before compacting its source")
-        // budget is validated positive at scan build, so acc = 0 always
-        // admits the first new file — the at-least-one rule for free
-        var e = s
-        var acc = 0L
-        while (e < byCount && acc < budget) {
-          acc += sizes(e)._2
-          e += 1
-        }
-        e
-    }
-    // the engine will log this offset: listing positions up to it are
-    // now load-bearing even before any partition is planned
-    if (mode == Mode.Listing && end > listedIssued) listedIssued = end
-    ProtoZstOffset(end)
-  }
-  override def reportLatestOffset(): Offset = ProtoZstOffset(available())
-
-  /** First-start position. With `startingWriteTimeUs` set, the longest
-    * manifest-order prefix of files PROVABLY older than the instant
-    * (recorded max cell time < T) is skipped — Kafka's
-    * `startingTimestamp` for a sink directory: tail from the live edge
-    * without replaying the backlog. The cut stops at the first file it
-    * cannot prove old (time-less entry, or a range reaching T), so it
-    * is conservative: it may replay extra, never skip live data. The
-    * prefix cut keeps offset arithmetic untouched — later polls still
-    * count every file. Only called when no checkpointed offset exists;
-    * restarts resume from the checkpoint, as they must.
-    */
-  override def initialOffset(): Offset = ProtoZstOffset(
-    startingWriteTimeUs.fold(0) { t =>
-      currentFiles() // resolves the offset mode by governance
-      if (mode != Mode.Manifest) 0
-      else GenManifest.read(path, conf.value).fold(0)(
-        _.entries.iterator.takeWhile(_.times.exists(_._2 < t)).length)
-    })
-  override def latestOffset(): Offset = {
-    val n = currentFiles().length
-    if (mode == Mode.Listing && n > listedIssued) listedIssued = n
-    ProtoZstOffset(n)
-  }
-  override def deserializeOffset(json: String): Offset =
-    ProtoZstOffset(json.trim.toInt)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
-  // range skip applies AFTER the positional slice, so offsets keep
-  // counting every file regardless of the predicate
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val endN = end.asInstanceOf[ProtoZstOffset].n
-    val files = currentFiles()
-    if (mode == Mode.Listing && endN > listedDeliveries)
-      listedDeliveries = endN
-    if (files.length < endN)
-      throw new IllegalStateException(
-        s"$path shrank under a live stream (${files.length} < $endN): " +
-          "OPTIMIZE/erasure on a tailed directory invalidates delivered " +
-          "offsets — stop the stream before compacting its source")
-    ProtoZstScan.skipByRange(
-      files.slice(start.asInstanceOf[ProtoZstOffset].n, endN).toArray,
-      filters, conf)
-      .map(ProtoZstInputPartition(_): InputPartition)
-  }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
-}
-
-/** Compile the pushable subset of Spark's v1 `Filter`s over the `key`
-  * column into a predicate on raw key bytes (unsigned lexicographic
-  * order — BinaryType's ordering on both engines).
-  */
 object KeyPredicate {
   import org.apache.spark.sql.sources._
 
@@ -1268,229 +1031,6 @@ object RangeSidecar {
   * task landed — what the driver-side job/epoch commit folds into the
   * generation manifest. `files`/`rows` views keep rollback simple.
   */
-case class ProtoZstCommit(entries: Seq[GenManifest.Entry]) extends WriterCommitMessage {
-  def files: Seq[String] = entries.map(_.name)
-  def rows: Long = entries.map(_.count).sum
-}
-
-/** Commit message for a task whose partition was empty: no file was
-  * opened, so there is nothing to report — and nothing for a job-level
-  * rollback to delete (it matches only [[ProtoZstCommit]]).
-  */
-case object ProtoZstEmptyCommit extends WriterCommitMessage
-
-/** One `.proto.zst` file per (epoch, partition, task); rows are encoded
-  * to the wire format here (key binary, columns array&lt;struct&gt; in,
-  * framed bytes out). Lazily opened so empty partitions write nothing.
-  */
-/** @param splitPrefix roll a NEW output file whenever the first
-  *   `splitPrefix` bytes of the key differ — the partitioned-export
-  *   write: cluster rows by their group upstream (any partitioning
-  *   that co-locates a group works, hash collisions included — the
-  *   writer splits by CONTENT, not by task), sort within partitions by
-  *   key, and every group becomes exactly one key-sorted, sidecar-
-  *   attested file, all committed in ONE manifest version bump. This
-  *   is how a training release ships one file per (epoch, shard)
-  *   without a task-per-group partitioner. Mutually exclusive with
-  *   `buckets` by construction (the caller sets one or the other).
-  */
-class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
-    splitPrefix: Option[Int] = None)
-    extends DataWriterFactory with StreamingDataWriterFactory {
-  // captured on the driver (newWriteBuilder runs there), deserialized on
-  // each executor
-  private val conf = new SerializableHadoopConf(ProtoZstFiles.hadoopConf())
-
-  // Per-JOB unique token baked into every file name: (epochId,
-  // partitionId, taskId) all RESTART across applications, so a second
-  // app appending to the same directory would otherwise regenerate
-  // identical names and clobber previously committed files + sidecars
-  // (posix rename silently replaces). Generated once on the driver at
-  // factory construction and serialized to every task — the same
-  // reason FileStreamSink/parquet embed a job UUID.
-  private val jobTag = java.util.UUID.randomUUID().toString.take(8)
-
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    make(partitionId, taskId, epochId = 0L)
-
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    make(partitionId, taskId, epochId)
-
-  private def make(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      import org.apache.hadoop.fs.Path
-      private val dirPath = new Path(dir)
-      private lazy val fs = dirPath.getFileSystem(conf.value)
-
-      /** One output file: lazily opened stream + running key min/max
-        * (unsigned lexicographic — BinaryType's order) for the range
-        * sidecar; robust to unsorted input. Unbucketed writes use a
-        * single state; bucketed writes one per bucket this task sees
-        * (the planner-clustered write sends each task whole buckets, so
-        * this map stays tiny).
-        */
-      private final class FileState(val name: String) {
-        val finalFile = new Path(dirPath, name)
-        val tmpFile = new Path(dirPath, name + "._tmp")
-        var os: ZstdOutputStream = _
-        var n = 0L
-        var minKey: Array[Byte] = _
-        var maxKey: Array[Byte] = _
-        var lastKey: Array[Byte] = _
-        var sorted = true // until a key arrives below its predecessor
-        // cell write-time range; minT > maxT ⟺ no cell seen yet
-        var minT = Long.MaxValue
-        var maxT = Long.MinValue
-        def open(): ZstdOutputStream = {
-          if (os == null) {
-            fs.mkdirs(dirPath)
-            os = new ZstdOutputStream(fs.create(tmpFile, true))
-          }
-          os
-        }
-      }
-
-      private val states =
-        scala.collection.mutable.LinkedHashMap.empty[String, FileState]
-
-      private def nameFor(tag: String): String =
-        f"part-$jobTag-e$epochId%06d-p$partitionId%05d-t$taskId$tag.proto.zst"
-
-      // Hot-path caches: the per-row cost must stay at an int bucket
-      // hash or a short byte compare — no string formatting per row.
-      // Bucketed writes index an array by bucket id (tag/name built
-      // once, on first use); prefix-split writes hex-encode the group
-      // only when the prefix CHANGES (clustered+sorted input switches
-      // groups once per file's worth of rows).
-      private lazy val bucketStates =
-        new Array[FileState](buckets.getOrElse(0))
-      private var lastPrefix: Array[Byte] = _ // null ⟺ cache empty
-      private var lastPrefixState: FileState = _
-      private var soleState: FileState = _
-
-      /** File-group state of a row: bucket number, key-prefix group,
-        * or the task-wide single file. Prefix groups hex-encode so the
-        * group id is filesystem-safe regardless of key bytes.
-        * Normalization contract: write() maps null keys to the empty
-        * byte array BEFORE calling here (see its comment), so `key` is
-        * never null — null-key rows land in the "-k" empty-prefix
-        * group, the same group their on-wire empty form reads back as.
-        */
-      private def stateOf(key: Array[Byte]): FileState =
-        if (buckets.isDefined) {
-          val b = GraftBucket.bucket(buckets.get, key)
-          var st = bucketStates(b)
-          if (st == null) {
-            st = new FileState(nameFor(f"-b$b%04d"))
-            bucketStates(b) = st
-            states.put(st.name, st)
-          }
-          st
-        } else splitPrefix match {
-          case Some(n) =>
-            val p = key.take(n)
-            if (lastPrefix != null &&
-                java.util.Arrays.equals(p, lastPrefix)) lastPrefixState
-            else {
-              val tag = "-k" + p.map(b => f"${b & 0xff}%02x").mkString
-              val st = states.getOrElseUpdate(tag,
-                new FileState(nameFor(tag)))
-              lastPrefix = p
-              lastPrefixState = st
-              st
-            }
-          case None =>
-            if (soleState == null) {
-              soleState = new FileState(nameFor(""))
-              states.put("", soleState)
-            }
-            soleState
-        }
-
-      override def write(r: InternalRow): Unit = {
-        // A null key and an empty key are the SAME bytes on the wire
-        // (proto3 default-skipping omits both; decode yields empty),
-        // so the writer normalizes null→empty BEFORE range/sort
-        // tracking: excluding null keys from min/max would record a
-        // range that doesn't cover rows that read back as empty keys,
-        // and a key = '' predicate (or pushed MIN(key)) would then be
-        // answered wrongly from metadata. The cost is conservative:
-        // an empty min hex-encodes to the no-range sentinel, so such
-        // files are simply never range-skipped.
-        val key =
-          if (r.isNullAt(0)) Array.emptyByteArray else r.getBinary(0)
-        val cols = if (r.isNullAt(1)) null else r.getArray(1)
-        val st = stateOf(key)
-        val os = st.open()
-        if (st.minKey == null ||
-            java.util.Arrays.compareUnsigned(key, st.minKey) < 0)
-          st.minKey = key.clone()
-        if (st.maxKey == null ||
-            java.util.Arrays.compareUnsigned(key, st.maxKey) > 0)
-          st.maxKey = key.clone()
-        if (st.lastKey != null &&
-            java.util.Arrays.compareUnsigned(key, st.lastKey) < 0)
-          st.sorted = false
-        st.lastKey = key.clone()
-        if (cols != null) {
-          // per-file cell write-time range, observed free (the same
-          // walk encodeRow is about to make). A null write time
-          // encodes as the proto3 default 0 and READS BACK as 0, so 0
-          // is what the range must cover — the write-time twin of the
-          // null-key normalization above.
-          var i = 0
-          val nc = cols.numElements()
-          while (i < nc) {
-            val c = cols.getStruct(i, 3)
-            val t = if (c.isNullAt(2)) 0L else c.getLong(2)
-            if (t < st.minT) st.minT = t
-            if (t > st.maxT) st.maxT = t
-            i += 1
-          }
-        }
-        val framed = ProtoWire.delimit(ProtoWire.encodeRow(key, cols))
-        os.write(framed, 0, framed.length)
-        st.n += 1
-      }
-
-      override def commit(): WriterCommitMessage =
-        if (states.isEmpty) ProtoZstEmptyCommit
-        else {
-          val entries = states.values.toSeq.map { st =>
-            st.os.close()
-            st.os = null
-            // sidecar first, data rename second: a listing that races
-            // the commit sees either no data file, or data + sidecar
-            // (sidecars stay written for foreign readers and for
-            // explicit-file loads that bypass the manifest)
-            if (st.minKey != null)
-              RangeSidecar.write(fs, st.finalFile, st.minKey, st.maxKey,
-                st.sorted, st.n)
-            if (!fs.rename(st.tmpFile, st.finalFile)) {
-              RangeSidecar.delete(fs, st.finalFile)
-              throw new java.io.IOException(s"rename failed: ${st.tmpFile}")
-            }
-            GenManifest.Entry(st.name,
-              fs.getFileStatus(st.finalFile).getLen, st.n, st.sorted,
-              if (st.minKey == null) "" else GenManifest.hex(st.minKey),
-              if (st.minKey == null) "" else GenManifest.hex(st.maxKey),
-              if (st.minT <= st.maxT) Some((st.minT, st.maxT)) else None)
-          }
-          ProtoZstCommit(entries)
-        }
-
-      override def abort(): Unit = close()
-
-      override def close(): Unit = states.values.foreach { st =>
-        if (st.os != null) st.os.close()
-        fs.delete(st.tmpFile, false)
-        // an orphan sidecar (commit failed between sidecar write and
-        // rename) must not describe a future file of the same name
-        if (!fs.exists(st.finalFile)) RangeSidecar.delete(fs, st.finalFile)
-      }
-    }
-}
-
 class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
     readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],

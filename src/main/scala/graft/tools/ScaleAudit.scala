@@ -144,7 +144,7 @@ object ScaleAudit {
       (graft.operators.SimSearch.fixturePlans(spark, dir) ++
         graft.operators.Relational.fixturePlans(spark, dir) ++
         graft.operators.DedupClusters.auditPlans(spark, dir) ++
-        graft.operators.Sink.auditPlans(spark, dir))
+        graft.operators.Releases.auditPlans(spark, dir))
         .foreach { case (name, df) =>
           val (shuffles, bcasts, joins, pushed) =
             planFacts(df.queryExecution.executedPlan.toString)

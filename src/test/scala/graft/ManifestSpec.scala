@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CellModel, Sink}
+import graft.operators.{CellModel, Releases, Sink, SinkMaintain}
 import graft.sources.{GenManifest, MetaIO, ProtoZstFiles}
 
 /** The generation manifest: commit protocol, manifest-backed planning
@@ -81,7 +81,7 @@ class ManifestSpec extends AnyFunSuite {
     val rows = spark.read.format("proto-zst").load(dir)
       .select(decode(col("key"), "UTF-8").as("key"), col("columns"))
     val beforeRows = rows.collect().length
-    val (n0, n1) = Sink.optimizeSink(spark, dir)
+    val (n0, n1) = SinkMaintain.optimizeSink(spark, dir)
     assert(n1 < n0, s"no pack: $n0 -> $n1")
     val after = GenManifest.read(dir, conf).get
     assert(after.version > before.version)
@@ -111,7 +111,7 @@ class ManifestSpec extends AnyFunSuite {
     assert(spark.read.format("proto-zst").load(dir).count() === n0)
     // and a subsequent optimize (packing the committed smalls) still
     // never surfaces the orphan
-    Sink.optimizeSink(spark, dir)
+    SinkMaintain.optimizeSink(spark, dir)
     assert(spark.read.format("proto-zst").load(dir).count() === n0)
   }
 
@@ -129,11 +129,11 @@ class ManifestSpec extends AnyFunSuite {
         if (src.startsWith("file:")) src else "file://" + src)), orphan)
     new java.io.File(dir, ".optimize-dead").mkdir()
     // inside the grace window nothing moves (could be an in-flight job)
-    assert(Sink.vacuumUnreferenced(dir) === 0)
+    assert(SinkMaintain.vacuumUnreferenced(dir) === 0)
     assert(java.nio.file.Files.exists(orphan))
     // past the grace window the orphan and staging dir go; committed
     // files and the readable table are untouched
-    assert(Sink.vacuumUnreferenced(dir, graceMs = 0L) === 1)
+    assert(SinkMaintain.vacuumUnreferenced(dir, graceMs = 0L) === 1)
     assert(!java.nio.file.Files.exists(orphan))
     assert(!new java.io.File(dir, ".optimize-dead").exists())
     assert(ProtoZstFiles.list(dir, conf).length === committed)
@@ -223,7 +223,7 @@ class ManifestSpec extends AnyFunSuite {
       .filter(col("key") >= lit(lo) && col("key") < lit(hi)).count()
     assert(inRange > 0, "fixture must have keys to erase")
 
-    val (touched, untouched) = Sink.eraseRange(spark, dir, lo, hi)
+    val (touched, untouched) = SinkMaintain.eraseRange(spark, dir, lo, hi)
     assert(touched >= 1 && untouched >= 1,
       s"erase must rewrite some files and spare others ($touched/$untouched)")
 
@@ -365,8 +365,8 @@ class ManifestSpec extends AnyFunSuite {
     */
   private def checkExportLayout(epochs: Int, shards: Int): Unit = {
     val dir = freshDir("graft_man_exp")
-    val keyed = Sink.exportKeyed(spark, sf0001, epochs, shards)
-    Sink.writeExport(keyed, dir, epochs, shards)
+    val keyed = Releases.exportKeyed(spark, sf0001, epochs, shards)
+    Releases.writeExport(keyed, dir, epochs, shards)
     val s = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
     // the whole release committed as ONE manifest version — a reader
     // sees all epochs×shards files or none (commit atomicity at shard
@@ -382,9 +382,9 @@ class ManifestSpec extends AnyFunSuite {
     val prefixes = s.entries.map { e =>
       assert(e.hasRange && e.count > 0, e.name)
       val (lo, hi) = (new String(e.min, "UTF-8"), new String(e.max, "UTF-8"))
-      assert(lo.take(Sink.ExportPrefixBytes) === hi.take(Sink.ExportPrefixBytes),
+      assert(lo.take(Releases.ExportPrefixBytes) === hi.take(Releases.ExportPrefixBytes),
         s"${e.name} spans groups: $lo..$hi")
-      lo.take(Sink.ExportPrefixBytes)
+      lo.take(Releases.ExportPrefixBytes)
     }
     assert(prefixes.distinct.length === prefixes.length)
     assert(s.entries.map(_.count).sum === keyed.count())
@@ -404,7 +404,7 @@ class ManifestSpec extends AnyFunSuite {
   }
 
   test("q171 export: one sorted file per (epoch, shard), one version bump") {
-    checkExportLayout(Sink.ExportEpochs, Sink.ExportShards)
+    checkExportLayout(Releases.ExportEpochs, Releases.ExportShards)
   }
 
   test("q171 export holds at a non-default (epochs, shards) shape") {
@@ -579,7 +579,7 @@ class ManifestSpec extends AnyFunSuite {
     Sink.writeNested(CellModel.nestRows(spark, sf0001)
       .repartitionByRange(4, col("key")), dir)
     val v = GenManifest.read(dir, conf).get.version
-    Sink.optimizeSink(spark, dir)
+    SinkMaintain.optimizeSink(spark, dir)
     // planning still sees the old snapshot (retained), but the replaced
     // originals are deleted at commit by design — erasure must be
     // irreversible, so pins across maintenance fail instead of lying
@@ -596,7 +596,7 @@ class ManifestSpec extends AnyFunSuite {
   }
 
   test("q199 export balance: per-shard loads replay; the full release shape is covered") {
-    val rows = Sink.exportShards(spark, sf0001)
+    val rows = Releases.exportShards(spark, sf0001)
       .select(col("epoch"), col("shard")).collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val counts = rows.groupBy(identity).map { case (k, v) =>
@@ -604,16 +604,16 @@ class ManifestSpec extends AnyFunSuite {
     val epochTotals = rows.groupBy(_._1).map { case (e, v) =>
       e -> v.length.toLong }
     val expected = counts.map { case ((e, s), n) =>
-      val bm = 1000L * n * Sink.ExportShards / epochTotals(e)
+      val bm = 1000L * n * Releases.ExportShards / epochTotals(e)
       (e, s, n, bm, if (bm >= 2000) 1 else 0)
     }.toSet
-    val got = Sink.exportBalance(spark, sf0001).collect()
+    val got = Releases.exportBalance(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getInt(4))).toSet
     assert(got === expected)
     // hash sharding left no (epoch, shard) slot empty at this SF —
     // every loader worker gets a file to read
-    assert(got.size === Sink.ExportEpochs * Sink.ExportShards)
+    assert(got.size === Releases.ExportEpochs * Releases.ExportShards)
   }
 
   test("q204 delta ∪ v1-pin == head, disjoint — the incremental-consumer identity") {
@@ -621,12 +621,12 @@ class ManifestSpec extends AnyFunSuite {
       df.select(explode(col("columns")).as("c"))
         .select(col("c.name"), col("c.write_time")).collect()
         .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1))).toSet
-    val (out, vs) = Sink.versionPinFixture(spark, sf0001)
+    val (out, vs) = Releases.versionPinFixture(spark, sf0001)
     val v1 = vs.split(',').head
     val pin1 = cells(spark.read.format("proto-zst")
       .option("manifestVersion", v1).load(out))
     val head = cells(spark.read.format("proto-zst").load(out))
-    val delta = Sink.versionDelta(spark, sf0001).collect()
+    val delta = Releases.versionDelta(spark, sf0001).collect()
       .map(r => (r.getString(1).getBytes("UTF-8").toSeq, r.getLong(3)))
       .toSet
     assert((pin1 & delta).isEmpty, "delta overlaps the pinned release")
@@ -658,7 +658,7 @@ class ManifestSpec extends AnyFunSuite {
     GenManifest.commit(dir, conf0)(es => es :+ GenManifest.Entry(
       "legacy.proto.zst", src._2, 2L, sorted = false, "", "", None))
     val before = spark.read.format("proto-zst").load(dir).count()
-    val n = Sink.expireByTime(dir, 15L)
+    val n = SinkMaintain.expireByTime(dir, 15L)
     assert(n === 1, "exactly the pre-cutoff commit's file expires")
     val snap = GenManifest.read(dir, conf0).get
     assert(snap.entries.exists(_.name == "legacy.proto.zst"),
@@ -668,11 +668,11 @@ class ManifestSpec extends AnyFunSuite {
     assert(ProtoZstFiles.list(dir, conf0).length === snap.entries.length)
     assert(spark.read.format("proto-zst").load(dir).count() === before - 2)
     // a second expiry at the same cutoff is a no-op
-    assert(Sink.expireByTime(dir, 15L) === 0)
+    assert(SinkMaintain.expireByTime(dir, 15L) === 0)
     // a manifest-less directory is refused, not listing-guessed
     val foreign = freshDir("graft_ttl_foreign")
     val e = intercept[IllegalArgumentException] {
-      Sink.expireByTime(foreign, 15L)
+      SinkMaintain.expireByTime(foreign, 15L)
     }
     assert(e.getMessage.contains("no manifest"), e.getMessage)
   }
@@ -707,7 +707,7 @@ class ManifestSpec extends AnyFunSuite {
         col("c.write_time").as("t"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted
     val v0 = GenManifest.read(dir, conf0).get.version
-    assert(Sink.compactWindows(spark, dir, 10L, 20L) === ((2, 4)))
+    assert(SinkMaintain.compactWindows(spark, dir, 10L, 20L) === ((2, 4)))
     val snap = GenManifest.read(dir, conf0).get
     // ONE atomic commit covered both windows
     assert(snap.version === v0 + 1)
@@ -730,15 +730,15 @@ class ManifestSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted
     assert(after.toSeq === before.toSeq, "row multiset preserved")
     // idempotent: every closed window is already one file
-    assert(Sink.compactWindows(spark, dir, 10L, 20L) === ((0, 0)))
+    assert(SinkMaintain.compactWindows(spark, dir, 10L, 20L) === ((0, 0)))
     assert(GenManifest.read(dir, conf0).get.version === v0 + 1)
     // the TWCS payoff composes: expiry drops the packed window-0 file
-    assert(Sink.expireByTime(dir, 10L) === 1)
+    assert(SinkMaintain.expireByTime(dir, 10L) === 1)
     assert(!GenManifest.read(dir, conf0).get.entries
       .exists(_.times.exists(_._2 < 10L)))
     // a manifest-less directory is refused, not listing-guessed
     val e = intercept[IllegalArgumentException] {
-      Sink.compactWindows(spark, freshDir("graft_wmajor_foreign"), 10L, 20L)
+      SinkMaintain.compactWindows(spark, freshDir("graft_wmajor_foreign"), 10L, 20L)
     }
     assert(e.getMessage.contains("no manifest"), e.getMessage)
   }
@@ -758,7 +758,7 @@ class ManifestSpec extends AnyFunSuite {
     val stream = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
       ProtoZstTable.Schema, Array.empty)
     val end = stream.latestOffset() // all three offsets now issued
-    assert(Sink.compactWindows(spark, dir, 10L, 20L) === ((1, 2)))
+    assert(SinkMaintain.compactWindows(spark, dir, 10L, 20L) === ((1, 2)))
     // 2 files became 1: delivered offsets outrun the directory — the
     // planner must refuse loudly, same contract as OPTIMIZE/expiry
     val e = intercept[IllegalStateException] {
@@ -783,7 +783,7 @@ class ManifestSpec extends AnyFunSuite {
     val stream = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
       ProtoZstTable.Schema, Array.empty)
     val end = stream.latestOffset() // both files' offsets now issued
-    assert(Sink.expireByTime(dir, 15L) === 1)
+    assert(SinkMaintain.expireByTime(dir, 15L) === 1)
     // delivered offsets outrun the shrunken directory: the planner must
     // refuse loudly (silently renumbering would replay wrong files) —
     // same contract as OPTIMIZE/erasure on a tailed source
@@ -797,7 +797,7 @@ class ManifestSpec extends AnyFunSuite {
     val budgeted = new ProtoZstMicroBatchStream(dir, ignoreCorrupt = false,
       ProtoZstTable.Schema, Array.empty, maxBytesPerTrigger = Some(1L))
     budgeted.prepareForTriggerAvailableNow()
-    assert(Sink.expireByTime(dir, 25L) === 1) // drops the second file too
+    assert(SinkMaintain.expireByTime(dir, 25L) === 1) // drops the second file too
     val e2 = intercept[IllegalStateException] {
       budgeted.latestOffset(graft.sources.ProtoZstOffset(0),
         org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
@@ -806,7 +806,7 @@ class ManifestSpec extends AnyFunSuite {
   }
 
   test("q196 replays: v1 holds the pre-midpoint nest, v2 == head") {
-    val rows = graft.operators.Sink.versionPin(spark, sf0001).collect()
+    val rows = graft.operators.Releases.versionPin(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val cells = CellModel.liveCells(spark, sf0001)
       .select(col("key"), col("write_time")).collect()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CellModel, DedupClusters, Events, Multimodal, Relational, SimSearch, Sink, Streaming}
+import graft.operators.{AnnPq, CellModel, DedupClusters, Events, Multimodal, Relational, SimSearch, Sink, SinkMaintain, StreamCurate, Streaming, VectorOps}
 import graft.sources.Tables
 
 /** Cross-operator semantic invariants on sf0.001: conservation laws,
@@ -393,7 +393,7 @@ class PipelineSpec extends AnyFunSuite {
       dot.toDouble /
         math.sqrt((a.map(x => x * x).sum * b.map(x => x * x).sum).toDouble)
     }
-    val rows = SimSearch.annPq(spark, sf0001).collect()
+    val rows = AnnPq.annPq(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(rows.length === 8 * 3) // NQ queries × K neighbours
     assert(rows.map(r => (r._1, r._3)).distinct.length === rows.length)
@@ -442,7 +442,7 @@ class PipelineSpec extends AnyFunSuite {
       val (n, sx, sxx) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
       d -> (n, sx, n * sxx - sx * sx)
     }.toMap
-    val rows = SimSearch.dimVariance(spark, sf0001).collect()
+    val rows = VectorOps.dimVariance(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getInt(4), r.getInt(5)))
     assert(rows.length === dims)
@@ -457,13 +457,13 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("q192 covariance: q185 diagonal, full triangle, spot-replayed pairs") {
-    val rows = SimSearch.embedCovariance(spark, sf0001).collect()
+    val rows = VectorOps.embedCovariance(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val dims = 64
     assert(rows.size === dims * (dims + 1) / 2, "full upper triangle")
     // the diagonal IS q185's variance column
-    val vars = SimSearch.dimVariance(spark, sf0001).collect()
+    val vars = VectorOps.dimVariance(spark, sf0001).collect()
       .map(r => r.getInt(0) -> r.getLong(3)).toMap
     (0 until dims).foreach(d => assert(rows((d, d))._3 === vars(d), s"dim $d"))
     // exact replay of a few off-diagonal pairs
@@ -481,14 +481,14 @@ class PipelineSpec extends AnyFunSuite {
   test("q208 stream curation: 2-batch split + redelivery equals the batch gates") {
     import graft.sources.GenManifest
     val docs = Tables.documents(spark, sf0001)
-    val inv = Streaming.boilerInventory(spark, sf0001)
-    val rates = Streaming.mixtureRates(spark, sf0001)
+    val inv = StreamCurate.boilerInventory(spark, sf0001)
+    val rates = StreamCurate.mixtureRates(spark, sf0001)
     val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
     val (mid, maxId) = (ids(ids.length / 2), ids.last)
     // a gate-PASSING doc from the first half, duplicated into the
     // second file under a fresh id: same (text, lang, source) → same
     // content tuple, landing in the OTHER micro-batch
-    val dupId = Streaming.curationGates(docs, inv, rates)
+    val dupId = StreamCurate.curationGates(docs, inv, rates)
       .filter(col("doc_id") < mid)
       .agg(min(col("doc_id"))).head().getLong(0)
     val dupH = docs.filter(col("doc_id") === dupId)
@@ -508,11 +508,11 @@ class PipelineSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val out = java.nio.file.Files.createTempDirectory("graft_sing_out")
       .toFile.getAbsolutePath
-    val got = Streaming.streamCurateOf(spark, leg.union(leg), inv, rates,
+    val got = StreamCurate.streamCurateOf(spark, leg.union(leg), inv, rates,
       out, java.nio.file.Files.createTempDirectory("graft_sing_ck")
         .toFile.getAbsolutePath)
       .collect().map(_.mkString("|")).sorted
-    val want = Streaming.curationGates(docs.unionByName(dupRow), inv, rates)
+    val want = StreamCurate.curationGates(docs.unionByName(dupRow), inv, rates)
       .select(col("h"), col("lang"), col("shard"), col("n_tokens"),
         col("n_redactions"), col("boiler_milli"))
       .distinct().collect().map(_.mkString("|")).sorted
@@ -564,7 +564,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("q211 sweep quarantines exactly the near-dup partner hashes") {
     import graft.operators.{Dedup, Streaming}
-    val rows = Streaming.ingestSweep(spark, sf0001).collect()
+    val rows = StreamCurate.ingestSweep(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getInt(6)))
     val nearH = Dedup.dedupMinhash(spark, sf0001)
       .select(col("doc_b")).distinct()
@@ -579,7 +579,7 @@ class PipelineSpec extends AnyFunSuite {
     // per q208 content tuple (the stream's set, by the split-parity
     // proof above)
     assert(rows.length ===
-      Streaming.streamCurate(spark, sf0001).count().toInt,
+      StreamCurate.streamCurate(spark, sf0001).count().toInt,
       "sweep rows = exported content tuples")
   }
 
@@ -620,12 +620,12 @@ class PipelineSpec extends AnyFunSuite {
     // in-plan guard must refuse rather than emit a silently-overflowed
     // matrix (3·10⁹ squared already wraps a long on its own)
     val hot = Seq(Seq(3000000000L, 1L), Seq(2L, 4L)).toDF("qv")
-    val e = intercept[Exception](SimSearch.covKernel(hot).collect())
+    val e = intercept[Exception](VectorOps.covKernel(hot).collect())
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("exact-long range"), msgs)
     // the same kernel inside the bound computes the exact triangle
-    val ok = SimSearch.covKernel(Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("qv"))
+    val ok = VectorOps.covKernel(Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("qv"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(ok.size === 3)
@@ -1010,23 +1010,23 @@ class PipelineSpec extends AnyFunSuite {
     // private generation pair — never the shared q61/q80/q81 fixture
     val (g0, g1) = Sink.buildGens(spark, sf0001)
     val headBefore = snap(Sink.asofOf(spark, g0, g1, Long.MaxValue))
-    val (g2, cutUs) = Sink.compactGeneration(spark, g0, g1)
+    val (g2, cutUs) = SinkMaintain.compactGeneration(spark, g0, g1)
     val atCutBefore = snap(Sink.asofOf(spark, g0, g1, cutUs))
     // a cut below a still-present write_time must refuse, files intact
     val refused = intercept[IllegalStateException](
-      Sink.vacuumGenerations(spark, Seq(g0, g1), g2, cutUs - 1))
+      SinkMaintain.vacuumGenerations(spark, Seq(g0, g1), g2, cutUs - 1))
     assert(refused.getMessage.contains("vacuum refused"))
     assert(new java.io.File(g0).exists() && new java.io.File(g1).exists())
-    Sink.vacuumGenerations(spark, Seq(g0, g1), g2, cutUs)
+    SinkMaintain.vacuumGenerations(spark, Seq(g0, g1), g2, cutUs)
     assert(!new java.io.File(g0).exists() && !new java.io.File(g1).exists(),
       "vacuumed generation directories must actually be deleted")
     // HEAD and post-cut as-of reads are unchanged by the vacuum
-    assert(snap(Sink.asofReadRetained(spark, g2, Long.MaxValue)) === headBefore)
-    assert(snap(Sink.asofReadRetained(spark, g2, cutUs)) === atCutBefore)
+    assert(snap(SinkMaintain.asofReadRetained(spark, g2, Long.MaxValue)) === headBefore)
+    assert(snap(SinkMaintain.asofReadRetained(spark, g2, cutUs)) === atCutBefore)
     assert(headBefore === atCutBefore) // cut covers every write_time
     // an as-of below the cut (q80's historical instant) fails LOUDLY
     val e = intercept[IllegalStateException](
-      Sink.asofReadRetained(spark, g2, Sink.AsOfUs))
+      SinkMaintain.asofReadRetained(spark, g2, Sink.AsOfUs))
     assert(e.getMessage.contains("retention cut"))
   }
 
@@ -1436,7 +1436,7 @@ class PipelineSpec extends AnyFunSuite {
     val labels = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("label")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val rows = graft.operators.SimSearch.negSample(spark, sf0001)
+    val rows = graft.operators.VectorOps.negSample(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getInt(3)))
     rows.groupBy(_._1).foreach { case (anchor, ns) =>
@@ -1692,7 +1692,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("q161 SRP estimate tracks exact cosine (bounded mean error)") {
-    val rows = graft.operators.SimSearch.srpSignatures(spark, sf0001)
+    val rows = graft.operators.VectorOps.srpSignatures(spark, sf0001)
       .filter(col("cosine").isNotNull)
       .select(col("est_milli"), (col("cosine") * 1000).as("cm")).collect()
     assert(rows.nonEmpty)
@@ -1709,14 +1709,14 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("q161 packed SRP masks decode to the md5-parity matrix") {
-    val masks = graft.operators.SimSearch.srpMasks
+    val masks = graft.operators.VectorOps.srpMasks
     assert(masks.length === 256)
     // every (row, dim): the in-plan unpack 2·bit(m,i)−1 must equal the
     // md5-parity sign the oracle recomputes — the exactness of the
     // whole signature pipeline rides on this bit↔parity agreement
     for (b <- masks.indices; i <- 0 until 64) {
       val fromMask = ((masks(b) >>> i) & 1L) * 2L - 1L
-      assert(fromMask === graft.operators.SimSearch.srpSignAt(b, i + 1),
+      assert(fromMask === graft.operators.VectorOps.srpSignAt(b, i + 1),
         s"projection row $b dim ${i + 1}")
     }
   }
@@ -1758,7 +1758,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("q159 coreset: k per label, ranks contiguous, d2 monotone in rank") {
-    val rows = graft.operators.SimSearch.labelCoreset(spark, sf0001)
+    val rows = graft.operators.VectorOps.labelCoreset(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(3)))
     rows.groupBy(_._1).foreach { case (label, rs) =>
       val byRank = rs.sortBy(_._2)
@@ -1843,7 +1843,7 @@ class PipelineSpec extends AnyFunSuite {
       }
       id -> ((errs.sum, errs.max))
     }
-    val got = graft.operators.SimSearch.int8Quant(spark, sf0001).collect()
+    val got = graft.operators.VectorOps.int8Quant(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(got.keySet === expect.keySet)

@@ -201,7 +201,7 @@ class PlanSpec extends AnyFunSuite {
     * exchanges, no join of any kind).
     */
   test("q173 encode frame is exchange-free and join-free") {
-    val plan = physical(graft.operators.SimSearch.int8Quant(spark, sf0001))
+    val plan = physical(graft.operators.VectorOps.int8Quant(spark, sf0001))
     assert(!plan.contains("Exchange"),
       s"q173 encode frame shuffles or broadcasts:\n${plan.take(3000)}")
     assert(!plan.contains("Join"),
@@ -399,9 +399,9 @@ class PlanSpec extends AnyFunSuite {
     * handful of mega-partition sorts.
     */
   test("q159/q167 plan no rank window; top-k partial-aggregates before the shuffle") {
-    import graft.operators.SimSearch
-    Seq("q159" -> SimSearch.labelCoreset(spark, sf0001),
-      "q167" -> SimSearch.negSample(spark, sf0001)).foreach { case (n, df) =>
+    import graft.operators.{SimSearch, VectorOps}
+    Seq("q159" -> VectorOps.labelCoreset(spark, sf0001),
+      "q167" -> VectorOps.negSample(spark, sf0001)).foreach { case (n, df) =>
       val plan = physical(df)
       assert(!plan.contains("Window"),
         s"$n ranks through a window partition:\n${plan.take(3000)}")
@@ -411,17 +411,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q159/q167 bounded-heap selection is bit-identical to the rank-window form") {
-    import graft.operators.SimSearch
+    import graft.operators.{SimSearch, VectorOps}
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
       val cols = df.columns.sorted.toSeq
       df.select(cols.map(org.apache.spark.sql.functions.col): _*)
         .collect().map(_.toSeq.map(String.valueOf).mkString(""))
         .toSeq.sorted
     }
-    assert(canon(SimSearch.labelCoreset(spark, sf0001)) ===
-      canon(SimSearch.labelCoresetWindowForm(spark, sf0001)))
-    assert(canon(SimSearch.negSample(spark, sf0001)) ===
-      canon(SimSearch.negSampleWindowForm(spark, sf0001)))
+    assert(canon(VectorOps.labelCoreset(spark, sf0001)) ===
+      canon(VectorOps.labelCoresetWindowForm(spark, sf0001)))
+    assert(canon(VectorOps.negSample(spark, sf0001)) ===
+      canon(VectorOps.negSampleWindowForm(spark, sf0001)))
   }
 
   test("q24 fingerprint scans only (doc_id, text) and uses the native kernel") {

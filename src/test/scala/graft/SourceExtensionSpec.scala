@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CellModel, Sink}
+import graft.operators.{CellModel, Releases, Sink, SinkMaintain}
 
 /** The proto-zst DSv2 source and the SQL-function extension surface. */
 class SourceExtensionSpec extends AnyFunSuite {
@@ -534,7 +534,7 @@ class SourceExtensionSpec extends AnyFunSuite {
     val before = spark.read.format("proto-zst")
       .load(Sink.nestedFixture(spark, sf0001))
       .select(decode(col("key"), "UTF-8").as("key"), col("columns"))
-    val optDir = Sink.optimizedFixture(spark, sf0001)
+    val optDir = SinkMaintain.optimizedFixture(spark, sf0001)
     val after = spark.read.format("proto-zst").load(optDir)
       .select(decode(col("key"), "UTF-8").as("key"), col("columns"))
     assert(after.exceptAll(before).count() === 0)
@@ -542,7 +542,7 @@ class SourceExtensionSpec extends AnyFunSuite {
     // range partitioning to 16 may leave a few empty partitions (no
     // file written) — what matters is genuine fragmentation going in
     // and a strictly smaller file count coming out
-    val (nBefore, nAfter) = Sink.optCounts(sf0001)
+    val (nBefore, nAfter) = SinkMaintain.optCounts(sf0001)
     assert(nBefore >= 8 && nAfter < nBefore,
       s"optimize did not pack: $nBefore -> $nAfter")
     // every packed file keeps a .range sidecar (plan-time skipping
