@@ -327,15 +327,338 @@ object Releases {
        |SELECT key, name, value, write_time
        |FROM lc, b WHERE write_time >= t""".stripMargin
 
+  // ---- q212/q213: the PACKED release (sequence grain) ----------------
+
+  /** BPE tokens per packed training sequence (q212/q213). q57/q172
+    * index the packed stream in-memory at whitespace-token grain; the
+    * packed RELEASE uses the real tokenizer (q124's merge table) and
+    * ships sequence rows through the manifest sink.
+    */
+  private[graft] val PackRelLen = 512L
+
+  /** Pack streams per release — one key-sorted release file each. A
+    * cluster passes loader parallelism here (the q171 posture): it is
+    * an ARGUMENT below, spec-covered at a non-default shape.
+    */
+  private[graft] val PackRelStreams = 6
+
+  // the `tSS:qNNNNNNNN` key is fixed-width (3-byte file-group prefix,
+  // 8-digit sequence id); past either field the parse offsets shift
+  // and file groups merge — refuse loudly (the q171 discipline)
+  private def requirePackShape(streams: Int): Unit =
+    require(streams >= 1 && streams <= 100,
+      s"pack stream id is a 2-digit key field; streams=$streams " +
+        "overflows it — widen the key format AND the parse offsets " +
+        "together")
+
+  /** Per-document BPE token counts plus stream/order keys — the
+    * packing input. Row-local per doc (the q124 merge fold), then the
+    * salted-hash stream assignment (q170/q172's decorrelation
+    * discipline: consecutive sequences mix sources instead of
+    * clumping corpus order). Zero-token docs can occupy no sequence
+    * and are excluded on BOTH engine and oracle sides.
+    */
+  private[graft] def packRelDocs(spark: SparkSession, dir: String,
+      streams: Int): DataFrame = {
+    requirePackShape(streams)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.Portable.words(col("text"))
+        .as("ws"))
+      .select(col("doc_id"),
+        aggregate(transform(col("ws"), w => TextAnalysis.bpeTokens(w)),
+          lit(0L), (a, x) => a + x).as("nb"))
+      .filter(col("nb") > 0)
+      .withColumn("k", graft.functions.Portable.hash60(
+        concat_ws(":", lit("prel"), col("doc_id"))))
+      .withColumn("stream", (col("k") % streams).cast("int"))
+  }
+
+  /** The packing itself: per stream, a running token sum over docs in
+    * (k, doc_id) order places each doc at `st = cum - nb`; the doc
+    * then fragments across sequences `st DIV L .. (cum-1) DIV L`
+    * (straddles split exactly as q172 does), and sequence rows
+    * aggregate their fragments — count, token fill, and a
+    * fixed-width membership string sorted by in-sequence offset (the
+    * attention-mask/boundary metadata a packed-batch loader needs).
+    *
+    * Scale: ONE window per stream (partitions bounded by
+    * corpus/streams — the stream count scales with the cluster, not
+    * the corpus), a row-local fragment explode (≤ nb/L + 1 rows per
+    * doc), and ONE (stream, seq) aggregation with map-side partials.
+    */
+  private[graft] def packRelSeqs(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("k"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    docs.withColumn("cum", sum(col("nb")).over(w))
+      .withColumn("st", col("cum") - col("nb"))
+      .withColumn("seq", explode(sequence(
+        expr(s"st DIV $PackRelLen"), expr(s"(cum - 1) DIV $PackRelLen"))))
+      .withColumn("off",
+        expr(s"greatest(st, seq * $PackRelLen) - seq * $PackRelLen"))
+      .withColumn("ft", expr(s"least(cum, (seq + 1) * $PackRelLen) " +
+        s"- greatest(st, seq * $PackRelLen)"))
+      .groupBy(col("stream"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ft")).as("n_tokens"),
+        array_join(sort_array(collect_list(format_string(
+          "t%06d:d%010d+%06d",
+          col("off"),
+          // a doc_id past the 10-digit member field would shift every
+          // erasure-side parse; fail loudly (the q161/q171 discipline)
+          when(col("doc_id") < 10000000000L, col("doc_id"))
+            .otherwise(raise_error(concat(
+              lit("packed release: doc_id "), col("doc_id").cast("string"),
+              lit(" overflows the 10-digit member field")))),
+          col("ft")))), ",").as("members"))
+  }
+
+  /** Sequence rows in sink schema, keyed `tSS:qNNNNNNNN` — key order
+    * IS loader order, so each release file streams sequences without
+    * sorting and its range sidecar attests it.
+    */
+  private[graft] def packRelKeyed(seqs: DataFrame): DataFrame =
+    seqs.select(
+      encode(format_string("t%02d:q%08d", col("stream"),
+        when(col("seq") < 100000000L, col("seq"))
+          .otherwise(raise_error(concat(
+            lit("packed release: sequence id "), col("seq").cast("string"),
+            lit(" overflows the 8-digit key field"))))), "UTF-8").as("key"),
+      array(struct(
+        encode(lit("packed"), "UTF-8").as("name"),
+        encode(format_string("%d|%d|%s", col("n_docs"), col("n_tokens"),
+          col("members")), "UTF-8").as("value"),
+        col("seq").as("write_time"))).as("columns"),
+      col("stream"))
+
+  /** One exchange of `streams` partitions, the writer rolls one file
+    * per 3-byte stream prefix, and the whole release commits as ONE
+    * manifest version bump (visible atomically or not at all).
+    */
+  private[graft] def writePackRel(keyed: DataFrame, out: String,
+      streams: Int): Unit =
+    keyed.repartition(streams, col("stream"))
+      .sortWithinPartitions(col("key"))
+      .select(col("key"), col("columns"))
+      .write.format("proto-zst")
+      .option("splitKeyPrefix", "3")
+      .mode("append").save(out)
+
+  private[graft] def packRelFixture(spark: SparkSession,
+      dir: String): String =
+    Sink.fixture("packrel:" + dir) {
+      val out = Scratch.dir("graft_packrel")
+      writePackRel(packRelKeyed(packRelSeqs(
+        packRelDocs(spark, dir, PackRelStreams))), out, PackRelStreams)
+      out
+    }
+
+  /** Release read-back → (stream, seq_id, n_docs, n_tokens, members);
+    * parse offsets are pinned by the fixed-width key/member formats.
+    */
+  private[graft] def packRelParse(spark: SparkSession,
+      relDir: String): DataFrame =
+    spark.read.format("proto-zst").load(relDir)
+      .select(decode(col("key"), "UTF-8").as("kk"),
+        decode(element_at(col("columns"), 1).getField("value"), "UTF-8")
+          .as("v"))
+      .select(substring(col("kk"), 2, 2).cast("int").as("stream"),
+        substring(col("kk"), 6, 8).cast("long").as("seq_id"),
+        split(col("v"), "\\|", 3).getItem(0).cast("long").as("n_docs"),
+        split(col("v"), "\\|", 3).getItem(1).cast("long").as("n_tokens"),
+        split(col("v"), "\\|", 3).getItem(2).as("members"))
+
+  /** q212: PACKED TRAINING RELEASE — the end-to-end composition the
+    * whole pipeline exists for: tokenize (q124's BPE merge table) →
+    * pack into fixed-[[PackRelLen]] sequences (q172's straddle-split
+    * discipline, salted-hash decorrelated order) → ship as one
+    * key-sorted release file per pack stream under ONE atomic
+    * manifest commit — then read the shipped bytes back. Each row is
+    * one training sequence: fill, doc count, and the offset-sorted
+    * membership string a loader builds attention-mask boundaries
+    * from. The oracle replays tokenizer + packing bit-for-bit, so
+    * hash equality proves the RELEASE BYTES (not the pre-write frame)
+    * carry exactly the packing the pipeline computed.
+    */
+  def packedRelease(spark: SparkSession, dir: String): DataFrame =
+    packRelParse(spark, packRelFixture(spark, dir))
+
+  /** Release-resident erasure (q213's kernel): remove `eraseIds` from
+    * a packed release by REWRITING ONLY THE AFFECTED STREAM FILES —
+    * the GDPR-deletion path at delta cost. The affected stream set is
+    * computed from the erase list alone (the stream key is a
+    * row-local hash of doc_id — zero reads); surviving documents'
+    * token counts are reconstructed from the touched files' own
+    * membership fragments (fragments partition each doc's tokens), so
+    * the repack never rescans the source corpus; the swap is the
+    * q148 protocol — stage invisibly, rename in, ONE
+    * [[graft.sources.GenManifest.replace]] commit, delete originals
+    * after. Returns (touched, untouched) file counts.
+    *
+    * Scale: cost ∝ affected files + |erase list|, never the corpus or
+    * even the release; a production erase request IS a bounded doc-id
+    * list (the fixture's hash-predicate sweep is its synthetic
+    * stand-in).
+    */
+  private[graft] def packErase(spark: SparkSession, relDir: String,
+      eraseIds: Seq[Long], streams: Int): (Int, Int) = {
+    requirePackShape(streams)
+    require(eraseIds.nonEmpty, "packErase without victims proves nothing")
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(relDir)
+    val fs = dirPath.getFileSystem(conf)
+    val snap = graft.sources.GenManifest.read(relDir, conf).getOrElse(
+      throw new IllegalStateException(
+        s"packErase requires a manifested release: $relDir"))
+    val prefixes: Set[String] = eraseIds.map { id =>
+      val k = graft.functions.HashOps.md5Prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"prel:$id"))
+      f"t${(k % streams).toInt}%02d"
+    }.toSet
+    val (touched, untouched) = snap.entries.partition { e =>
+      // conservative: a file with no recorded range might hold anything
+      !e.hasRange || prefixes.exists(p =>
+        new String(e.min, java.nio.charset.StandardCharsets.UTF_8)
+          .startsWith(p))
+    }
+    if (touched.isEmpty) return (0, untouched.length)
+    val erased = eraseIds.toSet
+    val survivors = spark.read.format("proto-zst")
+      .load(touched.map(e => new org.apache.hadoop.fs.Path(dirPath, e.name)
+        .toString).toIndexedSeq: _*)
+      .select(decode(element_at(col("columns"), 1).getField("value"),
+        "UTF-8").as("v"))
+      .select(explode(split(split(col("v"), "\\|", 3).getItem(2), ","))
+        .as("m"))
+      .select(substring(col("m"), 10, 10).cast("long").as("doc_id"),
+        substring(col("m"), 21, 6).cast("long").as("ft"))
+      .groupBy(col("doc_id")).agg(sum(col("ft")).as("nb"))
+      .filter(!col("doc_id").isInCollection(erased))
+      .withColumn("k", graft.functions.Portable.hash60(
+        concat_ws(":", lit("prel"), col("doc_id"))))
+      .withColumn("stream", (col("k") % streams).cast("int"))
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(dirPath,
+      ".pack-erase-" + runId)
+    writePackRel(packRelKeyed(packRelSeqs(survivors)), staging.toString,
+      math.max(prefixes.size, 1))
+    val stagedSnap = graft.sources.GenManifest.read(staging.toString, conf)
+      .getOrElse(throw new IllegalStateException(
+        s"staging write left no manifest under $staging"))
+    val kept = stagedSnap.entries.map { e =>
+      val newName = "pack-erased-" + runId + "-" + e.name
+      val src = new org.apache.hadoop.fs.Path(staging, e.name)
+      val dst = new org.apache.hadoop.fs.Path(dirPath, newName)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"packErase aborted: rename refused for $src -> $dst; release " +
+            "unchanged (manifest not committed)")
+      fs.rename(graft.sources.RangeSidecar.sidecar(src),
+        graft.sources.RangeSidecar.sidecar(dst))
+      e.copy(name = newName)
+    }
+    graft.sources.GenManifest.replace(relDir, conf,
+      touched.map(_.name).toSet, kept)
+    // post-commit GC of the replaced originals — the bytes actually go
+    touched.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(dirPath, e.name)
+      fs.delete(p, false)
+      graft.sources.RangeSidecar.delete(fs, p)
+    }
+    fs.delete(staging, true)
+    (touched.length, untouched.length)
+  }
+
+  /** q213 fixture: a fresh packed release (NOT q212's cached one —
+    * erasure mutates the directory) with the hash-predicate victim
+    * sweep erased through [[packErase]].
+    */
+  private def packEraseFixture(spark: SparkSession, dir: String): String =
+    Sink.fixture("packerase:" + dir) {
+      val out = Scratch.dir("graft_packerase")
+      val docs = packRelDocs(spark, dir, PackRelStreams)
+      writePackRel(packRelKeyed(packRelSeqs(docs)), out, PackRelStreams)
+      val eraseIds = docs
+        .filter(graft.functions.Portable.hash60(concat_ws(":",
+          lit("gdpr"), col("doc_id"))) % 29 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      require(eraseIds.nonEmpty,
+        "erase fixture found no victims — widen the predicate")
+      val (t, _) = packErase(spark, out, eraseIds, PackRelStreams)
+      require(t >= 1, "erase fixture rewrote no files — it proves nothing")
+      out
+    }
+
+  /** q213: SURGICAL ERASURE THROUGH A PACKED RELEASE — q148 at
+    * release grain: erase a document set from the shipped q212
+    * release by repacking ONLY the affected stream files from their
+    * own bytes (see [[packErase]]). The post-erase read-back must
+    * equal the packing of the surviving corpus bit-for-bit — the
+    * oracle replays exactly that — which proves erased docs are gone
+    * from every membership, surviving docs repacked without loss or
+    * duplication, and untouched streams left byte-stable (their
+    * packing never depended on other streams' docs). File-surgery
+    * facts (untouched files not rewritten, single commit, staging
+    * invisible) are pinned by ManifestSpec.
+    */
+  def packedErasureRead(spark: SparkSession, dir: String): DataFrame =
+    packRelParse(spark, packEraseFixture(spark, dir))
+
+  /** Shared oracle replay of the packing pipeline over documents
+    * passing `docFilter` — tokenizer fold, salted stream hash, per-
+    * stream running sum, fragment explode, sequence aggregation. The
+    * BPE/hash kernels contain `||` concatenations, so they splice via
+    * placeholders AFTER stripMargin.
+    */
+  private def packRelSql(docFilter: String): String =
+    s"""WITH d0 AS (SELECT doc_id, @WS@ ws FROM documents),
+       |db AS (SELECT doc_id, @BPE@ nb FROM d0),
+       |d AS (SELECT doc_id, @H60@ k, nb FROM db
+       |      WHERE nb > 0 AND (@FILTER@)),
+       |c AS (SELECT doc_id, k, k % $PackRelStreams stream, nb,
+       |        CAST(sum(nb) OVER (PARTITION BY k % $PackRelStreams
+       |          ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+       |      FROM d),
+       |f AS (SELECT stream, doc_id, cum - nb st, cum,
+       |        unnest(range((cum - nb) // $PackRelLen,
+       |                     (cum - 1) // $PackRelLen + 1)) seq
+       |      FROM c),
+       |g AS (SELECT stream, seq, doc_id,
+       |        greatest(st, seq * $PackRelLen) - seq * $PackRelLen t_off,
+       |        least(cum, (seq + 1) * $PackRelLen)
+       |          - greatest(st, seq * $PackRelLen) ft
+       |      FROM f)
+       |SELECT CAST(stream AS INTEGER) stream, CAST(seq AS BIGINT) seq_id,
+       |  count(*) n_docs, CAST(sum(ft) AS BIGINT) n_tokens,
+       |  string_agg(printf('t%06d:d%010d+%06d', t_off, doc_id, ft), ','
+       |             ORDER BY t_off, doc_id) members
+       |FROM g GROUP BY stream, seq""".stripMargin
+      .replace("@WS@", graft.functions.Portable.sqlWords)
+      .replace("@BPE@", TextAnalysis.sqlBpeTokensOfWs)
+      .replace("@H60@", graft.functions.Portable.sqlHash60(
+        "'prel:' || CAST(doc_id AS VARCHAR)"))
+      .replace("@FILTER@", docFilter)
+
+  private val packedReleaseSql = packRelSql("TRUE")
+
+  private val packedErasureSql = packRelSql(
+    "NOT (" + graft.functions.Portable.sqlHash60(
+      "'gdpr:' || CAST(doc_id AS VARCHAR)") + " % 29 = 0)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_version_pin" -> versionPin,
     "q199_export_balance" -> exportBalance,
     "q204_version_delta" -> versionDelta,
+    "q212_packed_release" -> packedRelease,
+    "q213_packed_erasure" -> packedErasureRead,
     "q171_export_sink" -> exportShards)
 
   val oracle: Map[String, String] = Map(
     "q196_version_pin" -> versionPinSql,
     "q199_export_balance" -> exportBalanceSql,
     "q204_version_delta" -> versionDeltaSql,
+    "q212_packed_release" -> packedReleaseSql,
+    "q213_packed_erasure" -> packedErasureSql,
     "q171_export_sink" -> exportShardsSql)
 }

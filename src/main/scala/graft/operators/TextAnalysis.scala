@@ -1210,7 +1210,7 @@ object TextAnalysis {
     * ONE site for the oracle-side merge-table fold, shared by q124 and
     * q187 so the two can never disagree on the tokenizer.
     */
-  private val sqlBpeTokensOfWs: String = {
+  private[operators] val sqlBpeTokensOfWs: String = {
     val init = "'[' || array_to_string(list_transform(range(1, len(w)+1), " +
       "i -> substr(w, CAST(i AS INTEGER), 1)), '][') || '][</w>]'"
     val enc = bpeMerges.foldLeft(init) { case (s, (a, b)) =>

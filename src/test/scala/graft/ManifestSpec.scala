@@ -824,4 +824,116 @@ class ManifestSpec extends AnyFunSuite {
     assert(rows("head") === rows("v2"),
       "the head read and the head-version pin must agree bit-for-bit")
   }
+
+  /** The q212 packed-release layout contract at an arbitrary stream
+    * count: ONE manifest version for the whole release, one key-sorted
+    * file per non-empty pack stream, BPE tokens conserved through the
+    * sink, and every sequence except each stream's last filled to
+    * exactly PackRelLen.
+    */
+  private def checkPackedRelease(streams: Int): String = {
+    val dir = freshDir("graft_man_packrel")
+    val docs = Releases.packRelDocs(spark, sf0001, streams)
+    Releases.writePackRel(Releases.packRelKeyed(Releases.packRelSeqs(docs)),
+      dir, streams)
+    val s = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val versions = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir, GenManifest.DirName))
+      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+    assert(versions.length === 1, versions.toSeq)
+    val nonEmpty = docs.select(col("stream")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(s.entries.length === nonEmpty.size)
+    val prefixes = s.entries.map { e =>
+      assert(e.hasRange && e.count > 0 && e.sorted, e.name)
+      val (lo, hi) = (new String(e.min, "UTF-8"), new String(e.max, "UTF-8"))
+      assert(lo.take(3) === hi.take(3), s"${e.name} spans streams: $lo..$hi")
+      lo.take(3)
+    }
+    assert(prefixes.distinct.length === prefixes.length)
+    val parsed = Releases.packRelParse(spark, dir).collect()
+    // BPE token conservation through the sink: the packed sequences
+    // hold exactly the corpus's tokens, no loss, no duplication
+    val totalNb = docs.agg(sum(col("nb"))).head().getLong(0)
+    assert(parsed.map(_.getLong(3)).sum === totalNb)
+    // members string is the sequence's doc membership: count agrees
+    parsed.foreach { r =>
+      assert(r.getString(4).split(",").length === r.getLong(2), r)
+    }
+    // per stream: seq ids are contiguous from 0 and every sequence
+    // except the last is filled to exactly PackRelLen tokens
+    parsed.groupBy(_.getInt(0)).foreach { case (st, rows) =>
+      val bySeq = rows.sortBy(_.getLong(1))
+      assert(bySeq.map(_.getLong(1)).toSeq ===
+        (0L until bySeq.length).toSeq, s"stream $st seq ids not contiguous")
+      bySeq.init.foreach(r => assert(r.getLong(3) === Releases.PackRelLen,
+        s"stream $st seq ${r.getLong(1)} under-filled mid-stream"))
+      assert(bySeq.last.getLong(3) <= Releases.PackRelLen)
+    }
+    dir
+  }
+
+  test("q212 packed release: one sorted file per stream, one commit, tokens conserved") {
+    checkPackedRelease(Releases.PackRelStreams)
+  }
+
+  test("q212 packed release holds at a non-default stream count") {
+    checkPackedRelease(4)
+  }
+
+  test("q213 erasure rewrites only the affected stream files, in one commit") {
+    val streams = 4
+    val dir = freshDir("graft_man_packerase")
+    val docs = Releases.packRelDocs(spark, sf0001, streams)
+    Releases.writePackRel(Releases.packRelKeyed(Releases.packRelSeqs(docs)),
+      dir, streams)
+    val s1 = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    // victim: one concrete document; its stream is the only one whose
+    // file may change
+    val victim = docs.orderBy(col("doc_id")).select(col("doc_id"),
+      col("stream")).head()
+    val (vid, vStream) = (victim.getLong(0), victim.getInt(1))
+    val vPrefix = f"t$vStream%02d"
+    val before = s1.entries.map(e =>
+      new String(e.min, "UTF-8").take(3) -> e.name).toMap
+    val (t1, u1) = Releases.packErase(spark, dir, Seq(vid), streams)
+    assert(t1 === 1 && u1 === s1.entries.length - 1)
+    val s2 = GenManifest.read(dir, conf).getOrElse(fail("no manifest v2"))
+    // ONE commit for the whole erasure
+    assert(s2.version === s1.version + 1)
+    val after = s2.entries.map(e =>
+      new String(e.min, "UTF-8").take(3) -> e.name).toMap
+    // untouched streams keep their exact files; only the victim's
+    // stream was rewritten
+    (before.keySet - vPrefix).foreach(p => assert(after(p) === before(p), p))
+    assert(after(vPrefix) !== before(vPrefix))
+    // the victim is gone from every membership, and the affected
+    // stream's packing equals a from-scratch repack of its survivors
+    val parsed = Releases.packRelParse(spark, dir)
+    assert(parsed.filter(col("members").contains(f"d$vid%010d")).count()
+      === 0)
+    val expected = Releases.packRelSeqs(
+        docs.filter(col("doc_id") =!= vid))
+      .filter(col("stream") === vStream)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val got = parsed.filter(col("stream") === vStream)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got === expected)
+    // idempotence: erasing the same id again rewrites the affected
+    // stream to identical content (and still commits exactly once)
+    val (t2, _) = Releases.packErase(spark, dir, Seq(vid), streams)
+    assert(t2 === 1)
+    val s3 = GenManifest.read(dir, conf).getOrElse(fail("no manifest v3"))
+    assert(s3.version === s2.version + 1)
+    val again = Releases.packRelParse(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val first = parsed
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(again === first)
+  }
 }
