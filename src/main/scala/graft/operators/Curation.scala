@@ -855,7 +855,58 @@ object Curation {
       .withColumn("agree_milli", expr("1000 * n_agree DIV n_docs"))
   }
 
+  /** q216 model shape: hashed-feature buckets and the keep threshold
+    * (milli). 256 buckets suffice for the toy corpus; fastText-style
+    * deployments use 2^21 — still a few-MB broadcast, same plan.
+    */
+  private[graft] val ClfBuckets = 256L
+  private[graft] val ClfThreshold = 0L
+
+  /** q216: LINEAR CLASSIFIER INFERENCE over hashed text features — the
+    * "apply the trained quality classifier to the corpus" step every
+    * production curation stack runs (CCNet/fastText-style): each
+    * document's word unigrams + bigrams hash into [[ClfBuckets]]
+    * feature buckets, the model is a WEIGHT TABLE joined in as a
+    * broadcast (the model-distribution shape — a trained model loads
+    * from storage; here the weights are a deterministic hash-derived
+    * stand-in, exactly the multimodal stub-codec discipline, so the
+    * oracle replays inference bit-for-bit), and the document's score
+    * is the exact integer mean feature weight in milli, thresholded
+    * into the keep/drop verdict q100's gate ladder would consume.
+    * The score shift `(sw + n·1000) DIV n − 1000` keeps the DIV
+    * numerator non-negative — Spark truncation and DuckDB flooring
+    * agree only there.
+    *
+    * Scale: featurization is row-local (one codegen span); the weight
+    * join broadcasts the bucket-cardinality model; the only shuffle
+    * is the doc-grain aggregation with map-side partials. Inference
+    * cost is O(tokens), independent of model training.
+    */
+  def classifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("grams", concat(col("ws"),
+        zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b))))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("b", pmod(hash60(concat(lit("feat:"), col("g"))),
+        lit(ClfBuckets)))
+    val weights = spark.range(ClfBuckets).select(col("id").as("b"),
+      (pmod(hash60(concat(lit("w:"), col("id").cast("string"))),
+        lit(2001L)) - 1000L).as("w"))
+    feats.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"), sum(col("w")).as("sw"))
+      .withColumn("score_milli",
+        expr("(sw + n_features * 1000) DIV n_features - 1000"))
+      .select(col("doc_id"), col("n_features"), col("score_milli"),
+        (col("score_milli") >= ClfThreshold).cast("int").as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_classifier_score" -> classifierScore,
     "q200_curriculum" -> curriculumOrder,
     "q201_shuffle_decorrelation" -> shuffleDecorrelation,
     "q184_domain_affinity" -> domainAffinity,
@@ -1250,7 +1301,32 @@ object Curation {
        |GROUP BY x.epoch, y.epoch""".stripMargin
   }
 
+  // q216: inference replayed with the weights computed inline (the
+  // engine's broadcast weight TABLE holds the same hash-derived
+  // values, so join-vs-inline is a plan choice, not a model change);
+  // hash kernels contain `||` — spliced AFTER stripMargin
+  private val classifierScoreSql =
+    s"""WITH w0 AS (SELECT doc_id, @WS@ ws FROM documents),
+       |g0 AS (SELECT doc_id, list_concat(ws,
+       |         list_transform(range(1, len(ws)),
+       |           i -> ws[i] || ' ' || ws[i+1])) grams
+       |       FROM w0 WHERE len(ws) >= 1),
+       |f AS (SELECT doc_id, unnest(grams) g FROM g0),
+       |b AS (SELECT doc_id, @FH@ % $ClfBuckets bkt FROM f),
+       |s AS (SELECT doc_id, count(*) n_features,
+       |        CAST(sum(@WH@ % 2001 - 1000) AS BIGINT) sw
+       |      FROM b GROUP BY doc_id)
+       |SELECT doc_id, n_features,
+       |  (sw + n_features * 1000) // n_features - 1000 AS score_milli,
+       |  CAST((sw + n_features * 1000) // n_features - 1000
+       |    >= $ClfThreshold AS INTEGER) AS keep
+       |FROM s""".stripMargin
+      .replace("@WS@", sqlWords)
+      .replace("@FH@", sqlHash60("'feat:' || g"))
+      .replace("@WH@", sqlHash60("'w:' || CAST(bkt AS VARCHAR)"))
+
   val oracle: Map[String, String] = Map(
+    "q216_classifier_score" -> classifierScoreSql,
     "q200_curriculum" -> curriculumSql,
     "q201_shuffle_decorrelation" -> shuffleDecorrSql,
     "q184_domain_affinity" -> domainAffinitySql,

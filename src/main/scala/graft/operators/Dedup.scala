@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -837,7 +837,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("gap"), col("jaccard"))
   }
 
+  /** Bloom bit-array size (bits) and probe count for q214. Sized so
+    * the toy history (~450 distinct hashes at sf0.01) loads the filter
+    * to kn/m ≈ 0.33 — a measurable-but-small theoretical FP rate of
+    * (1−e^(−kn/m))^k ≈ 0.4%, so the audit exercises both verdicts. A
+    * deployment sizes m ≈ 10·n_history bits (~1.2 GB per 10^9 docs —
+    * broadcastable) for FP ≈ 1%.
+    */
+  private[graft] val BloomM = 4096L
+  private[graft] val BloomK = 3
+
+  /** q214: BLOOM-FILTER HISTORY SCREEN + false-positive audit — the
+    * scale path for q58's exact-dup leg: instead of joining each
+    * increment against the corpus-sized content-hash table, the
+    * history is folded ONCE into an m-bit Bloom filter ([[BloomK]]
+    * salted positions per hash) and each new document checks its own
+    * [[BloomK]] probes — flagged iff every probe hits. The filter is
+    * mergeable (union = bitwise OR), so per-shard filters build
+    * map-side and nightly increments fold in without rescanning
+    * history. Because a Bloom hit can lie, the query ALSO runs the
+    * exact check and reports per-document `false_pos` — the audit
+    * that calibrates m/n before anyone trusts the filter as a
+    * pre-screen (FPs cost only a wasted exact lookup; false negatives
+    * are impossible, which the oracle proves by hash equality:
+    * every exact_dup row has in_bloom = 1).
+    *
+    * Scale: the filter is the position SET here (≤ m rows,
+    * metadata-tier — at real m it packs into m/64 longs exactly as
+    * q161 packs SRP masks); history folds in with ONE distinct over
+    * row-local probe explosions; the increment side is row-local
+    * probes + one broadcast join against the filter. No
+    * increment×corpus join anywhere — the exact leg exists only as
+    * the audit's ground truth (a deployment runs it solely on the
+    * flagged slice).
+    */
+  def bloomHistory(spark: SparkSession, dir: String,
+      m: Long = BloomM): DataFrame = {
+    require(m >= 1, s"bloom filter needs at least one bit, got $m")
+    val isNew = col("doc_id") % 10 === 7
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    def probes(c: Column): Column = array((0 until BloomK).map(j =>
+      pmod(graft.functions.Portable.hash60(
+        concat(lit(s"bloom$j:"), c)), lit(m))): _*)
+    val filterBits = h.filter(!isNew)
+      .select(explode(probes(col("h"))).as("p")).distinct()
+      .withColumn("hit", lit(1))
+    val flagged = h.filter(isNew)
+      .select(col("doc_id"), col("h"), explode(probes(col("h"))).as("p"))
+      .join(broadcast(filterBits), Seq("p"), "left")
+      .groupBy(col("doc_id"), col("h"))
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0))))
+        .cast("int").as("in_bloom"))
+    val exact = h.filter(!isNew).select(col("h")).distinct()
+      .withColumn("is_dup", lit(1))
+    flagged.join(exact, Seq("h"), "left")
+      .select(col("doc_id"), col("in_bloom"),
+        coalesce(col("is_dup"), lit(0)).as("exact_dup"),
+        (col("in_bloom") === 1 && coalesce(col("is_dup"), lit(0)) === 0)
+          .cast("int").as("false_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_bloom_history" ->
+      ((s: SparkSession, d: String) => bloomHistory(s, d)),
     "q145_sorted_neighborhood" -> sortedNeighborhood,
     "q143_dup_spans" -> dupSpans,
     "q140_nightly_drop" -> nightlyDrop,
@@ -1166,7 +1229,32 @@ object Dedup {
        |  CAST(i AS DOUBLE)/(la+lb-i) AS jaccard
        |FROM j WHERE CAST(i AS DOUBLE)/(la+lb-i) >= 0.5""".stripMargin
 
+  // q214: the filter replayed at position-set grain — history probe
+  // positions distinct, increment probes LEFT JOINed, flagged iff no
+  // probe missed; the exact leg is the audit's ground truth. The
+  // position kernel contains `||`, so it splices AFTER stripMargin.
+  private val bloomHistorySql =
+    s"""WITH h AS (SELECT doc_id, md5(text) h FROM documents),
+       |hist AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 <> 7),
+       |hp AS (SELECT DISTINCT @POS@ q FROM hist,
+       |       (SELECT unnest(range($BloomK)) j)),
+       |inc AS (SELECT doc_id, h FROM h WHERE doc_id % 10 = 7),
+       |ip AS (SELECT doc_id, h, @POS@ p FROM inc,
+       |       (SELECT unnest(range($BloomK)) j)),
+       |f AS (SELECT doc_id, h,
+       |        CAST(count(*) = count(hp.q) AS INTEGER) in_bloom
+       |      FROM ip LEFT JOIN hp ON ip.p = hp.q
+       |      GROUP BY ip.doc_id, ip.h),
+       |e AS (SELECT h, 1 is_dup FROM hist)
+       |SELECT doc_id, in_bloom, coalesce(is_dup, 0) exact_dup,
+       |  CAST(in_bloom = 1 AND is_dup IS NULL AS INTEGER) false_pos
+       |FROM f LEFT JOIN e USING (h)""".stripMargin
+      .replace("@POS@",
+        sqlHash60("'bloom' || CAST(j AS VARCHAR) || ':' || h") +
+          s" % $BloomM")
+
   val oracle: Map[String, String] = Map(
+    "q214_bloom_history" -> bloomHistorySql,
     "q145_sorted_neighborhood" -> snmSql,
     "q143_dup_spans" -> dupSpansSql,
     "q140_nightly_drop" -> nightlyDropSql,

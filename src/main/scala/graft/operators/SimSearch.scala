@@ -189,7 +189,7 @@ object SimSearch {
     rerank(e, cand)
   }
 
-  private[operators] val NCells = 16 // IVF coarse-quantizer cells
+  private[graft] val NCells = 16 // IVF coarse-quantizer cells
   private[operators] val NProbe = 4 // cells probed per query (prunes 3/4 of corpus)
 
   private val KmK = 8 // k-means clusters (q59's reported clustering)
@@ -772,7 +772,87 @@ object SimSearch {
         (col("balance_milli") >= 2000L).cast("int").as("skewed"))
   }
 
+  /** q215: STREAMING VECTOR-INDEX INGEST — the continuous-ingest half
+    * of the IVF lifecycle: embeddings STREAM in, are quantised and
+    * assigned to the FROZEN shared coarse quantizer row-locally, and
+    * land as cell-keyed `cNN:vNNNNNNNNNN` rows through the proto-zst
+    * streaming sink — one key-sorted file per cell per micro-batch,
+    * each batch folded into the generation manifest as ONE atomic
+    * epoch commit. The payload is the assignment distance, so q193's
+    * balance audit and q115's drift audit run straight off the landed
+    * index, and q77/q207 compaction later merges per-epoch cell files
+    * without touching this query. Keys are content-derived, so the
+    * on-disk index is identical under any batch split — the oracle
+    * replays train+assign with no streaming machinery (the q174
+    * discipline).
+    *
+    * Scale: the [[NCells]]×64-long quantizer enters the plan as a
+    * ~1 KB literal (inside the q161 plan-literal budget — a cluster
+    * deployment broadcasts bigger codebooks instead); the argmin is a
+    * row-local fold over that literal, so the stream needs ZERO state
+    * stores — no watermark, no shuffle except the per-batch
+    * cell-clustering exchange of [[NCells]] groups; manifest state is
+    * O(files + epochs).
+    */
+  def streamIndexIngest(spark: SparkSession, dir: String): DataFrame =
+    streamIndexIngestTo(spark, dir, Scratch.dir("graft_vecing"),
+      Scratch.dir("graft_vecing_ckpt"))
+
+  /** The q215 kernel over explicit output/checkpoint dirs — exposed so
+    * ManifestSpec can pin the landed layout (one sorted file per cell,
+    * epoch commit) on a directory it owns.
+    */
+  private[graft] def streamIndexIngestTo(spark: SparkSession, dir: String,
+      out: String, ckpt: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val cent = centroidFixture(spark, dir, NCells)
+      .select(col("cell").cast("int"), col("cqv"), col("cn2")).collect()
+    val centLit = array(cent.map { r =>
+      struct(lit(r.getInt(0)).as("cell"),
+        array(r.getSeq[Long](1).map(lit(_)): _*).as("cqv"),
+        lit(r.getLong(2)).as("cn2"))
+    }.toIndexedSeq: _*)
+    val assigned = Tables.embeddingsStream(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("n2", norm2(col("qv")))
+      .withColumn("w", array_min(transform(centLit, c =>
+        struct((col("n2") + c.getField("cn2") - lit(2L) *
+          dotq(col("qv"), c.getField("cqv"))).as("d2"),
+          c.getField("cell").as("cell")))))
+      .select(
+        encode(format_string("c%02d:v%010d", col("w.cell"),
+          // an id past the 10-digit field would shift the read-back
+          // parse; fail loudly (the q161 guard discipline)
+          when(col("vec_id") < 10000000000L, col("vec_id"))
+            .otherwise(raise_error(concat(lit("q215: vec_id "),
+              col("vec_id").cast("string"),
+              lit(" overflows the 10-digit key field"))))), "UTF-8")
+          .as("key"),
+        array(struct(
+          encode(lit("assign"), "UTF-8").as("name"),
+          encode(col("w.d2").cast("string"), "UTF-8").as("value"),
+          col("vec_id").as("write_time"))).as("columns"),
+        col("w.cell").as("cell"))
+    val q = assigned.repartition(col("cell"))
+      .select(col("key"), col("columns"))
+      .writeStream.format("proto-zst")
+      .option("checkpointLocation", ckpt)
+      .option("splitKeyPrefix", "3")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    Streaming.runToCompletion("q215", q)
+    spark.read.format("proto-zst").load(out)
+      .select(decode(col("key"), "UTF-8").as("k"),
+        decode(element_at(col("columns"), 1).getField("value"), "UTF-8")
+          .as("v"))
+      .select(substring(col("k"), 2, 2).cast("int").as("cell"),
+        substring(col("k"), 6, 10).cast("long").as("vec_id"),
+        col("v").cast("long").as("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_stream_index_ingest" -> streamIndexIngest,
     "q193_ivf_balance" -> ivfBalance,
     "q125_ann_matryoshka" -> annMatryoshka,
     "q115_ivf_increment" -> ivfIncrement,
@@ -867,6 +947,22 @@ object SimSearch {
        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) rnk FROM s)
        |SELECT q_id, rnk, vec_id, cosine FROM r WHERE rnk <= $K""".stripMargin
   }
+
+  /** q215 replay: the landed index must equal the q34 train/assign
+    * chain's full-corpus assignment — cell, vector, and the exact
+    * integer assignment distance the payload carries.
+    */
+  private val streamIngestSql =
+    s"""$baseSql,
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $NCells),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")}
+       |SELECT CAST(cell AS INTEGER) cell, CAST(vec_id AS BIGINT) vec_id,
+       |  CAST(dist2 AS BIGINT) d2 FROM a3""".stripMargin
 
   /** q85 replay: the q34 train/assign/probe chain with the corpus
     * inverted lists pre-filtered by the label predicate.
@@ -1150,6 +1246,7 @@ object SimSearch {
     "q125_ann_matryoshka" -> matryoshkaSql,
     "q20_ann_lsh" -> lshSql,
     "q34_ann_ivf" -> ivfSql,
+    "q215_stream_index_ingest" -> streamIngestSql,
     "q45_ann_recall" -> recallSql,
     "q59_kmeans_embed" -> kmeansSql,
     "q68_semantic_dedup" -> semdedupSql,

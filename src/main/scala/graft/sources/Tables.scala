@@ -73,6 +73,14 @@ object Tables {
       .parquet(dir)
   }
 
+  /** Streaming twin of [[embeddings]] — the vector-ingest source. */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(onDisk)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

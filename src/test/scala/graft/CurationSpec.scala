@@ -432,4 +432,36 @@ class CurationSpec extends AnyFunSuite {
     // the gate actually bites at this SF, and some sequences stay clean
     assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 == 0))
   }
+
+  test("q216 classifier inference matches a local replay and the threshold splits the corpus") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.isEmpty) None else {
+        val grams = ws ++ ws.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" "))
+        val sw = grams.map(g =>
+          h60("w:" + (h60("feat:" + g) % Curation.ClfBuckets)) % 2001L
+            - 1000L).sum
+        val n = grams.length.toLong
+        val score = (sw + n * 1000L) / n - 1000L
+        Some(id -> ((n, score,
+          if (score >= Curation.ClfThreshold) 1 else 0)))
+      }
+    }.toMap
+    val got = Curation.classifierScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got === expected)
+    // the deterministic model is a real discriminator at this SF:
+    // both verdicts occur, so downstream gate specs exercise both arms
+    assert(got.values.exists(_._3 == 1) && got.values.exists(_._3 == 0))
+  }
 }

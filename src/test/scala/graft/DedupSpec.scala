@@ -498,4 +498,43 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.size === testIds.size, "every test doc gets a verdict")
   }
+
+  test("q214 bloom screen: no false negatives, flags match a local replay, tiny filter saturates") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val hist = docs.filter(_._1 % 10 != 7).map(_._2).toSet
+    def pos(h: String, j: Int, m: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bloom$j:$h".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % m
+    }
+    val bits = hist.flatMap(h => (0 until Dedup.BloomK).map(pos(h, _,
+      Dedup.BloomM)))
+    val got = Dedup.bloomHistory(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(got.keySet === docs.filter(_._1 % 10 == 7).map(_._1).toSet)
+    docs.filter(_._1 % 10 == 7).foreach { case (id, h) =>
+      val (inBloom, exactDup, falsePos) = got(id)
+      val expectBloom = (0 until Dedup.BloomK)
+        .forall(j => bits(pos(h, j, Dedup.BloomM)))
+      assert(inBloom === (if (expectBloom) 1 else 0), s"doc $id")
+      assert(exactDup === (if (hist(h)) 1 else 0), s"doc $id")
+      // the Bloom guarantee: membership never missed
+      assert(!(exactDup == 1 && inBloom == 0),
+        s"doc $id: false negative — not a Bloom filter")
+      assert(falsePos === (if (inBloom == 1 && exactDup == 0) 1 else 0))
+    }
+    // FP regime, constructed: a 2-bit filter saturates on any real
+    // history, so every non-dup increment doc becomes a false
+    // positive — the audit column demonstrably fires
+    val tiny = Dedup.bloomHistory(spark, sf0001, m = 2L).collect()
+    assert(tiny.forall(_.getInt(1) == 1), "2-bit filter must saturate")
+    val fps = tiny.count(r => r.getInt(3) == 1)
+    val nonDups = tiny.count(r => r.getInt(2) == 0)
+    assert(fps === nonDups && fps > 0,
+      "every non-dup must surface as a measured false positive")
+  }
 }

@@ -936,4 +936,40 @@ class ManifestSpec extends AnyFunSuite {
         r.getLong(3), r.getString(4))).toSet
     assert(again === first)
   }
+
+  test("q215 stream index ingest lands the batch assignment, one sorted file per cell, epoch-committed") {
+    import graft.operators.SimSearch
+    import graft.functions.Portable
+    val out = freshDir("graft_man_vecing")
+    val ckpt = freshDir("graft_man_vecing_ckpt")
+    val got = SimSearch.streamIndexIngestTo(spark, sf0001, out, ckpt)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // expected: the batch assignment against the SAME frozen quantizer
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Portable.qvec(col("embedding")).as("qv"))
+      .withColumn("n2", Portable.norm2(col("qv")))
+    val cent = SimSearch.centroidFixture(spark, sf0001, SimSearch.NCells)
+    val expected = e.crossJoin(broadcast(cent))
+      .withColumn("d2", col("n2") + col("cn2") -
+        lit(2L) * Portable.dotq(col("qv"), col("cqv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("w"))
+      .select(col("w.cell").cast("int"), col("vec_id"), col("w.d2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // landed layout: one key-sorted file per non-empty cell, whole
+    // batch committed as ONE manifest epoch version
+    val s = GenManifest.read(out, conf).getOrElse(fail("no manifest"))
+    val cells = expected.map(_._1)
+    assert(s.entries.length === cells.size)
+    val prefixes = s.entries.map { en =>
+      assert(en.hasRange && en.sorted && en.count > 0, en.name)
+      val (lo, hi) = (new String(en.min, "UTF-8"), new String(en.max, "UTF-8"))
+      assert(lo.take(3) === hi.take(3), s"${en.name} spans cells")
+      lo.take(3)
+    }
+    assert(prefixes.distinct.length === prefixes.length)
+    assert(s.version === 1, "one AvailableNow batch = one epoch commit")
+    assert(s.epochs.nonEmpty, "the epoch must be recorded for exactly-once")
+  }
 }
