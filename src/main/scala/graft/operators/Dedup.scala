@@ -898,7 +898,114 @@ object Dedup {
           .cast("int").as("false_pos"))
   }
 
+  /** q217's index fixture: the corpus half's LSH band index SHIPPED
+    * through the manifested sink — one key-sorted file per band, whole
+    * index = ONE atomic manifest commit. In production this table is
+    * built once per corpus release and outlives every increment; the
+    * key embeds (band, 60-bit band-content hash, doc), so equal keys'
+    * first 23 bytes ARE the LSH bucket and a probe is a plain
+    * equi-join against the read-back.
+    */
+  private[graft] def lshIndexFixture(spark: SparkSession,
+      dir: String): String =
+    Sink.fixture("lshidx:" + dir) {
+      val out = Scratch.dir("graft_lshidx")
+      val d = docShingleHashes(spark, dir)
+      bandsOf(d.filter(col("doc_id") % 10 =!= 7))
+        .withColumn("band", split(col("bkey"), ":").getItem(0).cast("int"))
+        .withColumn("bh", graft.functions.Portable.hash60(
+          concat(lit("lshk:"), col("bkey"))))
+        .select(
+          encode(format_string("b%d:%019d:d%010d", col("band"), col("bh"),
+            // a doc past the 10-digit field would shift the probe
+            // parse; fail loudly (the q161 guard discipline)
+            when(col("doc_id") < 10000000000L, col("doc_id"))
+              .otherwise(raise_error(concat(lit("q217: doc_id "),
+                col("doc_id").cast("string"),
+                lit(" overflows the 10-digit key field"))))), "UTF-8")
+            .as("key"),
+          array(struct(
+            encode(lit("band"), "UTF-8").as("name"),
+            encode(col("bkey"), "UTF-8").as("value"),
+            col("bh").as("write_time"))).as("columns"),
+          col("band"))
+        .repartition(NumBands, col("band"))
+        .sortWithinPartitions(col("key"))
+        .select(col("key"), col("columns"))
+        .write.format("proto-zst")
+        .option("splitKeyPrefix", "2")
+        .mode("append").save(out)
+      out
+    }
+
+  /** q217: PERSISTED LSH NEAR-DUP INDEX + incremental probe — the
+    * MinHash analog of q215's vector-index ingest, and the piece that
+    * makes q58's near-dup leg honest at scale: q58 rebuilds the corpus
+    * signature table inside the query, while a production nightly
+    * PERSISTS the band index once ([[lshIndexFixture]] — through the
+    * engine's own manifested sink) and each increment probes it.
+    * Here the increment's bands equi-join the READ-BACK index bytes on
+    * the 60-bit band hash, candidates verify at shingle-Jaccard ≥ 500
+    * milli (the q15/q58 kernel), and the output is the verified
+    * (new doc, corpus doc) pair set with the exact integer score.
+    * The oracle replays band construction, the same band-hash join,
+    * and the verify — bit-for-bit, including hash collisions if any.
+    *
+    * Scale: probe cost ∝ increment × matched buckets (equi-join,
+    * never all-pairs); the index is read back from cell-sorted files
+    * (one partition per band file) and in production is additionally
+    * key-range-skippable since the band id is the key prefix. Only
+    * the increment's text is ever re-shingled.
+    */
+  def lshIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = lshIndexFixture(spark, dir)
+    val idx = spark.read.format("proto-zst").load(out)
+      .select(decode(col("key"), "UTF-8").as("k"))
+      .select(substring(col("k"), 4, 19).cast("long").as("bh"),
+        substring(col("k"), 25, 10).cast("long").as("corpus_id"))
+    val d = docShingleHashes(spark, dir).cp()
+    val probes = bandsOf(d.filter(col("doc_id") % 10 === 7))
+      .withColumn("bh", graft.functions.Portable.hash60(
+        concat(lit("lshk:"), col("bkey"))))
+    lshVerify(d, probes.join(idx, "bh")
+      .select(col("doc_id"), col("corpus_id")).distinct())
+  }
+
+  /** The q217 screen WITHOUT the persisted index (bands joined
+    * in-plan) — the spec's parity twin: persistence must be a cost
+    * choice, never a semantics choice.
+    */
+  private[graft] def lshProbeNoIndex(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = docShingleHashes(spark, dir).cp()
+    val bands = bandsOf(d)
+      .withColumn("bh", graft.functions.Portable.hash60(
+        concat(lit("lshk:"), col("bkey"))))
+    val cand = bands.filter(col("doc_id") % 10 === 7)
+      .join(bands.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id").as("corpus_id"), col("bh")), "bh")
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    lshVerify(d, cand)
+  }
+
+  /** Shared q217 verify tail: exact shingle-Jaccard ≥ 500 milli over a
+    * candidate (doc_id, corpus_id) set.
+    */
+  private def lshVerify(d: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(d.select(col("doc_id"), col("hsh").as("hsn")), "doc_id")
+      .join(d.select(col("doc_id").as("corpus_id"), col("hsh").as("hsc")),
+        "corpus_id")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sorted_intersect_count(col("hsn"),
+          col("hsc")))
+      .withColumn("jaccard_milli",
+        expr("1000 * inter DIV (size(hsn) + size(hsc) - inter)"))
+      .filter(col("jaccard_milli") >= 500)
+      .select(col("doc_id"), col("corpus_id"), col("jaccard_milli"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_lsh_index_probe" -> lshIndexProbe,
     "q214_bloom_history" ->
       ((s: SparkSession, d: String) => bloomHistory(s, d)),
     "q145_sorted_neighborhood" -> sortedNeighborhood,
@@ -1253,7 +1360,28 @@ object Dedup {
         sqlHash60("'bloom' || CAST(j AS VARCHAR) || ':' || h") +
           s" % $BloomM")
 
+  // q217: band construction, the SAME 60-bit band-hash join the probe
+  // runs against the index bytes, then the q15 verify — collisions
+  // included, so engine and oracle agree bit-for-bit by construction
+  private val lshIndexSql =
+    """@SB@,
+      |ib AS (SELECT doc_id, @BH@ bh FROM bands WHERE doc_id % 10 <> 7),
+      |pb AS (SELECT doc_id, @BH@ bh FROM bands WHERE doc_id % 10 = 7),
+      |cand AS (SELECT DISTINCT p.doc_id, i.doc_id corpus_id
+      |         FROM pb p JOIN ib i ON p.bh = i.bh),
+      |j AS (SELECT cand.doc_id, cand.corpus_id,
+      |        len(list_intersect(x.hsh, y.hsh)) i,
+      |        len(x.hsh) la, len(y.hsh) lb
+      |      FROM cand JOIN d x ON x.doc_id = cand.doc_id
+      |                JOIN d y ON y.doc_id = cand.corpus_id)
+      |SELECT doc_id, corpus_id,
+      |  (1000 * i) // (la + lb - i) jaccard_milli
+      |FROM j WHERE (1000 * i) // (la + lb - i) >= 500""".stripMargin
+      .replace("@SB@", sigBandsSql)
+      .replace("@BH@", sqlHash60("'lshk:' || bkey"))
+
   val oracle: Map[String, String] = Map(
+    "q217_lsh_index_probe" -> lshIndexSql,
     "q214_bloom_history" -> bloomHistorySql,
     "q145_sorted_neighborhood" -> snmSql,
     "q143_dup_spans" -> dupSpansSql,

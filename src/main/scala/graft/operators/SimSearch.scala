@@ -851,7 +851,72 @@ object SimSearch {
         col("v").cast("long").as("d2"))
   }
 
+  /** q218: HARD-PAIR MINING for contrastive training — per anchor, the
+    * highest-cosine SAME-label candidate (the positive) and the
+    * highest-cosine DIFFERENT-label candidate (the hard negative: the
+    * near-miss that teaches the margin), mined through the q34/q85
+    * probed-IVF path so candidate generation never goes all-pairs.
+    * The output row is the training triple plus its margin
+    * (pos_cos − neg_cos): margins near zero are the valuable batch
+    * entries a curriculum samples first; anchors with no same- or
+    * different-label candidate in their probed cells keep NULLs (the
+    * "widen probes" signal q209 automates).
+    *
+    * Scale: one corpus assignment (broadcast quantizer + map-side-
+    * partial argmin), NQ×NProbe probe rows broadcast against the
+    * cell-keyed inverted lists, re-rank on the candidate set only,
+    * and the per-anchor argmax folds into ONE map-side-partial
+    * `max(struct(...))` aggregation — no window over the corpus.
+    */
+  def hardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"), col("label"))
+      .withColumn("n2", norm2(col("qv")))
+      .cp()
+    val cent = centroidFixture(spark, dir, NCells)
+    val scored = e0.crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("n2"), col("cqv"), col("cn2")))
+    val corpus = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"), col("label"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"),
+        col("w.label").as("label"))
+    val probes = scored.filter(col("vec_id") < NQ)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = corpus
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"))
+      .distinct()
+    val qfeat = e0.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("n2").as("qn2"), col("label").as("qlabel"))
+    val pairs = cand
+      .join(e0.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+      .join(broadcast(qfeat), "q_id")
+      .select(col("q_id"), col("qlabel"), col("vec_id"), col("label"),
+        cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2"))
+          .as("cosine"))
+    // (cosine, -vec_id) max ≡ ORDER BY cosine DESC, vec_id ASC LIMIT 1
+    val best = pairs.groupBy(col("q_id"))
+      .agg(
+        max(when(col("label") === col("qlabel"),
+          struct(col("cosine"), (-col("vec_id")).as("nid")))).as("p"),
+        max(when(col("label") =!= col("qlabel"),
+          struct(col("cosine"), (-col("vec_id")).as("nid")))).as("g"))
+    e0.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("label").as("qlabel"))
+      .join(best, Seq("q_id"), "left")
+      .select(col("q_id"), col("qlabel"),
+        (-col("p.nid")).as("pos_id"), col("p.cosine").as("pos_cos"),
+        (-col("g.nid")).as("neg_id"), col("g.cosine").as("neg_cos"),
+        (col("p.cosine") - col("g.cosine")).as("margin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_hard_pairs" -> hardPairs,
     "q215_stream_index_ingest" -> streamIndexIngest,
     "q193_ivf_balance" -> ivfBalance,
     "q125_ann_matryoshka" -> annMatryoshka,
@@ -963,6 +1028,54 @@ object SimSearch {
        |${kmAssignSql("centn2", "3")}
        |SELECT CAST(cell AS INTEGER) cell, CAST(vec_id AS BIGINT) vec_id,
        |  CAST(dist2 AS BIGINT) d2 FROM a3""".stripMargin
+
+  /** q218 replay: the q34 train/assign/probe chain, candidates scored,
+    * then per-anchor best same-label and best different-label rows via
+    * the (cosine DESC, vec_id ASC) ranking the engine folds into its
+    * max(struct) aggregation; anchors keep NULLs where a side is
+    * empty.
+    */
+  private val hardPairsSql = {
+    val probeD2 = s"x.n2 - 2*${sqlDotq("x.qv", "c.cqv")} + c.cn2"
+    s"""$baseSql,
+       |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
+       |          FROM n WHERE vec_id < $NCells),
+       |${kmAssignSql("cent0", "1")},
+       |${kmUpdateSql("1", "1")},
+       |${kmAssignSql("centn1", "2")},
+       |${kmUpdateSql("2", "2")},
+       |${kmAssignSql("centn2", "3")},
+       |corpus AS (SELECT a3.vec_id, a3.cell, emb.label
+       |           FROM a3 JOIN embeddings emb ON emb.vec_id = a3.vec_id),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT x.vec_id q_id, c.cell,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $probeD2, c.cell) rn
+       |    FROM n x CROSS JOIN centn2 c WHERE x.vec_id < $NQ)
+       |  WHERE rn <= $NProbe),
+       |ql AS (SELECT vec_id q_id, label qlabel FROM embeddings
+       |       WHERE vec_id < $NQ),
+       |cand AS (SELECT DISTINCT p.q_id, c.vec_id, c.label
+       |         FROM probes p JOIN corpus c ON c.cell = p.cell
+       |         WHERE c.vec_id <> p.q_id),
+       |s AS (SELECT cand.q_id, ql.qlabel, cand.vec_id, cand.label,
+       |        CAST(${sqlDotq("q.qv", "c.qv")} AS DOUBLE) / sqrt(nullif(CAST(q.n2 AS DOUBLE)*CAST(c.n2 AS DOUBLE), 0.0)) cosine
+       |      FROM cand JOIN ql ON ql.q_id = cand.q_id
+       |           JOIN n q ON q.vec_id = cand.q_id
+       |           JOIN n c ON c.vec_id = cand.vec_id),
+       |p AS (SELECT q_id, vec_id pos_id, cosine pos_cos,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, vec_id ASC) rn
+       |      FROM s WHERE label = qlabel),
+       |g AS (SELECT q_id, vec_id neg_id, cosine neg_cos,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, vec_id ASC) rn
+       |      FROM s WHERE label <> qlabel)
+       |SELECT ql.q_id, ql.qlabel, p.pos_id, p.pos_cos, g.neg_id,
+       |  g.neg_cos, p.pos_cos - g.neg_cos margin
+       |FROM ql LEFT JOIN p ON p.q_id = ql.q_id AND p.rn = 1
+       |        LEFT JOIN g ON g.q_id = ql.q_id AND g.rn = 1""".stripMargin
+  }
 
   /** q85 replay: the q34 train/assign/probe chain with the corpus
     * inverted lists pre-filtered by the label predicate.
@@ -1247,6 +1360,7 @@ object SimSearch {
     "q20_ann_lsh" -> lshSql,
     "q34_ann_ivf" -> ivfSql,
     "q215_stream_index_ingest" -> streamIngestSql,
+    "q218_hard_pairs" -> hardPairsSql,
     "q45_ann_recall" -> recallSql,
     "q59_kmeans_embed" -> kmeansSql,
     "q68_semantic_dedup" -> semdedupSql,

@@ -972,4 +972,31 @@ class ManifestSpec extends AnyFunSuite {
     assert(s.version === 1, "one AvailableNow batch = one epoch commit")
     assert(s.epochs.nonEmpty, "the epoch must be recorded for exactly-once")
   }
+
+  test("q217 LSH index: one sorted file per band, one commit, probe equals index-free screen") {
+    import graft.operators.Dedup
+    val out = Dedup.lshIndexFixture(spark, sf0001)
+    val s = GenManifest.read(out, conf).getOrElse(fail("no manifest"))
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val versions = fs.listStatus(
+      new org.apache.hadoop.fs.Path(out, GenManifest.DirName))
+      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+    assert(versions.length === 1, versions.toSeq)
+    val prefixes = s.entries.map { e =>
+      assert(e.hasRange && e.sorted && e.count > 0, e.name)
+      val (lo, hi) = (new String(e.min, "UTF-8"), new String(e.max, "UTF-8"))
+      assert(lo.take(2) === hi.take(2), s"${e.name} spans bands: $lo..$hi")
+      lo.take(2)
+    }
+    assert(prefixes.distinct.length === prefixes.length)
+    // the probe through the landed index equals the same screen run
+    // WITHOUT the index (bands joined in-plan) — persistence is a
+    // cost choice, never a semantics choice
+    val got = Dedup.lshIndexProbe(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Dedup.lshProbeNoIndex(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "the screen must fire at this SF or it proves nothing")
+  }
 }

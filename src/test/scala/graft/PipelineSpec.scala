@@ -2187,6 +2187,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(dist.exceptAll(naive).count() === 0L)
     assert(naive.exceptAll(dist).count() === 0L)
   }
+
+  test("q218 hard pairs: label contracts hold and the fold equals a local ranking replay") {
+    import graft.functions.Portable
+    val got = SimSearch.hardPairs(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val labels = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the candidate/cosine table with the same public pieces
+    val e0 = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Portable.qvec(col("embedding")).as("qv"),
+        col("label"))
+      .withColumn("n2", Portable.norm2(col("qv")))
+    val cent = SimSearch.centroidFixture(spark, sf0001, SimSearch.NCells)
+    val scored = e0.crossJoin(broadcast(cent))
+      .withColumn("d2", col("n2") + col("cn2") -
+        lit(2L) * Portable.dotq(col("qv"), col("cqv")))
+    val corpus = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"))
+    val probes = scored.filter(col("vec_id") < 8)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= 4)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val qf = e0.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("n2").as("qn2"))
+    val cands = corpus.join(probes, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+      .join(e0.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+      .join(qf, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (Portable.dotq(col("qqv"), col("qv")).cast("double") /
+          sqrt(nullif(col("qn2").cast("double") * col("n2").cast("double"),
+            lit(0.0)))).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byAnchor = cands.groupBy(_._1)
+    (0L until 8L).foreach { q =>
+      val row = got(q)
+      assert(row.getAs[Number](1).longValue() === labels(q),
+        s"anchor $q label")
+      val cs = byAnchor.getOrElse(q, Array.empty)
+      def top(side: Boolean): Option[(Long, Double)] =
+        cs.filter(c => (labels(c._2) == labels(q)) == side)
+          .sortBy(c => (-c._3, c._2)).headOption.map(c => (c._2, c._3))
+      (top(true), Option(row.get(2)).map(_ => (row.getLong(2),
+        row.getDouble(3)))) match {
+        case (Some((id, cos)), Some((gid, gcos))) =>
+          assert(id === gid && math.abs(cos - gcos) < 1e-12, s"pos $q")
+        case (e, g) => assert(e.isEmpty === g.isEmpty, s"pos $q: $e vs $g")
+      }
+      (top(false), Option(row.get(4)).map(_ => (row.getLong(4),
+        row.getDouble(5)))) match {
+        case (Some((id, cos)), Some((gid, gcos))) =>
+          assert(id === gid && math.abs(cos - gcos) < 1e-12, s"neg $q")
+        case (e, g) => assert(e.isEmpty === g.isEmpty, s"neg $q: $e vs $g")
+      }
+    }
+    // the miner must produce at least one usable training triple here
+    assert(got.values.exists(r => !r.isNullAt(6)),
+      "no anchor yielded both a positive and a hard negative")
+  }
 }
 
 /** Spec-local TTLConfig probe: q98's accumulator under

@@ -172,7 +172,10 @@ class PlanSpec extends AnyFunSuite {
       "q209_ann_adaptive",
       // q210's dense side broadcasts the bounded NQ-row query set
       // (q19's discipline); the sparse side is all equi-joins
-      "q210_hybrid_rrf")
+      "q210_hybrid_rrf",
+      // q218 broadcasts the K-row trained centroid table for the
+      // q34-style assignment argmin (q85's labeled shape)
+      "q218_hard_pairs")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
