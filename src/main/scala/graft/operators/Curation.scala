@@ -905,7 +905,58 @@ object Curation {
         (col("score_milli") >= ClfThreshold).cast("int").as("keep"))
   }
 
+  /** q219 batch shape: documents per training batch and assembly
+    * streams. `BatchDocs` is the loader's batch size; `BatchStreams`
+    * scales with the cluster exactly as q57/q172's pack streams do.
+    */
+  private[graft] val BatchDocs = 8
+  private[graft] val BatchStreams = 4
+
+  /** q219: LENGTH-BUCKETED BATCH SHAPING — dynamic batching's core
+    * table: documents grouped into power-of-two token-length buckets
+    * (`bucket = ⌊log2 n⌋ + 1`, row-local via `length(bin(n))`), then
+    * assembled into [[BatchDocs]]-document batches in salted-hash
+    * order (q170's decorrelation), with each batch's padding waste in
+    * milli — the fraction of a `n_docs × max_tokens` rectangular
+    * batch tensor that is padding. Mixed-length batches waste compute
+    * on pad tokens; bucketing by length is how every serious trainer
+    * shapes batches, and this table is both the batch index a loader
+    * reads and the audit that justifies the bucketing (the spec
+    * proves bucketed total waste < unbucketed waste on the same
+    * corpus and order).
+    *
+    * Scale: bucket + stream assignment is row-local; batch numbering
+    * is ONE running row_number per (bucket, stream) — partitions
+    * bounded by corpus/streams with the stream count a cluster-sized
+    * argument, the q57/q172 posture — and the batch aggregate has
+    * map-side partials.
+    */
+  def batchShaping(spark: SparkSession, dir: String,
+      streams: Int = BatchStreams): DataFrame = {
+    require(streams >= 1, s"need at least one assembly stream: $streams")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long")
+        .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", expr("length(bin(n_tokens))"))
+      .withColumn("k", hash60(concat_ws(":", lit("batch"), col("doc_id"))))
+      .withColumn("stream", (col("k") % streams).cast("int"))
+    d.withColumn("rn", row_number().over(Window
+        .partitionBy(col("bucket"), col("stream"))
+        .orderBy(col("k"), col("doc_id"))))
+      .withColumn("batch_id", expr(s"(rn - 1) DIV $BatchDocs"))
+      .groupBy(col("bucket"), col("stream"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_waste_milli",
+        expr("(1000 * (n_docs * max_tokens - sum_tokens)) " +
+          "DIV (n_docs * max_tokens)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_batch_shaping" ->
+      ((s: SparkSession, d: String) => batchShaping(s, d)),
     "q216_classifier_score" -> classifierScore,
     "q200_curriculum" -> curriculumOrder,
     "q201_shuffle_decorrelation" -> shuffleDecorrelation,
@@ -1325,7 +1376,34 @@ object Curation {
       .replace("@FH@", sqlHash60("'feat:' || g"))
       .replace("@WH@", sqlHash60("'w:' || CAST(bkt AS VARCHAR)"))
 
+  // q219: bucket/stream/batch assembly replayed; DuckDB has no bin(),
+  // so the power-of-two bucket is the bit length via floor(log2)+1 —
+  // computed as len(printf('%b', n)) for exact integer parity
+  private val batchShapingSql =
+    s"""WITH d0 AS (SELECT doc_id,
+       |         CAST(len(@WS@) AS BIGINT) n_tokens FROM documents),
+       |d AS (SELECT doc_id, n_tokens,
+       |        CAST(len(printf('%b', n_tokens)) AS INTEGER) bucket,
+       |        @BK@ k
+       |      FROM d0 WHERE n_tokens > 0),
+       |s AS (SELECT doc_id, n_tokens, bucket, k,
+       |        CAST(k % $BatchStreams AS INTEGER) stream FROM d),
+       |r AS (SELECT bucket, stream, n_tokens,
+       |        row_number() OVER (PARTITION BY bucket, stream
+       |          ORDER BY k, doc_id) rn
+       |      FROM s)
+       |SELECT bucket, stream, (rn - 1) // $BatchDocs batch_id,
+       |  count(*) n_docs, max(n_tokens) max_tokens,
+       |  CAST(sum(n_tokens) AS BIGINT) sum_tokens,
+       |  (1000 * (count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT)))
+       |    // (count(*) * max(n_tokens)) pad_waste_milli
+       |FROM r GROUP BY bucket, stream, (rn - 1) // $BatchDocs""".stripMargin
+      .replace("@WS@", sqlWords)
+      .replace("@BK@",
+        sqlHash60("'batch:' || CAST(doc_id AS VARCHAR)"))
+
   val oracle: Map[String, String] = Map(
+    "q219_batch_shaping" -> batchShapingSql,
     "q216_classifier_score" -> classifierScoreSql,
     "q200_curriculum" -> curriculumSql,
     "q201_shuffle_decorrelation" -> shuffleDecorrSql,

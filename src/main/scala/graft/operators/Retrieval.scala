@@ -157,9 +157,76 @@ object Retrieval {
        |    ORDER BY rrf_micro DESC, doc_id ASC) rnk FROM f)
        |WHERE rnk <= $HybridK""".stripMargin
 
+  private val MvK = 4 // vectors per multi-vector document
+  private val MvNQ = 4 // query documents
+  private val MvTopK = 5 // fused results per query document
+
+  /** q220: LATE-INTERACTION MULTI-VECTOR RETRIEVAL (ColBERT-style
+    * MaxSim) — documents are SETS of vectors (here the deterministic
+    * `vec_id DIV MvK` grouping stands in for per-chunk embeddings,
+    * the q166 chunking's output shape), and a query document scores a
+    * candidate as Σ over its query vectors of the MAX inner product
+    * against any candidate vector. Late interaction beats single-
+    * vector retrieval when relevance is carried by one passage of a
+    * long document; similarity is the exact integer dot product over
+    * the milli-quantised vectors, so MaxSim, the sum, and the ranking
+    * replay bit-for-bit in the oracle (no float accumulation-order
+    * hazard — the reason this operator scores with inner product, as
+    * ColBERTv2 itself does).
+    *
+    * Scale: the query side is bounded ([[MvNQ]]×[[MvK]] vectors,
+    * broadcast — q19's discipline); MaxSim folds into TWO
+    * map-side-partial aggregations ((q_vec, c_doc) max, then
+    * (q_doc, c_doc) sum) — never a corpus-sized window; the exact
+    * brute tier here is the recall baseline, and the scale path
+    * routes candidate c_docs through q34's probed cells first.
+    */
+  def lateInteraction(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(s"vec_id DIV $MvK").as("mdoc"),
+        qvec(col("embedding")).as("qv"))
+    val qs = v.filter(col("mdoc") < MvNQ)
+      .select(col("mdoc").as("q_doc"), col("vec_id").as("q_vec"),
+        col("qv").as("qqv"))
+    v.crossJoin(broadcast(qs))
+      .filter(col("mdoc") =!= col("q_doc"))
+      .withColumn("dot", dotq(col("qqv"), col("qv")))
+      .groupBy(col("q_doc"), col("q_vec"), col("mdoc"))
+      .agg(max(col("dot")).as("best"))
+      .groupBy(col("q_doc"), col("mdoc"))
+      .agg(sum(col("best")).as("score"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_doc"))
+        .orderBy(col("score").desc, col("mdoc").asc)))
+      .filter(col("rnk") <= MvTopK)
+      .select(col("q_doc"), col("rnk"), col("mdoc").as("c_doc"),
+        col("score"))
+  }
+
+  /** q220 replay: grouping, MaxSim, sum, ranking — all exact ints. */
+  private val lateInteractionSql =
+    s"""WITH e0 AS (SELECT vec_id, @QV@ qv FROM embeddings),
+       |e AS (SELECT vec_id, vec_id // $MvK mdoc, qv FROM e0),
+       |q AS (SELECT mdoc q_doc, vec_id q_vec, qv qqv FROM e
+       |      WHERE mdoc < $MvNQ),
+       |g AS (SELECT q.q_doc, q.q_vec, c.mdoc, max(@DOT@) best
+       |      FROM q JOIN e c ON c.mdoc <> q.q_doc
+       |      GROUP BY q.q_doc, q.q_vec, c.mdoc),
+       |s AS (SELECT q_doc, mdoc, CAST(sum(best) AS BIGINT) score
+       |      FROM g GROUP BY q_doc, mdoc),
+       |r AS (SELECT q_doc, mdoc, score, row_number() OVER (
+       |        PARTITION BY q_doc ORDER BY score DESC, mdoc ASC) rnk
+       |      FROM s)
+       |SELECT q_doc, rnk, mdoc c_doc, score FROM r
+       |WHERE rnk <= $MvTopK""".stripMargin
+      .replace("@QV@", graft.functions.Portable.sqlQvec)
+      .replace("@DOT@",
+        graft.functions.Portable.sqlDotq("q.qqv", "c.qv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q210_hybrid_rrf" -> hybridRrf)
+    "q210_hybrid_rrf" -> hybridRrf,
+    "q220_late_interaction" -> lateInteraction)
 
   val oracle: Map[String, String] = Map(
-    "q210_hybrid_rrf" -> hybridRrfSql)
+    "q210_hybrid_rrf" -> hybridRrfSql,
+    "q220_late_interaction" -> lateInteractionSql)
 }

@@ -464,4 +464,54 @@ class CurationSpec extends AnyFunSuite {
     // both verdicts occur, so downstream gate specs exercise both arms
     assert(got.values.exists(_._3 == 1) && got.values.exists(_._3 == 0))
   }
+
+  test("q219 batch shaping matches a local replay and beats unbucketed batching") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")
+        .count(_.nonEmpty).toLong))
+      .filter(_._2 > 0)
+      .map { case (id, n) => (id, n, h60(s"batch:$id")) }
+    def batches(group: (Long, Long, Long) => (Int, Int))
+        : Seq[(Int, Int, Long, Long, Long, Long)] =
+      docs.groupBy { case (id, n, k) => group(id, n, k) }.toSeq
+        .flatMap { case ((bucket, stream), rows) =>
+          rows.sortBy { case (id, _, k) => (k, id) }
+            .grouped(Curation.BatchDocs).zipWithIndex
+            .map { case (b, i) =>
+              val mx = b.map(_._2).max
+              val sm = b.map(_._2).sum
+              (bucket, stream, i.toLong, b.length.toLong, mx, sm)
+            }
+        }
+    val expected = batches((_, n, k) =>
+      (java.lang.Long.toBinaryString(n).length,
+        (k % Curation.BatchStreams).toInt))
+      .map { case (b, s, i, nd, mx, sm) =>
+        (b, s, i, nd, mx, sm, 1000L * (nd * mx - sm) / (nd * mx))
+      }.toSet
+    val got = Curation.batchShaping(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === expected)
+    // the justification: same corpus, same order, same batch size —
+    // bucketing strictly reduces total padded tokens here
+    def waste(rows: Seq[(Int, Int, Long, Long, Long, Long)]): Long =
+      rows.map { case (_, _, _, nd, mx, sm) => nd * mx - sm }.sum
+    val unbucketed = batches((_, _, k) =>
+      (0, (k % Curation.BatchStreams).toInt))
+    assert(waste(batches((_, n, k) =>
+      (java.lang.Long.toBinaryString(n).length,
+        (k % Curation.BatchStreams).toInt))) < waste(unbucketed),
+      "bucketing must reduce padding waste or the operator is pointless")
+    // non-default stream shape conserves every document exactly once
+    val twoStream = Curation.batchShaping(spark, sf0001, streams = 2)
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(twoStream === docs.length.toLong)
+  }
 }

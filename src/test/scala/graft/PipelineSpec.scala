@@ -2252,6 +2252,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.exists(r => !r.isNullAt(6)),
       "no anchor yielded both a positive and a hard negative")
   }
+
+  test("q220 late interaction equals a local MaxSim replay") {
+    import graft.functions.Portable
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Portable.qvec(col("embedding")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val byDoc = vecs.groupBy(_._1 / 4)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = (0L until 4L).flatMap { q =>
+      val qvs = byDoc(q).map(_._2)
+      byDoc.keys.filter(_ != q).toSeq.map { c =>
+        val score = qvs.map(qv =>
+          byDoc(c).map(cv => dot(qv, cv._2)).max).sum
+        (q, c, score)
+      }.sortBy { case (_, c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((qd, c, s), i) => (qd, i + 1, c, s) }
+    }.toSet
+    val got = graft.operators.Retrieval.lateInteraction(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+  }
 }
 
 /** Spec-local TTLConfig probe: q98's accumulator under

@@ -175,7 +175,10 @@ class PlanSpec extends AnyFunSuite {
       "q210_hybrid_rrf",
       // q218 broadcasts the K-row trained centroid table for the
       // q34-style assignment argmin (q85's labeled shape)
-      "q218_hard_pairs")
+      "q218_hard_pairs",
+      // q220 broadcasts the bounded MvNQ×MvK-vector query set (q19's
+      // discipline) for the exact MaxSim tier
+      "q220_late_interaction")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
