@@ -222,11 +222,119 @@ object Retrieval {
       .replace("@DOT@",
         graft.functions.Portable.sqlDotq("q.qqv", "c.qv"))
 
+  private val CtxNQ = 4 // query documents for context assembly
+  private val CtxBudget = 256L // context token budget per query
+
+  /** q222: BUDGETED CONTEXT ASSEMBLY — the serving-side step between
+    * retrieval and the model: for each query document, candidate
+    * chunks (q166's 64-token/48-stride windows over the non-query
+    * corpus) are scored by exact distinct-term overlap with the
+    * query, ranked, DEDUPLICATED by chunk content hash (overlapping
+    * windows and boilerplate repeat — a context slot is too expensive
+    * to spend twice on the same text), and admitted greedily in rank
+    * order while the running token total stays within [[CtxBudget]]
+    * — exactly the greedy fill RAG serving runs. Each output row is
+    * one admitted context slot with its position, chunk identity,
+    * score, and the running total the budget cut is made on.
+    *
+    * Scale: chunking and term sets are row-local; the bounded
+    * [[CtxNQ]]-query term-set table broadcasts (q19's discipline);
+    * scoring is one codegen intersection per (chunk, query); the
+    * rank/dedup/prefix-sum windows have [[CtxNQ]] partitions —
+    * bounded by the query set, with per-partition size already cut
+    * to score > 0 chunks. A huge query batch would route candidates
+    * through q142's term-postings equi-join first.
+    */
+  def contextAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val qterms = d.filter(col("doc_id") < CtxNQ)
+      .select(col("doc_id").as("q_id"), array_distinct(col("ws")).as("qts"))
+    val w = TextAnalysis.RagW
+    val s = TextAnalysis.RagStride
+    val chunks = d.filter(col("doc_id") >= CtxNQ)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), greatest(
+          expr(s"(size(ws) - ${1 + w - s}) DIV $s").cast("int"),
+          lit(0)))).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        slice(col("ws"), col("ci") * s + 1, lit(w)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        hash60(array_join(col("cw"), " ")).as("chunk_hash"),
+        array_distinct(col("cw")).as("cts"))
+    val rk = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_idx").asc)
+    val ranked = chunks.crossJoin(broadcast(qterms))
+      .withColumn("score",
+        size(array_intersect(col("cts"), col("qts"))).cast("long"))
+      .filter(col("score") > 0)
+      .withColumn("rk", row_number().over(rk))
+    val kept = ranked
+      .withColumn("dup_rn", row_number().over(Window
+        .partitionBy(col("q_id"), col("chunk_hash")).orderBy(col("rk"))))
+      .filter(col("dup_rn") === 1)
+    kept
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rk"))))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy(col("q_id")).orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= CtxBudget)
+      .select(col("q_id"), col("pos"), col("doc_id"), col("chunk_idx"),
+        col("n_tokens"), col("score"), col("cum_tokens"))
+  }
+
+  /** q222 replay: chunking, overlap scoring, rank, hash-dedup, greedy
+    * budget prefix — all exact integers. Hash kernels contain `||`,
+    * so they splice AFTER stripMargin.
+    */
+  private val contextAssemblySql = {
+    val w = TextAnalysis.RagW
+    val s = TextAnalysis.RagStride
+    s"""WITH d AS (SELECT doc_id, ws FROM
+       |      (SELECT doc_id, @WS@ ws FROM documents) WHERE len(ws) > 0),
+       |q AS (SELECT doc_id q_id, list_distinct(ws) qts FROM d
+       |      WHERE doc_id < $CtxNQ),
+       |c0 AS (SELECT doc_id, ws, unnest(range(0,
+       |         greatest((len(ws) - ${1 + w - s}) // $s, 0) + 1)) ci
+       |       FROM d WHERE doc_id >= $CtxNQ),
+       |c AS (SELECT doc_id, CAST(ci AS BIGINT) chunk_idx,
+       |        CAST(len(list_slice(ws, ci * $s + 1, ci * $s + $w))
+       |          AS BIGINT) n_tokens,
+       |        @CH@ chunk_hash,
+       |        list_distinct(list_slice(ws, ci * $s + 1, ci * $s + $w)) cts
+       |      FROM c0),
+       |sc AS (SELECT q.q_id, c.doc_id, c.chunk_idx, c.n_tokens,
+       |         c.chunk_hash,
+       |         CAST(len(list_intersect(c.cts, q.qts)) AS BIGINT) score
+       |       FROM c CROSS JOIN q),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, doc_id ASC, chunk_idx ASC) rk
+       |      FROM sc WHERE score > 0),
+       |k AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id, chunk_hash ORDER BY rk) dup_rn FROM r)
+       |      WHERE dup_rn = 1),
+       |a AS (SELECT q_id, doc_id, chunk_idx, n_tokens, score,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY rk) pos,
+       |        CAST(sum(n_tokens) OVER (PARTITION BY q_id ORDER BY rk
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_tokens
+       |      FROM k)
+       |SELECT q_id, pos, doc_id, chunk_idx, n_tokens, score, cum_tokens
+       |FROM a WHERE cum_tokens <= $CtxBudget""".stripMargin
+      .replace("@WS@", graft.functions.Portable.sqlWords)
+      .replace("@CH@", graft.functions.Portable.sqlHash60(
+        s"array_to_string(list_slice(ws, ci * $s + 1, ci * $s + $w), ' ')"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_hybrid_rrf" -> hybridRrf,
-    "q220_late_interaction" -> lateInteraction)
+    "q220_late_interaction" -> lateInteraction,
+    "q222_context_assembly" -> contextAssembly)
 
   val oracle: Map[String, String] = Map(
     "q210_hybrid_rrf" -> hybridRrfSql,
-    "q220_late_interaction" -> lateInteractionSql)
+    "q220_late_interaction" -> lateInteractionSql,
+    "q222_context_assembly" -> contextAssemblySql)
 }

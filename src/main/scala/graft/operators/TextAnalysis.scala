@@ -382,8 +382,8 @@ object TextAnalysis {
         (col("est_n") >= col("exact_n")).cast("int").as("ge_ok"))
   }
 
-  private val RagW = 64 // chunk window (tokens)
-  private val RagStride = 48 // stride => 16-token overlap between chunks
+  private[operators] val RagW = 64 // chunk window (tokens)
+  private[operators] val RagStride = 48 // stride => 16-token overlap between chunks
 
   /** q166: OVERLAPPING CHUNK WINDOWS — RAG/embedding-ingest chunking:
     * each document becomes sliding [[RagW]]-token windows at stride
@@ -692,12 +692,19 @@ object TextAnalysis {
   /** The q124 per-word kernel, exposed for the property spec: BPE
     * token count of one word under [[bpeMerges]].
     */
-  private[graft] def bpeTokens(w: Column): Column = {
+  private[graft] def bpeTokens(w: Column): Column =
+    bpeTokensUpTo(w, bpeMerges.length)
+
+  /** Token count of one word under only the FIRST `p` merges — the
+    * prefix kernel q221's merge-ablation curve sweeps (p = full table
+    * ≡ [[bpeTokens]]).
+    */
+  private[graft] def bpeTokensUpTo(w: Column, p: Int): Column = {
     val init = concat(
       array_join(transform(sequence(lit(1), length(w)), i =>
         concat(lit("["), w.substr(i, lit(1)), lit("]"))), ""),
       lit("[</w>]"))
-    val s = bpeMerges.foldLeft(init) { case (acc, (a, b)) =>
+    val s = bpeMerges.take(p).foldLeft(init) { case (acc, (a, b)) =>
       replace(acc, lit(s"[$a][$b]"), lit(s"[$a$b]"))
     }
     length(s) - length(replace(s, lit("[")))
@@ -1210,10 +1217,14 @@ object TextAnalysis {
     * ONE site for the oracle-side merge-table fold, shared by q124 and
     * q187 so the two can never disagree on the tokenizer.
     */
-  private[operators] val sqlBpeTokensOfWs: String = {
+  private[operators] val sqlBpeTokensOfWs: String =
+    sqlBpeTokensOfWsUpTo(bpeMerges.length)
+
+  /** Prefix twin of [[sqlBpeTokensOfWs]] for q221's ablation sweep. */
+  private[operators] def sqlBpeTokensOfWsUpTo(p: Int): String = {
     val init = "'[' || array_to_string(list_transform(range(1, len(w)+1), " +
       "i -> substr(w, CAST(i AS INTEGER), 1)), '][') || '][</w>]'"
-    val enc = bpeMerges.foldLeft(init) { case (s, (a, b)) =>
+    val enc = bpeMerges.take(p).foldLeft(init) { case (s, (a, b)) =>
       s"replace($s, '[$a][$b]', '[$a$b]')"
     }
     s"coalesce(CAST(list_sum(list_transform(list_transform(ws, w -> $enc)," +

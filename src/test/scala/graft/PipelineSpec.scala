@@ -2275,6 +2275,56 @@ class PipelineSpec extends AnyFunSuite {
         r.getLong(3))).toSet
     assert(got === expected)
   }
+
+  test("q222 context assembly equals a local greedy replay; dedup and budget both bite") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty)
+    val qs = docs.filter(_._1 < 4).map { case (id, ws) =>
+      id -> ws.distinct.toSet }
+    val chunks = docs.filter(_._1 >= 4).flatMap { case (id, ws) =>
+      val nChunks = math.max((ws.length - 17) / 48, 0) + 1
+      (0 until nChunks).map { ci =>
+        val cw = ws.slice(ci * 48, ci * 48 + 64)
+        (id, ci.toLong, cw.length.toLong, h60(cw.mkString(" ")),
+          cw.distinct.toSet)
+      }
+    }
+    var totalScored = 0
+    val expected = qs.flatMap { case (q, qts) =>
+      val ranked = chunks
+        .map { case (d, ci, n, h, cts) => (d, ci, n, h,
+          (cts & qts).size.toLong) }
+        .filter(_._5 > 0)
+        .sortBy { case (d, ci, _, _, s) => (-s, d, ci) }
+      totalScored += ranked.length
+      val kept = ranked.foldLeft(
+        (Seq.empty[(Long, Long, Long, Long, Long)], Set.empty[Long])) {
+        case ((acc, seen), (d, ci, n, h, s)) =>
+          if (seen(h)) (acc, seen)
+          else (acc :+ ((d, ci, n, h, s)), seen + h)
+      }._1
+      kept.scanLeft(0L)(_ + _._3).tail.zip(kept).zipWithIndex
+        .takeWhile { case ((cum, _), _) => cum <= 256L }
+        .map { case ((cum, (d, ci, n, _, s)), i) =>
+          (q, i + 1, d, ci, n, s, cum) }
+    }.toSet
+    val got = graft.operators.Retrieval.contextAssembly(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === expected)
+    // the operator's two guards are non-vacuous on this corpus: the
+    // budget rejected scored candidates (or dedup collapsed some)
+    assert(got.size < totalScored,
+      "every scored chunk was admitted — budget and dedup never fired")
+  }
 }
 
 /** Spec-local TTLConfig probe: q98's accumulator under

@@ -178,7 +178,10 @@ class PlanSpec extends AnyFunSuite {
       "q218_hard_pairs",
       // q220 broadcasts the bounded MvNQ×MvK-vector query set (q19's
       // discipline) for the exact MaxSim tier
-      "q220_late_interaction")
+      "q220_late_interaction",
+      // q222 broadcasts the bounded CtxNQ-row query term-set table
+      // for the chunk-overlap scoring
+      "q222_context_assembly")
     // every NL join's build side is a 1-row broadcast (a keyless
     // aggregate under an IdentityBroadcastMode exchange)
     def allNlJoinsScalar(plan: String): Boolean = {
