@@ -556,6 +556,7 @@ object Releases {
             "unchanged (manifest not committed)")
       fs.rename(graft.sources.RangeSidecar.sidecar(src),
         graft.sources.RangeSidecar.sidecar(dst))
+      graft.sources.SplitSidecar.move(fs, src, dst)
       e.copy(name = newName)
     }
     graft.sources.GenManifest.replace(relDir, conf,

@@ -690,7 +690,45 @@ object Sink {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** q223 fixture: ONE data file written with tiny zstd frames
+    * (`splitFrameRows` = 4) so even the smallest toy corpus records
+    * several frame checkpoints — the shape a multi-GB production file
+    * has at the default 4096.
+    */
+  private[graft] def slicedFixture(spark: SparkSession,
+      dir: String): String =
+    fixture("sliced:" + dir) {
+      val out = Scratch.dir("graft_sliced")
+      CellModel.nestRows(spark, dir).repartition(1)
+        .write.format("proto-zst")
+        .option("splitFrameRows", "4")
+        .mode("append").save(out)
+      out
+    }
+
+  /** q223: SLICED PARALLEL READ of one oversized file — the writer
+    * ends its zstd frame every `splitFrameRows` rows and records the
+    * frame offsets in a `.split` sidecar; the scan (here forced with
+    * `splitFileBytes=1` — production uses the 128 MB default) turns
+    * ONE file into many frame-aligned byte-range partitions, each
+    * decoding independently. This removes the engine's last
+    * straggler shape: before this, "read-back fans out one partition
+    * per file" meant a skewed 10 GB file was a single task at any
+    * cluster size. The oracle replays the nest from raw rows, so hash
+    * equality proves slices partition the rows exactly — nothing
+    * lost, nothing doubled at the cut points.
+    */
+  def slicedRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = slicedFixture(spark, dir)
+    spark.read.format("proto-zst")
+      .option("splitFileBytes", "1")
+      .load(out)
+      .select(decode(col("key"), "UTF-8").as("key"),
+        size(col("columns")).cast("long").as("n_cells"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_sliced_read" -> slicedRead,
     "q111_partition_evolution" -> partitionEvolutionRead,
     "q109_schema_evolution" -> schemaEvolutionRead,
     "q89_ordered_reexport" -> orderedReexport,
@@ -733,6 +771,11 @@ object Sink {
        |FROM r WHERE rn = 1 AND value <> ''""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q223: the nest replayed from raw rows — hash equality across the
+    // sliced read proves frame slices partition rows exactly
+    "q223_sliced_read" ->
+      (s"SELECT key, CAST(count(*) AS BIGINT) AS n_cells " +
+        s"FROM (${Core.liveCellsSql}) GROUP BY key"),
     // replay the evolution null-fill: gen-1 rows (even ids) predate
     // (source, n_chars); the partition column is the generation id
     // both layouts hold the same rows; the layout only changes HOW the

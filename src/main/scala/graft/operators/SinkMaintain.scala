@@ -130,6 +130,7 @@ object SinkMaintain {
       // readers; failure to move it is benign (manifest carries stats)
       fs.rename(graft.sources.RangeSidecar.sidecar(src),
         graft.sources.RangeSidecar.sidecar(dst))
+      graft.sources.SplitSidecar.move(fs, src, dst)
       e.copy(name = newName)
     }
     // THE commit: one atomic manifest rename swaps small -> packed
@@ -243,6 +244,7 @@ object SinkMaintain {
             "unchanged (manifest not committed)")
       fs.rename(graft.sources.RangeSidecar.sidecar(src),
         graft.sources.RangeSidecar.sidecar(dst))
+      graft.sources.SplitSidecar.move(fs, src, dst)
       e.copy(name = newName)
     }
     graft.sources.GenManifest.replace(outDir, conf,
@@ -644,6 +646,7 @@ object SinkMaintain {
               s"files retained under $staging")
         fs.rename(graft.sources.RangeSidecar.sidecar(src),
           graft.sources.RangeSidecar.sidecar(dst))
+        graft.sources.SplitSidecar.move(fs, src, dst)
         e.copy(name = newName)
       }
     }

@@ -37,6 +37,18 @@ case class ProtoZstCommit(entries: Seq[GenManifest.Entry]) extends WriterCommitM
   */
 case object ProtoZstEmptyCommit extends WriterCommitMessage
 
+object ProtoZstWriterFactory {
+  /** Rows per zstd frame: the writer ends the frame and records a
+    * checkpoint this often, making files splittable at read time (see
+    * [[SplitSidecar]]). 4096 rows keeps frames large enough that the
+    * restart costs ~nothing in compression ratio, while a multi-GB
+    * file still yields thousands of slice points. Writer option
+    * `splitFrameRows` overrides (specs use tiny values to exercise
+    * slicing on toy files).
+    */
+  val DefaultSplitFrameRows = 4096
+}
+
 /** One `.proto.zst` file per (epoch, partition, task); rows are encoded
   * to the wire format here (key binary, columns array&lt;struct&gt; in,
   * framed bytes out). Lazily opened so empty partitions write nothing.
@@ -53,7 +65,8 @@ case object ProtoZstEmptyCommit extends WriterCommitMessage
   *   `buckets` by construction (the caller sets one or the other).
   */
 class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
-    splitPrefix: Option[Int] = None)
+    splitPrefix: Option[Int] = None,
+    splitFrameRows: Int = ProtoZstWriterFactory.DefaultSplitFrameRows)
     extends DataWriterFactory with StreamingDataWriterFactory {
   // captured on the driver (newWriteBuilder runs there), deserialized on
   // each executor
@@ -90,6 +103,7 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
       private final class FileState(val name: String) {
         val finalFile = new Path(dirPath, name)
         val tmpFile = new Path(dirPath, name + "._tmp")
+        var raw: org.apache.hadoop.fs.FSDataOutputStream = _
         var os: ZstdOutputStream = _
         var n = 0L
         var minKey: Array[Byte] = _
@@ -99,12 +113,29 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
         // cell write-time range; minT > maxT ⟺ no cell seen yet
         var minT = Long.MaxValue
         var maxT = Long.MinValue
+        // zstd FRAME checkpoints (compressed byte offset, rows before
+        // it): the writer ends the frame every `splitFrameRows` rows,
+        // so a reader can start decoding at any recorded offset — what
+        // makes a big file SPLITTABLE into parallel slices instead of
+        // a single-partition straggler. Written as a `.split` sidecar
+        // at commit; observed free (one getPos per checkpoint).
+        var rowsInFrame = 0
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         def open(): ZstdOutputStream = {
           if (os == null) {
             fs.mkdirs(dirPath)
-            os = new ZstdOutputStream(fs.create(tmpFile, true))
+            raw = fs.create(tmpFile, true)
+            os = new ZstdOutputStream(raw).setCloseFrameOnFlush(true)
           }
           os
+        }
+        def checkpoint(): Unit = {
+          rowsInFrame += 1
+          if (rowsInFrame >= splitFrameRows) {
+            os.flush() // ends the current zstd frame
+            frames += ((raw.getPos, n))
+            rowsInFrame = 0
+          }
         }
       }
 
@@ -209,6 +240,7 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
         val framed = ProtoWire.delimit(ProtoWire.encodeRow(key, cols))
         os.write(framed, 0, framed.length)
         st.n += 1
+        st.checkpoint()
       }
 
       override def commit(): WriterCommitMessage =
@@ -224,6 +256,13 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
             if (st.minKey != null)
               RangeSidecar.write(fs, st.finalFile, st.minKey, st.maxKey,
                 st.sorted, st.n)
+            // drop a checkpoint landing exactly at EOF (nothing after
+            // it to slice); write the split sidecar before the data
+            // rename, same visibility order as the range sidecar
+            val eof = fs.getFileStatus(st.tmpFile).getLen
+            val cuts = st.frames.filter(_._1 < eof)
+            if (cuts.nonEmpty)
+              SplitSidecar.write(fs, st.finalFile, cuts.toSeq)
             if (!fs.rename(st.tmpFile, st.finalFile)) {
               RangeSidecar.delete(fs, st.finalFile)
               throw new java.io.IOException(s"rename failed: ${st.tmpFile}")

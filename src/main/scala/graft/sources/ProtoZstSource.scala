@@ -155,6 +155,8 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
     // layout wins if both are somehow set
     val splitPrefix = Option(info.options.get("splitKeyPrefix")).map(_.toInt)
       .filter(_ => buckets.isEmpty)
+    val frameRows = Option(info.options.get("splitFrameRows")).map(_.toInt)
+      .getOrElse(ProtoZstWriterFactory.DefaultSplitFrameRows)
     new WriteBuilder {
       // Factory creation runs on the DRIVER before any task starts:
       // marking here makes the directory manifest-governed BEFORE the
@@ -164,7 +166,7 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
       private def batchWrite: BatchWrite = new BatchWrite {
         override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
           GenManifest.mark(dir, ProtoZstFiles.hadoopConf())
-          new ProtoZstWriterFactory(dir, bucketSpec, splitPrefix)
+          new ProtoZstWriterFactory(dir, bucketSpec, splitPrefix, frameRows)
         }
         override def commit(msgs: Array[WriterCommitMessage]): Unit =
           publish(msgs)
@@ -174,7 +176,7 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
       private def streamingWrite: StreamingWrite = new StreamingWrite {
         override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory = {
           GenManifest.mark(dir, ProtoZstFiles.hadoopConf())
-          new ProtoZstWriterFactory(dir, bucketSpec, splitPrefix)
+          new ProtoZstWriterFactory(dir, bucketSpec, splitPrefix, frameRows)
         }
         override def commit(epochId: Long, msgs: Array[WriterCommitMessage]): Unit =
           publishEpoch(epochId, msgs)
@@ -248,6 +250,15 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
       n
     }
+  // files larger than this split into parallel slices at recorded
+  // zstd-frame boundaries (see SplitSidecar); manifest-governed scans
+  // only, since the decision needs attested sizes
+  private val splitFileBytes: Long =
+    Option(options.get("splitFileBytes")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"splitFileBytes must be positive, got $n")
+      n
+    }.getOrElse(ProtoZstScan.DefaultSplitFileBytes)
   /** Temporal file skip, opt-in: a CLOSED µs window over CELL write
     * times. A manifest-governed scan drops whole files whose recorded
     * time range provably misses the window ([[ManifestIndex
@@ -465,7 +476,7 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     case None =>
       new ProtoZstScan(paths, ignoreCorrupt, required, pushed, buckets,
         viaCatalog, maxFilesPerTrigger, timeBounds, startingWriteTimeUs,
-        manifestVersion, maxBytesPerTrigger)
+        manifestVersion, maxBytesPerTrigger, splitFileBytes)
   }
 }
 
@@ -568,6 +579,13 @@ object ProtoZstFiles {
 }
 
 object ProtoZstScan {
+  /** Files above this split into frame-boundary slices (scan option
+    * `splitFileBytes` overrides). 128 MB ≈ one parquet row-group's
+    * worth of work per task; toy-scale files never cross it, so
+    * default scans keep their zero-sidecar-read planning.
+    */
+  val DefaultSplitFileBytes: Long = 128L << 20
+
   private val BucketTag = """.*-b(\d+)\.proto\.zst$""".r
 
   /** The bucket id the bucketed writer embedded in a file name. */
@@ -608,7 +626,8 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     timeBounds: Option[(Long, Long)] = None,
     startingWriteTimeUs: Option[Long] = None,
     manifestVersion: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Scan
+    maxBytesPerTrigger: Option[Long] = None,
+    splitFileBytes: Long = ProtoZstScan.DefaultSplitFileBytes) extends Scan
     with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -831,9 +850,46 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
           ProtoZstBucketPartition(runtimeSkip(fs), b): InputPartition
         }
       case None =>
-        runtimeSkip(plannedFiles)
-          .map(ProtoZstInputPartition(_): InputPartition)
+        val files = runtimeSkip(plannedFiles)
+        plannedMeta match {
+          case Some(metas) =>
+            // manifest sizes are already in memory: large files slice
+            // at recorded frame boundaries (one .split sidecar read
+            // per OVERSIZED file only — a straggler saved per RPC)
+            val bytesOf = metas.map(m => m.path -> m.bytes).toMap
+            files.flatMap { f =>
+              val sz = bytesOf.getOrElse(f, 0L)
+              if (sz <= splitFileBytes)
+                Array(ProtoZstInputPartition(f): InputPartition)
+              else sliced(f, sz)
+            }
+          case None =>
+            files.map(ProtoZstInputPartition(_): InputPartition)
+        }
     }
+
+  /** Slice one oversized file into frame-aligned byte ranges of about
+    * `splitFileBytes` each; no/unreadable sidecar degrades to a single
+    * partition.
+    */
+  private def sliced(file: String, size: Long): Array[InputPartition] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val cuts = SplitSidecar.read(p.getFileSystem(conf.value), p)
+      .map(_.map(_._1).filter(o => o > 0 && o < size))
+      .getOrElse(Array.empty[Long])
+    if (cuts.isEmpty)
+      return Array(ProtoZstInputPartition(file))
+    val slices = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var start = 0L
+    cuts.foreach { c =>
+      if (c - start >= splitFileBytes) { slices += ((start, c)); start = c }
+    }
+    slices += ((start, size))
+    if (slices.length == 1) Array(ProtoZstInputPartition(file))
+    else slices.map { case (s, e) =>
+      ProtoZstSlicePartition(file, s, e): InputPartition
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -935,6 +991,16 @@ object KeyPredicate {
 
 case class ProtoZstInputPartition(file: String) extends InputPartition
 
+/** One frame-aligned byte range [start, end) of an oversized file —
+  * the parallel-read unit for files a single task shouldn't own. The
+  * boundaries come from the writer's recorded frame checkpoints, so
+  * every slice decodes independently and the slices of a file
+  * partition its rows exactly; a slice of a key-sorted file is itself
+  * key-sorted, so per-partition ordering attestation survives slicing.
+  */
+case class ProtoZstSlicePartition(file: String, start: Long, end: Long)
+    extends InputPartition
+
 /** One BUCKET of a bucketed directory: all its files, plus the bucket
   * id as the split's partition key — what lets Spark line this split up
   * with the same bucket of another generation in a storage-partitioned
@@ -1021,8 +1087,66 @@ object RangeSidecar {
       }
     } catch { case _: Exception => None }
 
+  /** Deletes BOTH per-file sidecars (`.range` and `.split`): the two
+    * live and die with the data file, and every maintenance/GC path
+    * already routes through here — one place instead of twelve.
+    */
   def delete(fs: FileSystem, data: Path): Unit = {
     fs.delete(sidecar(data), false)
+    fs.delete(SplitSidecar.sidecar(data), false)
+    ()
+  }
+}
+
+/** Per-file zstd-frame checkpoint sidecar (`<file>.split`): compressed
+  * byte offsets where a new frame starts, with the row count before
+  * each — what lets the scan SLICE a large file into parallel
+  * partitions instead of handing a 10 GB file to one task (parquet
+  * gets this from row groups; a zstd stream needs the writer to end
+  * frames deliberately, which the sink does every `splitFrameRows`
+  * rows). Absence degrades to one-partition-per-file, never an error;
+  * a slice boundary is ALWAYS a frame boundary, so slices decode
+  * independently and partition the rows exactly.
+  */
+object SplitSidecar {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  def sidecar(data: Path): Path =
+    new Path(data.getParent, data.getName + ".split")
+
+  def write(fs: FileSystem, data: Path,
+      checkpoints: Seq[(Long, Long)]): Unit = {
+    val os = fs.create(sidecar(data), true)
+    val body = checkpoints.map { case (off, rows) => s"$off $rows" }
+      .mkString("v1\n", "\n", "\n")
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** None for missing/unreadable sidecars — slicing is best-effort. */
+  def read(fs: FileSystem, data: Path): Option[Array[(Long, Long)]] =
+    try {
+      MetaIO.sidecarReads.incrementAndGet()
+      val p = sidecar(data)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val ls = txt.split("\n", -1).filter(_.nonEmpty)
+        if (ls.isEmpty || ls(0) != "v1") None
+        else Some(ls.drop(1).map { l =>
+          val Array(o, r) = l.split(" ", 2)
+          (o.toLong, r.toLong)
+        })
+      }
+    } catch { case _: Exception => None }
+
+  /** Best-effort move beside a data-file rename (maintenance rewrites)
+    * so compacted big files — exactly the splittable ones — keep their
+    * slice boundaries.
+    */
+  def move(fs: FileSystem, src: Path, dst: Path): Unit = {
+    try fs.rename(sidecar(src), sidecar(dst))
+    catch { case _: Exception => () }
     ()
   }
 }
@@ -1031,6 +1155,24 @@ object RangeSidecar {
   * task landed — what the driver-side job/epoch commit folds into the
   * generation manifest. `files`/`rows` views keep rollback simple.
   */
+/** EOF after exactly `limit` bytes of the wrapped stream — how a slice
+  * reader stops at its frame-aligned end offset without tracking
+  * compressed positions through the decompressor's buffering.
+  */
+private[sources] final class BoundedIn(in: java.io.InputStream,
+    private var limit: Long) extends java.io.InputStream {
+  override def read(): Int =
+    if (limit <= 0) -1
+    else { val b = in.read(); if (b >= 0) limit -= 1; b }
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (limit <= 0) return -1
+    val n = in.read(buf, off, math.min(len.toLong, limit).toInt)
+    if (n > 0) limit -= n
+    n
+  }
+  override def close(): Unit = in.close()
+}
+
 class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
     readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
@@ -1057,6 +1199,8 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case ProtoZstInputPartition(file) => single(file)
+      case ProtoZstSlicePartition(file, start, end) =>
+        single(file, start, end)
       case ProtoZstBucketPartition(files, _) =>
         // one bucket = several files, read back-to-back in one split
         new PartitionReader[InternalRow] {
@@ -1082,7 +1226,9 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
         throw new IllegalArgumentException(s"unexpected partition: $other")
     }
 
-  private def single(file: String): PartitionReader[InternalRow] = {
+  /** `start`/`end` bound a frame-aligned slice; (0, -1) = whole file. */
+  private def single(file: String, start: Long = 0L,
+      end: Long = -1L): PartitionReader[InternalRow] = {
     // compiled once per partition; pruning decides whether Column
     // messages are decoded at all
     val keep = KeyPredicate.compile(filters)
@@ -1128,8 +1274,15 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
         val all =
           try {
             val p = new org.apache.hadoop.fs.Path(file)
+            val raw = p.getFileSystem(conf.value).open(p)
+            if (start > 0) raw.seek(start)
+            // a slice reads exactly its byte range: the cut points are
+            // frame boundaries, so EOF of the bounded stream is a
+            // clean frame end and the decoder stops naturally
+            val src: java.io.InputStream =
+              if (end >= 0) new BoundedIn(raw, end - start) else raw
             in = new java.io.BufferedInputStream(
-              new ZstdInputStream(p.getFileSystem(conf.value).open(p)), 64 << 10)
+              new ZstdInputStream(src), 64 << 10)
             ProtoWire.decodeStream(in, wantColumns, keep)
           } catch {
             case e: Exception if ignoreCorrupt =>

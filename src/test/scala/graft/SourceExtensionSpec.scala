@@ -686,4 +686,37 @@ class SourceExtensionSpec extends AnyFunSuite {
     // cell names are unique corpus-wide: exactly-once ⟺ no overlap
     assert((batchSide.toSet & streamSide.toSet).isEmpty, "seam overlap")
   }
+
+  test("q223 frame slicing: one file becomes many partitions, rows partitioned exactly") {
+    import graft.sources.SplitSidecar
+    val out = Sink.slicedFixture(spark, sf0001)
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(out)
+    val fs = dirPath.getFileSystem(conf)
+    val dataFiles = fs.listStatus(dirPath)
+      .filter(_.getPath.getName.endsWith(".proto.zst")).map(_.getPath)
+    assert(dataFiles.length === 1, "fixture must be ONE oversized file")
+    // the writer recorded real frame checkpoints
+    val cuts = SplitSidecar.read(fs, dataFiles.head)
+      .getOrElse(fail("no .split sidecar written"))
+    assert(cuts.length >= 2, s"need several checkpoints, got ${cuts.length}")
+    // forced slicing actually fans out: many partitions for one file
+    val slicedDf = spark.read.format("proto-zst")
+      .option("splitFileBytes", "1").load(out)
+    assert(slicedDf.rdd.getNumPartitions === cuts.length + 1,
+      "every frame range must become its own partition at threshold 1")
+    // and the DEFAULT read of the same dir stays one partition per file
+    val plain = spark.read.format("proto-zst").load(out)
+    assert(plain.rdd.getNumPartitions === 1)
+    // slices partition the rows exactly: nothing lost or doubled
+    val a = slicedDf.select(decode(col("key"), "UTF-8"),
+      size(col("columns"))).collect().map(_.toString).sorted
+    val b = plain.select(decode(col("key"), "UTF-8"),
+      size(col("columns"))).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+    // every slice carries real work (frame cut every 64 rows)
+    val perPart = slicedDf.rdd
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPart.forall(_ > 0) && perPart.sum === b.length)
+  }
 }
