@@ -25,24 +25,26 @@ object Tokenizer {
     * rule's value exists only GIVEN its prefix, which is exactly what
     * the prefix sweep holds fixed.
     *
-    * Scale: ONE corpus pass — each document row-locally folds all
-    * N+1 merge-table prefixes (the chains share work in principle;
-    * here they are N+1 independent codegen folds, still row-local and
-    * shuffle-free), and the only aggregation is a corpus-total sum of
-    * an (N+1)-element vector with map-side partials. Output is
-    * N rows, never corpus-sized.
+    * Scale: token counts are a function of the WORD alone, so the
+    * N+1 prefix folds run once per DISTINCT vocabulary term (one
+    * term-frequency shuffle with map-side partials, then row-local
+    * folds over the vocab-sized table, each weighted by the term's
+    * corpus occurrences) — 20–50× less fold work than per-occurrence
+    * on natural text, and the final aggregation is a corpus-total sum
+    * of an (N+1)-element vector. Output is N rows, never
+    * corpus-sized.
     */
   def mergeAblation(spark: SparkSession, dir: String): DataFrame = {
     val merges = TextAnalysis.bpeMerges
     val n = merges.length
-    val perDoc = Tables.documents(spark, dir)
-      .select(words(col("text")).as("ws"))
-      .select(array((0 to n).map(p =>
-        aggregate(transform(col("ws"),
-          w => TextAnalysis.bpeTokensUpTo(w, p)),
-          lit(0L), (a, x) => a + x)): _*).as("t"))
-    val totals = perDoc.agg(array((0 to n).map(p =>
-      sum(element_at(col("t"), p + 1))): _*).as("ts"))
+    val tf = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("occ"))
+    val totals = tf
+      .select(col("occ"), array((0 to n).map(p =>
+        TextAnalysis.bpeTokensUpTo(col("w"), p)): _*).as("t"))
+      .agg(array((0 to n).map(p =>
+        sum(element_at(col("t"), p + 1) * col("occ"))): _*).as("ts"))
     val pairs = array(merges.map { case (a, b) => lit(s"$a+$b") }: _*)
     totals
       .select(explode(transform(sequence(lit(1), lit(n)), m =>
