@@ -24,7 +24,7 @@ object SparkEntry {
     Core.queries ++ Relational.queries ++ Dedup.queries ++
       DedupClusters.queries ++ Decontam.queries ++ Sketches.queries ++
       Retrieval.queries ++ VectorOps.queries ++ AnnPq.queries ++
-      Tokenizer.queries ++
+      Tokenizer.queries ++ Quality.queries ++
       TextAnalysis.queries ++ SimSearch.queries ++ Events.queries ++
       Multimodal.queries ++ Streaming.queries ++ Sink.queries ++
       SinkMaintain.queries ++ Releases.queries ++ StreamCurate.queries ++
@@ -36,7 +36,7 @@ object SparkEntry {
     Core.oracle ++ Relational.oracle ++ Dedup.oracle ++
       DedupClusters.oracle ++ Decontam.oracle ++ Sketches.oracle ++
       Retrieval.oracle ++ VectorOps.oracle ++ AnnPq.oracle ++
-      Tokenizer.oracle ++
+      Tokenizer.oracle ++ Quality.oracle ++
       TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle ++
       Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle ++
       SinkMaintain.oracle ++ Releases.oracle ++ StreamCurate.oracle ++

@@ -42,7 +42,7 @@ object Dedup {
     * set (row-local). One md5 per shingle; everything downstream
     * (minhash family, Jaccard verify) works on the longs.
     */
-  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       // spread the hash-heavy row-local work: the testdata table is one
       // small parquet file (one input split); a 100 TB corpus arrives
@@ -1027,7 +1027,7 @@ object Dedup {
 
   // ---- DuckDB oracles: the same algorithms, same hashes, verbatim ----
 
-  private val sqlShingles =
+  private[operators] val sqlShingles =
     s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
        |d AS (SELECT doc_id, list_sort(list_distinct(list_transform(
        |        list_transform(range(1, len(ws)-1),

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable.withScalar
+
+/** CORPUS-QUALITY STRATIFICATION beyond the per-document scores
+  * (q22/q94/q216): the analyses that place each document RELATIVE to
+  * the corpus — CCNet's perplexity terciles and n-gram novelty.
+  */
+object Quality {
+
+  /** q224: CCNET HEAD/MIDDLE/TAIL BUCKETS — the split the q94
+    * surprisal score exists to feed (CCNet buckets a crawl by LM
+    * perplexity and trains preferentially on head+middle): every
+    * document labeled by which GLOBAL surprisal tercile it falls in.
+    * Cuts are by VALUE — t1/t2 are the smallest surprisal values
+    * covering ≥1/3 and ≥2/3 of documents — so ties land on one side
+    * deterministically and the oracle replays the cut exactly
+    * (integer cross-multiplication, no division). Head = most fluent
+    * (lowest surprisal) — keep; tail = noise or very rare text —
+    * route to stricter gates.
+    *
+    * Scale: the per-doc score is q94's shuffles; the cut works on the
+    * VALUE HISTOGRAM (one aggregation, then a window over
+    * distinct-value rows — bounded by score cardinality, never corpus
+    * rows — the q123 winsorize discipline) and broadcasts two longs
+    * back; labeling is row-local.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextAnalysis.lmQuality(spark, dir)
+      .select(col("doc_id"), col("surprisal_milli"))
+    val hist = s.groupBy(col("surprisal_milli")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy(col("surprisal_milli"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = withScalar(cum, s.agg(count(lit(1)).as("n")))
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("surprisal_milli")))
+          .as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("surprisal_milli")))
+          .as("t2"))
+    s.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("surprisal_milli"),
+        when(col("surprisal_milli") <= col("t1"), "head")
+          .when(col("surprisal_milli") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** q225: N-GRAM NOVELTY — per document, the fraction (milli) of its
+    * distinct 3-word shingles that appear in NO other document: the
+    * complement of the duplication family (q15 finds documents whose
+    * grams are shared; this scores how much of each document is
+    * unique corpus-wide). Low novelty + not-a-near-dup flags
+    * templated/boilerplate-assembled text q50's self-repetition
+    * misses; high novelty marks the documents whose loss of dedup
+    * would be irreversible. Shares q15's exact shingle-hash kernel,
+    * so "novel here" and "near-dup there" can never disagree about
+    * what a gram is.
+    *
+    * Scale: one gram-grain shuffle with map-side partials (the q33
+    * tf-idf shape — gram document-frequencies), one equi-join back on
+    * the gram hash, one doc-grain aggregation. Never all-pairs.
+    */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Dedup.docShingleHashes(spark, dir)
+      .select(col("doc_id"), explode(col("hsh")).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") === 1).cast("long")).as("n_novel"))
+      .withColumn("novelty_milli", expr("1000 * n_novel DIV n_grams"))
+  }
+
+  // q224 replay: q94's score chain, the histogram-cut thresholds by
+  // integer cross-multiplication, then the row-local label
+  private val ccnetBucketsSql =
+    """WITH q AS (@LM@),
+      |s AS (SELECT doc_id, surprisal_milli FROM q),
+      |h AS (SELECT surprisal_milli v, count(*) cnt FROM s GROUP BY 1),
+      |c AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM h),
+      |n AS (SELECT CAST(count(*) AS BIGINT) n FROM s),
+      |t AS (SELECT min(CASE WHEN cum * 3 >= n THEN v END) t1,
+      |        min(CASE WHEN cum * 3 >= 2 * n THEN v END) t2
+      |      FROM c, n)
+      |SELECT doc_id, surprisal_milli,
+      |  CASE WHEN surprisal_milli <= t1 THEN 'head'
+      |       WHEN surprisal_milli <= t2 THEN 'middle'
+      |       ELSE 'tail' END bucket
+      |FROM s, t""".stripMargin
+      .replace("@LM@", TextAnalysis.lmQualitySql)
+
+  // q225 replay over q15's shared shingle CTE (contains `||` — spliced
+  // AFTER stripMargin)
+  private val gramNoveltySql =
+    """@SH@,
+      |g AS (SELECT doc_id, unnest(hsh) g FROM d),
+      |f AS (SELECT g, CAST(count(*) AS BIGINT) df FROM g GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) n_grams,
+      |  CAST(sum(CAST(df = 1 AS BIGINT)) AS BIGINT) n_novel,
+      |  (1000 * CAST(sum(CAST(df = 1 AS BIGINT)) AS BIGINT))
+      |    // count(*) novelty_milli
+      |FROM g JOIN f USING (g) GROUP BY doc_id""".stripMargin
+      .replace("@SH@", Dedup.sqlShingles)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_ccnet_buckets" -> ccnetBuckets,
+    "q225_gram_novelty" -> gramNovelty)
+
+  val oracle: Map[String, String] = Map(
+    "q224_ccnet_buckets" -> ccnetBucketsSql,
+    "q225_gram_novelty" -> gramNoveltySql)
+}

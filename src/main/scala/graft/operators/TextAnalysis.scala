@@ -1180,7 +1180,7 @@ object TextAnalysis {
       |UNION ALL
       |SELECT 'p900_chars', CAST(v AS BIGINT), true FROM q WHERE pm = 900""".stripMargin
 
-  private val lmQualitySql =
+  private[operators] val lmQualitySql =
     s"""WITH w AS (SELECT doc_id, $sqlWords ws FROM documents),
        |tok AS (SELECT doc_id, unnest(ws) w FROM w),
        |tf AS (SELECT doc_id, w, count(*) tf FROM tok GROUP BY 1, 2),

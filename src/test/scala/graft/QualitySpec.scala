@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Quality, TextAnalysis}
+
+class QualitySpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  test("q224 tercile cut matches a local replay and populates all three buckets") {
+    val scores = TextAnalysis.lmQuality(spark, sf0001)
+      .select(col("doc_id"), col("surprisal_milli")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = scores.size
+    val sorted = scores.values.toSeq.sorted
+    // smallest value covering >= 1/3 (2/3) of documents, ties included
+    def cut(k: Int): Long =
+      sorted.find(v => sorted.count(_ <= v) * 3 >= n * k).get
+    val (t1, t2) = (cut(1), cut(2))
+    val got = Quality.ccnetBuckets(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length === n)
+    got.foreach { case (id, s, b) =>
+      assert(s === scores(id))
+      val expect = if (s <= t1) "head" else if (s <= t2) "middle" else "tail"
+      assert(b === expect, s"doc $id s=$s")
+    }
+    val byBucket = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"),
+      "the cut must stratify — a degenerate corpus proves nothing")
+    // the value-cut guarantee: head covers at least a third
+    assert(byBucket("head") * 3 >= n)
+  }
+
+  test("q225 novelty matches a local gram-frequency replay and both regimes occur") {
+    val docGrams = Dedup.docShingleHashes(spark, sf0001)
+      .select(col("doc_id"), col("hsh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val df = docGrams.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val expected = docGrams.map { case (id, gs) =>
+      val novel = gs.count(df(_) == 1).toLong
+      (id, gs.length.toLong, novel, 1000L * novel / gs.length)
+    }.toSet
+    val got = Quality.gramNovelty(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    // the score discriminates on this corpus: shared grams exist
+    // (near-dups are planted) AND unique grams exist
+    assert(got.exists(_._4 < 1000L) && got.exists(_._4 > 0L))
+  }
+}
