@@ -107,11 +107,71 @@ object Quality {
       |FROM g JOIN f USING (g) GROUP BY doc_id""".stripMargin
       .replace("@SH@", Dedup.sqlShingles)
 
+  /** Documents per (lang, tercile) stratum in the q226 eval slate. */
+  private[graft] val SlateQuota = 4
+
+  /** q226: BALANCED EVAL SLATE — carve a held-out evaluation set that
+    * is STRATIFIED where the corpus is skewed: exactly ≤[[SlateQuota]]
+    * documents per (language, q224 perplexity tercile) stratum, chosen
+    * in salted-hash order (q170's decorrelation — "first K by
+    * doc_id" would sample one crawl segment), with exact-duplicate
+    * non-keepers excluded first (an eval doc that also sits in
+    * training under another id is contamination by construction —
+    * q14's keeper rule). This is the table an eval-set builder ships:
+    * every language × quality band is represented, however small its
+    * share of the corpus.
+    *
+    * Scale: dedup keepers are q14's content-hash aggregate; bucket
+    * labels are q224's broadcast-cut; the per-stratum pick is a
+    * rank window over lang×tercile partitions — swap in the
+    * q159/q180 bounded-heap Aggregator when strata grow corpus-sized
+    * (the quota is tiny, so only ≤K rows per stratum ever matter).
+    */
+  def evalSlate(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val keepers = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val b = ccnetBuckets(spark, dir)
+    d.join(keepers, "doc_id")
+      .join(b, "doc_id")
+      .withColumn("k", graft.functions.Portable.hash60(
+        concat_ws(":", lit("eval"), col("doc_id"))))
+      .withColumn("slot", row_number().over(Window
+        .partitionBy(col("lang"), col("bucket"))
+        .orderBy(col("k"), col("doc_id"))))
+      .filter(col("slot") <= SlateQuota)
+      .select(col("lang"), col("bucket"), col("slot"), col("doc_id"),
+        col("surprisal_milli"))
+  }
+
+  // q226 replay: keeper dedup + the q224 chain + the salted per-
+  // stratum rank; the bucket SQL and hash kernel splice AFTER
+  // stripMargin (both contain `||`)
+  private val evalSlateSql =
+    """WITH bkt AS (@BKT@),
+      |d AS (SELECT doc_id, lang, md5(text) h FROM documents),
+      |keep AS (SELECT min(doc_id) doc_id FROM d GROUP BY h),
+      |j AS (SELECT d.doc_id, d.lang, bkt.bucket, bkt.surprisal_milli,
+      |        @EH@ k
+      |      FROM d JOIN keep USING (doc_id) JOIN bkt USING (doc_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang, bucket
+      |        ORDER BY k, doc_id) slot
+      |      FROM j)
+      |SELECT lang, bucket, slot, doc_id, surprisal_milli
+      |FROM r WHERE slot <= @Q@""".stripMargin
+      .replace("@BKT@", ccnetBucketsSql)
+      .replace("@EH@", graft.functions.Portable.sqlHash60(
+        "'eval:' || CAST(doc_id AS VARCHAR)"))
+      .replace("@Q@", SlateQuota.toString)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_ccnet_buckets" -> ccnetBuckets,
-    "q225_gram_novelty" -> gramNovelty)
+    "q225_gram_novelty" -> gramNovelty,
+    "q226_eval_slate" -> evalSlate)
 
   val oracle: Map[String, String] = Map(
     "q224_ccnet_buckets" -> ccnetBucketsSql,
-    "q225_gram_novelty" -> gramNoveltySql)
+    "q225_gram_novelty" -> gramNoveltySql,
+    "q226_eval_slate" -> evalSlateSql)
 }

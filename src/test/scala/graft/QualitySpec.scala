@@ -51,4 +51,37 @@ class QualitySpec extends AnyFunSuite {
     // (near-dups are planted) AND unique grams exist
     assert(got.exists(_._4 < 1000L) && got.exists(_._4 > 0L))
   }
+
+  test("q226 eval slate: stratified, quota-bounded, dedup-excluded, salted order") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keepers = docs.groupBy(_._3).values.map(_.map(_._1).min).toSet
+    val buckets = Quality.ccnetBuckets(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = docs.filter(d => keepers(d._1))
+      .map { case (id, lang, _) => (id, lang, buckets(id)) }
+      .groupBy(d => (d._2, d._3)).values.flatMap { stratum =>
+        stratum.sortBy(d => (h60(s"eval:${d._1}"), d._1))
+          .take(Quality.SlateQuota).zipWithIndex
+          .map { case ((id, lang, b), i) => (lang, b, i + 1, id) }
+      }.toSet
+    val got = Quality.evalSlate(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2).toLong,
+        r.getLong(3)))
+      .map(t => (t._1, t._2, t._3.toInt, t._4)).toSet
+    assert(got === expected)
+    // every selected doc is its hash group's keeper (no contaminated
+    // twin of a training doc can enter the slate)
+    assert(got.forall(r => keepers(r._4)))
+    // the slate stratifies: more than one stratum, none over quota
+    val strata = got.groupBy(r => (r._1, r._2))
+    assert(strata.size > 1)
+    assert(strata.values.forall(_.size <= Quality.SlateQuota))
+  }
 }
