@@ -165,13 +165,93 @@ object Quality {
         "'eval:' || CAST(doc_id AS VARCHAR)"))
       .replace("@Q@", SlateQuota.toString)
 
+  /** q227: QUALITY-STRATIFIED TOKEN BUDGET — the allocation plan that
+    * turns q224's terciles into a training mix: a total token budget
+    * (60% of the corpus here) is split across head/middle/tail at
+    * CCNet-style 500/400/100 milli weights, CAPPED by each bucket's
+    * available tokens, and any surplus a capped bucket couldn't
+    * absorb redistributes greedily in quality-priority order
+    * (head first) — the "oversample the fluent band, keep a small
+    * regularizing tail" recipe, as an executable integer plan with a
+    * per-bucket fill rate a sampler (q122/q157) consumes directly.
+    *
+    * Scale: per-bucket token totals are one 3-group aggregation with
+    * map-side partials riding q224's shuffles; the allocation itself
+    * is windows over the THREE bucket rows — metadata-tier no matter
+    * the corpus.
+    */
+  def bucketBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.Portable.words(col("text"))).cast("long")
+          .as("nt"))
+    val avail = ccnetBuckets(spark, dir).join(d, "doc_id")
+      .groupBy(col("bucket")).agg(sum(col("nt")).as("avail_tokens"))
+      .withColumn("weight_milli",
+        when(col("bucket") === "head", 500L)
+          .when(col("bucket") === "middle", 400L).otherwise(100L))
+      .withColumn("prio",
+        when(col("bucket") === "head", 1)
+          .when(col("bucket") === "middle", 2).otherwise(3))
+    val whole = Window.partitionBy()
+    val before = Window.partitionBy().orderBy(col("prio"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withScalar(avail, d.agg(sum(col("nt")).as("total")))
+      .withColumn("budget", expr("(6 * total) DIV 10"))
+      .withColumn("p1", least(col("avail_tokens"),
+        expr("(budget * weight_milli) DIV 1000")))
+      .withColumn("leftover", col("budget") - sum(col("p1")).over(whole))
+      .withColumn("cap_before", coalesce(
+        sum(col("avail_tokens") - col("p1")).over(before), lit(0L)))
+      .withColumn("alloc_tokens", col("p1") + greatest(lit(0L),
+        least(col("avail_tokens") - col("p1"),
+          col("leftover") - col("cap_before"))))
+      .select(col("bucket"), col("avail_tokens"), col("weight_milli"),
+        col("alloc_tokens"),
+        expr("(1000 * alloc_tokens) DIV avail_tokens").as("fill_milli"))
+  }
+
+  // q227 replay: the same capped-weighted first pass and priority-
+  // ordered greedy redistribution over the three bucket rows
+  private val bucketBudgetSql =
+    """WITH bkt AS (@BKT@),
+      |d AS (SELECT doc_id, CAST(len(@WS@) AS BIGINT) nt FROM documents),
+      |a AS (SELECT bucket, CAST(sum(nt) AS BIGINT) avail
+      |      FROM bkt JOIN d USING (doc_id) GROUP BY bucket),
+      |w AS (SELECT bucket, avail,
+      |        CAST(CASE bucket WHEN 'head' THEN 500
+      |             WHEN 'middle' THEN 400 ELSE 100 END AS BIGINT)
+      |          weight_milli,
+      |        CASE bucket WHEN 'head' THEN 1
+      |             WHEN 'middle' THEN 2 ELSE 3 END prio
+      |      FROM a),
+      |t AS (SELECT CAST(sum(nt) AS BIGINT) total FROM d),
+      |p AS (SELECT w.*, (6 * total) // 10 budget,
+      |        least(avail, (((6 * total) // 10) * weight_milli) // 1000) p1
+      |      FROM w, t),
+      |g AS (SELECT *, CAST(sum(p1) OVER () AS BIGINT) spent,
+      |        CAST(coalesce(sum(avail - p1) OVER (ORDER BY prio
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) cap_before
+      |      FROM p)
+      |SELECT bucket, avail avail_tokens, weight_milli,
+      |  p1 + greatest(0, least(avail - p1, budget - spent - cap_before))
+      |    alloc_tokens,
+      |  (1000 * (p1 + greatest(0, least(avail - p1,
+      |    budget - spent - cap_before)))) // avail fill_milli
+      |FROM g""".stripMargin
+      .replace("@BKT@", ccnetBucketsSql)
+      .replace("@WS@", graft.functions.Portable.sqlWords)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_ccnet_buckets" -> ccnetBuckets,
     "q225_gram_novelty" -> gramNovelty,
-    "q226_eval_slate" -> evalSlate)
+    "q226_eval_slate" -> evalSlate,
+    "q227_bucket_budget" -> bucketBudget)
 
   val oracle: Map[String, String] = Map(
     "q224_ccnet_buckets" -> ccnetBucketsSql,
     "q225_gram_novelty" -> gramNoveltySql,
-    "q226_eval_slate" -> evalSlateSql)
+    "q226_eval_slate" -> evalSlateSql,
+    "q227_bucket_budget" -> bucketBudgetSql)
 }

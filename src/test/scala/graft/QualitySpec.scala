@@ -84,4 +84,39 @@ class QualitySpec extends AnyFunSuite {
     assert(strata.size > 1)
     assert(strata.values.forall(_.size <= Quality.SlateQuota))
   }
+
+  test("q227 budget allocation matches a local greedy replay and spends exactly the budget") {
+    val buckets = Quality.ccnetBuckets(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("raw"),
+        col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(2).split(" ").count(_.nonEmpty).toLong).toMap
+    val total = toks.values.sum
+    val budget = 6 * total / 10
+    val weights = Map("head" -> 500L, "middle" -> 400L, "tail" -> 100L)
+    val prio = Seq("head", "middle", "tail")
+    val avail = buckets.toSeq.groupBy(_._2).view
+      .mapValues(_.map(d => toks(d._1)).sum).toMap
+    val p1 = prio.map(b => b -> math.min(avail(b),
+      budget * weights(b) / 1000L)).toMap
+    var leftover = budget - p1.values.sum
+    val alloc = prio.map { b =>
+      val extra = math.min(avail(b) - p1(b), math.max(0L, leftover))
+      leftover -= extra
+      b -> (p1(b) + extra)
+    }.toMap
+    val expected = prio.map(b => (b, avail(b), weights(b), alloc(b),
+      1000L * alloc(b) / avail(b))).toSet
+    val got = Quality.bucketBudget(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    // the plan's hard invariants: the budget is spent exactly (the
+    // corpus can absorb 60%), and no bucket is over-allocated
+    assert(got.toSeq.map(_._4).sum === budget)
+    assert(got.forall(r => r._4 <= r._2))
+  }
 }
