@@ -29,24 +29,116 @@ object Quality {
     * rows — the q123 winsorize discipline) and broadcasts two longs
     * back; labeling is row-local.
     */
-  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val s = TextAnalysis.lmQuality(spark, dir)
-      .select(col("doc_id"), col("surprisal_milli"))
-    val hist = s.groupBy(col("surprisal_milli")).agg(count(lit(1)).as("cnt"))
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    tercileCut(TextAnalysis.lmQuality(spark, dir)
+      .select(col("doc_id"), col("surprisal_milli")), "surprisal_milli")
+
+  /** The q224 value-histogram tercile machinery, factored so the q229
+    * bigram stratifier cuts with the IDENTICAL rule: t1/t2 are the
+    * smallest score values covering ≥1/3 and ≥2/3 of rows (integer
+    * cross-multiplication — ties land deterministically), found on the
+    * value histogram (bounded by score cardinality, never corpus rows)
+    * and broadcast back; labeling is row-local. Keeps every column of
+    * `s` and appends `bucket`.
+    */
+  private def tercileCut(s: DataFrame, score: String): DataFrame = {
+    val hist = s.groupBy(col(score)).agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("cum", sum(col("cnt")).over(
-      Window.orderBy(col("surprisal_milli"))
+      Window.orderBy(col(score))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val thr = withScalar(cum, s.agg(count(lit(1)).as("n")))
       .agg(
-        min(when(col("cum") * 3 >= col("n"), col("surprisal_milli")))
-          .as("t1"),
-        min(when(col("cum") * 3 >= col("n") * 2, col("surprisal_milli")))
-          .as("t2"))
+        min(when(col("cum") * 3 >= col("n"), col(score))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col(score))).as("t2"))
     s.crossJoin(broadcast(thr))
-      .select(col("doc_id"), col("surprisal_milli"),
-        when(col("surprisal_milli") <= col("t1"), "head")
-          .when(col("surprisal_milli") <= col("t2"), "middle")
-          .otherwise("tail").as("bucket"))
+      .withColumn("bucket",
+        when(col(score) <= col("t1"), "head")
+          .when(col(score) <= col("t2"), "middle")
+          .otherwise("tail"))
+      .drop("t1", "t2")
+  }
+
+  /** q229: INTERPOLATED BIGRAM-LM QUALITY — the fidelity upgrade the
+    * q94 unigram score approximates (CCNet's actual filter is an
+    * n-gram LM): each document's mean per-token surprisal under the
+    * evenly-interpolated bigram model
+    * `p(v|u) = (c(u,v)/c(u) + cnt(v)/N) / 2`, exactly integer — the
+    * per-token bits are `floor(log2(floor(1/p)))`, computed as
+    * `length(bin((2·c(u)·N) DIV (c(u,v)·N + cnt(v)·c(u)))) − 1` (the
+    * q146 PMI discipline: stay in integer ratios, no floating log
+    * anywhere, so the DuckDB `printf('%b')` oracle hash-matches
+    * bit-for-bit). Each document's FIRST token has no left context and
+    * scores by q94's unigram kernel; every later token scores by its
+    * bigram — so every token is scored exactly once and per-doc
+    * `n_tokens` conserves the corpus total (the q94 spec discipline).
+    * The scores feed the q224 tercile cut as a SECOND stratifier —
+    * q224 stays on the unigram score (kept separate deliberately: the
+    * two stratifiers disagree exactly where context matters, and the
+    * disagreement diagonal is itself a curation signal the spec pins).
+    *
+    * Interpolation (vs raw bigram) is what makes the score total: an
+    * unseen-in-training bigram still has `cnt(v)/2N` mass, so scoring
+    * a NEW drop against a frozen LM never divides by zero — the
+    * production shape (train once, score every drop).
+    *
+    * Scale: ONE new shuffle vs q94 — the bigram-grain (u,v) count
+    * with map-side partials (doc-grain tf first, the q94 tf
+    * discipline); c(u) folds from it at vocab grain; scoring joins the
+    * LM back at (u,v) grain (AQE broadcasts the vocab-sized sides
+    * while they fit); the tercile cut is the q224 histogram. The
+    * `2·c(u)·N` product is guarded in-plan (q192's discipline):
+    * past ~3·10⁹ tokens the exact-long headroom ends and the guard
+    * raises — the trillion-token deployment swaps the ratio to the
+    * bits-difference form on decimals rather than silently wrapping.
+    */
+  def bigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checkpoints.CpOps
+    import graft.sources.Tables
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .cp()
+    val tok = d.select(col("doc_id"), explode(col("ws")).as("w"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    // doc-grain bigram tf (the q94 tf discipline: LM folds and the
+    // scoring join both run at type grain, weighted by btf)
+    val bt = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("u"),
+            element_at(col("ws"), i + 1).as("v")))).as("p"))
+      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("btf"))
+      .cp()
+    val cuv = bt.groupBy(col("u"), col("v")).agg(sum(col("btf")).as("cuv"))
+    val cu = cuv.groupBy(col("u")).agg(sum(col("cuv")).as("cu"))
+    val fb = d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
+        lit(1L).as("btf"))
+      .join(uni, "w")
+      .transform(withScalar(_, total))
+      .select(col("doc_id"), col("btf"),
+        expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
+    val bb = bt
+      .join(cuv, Seq("u", "v"))
+      .join(cu, Seq("u"))
+      .join(uni.withColumnRenamed("w", "v"), Seq("v"))
+      .transform(withScalar(_, total))
+      .select(col("doc_id"), col("btf"),
+        when(col("n_total").cast("double") * col("n_total") * 2 >
+            Long.MaxValue.toDouble,
+          raise_error(lit("q229: 2·c(u)·N exceeds exact-long range — " +
+            "swap the interpolated ratio to the bits-difference form " +
+            "on decimals")))
+          .otherwise(expr("length(bin((2 * cu * n_total) DIV " +
+            "(cuv * n_total + cnt * cu))) - 1")).as("bits"))
+    val s = fb.unionByName(bb)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("btf")).as("n_tokens"),
+        sum(col("btf") * col("bits")).as("sum_bits"))
+      .withColumn("surprisal_milli", expr("sum_bits * 1000 DIV n_tokens"))
+    tercileCut(s, "surprisal_milli")
   }
 
   /** q225: N-GRAM NOVELTY — per document, the fraction (milli) of its
@@ -243,15 +335,62 @@ object Quality {
       .replace("@BKT@", ccnetBucketsSql)
       .replace("@WS@", graft.functions.Portable.sqlWords)
 
+  // q229 replay: the interpolated-bigram bits chain (first token =
+  // q94's unigram kernel), then the q224 histogram cut verbatim
+  private val bigramQualitySql = {
+    import graft.functions.Portable.sqlWords
+    s"""WITH w0 AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |d AS (SELECT doc_id, ws FROM w0 WHERE len(ws) >= 1),
+       |tok AS (SELECT doc_id, unnest(ws) w FROM d),
+       |c AS (SELECT w, CAST(count(*) AS BIGINT) cnt FROM tok GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) n_total FROM tok),
+       |bg AS (SELECT doc_id, ws[i] u, ws[i + 1] v
+       |       FROM d, LATERAL unnest(range(1, len(ws))) t(i)
+       |       WHERE len(ws) >= 2),
+       |bt AS (SELECT doc_id, u, v, CAST(count(*) AS BIGINT) btf
+       |       FROM bg GROUP BY 1, 2, 3),
+       |cb AS (SELECT u, v, CAST(sum(btf) AS BIGINT) cuv
+       |       FROM bt GROUP BY 1, 2),
+       |cu AS (SELECT u, CAST(sum(cuv) AS BIGINT) cu FROM cb GROUP BY 1),
+       |fb AS (SELECT d.doc_id, CAST(1 AS BIGINT) btf,
+       |         length(printf('%b', n_total // cnt)) - 1 bits
+       |       FROM d JOIN c ON c.w = ws[1], n),
+       |bb AS (SELECT bt.doc_id, bt.btf,
+       |         length(printf('%b', (2 * cu.cu * n_total)
+       |           // (cb.cuv * n_total + c.cnt * cu.cu))) - 1 bits
+       |       FROM bt JOIN cb ON cb.u = bt.u AND cb.v = bt.v
+       |         JOIN cu ON cu.u = bt.u JOIN c ON c.w = bt.v, n),
+       |s AS (SELECT doc_id, CAST(sum(btf) AS BIGINT) n_tokens,
+       |        CAST(sum(btf * bits) AS BIGINT) sum_bits,
+       |        CAST(sum(btf * bits) * 1000 // sum(btf) AS BIGINT)
+       |          surprisal_milli
+       |      FROM (SELECT * FROM fb UNION ALL SELECT * FROM bb)
+       |      GROUP BY 1),
+       |h AS (SELECT surprisal_milli sv, count(*) cnt FROM s GROUP BY 1),
+       |cc AS (SELECT sv, CAST(sum(cnt) OVER (ORDER BY sv
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM h),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) n FROM s),
+       |t AS (SELECT min(CASE WHEN cum * 3 >= n THEN sv END) t1,
+       |        min(CASE WHEN cum * 3 >= 2 * n THEN sv END) t2
+       |      FROM cc, nn)
+       |SELECT doc_id, n_tokens, sum_bits, surprisal_milli,
+       |  CASE WHEN surprisal_milli <= t1 THEN 'head'
+       |       WHEN surprisal_milli <= t2 THEN 'middle'
+       |       ELSE 'tail' END bucket
+       |FROM s, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_ccnet_buckets" -> ccnetBuckets,
     "q225_gram_novelty" -> gramNovelty,
     "q226_eval_slate" -> evalSlate,
-    "q227_bucket_budget" -> bucketBudget)
+    "q227_bucket_budget" -> bucketBudget,
+    "q229_bigram_quality" -> bigramQuality)
 
   val oracle: Map[String, String] = Map(
     "q224_ccnet_buckets" -> ccnetBucketsSql,
     "q225_gram_novelty" -> gramNoveltySql,
     "q226_eval_slate" -> evalSlateSql,
-    "q227_bucket_budget" -> bucketBudgetSql)
+    "q227_bucket_budget" -> bucketBudgetSql,
+    "q229_bigram_quality" -> bigramQualitySql)
 }

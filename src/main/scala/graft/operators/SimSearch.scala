@@ -607,11 +607,23 @@ object SimSearch {
         .transform(withScalar(_, tot))
         .select(lit(method).as("method"), col("n_hits"), col("n_brute"),
           expr("n_hits * 1000 DIV n_brute").as("recall_milli"))
+    // the q209 adaptive prober joins the same ladder under a TRUE
+    // predicate (all cells qualify): its recall floor is audited
+    // against the SAME brute truth as the static methods, so a
+    // widening regression (floor/cap sabotage) trips the q45 floors
+    // instead of hiding behind q209's own oracle re-baselining
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"), col("label"))
+      .withColumn("n2", norm2(col("qv")))
+      .cp()
     row("ivf", annIvf(spark, dir))
       .unionByName(row("lsh", annLsh(spark, dir)))
       .unionByName(row("pq", AnnPq.annPq(spark, dir)))
       .unionByName(row("ivfpq", AnnPq.annIvfPq(spark, dir)))
       .unionByName(row("matryoshka", annMatryoshka(spark, dir)))
+      .unionByName(row("ivf_adaptive", adaptiveFiltered(e0,
+        centroidFixture(spark, dir, NCells), lit(true), CandFloor,
+        MaxProbe)))
   }
 
   /** q205: FILTERED-SEARCH RECALL — closes q85's loop the way q45
@@ -1115,7 +1127,7 @@ object SimSearch {
     * each query's cell ranking, the floor/cap admission, and the
     * per-query probes-used audit.
     */
-  private val adaptiveSql = {
+  private def adaptiveSqlOf(pred: String): String = {
     val probeD2 = s"x.n2 - 2*${sqlDotq("x.qv", "c.cqv")} + c.cn2"
     s"""$baseSql,
        |cent0 AS (SELECT CAST(vec_id AS INTEGER) cell, qv cqv, n2 cn2
@@ -1127,7 +1139,7 @@ object SimSearch {
        |${kmAssignSql("centn2", "3")},
        |corpus AS (SELECT a3.vec_id, a3.cell
        |           FROM a3 JOIN embeddings emb ON emb.vec_id = a3.vec_id
-       |           WHERE emb.label % 2 = 0),
+       |           WHERE $pred),
        |counts AS (SELECT cell, count(*) n FROM corpus GROUP BY cell),
        |ranked AS (SELECT x.vec_id q_id, c.cell,
        |      row_number() OVER (PARTITION BY x.vec_id
@@ -1152,6 +1164,12 @@ object SimSearch {
        |SELECT q_id, rnk, vec_id, cosine, n_probes
        |FROM r JOIN np USING (q_id) WHERE rnk <= $K""".stripMargin
   }
+
+  // q209's oracle (the filtered production shape) and q45's adaptive
+  // ladder leg (TRUE predicate — audited against the shared brute
+  // truth) replay the SAME widened-probe chain
+  private val adaptiveSql = adaptiveSqlOf("emb.label % 2 = 0")
+  private val adaptiveTrueSql = adaptiveSqlOf("TRUE")
 
   // q205: the filtered brute truth beside q85's plan (spliced as a
   // CTE-in-subquery AFTER stripMargin — the @-placeholder discipline)
@@ -1186,6 +1204,7 @@ object SimSearch {
        |pq AS (SELECT q_id, vec_id FROM (${AnnPq.pqSql})),
        |ivfpq AS (SELECT q_id, vec_id FROM (${AnnPq.ivfpqSql})),
        |mat AS (SELECT q_id, vec_id FROM ($matryoshkaSql)),
+       |adp AS (SELECT q_id, vec_id FROM ($adaptiveTrueSql)),
        |tot AS (SELECT count(*) t FROM brute)
        |SELECT 'ivf' AS method,
        |  (SELECT count(*) FROM ivf JOIN brute USING (q_id, vec_id)) AS n_hits,
@@ -1215,6 +1234,12 @@ object SimSearch {
        |  (SELECT count(*) FROM mat JOIN brute USING (q_id, vec_id)) AS n_hits,
        |  (SELECT t FROM tot) AS n_brute,
        |  (SELECT count(*) FROM mat JOIN brute USING (q_id, vec_id)) * 1000
+       |    // (SELECT t FROM tot) AS recall_milli
+       |UNION ALL
+       |SELECT 'ivf_adaptive' AS method,
+       |  (SELECT count(*) FROM adp JOIN brute USING (q_id, vec_id)) AS n_hits,
+       |  (SELECT t FROM tot) AS n_brute,
+       |  (SELECT count(*) FROM adp JOIN brute USING (q_id, vec_id)) * 1000
        |    // (SELECT t FROM tot) AS recall_milli""".stripMargin
 
   /** One Lloyd assignment against centroid CTE `cent`, emitting CTE

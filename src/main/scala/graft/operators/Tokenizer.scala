@@ -86,9 +86,115 @@ object Tokenizer {
       .replace("@PAIRS@", pairList)
   }
 
+  /** q228 training depth: enough rounds to exercise merge CHAINING on
+    * the synthetic corpus (a round-k pick whose symbol is a round-j<k
+    * product) while keeping the oracle's unrolled replay tractable.
+    */
+  private[graft] val TrainRounds = 8
+
+  /** q228: ITERATIVE BPE TRAINER — the greedy loop that PRODUCES a
+    * merge table (q82 is one round's pair statistic; q124/q221 consume
+    * a finished table): for K rounds, count adjacent symbol pairs over
+    * the vocabulary weighted by occurrence, pick the most frequent
+    * (deterministic tiebreak: count desc, then left/right symbol asc —
+    * both engines compare the same ASCII strings), apply the merge to
+    * every segmentation, recount. Segmentations live as q124's
+    * bracket-atomized strings (`[c][o][l][</w>]`), so "apply merge" is
+    * ONE literal left-to-right `replace` of `[a][b]`→`[ab]` — the
+    * identical kernel both engines already share for encode. Output is
+    * the trained table: (merge_rank, left_sym, right_sym, pair_count),
+    * K rows.
+    *
+    * Scale: the corpus is touched ONCE (the word-frequency shuffle —
+    * the q82 trainer optimization); all K rounds run over the
+    * vocabulary-sized segmentation table, re-aggregated per round with
+    * map-side partials. Each round's argmax is a 1-row driver collect
+    * — the trainer's control decision, same bounded class as the
+    * centroid fixtures — and the loop checkpoints per round (the q91
+    * `cpIter` discipline) so round k's lineage does not replay rounds
+    * 1..k−1. At 100 TB: one corpus pass + K vocab-sized rounds, output
+    * K rows.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checkpoints.CpOps
+    val wf = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var seg = wf.select(col("f"), concat(
+        array_join(transform(sequence(lit(1), length(col("w"))), i =>
+          concat(lit("["), col("w").substr(i, lit(1)), lit("]"))), ""),
+        lit("[</w>]")).as("s"))
+      .cpIter()
+    val picked = Seq.newBuilder[(Int, String, String, Long)]
+    for (k <- 1 to TrainRounds) {
+      // fully-merged words (one symbol left) generate no pairs; the
+      // size guard also keeps sequence() off the descending-step path
+      val best = seg
+        .select(col("f"), split(col("s").substr(lit(2),
+          length(col("s")) - 2), "\\]\\[").as("sym"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("f"), explode(transform(
+          sequence(lit(1), size(col("sym")) - 1), i =>
+            struct(element_at(col("sym"), i).as("l"),
+              element_at(col("sym"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      picked += ((k, l, r, n))
+      seg = seg.withColumn("s", replace(col("s"),
+        lit(s"[$l][$r]"), lit(s"[$l$r]"))).cpIter()
+    }
+    import spark.implicits._
+    picked.result().toDF("merge_rank", "left_sym", "right_sym",
+      "pair_count")
+  }
+
+  /** q228 replay: the K rounds unrolled as chained CTEs — per round, a
+    * pair count over the previous segmentation, the same
+    * (count desc, l, r) argmax, and the same bracket-string replace.
+    * Round kernels contain `||` concatenations, so the whole chain
+    * splices AFTER stripMargin.
+    */
+  private val bpeTrainSql = {
+    val rounds = (1 to TrainRounds).map { k =>
+      s"""p$k AS (SELECT pair, CAST(sum(f) AS BIGINT) n
+         |  FROM (SELECT f, unnest(list_transform(range(1, len(sym)),
+         |            i -> sym[i] || ' ' || sym[i + 1])) pair
+         |        FROM (SELECT f, string_split(substr(s, 2, len(s) - 2),
+         |                '][') sym FROM seg${k - 1}))
+         |  GROUP BY pair),
+         |m$k AS (SELECT l, r, n FROM (
+         |    SELECT string_split(pair, ' ')[1] l,
+         |           string_split(pair, ' ')[2] r, n FROM p$k)
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |seg$k AS (SELECT f, replace(seg.s,
+         |    '[' || m.l || '][' || m.r || ']',
+         |    '[' || m.l || m.r || ']') s
+         |  FROM seg${k - 1} seg, m$k m)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to TrainRounds).map(k =>
+      s"SELECT CAST($k AS INTEGER) merge_rank, l left_sym, r right_sym," +
+        s" n pair_count FROM m$k").mkString("\nUNION ALL\n")
+    """WITH wf AS (SELECT w, count(*) f
+      |  FROM (SELECT unnest(@WS@) w FROM documents) GROUP BY w),
+      |seg0 AS (SELECT f, @INIT@ s FROM wf),
+      |@ROUNDS@
+      |@SELECTS@""".stripMargin
+      .replace("@WS@", sqlWords)
+      .replace("@INIT@",
+        "'[' || array_to_string(list_transform(range(1, len(w) + 1), " +
+          "i -> substr(w, CAST(i AS INTEGER), 1)), '][') || '][</w>]'")
+      .replace("@ROUNDS@", rounds)
+      .replace("@SELECTS@", selects)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q221_merge_ablation" -> mergeAblation)
+    "q221_merge_ablation" -> mergeAblation,
+    "q228_bpe_train" -> bpeTrain)
 
   val oracle: Map[String, String] = Map(
-    "q221_merge_ablation" -> mergeAblationSql)
+    "q221_merge_ablation" -> mergeAblationSql,
+    "q228_bpe_train" -> bpeTrainSql)
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.util.concurrent.atomic.AtomicLong
 
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Metadata-I/O counters for the plan-evidence specs: PlanSpec proves a
@@ -15,9 +16,21 @@ object MetaIO {
   val dataListings = new AtomicLong
   /** `RangeSidecar.read` calls (one per per-file metadata open). */
   val sidecarReads = new AtomicLong
-  /** `GenManifest.read` calls (one tiny-dir listing + one file open). */
+  /** `GenManifest.read` calls (one tiny-dir listing + O(1) small opens). */
   val manifestReads = new AtomicLong
-  def reset(): Unit = { dataListings.set(0); sidecarReads.set(0); manifestReads.set(0) }
+  /** Bytes of per-commit DELTA records published (the steady-state
+    * metadata write cost — ManifestSpec proves it scales with the
+    * commit's own add/remove set, never with the live file count).
+    */
+  val commitBytes = new AtomicLong
+  /** Bytes of periodic full checkpoints (amortized over
+    * [[GenManifest.CheckpointEvery]] commits, zstd-compressed).
+    */
+  val checkpointBytes = new AtomicLong
+  def reset(): Unit = {
+    dataListings.set(0); sidecarReads.set(0); manifestReads.set(0)
+    commitBytes.set(0); checkpointBytes.set(0)
+  }
 }
 
 /** Per-generation MANIFEST for a proto-zst directory — the table-level
@@ -27,33 +40,56 @@ object MetaIO {
   * small read instead of an O(files) listing plus O(files) sidecar
   * opens (at millions of files, the driver bottleneck).
   *
-  * Layout (Delta-log style): versioned snapshot files under
-  * `<dir>/_graft_manifest/v<version>.manifest`, each holding the FULL
-  * committed file set with per-file stats (bytes, row count, key
-  * min/max, sorted attestation). Readers list only the manifest
-  * subdirectory — O(retained versions), never O(data files) — and read
-  * the highest version. Writers commit by staging a hidden temp file
-  * and publishing it create-if-absent as the NEXT version: on
-  * HDFS-like filesystems that is rename (which refuses an existing
-  * target), on file: schemes it is a HARD LINK (link(2) fails with
-  * EEXIST — posix rename would silently REPLACE a racer's snapshot).
-  * A loser of a concurrent race sees its publish refused, re-reads,
-  * and retries; no lock service needed (an S3 deployment swaps in a
-  * conditional PUT, the same adaptation Delta's LogStore makes).
+  * Layout (Delta-log style, INCREMENTAL): the log lives under
+  * `<dir>/_graft_manifest/` as three file kinds —
+  *
+  *   - `v<version>.delta` — ONE per commit: the add/remove entry lists
+  *     and epoch keys of that commit alone. The create-if-absent
+  *     publish of this file IS the atomic commit point. Steady-state
+  *     metadata writes are therefore O(delta), never O(live files):
+  *     a streaming sink committing one file per micro-batch writes a
+  *     ~100-byte record per trigger regardless of how many files the
+  *     generation has accumulated (the write-amplification failure a
+  *     full-snapshot-per-commit protocol hits under continuous ingest).
+  *   - `v<version>.checkpoint.zst` — a zstd-compressed FULL snapshot,
+  *     folded every [[CheckpointEvery]] commits by the winning
+  *     committer (best-effort, after its delta published): readers
+  *     apply newest-checkpoint + delta tail, so a read is one tiny-dir
+  *     listing plus at most 1 + CheckpointEvery small file opens —
+  *     O(1) in data-file count AND in commit history.
+  *   - `v<version>.manifest` — the LEGACY full-snapshot-per-commit
+  *     format; still read (as a checkpoint at its version) so a
+  *     directory written by an older engine upgrades in place: the
+  *     next commit just appends a delta on top of the old snapshot.
+  *
+  * Writers commit by staging a hidden temp file and publishing it
+  * create-if-absent as the NEXT version's delta: on HDFS-like
+  * filesystems that is rename (which refuses an existing target), on
+  * file: schemes it is a HARD LINK (link(2) fails with EEXIST — posix
+  * rename would silently REPLACE a racer's record). A loser of a
+  * concurrent race sees its publish refused, re-reads, and retries; no
+  * lock service needed (an S3 deployment swaps in a conditional PUT,
+  * the same adaptation Delta's LogStore makes).
   *
   * The manifest is AUTHORITATIVE for directories that have one: the
   * committed entry set IS the table, and data files not referenced by
   * it (crashed compactions, in-flight task output) are invisible to
   * readers — which is what makes maintenance commits atomic: OPTIMIZE
   * stages its packed files under unreferenced names and "commits" by
-  * writing the next manifest version LAST. Directories WITHOUT a
-  * manifest (foreign or legacy writers) keep the listing + per-file
-  * sidecar path — absence degrades, never lies.
+  * publishing the next delta LAST. Directories WITHOUT a manifest
+  * (foreign or legacy writers) keep the listing + per-file sidecar
+  * path — absence degrades, never lies.
   */
 object GenManifest {
   val DirName = "_graft_manifest"
   private val Header = "graft-manifest-v1"
-  private val Retain = 3 // versions kept after a successful commit
+  private val DeltaHeader = "graft-delta-v1"
+  private val Retain = 3 // versions kept readable after a commit
+  /** Fold a full checkpoint every this many commits. Bounds BOTH the
+    * reader's delta-tail length and the log's file count; raising it
+    * trades read opens for less checkpoint write amortization.
+    */
+  val CheckpointEvery = 10L
 
   private[sources] def hex(b: Array[Byte]): String =
     b.map(x => "%02x".format(x & 0xff)).mkString
@@ -82,10 +118,23 @@ object GenManifest {
   final case class Snapshot(version: Long, entries: Vector[Entry],
       epochs: Set[String] = Set.empty)
 
+  /** One commit's record: what it removed (by name), what it added,
+    * and the epoch keys it committed. Replayed onto the prior snapshot
+    * as `entries.filterNot(removed) ++ added` — exactly the fold
+    * [[append]] and [[replace]] perform, so replay order equals the
+    * order those commits produced.
+    */
+  private final case class Delta(version: Long, removed: Set[String],
+      added: Vector[Entry], epochKeys: Vector[String])
+
   private def manifestDir(dir: String) = new Path(dir, DirName)
-  private def versionFile(dir: String, v: Long) =
-    new Path(manifestDir(dir), f"v$v%020d.manifest")
-  private val VersionName = """v(\d{20})\.manifest""".r
+  private def deltaFile(dir: String, v: Long) =
+    new Path(manifestDir(dir), f"v$v%020d.delta")
+  private def checkpointFile(dir: String, v: Long) =
+    new Path(manifestDir(dir), f"v$v%020d.checkpoint.zst")
+  private val LegacyName = """v(\d{20})\.manifest""".r
+  private val DeltaName = """v(\d{20})\.delta""".r
+  private val CkptName = """v(\d{20})\.checkpoint\.zst""".r
 
   /** Create the manifest MARKER — the (possibly still empty)
     * `_graft_manifest/` directory — for a directory this engine is
@@ -133,6 +182,28 @@ object GenManifest {
     catch { case _: java.io.FileNotFoundException => false }
   }
 
+  // trailing fields are ADDITIVE: readers split with an unbounded
+  // limit and index only the fields they know, so an older engine
+  // reads a timed manifest correctly (and a newer engine reads an
+  // old six-field line as times = None) — same vintage discipline
+  // as the sidecar's `normalized` flag
+  private def renderEntry(sb: StringBuilder, e: Entry): Unit = {
+    sb.append(e.name).append('\t').append(e.bytes).append('\t')
+      .append(e.count).append('\t').append(if (e.sorted) 1 else 0)
+      .append('\t').append(e.minHex).append('\t').append(e.maxHex)
+      .append('\t').append(e.times.fold("")(_._1.toString))
+      .append('\t').append(e.times.fold("")(_._2.toString))
+      .append('\n')
+    ()
+  }
+
+  private def parseEntry(f: Array[String], off: Int): Entry =
+    Entry(f(off), f(off + 1).toLong, f(off + 2).toLong, f(off + 3) == "1",
+      f(off + 4), f(off + 5),
+      if (f.length >= off + 8 && f(off + 6).nonEmpty)
+        Some((f(off + 6).toLong, f(off + 7).toLong))
+      else None)
+
   private def render(s: Snapshot): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(Header).append('\n').append(s.version).append('\n')
@@ -144,19 +215,7 @@ object GenManifest {
     s.epochs.toSeq.sorted.foreach { k =>
       sb.append("!epoch\t").append(k).append('\n')
     }
-    s.entries.foreach { e =>
-      // trailing fields are ADDITIVE: readers split with an unbounded
-      // limit and index only the fields they know, so an older engine
-      // reads a timed manifest correctly (and a newer engine reads an
-      // old six-field line as times = None) — same vintage discipline
-      // as the sidecar's `normalized` flag
-      sb.append(e.name).append('\t').append(e.bytes).append('\t')
-        .append(e.count).append('\t').append(if (e.sorted) 1 else 0)
-        .append('\t').append(e.minHex).append('\t').append(e.maxHex)
-        .append('\t').append(e.times.fold("")(_._1.toString))
-        .append('\t').append(e.times.fold("")(_._2.toString))
-        .append('\n')
-    }
+    s.entries.foreach(renderEntry(sb, _))
     sb.toString.getBytes("UTF-8")
   }
 
@@ -166,55 +225,149 @@ object GenManifest {
     else ls(1).toLongOption.map { v =>
       val body = ls.drop(2).filter(_.nonEmpty).toVector
       val (epochLines, entryLines) = body.partition(_.startsWith("!epoch\t"))
-      Snapshot(v, entryLines.map { l =>
-        val f = l.split("\t", -1)
-        Entry(f(0), f(1).toLong, f(2).toLong, f(3) == "1", f(4), f(5),
-          if (f.length >= 8 && f(6).nonEmpty) Some((f(6).toLong, f(7).toLong))
-          else None)
-      }, epochLines.map(_.stripPrefix("!epoch\t")).toSet)
+      Snapshot(v, entryLines.map(l => parseEntry(l.split("\t", -1), 0)),
+        epochLines.map(_.stripPrefix("!epoch\t")).toSet)
     }
+  }
+
+  /** Delta record body: `!epoch\t<key>` per committed epoch key,
+    * `-\t<name>` per removal, `+\t<entry fields>` per addition.
+    */
+  private def renderDelta(d: Delta): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(DeltaHeader).append('\n').append(d.version).append('\n')
+    d.epochKeys.foreach(k => sb.append("!epoch\t").append(k).append('\n'))
+    d.removed.toSeq.sorted.foreach(n => sb.append("-\t").append(n).append('\n'))
+    d.added.foreach { e => sb.append("+\t"); renderEntry(sb, e) }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private def parseDelta(bytes: Array[Byte]): Option[Delta] = {
+    val ls = new String(bytes, "UTF-8").split("\n", -1)
+    if (ls.length < 2 || ls(0) != DeltaHeader) None
+    else ls(1).toLongOption.map { v =>
+      val body = ls.drop(2).filter(_.nonEmpty).toVector
+      Delta(v,
+        body.filter(_.startsWith("-\t")).map(_.stripPrefix("-\t")).toSet,
+        body.filter(_.startsWith("+\t"))
+          .map(l => parseEntry(l.split("\t", -1), 1)),
+        body.filter(_.startsWith("!epoch\t"))
+          .map(_.stripPrefix("!epoch\t")))
+    }
+  }
+
+  /** Replay one commit onto the prior snapshot. Entry fold matches
+    * [[append]]/[[replace]] exactly; epoch keys re-apply the same
+    * monotonic max-per-query pruning [[appendEpoch]] performed, so a
+    * replayed log reconstructs the identical epoch set.
+    */
+  private def applyDelta(s: Snapshot, d: Delta): Snapshot = {
+    val eps = d.epochKeys.foldLeft(s.epochs) { (acc, k) =>
+      epochSplit(k) match {
+        case Some((q, _)) =>
+          acc.filterNot(x => epochSplit(x).exists(_._1 == q)) + k
+        case None => acc + k
+      }
+    }
+    Snapshot(d.version,
+      s.entries.filterNot(e => d.removed(e.name)) ++ d.added, eps)
+  }
+
+  /** One consistent-ish view of the log directory's file inventory:
+    * full snapshots (legacy manifests + checkpoints) and delta records,
+    * each as (version, path). `zstd` marks which fulls need inflating.
+    */
+  private final case class LogView(
+      fulls: Vector[(Long, Path, Boolean)], deltas: Vector[(Long, Path)]) {
+    def isEmpty: Boolean = fulls.isEmpty && deltas.isEmpty
+    def head: Long = (fulls.map(_._1) ++ deltas.map(_._1)).max
+  }
+
+  private def listLog(fs: FileSystem, md: Path): Option[LogView] =
+    try {
+      val st = fs.listStatus(md)
+      val fulls = st.flatMap(s => s.getPath.getName match {
+        case LegacyName(v) => Some((v.toLong, s.getPath, false))
+        case CkptName(v) => Some((v.toLong, s.getPath, true))
+        case _ => None
+      }).toVector.sortBy(_._1)
+      val deltas = st.flatMap(s => s.getPath.getName match {
+        case DeltaName(v) => Some(v.toLong -> s.getPath)
+        case _ => None
+      }).toVector.sortBy(_._1)
+      Some(LogView(fulls, deltas))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  private def readBytes(fs: FileSystem, p: Path, zstd: Boolean): Array[Byte] = {
+    val raw = fs.open(p)
+    val in = if (zstd) new ZstdInputStream(raw) else raw
+    try in.readAllBytes() finally in.close()
+  }
+
+  // a COMMITTED record that does not parse is corruption or a newer
+  // format — absence degrades, never lies: this must not read as "no
+  // manifest" (the governed() fallback would then report an EMPTY
+  // table over committed data)
+  private def readFull(fs: FileSystem, p: Path, zstd: Boolean): Snapshot =
+    parse(readBytes(fs, p, zstd)).getOrElse(throw new java.io.IOException(
+      s"manifest $p exists but does not parse — corrupt bytes or " +
+        "a newer engine's format; refusing to misread the table " +
+        "as empty"))
+
+  private def readDeltaRec(fs: FileSystem, p: Path): Delta =
+    parseDelta(readBytes(fs, p, zstd = false)).getOrElse(
+      throw new java.io.IOException(
+        s"manifest delta $p exists but does not parse — corrupt bytes " +
+          "or a newer engine's format; refusing to misread the table"))
+
+  /** Replay the log to `version` (or to head when None) from one
+    * listing: newest full snapshot at-or-below the target + the delta
+    * tail. None when a needed file vanished or the tail has a gap —
+    * a commit/gc race tore the listing; the caller re-lists and
+    * retries.
+    */
+  private def replay(fs: FileSystem, lv: LogView,
+      version: Long): Option[Snapshot] = {
+    val base = lv.fulls.filter(_._1 <= version).lastOption
+    val baseV = base.fold(0L)(_._1)
+    val tail = lv.deltas.filter(t => t._1 > baseV && t._1 <= version)
+    if (tail.map(_._1) != (baseV + 1 to version).toVector) None
+    else try {
+      var snap = base.fold(Snapshot(0L, Vector.empty))(b =>
+        readFull(fs, b._2, b._3))
+      tail.foreach { case (_, p) => snap = applyDelta(snap, readDeltaRec(fs, p)) }
+      Some(snap)
+    } catch { case _: java.io.FileNotFoundException => None } // gc race
   }
 
   /** The latest committed snapshot; None when the directory has no
     * manifest (foreign/legacy — callers fall back to listing). One
-    * listStatus of the TINY manifest dir + one file open, regardless
-    * of data-file count.
+    * listStatus of the TINY manifest dir + at most
+    * 1 + [[CheckpointEvery]] small file opens, regardless of data-file
+    * count and of how many commits the generation has ever made.
     */
   def read(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Option[Snapshot] = {
     MetaIO.manifestReads.incrementAndGet()
     val md = manifestDir(dir)
     // "absence degrades, never lies": None means NO manifest exists
-    // (foreign/legacy dir). A version that was listed but vanished
+    // (foreign/legacy dir). A record that was listed but vanished
     // before open is a gc() race — concurrent commits superseded it —
-    // and MUST retry onto the newer version, not report no-manifest
+    // and MUST retry onto the newer state, not report no-manifest
     // (the listing fallback would resurrect pre-compaction files).
     var attempts = 0
     while (attempts < 5) {
       attempts += 1
-      try {
-        val fs = md.getFileSystem(conf)
-        val versions = fs.listStatus(md).flatMap(s => s.getPath.getName match {
-          case VersionName(v) => Some(v.toLong -> s.getPath)
-          case _ => None
-        })
-        if (versions.isEmpty) return None
-        val (_, p) = versions.maxBy(_._1)
-        try {
-          val in = fs.open(p)
-          val bytes = try in.readAllBytes() finally in.close()
-          // a COMMITTED version that does not parse is corruption or a
-          // newer format — absence degrades, never lies: this must not
-          // read as "no manifest" (the governed() fallback would then
-          // report an EMPTY table over committed data)
-          return Some(parse(bytes).getOrElse(throw new java.io.IOException(
-            s"manifest $p exists but does not parse — corrupt bytes or " +
-              "a newer engine's format; refusing to misread the table " +
-              "as empty")))
-        } catch {
-          case _: java.io.FileNotFoundException => () // gc race — retry
-        }
-      } catch { case _: java.io.FileNotFoundException => return None }
+      val fs = md.getFileSystem(conf)
+      listLog(fs, md) match {
+        case None => return None
+        case Some(lv) if lv.isEmpty => return None
+        case Some(lv) =>
+          replay(fs, lv, lv.head) match {
+            case Some(s) => return Some(s)
+            case None => () // torn listing — retry
+          }
+      }
     }
     throw new java.io.IOException(
       s"manifest for $dir kept vanishing mid-read after $attempts attempts")
@@ -222,55 +375,73 @@ object GenManifest {
 
   /** TIME TRAVEL: read the snapshot at a SPECIFIC committed version —
     * the table-format "read release N" primitive. Strict where [[read]]
-    * degrades: a missing version (never committed, or gc'd past the
-    * [[Retain]] horizon) throws with the retained range, because
-    * silently answering from HEAD would hand a "pinned" reader someone
-    * else's data. CONTRACT: a pinned version's FILES are only
-    * guaranteed present while every later commit was append-only (the
-    * export/streaming-sink pattern); file-rewriting maintenance
-    * (OPTIMIZE, erasure) deletes replaced originals immediately — by
-    * design, since erasure exists precisely to make bytes
-    * unrecoverable — so pinned reads across such a commit fail at
-    * scan time, never resurrect erased data.
+    * degrades: a version outside the retained horizon (never committed,
+    * or older than the last [[Retain]] commits) throws with the
+    * retained range, because silently answering from HEAD would hand a
+    * "pinned" reader someone else's data. The horizon is CONTRACTUAL,
+    * not physical: checkpoint spacing can leave older deltas replayable
+    * on disk, but answering from them would make pin validity depend on
+    * gc timing — the same pin must fail identically everywhere.
+    * CONTRACT: a pinned version's FILES are only guaranteed present
+    * while every later commit was append-only (the export/streaming-
+    * sink pattern); file-rewriting maintenance (OPTIMIZE, erasure)
+    * deletes replaced originals immediately — by design, since erasure
+    * exists precisely to make bytes unrecoverable — so pinned reads
+    * across such a commit fail at scan time, never resurrect erased
+    * data.
     */
   def readAt(dir: String, conf: org.apache.hadoop.conf.Configuration,
       version: Long): Snapshot = {
     MetaIO.manifestReads.incrementAndGet()
-    val fs = manifestDir(dir).getFileSystem(conf)
-    val p = versionFile(dir, version)
-    try {
-      val in = fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      parse(bytes).getOrElse(throw new java.io.IOException(
-        s"manifest $p exists but does not parse — corrupt bytes or a " +
-          "newer engine's format; refusing to misread the table"))
-    } catch {
-      case _: java.io.FileNotFoundException =>
-        val have =
-          try fs.listStatus(manifestDir(dir)).flatMap(_.getPath.getName match {
-            case VersionName(v) => Some(v.toLong)
-            case _ => None
-          }).sorted.toSeq
-          catch { case _: java.io.FileNotFoundException => Seq.empty[Long] }
+    val md = manifestDir(dir)
+    val fs = md.getFileSystem(conf)
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val lv = listLog(fs, md).getOrElse(LogView(Vector.empty, Vector.empty))
+      if (lv.isEmpty)
         throw new IllegalArgumentException(
           s"manifest version $version not retained under $dir " +
-            s"(retained: ${if (have.isEmpty) "none — not a manifest-governed directory"
-            else have.mkString(", ")}); versions older than the " +
+            "(retained: none — not a manifest-governed directory); " +
+            s"versions older than the last $Retain are gc'd at commit")
+      val head = lv.head
+      val retMin = math.max(1L, head - Retain + 1)
+      if (version > head || version < retMin)
+        throw new IllegalArgumentException(
+          s"manifest version $version not retained under $dir " +
+            s"(retained: $retMin..$head); versions older than the " +
             s"last $Retain are gc'd at commit")
+      replay(fs, lv, version) match {
+        case Some(s) => return s
+        case None => () // commit/gc race tore the listing — retry
+      }
     }
+    throw new java.io.IOException(
+      s"manifest log for $dir kept vanishing mid-read after $attempts attempts")
   }
 
   /** Commit `update(current entries)` as the next version. Optimistic:
-    * on a rename refusal (a concurrent commit won the version), the
+    * on a publish refusal (a concurrent commit won the version), the
     * latest snapshot is re-read and `update` re-applied — so `update`
     * must be a pure function of the entry set (appends and
-    * drop+replace both are). Returns the committed snapshot.
+    * drop+replace both are). The commit RECORD is the name-grain diff
+    * old→new (writer file names are job-UUID-unique), so replay
+    * reproduces the committed set exactly. Returns the committed
+    * snapshot.
     */
   def commit(dir: String, conf: org.apache.hadoop.conf.Configuration)(
       update: Vector[Entry] => Vector[Entry]): Snapshot =
-    commitLoop(dir, conf)(s =>
-      Some(Snapshot(s.version + 1, update(s.entries), s.epochs)))
-      .getOrElse(throw new IllegalStateException("unconditional commit skipped"))
+    commitLoop(dir, conf) { s =>
+      val next = update(s.entries)
+      val oldByName = s.entries.map(e => e.name -> e).toMap
+      val newByName = next.map(e => e.name -> e).toMap
+      val removed = s.entries.iterator
+        .filterNot(e => newByName.get(e.name).contains(e)).map(_.name).toSet
+      val added = next.filterNot(e => oldByName.get(e.name).contains(e))
+      Some((Snapshot(s.version + 1,
+        s.entries.filterNot(e => removed(e.name)) ++ added, s.epochs),
+        Delta(s.version + 1, removed, added, Vector.empty)))
+    }.getOrElse(throw new IllegalStateException("unconditional commit skipped"))
 
   /** `queryId/epochId` split at the LAST slash (query ids are UUIDs —
     * no slashes — but splitting last-wins keeps any foreign key with
@@ -319,14 +490,38 @@ object GenManifest {
             s.epochs.filterNot(k => epochSplit(k).exists(_._1 == q))
           case None => s.epochs
         }
-        Some(Snapshot(s.version + 1, s.entries ++ entries,
-          pruned + epochKey))
+        Some((Snapshot(s.version + 1, s.entries ++ entries,
+          pruned + epochKey),
+          Delta(s.version + 1, Set.empty, entries.toVector,
+            Vector(epochKey))))
       }
     }
 
+  /** Publish `tmp` create-if-absent as `target`. The atomic commit
+    * point: on HDFS-like filesystems rename refuses an existing
+    * target, but POSIX/LocalFileSystem rename silently REPLACES it
+    * — two racers would both "win" and one record would vanish —
+    * so on file: schemes the tmp is HARD-LINKED into place
+    * (link(2) fails with EEXIST, the posix create-exclusive
+    * primitive; the same trick Delta's HDFSLogStore family uses).
+    */
+  private def publish(fs: FileSystem, tmp: Path, target: Path): Boolean =
+    if ("file" == target.toUri.getScheme ||
+        fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    else fs.rename(tmp, target)
+
   private def commitLoop(dir: String,
       conf: org.apache.hadoop.conf.Configuration)(
-      step: Snapshot => Option[Snapshot]): Option[Snapshot] = {
+      step: Snapshot => Option[(Snapshot, Delta)]): Option[Snapshot] = {
     val md = manifestDir(dir)
     val fs = md.getFileSystem(conf)
     fs.mkdirs(md)
@@ -334,37 +529,19 @@ object GenManifest {
     while (true) {
       attempts += 1
       val cur = read(dir, conf)
-      val next = step(cur.getOrElse(Snapshot(0L, Vector.empty))) match {
+      val (next, delta) = step(cur.getOrElse(Snapshot(0L, Vector.empty))) match {
         case None => return None
         case Some(n) => n
       }
       val tmp = new Path(md,
         ".tmp-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val bytes = renderDelta(delta)
       val os = fs.create(tmp, true)
-      try os.write(render(next)) finally os.close()
-      val target = versionFile(dir, next.version)
-      // The atomic commit point is create-if-absent of the version
-      // file. On HDFS-like filesystems rename refuses an existing
-      // target, but POSIX/LocalFileSystem rename silently REPLACES it
-      // — two racers would both "win" and one snapshot would vanish —
-      // so on file: schemes the tmp is HARD-LINKED into place
-      // (link(2) fails with EEXIST, the posix create-exclusive
-      // primitive; the same trick Delta's HDFSLogStore family uses).
-      val won =
-        if ("file" == target.toUri.getScheme ||
-            fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-            fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(target.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-        else fs.rename(tmp, target)
-      if (won) {
+      try os.write(bytes) finally os.close()
+      if (publish(fs, tmp, deltaFile(dir, next.version))) {
         fs.delete(tmp, false)
+        MetaIO.commitBytes.addAndGet(bytes.length.toLong)
+        if (next.version % CheckpointEvery == 0L) checkpoint(fs, dir, next)
         gc(fs, dir, next.version)
         return Some(next)
       }
@@ -376,25 +553,55 @@ object GenManifest {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Fold the log into a zstd full checkpoint at `s.version`.
+    * Best-effort: only the committer that WON version v reaches here
+    * for v, so there is no real race, but the publish stays
+    * create-if-absent anyway; a failure just leaves a longer delta
+    * tail for readers until the next cadence hit.
+    */
+  private def checkpoint(fs: FileSystem, dir: String, s: Snapshot): Unit =
+    try {
+      val target = checkpointFile(dir, s.version)
+      val tmp = new Path(manifestDir(dir),
+        ".tmp-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val raw = fs.create(tmp, true)
+      val zos = new ZstdOutputStream(raw)
+      try zos.write(render(s)) finally zos.close()
+      val sz = fs.getFileStatus(tmp).getLen
+      if (publish(fs, tmp, target)) MetaIO.checkpointBytes.addAndGet(sz)
+      fs.delete(tmp, false)
+      ()
+    } catch { case _: Exception => () }
+
   /** Append newly-committed files (the write path's job/epoch commit). */
   def append(dir: String, conf: org.apache.hadoop.conf.Configuration,
       entries: Seq[Entry]): Snapshot =
     commit(dir, conf)(_ ++ entries)
 
   /** Drop `remove` (by name) and add `add` in one atomic commit — the
-    * OPTIMIZE/compaction swap, reduced to a single manifest rename.
+    * OPTIMIZE/compaction swap, reduced to a single record publish.
     */
   def replace(dir: String, conf: org.apache.hadoop.conf.Configuration,
       remove: Set[String], add: Seq[Entry]): Snapshot =
     commit(dir, conf)(es => es.filterNot(e => remove(e.name)) ++ add)
 
-  /** Best-effort: drop superseded versions, keeping [[Retain]]. */
+  /** Best-effort log truncation after committing `committed`: find the
+    * newest full snapshot at-or-below the retention horizon and drop
+    * everything it supersedes — deltas at-or-below it, fulls below it.
+    * Never deletes a delta above the newest such snapshot, so every
+    * retained version stays replayable; with no checkpoint yet (young
+    * tables, < [[CheckpointEvery]] commits) nothing is dropped and
+    * reads replay the whole short log from empty.
+    */
   private def gc(fs: FileSystem, dir: String, committed: Long): Unit =
-    try fs.listStatus(manifestDir(dir)).foreach { s =>
-      s.getPath.getName match {
-        case VersionName(v) if v.toLong <= committed - Retain =>
-          fs.delete(s.getPath, false)
-        case _ => ()
+    try {
+      val md = manifestDir(dir)
+      listLog(fs, md).foreach { lv =>
+        val retMin = math.max(1L, committed - Retain + 1)
+        lv.fulls.map(_._1).filter(_ <= retMin).maxOption.foreach { cp =>
+          lv.deltas.filter(_._1 <= cp).foreach(t => fs.delete(t._2, false))
+          lv.fulls.filter(_._1 < cp).foreach(t => fs.delete(t._2, false))
+        }
       }
     } catch { case _: Exception => () }
 }

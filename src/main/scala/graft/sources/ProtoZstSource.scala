@@ -61,6 +61,20 @@ class ProtoZstDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Crash injection around the streaming epoch commit — the
+  * exactly-once specs (PipelineSpec's q208 crash-restart rows) throw
+  * from these to simulate a driver dying immediately BEFORE the
+  * manifest epoch commit (batch replayed wholesale on restart) and
+  * immediately AFTER it (replay detected, duplicate files rolled
+  * back, published files spared). No-ops outside tests; volatile so
+  * the spec's arm/disarm is visible to the stream's commit thread.
+  */
+private[graft] object EpochCommitHooks {
+  @volatile var beforeCommit: Long => Unit = _ => ()
+  @volatile var afterCommit: Long => Unit = _ => ()
+  def reset(): Unit = { beforeCommit = _ => (); afterCommit = _ => () }
+}
+
 object ProtoZstTable {
   /** The sink's logical schema — §1.4's nested Row representation. */
   val Schema: StructType = StructType(Seq(
@@ -103,12 +117,22 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
     val dir = paths.head
     // a job-level abort rolls back the tasks that DID commit (their
     // tmp→final renames) so a retried job can't double-count rows;
-    // runs on the driver, where the session conf is at hand
+    // runs on the driver, where the session conf is at hand.
+    // PUBLISHED files are spared: a failure thrown AFTER the manifest
+    // commit (a driver dying between our epoch commit and Spark's own
+    // commit log surfaces as commit() throwing, which routes Spark
+    // here) must not delete files the committed — authoritative —
+    // entry set references, or the manifest would point at holes.
+    // Replay duplicates and genuinely-uncommitted task output carry
+    // fresh job-UUID names the manifest has never seen, so they go.
     def rollback(msgs: Array[WriterCommitMessage]): Unit = {
       val dirPath = new org.apache.hadoop.fs.Path(dir)
-      val fs = dirPath.getFileSystem(ProtoZstFiles.hadoopConf())
+      val conf = ProtoZstFiles.hadoopConf()
+      val fs = dirPath.getFileSystem(conf)
+      val published: Set[String] = GenManifest.read(dir, conf)
+        .map(_.entries.iterator.map(_.name).toSet).getOrElse(Set.empty)
       msgs.foreach {
-        case c: ProtoZstCommit => c.files.foreach { f =>
+        case c: ProtoZstCommit => c.files.filterNot(published).foreach { f =>
           val data = new org.apache.hadoop.fs.Path(dirPath, f)
           fs.delete(data, false)
           RangeSidecar.delete(fs, data)
@@ -144,10 +168,13 @@ class ProtoZstTable(paths: Seq[String], buckets: Option[Int] = None,
         case c: ProtoZstCommit => c.entries
         case _ => Seq.empty
       }
-      if (entries.nonEmpty &&
-          GenManifest.appendEpoch(dir, ProtoZstFiles.hadoopConf(),
+      if (entries.nonEmpty) {
+        EpochCommitHooks.beforeCommit(epochId)
+        if (GenManifest.appendEpoch(dir, ProtoZstFiles.hadoopConf(),
             s"$streamQueryId/$epochId", entries.toIndexedSeq).isEmpty)
-        rollback(msgs)
+          rollback(msgs)
+        else EpochCommitHooks.afterCommit(epochId)
+      }
     }
     val bucketSpec = buckets
     // partitioned-export mode: roll a new file per key-prefix group

@@ -186,18 +186,17 @@ class ManifestSpec extends AnyFunSuite {
     val e2 = GenManifest.Entry("b.proto.zst", 20L, 2L, sorted = true, "02", "03")
     GenManifest.append(dir, conf, Seq(e1))
     // occupy the version the next commit will try first: the commit
-    // must lose the rename, re-read, and land one version later with
+    // must lose the publish, re-read, and land one version later with
     // the update applied exactly once
     val md = new org.apache.hadoop.fs.Path(dir, GenManifest.DirName)
     val fs = md.getFileSystem(conf)
     val blocker = new org.apache.hadoop.fs.Path(md,
-      f"v${2L}%020d.manifest")
+      f"v${2L}%020d.delta")
     val os = fs.create(blocker, true)
     // the blocker is what a concurrent winner would have committed:
-    // the v1 state plus its own file
-    os.write(("graft-manifest-v1\n2\n" +
-      "a.proto.zst\t10\t1\t1\t00\t01\n" +
-      "c.proto.zst\t30\t3\t1\t04\t05\n").getBytes("UTF-8")); os.close()
+    // a delta record adding its own file on top of the v1 state
+    os.write(("graft-delta-v1\n2\n" +
+      "+\tc.proto.zst\t30\t3\t1\t04\t05\t\t\n").getBytes("UTF-8")); os.close()
     val committed = GenManifest.append(dir, conf, Seq(e2))
     assert(committed.version === 3L)
     assert(committed.entries.count(_.name == "b.proto.zst") === 1)
@@ -296,7 +295,7 @@ class ManifestSpec extends AnyFunSuite {
       val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
       val versions = fs.listStatus(
         new org.apache.hadoop.fs.Path(out, GenManifest.DirName))
-        .count(_.getPath.getName.endsWith(".manifest"))
+        .count(_.getPath.getName.endsWith(".delta"))
       (rows, versions, s.entries.map(_.count).sum)
     }
     val (one, v1, n1) = run(None)
@@ -374,7 +373,7 @@ class ManifestSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     val versions = fs.listStatus(
       new org.apache.hadoop.fs.Path(dir, GenManifest.DirName))
-      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+      .map(_.getPath.getName).filter(_.endsWith(".delta"))
     assert(versions.length === 1, versions.toSeq)
     assert(s.entries.length === epochs * shards)
     // exactly one file per (epoch, shard): every entry's key range
@@ -840,7 +839,7 @@ class ManifestSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     val versions = fs.listStatus(
       new org.apache.hadoop.fs.Path(dir, GenManifest.DirName))
-      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+      .map(_.getPath.getName).filter(_.endsWith(".delta"))
     assert(versions.length === 1, versions.toSeq)
     val nonEmpty = docs.select(col("stream")).distinct().collect()
       .map(_.getInt(0)).toSet
@@ -980,7 +979,7 @@ class ManifestSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
     val versions = fs.listStatus(
       new org.apache.hadoop.fs.Path(out, GenManifest.DirName))
-      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+      .map(_.getPath.getName).filter(_.endsWith(".delta"))
     assert(versions.length === 1, versions.toSeq)
     val prefixes = s.entries.map { e =>
       assert(e.hasRange && e.sorted && e.count > 0, e.name)
@@ -998,5 +997,51 @@ class ManifestSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
     assert(got.nonEmpty, "the screen must fire at this SF or it proves nothing")
+  }
+
+  test("steady-state commit bytes scale with the delta, not the live file set") {
+    val dir = freshDir("graft_man_deltaio")
+    // seed a FAT live set: 300 committed entries in one append — the
+    // old full-snapshot-per-commit protocol would now rewrite ~15 KB
+    // of metadata on every subsequent one-file commit
+    def entry(n: String, i: Long) = GenManifest.Entry(n, 100L + i, 1L,
+      sorted = true, "00", "ff", Some((1L, 2L)))
+    GenManifest.append(dir, conf,
+      (0 until 300).map(i => entry(f"part-seed-$i%04d.proto.zst", i.toLong)))
+    val fullRenderFloor = 300L * 30L // ≥ 30 bytes per rendered entry line
+    // 20 steady-state single-entry commits over the 300-file live set:
+    // EACH published record must stay O(its own add list)
+    val perCommit = (0 until 20).map { i =>
+      val b0 = MetaIO.commitBytes.get()
+      GenManifest.append(dir, conf,
+        Seq(entry(f"part-inc-$i%02d.proto.zst", i.toLong)))
+      MetaIO.commitBytes.get() - b0
+    }
+    assert(perCommit.forall(b => b > 0 && b < 256),
+      s"per-commit record bytes not O(delta): $perCommit")
+    // the WHOLE 20-commit run wrote less commit metadata than ONE
+    // old-protocol snapshot would have
+    assert(perCommit.sum < fullRenderFloor, s"sum=${perCommit.sum}")
+    // replay correctness across the checkpoint fold: versions 1..21,
+    // checkpoints at the CheckpointEvery cadence, head reconstructs
+    val s = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    assert(s.version === 21L)
+    assert(s.entries.length === 320)
+    assert(s.entries.map(_.name).distinct.length === 320)
+    val md = new org.apache.hadoop.fs.Path(dir, GenManifest.DirName)
+    val files = md.getFileSystem(conf).listStatus(md).map(_.getPath.getName)
+    assert(files.exists(_.endsWith(".checkpoint.zst")),
+      s"no checkpoint folded at cadence: ${files.toSeq}")
+    // gc keeps the log BOUNDED: at most one checkpoint interval of
+    // deltas plus the retained-read tail survives, never the full
+    // commit history
+    assert(files.count(_.endsWith(".delta")) <=
+      GenManifest.CheckpointEvery + 3, files.toSeq.sorted.mkString(","))
+    // time travel within the horizon replays checkpoint + tail
+    assert(GenManifest.readAt(dir, conf, 20L).entries.length === 319)
+    // a zstd checkpoint costs bytes only every CheckpointEvery commits
+    // (amortized), and reads stay O(1) opens: listing + checkpoint +
+    // a bounded delta tail
+    assert(MetaIO.checkpointBytes.get() > 0L)
   }
 }

@@ -525,8 +525,99 @@ class PipelineSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
     val versions = fs.listStatus(
       new org.apache.hadoop.fs.Path(out, GenManifest.DirName))
-      .count(_.getPath.getName.endsWith(".manifest"))
+      .count(_.getPath.getName.endsWith(".delta"))
     assert(versions === 2, s"expected 2 epoch commits, saw $versions")
+  }
+
+  /** The q208 crash-restart exactly-once contract: kill the stream at
+    * a chosen point around the second micro-batch's manifest epoch
+    * commit, restart from the SAME checkpointLocation, and prove the
+    * landed corpus + manifest epochs equal the uninterrupted run — no
+    * duplicate, no hole. `killPoint` = "before" (driver dies after the
+    * batch's file writes but before the epoch commit: the whole batch
+    * replays and commits once) or "after" (driver dies between our
+    * epoch commit and Spark's own commit log: the replay is refused,
+    * its duplicate files rolled back, the published files spared).
+    */
+  private def q208CrashRestart(killPoint: String): Unit = {
+    import graft.sources.{EpochCommitHooks, GenManifest, ProtoZstFiles}
+    val docs = Tables.documents(spark, sf0001)
+    val inv = StreamCurate.boilerInventory(spark, sf0001)
+    val rates = StreamCurate.mixtureRates(spark, sf0001)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_crash_src")
+      .toFile.getAbsolutePath
+    docs.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    docs.filter(col("doc_id") >= mid).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def leg = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    def fresh(p: String) = java.nio.file.Files.createTempDirectory(p)
+      .toFile.getAbsolutePath
+    // the uninterrupted twin: same source split, its own checkpoint
+    val want = StreamCurate.streamCurateOf(spark, leg, inv, rates,
+      fresh("graft_crash_base"), fresh("graft_crash_base_ck"))
+      .collect().map(_.mkString("|")).sorted
+    val out = fresh("graft_crash_out"); val ck = fresh("graft_crash_ck")
+    val conf = ProtoZstFiles.hadoopConf()
+    try {
+      // arm: one injected driver death at the second DATA epoch
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val killer: Long => Unit = e =>
+        if (e >= 1L && armed.compareAndSet(true, false))
+          throw new RuntimeException(
+            s"injected driver crash $killPoint epoch commit")
+      if (killPoint == "before") EpochCommitHooks.beforeCommit = killer
+      else EpochCommitHooks.afterCommit = killer
+      val crashed = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        StreamCurate.streamCurateOf(spark, leg, inv, rates, out, ck)
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(crashed).exists(c =>
+        String.valueOf(c.getMessage).contains("injected driver crash")),
+        chain(crashed).map(_.toString).mkString("\n"))
+      EpochCommitHooks.reset()
+      // mid-crash state pins the kill point: "before" died with only
+      // epoch 0 committed; "after" died with epoch 1 already durable
+      val midSnap = GenManifest.read(out, conf).getOrElse(fail("no manifest"))
+      if (killPoint == "before") {
+        assert(midSnap.version === 1L, s"v=${midSnap.version}")
+        assert(midSnap.epochs.forall(_.endsWith("/0")), midSnap.epochs)
+      } else {
+        assert(midSnap.version === 2L, s"v=${midSnap.version}")
+        assert(midSnap.epochs.exists(_.endsWith("/1")), midSnap.epochs)
+      }
+      // restart from the SAME checkpoint: AvailableNow finishes the
+      // replayed batch and terminates
+      val got = StreamCurate.streamCurateOf(spark, leg, inv, rates, out, ck)
+        .collect().map(_.mkString("|")).sorted
+      assert(got.toSeq === want.toSeq,
+        s"$killPoint-crash restart diverged from the uninterrupted run")
+      // exactly two data epochs committed across crash + restart, the
+      // disk holds exactly the committed files (replay duplicates
+      // rolled back, nothing published twice), counts conserved
+      val s = GenManifest.read(out, conf).getOrElse(fail("no manifest"))
+      assert(s.version === 2L, s"v=${s.version}: an epoch committed twice")
+      assert(s.epochs.size === 1 && s.epochs.forall(_.endsWith("/1")),
+        s.epochs)
+      val listed = ProtoZstFiles.list(out, conf).map(f =>
+        new org.apache.hadoop.fs.Path(f).getName).sorted
+      assert(s.entries.map(_.name).sorted.toSeq === listed.toSeq,
+        "disk diverged from the committed entry set")
+      assert(s.entries.map(_.count).sum === got.length.toLong)
+    } finally EpochCommitHooks.reset()
+  }
+
+  test("q208 crash BEFORE the epoch commit: restart lands the batch exactly once") {
+    q208CrashRestart("before")
+  }
+
+  test("q208 crash AFTER the epoch commit: the replay is refused, published files spared") {
+    q208CrashRestart("after")
   }
 
   test("q210 hybrid fusion: RRF arithmetic, pool bounds, dense ranks = q19") {
@@ -1262,11 +1353,15 @@ class PipelineSpec extends AnyFunSuite {
     val got = graft.operators.SimSearch.annRecall(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     val floors = Map("ivf" -> 800L, "lsh" -> 600L, "pq" -> 550L,
-      "ivfpq" -> 750L, "matryoshka" -> 800L)
+      "ivfpq" -> 750L, "matryoshka" -> 800L, "ivf_adaptive" -> 800L)
     assert(got.keySet === floors.keySet, got.keySet)
     floors.foreach { case (m, f) =>
       assert(got(m) >= f, s"$m recall ${got(m)} milli < floor $f")
     }
+    // widening can only ADD candidate cells past the static base, so
+    // the adaptive leg's recall must never fall below static ivf's
+    assert(got("ivf_adaptive") >= got("ivf"),
+      s"adaptive ${got("ivf_adaptive")} < static ivf ${got("ivf")}")
   }
 
   test("q141 runs TWO stateful window aggregates in one query, both bounded") {

@@ -119,4 +119,58 @@ class QualitySpec extends AnyFunSuite {
     assert(got.toSeq.map(_._4).sum === budget)
     assert(got.forall(r => r._4 <= r._2))
   }
+
+  test("q229 bigram quality: local replay, token conservation, stratifier diagonal") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    // local interpolated-bigram LM: unigram counts, bigram counts,
+    // left-context totals — integer bits via toBinaryString length
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (w, g) =>
+      w -> g.length.toLong }
+    val nTotal = docs.map(_._2.length.toLong).sum
+    val bgAll = docs.flatMap(_._2.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val cuv = bgAll.groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+    val cu = bgAll.groupBy(_._1).map { case (u, g) => u -> g.length.toLong }
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length - 1L
+    val local = docs.map { case (id, ws) =>
+      val first = bits(nTotal / uni(ws.head))
+      val rest = ws.sliding(2).filter(_.length == 2).map { p =>
+        val (u, v) = (p(0), p(1))
+        bits(2L * cu(u) * nTotal / (cuv((u, v)) * nTotal + uni(v) * cu(u)))
+      }.sum
+      (id, ws.length.toLong, first + rest)
+    }.map { case (id, n, sb) => (id, n, sb, sb * 1000 / n) }
+    val n = local.length
+    val sorted = local.map(_._4).sorted
+    def cut(k: Int): Long =
+      sorted.find(v => sorted.count(_ <= v) * 3 >= n * k).get
+    val (t1, t2) = (cut(1), cut(2))
+    val expected = local.map { case (id, nt, sb, s) =>
+      (id, nt, sb, s,
+        if (s <= t1) "head" else if (s <= t2) "middle" else "tail")
+    }.toSet
+    val got = Quality.bigramQuality(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got === expected, "bigram stratifier diverged from the local LM")
+    // token conservation (the q94 spec discipline): every token scored
+    // exactly once — per doc AND corpus-wide
+    val wc = docs.toMap.map { case (id, ws) => id -> ws.length.toLong }
+    got.foreach(r => assert(r._2 === wc(r._1), s"doc ${r._1}"))
+    assert(got.toSeq.map(_._2).sum === nTotal)
+    // all three buckets populated; head covers at least a third
+    val byBucket = got.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert(byBucket("head") * 3 >= n)
+    // the SECOND-stratifier payoff: context moves documents across
+    // buckets relative to q224's unigram cut (the disagreement
+    // diagonal is the curation signal this query exists to surface)
+    val uniBuckets = Quality.ccnetBuckets(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.exists(r => uniBuckets(r._1) != r._5),
+      "bigram terciles identical to unigram — no added signal at this SF")
+  }
 }

@@ -42,4 +42,55 @@ class TokenizerSpec extends AnyFunSuite {
     assert(totals.last < totals.head,
       "the full merge table saved zero tokens — not a BPE table")
   }
+
+  test("q228 trainer equals a local greedy replay; picks chain like a real BPE table") {
+    // local replay of the exact loop: word-frequency table, bracket
+    // segmentations, per-round (count desc, l, r) argmax, leftmost
+    // non-overlapping replace — Java String.replace, Spark's replace
+    // and DuckDB's replace all share that scan order
+    val wf = graft.sources.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    var seg = wf.map { case (w, f) =>
+      (w.map(c => s"[$c]").mkString + "[</w>]", f) }.toSeq
+    val expected = (1 to Tokenizer.TrainRounds).map { k =>
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+      seg.foreach { case (s, f) =>
+        val sym = s.substring(1, s.length - 1).split("\\]\\[")
+        sym.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      seg = seg.map { case (s, f) => (s.replace(s"[$l][$r]", s"[$l$r]"), f) }
+      (k, l, r, n)
+    }
+    val got = Tokenizer.bpeTrain(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected, "trained table diverged from the greedy replay")
+    // structural chaining (the bpeMerges discipline, t+h before th+e):
+    // every symbol a pick consumes is a base symbol (single char or
+    // </w>) or the product of an EARLIER pick — a rank never references
+    // a merge that has not happened yet
+    got.foldLeft(Set.empty[String]) { case (products, (k, l, r, _)) =>
+      Seq(l, r).foreach(s => assert(
+        s.length == 1 || s == "</w>" || products(s),
+        s"rank $k consumes '$s' before any earlier rank produced it"))
+      products + (l + r)
+    }
+    // the depth actually EXERCISES chaining on this corpus: some pick
+    // builds on an earlier pick's product (else the spec pins nothing
+    // beyond round-1 argmaxes)
+    val prods = got.map { case (_, l, r, _) => l + r }
+    assert(got.exists { case (k, l, r, _) =>
+      prods.take(k - 1).contains(l) || prods.take(k - 1).contains(r) },
+      s"no chained pick in ${got.map(g => s"${g._2}+${g._3}")}")
+    // per-round greedy gains are the counts q82 ranks: round 1's pick
+    // IS q82's top pair
+    val top = TextAnalysis.bpePairs(spark, sf0001).head()
+    assert(s"${got.head._2} ${got.head._3}" === top.getString(0))
+    assert(got.head._4 === top.getLong(1))
+  }
 }
