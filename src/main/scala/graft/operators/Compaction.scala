@@ -186,21 +186,24 @@ object Compaction {
   private val L0Slices = Seq(("1", "4"), ("3", "7"))
   private val L1Slices = Seq(("0", "3"), ("3", "6"), ("6", ":"))
 
+  private[graft] def buildLeveled(spark: SparkSession,
+      dir: String): (String, String) = {
+    val nested = CellModel.nestRows(spark, dir)
+      .withColumn("ks", col("key").cast("string"))
+    val (out0, out1) = (Scratch.dir("graft_l0"), Scratch.dir("graft_l1"))
+    def slice(lo: String, hi: String): DataFrame =
+      nested.filter(col("ks") >= lo && col("ks") < hi).drop("ks")
+        .coalesce(1)
+    L0Slices.foreach { case (lo, hi) =>
+      Sink.writeNested(slice(lo, hi), out0) }
+    L1Slices.foreach { case (lo, hi) =>
+      Sink.writeNested(slice(lo, hi), out1) }
+    (out0, out1)
+  }
+
   private[graft] def leveledFixture(spark: SparkSession,
       dir: String): (String, String) =
-    Sink.fixture2("leveled:" + dir) {
-      val nested = CellModel.nestRows(spark, dir)
-        .withColumn("ks", col("key").cast("string"))
-      val (out0, out1) = (Scratch.dir("graft_l0"), Scratch.dir("graft_l1"))
-      def slice(lo: String, hi: String): DataFrame =
-        nested.filter(col("ks") >= lo && col("ks") < hi).drop("ks")
-          .coalesce(1)
-      L0Slices.foreach { case (lo, hi) =>
-        Sink.writeNested(slice(lo, hi), out0) }
-      L1Slices.foreach { case (lo, hi) =>
-        Sink.writeNested(slice(lo, hi), out1) }
-      (out0, out1)
-    }
+    Sink.fixture2("leveled:" + dir)(buildLeveled(spark, dir))
 
   /** q156: LEVELED COMPACTION PLANNING from manifest KEY RANGES — the
     * other half of Cassandra's compaction strategy menu (LCS; q153 is
@@ -413,6 +416,37 @@ object Compaction {
       .agg(count(lit(1)).as("n_cells"))
   }
 
+  /** q233: LEVELED COMPACTION EXECUTION — q156 priced the promotion;
+    * this PERFORMS it via [[SinkMaintain.promoteL0]] on a dedicated
+    * two-level fixture (q156's shared planning fixture stays
+    * unmutated), then returns the LEVEL-MERGED read — L0-wins over L1,
+    * which after a full promotion is simply L1's content: every key
+    * exactly once, in key-disjoint sorted runs. The oracle replays the
+    * full nested corpus, so the hash proves the merge lost nothing,
+    * duplicated nothing, and the L0-supersedes rule resolved every
+    * overlapping key to one row.
+    *
+    * Scale: the promotion decision is manifest-row arithmetic (the
+    * hull fixpoint); the data pass reads ONLY the participating files
+    * by explicit path and makes one range-partitioned sorted write;
+    * commits are one atomic replace per level. CompactionSpec pins the
+    * layout invariants (disjoint runs, untouched files untouched,
+    * idempotence); this query pins the end-to-end content.
+    */
+  def leveledCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (l0Dir, l1Dir) = Sink.fixture2("leveledexec:" + dir)(
+      buildLeveled(spark, dir))
+    // idempotent under Bench's repeat runs: the second call finds L0
+    // already drained and commits nothing
+    SinkMaintain.promoteL0(spark, l0Dir, l1Dir)
+    val l0 = spark.read.format("proto-zst").load(l0Dir)
+    val l1 = spark.read.format("proto-zst").load(l1Dir)
+    l0.unionByName(
+        l1.join(l0.select(col("key")), Seq("key"), "left_anti"))
+      .select(col("key").cast("string").as("key"),
+        size(col("columns")).cast("long").as("n_cells"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_compact" -> compact,
     "q153_size_tiered" -> sizeTiered,
@@ -420,7 +454,8 @@ object Compaction {
     "q156_leveled_plan" -> leveledPlan,
     "q181_twcs_plan" -> twcsPlan,
     "q183_mv_delta" -> mvDelta,
-    "q189_hot_window_read" -> hotWindowRead)
+    "q189_hot_window_read" -> hotWindowRead,
+    "q233_leveled_compact" -> leveledCompact)
 
   /** Shared oracle CTE: the identical two generations + the newest-wins
     * window (equivalent to the struct-max because (write_time, gen) is
@@ -559,6 +594,13 @@ object Compaction {
        |FROM w WHERE w = nw GROUP BY key""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the promoted level-merged read IS the whole nested corpus: one
+    // row per non-tombstoned key with its live-cell count (q60's
+    // shape, unfiltered) — anything lost, doubled, or unmerged by the
+    // promotion breaks the hash
+    "q233_leveled_compact" ->
+      (s"SELECT key, count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells " +
+        s"FROM (${Core.cellsSql}) WHERE NOT partition_deleted GROUP BY key"),
     "q189_hot_window_read" -> hotWindowReadSql,
     "q53_compact" -> compactSql,
     "q153_size_tiered" -> sizeTieredSql,

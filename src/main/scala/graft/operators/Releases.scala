@@ -557,6 +557,7 @@ object Releases {
       fs.rename(graft.sources.RangeSidecar.sidecar(src),
         graft.sources.RangeSidecar.sidecar(dst))
       graft.sources.SplitSidecar.move(fs, src, dst)
+      graft.sources.BloomSidecar.move(fs, src, dst)
       e.copy(name = newName)
     }
     graft.sources.GenManifest.replace(relDir, conf,
@@ -647,13 +648,103 @@ object Releases {
     "NOT (" + graft.functions.Portable.sqlHash60(
       "'gdpr:' || CAST(doc_id AS VARCHAR)") + " % 29 = 0)")
 
+  /** q231 candidate sequence lengths (tokens per training sequence). */
+  private[graft] val PackLens = Seq(512L, 1024L, 2048L, 4096L)
+
+  /** q231: SEQUENCE-LENGTH ABLATION — the decision table behind q57's
+    * fixed `SeqLen`: for each candidate length, what concat-packing
+    * the corpus at that length costs in PADDING (each (lang, shard)
+    * stream's last sequence is part-empty — shorter sequences waste
+    * less tail) versus DOCUMENT STRADDLES (documents split across
+    * sequence boundaries lose attention context at the cut — longer
+    * sequences cut fewer documents). Both move monotonically in
+    * opposite directions (the candidate lengths are nested powers of
+    * two, so every longer length's boundaries are a subset of every
+    * shorter one's), which is exactly why this is a measured table and
+    * not a formula: the crossing point depends on the corpus's
+    * document-length distribution. Per candidate: total sequences,
+    * padded tokens, padding in milli of the packed volume, and
+    * straddled documents.
+    *
+    * Scale: ONE q57 window pass (per-stream running offsets, state
+    * bounded by `ShardDocs`) shared by all candidates; per-candidate
+    * numbers are row-local integer arithmetic over doc-grain rows
+    * folded by one aggregation — the candidate sweep adds zero
+    * shuffles. Output is |candidates| rows.
+    */
+  def packAblation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Checkpoints.CpOps
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"doc_id DIV ${TextAnalysis.ShardDocs}").as("shard"),
+        size(graft.functions.Portable.words(col("text")))
+          .cast("long").as("n_tokens"))
+      .withColumn("start_off",
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang"), col("shard"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tokens"))
+      // one scan + one window pass shared by every candidate branch
+      .cp()
+    val perLen = PackLens.map { l =>
+      // per-doc, row-local: how many L-boundaries the doc's token span
+      // crosses; per-stream totals fold to sequences and tail padding
+      val streams = base.groupBy(col("lang"), col("shard"))
+        .agg(sum(col("n_tokens")).as("toks"),
+          sum(when(col("n_tokens") > 0,
+            expr(s"(start_off + n_tokens - 1) DIV $l - start_off DIV $l"))
+            .otherwise(lit(0L))).as("straddles"))
+        .withColumn("n_seqs", expr(s"(toks + $l - 1) DIV $l"))
+      streams.agg(
+        lit(l).as("seq_len"),
+        sum(col("n_seqs")).as("n_seqs"),
+        (sum(col("n_seqs")) * l - sum(col("toks"))).as("pad_tokens"),
+        expr(s"(1000 * (sum(n_seqs) * $l - sum(toks))) DIV (sum(n_seqs) * $l)")
+          .as("pad_milli"),
+        sum(col("straddles")).as("n_straddles"))
+        .select(col("seq_len"), col("n_seqs"), col("pad_tokens"),
+          col("pad_milli"), col("n_straddles"))
+    }
+    perLen.reduce(_ unionByName _)
+  }
+
+  // q231 replay: q57's window CTE once, then the candidate sweep as a
+  // lateral over the length list — identical integer arithmetic
+  private val packAblationSql = {
+    val lens = PackLens.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, lang, doc_id // ${TextAnalysis.ShardDocs} AS shard,
+       |             len(list_filter(string_split(text, ' '), w -> w <> '')) n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, shard, CAST(n_tokens AS BIGINT) n_tokens,
+       |        CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) start_off
+       |      FROM d),
+       |ls AS (SELECT unnest($lens) l),
+       |st AS (SELECT l, lang, shard, CAST(sum(n_tokens) AS BIGINT) toks,
+       |         CAST(sum(CASE WHEN n_tokens > 0
+       |           THEN (start_off + n_tokens - 1) // l - start_off // l
+       |           ELSE 0 END) AS BIGINT) straddles
+       |       FROM c, ls GROUP BY l, lang, shard),
+       |sq AS (SELECT l, lang, shard, toks, straddles,
+       |         (toks + l - 1) // l AS n_seqs FROM st)
+       |SELECT l AS seq_len, CAST(sum(n_seqs) AS BIGINT) n_seqs,
+       |  CAST(sum(n_seqs) * l - sum(toks) AS BIGINT) pad_tokens,
+       |  CAST((1000 * (sum(n_seqs) * l - sum(toks)))
+       |    // (sum(n_seqs) * l) AS BIGINT) pad_milli,
+       |  CAST(sum(straddles) AS BIGINT) n_straddles
+       |FROM sq GROUP BY l""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_version_pin" -> versionPin,
     "q199_export_balance" -> exportBalance,
     "q204_version_delta" -> versionDelta,
     "q212_packed_release" -> packedRelease,
     "q213_packed_erasure" -> packedErasureRead,
-    "q171_export_sink" -> exportShards)
+    "q171_export_sink" -> exportShards,
+    "q231_pack_ablation" -> packAblation)
 
   val oracle: Map[String, String] = Map(
     "q196_version_pin" -> versionPinSql,
@@ -661,5 +752,6 @@ object Releases {
     "q204_version_delta" -> versionDeltaSql,
     "q212_packed_release" -> packedReleaseSql,
     "q213_packed_erasure" -> packedErasureSql,
-    "q171_export_sink" -> exportShardsSql)
+    "q171_export_sink" -> exportShardsSql,
+    "q231_pack_ablation" -> packAblationSql)
 }

@@ -232,6 +232,64 @@ object Sink {
         size(col("columns")).cast("long").as("n_cells"))
   }
 
+  /** Content-addressed fixture for q230: documents keyed by md5(text),
+    * written in FOUR separate commits (doc_id % 4) so every file spans
+    * essentially the full hash keyspace — the layout where range skip
+    * is powerless (each epoch's min..max covers everything) and only a
+    * per-file bloom can prove a file key-free. The q208 export and the
+    * q214 history screen produce exactly this shape in production.
+    */
+  private def bloomFixture(spark: SparkSession, dir: String): String =
+    fixture("bloomget:" + dir) {
+      val out = Scratch.dir("graft_bloomfix")
+      val rows = Tables.documents(spark, dir)
+        .select(col("doc_id"), encode(md5(col("text")), "UTF-8").as("key"),
+          array(struct(
+            encode(lit("doc"), "UTF-8").as("name"),
+            encode(col("doc_id").cast("string"), "UTF-8").as("value"),
+            col("doc_id").as("write_time"))).as("columns"))
+      (0 until 4).foreach { b =>
+        writeNested(rows.filter(col("doc_id") % 4 === b)
+          .select(col("key"), col("columns")).repartition(1), out)
+      }
+      out
+    }
+
+  /** q230: BLOOM POINT-GET — Cassandra's per-SSTable bloom-filter read
+    * path (Filter.db: probe the bloom before touching the file) on the
+    * engine's own format: a single-key lookup in a content-addressed
+    * multi-epoch corpus. Every sink file carries a `.bloom` sidecar
+    * (fixed 2^17-bit, 3-probe, filled for free at write); a pushed
+    * `key =` predicate probes it per task BEFORE decompressing, so the
+    * epochs that provably lack the key cost one ~16 KB sidecar read
+    * instead of a file decode. Hash keys make every file's range cover
+    * the whole keyspace — the regime where the manifest's range skip
+    * cannot prune and the bloom is the only thing standing between a
+    * point-get and a full corpus decode (the "does this content hash
+    * already exist" read q208/q214 pipelines issue constantly).
+    *
+    * Scale: planning stays O(manifest); execution probes one bloom per
+    * surviving file task-side and decodes only bloom-passing files
+    * (expected: the one file holding the key, plus ~0.1% false
+    * positives at epoch file sizes). SourceExtensionSpec pins the skip
+    * mechanics (probe/skip counters, absence degradation); this query
+    * pins the end-to-end answer against the oracle.
+    */
+  def bloomGet(spark: SparkSession, dir: String): DataFrame = {
+    val out = bloomFixture(spark, dir)
+    // deterministic probe: the md5 of the smallest doc_id's text —
+    // a 1-row driver pick (the bounded control-decision class)
+    val target = Tables.documents(spark, dir)
+      .orderBy(col("doc_id")).limit(1)
+      .select(md5(col("text"))).head().getString(0)
+    spark.read.format("proto-zst").load(out)
+      .filter(col("key") === lit(target.getBytes("UTF-8")))
+      .select(decode(col("key"), "UTF-8").as("k"),
+        explode(col("columns")).as("c"))
+      .select(col("k"), decode(col("c.value"), "UTF-8").as("doc"),
+        col("c.write_time").as("t"))
+  }
+
   /** q47: PER-INPUT-FILE job metrics — the O14 fidelity gap closed. The
     * reference reports, for every input file it processes, the row
     * count and output size (`Runner.java:88-97`); here every sink file
@@ -743,7 +801,8 @@ object Sink {
     "q61_compact_sink" -> compactSink,
     "q62_bucketed_stats" -> bucketedKeyStats,
     "q64_sidecar_stats" -> sidecarStats,
-    "q65_runtime_prune" -> runtimePrunedJoin)
+    "q65_runtime_prune" -> runtimePrunedJoin,
+    "q230_bloom_get" -> bloomGet)
 
   /** Replay of the q61 merge: newest (write_time, gen) per (key, name)
     * wins, empty-value winners are tombstones and drop out. Shared by
@@ -880,6 +939,14 @@ object Sink {
         "JOIN customer c ON cells.key = CAST(c.c_custkey AS VARCHAR) " +
         "WHERE NOT partition_deleted AND c.c_custkey BETWEEN 12 AND 13 " +
         "GROUP BY key, c.c_name"),
+    // the point-get returns every document sharing the probe key's
+    // content hash (exact dups collide by design); value/write_time
+    // replay from the raw table
+    "q230_bloom_get" ->
+      ("SELECT md5(text) AS k, CAST(doc_id AS VARCHAR) AS doc, " +
+        "doc_id AS t FROM documents " +
+        "WHERE md5(text) = (SELECT md5(text) FROM documents " +
+        "WHERE doc_id = (SELECT min(doc_id) FROM documents))"),
     // file == bucket by construction (one single-partition write per
     // bucket), so per-file metrics rebuild from per-key wire sizes
     "q47_per_file_metrics" ->

@@ -131,6 +131,7 @@ object SinkMaintain {
       fs.rename(graft.sources.RangeSidecar.sidecar(src),
         graft.sources.RangeSidecar.sidecar(dst))
       graft.sources.SplitSidecar.move(fs, src, dst)
+      graft.sources.BloomSidecar.move(fs, src, dst)
       e.copy(name = newName)
     }
     // THE commit: one atomic manifest rename swaps small -> packed
@@ -144,6 +145,146 @@ object SinkMaintain {
     }
     fs.delete(staging, true)
     (nBefore, nBefore - small.length + packed.length)
+  }
+
+  /** LCS PROMOTION EXECUTION — the other half of q156's planning, the
+    * move Cassandra's LeveledCompactionStrategy makes when L0 backs
+    * up: merge every L0 flush with the L1 run files its key range
+    * overlaps and rewrite that region of L1 as KEY-DISJOINT sorted
+    * runs, leaving L0 empty. Levels are separate manifested
+    * directories; the whole decision — which L1 files rewrite, what
+    * the merged key hull is — is arithmetic over the two manifests'
+    * KB-sized entry rows (the q156/q153 posture: no listing, no file
+    * opened to plan).
+    *
+    * Merge semantics at key collisions: L0 WINS at partition grain —
+    * an L0 flush is by definition newer than the run below it (the
+    * level invariant), so its row supersedes the L1 row wholesale.
+    * Cell-grain reconciliation is q61's generation merge; level
+    * promotion is the layout move.
+    *
+    * The L1 rewrite set closes over the merged key HULL (a fixpoint
+    * over manifest rows): the new runs are range-partitioned across
+    * the hull, so any L1 file the hull touches must join the rewrite
+    * or the disjointness invariant would break against a new run's
+    * boundary. Untouched L1 files therefore lie entirely outside the
+    * hull, and L1 stays globally disjoint after the commit. Null-key
+    * (range-less) L0 files have no place on a keyed level and stay in
+    * L0, documented here rather than silently mis-leveled.
+    *
+    * Crash ordering: the L1 commit (ONE atomic replace) lands FIRST,
+    * the L0 drain commit second. Between the two, a level-merged
+    * reader (L0-wins) sees every key exactly once — the promoted rows
+    * exist in both levels but L0 precedence suppresses the new copies
+    * — so there is no torn window; a crash re-promotes idempotently
+    * (the rewrite set re-derives from the committed manifests).
+    *
+    * Returns (promoted L0 files, rewritten L1 files, new L1 files).
+    */
+  def promoteL0(spark: SparkSession, l0Dir: String, l1Dir: String,
+      targetFiles: Int = 0): (Int, Int, Int) = {
+    import graft.sources.GenManifest
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    def snap(d: String) = GenManifest.read(d, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"promoteL0: no manifest under $d — levels must be sink-governed"))
+    val l0All = snap(l0Dir).entries
+    val l0 = l0All.filter(e => e.count > 0 && e.hasRange)
+    if (l0.isEmpty) return (0, 0, 0)
+    val l1Snap = snap(l1Dir)
+    def cmp(a: Array[Byte], b: Array[Byte]) =
+      java.util.Arrays.compareUnsigned(a, b)
+    // hull fixpoint over manifest rows: grow the rewrite set until no
+    // remaining L1 file overlaps the merged key hull
+    var lo = l0.map(_.min).reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+    var hi = l0.map(_.max).reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+    var rewrite = Vector.empty[GenManifest.Entry]
+    var remaining = l1Snap.entries.filter(e => e.count > 0 && e.hasRange)
+    var changed = true
+    while (changed) {
+      val (in, out) = remaining.partition(e =>
+        cmp(e.min, hi) <= 0 && cmp(lo, e.max) <= 0)
+      changed = in.nonEmpty
+      rewrite ++= in
+      remaining = out
+      in.foreach { e =>
+        if (cmp(e.min, lo) < 0) lo = e.min
+        if (cmp(e.max, hi) > 0) hi = e.max
+      }
+    }
+    val l0Path = new org.apache.hadoop.fs.Path(l0Dir)
+    val l1Path = new org.apache.hadoop.fs.Path(l1Dir)
+    val fs = l1Path.getFileSystem(conf)
+    def paths(root: org.apache.hadoop.fs.Path,
+        es: Seq[GenManifest.Entry]) =
+      es.map(e => new org.apache.hadoop.fs.Path(root, e.name).toString)
+    // L0 flushes can overlap EACH OTHER too (that is what makes them
+    // L0): collisions within the level resolve by FLUSH RECENCY —
+    // manifest entry order is commit order, so a later file's row
+    // supersedes an earlier one's at partition grain, the same
+    // newest-flush-wins rule Cassandra applies. The window partitions
+    // by key over the L0 backlog only (bounded by what is being
+    // promoted, never the level below).
+    val l0Df = l0.zipWithIndex.map { case (e, i) =>
+        spark.read.format("proto-zst")
+          .load(new org.apache.hadoop.fs.Path(l0Path, e.name).toString)
+          .withColumn("gen", lit(i.toLong))
+      }.reduce(_ unionByName _)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+          .orderBy(col("gen").desc)))
+      .filter(col("rn") === 1).drop("rn", "gen")
+    val merged = {
+      if (rewrite.isEmpty) l0Df
+      else {
+        val l1Df = spark.read.format("proto-zst")
+          .load(paths(l1Path, rewrite): _*)
+        // L0-wins partition-grain merge: L1 rows whose key an L0 flush
+        // rewrote drop out (anti join on the binary key)
+        l0Df.unionByName(
+          l1Df.join(l0Df.select(col("key")), Seq("key"), "left_anti"))
+      }
+    }
+    val bins = if (targetFiles > 0) targetFiles
+      else math.max(1, rewrite.length)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new org.apache.hadoop.fs.Path(l1Path, ".promote-" + runId)
+    merged.repartitionByRange(bins, col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.format("proto-zst").mode("append").save(staging.toString)
+    val stagedSnap = graft.sources.GenManifest.read(staging.toString, conf)
+      .getOrElse(throw new IllegalStateException(
+        s"staging write left no manifest under $staging"))
+    val runs = stagedSnap.entries.map { e =>
+      val newName = "l1run-" + runId + "-" + e.name
+      val src = new org.apache.hadoop.fs.Path(staging, e.name)
+      val dst = new org.apache.hadoop.fs.Path(l1Path, newName)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"promoteL0 aborted: rename refused for $src -> $dst; levels " +
+            "unchanged (no manifest committed), runs retained under " +
+            s"$staging")
+      fs.rename(graft.sources.RangeSidecar.sidecar(src),
+        graft.sources.RangeSidecar.sidecar(dst))
+      graft.sources.SplitSidecar.move(fs, src, dst)
+      graft.sources.BloomSidecar.move(fs, src, dst)
+      e.copy(name = newName)
+    }
+    // commit L1 first (see crash ordering above), then drain L0
+    GenManifest.replace(l1Dir, conf, rewrite.map(_.name).toSet, runs)
+    rewrite.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(l1Path, e.name)
+      fs.delete(p, false)
+      graft.sources.RangeSidecar.delete(fs, p)
+    }
+    GenManifest.replace(l0Dir, conf, l0.map(_.name).toSet, Seq.empty)
+    l0.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(l0Path, e.name)
+      fs.delete(p, false)
+      graft.sources.RangeSidecar.delete(fs, p)
+    }
+    fs.delete(staging, true)
+    (l0.length, rewrite.length, runs.length)
   }
 
   /** GC for a manifest-backed directory: delete data files (and their
@@ -245,6 +386,7 @@ object SinkMaintain {
       fs.rename(graft.sources.RangeSidecar.sidecar(src),
         graft.sources.RangeSidecar.sidecar(dst))
       graft.sources.SplitSidecar.move(fs, src, dst)
+      graft.sources.BloomSidecar.move(fs, src, dst)
       e.copy(name = newName)
     }
     graft.sources.GenManifest.replace(outDir, conf,
@@ -647,6 +789,7 @@ object SinkMaintain {
         fs.rename(graft.sources.RangeSidecar.sidecar(src),
           graft.sources.RangeSidecar.sidecar(dst))
         graft.sources.SplitSidecar.move(fs, src, dst)
+        graft.sources.BloomSidecar.move(fs, src, dst)
         e.copy(name = newName)
       }
     }

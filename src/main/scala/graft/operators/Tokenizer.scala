@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
@@ -115,9 +115,16 @@ object Tokenizer {
     * 1..k−1. At 100 TB: one corpus pass + K vocab-sized rounds, output
     * K rows.
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The greedy training kernel over an arbitrary document frame —
+    * shared by q228 (full corpus) and q232 (train split only): returns
+    * the picked merges in rank order with their selection-time pair
+    * counts. The K argmaxes are 1-row driver collects (the trainer's
+    * control decisions); everything else is vocab-grain.
+    */
+  private[graft] def trainMerges(
+      docs: DataFrame): Seq[(Int, String, String, Long)] = {
     import graft.operators.Checkpoints.CpOps
-    val wf = Tables.documents(spark, dir)
+    val wf = docs
       .select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
     var seg = wf.select(col("f"), concat(
@@ -146,9 +153,64 @@ object Tokenizer {
       seg = seg.withColumn("s", replace(col("s"),
         lit(s"[$l][$r]"), lit(s"[$l$r]"))).cpIter()
     }
+    picked.result()
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    picked.result().toDF("merge_rank", "left_sym", "right_sym",
-      "pair_count")
+    trainMerges(Tables.documents(spark, dir))
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** q232: HELD-OUT TOKENIZER AUDIT — the acceptance test a tokenizer
+    * owner runs before shipping q228's trained table: train on HALF
+    * the corpus (even doc_ids), apply the trained merges to the
+    * held-out half (odd doc_ids), and report per-language fertility
+    * (BPE tokens per word, milli) and compression (BPE tokens per
+    * character token, milli). Training-set fertility flatters any
+    * tokenizer (the merges were picked to compress exactly those
+    * words); the held-out number is the one that predicts production
+    * cost — and the per-language split is where a shared tokenizer's
+    * bias shows (the q187 concern, now measured against a table this
+    * engine trained rather than a fixed one).
+    *
+    * Scale: the trainer's one-corpus-pass + K vocab-grain rounds on
+    * the train half; the eval half is ONE row-local encode pass (the
+    * trained merges fold into a literal replace chain, q124's shape —
+    * no join against the training data at all: "train once, ship the
+    * table, score every future drop" is the production contract this
+    * query rehearses).
+    */
+  def heldoutAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = trainMerges(docs.filter(col("doc_id") % 2 === 0))
+      .map(m => (m._2, m._3))
+    // q124's bracket fold under the TRAINED table (literal chain)
+    def tokens(w: Column): Column = {
+      val init = concat(
+        array_join(transform(sequence(lit(1), length(w)), i =>
+          concat(lit("["), w.substr(i, lit(1)), lit("]"))), ""),
+        lit("[</w>]"))
+      val folded = merges.foldLeft(init) { case (acc, (a, b)) =>
+        replace(acc, lit(s"[$a][$b]"), lit(s"[$a$b]"))
+      }
+      length(folded) - length(replace(folded, lit("[")))
+    }
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("lang"), words(col("text")).as("ws"))
+      .select(col("lang"), size(col("ws")).cast("long").as("nw"),
+        aggregate(transform(col("ws"), w => (length(w) + 1).cast("long")),
+          lit(0L), (a, x) => a + x).as("nc"),
+        aggregate(transform(col("ws"), w => tokens(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("nb"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nw")).as("n_words"),
+        sum(col("nc")).as("n_char_tokens"),
+        sum(col("nb")).as("n_bpe_tokens"))
+      .withColumn("fertility_milli",
+        expr("1000 * n_bpe_tokens DIV n_words"))
+      .withColumn("compression_milli",
+        expr("1000 * n_bpe_tokens DIV n_char_tokens"))
   }
 
   /** q228 replay: the K rounds unrolled as chained CTEs — per round, a
@@ -157,23 +219,34 @@ object Tokenizer {
     * Round kernels contain `||` concatenations, so the whole chain
     * splices AFTER stripMargin.
     */
+  // bracket-atomize one word (column `w`) — the oracle-side q124 init
+  private val sqlBracketInit =
+    "'[' || array_to_string(list_transform(range(1, len(w) + 1), " +
+      "i -> substr(w, CAST(i AS INTEGER), 1)), '][') || '][</w>]'"
+
+  /** The K training rounds as chained CTEs over `seg0 (f, s)` — shared
+    * verbatim by the q228 and q232 oracles so the two replays can
+    * never train different tables. Contains `||` — splice AFTER
+    * stripMargin.
+    */
+  private def trainRoundsSql: String = (1 to TrainRounds).map { k =>
+    s"""p$k AS (SELECT pair, CAST(sum(f) AS BIGINT) n
+       |  FROM (SELECT f, unnest(list_transform(range(1, len(sym)),
+       |            i -> sym[i] || ' ' || sym[i + 1])) pair
+       |        FROM (SELECT f, string_split(substr(s, 2, len(s) - 2),
+       |                '][') sym FROM seg${k - 1}))
+       |  GROUP BY pair),
+       |m$k AS (SELECT l, r, n FROM (
+       |    SELECT string_split(pair, ' ')[1] l,
+       |           string_split(pair, ' ')[2] r, n FROM p$k)
+       |  ORDER BY n DESC, l, r LIMIT 1),
+       |seg$k AS (SELECT f, replace(seg.s,
+       |    '[' || m.l || '][' || m.r || ']',
+       |    '[' || m.l || m.r || ']') s
+       |  FROM seg${k - 1} seg, m$k m)""".stripMargin
+  }.mkString(",\n")
+
   private val bpeTrainSql = {
-    val rounds = (1 to TrainRounds).map { k =>
-      s"""p$k AS (SELECT pair, CAST(sum(f) AS BIGINT) n
-         |  FROM (SELECT f, unnest(list_transform(range(1, len(sym)),
-         |            i -> sym[i] || ' ' || sym[i + 1])) pair
-         |        FROM (SELECT f, string_split(substr(s, 2, len(s) - 2),
-         |                '][') sym FROM seg${k - 1}))
-         |  GROUP BY pair),
-         |m$k AS (SELECT l, r, n FROM (
-         |    SELECT string_split(pair, ' ')[1] l,
-         |           string_split(pair, ' ')[2] r, n FROM p$k)
-         |  ORDER BY n DESC, l, r LIMIT 1),
-         |seg$k AS (SELECT f, replace(seg.s,
-         |    '[' || m.l || '][' || m.r || ']',
-         |    '[' || m.l || m.r || ']') s
-         |  FROM seg${k - 1} seg, m$k m)""".stripMargin
-    }.mkString(",\n")
     val selects = (1 to TrainRounds).map(k =>
       s"SELECT CAST($k AS INTEGER) merge_rank, l left_sym, r right_sym," +
         s" n pair_count FROM m$k").mkString("\nUNION ALL\n")
@@ -183,18 +256,54 @@ object Tokenizer {
       |@ROUNDS@
       |@SELECTS@""".stripMargin
       .replace("@WS@", sqlWords)
-      .replace("@INIT@",
-        "'[' || array_to_string(list_transform(range(1, len(w) + 1), " +
-          "i -> substr(w, CAST(i AS INTEGER), 1)), '][') || '][</w>]'")
-      .replace("@ROUNDS@", rounds)
+      .replace("@INIT@", sqlBracketInit)
+      .replace("@ROUNDS@", trainRoundsSql)
       .replace("@SELECTS@", selects)
+  }
+
+  // q232 replay: train the table on the even half (the SAME round
+  // CTEs as q228's oracle), then chain the trained merges over the
+  // odd half's (lang, word) vocabulary and fold weighted token sums
+  private val heldoutAuditSql = {
+    val evalRounds = (1 to TrainRounds).map { k =>
+      s"""es$k AS (SELECT lang, w, c, replace(e.s,
+         |    '[' || m.l || '][' || m.r || ']',
+         |    '[' || m.l || m.r || ']') s
+         |  FROM es${k - 1} e, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS (SELECT w, count(*) f
+       |  FROM (SELECT unnest(@WS@) w FROM documents WHERE doc_id % 2 = 0)
+       |  GROUP BY w),
+       |seg0 AS (SELECT f, @INIT@ s FROM wf),
+       |@ROUNDS@,
+       |ew AS (SELECT lang, w, CAST(count(*) AS BIGINT) c
+       |  FROM (SELECT lang, unnest(@WS@) w FROM documents
+       |        WHERE doc_id % 2 = 1)
+       |  GROUP BY lang, w),
+       |es0 AS (SELECT lang, w, c, @INIT@ s FROM ew),
+       |@EVALROUNDS@,
+       |t AS (SELECT lang, CAST(sum(c) AS BIGINT) n_words,
+       |        CAST(sum(c * (len(w) + 1)) AS BIGINT) n_char_tokens,
+       |        CAST(sum(c * (len(s) - len(replace(s, '[', ''))))
+       |          AS BIGINT) n_bpe_tokens
+       |      FROM es${TrainRounds} GROUP BY lang)
+       |SELECT lang, n_words, n_char_tokens, n_bpe_tokens,
+       |  1000 * n_bpe_tokens // n_words AS fertility_milli,
+       |  1000 * n_bpe_tokens // n_char_tokens AS compression_milli
+       |FROM t""".stripMargin
+      .replace("@WS@", sqlWords)
+      .replace("@INIT@", sqlBracketInit)
+      .replace("@ROUNDS@", trainRoundsSql)
+      .replace("@EVALROUNDS@", evalRounds)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q221_merge_ablation" -> mergeAblation,
-    "q228_bpe_train" -> bpeTrain)
+    "q228_bpe_train" -> bpeTrain,
+    "q232_heldout_audit" -> heldoutAudit)
 
   val oracle: Map[String, String] = Map(
     "q221_merge_ablation" -> mergeAblationSql,
-    "q228_bpe_train" -> bpeTrainSql)
+    "q228_bpe_train" -> bpeTrainSql,
+    "q232_heldout_audit" -> heldoutAuditSql)
 }

@@ -27,9 +27,17 @@ object MetaIO {
     * [[GenManifest.CheckpointEvery]] commits, zstd-compressed).
     */
   val checkpointBytes = new AtomicLong
+  /** Per-task `.bloom` sidecar probes on point-lookup scans (EXECUTOR
+    * side — one tiny read per planned partition, never the O(files)
+    * driver planning cost the other counters guard), and how many of
+    * those probes proved the file key-free and skipped its decode.
+    */
+  val bloomProbes = new AtomicLong
+  val bloomSkips = new AtomicLong
   def reset(): Unit = {
     dataListings.set(0); sidecarReads.set(0); manifestReads.set(0)
     commitBytes.set(0); checkpointBytes.set(0)
+    bloomProbes.set(0); bloomSkips.set(0)
   }
 }
 

@@ -121,6 +121,11 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
         // at commit; observed free (one getPos per checkpoint).
         var rowsInFrame = 0
         val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        // per-file key bloom (the Filter.db analog) — fixed 16 KB,
+        // filled for free as keys stream through; written as a
+        // `.bloom` sidecar at commit so point lookups skip whole
+        // files without decompressing them
+        val bloom = new Array[Long](BloomSidecar.Words)
         def open(): ZstdOutputStream = {
           if (os == null) {
             fs.mkdirs(dirPath)
@@ -221,6 +226,7 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
             java.util.Arrays.compareUnsigned(key, st.lastKey) < 0)
           st.sorted = false
         st.lastKey = key.clone()
+        BloomSidecar.add(st.bloom, key)
         if (cols != null) {
           // per-file cell write-time range, observed free (the same
           // walk encodeRow is about to make). A null write time
@@ -253,9 +259,11 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
             // the commit sees either no data file, or data + sidecar
             // (sidecars stay written for foreign readers and for
             // explicit-file loads that bypass the manifest)
-            if (st.minKey != null)
+            if (st.minKey != null) {
               RangeSidecar.write(fs, st.finalFile, st.minKey, st.maxKey,
                 st.sorted, st.n)
+              BloomSidecar.write(fs, st.finalFile, st.bloom)
+            }
             // drop a checkpoint landing exactly at EOF (nothing after
             // it to slice); write the split sidecar before the data
             // rename, same visibility order as the range sidecar

@@ -998,6 +998,37 @@ object KeyPredicate {
     case _ => (_, _) => true
   }
 
+  /** The finite CANDIDATE KEY SET a pushed conjunction confines `key`
+    * to, if any — what gates the per-task bloom probe: Some(keys) is
+    * returned only when at least one conjunct is an equality/IN (or an
+    * Or-tree of them), so every row that can pass the filters has
+    * key ∈ keys. Conjuncts with no finite form (ranges, IsNotNull)
+    * only narrow further and are ignored soundly; sets from multiple
+    * conjuncts intersect. None means "not a point lookup" — the scan
+    * never touches a bloom.
+    */
+  def pointKeys(fs: Array[Filter]): Option[Seq[Array[Byte]]] = {
+    def finite(f: Filter): Option[Seq[Array[Byte]]] = f match {
+      case EqualTo("key", v) => bin(v).map(Seq(_))
+      case In("key", vs) =>
+        val bs = vs.flatMap(bin(_))
+        if (bs.length == vs.length) Some(bs.toSeq) else None
+      case And(l, r) => (finite(l), finite(r)) match {
+        case (Some(a), Some(b)) =>
+          Some(a.filter(x => b.exists(java.util.Arrays.equals(x, _))))
+        case (a, None) => a
+        case (None, b) => b
+      }
+      case Or(l, r) =>
+        for { a <- finite(l); b <- finite(r) } yield a ++ b
+      case _ => None
+    }
+    val sets = fs.flatMap(finite(_))
+    if (sets.isEmpty) None
+    else Some(sets.reduce((a, b) =>
+      a.filter(x => b.exists(java.util.Arrays.equals(x, _)))))
+  }
+
   private def one(f: Filter): Array[Byte] => Boolean = f match {
     case EqualTo("key", v) => k => java.util.Arrays.equals(k, bin(v).get)
     case GreaterThan("key", v) => val b = bin(v).get; k => cmp(k, b) > 0
@@ -1114,13 +1145,14 @@ object RangeSidecar {
       }
     } catch { case _: Exception => None }
 
-  /** Deletes BOTH per-file sidecars (`.range` and `.split`): the two
-    * live and die with the data file, and every maintenance/GC path
-    * already routes through here — one place instead of twelve.
+  /** Deletes ALL per-file sidecars (`.range`, `.split`, `.bloom`):
+    * they live and die with the data file, and every maintenance/GC
+    * path already routes through here — one place instead of twelve.
     */
   def delete(fs: FileSystem, data: Path): Unit = {
     fs.delete(sidecar(data), false)
     fs.delete(SplitSidecar.sidecar(data), false)
+    fs.delete(BloomSidecar.sidecar(data), false)
     ()
   }
 }
@@ -1170,6 +1202,127 @@ object SplitSidecar {
   /** Best-effort move beside a data-file rename (maintenance rewrites)
     * so compacted big files — exactly the splittable ones — keep their
     * slice boundaries.
+    */
+  def move(fs: FileSystem, src: Path, dst: Path): Unit = {
+    try fs.rename(sidecar(src), sidecar(dst))
+    catch { case _: Exception => () }
+    ()
+  }
+}
+
+/** Per-file KEY BLOOM FILTER sidecar (`<file>.bloom`) — the engine's
+  * Filter.db: Cassandra consults a per-SSTable bloom before touching
+  * the file on every point read, and this is the same move for the
+  * proto-zst format. The sink sets [[K]] bits per key into a
+  * fixed-[[Bits]] filter while writing (observed free — the key bytes
+  * are already in hand); a point-lookup scan (a pushed `key =` / `IN`
+  * predicate, see [[KeyPredicate.pointKeys]]) probes the sidecar in
+  * the TASK before opening the data stream and skips the whole
+  * decompress+decode when no candidate key can be present.
+  *
+  * Why task-side, not plan-side: the manifest keeps planning at one
+  * tiny read regardless of file count, and folding 16 KB of bloom per
+  * entry into it would trade that away (every delta and checkpoint
+  * would carry megabytes). Range skip already prunes most files at
+  * plan time for SORTED layouts; the bloom earns its keep exactly
+  * where ranges cannot — content-addressed (hash-keyed) exports whose
+  * per-epoch files all span the full key space. One ~16 KB sidecar
+  * read per surviving task vs decompressing the file: the Cassandra
+  * trade, made in the executor where it scales with tasks.
+  *
+  * Geometry is FIXED (2^17 bits, 3 probes) rather than sized per
+  * file: the writer streams rows and cannot size a bloom it has
+  * already started filling. At the sink's epoch/frame file sizes
+  * (10³–10⁴ keys) the false-positive rate is ≤~0.1%; a multi-million-
+  * key compacted file saturates toward "always maybe" — which only
+  * degrades the skip back to a normal scan, never drops a row.
+  * Absence (foreign files, older sinks) degrades the same way.
+  */
+object BloomSidecar {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  val Bits = 1 << 17
+  val Words: Int = Bits / 64
+  val K = 3
+
+  def sidecar(data: Path): Path =
+    new Path(data.getParent, data.getName + ".bloom")
+
+  // two independent 64-bit FNV-1a streams; double hashing h1 + i·h2
+  // spreads the K probe positions (the standard Kirsch–Mitzenmacher
+  // construction). Engine-internal only — no oracle ever sees these.
+  private def fnv(key: Array[Byte], seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < key.length) {
+      h = (h ^ (key(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  @inline private def pos(h1: Long, h2: Long, i: Int): Int =
+    (((h1 + i.toLong * h2) & Long.MaxValue) % Bits).toInt
+
+  def add(words: Array[Long], key: Array[Byte]): Unit = {
+    val h1 = fnv(key, 0xcbf29ce484222325L)
+    val h2 = fnv(key, 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < K) {
+      val p = pos(h1, h2, i)
+      words(p >>> 6) |= 1L << (p & 63)
+      i += 1
+    }
+  }
+
+  def mightContain(words: Array[Long], key: Array[Byte]): Boolean = {
+    val h1 = fnv(key, 0xcbf29ce484222325L)
+    val h2 = fnv(key, 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < K) {
+      val p = pos(h1, h2, i)
+      if ((words(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def write(fs: FileSystem, data: Path, words: Array[Long]): Unit = {
+    val os = fs.create(sidecar(data), true)
+    val buf = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(buf.putLong)
+    try {
+      os.write(s"v1 $Bits $K\n".getBytes("UTF-8"))
+      os.write(buf.array())
+    } finally os.close()
+  }
+
+  /** None for missing/unreadable/foreign-geometry sidecars — the skip
+    * is strictly best-effort; absence degrades to scanning.
+    */
+  def read(fs: FileSystem, data: Path): Option[Array[Long]] =
+    try {
+      val p = sidecar(data)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        val nl = bytes.indexOf('\n'.toByte)
+        if (nl < 0) None
+        else {
+          val hdr = new String(bytes, 0, nl, "UTF-8").split(" ")
+          if (hdr.length != 3 || hdr(0) != "v1" || hdr(1).toInt != Bits ||
+              hdr(2).toInt != K || bytes.length - nl - 1 != Words * 8) None
+          else {
+            val buf = java.nio.ByteBuffer.wrap(bytes, nl + 1, Words * 8)
+            Some(Array.fill(Words)(buf.getLong))
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Best-effort move beside a data-file rename, the [[SplitSidecar]]
+    * discipline: maintenance rewrites keep their point-skip power.
     */
   def move(fs: FileSystem, src: Path, dst: Path): Unit = {
     try fs.rename(sidecar(src), sidecar(dst))
@@ -1253,9 +1406,45 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
         throw new IllegalArgumentException(s"unexpected partition: $other")
     }
 
+  /** The finite candidate-key set of a pushed point lookup, if this
+    * scan is one — computed once per factory (it is a pure function of
+    * the pushed filters) and serialized to every task as the gate for
+    * the per-file bloom probe.
+    */
+  private lazy val pointLookup: Option[Seq[Array[Byte]]] =
+    KeyPredicate.pointKeys(filters)
+
+  private def emptyReader: PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = false
+      override def get(): InternalRow =
+        throw new NoSuchElementException("empty bloom-skipped partition")
+      override def close(): Unit = ()
+    }
+
   /** `start`/`end` bound a frame-aligned slice; (0, -1) = whole file. */
   private def single(file: String, start: Long = 0L,
       end: Long = -1L): PartitionReader[InternalRow] = {
+    // The Filter.db gate: a POINT lookup (pushed `key =`/`IN`) probes
+    // the file's bloom sidecar before opening the data stream — one
+    // ~16 KB task-side read against decompressing the file. A miss on
+    // every candidate key proves the file key-free (blooms have no
+    // false negatives) and skips the decode outright; absence or a
+    // foreign geometry degrades to scanning. Slices of one file each
+    // probe the same sidecar — still one tiny read per task.
+    if (pointLookup.isDefined) {
+      val p = new org.apache.hadoop.fs.Path(file)
+      val bloom =
+        try BloomSidecar.read(p.getFileSystem(conf.value), p)
+        catch { case _: Exception => None }
+      if (bloom.isDefined) {
+        MetaIO.bloomProbes.incrementAndGet()
+        if (!pointLookup.get.exists(BloomSidecar.mightContain(bloom.get, _))) {
+          MetaIO.bloomSkips.incrementAndGet()
+          return emptyReader
+        }
+      }
+    }
     // compiled once per partition; pruning decides whether Column
     // messages are decoded at all
     val keep = KeyPredicate.compile(filters)

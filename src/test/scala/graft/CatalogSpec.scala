@@ -29,7 +29,10 @@ class CatalogSpec extends AnyFunSuite {
     val byFile = spark.read.format("proto-zst").load(dir).collect()
     assert(byFile.length === 14) // nested rows at sf0.001
     files.foreach { f =>
-      val b = f.split("-b")(1).take(4).toInt
+      // anchor at the SUFFIX: the random job tag is hex and can itself
+      // contain "-b…" (a 1-in-16 flake under split("-b"))
+      val BucketName = """.*-b(\d{4})\.proto\.zst""".r
+      val b = f match { case BucketName(d) => d.toInt }
       val keys = spark.read.format("proto-zst").load(s"$dir/$f")
         .collect().map(_.getAs[Array[Byte]](0))
       assert(keys.forall(k => GraftBucket.bucket(4, k) == b), f)

@@ -126,4 +126,62 @@ class CompactionSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.length.toLong).toMap.toSet
     assert(got === expected)
   }
+
+  test("q233 LCS promotion: one commit per level, disjoint sorted runs, bit-equal reads, idempotent") {
+    import graft.operators.{SinkMaintain, Sink}
+    import graft.sources.{GenManifest, ProtoZstFiles}
+    val conf = ProtoZstFiles.hadoopConf()
+    // a PRIVATE two-level fixture (promotion mutates it)
+    val (l0, l1) = Compaction.buildLeveled(spark, sf0001)
+    def merged() = {
+      val d0 = spark.read.format("proto-zst").load(l0)
+      val d1 = spark.read.format("proto-zst").load(l1)
+      d0.unionByName(d1.join(d0.select(col("key")), Seq("key"), "left_anti"))
+        .select(decode(col("key"), "UTF-8"), size(col("columns")))
+        // the fixture's overlapping L0 flushes hold IDENTICAL rows for
+        // their shared keys (both sliced from one corpus), so distinct
+        // is the within-L0 newest-flush-wins resolution here
+        .collect().map(_.toString).distinct.sorted.toSeq
+    }
+    val before = merged()
+    val l1Before = GenManifest.read(l1, conf).get
+    val l0Before = GenManifest.read(l0, conf).get
+    assert(l0Before.entries.nonEmpty && l1Before.entries.length === 3)
+    val (p, rw, nw) = SinkMaintain.promoteL0(spark, l0, l1)
+    // the fixture's L1 slices ALL overlap the L0 hull — everything
+    // rewrites, in one commit per level
+    assert(p === l0Before.entries.length && rw === 3 && nw >= 1)
+    val l1After = GenManifest.read(l1, conf).get
+    val l0After = GenManifest.read(l0, conf).get
+    assert(l1After.version === l1Before.version + 1, "L1 must commit once")
+    assert(l0After.version === l0Before.version + 1, "L0 must commit once")
+    assert(l0After.entries.isEmpty, "L0 not drained")
+    assert(ProtoZstFiles.list(l0, conf).isEmpty, "promoted L0 files remain")
+    // the new level is key-sorted, attested, and PAIRWISE DISJOINT —
+    // the LCS invariant the hull fixpoint exists to protect
+    val runs = l1After.entries
+    assert(runs.forall(e => e.sorted && e.hasRange && e.count > 0))
+    assert(runs.forall(_.name.startsWith("l1run-")))
+    def cmp(a: Array[Byte], b: Array[Byte]) =
+      java.util.Arrays.compareUnsigned(a, b)
+    runs.combinations(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(cmp(a.min, b.max) > 0 || cmp(b.min, a.max) > 0,
+        s"${a.name} overlaps ${b.name}")
+    }
+    // disk holds exactly the committed set; the level-merged read is
+    // bit-equal before and after (nothing lost, doubled, or unmerged)
+    assert(ProtoZstFiles.list(l1, conf).length === runs.length)
+    assert(merged() === before)
+    // idempotent: an empty L0 promotes to a no-op, no commits
+    assert(SinkMaintain.promoteL0(spark, l0, l1) === ((0, 0, 0)))
+    assert(GenManifest.read(l1, conf).get.version === l1After.version)
+    // refusing a manifest-less level, not listing-guessing
+    val foreign = java.nio.file.Files.createTempDirectory("graft_lcs_foreign")
+      .toFile.getAbsolutePath
+    val e = intercept[IllegalArgumentException] {
+      SinkMaintain.promoteL0(spark, foreign, l1)
+    }
+    assert(e.getMessage.contains("no manifest"), e.getMessage)
+  }
 }

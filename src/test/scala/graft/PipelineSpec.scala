@@ -1364,6 +1364,45 @@ class PipelineSpec extends AnyFunSuite {
       s"adaptive ${got("ivf_adaptive")} < static ivf ${got("ivf")}")
   }
 
+  test("q231 pack ablation: local replay; straddles fall and padding grows with length") {
+    val shardDocs = graft.operators.TextAnalysis.ShardDocs
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+    // per (lang, shard) streams in doc_id order with running offsets
+    val streams = rows.groupBy(t => (t._2, t._1 / shardDocs)).values.map { ds =>
+      val nts = ds.sortBy(_._1).map(_._3).toSeq
+      (nts, nts.scanLeft(0L)(_ + _).init)
+    }.toSeq
+    val expected = graft.operators.Releases.PackLens.map { l =>
+      var nseqs = 0L; var toks = 0L; var straddles = 0L
+      streams.foreach { case (nts, offs) =>
+        val t = nts.sum
+        toks += t
+        nseqs += (t + l - 1) / l
+        nts.zip(offs).foreach { case (nt, st) =>
+          if (nt > 0) straddles += (st + nt - 1) / l - st / l
+        }
+      }
+      val pad = nseqs * l - toks
+      (l, nseqs, pad, 1000 * pad / (nseqs * l), straddles)
+    }
+    val got = graft.operators.Releases.packAblation(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(got === expected.sortBy(_._1))
+    // nested powers of two: every longer length's boundaries are a
+    // subset of every shorter one's, so straddles can only fall while
+    // tail padding can only grow — the trade the table exists to price
+    got.sliding(2).foreach { w =>
+      assert(w(1)._5 <= w(0)._5, s"straddles rose ${w(0)._1}->${w(1)._1}")
+      assert(w(1)._3 >= w(0)._3, s"padding fell ${w(0)._1}->${w(1)._1}")
+    }
+    // both effects non-vacuous at this SF, or the table prices nothing
+    assert(got.head._5 > got.last._5 && got.last._3 > got.head._3)
+  }
+
   test("q141 runs TWO stateful window aggregates in one query, both bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -719,4 +719,71 @@ class SourceExtensionSpec extends AnyFunSuite {
       .mapPartitions(it => Iterator.single(it.size)).collect()
     assert(perPart.forall(_ > 0) && perPart.sum === b.length)
   }
+
+  test("bloom point-get skips key-free files task-side; absence degrades; ranges never probe") {
+    import graft.sources.{BloomSidecar, MetaIO, ProtoZstFiles}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom")
+      .toFile.getAbsolutePath
+    val conf = ProtoZstFiles.hadoopConf()
+    // four commits; every file carries the range sentinels "0000" and
+    // "zzzz" plus its own middle keys, so every manifest range covers
+    // every probe — range skip is POWERLESS by construction and only
+    // the bloom can prove a file key-free
+    (0 until 4).foreach { b =>
+      val keys = Seq("0000", "zzzz") ++
+        (0 until 8).filter(_ % 4 == b).map(i => f"k$i%02d")
+      Sink.writeNested(keys.toDF("k")
+        .select(encode(col("k"), "UTF-8").as("key"),
+          array(struct(encode(col("k"), "UTF-8").as("name"),
+            encode(col("k"), "UTF-8").as("value"),
+            lit(1L).as("write_time"))).as("columns"))
+        .repartition(1), dir)
+    }
+    def get(ks: String*) = {
+      val r = spark.read.format("proto-zst").load(dir)
+      val f = if (ks.length == 1) r.filter(col("key") === lit(ks.head.getBytes("UTF-8")))
+        else r.filter(col("key").isin(ks.map(_.getBytes("UTF-8")): _*))
+      f.select(decode(col("key"), "UTF-8")).collect()
+        .map(_.getString(0)).sorted.toSeq
+    }
+    // a present key: found; exactly the three key-free epochs skip
+    MetaIO.reset()
+    assert(get("k01") === Seq("k01"))
+    assert(MetaIO.bloomProbes.get() === 4,
+      s"every planned file must probe (${MetaIO.bloomProbes.get()})")
+    assert(MetaIO.bloomSkips.get() === 3,
+      s"the three key-free epochs must skip (${MetaIO.bloomSkips.get()})")
+    // planning untouched: governed scans still list nothing and read
+    // no plan-time sidecars — the probe is an executor-side read
+    assert(MetaIO.dataListings.get() === 0L)
+    assert(MetaIO.sidecarReads.get() === 0L)
+    // an absent key: zero rows, every file skipped without a decode
+    MetaIO.reset()
+    assert(get("nope").isEmpty)
+    assert(MetaIO.bloomSkips.get() === 4)
+    // IN across two epochs: both found, the other two epochs skip
+    MetaIO.reset()
+    assert(get("k01", "k02") === Seq("k01", "k02"))
+    assert(MetaIO.bloomProbes.get() === 4 && MetaIO.bloomSkips.get() === 2)
+    // a RANGE scan never touches a bloom (the gate fires only when the
+    // conjunction confines key to a finite set)
+    MetaIO.reset()
+    assert(spark.read.format("proto-zst").load(dir)
+      .filter(col("key") >= lit("k00".getBytes("UTF-8")) &&
+        col("key") <= lit("k07".getBytes("UTF-8"))).count() === 8L)
+    assert(MetaIO.bloomProbes.get() === 0L)
+    // absence degrades to scanning, never to dropping: delete one
+    // file's bloom sidecar — the sidecar-less file decodes normally,
+    // answers stay exact, the other three still skip
+    val victim = new org.apache.hadoop.fs.Path(
+      ProtoZstFiles.list(dir, conf).min)
+    victim.getFileSystem(conf)
+      .delete(BloomSidecar.sidecar(victim), false)
+    MetaIO.reset()
+    assert(get("nope2").isEmpty)
+    assert(MetaIO.bloomProbes.get() === 3 && MetaIO.bloomSkips.get() === 3)
+    assert(get("k01") === Seq("k01"))
+    assert(get("0000") === Seq("0000", "0000", "0000", "0000"))
+  }
 }

@@ -43,18 +43,17 @@ class TokenizerSpec extends AnyFunSuite {
       "the full merge table saved zero tokens — not a BPE table")
   }
 
-  test("q228 trainer equals a local greedy replay; picks chain like a real BPE table") {
-    // local replay of the exact loop: word-frequency table, bracket
-    // segmentations, per-round (count desc, l, r) argmax, leftmost
-    // non-overlapping replace — Java String.replace, Spark's replace
-    // and DuckDB's replace all share that scan order
-    val wf = graft.sources.Tables.documents(spark, sf0001)
-      .select(org.apache.spark.sql.functions.col("text")).collect()
-      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
-      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+  /** Local replay of the exact greedy loop: word-frequency table,
+    * bracket segmentations, per-round (count desc, l, r) argmax,
+    * leftmost non-overlapping replace — Java String.replace, Spark's
+    * replace and DuckDB's replace all share that scan order. Shared by
+    * the q228 and q232 tests.
+    */
+  private def localTrain(ws: Seq[String]): Seq[(Int, String, String, Long)] = {
+    val wf = ws.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
     var seg = wf.map { case (w, f) =>
       (w.map(c => s"[$c]").mkString + "[</w>]", f) }.toSeq
-    val expected = (1 to Tokenizer.TrainRounds).map { k =>
+    (1 to Tokenizer.TrainRounds).map { k =>
       val counts = new scala.collection.mutable.HashMap[(String, String), Long]
       seg.foreach { case (s, f) =>
         val sym = s.substring(1, s.length - 1).split("\\]\\[")
@@ -66,6 +65,25 @@ class TokenizerSpec extends AnyFunSuite {
       seg = seg.map { case (s, f) => (s.replace(s"[$l][$r]", s"[$l$r]"), f) }
       (k, l, r, n)
     }
+  }
+
+  private def localEncode(word: String,
+      merges: Seq[(String, String)]): Long =
+    merges.foldLeft(word.map(c => s"[$c]").mkString + "[</w>]") {
+      case (acc, (a, b)) => acc.replace(s"[$a][$b]", s"[$a$b]")
+    }.count(_ == '[').toLong
+
+  private def docWords(pred: Long => Boolean): Seq[(String, Array[String])] =
+    graft.sources.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .filter(r => pred(r.getLong(0)))
+      .map(r => (r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty)))
+      .toSeq
+
+  test("q228 trainer equals a local greedy replay; picks chain like a real BPE table") {
+    val expected = localTrain(docWords(_ => true).flatMap(_._2))
     val got = Tokenizer.bpeTrain(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
@@ -92,5 +110,32 @@ class TokenizerSpec extends AnyFunSuite {
     val top = TextAnalysis.bpePairs(spark, sf0001).head()
     assert(s"${got.head._2} ${got.head._3}" === top.getString(0))
     assert(got.head._4 === top.getLong(1))
+  }
+
+  test("q232 held-out audit equals a local train/apply replay; bounds hold per language") {
+    val train = docWords(_ % 2 == 0)
+    val eval = docWords(_ % 2 == 1)
+    val merges = localTrain(train.flatMap(_._2)).map(m => (m._2, m._3))
+    val expected = eval.groupBy(_._1).map { case (lang, docs) =>
+      val ws = docs.flatMap(_._2)
+      val nw = ws.length.toLong
+      val nc = ws.map(_.length.toLong + 1).sum
+      val nb = ws.map(localEncode(_, merges)).sum
+      (lang, nw, nc, nb, 1000 * nb / nw, 1000 * nb / nc)
+    }.toSet
+    val got = Tokenizer.heldoutAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected, "held-out audit diverged from the local replay")
+    // hard bounds: every word is at least one token (fertility ≥ 1000
+    // milli) and merges never EXPAND a word past its char tokens
+    // (compression ≤ 1000 milli); the trained table must actually
+    // compress the held-out half somewhere or it generalized nothing
+    got.foreach { r =>
+      assert(r._5 >= 1000L, s"${r._1} fertility ${r._5}")
+      assert(r._6 <= 1000L, s"${r._1} compression ${r._6}")
+    }
+    assert(got.exists(_._6 < 1000L),
+      "trained merges saved zero held-out tokens in every language")
   }
 }
