@@ -737,6 +737,65 @@ object Releases {
        |FROM sq GROUP BY l""".stripMargin
   }
 
+  /** q234 shape: training epochs to lay out, loader workers per epoch. */
+  private[graft] val ShufEpochs = 3
+  private[graft] val ShufWorkers = 4
+
+  /** q234: TRAINING-ORDER EPOCH SHUFFLE — the reshuffle-every-epoch a
+    * training loader needs: per epoch, every document gets a salted
+    * pseudorandom rank (the q170 decorrelation discipline — hashing,
+    * never a stateful RNG, so any worker can recompute any epoch's
+    * order from the key alone), is dealt to a loader worker by rank,
+    * and receives its 1-based position in that worker's read order.
+    * Epochs use different salts, so consecutive epochs present the
+    * corpus in decorrelated orders — the property that distinguishes a
+    * real shuffle from a cached order replayed thrice (gradient noise
+    * decorrelation is the point of epoch reshuffling). Deterministic
+    * end-to-end: resuming a crashed epoch at position p is a pure
+    * recomputation, no shuffle state to persist.
+    *
+    * Scale: rank and worker assignment are row-local (one hash per
+    * (epoch, doc)); the ONLY exchange is the (epoch, worker)
+    * partition for position numbering, whose partitions are exactly
+    * the per-worker shards a loader sorts for itself anyway — worker
+    * count scales with the cluster, so no partition outgrows one
+    * loader's share. Epochs multiply rows ×E row-locally (explode,
+    * not a join).
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Portable.hash60
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(ShufEpochs - 1))).as("epoch"))
+      .withColumn("rnk", hash60(concat(lit("epshuf:"),
+        col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("worker", (col("rnk") % ShufWorkers).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("worker"))
+          .orderBy(col("rnk"), col("doc_id"))))
+      .select(col("epoch"), col("worker"), col("doc_id"), col("pos"))
+  }
+
+  // q234 replay: identical salt, hash, deal, and position window
+  private val epochShuffleSql = {
+    import graft.functions.Portable.sqlHash60
+    val h = sqlHash60("'epshuf:' || CAST(epoch AS VARCHAR) || ':' || " +
+      "CAST(doc_id AS VARCHAR)")
+    s"""WITH e AS (SELECT doc_id, CAST(unnest(range(0, $ShufEpochs))
+       |             AS INTEGER) epoch
+       |           FROM documents),
+       |r AS (SELECT epoch, doc_id, @H@ rnk FROM e),
+       |w AS (SELECT epoch, doc_id, rnk,
+       |        CAST(rnk % $ShufWorkers AS INTEGER) worker FROM r)
+       |SELECT epoch, worker, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY epoch, worker
+       |    ORDER BY rnk, doc_id) AS INTEGER) pos
+       |FROM w""".stripMargin
+      .replace("@H@", h)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_version_pin" -> versionPin,
     "q199_export_balance" -> exportBalance,
@@ -744,7 +803,8 @@ object Releases {
     "q212_packed_release" -> packedRelease,
     "q213_packed_erasure" -> packedErasureRead,
     "q171_export_sink" -> exportShards,
-    "q231_pack_ablation" -> packAblation)
+    "q231_pack_ablation" -> packAblation,
+    "q234_epoch_shuffle" -> epochShuffle)
 
   val oracle: Map[String, String] = Map(
     "q196_version_pin" -> versionPinSql,
@@ -753,5 +813,6 @@ object Releases {
     "q212_packed_release" -> packedReleaseSql,
     "q213_packed_erasure" -> packedErasureSql,
     "q171_export_sink" -> exportShardsSql,
-    "q231_pack_ablation" -> packAblationSql)
+    "q231_pack_ablation" -> packAblationSql,
+    "q234_epoch_shuffle" -> epochShuffleSql)
 }

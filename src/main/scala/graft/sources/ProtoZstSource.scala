@@ -1213,7 +1213,11 @@ object SplitSidecar {
 /** Per-file KEY BLOOM FILTER sidecar (`<file>.bloom`) — the engine's
   * Filter.db: Cassandra consults a per-SSTable bloom before touching
   * the file on every point read, and this is the same move for the
-  * proto-zst format. The sink sets [[K]] bits per key into a
+  * proto-zst format. (The reference's table schema carries
+  * `bloom_filter_fp_chance` precisely because its SSTables ship one —
+  * `SSTableReader.java:30` — though its own bulk-scan path never
+  * point-reads; this engine's q208/q214 "does this hash exist" reads
+  * do, constantly.) The sink sets [[K]] bits per key into a
   * fixed-[[Bits]] filter while writing (observed free — the key bytes
   * are already in hand); a point-lookup scan (a pushed `key =` / `IN`
   * predicate, see [[KeyPredicate.pointKeys]]) probes the sidecar in

@@ -1403,6 +1403,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.head._5 > got.last._5 && got.last._3 > got.head._3)
   }
 
+  test("q234 epoch shuffle: per-worker bijection, full coverage, decorrelated epochs") {
+    import graft.operators.Releases
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val ids = Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    // local replay: salt, hash, deal, position
+    val expected = (0 until Releases.ShufEpochs).flatMap { e =>
+      ids.map(d => (e, d, h60(s"epshuf:$e:$d")))
+        .groupBy(t => t._3 % Releases.ShufWorkers).toSeq
+        .flatMap { case (w, rows) =>
+          rows.sortBy(t => (t._3, t._2)).zipWithIndex.map {
+            case ((e, d, _), i) => (e, w.toInt, d, i + 1)
+          }
+        }
+    }.toSet
+    val got = Releases.epochShuffle(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSet === expected)
+    // every epoch covers every document exactly once (deal + positions
+    // form a bijection: contiguous 1..count per worker)
+    got.groupBy(_._1).foreach { case (e, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === ids.sorted, s"epoch $e")
+      rows.groupBy(_._2).foreach { case (w, ws) =>
+        assert(ws.map(_._4).sorted.toSeq === (1 to ws.length),
+          s"epoch $e worker $w positions not contiguous")
+      }
+    }
+    // decorrelation: consecutive epochs must not replay the same
+    // global order (the whole point of reshuffling per epoch)
+    def order(e: Int) = got.filter(_._1 == e)
+      .sortBy(t => (t._2, t._4)).map(_._3).toSeq
+    assert(order(0) != order(1) && order(1) != order(2),
+      "epochs replayed an identical order")
+  }
+
   test("q141 runs TWO stateful window aggregates in one query, both bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
