@@ -527,6 +527,26 @@ object GenManifest {
       }
     else fs.rename(tmp, target)
 
+  /** The log is line/tab-delimited text: a name or epoch key carrying
+    * a tab or newline would silently shear every later field, and a
+    * name in the `!` namespace would parse back as an epoch marker —
+    * refuse BEFORE anything publishes, so a bad caller cannot poison a
+    * committed log (the engine's own writers only emit
+    * `part-/packed-/erased-/wmajor-/l1run-` names, all safe).
+    */
+  private def validate(d: Delta): Unit = {
+    def safe(s: String, what: String): Unit =
+      require(s.nonEmpty && !s.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"$what '$s' would corrupt the TSV manifest log")
+    d.added.foreach { e =>
+      safe(e.name, "manifest entry name")
+      require(!e.name.startsWith("!"),
+        s"manifest entry name '${e.name}' collides with the !epoch " +
+          "marker namespace")
+    }
+    d.epochKeys.foreach(safe(_, "epoch key"))
+  }
+
   private def commitLoop(dir: String,
       conf: org.apache.hadoop.conf.Configuration)(
       step: Snapshot => Option[(Snapshot, Delta)]): Option[Snapshot] = {
@@ -541,6 +561,7 @@ object GenManifest {
         case None => return None
         case Some(n) => n
       }
+      validate(delta)
       val tmp = new Path(md,
         ".tmp-" + java.util.UUID.randomUUID().toString.replace("-", ""))
       val bytes = renderDelta(delta)

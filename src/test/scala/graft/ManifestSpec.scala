@@ -999,6 +999,50 @@ class ManifestSpec extends AnyFunSuite {
     assert(got.nonEmpty, "the screen must fire at this SF or it proves nothing")
   }
 
+  test("delta log roundtrips edge-case entries and epoch keys bit-for-bit") {
+    val dir = freshDir("graft_man_rt")
+    val es = Vector(
+      GenManifest.Entry("e-empty-range.proto.zst", 0L, 0L,
+        sorted = false, "", "", None),
+      GenManifest.Entry("e-times-extremes.proto.zst", Long.MaxValue, 1L,
+        sorted = true, "00", "ff", Some((Long.MinValue, Long.MaxValue))),
+      GenManifest.Entry("e-zero-times.proto.zst", 5L, 2L,
+        sorted = true, "0a", "0b", Some((0L, 0L)))) ++
+      (0 until 100).map(i => GenManifest.Entry(
+        f"e-bulk-$i%03d.proto.zst", i.toLong, i.toLong % 7, i % 2 == 0,
+        if (i % 5 == 0) "" else f"$i%02x",
+        if (i % 5 == 0) "" else f"${i + 1}%02x",
+        if (i % 3 == 0) None else Some((i.toLong, i.toLong * 2))))
+    GenManifest.append(dir, conf, es)
+    assert(GenManifest.appendEpoch(dir, conf, "rt-query/42", Seq.empty)
+      .isDefined)
+    val s = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    // order and EVERY field survive the delta render/parse
+    assert(s.entries === es)
+    assert(s.epochs === Set("rt-query/42"))
+    // …and survive a checkpoint fold: push past the cadence, re-read
+    (1 to GenManifest.CheckpointEvery.toInt).foreach(i =>
+      GenManifest.append(dir, conf, Seq(GenManifest.Entry(
+        f"pad-$i%02d.proto.zst", 1L, 1L, sorted = true, "00", "01"))))
+    val s2 = GenManifest.read(dir, conf).getOrElse(fail("no manifest v2"))
+    assert(s2.entries.take(es.length) === es)
+    assert(s2.epochs === Set("rt-query/42"))
+    // a name or key that would shear the TSV log is refused BEFORE
+    // publish — the committed log stays unpoisoned
+    intercept[IllegalArgumentException] {
+      GenManifest.append(dir, conf, Seq(GenManifest.Entry(
+        "bad\tname.proto.zst", 1L, 1L, sorted = true, "", "")))
+    }
+    intercept[IllegalArgumentException] {
+      GenManifest.append(dir, conf, Seq(GenManifest.Entry(
+        "!epoch", 1L, 1L, sorted = true, "", "")))
+    }
+    intercept[IllegalArgumentException] {
+      GenManifest.appendEpoch(dir, conf, "bad\nkey", Seq.empty)
+    }
+    assert(GenManifest.read(dir, conf).get === s2)
+  }
+
   test("steady-state commit bytes scale with the delta, not the live file set") {
     val dir = freshDir("graft_man_deltaio")
     // seed a FAT live set: 300 committed entries in one append — the

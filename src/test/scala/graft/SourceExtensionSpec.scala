@@ -720,6 +720,37 @@ class SourceExtensionSpec extends AnyFunSuite {
     assert(perPart.forall(_ > 0) && perPart.sum === b.length)
   }
 
+  test("bloom kernel: no false negatives, bounded false positives, fs roundtrip, foreign bytes degrade") {
+    import graft.sources.BloomSidecar
+    val words = new Array[Long](BloomSidecar.Words)
+    val keys = (0 until 5000).map(i => s"key:$i".getBytes("UTF-8"))
+    keys.foreach(BloomSidecar.add(words, _))
+    // the load-bearing guarantee: a bloom NEVER excludes an added key
+    keys.foreach(k => assert(BloomSidecar.mightContain(words, k)))
+    // an empty filter excludes everything (all bits zero)
+    val empty = new Array[Long](BloomSidecar.Words)
+    (0 until 1000).foreach(i => assert(
+      !BloomSidecar.mightContain(empty, s"probe:$i".getBytes("UTF-8"))))
+    // at 5000 keys the fill gives ~(3·5000/2^17)^3 ≈ 0.15% FP — a
+    // disjoint deterministic 1000-probe set sees only a handful
+    val fp = (0 until 1000).count(i =>
+      BloomSidecar.mightContain(words, s"other:$i".getBytes("UTF-8")))
+    assert(fp <= 20, s"false-positive burst: $fp/1000")
+    // filesystem roundtrip is bit-exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomrt")
+      .toFile.getAbsolutePath
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val data = new org.apache.hadoop.fs.Path(dir, "x.proto.zst")
+    val fs = data.getFileSystem(conf)
+    BloomSidecar.write(fs, data, words)
+    assert(BloomSidecar.read(fs, data).exists(_.sameElements(words)))
+    // foreign/truncated bytes read as None — the probe degrades to a
+    // scan, never misreads garbage as a filter
+    val os = fs.create(BloomSidecar.sidecar(data), true)
+    os.write("v1 999 9\njunk".getBytes("UTF-8")); os.close()
+    assert(BloomSidecar.read(fs, data).isEmpty)
+  }
+
   test("bloom point-get skips key-free files task-side; absence degrades; ranges never probe") {
     import graft.sources.{BloomSidecar, MetaIO, ProtoZstFiles}
     import spark.implicits._
