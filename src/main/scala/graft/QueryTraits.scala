@@ -30,6 +30,7 @@ object QueryTraits {
     "q215_stream_index_ingest", "q217_lsh_index_probe",
     "q223_sliced_read", "q228_bpe_train", "q230_bloom_get",
     "q232_heldout_audit", "q233_leveled_compact",
+    "q235_release_decontam",
     "q28_stream_window", "q29_sink_roundtrip", "q30_proto_source",
     "q31_stream_sessionize", "q36_noshuffle_stats", "q37_stream_sink",
     "q43_stream_dedup", "q46_key_pushdown", "q69_stream_stream_join",

@@ -240,7 +240,7 @@ object Quality {
   // q226 replay: keeper dedup + the q224 chain + the salted per-
   // stratum rank; the bucket SQL and hash kernel splice AFTER
   // stripMargin (both contain `||`)
-  private val evalSlateSql =
+  private[operators] val evalSlateSql =
     """WITH bkt AS (@BKT@),
       |d AS (SELECT doc_id, lang, md5(text) h FROM documents),
       |keep AS (SELECT min(doc_id) doc_id FROM d GROUP BY h),

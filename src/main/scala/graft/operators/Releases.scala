@@ -796,6 +796,63 @@ object Releases {
       .replace("@H@", h)
   }
 
+  /** q235: RELEASE DECONTAMINATION GATE — the launch check a training
+    * run ships behind: pack a TRAIN-ONLY release (the corpus minus the
+    * q226 eval slate) through q212's packed-release sink, then prove
+    * the separation FROM THE SHIPPED BYTES — the release files' own
+    * membership fragments are re-read and intersected with the slate.
+    * Output is the gate's summary row: slate size, distinct member
+    * documents in the shipped release, and the leak count (which the
+    * oracle pins at ZERO — a packing bug that lets one eval document
+    * through changes the read-back members and fails the hash). The
+    * detector's power is spec-proven non-vacuous: packing WITHOUT the
+    * exclusion makes the same intersection fire.
+    *
+    * Scale: the slate is quota-bounded (≤ quota × languages ×
+    * terciles — KB), so the exclusion anti-join and the leak
+    * intersection both broadcast it; membership re-read fans out one
+    * partition per release file; everything else is q212's machinery.
+    */
+  def releaseDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.withScalar
+    val slateIds = Quality.evalSlate(spark, dir).select(col("doc_id"))
+    val out = Sink.fixture("reldecon:" + dir) {
+      val o = Scratch.dir("graft_reldecon")
+      val train = packRelDocs(spark, dir, PackRelStreams)
+        .join(broadcast(slateIds), Seq("doc_id"), "left_anti")
+      writePackRel(packRelKeyed(packRelSeqs(train)), o, PackRelStreams)
+      o
+    }
+    // member fragments are "tOFFSET:dDOCID+FILL" — lift the doc id
+    val members = packRelParse(spark, out)
+      .select(explode(split(col("members"), ",")).as("m"))
+      .select(regexp_extract(col("m"), ":d(\\d{10})\\+", 1)
+        .cast("long").as("doc_id"))
+    val row = members.agg(countDistinct(col("doc_id"))
+      .as("n_train_members"))
+    withScalar(withScalar(row,
+        slateIds.agg(count(lit(1)).as("n_eval"))),
+        members.join(broadcast(slateIds), "doc_id")
+          .agg(count(lit(1)).as("n_leaked")))
+      .select(col("n_eval"), col("n_train_members"), col("n_leaked"))
+  }
+
+  // q235 replay: slate count from the q226 chain; members = every
+  // non-empty train doc (packing conserves membership — q212's proven
+  // contract); leaks = zero BY CONSTRUCTION of the exclusion, so the
+  // engine's from-the-bytes count must land exactly there
+  private val releaseDecontamSql =
+    """WITH slate AS (SELECT doc_id FROM (@SLATE@))
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM slate) AS n_eval,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE len(@WS@) > 0
+      |     AND doc_id NOT IN (SELECT doc_id FROM slate))
+      |    AS n_train_members,
+      |  CAST(0 AS BIGINT) AS n_leaked""".stripMargin
+      .replace("@SLATE@", Quality.evalSlateSql)
+      .replace("@WS@", graft.functions.Portable.sqlWords)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_version_pin" -> versionPin,
     "q199_export_balance" -> exportBalance,
@@ -804,7 +861,8 @@ object Releases {
     "q213_packed_erasure" -> packedErasureRead,
     "q171_export_sink" -> exportShards,
     "q231_pack_ablation" -> packAblation,
-    "q234_epoch_shuffle" -> epochShuffle)
+    "q234_epoch_shuffle" -> epochShuffle,
+    "q235_release_decontam" -> releaseDecontam)
 
   val oracle: Map[String, String] = Map(
     "q196_version_pin" -> versionPinSql,
@@ -814,5 +872,6 @@ object Releases {
     "q213_packed_erasure" -> packedErasureSql,
     "q171_export_sink" -> exportShardsSql,
     "q231_pack_ablation" -> packAblationSql,
-    "q234_epoch_shuffle" -> epochShuffleSql)
+    "q234_epoch_shuffle" -> epochShuffleSql,
+    "q235_release_decontam" -> releaseDecontamSql)
 }

@@ -1403,6 +1403,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.head._5 > got.last._5 && got.last._3 > got.head._3)
   }
 
+  test("q235 release decontam: shipped bytes are slate-free; the detector fires on contamination") {
+    import graft.operators.{Quality, Releases}
+    val r = Releases.releaseDecontam(spark, sf0001).head()
+    val (nEval, nTrain, nLeaked) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val slate = Quality.evalSlate(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val packable = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(_.getString(1).split(" ").exists(_.nonEmpty))
+      .map(_.getLong(0)).toSet
+    assert(nEval === slate.size.toLong)
+    assert(nTrain === (packable -- slate).size.toLong,
+      "shipped membership diverged from corpus-minus-slate")
+    assert(nLeaked === 0L)
+    // non-vacuity: pack WITHOUT the exclusion and the same
+    // from-the-bytes intersection fires on every packable slate doc
+    val dirty = java.nio.file.Files.createTempDirectory("graft_reldirty")
+      .toFile.getAbsolutePath
+    Releases.writePackRel(Releases.packRelKeyed(Releases.packRelSeqs(
+      Releases.packRelDocs(spark, sf0001, 4))), dirty, 4)
+    val dirtyMembers = Releases.packRelParse(spark, dirty)
+      .select(explode(split(col("members"), ",")).as("m"))
+      .select(regexp_extract(col("m"), ":d(\\d{10})\\+", 1)
+        .cast("long").as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert((dirtyMembers & slate) === (packable & slate),
+      "detector failed to fire on a contaminated release")
+    assert((packable & slate).nonEmpty,
+      "slate has no packable member at this SF — the test proves nothing")
+  }
+
   test("q234 epoch shuffle: per-worker bijection, full coverage, decorrelated epochs") {
     import graft.operators.Releases
     def h60(s: String): Long = {
