@@ -179,17 +179,27 @@ object SinkMaintain {
     * — so there is no torn window; a crash re-promotes idempotently
     * (the rewrite set re-derives from the committed manifests).
     *
+    * `maxL0Files` bounds ONE promotion's input (Cassandra's LCS makes
+    * the same cut — a compaction task never swallows an unbounded
+    * backlog): the OLDEST flushes promote first (manifest order), the
+    * within-L0 recency rule per batch composes with L0-wins across
+    * batches (a newer still-unpromoted flush supersedes the runs its
+    * older siblings just wrote when ITS turn comes), so draining in
+    * batches converges to exactly the one-shot result — spec-pinned.
+    * The bound also caps the merge plan's width: the per-flush
+    * recency lineage grows with the batch, never with the backlog.
+    *
     * Returns (promoted L0 files, rewritten L1 files, new L1 files).
     */
   def promoteL0(spark: SparkSession, l0Dir: String, l1Dir: String,
-      targetFiles: Int = 0): (Int, Int, Int) = {
+      targetFiles: Int = 0, maxL0Files: Int = 64): (Int, Int, Int) = {
     import graft.sources.GenManifest
     val conf = graft.sources.ProtoZstFiles.hadoopConf()
     def snap(d: String) = GenManifest.read(d, conf).getOrElse(
       throw new IllegalArgumentException(
         s"promoteL0: no manifest under $d — levels must be sink-governed"))
     val l0All = snap(l0Dir).entries
-    val l0 = l0All.filter(e => e.count > 0 && e.hasRange)
+    val l0 = l0All.filter(e => e.count > 0 && e.hasRange).take(maxL0Files)
     if (l0.isEmpty) return (0, 0, 0)
     val l1Snap = snap(l1Dir)
     def cmp(a: Array[Byte], b: Array[Byte]) =

@@ -184,4 +184,26 @@ class CompactionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no manifest"), e.getMessage)
   }
+
+  test("q233 bounded-batch promotion drains the backlog and converges to the one-shot result") {
+    import graft.operators.{SinkMaintain, Sink}
+    import graft.sources.{GenManifest, ProtoZstFiles}
+    val conf = ProtoZstFiles.hadoopConf()
+    // two private fixtures from the same corpus: one drains in
+    // maxL0Files=1 batches (oldest flush first), the other in one shot
+    val (a0, a1) = Compaction.buildLeveled(spark, sf0001)
+    val (b0, b1) = Compaction.buildLeveled(spark, sf0001)
+    val flushes = GenManifest.read(a0, conf).get.entries.length
+    var batches = 0
+    while (SinkMaintain.promoteL0(spark, a0, a1, maxL0Files = 1)._1 > 0)
+      batches += 1
+    assert(batches === flushes, s"expected $flushes single-flush batches")
+    assert(GenManifest.read(a0, conf).get.entries.isEmpty)
+    SinkMaintain.promoteL0(spark, b0, b1)
+    def content(dir: String) = spark.read.format("proto-zst").load(dir)
+      .select(decode(col("key"), "UTF-8"), size(col("columns")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(content(a1) === content(b1),
+      "batched drain diverged from the one-shot promotion")
+  }
 }
