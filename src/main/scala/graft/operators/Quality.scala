@@ -141,6 +141,83 @@ object Quality {
     tercileCut(s, "surprisal_milli")
   }
 
+  /** q236: KNESER–NEY BIGRAM QUALITY — the smoothing CCNet's n-gram
+    * filter actually uses, exact to the integer: absolute discounting
+    * with D = 3/4 over the q229 bigram counts,
+    * `p_KN(v|u) = (c(u,v) − D)/c(u) + D·N1+(u)/c(u) · N1-(v)/T`
+    * (N1+(u) = distinct continuations of u, N1-(v) = distinct left
+    * contexts of v, T = distinct bigram types — the continuation
+    * probability that makes KN beat naive interpolation: a word seen
+    * in MANY contexts stays probable in a new one, a word frequent in
+    * ONE context does not). Over the common denominator `4·c(u)·T`
+    * every quantity is an integer —
+    * `p = ((4·c(u,v) − 3)·T + 3·N1+(u)·N1-(v)) / (4·c(u)·T)` — so the
+    * per-token bits stay the q94/q229 `length(bin(den DIV num)) − 1`
+    * kernel and the DuckDB oracle hash-matches bit-for-bit. Every
+    * scored bigram is observed (train corpus = scored corpus), so the
+    * discount never goes negative; first tokens score by the unigram
+    * kernel, conserving tokens exactly as q229 does. Scores feed the
+    * q224 tercile cut — a THIRD stratifier whose disagreement with
+    * the interpolated one (spec-pinned non-empty) is precisely the
+    * continuation-mass signal KN exists to add.
+    *
+    * Scale: q229's shapes plus two vocab-grain folds of the
+    * bigram-type table (N1+ per u, N1- per v) and one 1-row type
+    * count; the same q192-style in-plan guard bounds `4·c(u)·T` —
+    * past that the deployment widens to decimals rather than wrap.
+    */
+  def knBigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checkpoints.CpOps
+    import graft.sources.Tables
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .cp()
+    val tok = d.select(col("doc_id"), explode(col("ws")).as("w"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val bt = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("u"),
+            element_at(col("ws"), i + 1).as("v")))).as("p"))
+      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("btf"))
+      .cp()
+    val cuv = bt.groupBy(col("u"), col("v")).agg(sum(col("btf")).as("cuv"))
+      .cp() // feeds cu, both continuation folds, the type count, AND the scoring join
+    val cu = cuv.groupBy(col("u")).agg(sum(col("cuv")).as("cu"),
+      count(lit(1)).as("n1u"))
+    val n1v = cuv.groupBy(col("v")).agg(count(lit(1)).as("n1v"))
+    val types = cuv.agg(count(lit(1)).as("t_types"))
+    val fb = d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
+        lit(1L).as("btf"))
+      .join(uni, "w")
+      .transform(withScalar(_, total))
+      .select(col("doc_id"), col("btf"),
+        expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
+    val bb = bt
+      .join(cuv, Seq("u", "v"))
+      .join(cu, Seq("u"))
+      .join(n1v, Seq("v"))
+      .transform(withScalar(_, types))
+      .select(col("doc_id"), col("btf"),
+        when(col("cu").cast("double") * col("t_types") * 4 >
+            Long.MaxValue.toDouble,
+          raise_error(lit("q236: 4·c(u)·T exceeds exact-long range — " +
+            "widen the KN ratio to decimals")))
+          .otherwise(expr("length(bin((4 * cu * t_types) DIV " +
+            "((4 * cuv - 3) * t_types + 3 * n1u * n1v))) - 1"))
+          .as("bits"))
+    val s = fb.unionByName(bb)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("btf")).as("n_tokens"),
+        sum(col("btf") * col("bits")).as("sum_bits"))
+      .withColumn("surprisal_milli", expr("sum_bits * 1000 DIV n_tokens"))
+    tercileCut(s, "surprisal_milli")
+  }
+
   /** q225: N-GRAM NOVELTY — per document, the fraction (milli) of its
     * distinct 3-word shingles that appear in NO other document: the
     * complement of the duplication family (q15 finds documents whose
@@ -380,17 +457,69 @@ object Quality {
        |FROM s, t""".stripMargin
   }
 
+  // q236 replay: the q229 chain with the KN ratio — continuation
+  // folds from the bigram-type CTE, the common-denominator bits
+  // kernel, then the shared tercile cut
+  private val knBigramQualitySql = {
+    import graft.functions.Portable.sqlWords
+    s"""WITH w0 AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |d AS (SELECT doc_id, ws FROM w0 WHERE len(ws) >= 1),
+       |tok AS (SELECT doc_id, unnest(ws) w FROM d),
+       |c AS (SELECT w, CAST(count(*) AS BIGINT) cnt FROM tok GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) n_total FROM tok),
+       |bg AS (SELECT doc_id, ws[i] u, ws[i + 1] v
+       |       FROM d, LATERAL unnest(range(1, len(ws))) t(i)
+       |       WHERE len(ws) >= 2),
+       |bt AS (SELECT doc_id, u, v, CAST(count(*) AS BIGINT) btf
+       |       FROM bg GROUP BY 1, 2, 3),
+       |cb AS (SELECT u, v, CAST(sum(btf) AS BIGINT) cuv
+       |       FROM bt GROUP BY 1, 2),
+       |cu AS (SELECT u, CAST(sum(cuv) AS BIGINT) cu,
+       |         CAST(count(*) AS BIGINT) n1u FROM cb GROUP BY 1),
+       |nv AS (SELECT v, CAST(count(*) AS BIGINT) n1v FROM cb GROUP BY 1),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) t_types FROM cb),
+       |fb AS (SELECT d.doc_id, CAST(1 AS BIGINT) btf,
+       |         length(printf('%b', n_total // cnt)) - 1 bits
+       |       FROM d JOIN c ON c.w = ws[1], n),
+       |bb AS (SELECT bt.doc_id, bt.btf,
+       |         length(printf('%b', (4 * cu.cu * t_types)
+       |           // ((4 * cb.cuv - 3) * t_types
+       |               + 3 * cu.n1u * nv.n1v))) - 1 bits
+       |       FROM bt JOIN cb ON cb.u = bt.u AND cb.v = bt.v
+       |         JOIN cu ON cu.u = bt.u JOIN nv ON nv.v = bt.v, ty),
+       |s AS (SELECT doc_id, CAST(sum(btf) AS BIGINT) n_tokens,
+       |        CAST(sum(btf * bits) AS BIGINT) sum_bits,
+       |        CAST(sum(btf * bits) * 1000 // sum(btf) AS BIGINT)
+       |          surprisal_milli
+       |      FROM (SELECT * FROM fb UNION ALL SELECT * FROM bb)
+       |      GROUP BY 1),
+       |h AS (SELECT surprisal_milli sv, count(*) cnt FROM s GROUP BY 1),
+       |cc AS (SELECT sv, CAST(sum(cnt) OVER (ORDER BY sv
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM h),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) n FROM s),
+       |t AS (SELECT min(CASE WHEN cum * 3 >= n THEN sv END) t1,
+       |        min(CASE WHEN cum * 3 >= 2 * n THEN sv END) t2
+       |      FROM cc, nn)
+       |SELECT doc_id, n_tokens, sum_bits, surprisal_milli,
+       |  CASE WHEN surprisal_milli <= t1 THEN 'head'
+       |       WHEN surprisal_milli <= t2 THEN 'middle'
+       |       ELSE 'tail' END bucket
+       |FROM s, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_ccnet_buckets" -> ccnetBuckets,
     "q225_gram_novelty" -> gramNovelty,
     "q226_eval_slate" -> evalSlate,
     "q227_bucket_budget" -> bucketBudget,
-    "q229_bigram_quality" -> bigramQuality)
+    "q229_bigram_quality" -> bigramQuality,
+    "q236_kn_quality" -> knBigramQuality)
 
   val oracle: Map[String, String] = Map(
     "q224_ccnet_buckets" -> ccnetBucketsSql,
     "q225_gram_novelty" -> gramNoveltySql,
     "q226_eval_slate" -> evalSlateSql,
     "q227_bucket_budget" -> bucketBudgetSql,
-    "q229_bigram_quality" -> bigramQualitySql)
+    "q229_bigram_quality" -> bigramQualitySql,
+    "q236_kn_quality" -> knBigramQualitySql)
 }

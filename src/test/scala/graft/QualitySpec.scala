@@ -173,4 +173,56 @@ class QualitySpec extends AnyFunSuite {
     assert(got.exists(r => uniBuckets(r._1) != r._5),
       "bigram terciles identical to unigram — no added signal at this SF")
   }
+
+  test("q236 KN quality: local replay, conservation, continuation mass adds signal") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (w, g) =>
+      w -> g.length.toLong }
+    val nTotal = docs.map(_._2.length.toLong).sum
+    val bgAll = docs.flatMap(_._2.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val cuv = bgAll.groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+    val cu = bgAll.groupBy(_._1).map { case (u, g) => u -> g.length.toLong }
+    val n1u = cuv.keys.toSeq.groupBy(_._1).map { case (u, g) => u -> g.length.toLong }
+    val n1v = cuv.keys.toSeq.groupBy(_._2).map { case (v, g) => v -> g.length.toLong }
+    val tTypes = cuv.size.toLong
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length - 1L
+    val local = docs.map { case (id, ws) =>
+      val first = bits(nTotal / uni(ws.head))
+      val rest = ws.sliding(2).filter(_.length == 2).map { p =>
+        val (u, v) = (p(0), p(1))
+        bits(4L * cu(u) * tTypes /
+          ((4L * cuv((u, v)) - 3L) * tTypes + 3L * n1u(u) * n1v(v)))
+      }.sum
+      (id, ws.length.toLong, first + rest)
+    }.map { case (id, n, sb) => (id, n, sb, sb * 1000 / n) }
+    val n = local.length
+    val sorted = local.map(_._4).sorted
+    def cut(k: Int): Long =
+      sorted.find(v => sorted.count(_ <= v) * 3 >= n * k).get
+    val (t1, t2) = (cut(1), cut(2))
+    val expected = local.map { case (id, nt, sb, s) =>
+      (id, nt, sb, s,
+        if (s <= t1) "head" else if (s <= t2) "middle" else "tail")
+    }.toSet
+    val got = Quality.knBigramQuality(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got === expected, "KN stratifier diverged from the local LM")
+    // token conservation, as q229
+    assert(got.toSeq.map(_._2).sum === nTotal)
+    assert(got.groupBy(_._5).keySet === Set("head", "middle", "tail"))
+    // continuation mass must actually move scores relative to the
+    // naive interpolation somewhere (KN's whole point), and the two
+    // bigram stratifiers must not be the same cut in disguise
+    val interp = Quality.bigramQuality(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(got.exists(r => interp(r._1)._1 != r._4),
+      "KN scores identical to interpolated — continuation mass inert")
+    assert(got.exists(r => interp(r._1)._2 != r._5),
+      "KN terciles identical to interpolated — no added stratification")
+  }
 }
