@@ -28,7 +28,8 @@ object SparkEntry {
       TextAnalysis.queries ++ SimSearch.queries ++ Events.queries ++
       Multimodal.queries ++ Streaming.queries ++ Sink.queries ++
       SinkMaintain.queries ++ Releases.queries ++ StreamCurate.queries ++
-      Curation.queries ++ Compaction.queries ++ Layout.queries
+      Curation.queries ++ Compaction.queries ++ Layout.queries ++
+      Tombstones.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       TextAnalysis.oracle ++ SimSearch.oracle ++ Events.oracle ++
       Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle ++
       SinkMaintain.oracle ++ Releases.oracle ++ StreamCurate.oracle ++
-      Curation.oracle ++ Compaction.oracle ++ Layout.oracle
+      Curation.oracle ++ Compaction.oracle ++ Layout.oracle ++
+      Tombstones.oracle
 }

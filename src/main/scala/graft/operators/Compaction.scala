@@ -167,7 +167,7 @@ object Compaction {
     val snap = graft.sources.GenManifest
       .read(out, spark.sessionState.newHadoopConf())
       .getOrElse(sys.error(s"q153: no manifest under $out"))
-    snap.entries.map(e => (e.name, e.count)).toDF("file", "n_rows")
+    snap.dataEntries.map(e => (e.name, e.count)).toDF("file", "n_rows")
       .filter(col("n_rows") > 0)
       .withColumn("tier", expr(tierCase("n_rows")))
       .groupBy(col("tier"))
@@ -232,7 +232,7 @@ object Compaction {
     val conf = spark.sessionState.newHadoopConf()
     def entries(d: String) = graft.sources.GenManifest.read(d, conf)
       .getOrElse(sys.error(s"q156: no manifest under $d"))
-      .entries.filter(_.count > 0)
+      .dataEntries.filter(_.count > 0)
       .map(e => (new String(e.min, "UTF-8"), new String(e.max, "UTF-8"),
         e.count))
     val l0 = entries(l0Dir).toDF("mn0", "mx0", "rows0")
@@ -267,7 +267,7 @@ object Compaction {
       val out = Scratch.dir("graft_twcs")
       val cells = CellModel.cells(spark, dir)
         .filter(!col("partition_deleted") && col("kind") === "live")
-      val b = cells.agg(min(col("write_time")), max(col("write_time"))).head
+      val b = cells.agg(min(col("write_time")), max(col("write_time"))).head()
       val (mn, mx) = (b.getLong(0), b.getLong(1))
       val newest = (mx - mn) * TwcsW / (mx - mn + 1)
       // one nest shuffle feeds every per-(window, split) slice write
@@ -321,7 +321,7 @@ object Compaction {
     val snap = graft.sources.GenManifest
       .read(out, spark.sessionState.newHadoopConf())
       .getOrElse(sys.error(s"q181: no manifest under $out"))
-    val timed = snap.entries.filter(e => e.count > 0 && e.times.isDefined)
+    val timed = snap.dataEntries.filter(e => e.count > 0 && e.times.isDefined)
       .map(e => (e.name, e.count, e.times.get._1, e.times.get._2))
     require(timed.nonEmpty, s"q181: no timed manifest entries under $out")
     val (mn, mx) = (timed.map(_._3).min, timed.map(_._4).max)
@@ -400,7 +400,7 @@ object Compaction {
     val snap = graft.sources.GenManifest
       .read(out, spark.sessionState.newHadoopConf())
       .getOrElse(sys.error(s"q189: no manifest under $out"))
-    val timed = snap.entries.filter(e => e.count > 0 && e.times.isDefined)
+    val timed = snap.dataEntries.filter(e => e.count > 0 && e.times.isDefined)
     val (mn, mx) = (timed.map(_.times.get._1).min,
       timed.map(_.times.get._2).max)
     val newest = (mx - mn) * TwcsW / (mx - mn + 1)

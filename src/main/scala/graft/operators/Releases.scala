@@ -242,9 +242,9 @@ object Releases {
     val Array(v1, v2) = vs.split(',').map(_.toLong)
     val conf = graft.sources.ProtoZstFiles.hadoopConf()
     val before = graft.sources.GenManifest.readAt(out, conf, v1)
-      .entries.map(_.name).toSet
+      .dataEntries.map(_.name).toSet
     val added = graft.sources.GenManifest.readAt(out, conf, v2)
-      .entries.map(_.name).filterNot(before)
+      .dataEntries.map(_.name).filterNot(before)
     val paths = added.map(n =>
       new org.apache.hadoop.fs.Path(out, n).toString)
     spark.read.format("proto-zst").load(paths: _*)
@@ -516,7 +516,7 @@ object Releases {
         org.apache.spark.unsafe.types.UTF8String.fromString(s"prel:$id"))
       f"t${(k % streams).toInt}%02d"
     }.toSet
-    val (touched, untouched) = snap.entries.partition { e =>
+    val (touched, untouched) = snap.dataEntries.partition { e =>
       // conservative: a file with no recorded range might hold anything
       !e.hasRange || prefixes.exists(p =>
         new String(e.min, java.nio.charset.StandardCharsets.UTF_8)

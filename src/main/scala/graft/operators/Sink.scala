@@ -290,6 +290,48 @@ object Sink {
         col("c.write_time").as("t"))
   }
 
+  /** q239 fixture: the WHOLE corpus as ONE key-sorted file with small
+    * (64-row) zstd frames — the regime complementary to q230's: range
+    * skip is powerless (one file spans everything), the bloom passes
+    * (the key IS present), and only the `.split` v2 frame-key index
+    * stands between a point-get and decoding the entire file.
+    */
+  private def seekFixture(spark: SparkSession, dir: String): String =
+    fixture("frameseek:" + dir) {
+      val out = Scratch.dir("graft_seekfix")
+      CellModel.nestRows(spark, dir)
+        .repartitionByRange(1, col("key")).sortWithinPartitions(col("key"))
+        .write.format("proto-zst").option("splitFrameRows", "64")
+        .mode("append").save(out)
+      out
+    }
+
+  /** q239: FRAME-INDEX POINT-GET — the reference's Index.db seek
+    * (`SSTableReaderPatched.java:54-97` walks `(key, position)` pairs
+    * to jump into the data file) on the engine's format: a pushed
+    * `key IN` over a single large key-sorted file decodes only the
+    * frames whose boundary keys admit the candidates, not the file.
+    * Probe keys are deterministic driver picks (min, max, and the
+    * first key at-or-above '5' — three 1-row aggregates, the bounded
+    * control-decision class) so the oracle replays the exact choices.
+    * FrameSeekSpec pins the seek mechanics (frameSeeks/seekBytes
+    * counters, duplicate keys straddling frame boundaries, unsorted
+    * fallback); this query pins the end-to-end answer.
+    */
+  def frameSeekGet(spark: SparkSession, dir: String): DataFrame = {
+    val out = seekFixture(spark, dir)
+    val all = spark.read.format("proto-zst").load(out)
+    val mid = Option(all.filter(col("key") >= lit("5".getBytes("UTF-8")))
+      .agg(min(col("key"))).head().getAs[Array[Byte]](0))
+    val probes: Seq[Array[Byte]] = Seq(
+      all.agg(min(col("key"))).head().getAs[Array[Byte]](0),
+      all.agg(max(col("key"))).head().getAs[Array[Byte]](0)) ++ mid
+    spark.read.format("proto-zst").load(out)
+      .filter(col("key").isin(probes: _*))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        size(col("columns")).cast("long").as("n_cells"))
+  }
+
   /** q47: PER-INPUT-FILE job metrics — the O14 fidelity gap closed. The
     * reference reports, for every input file it processes, the row
     * count and output size (`Runner.java:88-97`); here every sink file
@@ -802,7 +844,8 @@ object Sink {
     "q62_bucketed_stats" -> bucketedKeyStats,
     "q64_sidecar_stats" -> sidecarStats,
     "q65_runtime_prune" -> runtimePrunedJoin,
-    "q230_bloom_get" -> bloomGet)
+    "q230_bloom_get" -> bloomGet,
+    "q239_frame_seek" -> frameSeekGet)
 
   /** Replay of the q61 merge: newest (write_time, gen) per (key, name)
     * wins, empty-value winners are tombstones and drop out. Shared by
@@ -947,6 +990,16 @@ object Sink {
         "doc_id AS t FROM documents " +
         "WHERE md5(text) = (SELECT md5(text) FROM documents " +
         "WHERE doc_id = (SELECT min(doc_id) FROM documents))"),
+    // the three probe picks replayed in SQL over the same nested table
+    "q239_frame_seek" ->
+      (s"""WITH t AS (SELECT key,
+         |  count(CASE WHEN kind = 'live' THEN 1 END) AS n_cells
+         |  FROM (${Core.cellsSql})
+         |  WHERE NOT partition_deleted GROUP BY key)
+         |SELECT key, n_cells FROM t
+         |WHERE key = (SELECT min(key) FROM t)
+         |   OR key = (SELECT max(key) FROM t)
+         |   OR key = (SELECT min(key) FROM t WHERE key >= '5')""".stripMargin),
     // file == bucket by construction (one single-partition write per
     // bucket), so per-file metrics rebuild from per-key wire sizes
     "q47_per_file_metrics" ->

@@ -99,8 +99,10 @@ object SinkMaintain {
     val conf = graft.sources.ProtoZstFiles.hadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = dirPath.getFileSystem(conf)
-    val nBefore = snap.entries.length
-    val small = snap.entries.filter(_.bytes < targetBytes)
+    // DATA files only: a tombstone entry is small by nature but must
+    // never be packed into a data file (its rows are deleted KEYS)
+    val nBefore = snap.dataEntries.length
+    val small = snap.dataEntries.filter(_.bytes < targetBytes)
     if (small.length < 2) return (nBefore, nBefore)
     val bins = math.max(1,
       math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
@@ -198,7 +200,7 @@ object SinkMaintain {
     def snap(d: String) = GenManifest.read(d, conf).getOrElse(
       throw new IllegalArgumentException(
         s"promoteL0: no manifest under $d — levels must be sink-governed"))
-    val l0All = snap(l0Dir).entries
+    val l0All = snap(l0Dir).dataEntries
     val l0 = l0All.filter(e => e.count > 0 && e.hasRange).take(maxL0Files)
     if (l0.isEmpty) return (0, 0, 0)
     val l1Snap = snap(l1Dir)
@@ -209,7 +211,7 @@ object SinkMaintain {
     var lo = l0.map(_.min).reduce((a, b) => if (cmp(a, b) <= 0) a else b)
     var hi = l0.map(_.max).reduce((a, b) => if (cmp(a, b) >= 0) a else b)
     var rewrite = Vector.empty[GenManifest.Entry]
-    var remaining = l1Snap.entries.filter(e => e.count > 0 && e.hasRange)
+    var remaining = l1Snap.dataEntries.filter(e => e.count > 0 && e.hasRange)
     var changed = true
     while (changed) {
       val (in, out) = remaining.partition(e =>
@@ -369,7 +371,9 @@ object SinkMaintain {
     val snap = graft.sources.GenManifest.read(outDir, conf).getOrElse(
       throw new IllegalStateException(
         s"eraseRange requires a manifested directory: $outDir"))
-    val (touched, untouched) = snap.entries.partition { e =>
+    // DATA entries only: tombstone files hold deleted keys, not rows —
+    // rewriting one as data would resurrect its keys as empty rows
+    val (touched, untouched) = snap.dataEntries.partition { e =>
       // conservative: a file with no recorded range might hold anything
       !e.hasRange ||
         (compareUnsigned(e.max, lo) >= 0 && compareUnsigned(e.min, hi) < 0)
@@ -678,7 +682,7 @@ object SinkMaintain {
       throw new IllegalArgumentException(
         s"$outDir has no manifest: whole-file expiry needs attested " +
           "write-time ranges; use a row-level filter + rewrite instead"))
-    val expired = snap.entries.filter(_.times.exists(_._2 < cutoffUs))
+    val expired = snap.dataEntries.filter(_.times.exists(_._2 < cutoffUs))
     if (expired.isEmpty) return 0
     graft.sources.GenManifest.replace(outDir, conf,
       expired.map(_.name).toSet, Vector.empty)
@@ -765,7 +769,7 @@ object SinkMaintain {
           "directories"))
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = dirPath.getFileSystem(conf)
-    val closed = snap.entries
+    val closed = snap.dataEntries
       .filter(_.times.isDefined)
       .groupBy(e => e.times.get._2 / windowUs)
       .filter { case (w, es) =>

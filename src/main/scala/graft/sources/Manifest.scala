@@ -34,10 +34,18 @@ object MetaIO {
     */
   val bloomProbes = new AtomicLong
   val bloomSkips = new AtomicLong
+  /** Point lookups that seeked via the `.split` v2 frame-key index
+    * instead of decoding the whole file, and the compressed bytes those
+    * seeks actually read — the spec's witness that a point read of an
+    * N-frame file costs O(matching frames), not O(file).
+    */
+  val frameSeeks = new AtomicLong
+  val seekBytes = new AtomicLong
   def reset(): Unit = {
     dataListings.set(0); sidecarReads.set(0); manifestReads.set(0)
     commitBytes.set(0); checkpointBytes.set(0)
     bloomProbes.set(0); bloomSkips.set(0)
+    frameSeeks.set(0); seekBytes.set(0)
   }
 }
 
@@ -114,17 +122,35 @@ object GenManifest {
     * metadata (`SSTableReaderPatched.java:123-178` reads the analogous
     * Statistics sidecar), and it is what makes time-window compaction
     * planning (q181) and temporal file skipping O(manifest).
+    *
+    * `tomb` marks an EQUALITY-DELETE TOMBSTONE file: its rows are
+    * deleted KEYS, not data — scans subtract them row-locally, and
+    * every maintenance op plans over [[Snapshot.dataEntries]] so a
+    * tombstone is never packed/compacted/rewritten as data. This is
+    * the one non-additive reader requirement in the format's history
+    * (an engine predating the flag would scan a tombstone file as
+    * data — the Delta/Iceberg "reader version bump" situation);
+    * within-vintage reads stay fully compatible because the flag
+    * rides the additive trailing-field discipline.
     */
   final case class Entry(name: String, bytes: Long, count: Long,
       sorted: Boolean, minHex: String, maxHex: String,
-      times: Option[(Long, Long)] = None) {
+      times: Option[(Long, Long)] = None, tomb: Boolean = false) {
     def hasRange: Boolean = minHex.nonEmpty
     def min: Array[Byte] = unhex(minHex)
     def max: Array[Byte] = unhex(maxHex)
   }
 
   final case class Snapshot(version: Long, entries: Vector[Entry],
-      epochs: Set[String] = Set.empty)
+      epochs: Set[String] = Set.empty) {
+    /** The DATA file set — what scans read as rows and maintenance
+      * rewrites. Tombstone entries stay referenced (vacuum spares
+      * them) but are never data.
+      */
+    def dataEntries: Vector[Entry] = entries.filterNot(_.tomb)
+    /** Live equality-delete tombstone files awaiting a purge. */
+    def tombEntries: Vector[Entry] = entries.filter(_.tomb)
+  }
 
   /** One commit's record: what it removed (by name), what it added,
     * and the epoch keys it committed. Replayed onto the prior snapshot
@@ -201,6 +227,7 @@ object GenManifest {
       .append('\t').append(e.minHex).append('\t').append(e.maxHex)
       .append('\t').append(e.times.fold("")(_._1.toString))
       .append('\t').append(e.times.fold("")(_._2.toString))
+      .append('\t').append(if (e.tomb) "1" else "")
       .append('\n')
     ()
   }
@@ -210,7 +237,8 @@ object GenManifest {
       f(off + 4), f(off + 5),
       if (f.length >= off + 8 && f(off + 6).nonEmpty)
         Some((f(off + 6).toLong, f(off + 7).toLong))
-      else None)
+      else None,
+      tomb = f.length >= off + 9 && f(off + 8) == "1")
 
   private def render(s: Snapshot): Array[Byte] = {
     val sb = new StringBuilder
@@ -641,7 +669,7 @@ object GenManifest {
   */
 final case class FileMeta(path: String, bytes: Long, count: Long,
     sorted: Boolean, min: Option[Array[Byte]], max: Option[Array[Byte]],
-    times: Option[(Long, Long)] = None)
+    times: Option[(Long, Long)] = None, tomb: Boolean = false)
 
 object ManifestIndex {
   /** Metas for ALL roots, or None if ANY root lacks a manifest (an
@@ -668,7 +696,7 @@ object ManifestIndex {
     s.entries.map(e =>
       FileMeta(new Path(root, e.name).toString, e.bytes, e.count, e.sorted,
         if (e.hasRange) Some(e.min) else None,
-        if (e.hasRange) Some(e.max) else None, e.times))
+        if (e.hasRange) Some(e.max) else None, e.times, e.tomb))
 
   /** TIME-TRAVEL planning view: the file set AT a pinned manifest
     * version. STRICT — throws (never falls back to a listing) when the

@@ -120,7 +120,12 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
         // a single-partition straggler. Written as a `.split` sidecar
         // at commit; observed free (one getPos per checkpoint).
         var rowsInFrame = 0
-        val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val frames =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+        // true between a frame end and the next row: that row's key is
+        // the new frame's FIRST key, recorded into the pending boundary
+        // (the Index.db `(key, position)` pair, one per frame)
+        var needFirstKey = false
         // per-file key bloom (the Filter.db analog) — fixed 16 KB,
         // filled for free as keys stream through; written as a
         // `.bloom` sidecar at commit so point lookups skip whole
@@ -138,10 +143,19 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
           rowsInFrame += 1
           if (rowsInFrame >= splitFrameRows) {
             os.flush() // ends the current zstd frame
-            frames += ((raw.getPos, n))
+            frames += ((raw.getPos, n, ""))
+            needFirstKey = true
             rowsInFrame = 0
           }
         }
+        def firstKey(key: Array[Byte]): Unit =
+          if (needFirstKey) {
+            needFirstKey = false
+            if (key != null && frames.nonEmpty) {
+              val (off, rows, _) = frames(frames.length - 1)
+              frames(frames.length - 1) = (off, rows, GenManifest.hex(key))
+            }
+          }
       }
 
       private val states =
@@ -226,6 +240,7 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
             java.util.Arrays.compareUnsigned(key, st.lastKey) < 0)
           st.sorted = false
         st.lastKey = key.clone()
+        st.firstKey(key) // first row of a new frame → index its key
         BloomSidecar.add(st.bloom, key)
         if (cols != null) {
           // per-file cell write-time range, observed free (the same

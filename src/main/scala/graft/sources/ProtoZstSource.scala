@@ -340,6 +340,19 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
         s"manifestVersion pins ONE directory's snapshot; got ${paths.size} roots")
       n
     }
+  /** Ceiling on the LIVE equality-delete tombstone bytes a scan will
+    * load driver-side (the anti-set ships to every task with the
+    * reader factory). Crossing it fails loudly with "run purge" —
+    * tombstones are a between-purges buffer, bounded by maintenance
+    * cadence, never an unbounded accumulator; a cap keeps that
+    * contract mechanical instead of aspirational.
+    */
+  private val maxTombstoneBytes: Long =
+    Option(options.get("maxTombstoneBytes")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxTombstoneBytes must be positive, got $n")
+      n
+    }.getOrElse(ProtoZstScan.DefaultMaxTombstoneBytes)
   private var required: StructType = ProtoZstTable.Schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var aggregated: Option[(StructType, Array[Any], String)] = None
@@ -448,6 +461,13 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
       }
       val stats: Option[(Long, Seq[Array[Byte]], Seq[Array[Byte]])] =
         metaView match {
+          // live equality-delete tombstones veto EVERY complete
+          // pushdown: the recorded per-file stats count rows the
+          // tombstones logically deleted (and how many they matched is
+          // unknowable without reading — keys may be absent or repeat),
+          // so an answered COUNT/MIN/MAX could be wrong. Purge restores
+          // the pushdown.
+          case Some(metas) if metas.exists(_.tomb) => None
           case Some(metas) if needRange && metas.exists(_.min.isEmpty) =>
             None
           case Some(metas) =>
@@ -503,7 +523,8 @@ class ProtoZstScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap,
     case None =>
       new ProtoZstScan(paths, ignoreCorrupt, required, pushed, buckets,
         viaCatalog, maxFilesPerTrigger, timeBounds, startingWriteTimeUs,
-        manifestVersion, maxBytesPerTrigger, splitFileBytes)
+        manifestVersion, maxBytesPerTrigger, splitFileBytes,
+        maxTombstoneBytes)
   }
 }
 
@@ -613,6 +634,14 @@ object ProtoZstScan {
     */
   val DefaultSplitFileBytes: Long = 128L << 20
 
+  /** Default ceiling on live tombstone bytes a scan will carry (scan
+    * option `maxTombstoneBytes` overrides). 64 MB of keys is far past
+    * any sane purge cadence — the cap exists to turn "someone forgot
+    * maintenance for a year" into a loud error instead of a silent
+    * driver/task memory creep.
+    */
+  val DefaultMaxTombstoneBytes: Long = 64L << 20
+
   private val BucketTag = """.*-b(\d+)\.proto\.zst$""".r
 
   /** The bucket id the bucketed writer embedded in a file name. */
@@ -654,7 +683,9 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     startingWriteTimeUs: Option[Long] = None,
     manifestVersion: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    splitFileBytes: Long = ProtoZstScan.DefaultSplitFileBytes) extends Scan
+    splitFileBytes: Long = ProtoZstScan.DefaultSplitFileBytes,
+    maxTombstoneBytes: Long = ProtoZstScan.DefaultMaxTombstoneBytes)
+    extends Scan
     with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -705,12 +736,21 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
       case None => ManifestIndex.load(paths, conf.value)
     }
 
+  /** Live equality-delete tombstone files in the planned snapshot —
+    * loaded driver-side (bounded by [[maxTombstoneBytes]]) and shipped
+    * to every task as the scan's anti-set. Listing-path scans have no
+    * manifest and therefore no tombstone semantics.
+    */
+  private lazy val tombMeta: Array[FileMeta] =
+    manifestMeta.map(_.filter(_.tomb)).getOrElse(Array.empty)
+
   // the post-skip metadata, fixed once so outputPartitioning() and
   // planInputPartitions() describe the same file set. Manifest-backed:
-  // range skip evaluates against the in-memory entries.
+  // range skip evaluates against the in-memory entries. DATA files
+  // only: tombstone entries are the scan's anti-set, never its input.
   private lazy val plannedMeta: Option[Array[FileMeta]] =
     manifestMeta.map { m =>
-      val ranged = ManifestIndex.skipByRange(m, filters)
+      val ranged = ManifestIndex.skipByRange(m.filterNot(_.tomb), filters)
       timeBounds.fold(ranged) { case (lo, hi) =>
         ManifestIndex.skipByTime(ranged, lo, hi)
       }
@@ -818,10 +858,16 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
       : org.apache.spark.sql.connector.read.Statistics = {
     val (bytes, rows) = plannedMeta match {
       // manifest-backed: bytes and counts were recorded at commit —
-      // zero getFileStatus, zero sidecar reads, O(1) I/O in file count
+      // zero getFileStatus, zero sidecar reads, O(1) I/O in file count.
+      // Live tombstones subtract their key counts from the estimate:
+      // an upper bound on rows actually removed (keys may be absent),
+      // so the estimate errs low — fine for an ESTIMATE, and the
+      // complete-agg pushdown (which must be exact) is vetoed
+      // separately while tombstones live.
       case Some(metas) =>
         (metas.map(_.bytes).sum,
-          java.util.OptionalLong.of(metas.map(_.count).sum))
+          java.util.OptionalLong.of(math.max(0L,
+            metas.map(_.count).sum - tombMeta.map(_.count).sum)))
       case None =>
         val fs = new org.apache.hadoop.fs.Path(paths.head)
           .getFileSystem(conf.value)
@@ -917,8 +963,39 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
       ProtoZstSlicePartition(file, s, e): InputPartition
     }.toArray
   }
+  /** The scan's ANTI-SET: every key named by a live tombstone file,
+    * decoded once on the driver, deduped, and unsigned-sorted so task
+    * readers drop matches with a binary search. Bounded by
+    * [[maxTombstoneBytes]] over the entries' ATTESTED sizes (checked
+    * before a byte is read); crossing the cap demands a purge instead
+    * of degrading into an ever-growing per-task set. Empty (the
+    * overwhelmingly common case) costs nothing anywhere.
+    */
+  private lazy val deletedKeys: Array[Array[Byte]] =
+    if (tombMeta.isEmpty) Array.empty
+    else {
+      val total = tombMeta.map(_.bytes).sum
+      if (total > maxTombstoneBytes)
+        throw new IllegalStateException(
+          s"live equality-delete tombstones hold $total bytes, over the " +
+            s"$maxTombstoneBytes cap — run Tombstones.purge on the " +
+            "directory (or raise the maxTombstoneBytes scan option)")
+      val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      tombMeta.foreach { m =>
+        val p = new org.apache.hadoop.fs.Path(m.path)
+        val in = new java.io.BufferedInputStream(
+          new ZstdInputStream(p.getFileSystem(conf.value).open(p)), 64 << 10)
+        try ProtoWire.decodeStream(in, wantColumns = false, _ => true)
+          .foreach(r => keys += r.key)
+        finally in.close()
+      }
+      keys.distinctBy(_.toSeq).toArray
+        .sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf)
+    new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf,
+      deletedKeys)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     if (paths.length != 1)
@@ -1097,8 +1174,28 @@ private[sources] final class BoundedIn(in: java.io.InputStream,
 class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
     readSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    deletedKeys: Array[Array[Byte]] = Array.empty)
     extends PartitionReaderFactory {
+
+  /** Equality-delete probe against the scan's unsigned-sorted anti-set.
+    * Runs inside the decoder's keep gate, so a deleted row's Column
+    * messages are never even decoded; empty anti-set short-circuits to
+    * a constant-false branch the JIT removes.
+    */
+  private def isDeleted(k: Array[Byte]): Boolean =
+    deletedKeys.length > 0 && {
+      var lo = 0
+      var hi = deletedKeys.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.util.Arrays.compareUnsigned(deletedKeys(mid), k)
+        if (c == 0) return true
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      false
+    }
 
   /** Salvage iterator: stop at the first undecodable message instead of
     * propagating (the per-record analog of the reference's per-file
@@ -1163,6 +1260,70 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
       override def close(): Unit = ()
     }
 
+  /** The Index.db seek plan for a point lookup over ONE whole sorted
+    * file: the minimal set of frame-aligned byte ranges that can hold
+    * the candidate keys, from the `.split` v2 boundary index — the
+    * reference's two-level read path (Filter.db bloom, then the index
+    * summary's `(key, position)` seek, `SSTableReaderPatched.java:54-97`)
+    * completed at the granularity a zstd stream can restart at. None =
+    * no usable index (v1 sidecar, unsorted or unattested file, a
+    * null-key boundary) — degrade to the full-file scan, never to a
+    * wrong subset. Segment arithmetic is duplicate-safe: a key equal
+    * to a boundary's first key also selects the PREVIOUS segment,
+    * because duplicates of that key can straddle the boundary.
+    */
+  private def seekPlan(file: String): Option[Seq[(Long, Long)]] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(conf.value)
+    // uncounted reads: these are per-task DATA-path opens (like the
+    // bloom probe), not the plan-time metadata cost sidecarReads guards
+    val sorted =
+      try RangeSidecar.readUncounted(fs, p).exists(r => r.normalized && r.sorted)
+      catch { case _: Exception => false }
+    if (!sorted) return None
+    val cuts = try SplitSidecar.readKeyedUncounted(fs, p).getOrElse(Array.empty)
+      catch { case _: Exception => Array.empty[(Long, Long, String)] }
+    if (cuts.isEmpty || cuts.exists(_._3.isEmpty)) return None
+    val eof = try fs.getFileStatus(p).getLen
+      catch { case _: Exception => return None }
+    val firsts: Array[Array[Byte]] = cuts.map(c => GenManifest.unhex(c._3))
+    val m = firsts.length
+    // segment j ∈ [0, m] spans bytes [off(j-1), off(j)) and keys
+    // [first(j-1), first(j)] — both ends inclusive (duplicates may
+    // cross boundaries); a candidate k selects segments [a, b] where
+    // a = #first < k, b = #first <= k
+    def cmp(x: Array[Byte], y: Array[Byte]) =
+      java.util.Arrays.compareUnsigned(x, y)
+    val segs = scala.collection.mutable.SortedSet.empty[Int]
+    pointLookup.get.foreach { k =>
+      var lo = 0; var hi = m
+      while (lo < hi) { // a = insertion point among strictly-smaller
+        val mid = (lo + hi) >>> 1
+        if (cmp(firsts(mid), k) < 0) lo = mid + 1 else hi = mid
+      }
+      val a = lo
+      var lo2 = a; var hi2 = m
+      while (lo2 < hi2) { // b = insertion point among smaller-or-equal
+        val mid = (lo2 + hi2) >>> 1
+        if (cmp(firsts(mid), k) <= 0) lo2 = mid + 1 else hi2 = mid
+      }
+      (a to lo2).foreach(segs += _)
+    }
+    def off(j: Int): Long = if (j < 0) 0L else if (j >= m) eof else cuts(j)._1
+    // merge adjacent segments into maximal byte ranges
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var runStart = -2
+    var prev = -2
+    (segs.toSeq :+ Int.MinValue).foreach { j =>
+      if (j != prev + 1) {
+        if (runStart >= -1) ranges += ((off(runStart - 1), off(prev)))
+        runStart = j
+      }
+      prev = j
+    }
+    Some(ranges.toSeq.filter(r => r._2 > r._1))
+  }
+
   /** `start`/`end` bound a frame-aligned slice; (0, -1) = whole file. */
   private def single(file: String, start: Long = 0L,
       end: Long = -1L): PartitionReader[InternalRow] = {
@@ -1185,10 +1346,52 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
           return emptyReader
         }
       }
+      // the bloom said "maybe": seek to the frames that can hold the
+      // candidates instead of decoding the file (whole-file partitions
+      // only — slices are already narrow)
+      if (start == 0L && end < 0L) seekPlan(file) match {
+        case Some(ranges) =>
+          MetaIO.frameSeeks.incrementAndGet()
+          MetaIO.seekBytes.addAndGet(ranges.map(r => r._2 - r._1).sum)
+          if (ranges.isEmpty) return emptyReader
+          if (ranges.length == 1)
+            return raw(file, ranges.head._1, ranges.head._2)
+          return new PartitionReader[InternalRow] {
+            private var idx = 0
+            private var cur: PartitionReader[InternalRow] = _
+            override def next(): Boolean = {
+              while (true) {
+                if (cur == null) {
+                  if (idx >= ranges.length) return false
+                  cur = raw(file, ranges(idx)._1, ranges(idx)._2)
+                  idx += 1
+                }
+                if (cur.next()) return true
+                cur.close()
+                cur = null
+              }
+              false
+            }
+            override def get(): InternalRow = cur.get()
+            override def close(): Unit = if (cur != null) cur.close()
+          }
+        case None => ()
+      }
     }
+    raw(file, start, end)
+  }
+
+  /** The plain range reader: decode [start, end) (end = -1 ⇒ EOF). */
+  private def raw(file: String, start: Long,
+      end: Long): PartitionReader[InternalRow] = {
     // compiled once per partition; pruning decides whether Column
-    // messages are decoded at all
-    val keep = KeyPredicate.compile(filters)
+    // messages are decoded at all. The tombstone anti-set composes
+    // into the same gate: a deleted row is dropped before its columns
+    // decode, exactly like a pushed-filter miss.
+    val pushedKeep = KeyPredicate.compile(filters)
+    val keep: Array[Byte] => Boolean =
+      if (deletedKeys.isEmpty) pushedKeep
+      else k => pushedKeep(k) && !isDeleted(k)
     val wantColumns = readSchema.fieldNames.contains("columns")
     // Spark prunes NESTED fields too (e.g. count() asks for
     // array<struct<>>): emit exactly the struct shape the read schema

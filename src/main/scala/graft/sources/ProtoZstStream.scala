@@ -105,12 +105,18 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   @volatile private var sawSnapshot = false
   private def currentFiles(): Seq[String] = currentMetas().map(_._1)
 
-  /** (path, bytes) per file in offset order. Bytes come FREE in both
-    * modes — manifest entries attest them at commit, and the listing
-    * already holds FileStatus — so byte-budget admission never adds a
-    * metadata round-trip.
+  /** (path, bytes, tomb) per file in offset order. Bytes come FREE in
+    * both modes — manifest entries attest them at commit, and the
+    * listing already holds FileStatus — so byte-budget admission never
+    * adds a metadata round-trip. Tombstone entries KEEP their offset
+    * positions (an appended tombstone must not renumber the feed) but
+    * are never delivered as data — see [[planInputPartitions]]. The
+    * stream is the append LOG of the directory: logical deletes do not
+    * retract already-appended rows (Delta-CDF semantics); a physical
+    * purge on a tailed source trips the shrank-directory guard, as all
+    * file-rewriting maintenance does.
     */
-  private def currentMetas(): Seq[(String, Long)] = {
+  private def currentMetas(): Seq[(String, Long, Boolean)] = {
     mode match {
       // governed() is ONE exists() probe — the listing-mode poll never
       // pays a manifest read until the directory actually becomes
@@ -134,12 +140,14 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
       case Some(s) =>
         sawSnapshot = true
         s.entries.map(e =>
-          (new org.apache.hadoop.fs.Path(path, e.name).toString, e.bytes))
+          (new org.apache.hadoop.fs.Path(path, e.name).toString, e.bytes,
+            e.tomb))
       case None if !sawSnapshot => Seq.empty // governed, nothing committed yet
       case None => throw new IllegalStateException(
         s"manifest for $path vanished mid-stream")
     }
-    else ProtoZstFiles.listWithSizes(path, conf.value).toSeq
+    else ProtoZstFiles.listWithSizes(path, conf.value)
+      .map { case (p, b) => (p, b, false) }.toSeq
   }
 
   /** Admission control (parquet file-source parity): with
@@ -244,17 +252,20 @@ class ProtoZstMicroBatchStream(path: String, ignoreCorrupt: Boolean,
   // counting every file regardless of the predicate
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val endN = end.asInstanceOf[ProtoZstOffset].n
-    val files = currentFiles()
+    val metas = currentMetas()
     if (mode == Mode.Listing && endN > listedDeliveries)
       listedDeliveries = endN
-    if (files.length < endN)
+    if (metas.length < endN)
       throw new IllegalStateException(
-        s"$path shrank under a live stream (${files.length} < $endN): " +
+        s"$path shrank under a live stream (${metas.length} < $endN): " +
           "OPTIMIZE/erasure on a tailed directory invalidates delivered " +
           "offsets — stop the stream before compacting its source")
-    ProtoZstScan.skipByRange(
-      files.slice(start.asInstanceOf[ProtoZstOffset].n, endN).toArray,
-      filters, conf)
+    // tombstone entries hold deleted KEYS, not rows: they keep their
+    // positional slot (offset arithmetic counts every entry) but plan
+    // no partition — the feed stays an append log of data files
+    val slice = metas.slice(start.asInstanceOf[ProtoZstOffset].n, endN)
+      .collect { case (f, _, tomb) if !tomb => f }
+    ProtoZstScan.skipByRange(slice.toArray, filters, conf)
       .map(ProtoZstInputPartition(_): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =

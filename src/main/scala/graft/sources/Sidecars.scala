@@ -65,9 +65,18 @@ object RangeSidecar {
     * unsorted / count-unknown, which are the safe directions; v1
     * headers read as un-normalized (see [[Range]]).
     */
-  def read(fs: FileSystem, data: Path): Option[Range] =
+  def read(fs: FileSystem, data: Path): Option[Range] = {
+    MetaIO.sidecarReads.incrementAndGet()
+    readUncounted(fs, data)
+  }
+
+  /** As [[read]] but outside the plan-time [[MetaIO.sidecarReads]]
+    * accounting — for EXECUTOR-side opens (the frame-seek's sortedness
+    * check), which are per-task data-path reads, not the O(files)
+    * driver planning cost that counter guards.
+    */
+  private[sources] def readUncounted(fs: FileSystem, data: Path): Option[Range] =
     try {
-      MetaIO.sidecarReads.incrementAndGet()
       val p = sidecar(data)
       if (!fs.exists(p)) None
       else {
@@ -111,28 +120,57 @@ object SplitSidecar {
   def sidecar(data: Path): Path =
     new Path(data.getParent, data.getName + ".split")
 
+  /** v2 adds each boundary's FIRST KEY (hex; the first row written
+    * after the frame ended) — which turns the slice checkpoints of a
+    * KEY-SORTED file into a frame-grain key index: the reference's
+    * Index.db `(key, position)` pairs
+    * (`SSTableReaderPatched.java:54-97` walks exactly that file to
+    * seek), at the granularity the zstd stream can actually restart
+    * at. Point lookups then decode ONE frame instead of the file (see
+    * `ProtoZstReaderFactory`); v1 sidecars (and boundaries whose next
+    * row had a null key, hex "") keep slicing and fall back to a full
+    * scan for seeks. Write-time cost: one key reference per
+    * `splitFrameRows` rows.
+    */
   def write(fs: FileSystem, data: Path,
-      checkpoints: Seq[(Long, Long)]): Unit = {
+      checkpoints: Seq[(Long, Long, String)]): Unit = {
     val os = fs.create(sidecar(data), true)
-    val body = checkpoints.map { case (off, rows) => s"$off $rows" }
-      .mkString("v1\n", "\n", "\n")
+    val body = checkpoints.map { case (off, rows, keyHex) =>
+      s"$off $rows $keyHex" }.mkString("v2\n", "\n", "\n")
     try os.write(body.getBytes("UTF-8")) finally os.close()
   }
 
-  /** None for missing/unreadable sidecars — slicing is best-effort. */
+  /** Byte offsets + row counts for SLICING — reads v1 and v2 alike;
+    * None for missing/unreadable sidecars (slicing is best-effort).
+    */
   def read(fs: FileSystem, data: Path): Option[Array[(Long, Long)]] =
+    readKeyed(fs, data).map(_.map(c => (c._1, c._2)))
+
+  /** Full boundary triples (offset, rows before it, first-key hex) —
+    * the hex is "" for every v1 boundary and for null-key rows, which
+    * disables seeking but never slicing.
+    */
+  def readKeyed(fs: FileSystem, data: Path): Option[Array[(Long, Long, String)]] = {
+    MetaIO.sidecarReads.incrementAndGet()
+    readKeyedUncounted(fs, data)
+  }
+
+  /** As [[readKeyed]] but outside the plan-time sidecar accounting —
+    * the executor-side seek's index open (see RangeSidecar.readUncounted).
+    */
+  private[sources] def readKeyedUncounted(fs: FileSystem,
+      data: Path): Option[Array[(Long, Long, String)]] =
     try {
-      MetaIO.sidecarReads.incrementAndGet()
       val p = sidecar(data)
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
         val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         val ls = txt.split("\n", -1).filter(_.nonEmpty)
-        if (ls.isEmpty || ls(0) != "v1") None
+        if (ls.isEmpty || (ls(0) != "v1" && ls(0) != "v2")) None
         else Some(ls.drop(1).map { l =>
-          val Array(o, r) = l.split(" ", 2)
-          (o.toLong, r.toLong)
+          val f = l.split(" ", 3)
+          (f(0).toLong, f(1).toLong, if (f.length >= 3) f(2) else "")
         })
       }
     } catch { case _: Exception => None }

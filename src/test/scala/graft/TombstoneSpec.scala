@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CellModel, Sink, Tombstones}
+import graft.sources.{GenManifest, MetaIO, ProtoZstFiles}
+
+/** Equality-delete tombstones: O(erase list) logical erasure, scan-side
+  * anti-set semantics (including the agg-pushdown veto and the
+  * tombstone-bytes cap), and the physical purge that makes the bytes
+  * go — the engine's gc_grace lifecycle at the table tier.
+  */
+class TombstoneSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def conf = ProtoZstFiles.hadoopConf()
+
+  private def keysBetween(dir: String, lo: String, hi: String): Seq[Array[Byte]] =
+    spark.read.format("proto-zst").load(dir)
+      .select(col("key"))
+      .filter(col("key") >= lit(lo.getBytes("UTF-8")) &&
+        col("key") < lit(hi.getBytes("UTF-8")))
+      .distinct().collect().map(_.getAs[Array[Byte]](0)).toIndexedSeq
+
+  private def buildGen(prefix: String): String = {
+    val dir = freshDir(prefix)
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(4, col("key")), dir)
+    dir
+  }
+
+  test("logical erase: O(erase list) commit, zero data files rewritten, rows invisible") {
+    val dir = buildGen("graft_tomb_log")
+    val total = spark.read.format("proto-zst").load(dir).count()
+    val victims = keysBetween(dir, "30", "40")
+    assert(victims.nonEmpty)
+    val before = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    MetaIO.reset()
+    Tombstones.eraseKeys(dir, victims)
+    // the commit record is O(erase list): one tombstone entry (~100
+    // bytes), never the live file set
+    assert(MetaIO.commitBytes.get() > 0 && MetaIO.commitBytes.get() < 512,
+      s"erase commit wrote ${MetaIO.commitBytes.get()} bytes")
+    val after = GenManifest.read(dir, conf).getOrElse(fail("no manifest"))
+    // every data file untouched by NAME — nothing was rewritten
+    assert(after.dataEntries.map(_.name).toSet ===
+      before.entries.map(_.name).toSet)
+    assert(after.tombEntries.length === 1)
+    val t = after.tombEntries.head
+    assert(t.count === victims.length.toLong && t.sorted && t.hasRange)
+    // the erased keys are invisible; everything else survives
+    val read = spark.read.format("proto-zst").load(dir)
+    assert(read.count() === total - victims.length)
+    assert(read.filter(col("key") >= lit("30".getBytes("UTF-8")) &&
+      col("key") < lit("40".getBytes("UTF-8"))).count() === 0L)
+    // a point lookup of an erased key: empty (the anti-set wins even
+    // when the file's bloom says the key is physically present)
+    assert(read.filter(col("key") === lit(victims.head)).count() === 0L)
+  }
+
+  test("live tombstones veto complete agg pushdown; purge restores it") {
+    val dir = buildGen("graft_tomb_agg")
+    val victims = keysBetween(dir, "30", "40")
+    Tombstones.eraseKeys(dir, victims)
+    val agg = spark.read.format("proto-zst").load(dir)
+      .agg(count(lit(1)).as("n"), min(col("key")).as("mn"))
+    // not answered from stats — and the executed count subtracts the
+    // erased rows
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"),
+      s"agg was answered from stats over a tombstoned table:\n$plan")
+    val expected = spark.read.format("proto-zst").load(dir).count()
+    assert(agg.head().getLong(0) === expected)
+    Tombstones.purge(spark, dir)
+    val agg2 = spark.read.format("proto-zst").load(dir)
+      .agg(count(lit(1)).as("n"))
+    assert(agg2.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(agg2.head().getLong(0) === expected)
+  }
+
+  test("purge: surgical rewrite, bytes gone, tombstones dropped, table unchanged") {
+    val dir = buildGen("graft_tomb_purge")
+    val victims = keysBetween(dir, "30", "40")
+    val logical = spark.read.format("proto-zst").load(dir)
+      .filter(!col("key").isin(victims: _*))
+      .select(decode(col("key"), "UTF-8").as("key"),
+        size(col("columns")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    Tombstones.eraseKeys(dir, victims)
+    val preSnap = GenManifest.read(dir, conf).get
+    val (rewritten, dropped) = Tombstones.purge(spark, dir)
+    assert(dropped === 1)
+    assert(rewritten >= 1, "purge must rewrite the affected files")
+    val post = GenManifest.read(dir, conf).get
+    assert(post.tombEntries.isEmpty)
+    // surgical: files whose range can't hold a victim survived by name
+    val survivors = preSnap.dataEntries.map(_.name).toSet
+      .intersect(post.dataEntries.map(_.name).toSet)
+    assert(survivors.nonEmpty, "purge rewrote every file — not surgical")
+    assert(post.dataEntries.length === preSnap.dataEntries.length,
+      "purge must preserve the data file count (1:1 rewrite here)")
+    // physical: no on-disk frame decodes to a victim key any more
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val victimSet = victims.map(_.toSeq).toSet
+    post.dataEntries.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(dir, e.name)
+      val in = new java.io.BufferedInputStream(
+        new com.github.luben.zstd.ZstdInputStream(fs.open(p)), 64 << 10)
+      try graft.functions.ProtoWire.decodeStream(in, wantColumns = false,
+        _ => true).foreach(r => assert(!victimSet.contains(r.key.toSeq),
+          s"victim key survived purge in ${e.name}"))
+      finally in.close()
+    }
+    // no tomb-* file remains on disk either (the keys are personal data)
+    assert(!ProtoZstFiles.list(dir, conf).exists(
+      new org.apache.hadoop.fs.Path(_).getName.startsWith("tomb-")))
+    // the logical table is exactly what the tombstoned read showed
+    val after = spark.read.format("proto-zst").load(dir)
+      .select(decode(col("key"), "UTF-8").as("key"),
+        size(col("columns")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(after.toSeq === logical.toSeq)
+    // purge with nothing pending is a no-op
+    assert(Tombstones.purge(spark, dir) === ((0, 0)))
+  }
+
+  test("maintenance never treats a tombstone as data: OPTIMIZE packs around it") {
+    val dir = buildGen("graft_tomb_opt")
+    // several small appends so OPTIMIZE has work
+    (1 to 3).foreach { i =>
+      Sink.writeNested(CellModel.nestRows(spark, sf0001).limit(5)
+        .repartition(1), dir)
+    }
+    val victims = keysBetween(dir, "30", "40")
+    Tombstones.eraseKeys(dir, victims)
+    val expected = spark.read.format("proto-zst").load(dir).count()
+    graft.operators.SinkMaintain.optimizeSink(spark, dir, 1L << 20)
+    val snap = GenManifest.read(dir, conf).get
+    // the tombstone entry survived the pack, still flagged
+    assert(snap.tombEntries.length === 1)
+    // and still applies: the packed table reads identically
+    assert(spark.read.format("proto-zst").load(dir).count() === expected)
+    // no packed data file decodes a victim's row INTO the visible set
+    assert(spark.read.format("proto-zst").load(dir)
+      .filter(col("key").isin(victims: _*)).count() === 0L)
+  }
+
+  test("tombstone bytes over the cap fail loudly and name the remedy") {
+    val dir = buildGen("graft_tomb_cap")
+    val victims = keysBetween(dir, "30", "40")
+    Tombstones.eraseKeys(dir, victims)
+    val e = intercept[Exception] {
+      spark.read.format("proto-zst").option("maxTombstoneBytes", "1")
+        .load(dir).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("purge")),
+      s"cap error must demand a purge: ${msgs(e)}")
+  }
+
+  test("streaming feed: tombstone entries keep positions but deliver no rows") {
+    val dir = buildGen("graft_tomb_stream")
+    val victims = keysBetween(dir, "30", "40")
+    val preCount = spark.read.format("proto-zst").load(dir).count()
+    Tombstones.eraseKeys(dir, victims)
+    // append AFTER the tombstone so its positional slot is interior
+    Sink.writeNested(CellModel.nestRows(spark, sf0001).limit(7)
+      .repartition(1), dir)
+    val ckpt = freshDir("graft_tomb_ck")
+    val outName = "tomb_stream_out_" + System.nanoTime()
+    val q = spark.readStream.format("proto-zst").load(dir)
+      .groupBy().count()
+      .writeStream.format("memory").queryName(outName)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the stream is the append LOG: pre-tombstone data files replay in
+    // full (no retraction), the tombstone file itself contributes zero
+    // rows, the late append flows — so the total is all data rows
+    val streamed = spark.table(outName).head().getLong(0)
+    assert(streamed === preCount + 7,
+      s"streamed $streamed, expected ${preCount + 7} (tombstone file " +
+        "must deliver no rows; data files replay unretracted)")
+  }
+}
