@@ -187,6 +187,47 @@ object DedupClusters {
       .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
       .withColumn("weight_milli", expr("1000 DIV cluster_size"))
 
+  /** q242: POST-DEDUP MIXTURE DRIFT — soft-dedup (q191) silently
+    * changes the realized training mixture: sources whose content the
+    * crawl caught many times lose effective token mass to the
+    * 1/cluster_size downweight, so the shares a mixture plan (q63/
+    * q157) targeted no longer hold AFTER dedup. This audit computes,
+    * per source, the raw token mass, the effective (weight-applied)
+    * milli-token mass, both as shares of their corpus totals, and the
+    * corrective resampling factor (raw share over effective share,
+    * milli) a mixture owner applies to restore the plan — the number
+    * that decides whether dedup quietly starved a domain. Weights come
+    * from the SAME q54 closure as q191 (the two can never disagree on
+    * a cluster); token counts are the engine's whitespace convention.
+    *
+    * Scale: one corpus projection (doc_id, source, tokens) left-joined
+    * to the pair-graph-sized label table — q191's exact join shape —
+    * then a per-source aggregation with map-side partials; the totals
+    * attach as a broadcast 1-row scalar. Output is |sources| rows.
+    */
+  def mixtureDrift(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("toks"))
+      .join(dupClusters(spark, dir)
+        .select(col("doc_id"), col("cluster_size")), Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight_milli", expr("1000 DIV cluster_size"))
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("raw_tokens"),
+        sum(col("toks") * col("weight_milli")).as("eff_token_milli"))
+      .cp() // feeds the share computation and its own totals
+    withScalar(per, per.agg(sum(col("raw_tokens")).as("tr"),
+      sum(col("eff_token_milli")).as("te")))
+      .withColumn("raw_share_milli", expr("(1000 * raw_tokens) DIV tr"))
+      .withColumn("eff_share_milli",
+        expr("(1000 * eff_token_milli) DIV nullif(te, 0)"))
+      .withColumn("corr_milli",
+        expr("(1000 * raw_share_milli) DIV nullif(eff_share_milli, 0)"))
+      .select(col("source"), col("raw_tokens"), col("eff_token_milli"),
+        col("raw_share_milli"), col("eff_share_milli"), col("corr_milli"))
+  }
+
   /** q168: CROSS-MODAL DEDUP AGREEMENT — the corpus pairs documents
     * with embeddings by id (the caption↔vector convention of a
     * multimodal corpus), so q15's TEXT near-dup pairs and q18's
@@ -468,6 +509,30 @@ object DedupClusters {
       |LEFT JOIN lab ON lab.node = d.doc_id
       |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id""".stripMargin
 
+  // q242: q191's weights with token counts in the same pass, folded
+  // to per-source mass; shares and the correction factor nest the
+  // exact DIV chain the Spark frame computes
+  private val mixtureDriftSql = closureCte + ",\n" +
+    s"""w AS (SELECT d.doc_id, d.source,
+       |        1000 // CAST(coalesce(sz.cnt, 1) AS BIGINT) AS weight_milli,
+       |        CAST(len($sqlWords) AS BIGINT) AS toks
+       |      FROM documents d
+       |      LEFT JOIN lab ON lab.node = d.doc_id
+       |      LEFT JOIN sz ON sz.cluster_id = lab.cluster_id),
+       |p AS (SELECT source, CAST(sum(toks) AS BIGINT) raw_tokens,
+       |        CAST(sum(toks * weight_milli) AS BIGINT) eff_token_milli
+       |      FROM w GROUP BY source),
+       |s AS (SELECT CAST(sum(raw_tokens) AS BIGINT) tr,
+       |        CAST(sum(eff_token_milli) AS BIGINT) te FROM p),
+       |r AS (SELECT source, raw_tokens, eff_token_milli,
+       |        (1000 * raw_tokens) // tr AS raw_share_milli,
+       |        (1000 * eff_token_milli) // nullif(te, 0) AS eff_share_milli
+       |      FROM p, s)
+       |SELECT source, raw_tokens, eff_token_milli, raw_share_milli,
+       |  eff_share_milli,
+       |  (1000 * raw_share_milli) // nullif(eff_share_milli, 0) AS corr_milli
+       |FROM r""".stripMargin
+
   // q202: the q54 closure's labels onto the whole corpus (q191's
   // singleton convention), shard = salted hash of the cluster id
   private val clusterShardingSql = closureCte + "\n" +
@@ -560,6 +625,7 @@ object DedupClusters {
     "q165_cluster_elect" -> clusterElect,
     "q160_golden_record" -> goldenRecord,
     "q191_soft_dedup" -> softDedupWeights,
+    "q242_mixture_drift" -> mixtureDrift,
     "q202_cluster_sharding" -> clusterSharding,
     "q54_dup_clusters" -> dupClusters,
     // the PRODUCTION fixpoint path, driver-hash-checked against the
@@ -573,6 +639,7 @@ object DedupClusters {
     "q176_pref_pairs" -> prefPairsSql,
     "q160_golden_record" -> goldenRecordSql,
     "q191_soft_dedup" -> softDedupSql,
+    "q242_mixture_drift" -> mixtureDriftSql,
     "q202_cluster_sharding" -> clusterShardingSql,
     "q54_dup_clusters" -> clustersSql,
     "q91_clusters_converged" -> clustersSql)

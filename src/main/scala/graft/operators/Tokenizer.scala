@@ -60,6 +60,56 @@ object Tokenizer {
           "DIV r.tokens_before").as("saved_milli"))
   }
 
+  /** q241: VOCABULARY PRUNING — the decision q221's curve exists to
+    * inform, executed: keep the SHORTEST merge-table prefix whose
+    * cumulative realized saving reaches 90% of the full table's (exact
+    * integers: 10·cum ≥ 9·total), and emit the per-rank verdict table
+    * — rank, cumulative savings (absolute and milli-of-total), and
+    * whether the rule survives the cut. Tail rules that buy almost
+    * nothing are vocab slots returned to the embedding matrix; because
+    * merges chain, pruning is only sound as a PREFIX cut, which is
+    * exactly what the cumulative curve ranks.
+    *
+    * Scale: everything derives from q221's output frame (N rows, one
+    * corpus term-frequency pass shared with it); the cumulative window
+    * orders N ≈ vocabulary-size rows — the q227 bounded-window class,
+    * never corpus-sized.
+    */
+  def vocabPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ab = mergeAblation(spark, dir)
+    val cum = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ab
+      .withColumn("cum_saved", sum(col("tokens_saved")).over(cum))
+      .withColumn("total_saved", sum(col("tokens_saved")).over(whole))
+      .withColumn("cut_rank", min(when(
+        col("cum_saved") * 10 >= col("total_saved") * 9, col("rank")))
+        .over(whole))
+      .select(col("rank"), col("merge_pair"), col("tokens_saved"),
+        col("cum_saved"),
+        expr("(1000 * cum_saved) DIV nullif(total_saved, 0)")
+          .as("cum_milli"),
+        (col("rank") <= col("cut_rank")).as("kept"))
+  }
+
+  // lazy: splices mergeAblationSql, which is declared below
+  private lazy val vocabPruneSql =
+    """WITH ab AS (@AB@),
+      |c AS (SELECT *,
+      |  CAST(sum(tokens_saved) OVER (ORDER BY rank) AS BIGINT) cum_saved,
+      |  CAST(sum(tokens_saved) OVER () AS BIGINT) total_saved FROM ab),
+      |k AS (SELECT min(rank) cut FROM c
+      |      WHERE cum_saved * 10 >= total_saved * 9)
+      |SELECT rank, merge_pair, tokens_saved, cum_saved,
+      |  CAST((1000 * cum_saved) // nullif(total_saved, 0) AS BIGINT)
+      |    AS cum_milli,
+      |  rank <= k.cut AS kept
+      |FROM c, k""".stripMargin
+      .replace("@AB@", mergeAblationSql)
+
   /** q221 replay: the same N+1 prefix folds as one list of corpus
     * sums, unrolled to per-rank rows. Each prefix kernel contains
     * `||` concatenations, so the whole list splices AFTER stripMargin.
@@ -299,11 +349,13 @@ object Tokenizer {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q221_merge_ablation" -> mergeAblation,
+    "q241_vocab_prune" -> vocabPrune,
     "q228_bpe_train" -> bpeTrain,
     "q232_heldout_audit" -> heldoutAudit)
 
   val oracle: Map[String, String] = Map(
     "q221_merge_ablation" -> mergeAblationSql,
+    "q241_vocab_prune" -> vocabPruneSql,
     "q228_bpe_train" -> bpeTrainSql,
     "q232_heldout_audit" -> heldoutAuditSql)
 }

@@ -135,6 +135,31 @@ object VectorOps {
   private[graft] def srpSignAt(b: Int, d: Int): Long =
     if (hash60Local(s"srp:$b:$d") % 2 == 0) 1L else -1L
 
+  /** The [[SrpBits]]-wide SRP signature of a quantised vector — the
+    * shared kernel of q161 (signature audit) and q240 (locality
+    * ordering): one codegen span of mask unpack + integer dots.
+    */
+  private def sigExpr(qv: Column): Column = {
+    val masks = typedLit(srpMasks)
+    def srpSign(m: Column, i: Column): Column =
+      call_function("shiftright", m, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)
+    transform(sequence(lit(0), lit(SrpBits - 1)), b =>
+      when(aggregate(
+        zip_with(qv, sequence(lit(0), lit(SrpDim - 1)), (v, d) =>
+          v * srpSign(element_at(masks, b + 1), d)),
+        lit(0L), (acc, x) => acc + x) >= 0, 1).otherwise(0))
+  }
+
+  /** q161/q240's dimensionality guard: the SRP matrix is [[SrpDim]]
+    * wide; a drifted corpus must fail loudly in-plan, not
+    * null-propagate into an opaque hash mismatch.
+    */
+  private def dimGuarded(qv: Column, who: String): Column =
+    when(size(qv) === SrpDim, qv)
+      .otherwise(raise_error(concat(
+        lit(s"$who: SRP matrix is $SrpDim-wide but embedding has "),
+        size(qv).cast("string"), lit(" dims"))))
+
   /** q161: SIGNED-RANDOM-PROJECTION SIGNATURES for embeddings — the
     * embedding-side sibling of q16's text SimHash (Charikar's SRP:
     * sign of a ±1 projection preserves angles; hamming distance over
@@ -158,28 +183,12 @@ object VectorOps {
     * the signature (q20), never brute-forces hamming.
     */
   def srpSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val masks = typedLit(srpMasks)
-    // sign of dim i+1 under projection row m: 2·bit(m, i) − 1 ∈ {−1, 1}
-    def srpSign(m: Column, i: Column): Column =
-      call_function("shiftright", m, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)
-    // Guard the hardcoded projection width: a corpus whose embedding
-    // dimensionality drifts from SrpDim would otherwise null-propagate
-    // through zip_with (bit=0) while the oracle's list_sum skips
-    // nulls — surfacing only as an opaque hash mismatch. Fail loudly
-    // in-plan instead.
     val sample = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < SimSearch.NQ || col("vec_id") % 7 === 3)
       .select(col("vec_id"), qvec(col("embedding")).as("qv"))
-      .withColumn("qv", when(size(col("qv")) === SrpDim, col("qv"))
-        .otherwise(raise_error(concat(
-          lit(s"q161: SRP matrix is $SrpDim-wide but embedding has "),
-          size(col("qv")).cast("string"), lit(" dims")))))
+      .withColumn("qv", dimGuarded(col("qv"), "q161"))
       .withColumn("n2", norm2(col("qv")))
-      .withColumn("sig", transform(sequence(lit(0), lit(SrpBits - 1)), b =>
-        when(aggregate(
-          zip_with(col("qv"), sequence(lit(0), lit(SrpDim - 1)), (v, d) =>
-            v * srpSign(element_at(masks, b + 1), d)),
-          lit(0L), (acc, x) => acc + x) >= 0, 1).otherwise(0)))
+      .withColumn("sig", sigExpr(col("qv")))
       .cp() // both sides of the pair audit
     val q = sample.filter(col("vec_id") < SimSearch.NQ)
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
@@ -194,6 +203,72 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), col("hamming"), col("est_milli"),
         cosineq(dotq(col("qqv"), col("qv")), col("qn2"), col("n2"))
           .as("cosine"))
+  }
+
+  /** Pack-stream count for the q240 ordering audit — stands in for the
+    * release's shard count (q171's epoch×shard streams); at scale it
+    * grows with the loader fleet and each stream's sort stays one
+    * range partition.
+    */
+  private val IcpShards = 4
+
+  /** q240: IN-CONTEXT PACKING ORDER — "In-Context Pretraining"
+    * (Shi et al. 2023) reorders the documents packed into one training
+    * stream so ADJACENT documents are semantically related, turning
+    * the packer's arbitrary concatenation into coherent long contexts.
+    * The paper's approximate-TSP chaining is inherently sequential;
+    * the scalable restatement is a LOCALITY SORT: order each pack
+    * stream by the embedding's SRP signature prefix (the leading 60
+    * sign bits as one integer — a recursive halfspace partition, so
+    * nearby keys ⇒ small angles) and measure what that buys: per
+    * (ordering, stream), the count, sum and mean of adjacent-pair
+    * cosines, against the salted-hash baseline order the packer uses
+    * today (q171/q234's discipline). The decision table a pretraining
+    * owner reads before flipping the pack order.
+    *
+    * Scale: signatures and keys are row-local (one codegen span over
+    * the scan); each ordering costs exactly the per-stream sort the
+    * pack WRITER performs anyway (a range partition per stream), and
+    * the lag window runs inside that same partition — no joins, no
+    * all-pairs anything. Sums are exact longs (per-pair milli floor),
+    * so the distributed fold is order-independent and the oracle
+    * replays it bit-for-bit; the mean is one double division of exact
+    * integers.
+    */
+  def icpOrder(spark: SparkSession, dir: String): DataFrame = {
+    val powers60 = typedLit((0 until 60).map(i => 1L << (59 - i)))
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("qv", dimGuarded(col("qv"), "q240"))
+      .withColumn("n2", norm2(col("qv")))
+      .withColumn("shard", col("vec_id") % IcpShards)
+      .withColumn("key60", aggregate(
+        zip_with(slice(sigExpr(col("qv")), 1, 60), powers60,
+          (b, p) => b.cast("long") * p),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("hkey",
+        hash60(concat(lit("icp:"), col("vec_id").cast("string"))))
+      .cp() // both orderings walk the same signed corpus
+    def pairs(name: String, orderKey: Column): DataFrame = {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(orderKey.asc, col("vec_id").asc)
+      base
+        .withColumn("pqv", lag(col("qv"), 1).over(w))
+        .withColumn("pn2", lag(col("n2"), 1).over(w))
+        .filter(col("pqv").isNotNull)
+        .withColumn("cosm", floor(
+          cosineq(dotq(col("qv"), col("pqv")), col("n2"), col("pn2")) *
+            lit(1000)).cast("long"))
+        .filter(col("cosm").isNotNull)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("cosm")).as("sum_cos_milli"))
+        .withColumn("ordering", lit(name))
+    }
+    pairs("icp", col("key60"))
+      .unionByName(pairs("hash", col("hkey")))
+      .select(col("ordering"), col("shard"), col("n_pairs"),
+        col("sum_cos_milli"),
+        (col("sum_cos_milli").cast("double") / col("n_pairs")).as("mean_cos_milli"))
   }
 
   /** q173: INT8 QUANTIZATION CALIBRATION — per-dimension affine int8
@@ -457,6 +532,49 @@ object VectorOps {
        |  ${sqlCosineq(sqlDotq("qqv", "qv"), "qn2", "n2")} AS cosine
        |FROM p""".stripMargin
 
+  // the SRP matrix CTE is shared verbatim with srpSql — the oracle
+  // rebuilds the driver-side md5 literal from SQL md5 both places
+  private val icpSql =
+    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |n AS (SELECT vec_id, vec_id % $IcpShards AS shard, qv,
+       |        ${sqlNorm2("qv")} n2 FROM e),
+       |rm AS (SELECT b,
+       |    list(CASE WHEN ${sqlHash60("'srp:' || b || ':' || d")} % 2 = 0
+       |      THEN 1 ELSE -1 END ORDER BY d) rv
+       |  FROM (SELECT unnest(range($SrpBits)) b),
+       |       (SELECT unnest(range(1, ${SrpDim + 1})) d)
+       |  GROUP BY b),
+       |sg AS (SELECT vec_id,
+       |    list(CASE WHEN s >= 0 THEN 1 ELSE 0 END ORDER BY b) sig
+       |  FROM (SELECT n.vec_id, rm.b,
+       |          list_sum(list_transform(range(1, ${SrpDim + 1}),
+       |            d -> n.qv[d] * rm.rv[d])) s
+       |        FROM n, rm WHERE rm.b < 60)
+       |  GROUP BY vec_id),
+       |k AS (SELECT n.*, ${sqlHash60("'icp:' || n.vec_id")} hkey,
+       |    CAST(list_sum(list_transform(range(1, 61),
+       |      i -> sig[i] * (CAST(1 AS BIGINT) << (60 - i)))) AS BIGINT) key60
+       |  FROM n JOIN sg USING (vec_id)),
+       |o AS (
+       |  SELECT 'icp' AS ordering, shard, qv, n2,
+       |    lag(qv) OVER (PARTITION BY shard ORDER BY key60, vec_id) pqv,
+       |    lag(n2) OVER (PARTITION BY shard ORDER BY key60, vec_id) pn2
+       |  FROM k
+       |  UNION ALL
+       |  SELECT 'hash' AS ordering, shard, qv, n2,
+       |    lag(qv) OVER (PARTITION BY shard ORDER BY hkey, vec_id) pqv,
+       |    lag(n2) OVER (PARTITION BY shard ORDER BY hkey, vec_id) pn2
+       |  FROM k),
+       |p AS (SELECT ordering, shard,
+       |    CAST(floor(${sqlCosineq(sqlDotq("qv", "pqv"), "n2", "pn2")}
+       |      * 1000) AS BIGINT) cosm
+       |  FROM o WHERE pqv IS NOT NULL)
+       |SELECT ordering, shard, count(*) AS n_pairs,
+       |  CAST(sum(cosm) AS BIGINT) AS sum_cos_milli,
+       |  CAST(sum(cosm) AS DOUBLE) / count(*) AS mean_cos_milli
+       |FROM p WHERE cosm IS NOT NULL
+       |GROUP BY ordering, shard""".stripMargin
+
   private val negSampleSql =
     s"""WITH v AS (SELECT vec_id, label FROM embeddings),
        |a AS (SELECT vec_id AS anchor_id, label AS a_label FROM v
@@ -516,12 +634,14 @@ object VectorOps {
     "q173_int8_quant" -> int8Quant,
     "q167_neg_sample" -> negSample,
     "q161_srp_bits" -> srpSignatures,
+    "q240_icp_order" -> icpOrder,
     "q159_label_coreset" -> labelCoreset)
 
   val oracle: Map[String, String] = Map(
     "q185_dim_variance" -> dimVarianceSql,
     "q192_embed_covariance" -> embedCovarianceSql,
     "q161_srp_bits" -> srpSql,
+    "q240_icp_order" -> icpSql,
     "q159_label_coreset" -> coresetSql,
     "q167_neg_sample" -> negSampleSql,
     "q173_int8_quant" -> int8QuantSql)

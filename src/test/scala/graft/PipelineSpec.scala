@@ -1926,6 +1926,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q240 SRP-locality pack order beats the hash baseline on adjacent coherence") {
+    val rows = graft.operators.VectorOps.icpOrder(spark, sf0001)
+      .select(col("ordering"), col("n_pairs"), col("sum_cos_milli"))
+      .collect()
+    def mean(name: String): Double = {
+      val rs = rows.filter(_.getString(0) == name)
+      assert(rs.nonEmpty, name)
+      rs.map(_.getLong(2)).sum.toDouble / rs.map(_.getLong(1)).sum
+    }
+    // the whole point of the ICP reorder: adjacent documents under the
+    // locality sort are measurably more related than under the salted
+    // hash the packer uses today. A projection/key regression that
+    // erases the gain must fail loudly, not ship a no-op reorder.
+    assert(mean("icp") > mean("hash"),
+      f"icp ${mean("icp")}%.1f !> hash ${mean("hash")}%.1f milli")
+    // both orderings pair the same corpus: identical pair counts per shard
+    val byOrd = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
+    assert(byOrd("icp") === byOrd("hash"))
+  }
+
   test("q160 golden records conserve rows and names; clusters do merge") {
     val parts = graft.sources.Tables.part(spark, sf0001)
       .filter(length(col("p_name")) >= 3)
