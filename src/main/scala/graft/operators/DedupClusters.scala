@@ -337,6 +337,40 @@ object DedupClusters {
         col("r.score_milli").as("rejected_score_milli"),
         (col("c.score_milli") - col("r.score_milli")).as("margin_milli"))
 
+  /** q244: PREFERENCE-PAIR DECONTAMINATION — the alignment-data twin
+    * of q235's release gate: preference pairs mined from the corpus
+    * (q176) must not train on documents serving in the held-out eval
+    * slate (q226), or the reward/DPO signal is graded on its own
+    * training data. Every pair gets a verdict — `clean`,
+    * `chosen_leak`, `rejected_leak`, or `both_leak` — naming WHICH
+    * side leaked, because the remedies differ: a leaked CHOSEN doc
+    * invalidates the pair outright, a leaked REJECTED doc can often be
+    * re-mined against the next-worst cluster member. Both inputs are
+    * the UNCHANGED q176/q226 operators (oracles splice their SQL
+    * verbatim), so the gate can never drift from what it gates.
+    *
+    * Scale: the slate is quota-bounded (KB — q235's broadcast
+    * discipline) and joins twice against the cluster-bounded pair set;
+    * nothing rescans the corpus beyond what q176/q226 already do.
+    */
+  def prefDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val slate = Quality.evalSlate(spark, dir).select(col("doc_id")).cp()
+    val c = slate.withColumnRenamed("doc_id", "chosen_doc_id")
+      .withColumn("c_leak", lit(1))
+    val r = slate.withColumnRenamed("doc_id", "rejected_doc_id")
+      .withColumn("r_leak", lit(1))
+    prefPairs(spark, dir)
+      .join(broadcast(c), Seq("chosen_doc_id"), "left")
+      .join(broadcast(r), Seq("rejected_doc_id"), "left")
+      .select(col("cluster_id"), col("chosen_doc_id"),
+        col("rejected_doc_id"), col("margin_milli"),
+        when(col("c_leak").isNotNull && col("r_leak").isNotNull,
+          "both_leak")
+          .when(col("c_leak").isNotNull, "chosen_leak")
+          .when(col("r_leak").isNotNull, "rejected_leak")
+          .otherwise("clean").as("verdict"))
+  }
+
   /** q160: GOLDEN-RECORD ENTITY RESOLUTION — the full MDM composition
     * the pieces q127/q54 each prove alone: fuzzy-match part names
     * (q127's blocked join, unchanged), close matches into entity
@@ -585,6 +619,34 @@ object DedupClusters {
       |FROM k c JOIN k r ON c.cluster_id = r.cluster_id
       |WHERE c.rc = 1 AND r.rr = 1 AND c.ns >= 2""".stripMargin
 
+  // q244: the q176 pair CTEs + the q226 slate (spliced verbatim) +
+  // two bounded left joins naming which side leaked
+  private lazy val prefDecontamSql = closureCte + ",\n" + scoredMembersCte +
+    ",\n" +
+    """k AS (SELECT *,
+      |        row_number() OVER (PARTITION BY cluster_id
+      |          ORDER BY score_milli DESC, doc_id ASC) rc,
+      |        row_number() OVER (PARTITION BY cluster_id
+      |          ORDER BY score_milli ASC, doc_id DESC) rr,
+      |        count(*) OVER (PARTITION BY cluster_id) ns FROM j),
+      |pp AS (SELECT c.cluster_id,
+      |        c.doc_id AS chosen_doc_id, r.doc_id AS rejected_doc_id,
+      |        c.score_milli - r.score_milli AS margin_milli
+      |      FROM k c JOIN k r ON c.cluster_id = r.cluster_id
+      |      WHERE c.rc = 1 AND r.rr = 1 AND c.ns >= 2),
+      |sl AS (SELECT doc_id FROM (@SLATE@))
+      |SELECT pp.cluster_id, pp.chosen_doc_id, pp.rejected_doc_id,
+      |  pp.margin_milli,
+      |  CASE WHEN sc.doc_id IS NOT NULL AND sr.doc_id IS NOT NULL
+      |         THEN 'both_leak'
+      |       WHEN sc.doc_id IS NOT NULL THEN 'chosen_leak'
+      |       WHEN sr.doc_id IS NOT NULL THEN 'rejected_leak'
+      |       ELSE 'clean' END AS verdict
+      |FROM pp
+      |LEFT JOIN sl sc ON sc.doc_id = pp.chosen_doc_id
+      |LEFT JOIN sl sr ON sr.doc_id = pp.rejected_doc_id""".stripMargin
+      .replace("@SLATE@", Quality.evalSlateSql)
+
   // q127's brute pairs (verbatim), a recursive-CTE closure (the q54
   // oracle discipline), then canonical election + survivorship — the
   // composed gate reuses each part's standalone oracle so they cannot
@@ -622,6 +684,7 @@ object DedupClusters {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_modal_agreement" -> modalAgreement,
     "q176_pref_pairs" -> prefPairs,
+    "q244_pref_decontam" -> prefDecontam,
     "q165_cluster_elect" -> clusterElect,
     "q160_golden_record" -> goldenRecord,
     "q191_soft_dedup" -> softDedupWeights,
@@ -637,6 +700,7 @@ object DedupClusters {
     "q168_modal_agreement" -> modalAgreementSql,
     "q165_cluster_elect" -> clusterElectSql,
     "q176_pref_pairs" -> prefPairsSql,
+    "q244_pref_decontam" -> prefDecontamSql,
     "q160_golden_record" -> goldenRecordSql,
     "q191_soft_dedup" -> softDedupSql,
     "q242_mixture_drift" -> mixtureDriftSql,

@@ -380,6 +380,71 @@ object Quality {
         expr("(1000 * alloc_tokens) DIV avail_tokens").as("fill_milli"))
   }
 
+  /** q243: DATA-CONSTRAINED EPOCH ALLOCATION — the repeated-data
+    * budget plan from the public data-constrained scaling result
+    * (repeating a corpus up to ~4 epochs retains most of fresh-data
+    * value; beyond that returns collapse): a training budget LARGER
+    * than the corpus (3× here — the regime where you must repeat)
+    * is allocated greedily in quality-priority order, each tercile
+    * capped at [[RepeatMaxEpochs]] epochs of its fresh mass — head
+    * repeats first and most, tail only if budget remains. Output per
+    * tercile: fresh tokens, the 4-epoch capacity, allocated tokens,
+    * and the realized epoch count in milli — the table a pretraining
+    * owner turns into per-bucket sampler rates for a multi-epoch run
+    * (q234's shuffle consumes exactly this).
+    *
+    * Scale: q227's posture verbatim — per-bucket totals ride q224's
+    * shuffles, the allocation is windows over THREE rows.
+    */
+  val RepeatMaxEpochs = 4L
+
+  def repeatEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.Portable.words(col("text"))).cast("long")
+          .as("nt"))
+    val avail = ccnetBuckets(spark, dir).join(d, "doc_id")
+      .groupBy(col("bucket")).agg(sum(col("nt")).as("avail_tokens"))
+      .withColumn("prio",
+        when(col("bucket") === "head", 1)
+          .when(col("bucket") === "middle", 2).otherwise(3))
+    val before = Window.partitionBy().orderBy(col("prio"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withScalar(avail, d.agg(sum(col("nt")).as("total")))
+      .withColumn("budget", expr("3 * total"))
+      .withColumn("capacity_tokens", col("avail_tokens") * RepeatMaxEpochs)
+      .withColumn("cap_before",
+        coalesce(sum(col("capacity_tokens")).over(before), lit(0L)))
+      .withColumn("alloc_tokens", greatest(lit(0L),
+        least(col("capacity_tokens"), col("budget") - col("cap_before"))))
+      .select(col("bucket"), col("avail_tokens"), col("capacity_tokens"),
+        col("alloc_tokens"),
+        expr("(1000 * alloc_tokens) DIV nullif(avail_tokens, 0)")
+          .as("epochs_milli"))
+  }
+
+  // q243 replay: the same greedy 4-epoch-capped fill over three rows
+  private val repeatEpochsSql =
+    """WITH bkt AS (@BKT@),
+      |d AS (SELECT doc_id, CAST(len(@WS@) AS BIGINT) nt FROM documents),
+      |a AS (SELECT bucket, CAST(sum(nt) AS BIGINT) avail,
+      |        CASE bucket WHEN 'head' THEN 1
+      |             WHEN 'middle' THEN 2 ELSE 3 END prio
+      |      FROM bkt JOIN d USING (doc_id) GROUP BY bucket),
+      |t AS (SELECT CAST(sum(nt) AS BIGINT) total FROM d),
+      |g AS (SELECT a.*, 3 * total budget, avail * 4 capacity,
+      |        CAST(coalesce(sum(avail * 4) OVER (ORDER BY prio
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) cap_before
+      |      FROM a, t)
+      |SELECT bucket, avail avail_tokens, capacity capacity_tokens,
+      |  greatest(0, least(capacity, budget - cap_before)) alloc_tokens,
+      |  (1000 * greatest(0, least(capacity, budget - cap_before)))
+      |    // nullif(avail, 0) AS epochs_milli
+      |FROM g""".stripMargin
+      .replace("@BKT@", ccnetBucketsSql)
+      .replace("@WS@", graft.functions.Portable.sqlWords)
+
   // q227 replay: the same capped-weighted first pass and priority-
   // ordered greedy redistribution over the three bucket rows
   private val bucketBudgetSql =
@@ -512,6 +577,7 @@ object Quality {
     "q225_gram_novelty" -> gramNovelty,
     "q226_eval_slate" -> evalSlate,
     "q227_bucket_budget" -> bucketBudget,
+    "q243_repeat_epochs" -> repeatEpochs,
     "q229_bigram_quality" -> bigramQuality,
     "q236_kn_quality" -> knBigramQuality)
 
@@ -520,6 +586,7 @@ object Quality {
     "q225_gram_novelty" -> gramNoveltySql,
     "q226_eval_slate" -> evalSlateSql,
     "q227_bucket_budget" -> bucketBudgetSql,
+    "q243_repeat_epochs" -> repeatEpochsSql,
     "q229_bigram_quality" -> bigramQualitySql,
     "q236_kn_quality" -> knBigramQualitySql)
 }

@@ -386,9 +386,10 @@ object Releases {
     * the corpus), a row-local fragment explode (≤ nb/L + 1 rows per
     * doc), and ONE (stream, seq) aggregation with map-side partials.
     */
-  private[graft] def packRelSeqs(docs: DataFrame): DataFrame = {
+  private[graft] def packRelSeqs(docs: DataFrame,
+      orderCol: String = "k"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stream")).orderBy(col("k"), col("doc_id"))
+      .partitionBy(col("stream")).orderBy(col(orderCol), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, org.apache.spark.sql.expressions.Window
         .currentRow)
@@ -483,6 +484,93 @@ object Releases {
     */
   def packedRelease(spark: SparkSession, dir: String): DataFrame =
     packRelParse(spark, packRelFixture(spark, dir))
+
+  /** q245: ICP-ORDERED RELEASE — the q240 decision EXECUTED through
+    * the release writer (the q181→q207 / q156→q233 planning→execution
+    * discipline): same tokenize→pack→one-commit pipeline as q212, but
+    * within each stream documents pack in SRP-locality order
+    * ([[VectorOps.key60Expr]]) instead of salted-hash order, so the
+    * sequences a loader feeds the model hold semantically ADJACENT
+    * documents — In-Context Pretraining's coherent contexts, shipped.
+    * Stream ASSIGNMENT stays the salted hash (load balance is the
+    * hash's job; coherence is the within-stream order's). Documents
+    * without an embedding fall back to their hash key (absence
+    * degrades to today's order, never drops a doc). The read-back
+    * hash-checks the shipped membership strings against the oracle's
+    * replay of the identical projection matrix + window.
+    *
+    * Scale: q212's shapes plus ONE left join against the row-local
+    * (doc_id, key60) projection — the ICP sort costs exactly the
+    * per-stream sort the writer already performs.
+    */
+  private[graft] def icpRelDocs(spark: SparkSession, dir: String,
+      streams: Int): DataFrame =
+    packRelDocs(spark, dir, streams)
+      .join(VectorOps.icpKeys(spark, dir), Seq("doc_id"), "left")
+      .withColumn("okey", coalesce(col("key60"), col("k")))
+
+  private def icpRelFixture(spark: SparkSession, dir: String): String =
+    Sink.fixture("icprel:" + dir) {
+      val out = Scratch.dir("graft_icprel")
+      writePackRel(packRelKeyed(packRelSeqs(
+        icpRelDocs(spark, dir, PackRelStreams), orderCol = "okey")),
+        out, PackRelStreams)
+      out
+    }
+
+  def icpRelease(spark: SparkSession, dir: String): DataFrame =
+    packRelParse(spark, icpRelFixture(spark, dir))
+
+  /** q246: SHIPPED-COHERENCE AUDIT — the trilogy's verification leg
+    * (q240 decides, q245 executes, this MEASURES the shipped bytes):
+    * for both releases, the adjacent-document cosine WITHIN each
+    * training sequence, parsed from the release files' own membership
+    * strings — the coherence the model's attention window actually
+    * sees, boundaries included (cross-sequence neighbors don't pair:
+    * attention never sees them together). Pairs with an unembedded
+    * side drop from the stats (at partial embedding coverage the
+    * hash-fallback docs can't score). The per-pair milli floors are
+    * exact longs, so the sums replay bit-for-bit.
+    *
+    * Scale: member explode is row-local over release-sized rows; the
+    * lag window partitions by (stream, sequence) — thousands of tiny
+    * partitions; the two vector joins are doc-grain equi-joins against
+    * the row-local projection. Output: 2 rows.
+    */
+  def shippedCoherence(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{cosineq, dotq}
+    val vecs = VectorOps.embedVecs(spark, dir)
+      .withColumnRenamed("doc_id", "vid")
+    def pairsOf(relDir: String, tag: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("stream"), col("seq_id"))
+        .orderBy(col("t_off"), col("doc_id"))
+      packRelParse(spark, relDir)
+        .select(col("stream"), col("seq_id"),
+          explode(split(col("members"), ",")).as("m"))
+        .select(col("stream"), col("seq_id"),
+          substring(col("m"), 2, 6).cast("long").as("t_off"),
+          substring(col("m"), 10, 10).cast("long").as("doc_id"))
+        .withColumn("prev_doc", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev_doc").isNotNull)
+        .join(vecs.select(col("vid").as("doc_id"), col("qv"), col("n2")),
+          Seq("doc_id"))
+        .join(vecs.select(col("vid").as("prev_doc"), col("qv").as("pqv"),
+          col("n2").as("pn2")), Seq("prev_doc"))
+        .withColumn("cosm", floor(
+          cosineq(dotq(col("qv"), col("pqv")), col("n2"), col("pn2")) *
+            lit(1000)).cast("long"))
+        .filter(col("cosm").isNotNull)
+        .groupBy().agg(count(lit(1)).as("n_pairs"),
+          sum(col("cosm")).as("sum_cos_milli"))
+        .withColumn("ordering", lit(tag))
+    }
+    pairsOf(icpRelFixture(spark, dir), "icp")
+      .unionByName(pairsOf(packRelFixture(spark, dir), "hash"))
+      .select(col("ordering"), col("n_pairs"), col("sum_cos_milli"),
+        (col("sum_cos_milli").cast("double") / col("n_pairs"))
+          .as("mean_cos_milli"))
+  }
 
   /** Release-resident erasure (q213's kernel): remove `eraseIds` from
     * a packed release by REWRITING ONLY THE AFFECTED STREAM FILES —
@@ -644,9 +732,101 @@ object Releases {
 
   private val packedReleaseSql = packRelSql("TRUE")
 
+  // q245 replay: packRelSql's pipeline with the within-stream order
+  // swapped to the SRP locality key (the shared sqlIcpKeyCtes chain);
+  // stream assignment and every downstream fragment/member format
+  // unchanged
+  private lazy val icpReleaseSql =
+    s"""WITH ${VectorOps.sqlIcpKeyCtes},
+       |d0 AS (SELECT doc_id, @WS@ ws FROM documents),
+       |db AS (SELECT doc_id, @BPE@ nb FROM d0),
+       |d AS (SELECT doc_id, @H60@ k, nb FROM db WHERE nb > 0),
+       |dk AS (SELECT d.doc_id, d.k, d.nb,
+       |         coalesce(ikey.key60, d.k) okey
+       |       FROM d LEFT JOIN ikey ON ikey.vec_id = d.doc_id),
+       |c AS (SELECT doc_id, k % $PackRelStreams stream, nb,
+       |        CAST(sum(nb) OVER (PARTITION BY k % $PackRelStreams
+       |          ORDER BY okey, doc_id ROWS UNBOUNDED PRECEDING)
+       |          AS BIGINT) cum
+       |      FROM dk),
+       |f AS (SELECT stream, doc_id, cum - nb st, cum,
+       |        unnest(range((cum - nb) // $PackRelLen,
+       |                     (cum - 1) // $PackRelLen + 1)) seq
+       |      FROM c),
+       |g AS (SELECT stream, seq, doc_id,
+       |        greatest(st, seq * $PackRelLen) - seq * $PackRelLen t_off,
+       |        least(cum, (seq + 1) * $PackRelLen)
+       |          - greatest(st, seq * $PackRelLen) ft
+       |      FROM f)
+       |SELECT CAST(stream AS INTEGER) stream, CAST(seq AS BIGINT) seq_id,
+       |  count(*) n_docs, CAST(sum(ft) AS BIGINT) n_tokens,
+       |  string_agg(printf('t%06d:d%010d+%06d', t_off, doc_id, ft), ','
+       |             ORDER BY t_off, doc_id) members
+       |FROM g GROUP BY stream, seq""".stripMargin
+      .replace("@WS@", graft.functions.Portable.sqlWords)
+      .replace("@BPE@", TextAnalysis.sqlBpeTokensOfWs)
+      .replace("@H60@", graft.functions.Portable.sqlHash60(
+        "'prel:' || CAST(doc_id AS VARCHAR)"))
+
   private val packedErasureSql = packRelSql(
     "NOT (" + graft.functions.Portable.sqlHash60(
       "'gdpr:' || CAST(doc_id AS VARCHAR)") + " % 29 = 0)")
+
+  // q246 replay: both packings' fragment chains (hash-ordered and
+  // ICP-ordered) from the shared doc CTEs, the same within-sequence
+  // lag, and exact milli cosine floors over the shared key/vector CTEs
+  private lazy val shippedCoherenceSql = {
+    import graft.functions.Portable.{sqlCosineq, sqlDotq, sqlNorm2}
+    s"""WITH ${VectorOps.sqlIcpKeyCtes},
+       |d0 AS (SELECT doc_id, @WS@ ws FROM documents),
+       |db AS (SELECT doc_id, @BPE@ nb FROM d0),
+       |d AS (SELECT doc_id, @H60@ k, nb FROM db WHERE nb > 0),
+       |dk AS (SELECT d.doc_id, d.k, d.nb,
+       |         coalesce(ikey.key60, d.k) okey
+       |       FROM d LEFT JOIN ikey ON ikey.vec_id = d.doc_id),
+       |sc AS (SELECT doc_id, k % $PackRelStreams stream, nb,
+       |        CAST(sum(nb) OVER (PARTITION BY k % $PackRelStreams
+       |          ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+       |      FROM d),
+       |ic AS (SELECT doc_id, k % $PackRelStreams stream, nb,
+       |        CAST(sum(nb) OVER (PARTITION BY k % $PackRelStreams
+       |          ORDER BY okey, doc_id ROWS UNBOUNDED PRECEDING)
+       |          AS BIGINT) cum
+       |      FROM dk),
+       |u AS (
+       |  SELECT 'hash' AS ordering, stream, doc_id, cum - nb st, cum
+       |  FROM sc
+       |  UNION ALL
+       |  SELECT 'icp' AS ordering, stream, doc_id, cum - nb st, cum
+       |  FROM ic),
+       |f AS (SELECT ordering, stream, doc_id, st, cum,
+       |        unnest(range(st // $PackRelLen,
+       |                     (cum - 1) // $PackRelLen + 1)) seq
+       |      FROM u),
+       |g AS (SELECT ordering, stream, seq, doc_id,
+       |        greatest(st, seq * $PackRelLen) - seq * $PackRelLen t_off
+       |      FROM f),
+       |p AS (SELECT ordering, doc_id,
+       |        lag(doc_id) OVER (PARTITION BY ordering, stream, seq
+       |          ORDER BY t_off, doc_id) prev_doc
+       |      FROM g),
+       |qn AS (SELECT vec_id, qv, ${sqlNorm2("qv")} n2 FROM ie),
+       |c2 AS (SELECT ordering,
+       |        CAST(floor(${sqlCosineq(sqlDotq("a.qv", "b.qv"),
+                  "a.n2", "b.n2")} * 1000) AS BIGINT) cosm
+       |      FROM p
+       |      JOIN qn a ON a.vec_id = p.doc_id
+       |      JOIN qn b ON b.vec_id = p.prev_doc)
+       |SELECT ordering, count(*) n_pairs,
+       |  CAST(sum(cosm) AS BIGINT) sum_cos_milli,
+       |  CAST(sum(cosm) AS DOUBLE) / count(*) mean_cos_milli
+       |FROM c2 WHERE cosm IS NOT NULL
+       |GROUP BY ordering""".stripMargin
+      .replace("@WS@", graft.functions.Portable.sqlWords)
+      .replace("@BPE@", TextAnalysis.sqlBpeTokensOfWs)
+      .replace("@H60@", graft.functions.Portable.sqlHash60(
+        "'prel:' || CAST(doc_id AS VARCHAR)"))
+  }
 
   /** q231 candidate sequence lengths (tokens per training sequence). */
   private[graft] val PackLens = Seq(512L, 1024L, 2048L, 4096L)
@@ -858,6 +1038,8 @@ object Releases {
     "q199_export_balance" -> exportBalance,
     "q204_version_delta" -> versionDelta,
     "q212_packed_release" -> packedRelease,
+    "q245_icp_release" -> icpRelease,
+    "q246_shipped_coherence" -> shippedCoherence,
     "q213_packed_erasure" -> packedErasureRead,
     "q171_export_sink" -> exportShards,
     "q231_pack_ablation" -> packAblation,
@@ -869,6 +1051,8 @@ object Releases {
     "q199_export_balance" -> exportBalanceSql,
     "q204_version_delta" -> versionDeltaSql,
     "q212_packed_release" -> packedReleaseSql,
+    "q245_icp_release" -> icpReleaseSql,
+    "q246_shipped_coherence" -> shippedCoherenceSql,
     "q213_packed_erasure" -> packedErasureSql,
     "q171_export_sink" -> exportShardsSql,
     "q231_pack_ablation" -> packAblationSql,

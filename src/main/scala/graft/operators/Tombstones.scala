@@ -50,8 +50,14 @@ object Tombstones {
     * ungoverned one a first commit would make the (tombstone-only)
     * manifest authoritative and hide every existing data file.
     * Returns the committed snapshot.
+    *
+    * `eraseTimeUs` stamps the request instant into the entry's time
+    * range (wall clock by default; tests pass explicit instants) —
+    * what [[purge]]'s gc_grace cutoff ages against.
     */
-  def eraseKeys(dir: String, keys: Seq[Array[Byte]]): GenManifest.Snapshot = {
+  def eraseKeys(dir: String, keys: Seq[Array[Byte]],
+      eraseTimeUs: Long = System.currentTimeMillis() * 1000L)
+      : GenManifest.Snapshot = {
     require(keys.nonEmpty, "eraseKeys with no keys erases nothing")
     val conf = ProtoZstFiles.hadoopConf()
     require(GenManifest.read(dir, conf).isDefined,
@@ -81,27 +87,42 @@ object Tombstones {
         s"tombstone publish refused for $tmp -> $dst; table unchanged")
     val entry = GenManifest.Entry(name, fs.getFileStatus(dst).getLen,
       sorted.length.toLong, sorted = true,
-      hex(sorted.head), hex(sorted.last), times = None, tomb = true)
+      hex(sorted.head), hex(sorted.last),
+      times = Some((eraseTimeUs, eraseTimeUs)), tomb = true)
     GenManifest.append(dir, conf, Seq(entry))
   }
 
-  /** PHYSICAL purge of every live tombstone: rewrite the data files
-    * that can hold a deleted key, drop all tombstone entries, one
+  /** PHYSICAL purge of ripe tombstones: rewrite the data files that
+    * can hold a deleted key, drop the purged tombstone entries, one
     * atomic swap. File selection is two-stage and reads no data —
     * attested key-range intersection first, then a `.bloom` sidecar
     * probe per surviving candidate (blooms have no false negatives, so
     * a file every key misses is provably clean and spared the
     * rewrite). Returns (data files rewritten, tombstone files
-    * dropped); (0, 0) when nothing is pending.
+    * dropped); (0, 0) when nothing is ripe.
+    *
+    * `olderThanUs` is the gc_grace cutoff: only tombstones stamped
+    * BEFORE it purge; younger ones survive the commit and keep
+    * shadowing their keys. Cassandra's grace protects deletes that
+    * have not reached every replica; the engine analog protects
+    * deletes that have not reached every INCREMENTAL CONSUMER — a
+    * version-delta reader (q204) syncing less often than the purge
+    * cadence must still observe the tombstone entry, so grace ≥ the
+    * slowest consumer's lag. The default purges everything (the
+    * no-consumers deployment). Pre-grace-era tombstones (no stamp)
+    * are conservatively treated as ripe only under the default
+    * everything-cutoff.
     */
-  def purge(spark: SparkSession, dir: String): (Int, Int) = {
+  def purge(spark: SparkSession, dir: String,
+      olderThanUs: Long = Long.MaxValue): (Int, Int) = {
     val conf = ProtoZstFiles.hadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
     val snap = GenManifest.read(dir, conf).getOrElse(
       throw new IllegalStateException(
         s"purge requires a manifested directory: $dir"))
-    val tombs = snap.tombEntries
+    val tombs = snap.tombEntries.filter(e =>
+      olderThanUs == Long.MaxValue || e.times.exists(_._2 < olderThanUs))
     if (tombs.isEmpty) return (0, 0)
     // the erase lists are bounded by purge cadence (the scan enforces
     // maxTombstoneBytes); decode them once on the driver

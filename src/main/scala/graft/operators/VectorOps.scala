@@ -235,17 +235,68 @@ object VectorOps {
     * replays it bit-for-bit; the mean is one double division of exact
     * integers.
     */
-  def icpOrder(spark: SparkSession, dir: String): DataFrame = {
+  /** The leading-60-bit SRP locality key — sign bits folded big-endian
+    * into one long. Shared by q240 (ordering audit) and q245 (the
+    * release writer that executes the order).
+    */
+  private[operators] def key60Expr(qv: Column): Column = {
     val powers60 = typedLit((0 until 60).map(i => 1L << (59 - i)))
+    aggregate(
+      zip_with(slice(sigExpr(qv), 1, 60), powers60,
+        (b, p) => b.cast("long") * p),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** (doc_id, qv, n2) for every embedded document — q246's cosine
+    * side (quantised vector + exact norm, row-local).
+    */
+  private[operators] def embedVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("n2", norm2(col("qv")))
+
+  /** (doc_id, key60) for every embedded document — q245's join side
+    * (the corpus pairs documents↔embeddings by id, the q168
+    * convention). Row-local codegen; the release packer left-joins it
+    * and falls back to the salted hash for unembedded docs.
+    */
+  private[operators] def icpKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("qv", dimGuarded(col("qv"), "icp"))
+      .select(col("doc_id"), key60Expr(col("qv")).as("key60"))
+
+  /** The key60 chain as DuckDB CTEs (`ie`/`irm`/`isg`/`ikey`; only the
+    * 60 projection rows the key needs) — spliced by the q240 AND q245
+    * oracles so both replay the identical md5-parity matrix.
+    */
+  private[operators] val sqlIcpKeyCtes: String =
+    s"""ie AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+       |irm AS (SELECT b,
+       |    list(CASE WHEN ${sqlHash60("'srp:' || b || ':' || d")} % 2 = 0
+       |      THEN 1 ELSE -1 END ORDER BY d) rv
+       |  FROM (SELECT unnest(range(60)) b),
+       |       (SELECT unnest(range(1, ${SrpDim + 1})) d)
+       |  GROUP BY b),
+       |isg AS (SELECT vec_id,
+       |    list(CASE WHEN s >= 0 THEN 1 ELSE 0 END ORDER BY b) sig
+       |  FROM (SELECT ie.vec_id, irm.b,
+       |          list_sum(list_transform(range(1, ${SrpDim + 1}),
+       |            d -> ie.qv[d] * irm.rv[d])) s
+       |        FROM ie, irm)
+       |  GROUP BY vec_id),
+       |ikey AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(1, 61),
+       |      i -> sig[i] * (CAST(1 AS BIGINT) << (60 - i)))) AS BIGINT) key60
+       |  FROM isg)""".stripMargin
+
+  def icpOrder(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), qvec(col("embedding")).as("qv"))
       .withColumn("qv", dimGuarded(col("qv"), "q240"))
       .withColumn("n2", norm2(col("qv")))
       .withColumn("shard", col("vec_id") % IcpShards)
-      .withColumn("key60", aggregate(
-        zip_with(slice(sigExpr(col("qv")), 1, 60), powers60,
-          (b, p) => b.cast("long") * p),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("key60", key60Expr(col("qv")))
       .withColumn("hkey",
         hash60(concat(lit("icp:"), col("vec_id").cast("string"))))
       .cp() // both orderings walk the same signed corpus
@@ -532,29 +583,15 @@ object VectorOps {
        |  ${sqlCosineq(sqlDotq("qqv", "qv"), "qn2", "n2")} AS cosine
        |FROM p""".stripMargin
 
-  // the SRP matrix CTE is shared verbatim with srpSql — the oracle
-  // rebuilds the driver-side md5 literal from SQL md5 both places
-  private val icpSql =
-    s"""WITH e AS (SELECT vec_id, $sqlQvec qv FROM embeddings),
+  // the projection matrix/key chain is the shared `sqlIcpKeyCtes`
+  // fragment — q240 and q245 replay the identical md5-parity matrix
+  private lazy val icpSql =
+    s"""WITH $sqlIcpKeyCtes,
        |n AS (SELECT vec_id, vec_id % $IcpShards AS shard, qv,
-       |        ${sqlNorm2("qv")} n2 FROM e),
-       |rm AS (SELECT b,
-       |    list(CASE WHEN ${sqlHash60("'srp:' || b || ':' || d")} % 2 = 0
-       |      THEN 1 ELSE -1 END ORDER BY d) rv
-       |  FROM (SELECT unnest(range($SrpBits)) b),
-       |       (SELECT unnest(range(1, ${SrpDim + 1})) d)
-       |  GROUP BY b),
-       |sg AS (SELECT vec_id,
-       |    list(CASE WHEN s >= 0 THEN 1 ELSE 0 END ORDER BY b) sig
-       |  FROM (SELECT n.vec_id, rm.b,
-       |          list_sum(list_transform(range(1, ${SrpDim + 1}),
-       |            d -> n.qv[d] * rm.rv[d])) s
-       |        FROM n, rm WHERE rm.b < 60)
-       |  GROUP BY vec_id),
+       |        ${sqlNorm2("qv")} n2 FROM ie),
        |k AS (SELECT n.*, ${sqlHash60("'icp:' || n.vec_id")} hkey,
-       |    CAST(list_sum(list_transform(range(1, 61),
-       |      i -> sig[i] * (CAST(1 AS BIGINT) << (60 - i)))) AS BIGINT) key60
-       |  FROM n JOIN sg USING (vec_id)),
+       |    ikey.key60
+       |  FROM n JOIN ikey USING (vec_id)),
        |o AS (
        |  SELECT 'icp' AS ordering, shard, qv, n2,
        |    lag(qv) OVER (PARTITION BY shard ORDER BY key60, vec_id) pqv,

@@ -1947,6 +1947,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(byOrd("icp") === byOrd("hash"))
   }
 
+  test("q245 ICP release reorders within streams but conserves the packed mass") {
+    import graft.operators.Releases
+    def perStream(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("stream"))
+        .agg(sum(col("n_tokens")).as("toks"), count(lit(1)).as("seqs"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val std = Releases.packedRelease(spark, sf0001)
+    val icp = Releases.icpRelease(spark, sf0001)
+    // stream ASSIGNMENT is unchanged (salted hash), so each stream's
+    // token mass — and therefore its sequence count — must be
+    // identical; only the within-stream order moved
+    assert(perStream(std) === perStream(icp))
+    // and the order DID move: at least one sequence's membership
+    // string differs (same (stream, seq) key, different constituents)
+    val stdM = std.select(col("stream"), col("seq_id"), col("members"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+    val moved = icp.select(col("stream"), col("seq_id"), col("members"))
+      .collect().exists(r =>
+        stdM.get((r.getInt(0), r.getLong(1))).exists(_ != r.getString(2)))
+    assert(moved, "ICP order must actually change the packing")
+    // and the SHIPPED bytes carry the coherence the reorder promised:
+    // within-sequence adjacent cosine beats the hash packing (q246)
+    val coh = Releases.shippedCoherence(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2).toDouble / r.getLong(1))).toMap
+    assert(coh("icp") > coh("hash"),
+      f"shipped icp ${coh("icp")}%.1f !> hash ${coh("hash")}%.1f milli")
+  }
+
   test("q160 golden records conserve rows and names; clusters do merge") {
     val parts = graft.sources.Tables.part(spark, sf0001)
       .filter(length(col("p_name")) >= 3)

@@ -129,6 +129,50 @@ class TombstoneSpec extends AnyFunSuite {
     assert(Tombstones.purge(spark, dir) === ((0, 0)))
   }
 
+  test("gc_grace: only tombstones older than the cutoff purge; younger keep shadowing") {
+    val dir = buildGen("graft_tomb_grace")
+    val oldV = keysBetween(dir, "30", "40")
+    val newV = keysBetween(dir, "50", "60")
+    assert(oldV.nonEmpty && newV.nonEmpty)
+    Tombstones.eraseKeys(dir, oldV, eraseTimeUs = 1000L)
+    Tombstones.eraseKeys(dir, newV, eraseTimeUs = 5000L)
+    val expected = spark.read.format("proto-zst").load(dir).count()
+    // cutoff between the stamps: the old request is ripe, the new is
+    // inside grace (an incremental consumer may not have seen it yet)
+    val (rw, dropped) = Tombstones.purge(spark, dir, olderThanUs = 3000L)
+    assert(dropped === 1 && rw >= 1)
+    val snap = GenManifest.read(dir, conf).get
+    assert(snap.tombEntries.length === 1 &&
+      snap.tombEntries.head.times.exists(_._1 === 5000L))
+    val read = spark.read.format("proto-zst").load(dir)
+    // logical table unchanged: BOTH erase sets stay invisible
+    assert(read.count() === expected)
+    assert(read.filter(col("key").isin(oldV: _*)).count() === 0L)
+    assert(read.filter(col("key").isin(newV: _*)).count() === 0L)
+    // physical: the ripe set's bytes are gone, the graced set's remain
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val oldSet = oldV.map(_.toSeq).toSet
+    val newSet = newV.map(_.toSeq).toSet
+    var newSeen = false
+    snap.dataEntries.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(dir, e.name)
+      val in = new java.io.BufferedInputStream(
+        new com.github.luben.zstd.ZstdInputStream(fs.open(p)), 64 << 10)
+      try graft.functions.ProtoWire.decodeStream(in, wantColumns = false,
+        _ => true).foreach { r =>
+          assert(!oldSet.contains(r.key.toSeq), s"ripe victim in ${e.name}")
+          if (newSet.contains(r.key.toSeq)) newSeen = true
+        }
+      finally in.close()
+    }
+    assert(newSeen, "graced victims must remain physically until their purge")
+    // the default cutoff clears the rest
+    val (_, d2) = Tombstones.purge(spark, dir)
+    assert(d2 === 1)
+    assert(GenManifest.read(dir, conf).get.tombEntries.isEmpty)
+    assert(spark.read.format("proto-zst").load(dir).count() === expected)
+  }
+
   test("maintenance never treats a tombstone as data: OPTIMIZE packs around it") {
     val dir = buildGen("graft_tomb_opt")
     // several small appends so OPTIMIZE has work
