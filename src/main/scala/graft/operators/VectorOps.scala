@@ -135,15 +135,18 @@ object VectorOps {
   private[graft] def srpSignAt(b: Int, d: Int): Long =
     if (hash60Local(s"srp:$b:$d") % 2 == 0) 1L else -1L
 
-  /** The [[SrpBits]]-wide SRP signature of a quantised vector — the
-    * shared kernel of q161 (signature audit) and q240 (locality
-    * ordering): one codegen span of mask unpack + integer dots.
+  /** The first `nBits` of the SRP signature of a quantised vector —
+    * the shared kernel of q161 (all [[SrpBits]], signature audit) and
+    * q240/q245 (the leading 60, locality ordering): one codegen span
+    * of mask unpack + integer dots. Width is a parameter because the
+    * expression tree is nBits×[[SrpDim]] operations — computing 256
+    * bits to keep 60 quadrupled q240's whole-query cost in codegen.
     */
-  private def sigExpr(qv: Column): Column = {
-    val masks = typedLit(srpMasks)
+  private def sigExpr(qv: Column, nBits: Int = SrpBits): Column = {
+    val masks = typedLit(srpMasks.take(nBits))
     def srpSign(m: Column, i: Column): Column =
       call_function("shiftright", m, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)
-    transform(sequence(lit(0), lit(SrpBits - 1)), b =>
+    transform(sequence(lit(0), lit(nBits - 1)), b =>
       when(aggregate(
         zip_with(qv, sequence(lit(0), lit(SrpDim - 1)), (v, d) =>
           v * srpSign(element_at(masks, b + 1), d)),
@@ -242,7 +245,7 @@ object VectorOps {
   private[operators] def key60Expr(qv: Column): Column = {
     val powers60 = typedLit((0 until 60).map(i => 1L << (59 - i)))
     aggregate(
-      zip_with(slice(sigExpr(qv), 1, 60), powers60,
+      zip_with(sigExpr(qv, nBits = 60), powers60,
         (b, p) => b.cast("long") * p),
       lit(0L), (acc, x) => acc + x)
   }
