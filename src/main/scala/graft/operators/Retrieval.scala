@@ -108,6 +108,56 @@ object Retrieval {
   /** q210 replay: q142's CTE chain with the doc-as-query term set, the
     * q19 brute cosine, the same two pool cuts, and the integer RRF.
     */
+  /** q247: RRF LEG ATTRIBUTION — the observability table behind q210's
+    * fusion: for every fused top-K row (and separately the top-1s),
+    * whether it entered from BOTH pools, the sparse (BM25) pool only,
+    * or the dense (cosine) pool only, with each category's share of
+    * the fused results. This is how a retrieval owner answers "is
+    * BM25 carrying the fusion" / "is the embedding model pulling its
+    * weight" before re-tuning k or dropping a leg — single-leg-only
+    * winners are exactly the recall the OTHER leg structurally misses.
+    *
+    * Scale: a categorical aggregation over q210's already-bounded
+    * output (NQ×K rows); the corpus-sized work is q210's, unchanged.
+    */
+  def rrfAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checkpoints.CpOps
+    val h = hybridRrf(spark, dir)
+      .withColumn("category",
+        when(col("s_rnk").isNotNull && col("d_rnk").isNotNull, "both")
+          .when(col("s_rnk").isNotNull, "sparse_only")
+          .otherwise("dense_only"))
+      .cp() // three aggregations over the bounded frame
+    val tk = h.groupBy(col("category")).agg(count(lit(1)).as("n_topk"))
+    val t1 = h.filter(col("rnk") === 1)
+      .groupBy(col("category")).agg(count(lit(1)).as("n_top1"))
+    withScalar(tk.join(t1, Seq("category"), "left"),
+      h.agg(count(lit(1)).as("total")))
+      .select(col("category"), col("n_topk"),
+        coalesce(col("n_top1"), lit(0L)).as("n_top1"),
+        expr("(1000 * n_topk) DIV total").as("share_milli"))
+  }
+
+  // q247 replay: the full q210 chain as a subquery + the categorical
+  // fold
+  private lazy val rrfAttributionSql =
+    s"""WITH h AS ($hybridRrfSql),
+       |c AS (SELECT *,
+       |        CASE WHEN s_rnk IS NOT NULL AND d_rnk IS NOT NULL
+       |               THEN 'both'
+       |             WHEN s_rnk IS NOT NULL THEN 'sparse_only'
+       |             ELSE 'dense_only' END category
+       |      FROM h),
+       |tk AS (SELECT category, CAST(count(*) AS BIGINT) n_topk
+       |       FROM c GROUP BY category),
+       |t1 AS (SELECT category, CAST(count(*) AS BIGINT) n_top1
+       |       FROM c WHERE rnk = 1 GROUP BY category),
+       |t AS (SELECT CAST(count(*) AS BIGINT) total FROM c)
+       |SELECT category, n_topk,
+       |  CAST(coalesce(n_top1, 0) AS BIGINT) n_top1,
+       |  (1000 * n_topk) // total AS share_milli
+       |FROM tk LEFT JOIN t1 USING (category), t""".stripMargin
+
   private val hybridRrfSql =
     s"""WITH w AS (SELECT doc_id, unnest($sqlWords) w FROM documents),
        |tf AS (SELECT doc_id, w, count(*) tf FROM w GROUP BY doc_id, w),
@@ -330,11 +380,13 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_hybrid_rrf" -> hybridRrf,
+    "q247_rrf_attribution" -> rrfAttribution,
     "q220_late_interaction" -> lateInteraction,
     "q222_context_assembly" -> contextAssembly)
 
   val oracle: Map[String, String] = Map(
     "q210_hybrid_rrf" -> hybridRrfSql,
+    "q247_rrf_attribution" -> rrfAttributionSql,
     "q220_late_interaction" -> lateInteractionSql,
     "q222_context_assembly" -> contextAssemblySql)
 }
