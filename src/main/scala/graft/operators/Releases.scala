@@ -563,6 +563,10 @@ object Releases {
         .filter(col("cosm").isNotNull)
         .groupBy().agg(count(lit(1)).as("n_pairs"),
           sum(col("cosm")).as("sum_cos_milli"))
+        // a release with ZERO scorable pairs (no embedding coverage)
+        // contributes no row — matching the oracle's grouped fold,
+        // which never emits a group for an empty pair set
+        .filter(col("n_pairs") > 0)
         .withColumn("ordering", lit(tag))
     }
     pairsOf(icpRelFixture(spark, dir), "icp")
@@ -701,11 +705,30 @@ object Releases {
     * BPE/hash kernels contain `||` concatenations, so they splice via
     * placeholders AFTER stripMargin.
     */
-  private def packRelSql(docFilter: String): String =
-    s"""WITH d0 AS (SELECT doc_id, @WS@ ws FROM documents),
+  /** The tokenize-and-key CTE chain (`d0`/`db`/`d`) every release
+    * oracle starts from — ONE definition so q212/q213/q245/q246 can
+    * never drift on tokenization or the salted key (the
+    * sqlIcpKeyCtes discipline applied to the doc chain).
+    */
+  private def packDocCtes(docFilter: String): String =
+    s"""d0 AS (SELECT doc_id, @WS@ ws FROM documents),
        |db AS (SELECT doc_id, @BPE@ nb FROM d0),
        |d AS (SELECT doc_id, @H60@ k, nb FROM db
-       |      WHERE nb > 0 AND (@FILTER@)),
+       |      WHERE nb > 0 AND (@FILTER@))""".stripMargin
+      .replace("@WS@", graft.functions.Portable.sqlWords)
+      .replace("@BPE@", TextAnalysis.sqlBpeTokensOfWs)
+      .replace("@H60@", graft.functions.Portable.sqlHash60(
+        "'prel:' || CAST(doc_id AS VARCHAR)"))
+      .replace("@FILTER@", docFilter)
+
+  /** The ICP order-key CTE (`dk`) shared by the q245/q246 oracles. */
+  private val icpDkCte =
+    """dk AS (SELECT d.doc_id, d.k, d.nb,
+      |         coalesce(ikey.key60, d.k) okey
+      |       FROM d LEFT JOIN ikey ON ikey.vec_id = d.doc_id)""".stripMargin
+
+  private def packRelSql(docFilter: String): String =
+    s"""WITH ${packDocCtes(docFilter)},
        |c AS (SELECT doc_id, k, k % $PackRelStreams stream, nb,
        |        CAST(sum(nb) OVER (PARTITION BY k % $PackRelStreams
        |          ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
@@ -724,11 +747,6 @@ object Releases {
        |  string_agg(printf('t%06d:d%010d+%06d', t_off, doc_id, ft), ','
        |             ORDER BY t_off, doc_id) members
        |FROM g GROUP BY stream, seq""".stripMargin
-      .replace("@WS@", graft.functions.Portable.sqlWords)
-      .replace("@BPE@", TextAnalysis.sqlBpeTokensOfWs)
-      .replace("@H60@", graft.functions.Portable.sqlHash60(
-        "'prel:' || CAST(doc_id AS VARCHAR)"))
-      .replace("@FILTER@", docFilter)
 
   private val packedReleaseSql = packRelSql("TRUE")
 
@@ -738,12 +756,8 @@ object Releases {
   // unchanged
   private lazy val icpReleaseSql =
     s"""WITH ${VectorOps.sqlIcpKeyCtes},
-       |d0 AS (SELECT doc_id, @WS@ ws FROM documents),
-       |db AS (SELECT doc_id, @BPE@ nb FROM d0),
-       |d AS (SELECT doc_id, @H60@ k, nb FROM db WHERE nb > 0),
-       |dk AS (SELECT d.doc_id, d.k, d.nb,
-       |         coalesce(ikey.key60, d.k) okey
-       |       FROM d LEFT JOIN ikey ON ikey.vec_id = d.doc_id),
+       |${packDocCtes("TRUE")},
+       |$icpDkCte,
        |c AS (SELECT doc_id, k % $PackRelStreams stream, nb,
        |        CAST(sum(nb) OVER (PARTITION BY k % $PackRelStreams
        |          ORDER BY okey, doc_id ROWS UNBOUNDED PRECEDING)
@@ -763,10 +777,6 @@ object Releases {
        |  string_agg(printf('t%06d:d%010d+%06d', t_off, doc_id, ft), ','
        |             ORDER BY t_off, doc_id) members
        |FROM g GROUP BY stream, seq""".stripMargin
-      .replace("@WS@", graft.functions.Portable.sqlWords)
-      .replace("@BPE@", TextAnalysis.sqlBpeTokensOfWs)
-      .replace("@H60@", graft.functions.Portable.sqlHash60(
-        "'prel:' || CAST(doc_id AS VARCHAR)"))
 
   private val packedErasureSql = packRelSql(
     "NOT (" + graft.functions.Portable.sqlHash60(
@@ -778,12 +788,8 @@ object Releases {
   private lazy val shippedCoherenceSql = {
     import graft.functions.Portable.{sqlCosineq, sqlDotq, sqlNorm2}
     s"""WITH ${VectorOps.sqlIcpKeyCtes},
-       |d0 AS (SELECT doc_id, @WS@ ws FROM documents),
-       |db AS (SELECT doc_id, @BPE@ nb FROM d0),
-       |d AS (SELECT doc_id, @H60@ k, nb FROM db WHERE nb > 0),
-       |dk AS (SELECT d.doc_id, d.k, d.nb,
-       |         coalesce(ikey.key60, d.k) okey
-       |       FROM d LEFT JOIN ikey ON ikey.vec_id = d.doc_id),
+       |${packDocCtes("TRUE")},
+       |$icpDkCte,
        |sc AS (SELECT doc_id, k % $PackRelStreams stream, nb,
        |        CAST(sum(nb) OVER (PARTITION BY k % $PackRelStreams
        |          ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
@@ -822,10 +828,6 @@ object Releases {
        |  CAST(sum(cosm) AS DOUBLE) / count(*) mean_cos_milli
        |FROM c2 WHERE cosm IS NOT NULL
        |GROUP BY ordering""".stripMargin
-      .replace("@WS@", graft.functions.Portable.sqlWords)
-      .replace("@BPE@", TextAnalysis.sqlBpeTokensOfWs)
-      .replace("@H60@", graft.functions.Portable.sqlHash60(
-        "'prel:' || CAST(doc_id AS VARCHAR)"))
   }
 
   /** q231 candidate sequence lengths (tokens per training sequence). */

@@ -200,10 +200,19 @@ object SinkMaintain {
     def snap(d: String) = GenManifest.read(d, conf).getOrElse(
       throw new IllegalArgumentException(
         s"promoteL0: no manifest under $d — levels must be sink-governed"))
-    val l0All = snap(l0Dir).dataEntries
+    val l0Snap = snap(l0Dir)
+    val l1Snap = snap(l1Dir)
+    // promotion reads by EXPLICIT PATH (no manifest, no anti-set) and
+    // moves rows ACROSS directories: a live equality-delete tombstone
+    // on either level would be left shadowing nothing while its
+    // erased rows re-materialize in L1 — resurrection by routine
+    // maintenance. Refuse loudly; purge first makes it safe.
+    require(l0Snap.tombEntries.isEmpty && l1Snap.tombEntries.isEmpty,
+      "promoteL0 would move rows out from under live equality-delete " +
+        "tombstones — run Tombstones.purge on both levels first")
+    val l0All = l0Snap.dataEntries
     val l0 = l0All.filter(e => e.count > 0 && e.hasRange).take(maxL0Files)
     if (l0.isEmpty) return (0, 0, 0)
-    val l1Snap = snap(l1Dir)
     def cmp(a: Array[Byte], b: Array[Byte]) =
       java.util.Arrays.compareUnsigned(a, b)
     // hull fixpoint over manifest rows: grow the rewrite set until no
@@ -328,9 +337,23 @@ object SinkMaintain {
             fs.delete(s.getPath, false)
             graft.sources.RangeSidecar.delete(fs, s.getPath)
           }
-          val staleStaging = s.isDirectory && n.startsWith(".optimize-") &&
+          // every maintenance op stages under a DOT-prefixed name
+          // (.optimize-/.promote-/.erase-/.purge-/.wmajor-/
+          // .pack-erase- dirs, the .tomb- tmp file) and every writer
+          // task under a `._tmp` suffix — a crashed run's leftovers
+          // under either convention are garbage after the grace
+          // window. The purge/erase leftovers matter doubly: a
+          // crashed purge's staging holds copies of rows pending
+          // deletion, and a crashed eraseKeys tmp holds the erased
+          // KEYS — both must not outlive the sweep.
+          // (Hadoop's checksum siblings are dot-prefixed `.x.crc`
+          // files of LIVE data — not staging; spare them)
+          val staleStaging = n.startsWith(".") && !n.endsWith(".crc") &&
             s.getModificationTime < cutoff
-          if (staleStaging) fs.delete(s.getPath, true)
+          if (staleStaging) fs.delete(s.getPath, s.isDirectory)
+          val staleTaskTmp = s.isFile && n.endsWith("._tmp") &&
+            s.getModificationTime < cutoff
+          if (staleTaskTmp) fs.delete(s.getPath, false)
           orphanData
         }
         removed

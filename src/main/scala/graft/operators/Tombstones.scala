@@ -124,15 +124,12 @@ object Tombstones {
     val tombs = snap.tombEntries.filter(e =>
       olderThanUs == Long.MaxValue || e.times.exists(_._2 < olderThanUs))
     if (tombs.isEmpty) return (0, 0)
-    // the erase lists are bounded by purge cadence (the scan enforces
-    // maxTombstoneBytes); decode them once on the driver
-    val deleted: Array[Array[Byte]] = tombs.flatMap { e =>
-      val in = new java.io.BufferedInputStream(new ZstdInputStream(
-        fs.open(new org.apache.hadoop.fs.Path(dirPath, e.name))), 64 << 10)
-      try ProtoWire.decodeStream(in, wantColumns = false, _ => true)
-        .map(_.key).toVector
-      finally in.close()
-    }.distinctBy(_.toSeq).toArray
+    // the shared format reader (scan anti-set and purge can never
+    // drift); UNCAPPED — purge is the remedy for an over-cap backlog
+    val deleted: Array[Array[Byte]] = graft.sources.TombstoneKeys.read(
+      tombs.map(e => (new org.apache.hadoop.fs.Path(dirPath, e.name)
+        .toString, e.bytes)),
+      conf, cap = None)
     import java.util.Arrays.compareUnsigned
     val ranged = snap.dataEntries.filter { e =>
       // conservative: a file with no recorded range might hold anything
@@ -156,9 +153,18 @@ object Tombstones {
             .toIndexedSeq: _*)
           .filter(!col("key").isin(deleted.toIndexedSeq: _*))
           .write.format("proto-zst").mode("append").save(staging.toString)
-        val stagedSnap = GenManifest.read(staging.toString, conf)
-          .getOrElse(throw new IllegalStateException(
-            s"staging write left no manifest under $staging"))
+        // a fully-erased rewrite legitimately lands ZERO rows: the
+        // writer marks the staging dir governed but commits no
+        // snapshot (no entries to publish) — that reads as "no
+        // survivors", not as a crashed write, and the swap below just
+        // drops the touched files
+        val stagedSnap = GenManifest.read(staging.toString, conf) match {
+          case Some(s) => s
+          case None if GenManifest.governed(staging.toString, conf) =>
+            GenManifest.Snapshot(0L, Vector.empty)
+          case None => throw new IllegalStateException(
+            s"staging write left no manifest under $staging")
+        }
         val out = stagedSnap.entries.map { e =>
           val newName = "purged-" + runId + "-" + e.name
           val src = new org.apache.hadoop.fs.Path(staging, e.name)

@@ -99,7 +99,16 @@ object MetaIO {
 object GenManifest {
   val DirName = "_graft_manifest"
   private val Header = "graft-manifest-v1"
+  // tomb-bearing records carry a BUMPED header: an engine predating
+  // the tombstone flag must refuse the whole record loudly (its
+  // readFull/readDeltaRec "newer engine's format" path) instead of
+  // additively dropping the 9th field and scanning an erase list as
+  // data — the Delta/Iceberg reader-version-bump move, enforced
+  // rather than documented. Tomb-free records keep v1, so the common
+  // case stays readable by every vintage.
+  private val HeaderTomb = "graft-manifest-v2"
   private val DeltaHeader = "graft-delta-v1"
+  private val DeltaHeaderTomb = "graft-delta-v2"
   private val Retain = 3 // versions kept readable after a commit
   /** Fold a full checkpoint every this many commits. Bounds BOTH the
     * reader's delta-tail length and the log's file count; raising it
@@ -126,12 +135,13 @@ object GenManifest {
     * `tomb` marks an EQUALITY-DELETE TOMBSTONE file: its rows are
     * deleted KEYS, not data — scans subtract them row-locally, and
     * every maintenance op plans over [[Snapshot.dataEntries]] so a
-    * tombstone is never packed/compacted/rewritten as data. This is
-    * the one non-additive reader requirement in the format's history
-    * (an engine predating the flag would scan a tombstone file as
-    * data — the Delta/Iceberg "reader version bump" situation);
-    * within-vintage reads stay fully compatible because the flag
-    * rides the additive trailing-field discipline.
+    * tombstone is never packed/compacted/rewritten as data. The flag
+    * is the format's one non-additive reader requirement, and it is
+    * ENFORCED: tomb-bearing snapshots/deltas publish under bumped
+    * v2 headers, so an engine predating the flag refuses the record
+    * loudly instead of scanning an erase list as data (the
+    * Delta/Iceberg reader-version bump, mechanical). Tomb-free
+    * records keep v1.
     */
   final case class Entry(name: String, bytes: Long, count: Long,
       sorted: Boolean, minHex: String, maxHex: String,
@@ -242,7 +252,8 @@ object GenManifest {
 
   private def render(s: Snapshot): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append(Header).append('\n').append(s.version).append('\n')
+    sb.append(if (s.entries.exists(_.tomb)) HeaderTomb else Header)
+      .append('\n').append(s.version).append('\n')
     // committed streaming epochs ride in the same atomic snapshot
     // ("!epoch" can never collide with a file name — the writer only
     // emits part-/packed-/erased- names); readers that predate the
@@ -257,7 +268,7 @@ object GenManifest {
 
   private def parse(bytes: Array[Byte]): Option[Snapshot] = {
     val ls = new String(bytes, "UTF-8").split("\n", -1)
-    if (ls.length < 2 || ls(0) != Header) None
+    if (ls.length < 2 || (ls(0) != Header && ls(0) != HeaderTomb)) None
     else ls(1).toLongOption.map { v =>
       val body = ls.drop(2).filter(_.nonEmpty).toVector
       val (epochLines, entryLines) = body.partition(_.startsWith("!epoch\t"))
@@ -271,7 +282,8 @@ object GenManifest {
     */
   private def renderDelta(d: Delta): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append(DeltaHeader).append('\n').append(d.version).append('\n')
+    sb.append(if (d.added.exists(_.tomb)) DeltaHeaderTomb else DeltaHeader)
+      .append('\n').append(d.version).append('\n')
     d.epochKeys.foreach(k => sb.append("!epoch\t").append(k).append('\n'))
     d.removed.toSeq.sorted.foreach(n => sb.append("-\t").append(n).append('\n'))
     d.added.foreach { e => sb.append("+\t"); renderEntry(sb, e) }
@@ -280,7 +292,8 @@ object GenManifest {
 
   private def parseDelta(bytes: Array[Byte]): Option[Delta] = {
     val ls = new String(bytes, "UTF-8").split("\n", -1)
-    if (ls.length < 2 || ls(0) != DeltaHeader) None
+    if (ls.length < 2 ||
+        (ls(0) != DeltaHeader && ls(0) != DeltaHeaderTomb)) None
     else ls(1).toLongOption.map { v =>
       val body = ls.drop(2).filter(_.nonEmpty).toVector
       Delta(v,
@@ -661,6 +674,45 @@ object GenManifest {
         }
       }
     } catch { case _: Exception => () }
+}
+
+/** The one reader of equality-delete tombstone FILES — shared by the
+  * scan's anti-set load and the purge path so the two consumers of the
+  * on-disk format can never drift.
+  */
+object TombstoneKeys {
+  /** Decode every key in the given tombstone files — `(full path,
+    * attested bytes)` pairs — dedupe, and unsigned-sort (the
+    * binary-search order the reader's probe expects). `cap` bounds the
+    * ATTESTED bytes before anything is read — the scan passes its
+    * `maxTombstoneBytes`; purge passes None, because purge is the
+    * remedy for an over-cap backlog and must be able to drain it.
+    */
+  def read(files: Seq[(String, Long)],
+      conf: org.apache.hadoop.conf.Configuration,
+      cap: Option[Long]): Array[Array[Byte]] = {
+    if (files.isEmpty) return Array.empty
+    cap.foreach { c =>
+      val total = files.map(_._2).sum
+      if (total > c)
+        throw new IllegalStateException(
+          s"live equality-delete tombstones hold $total bytes, over the " +
+            s"$c cap — run Tombstones.purge on the directory (or raise " +
+            "the maxTombstoneBytes scan option)")
+    }
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    files.foreach { case (f, _) =>
+      val p = new Path(f)
+      val in = new java.io.BufferedInputStream(new ZstdInputStream(
+        p.getFileSystem(conf).open(p)), 64 << 10)
+      try graft.functions.ProtoWire
+        .decodeStream(in, wantColumns = false, _ => true)
+        .foreach(r => keys += r.key)
+      finally in.close()
+    }
+    keys.distinctBy(_.toSeq).toArray
+      .sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)
+  }
 }
 
 /** Planning-time view of one committed data file: [[GenManifest.Entry]]

@@ -972,26 +972,8 @@ class ProtoZstScan(paths: Seq[String], ignoreCorrupt: Boolean,
     * overwhelmingly common case) costs nothing anywhere.
     */
   private lazy val deletedKeys: Array[Array[Byte]] =
-    if (tombMeta.isEmpty) Array.empty
-    else {
-      val total = tombMeta.map(_.bytes).sum
-      if (total > maxTombstoneBytes)
-        throw new IllegalStateException(
-          s"live equality-delete tombstones hold $total bytes, over the " +
-            s"$maxTombstoneBytes cap — run Tombstones.purge on the " +
-            "directory (or raise the maxTombstoneBytes scan option)")
-      val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      tombMeta.foreach { m =>
-        val p = new org.apache.hadoop.fs.Path(m.path)
-        val in = new java.io.BufferedInputStream(
-          new ZstdInputStream(p.getFileSystem(conf.value).open(p)), 64 << 10)
-        try ProtoWire.decodeStream(in, wantColumns = false, _ => true)
-          .foreach(r => keys += r.key)
-        finally in.close()
-      }
-      keys.distinctBy(_.toSeq).toArray
-        .sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)
-    }
+    TombstoneKeys.read(tombMeta.map(m => (m.path, m.bytes)).toIndexedSeq,
+      conf.value, Some(maxTombstoneBytes))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ProtoZstReaderFactory(ignoreCorrupt, readSchema, filters, conf,

@@ -194,6 +194,104 @@ class TombstoneSpec extends AnyFunSuite {
       .filter(col("key").isin(victims: _*)).count() === 0L)
   }
 
+  test("purging a FULLY-erased file set commits cleanly (zero survivors is not a crash)") {
+    val dir = buildGen("graft_tomb_all")
+    // erase EVERY key: the staged rewrite writes zero rows, so no
+    // staging snapshot commits — that must read as "no survivors",
+    // not as a crashed write
+    val all = spark.read.format("proto-zst").load(dir)
+      .select(col("key")).distinct().collect()
+      .map(_.getAs[Array[Byte]](0)).toIndexedSeq
+    Tombstones.eraseKeys(dir, all)
+    assert(spark.read.format("proto-zst").load(dir).count() === 0L)
+    val (rewritten, dropped) = Tombstones.purge(spark, dir)
+    assert(dropped === 1 && rewritten >= 1)
+    val snap = GenManifest.read(dir, conf).get
+    assert(snap.entries.isEmpty, "a fully-erased table is empty, not broken")
+    assert(spark.read.format("proto-zst").load(dir).count() === 0L)
+    // and it stays writable: a fresh append resurrects nothing
+    Sink.writeNested(CellModel.nestRows(spark, sf0001).limit(3)
+      .repartition(1), dir)
+    assert(spark.read.format("proto-zst").load(dir).count() === 3L)
+  }
+
+  test("promoteL0 refuses to move rows out from under a live tombstone") {
+    val l0 = buildGen("graft_tomb_l0")
+    val l1 = buildGen("graft_tomb_l1")
+    val victims = keysBetween(l0, "30", "40")
+    Tombstones.eraseKeys(l0, victims)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SinkMaintain.promoteL0(spark, l0, l1)
+    }
+    assert(e.getMessage.contains("purge"), e.getMessage)
+    // purge BOTH levels (l1 holds its own copies of the same keys —
+    // erasing them there too makes the end state checkable), then the
+    // promotion is safe and resurrects nothing
+    Tombstones.eraseKeys(l1, victims)
+    Tombstones.purge(spark, l0)
+    Tombstones.purge(spark, l1)
+    val (p, _, _) = graft.operators.SinkMaintain.promoteL0(spark, l0, l1)
+    assert(p >= 1)
+    assert(spark.read.format("proto-zst").load(l1)
+      .filter(col("key").isin(victims: _*)).count() === 0L)
+  }
+
+  test("vacuum sweeps crashed-purge staging and crashed-erase tmp leftovers") {
+    val dir = buildGen("graft_tomb_vac")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // simulate a crashed purge (staging dir with a data copy) and a
+    // crashed eraseKeys (tmp file holding erased keys)
+    val stale = new org.apache.hadoop.fs.Path(dir, ".purge-deadbeef")
+    fs.mkdirs(stale)
+    val os = fs.create(new org.apache.hadoop.fs.Path(stale, "part-x.proto.zst"), true)
+    os.write("leftover".getBytes("UTF-8")); os.close()
+    val tmb = new org.apache.hadoop.fs.Path(dir, ".tomb-deadbeef")
+    val os2 = fs.create(tmb, true)
+    os2.write("keys".getBytes("UTF-8")); os2.close()
+    // both survive a graceful window, then go at grace 0
+    assert(graft.operators.SinkMaintain.vacuumUnreferenced(dir) === 0)
+    assert(fs.exists(stale) && fs.exists(tmb),
+      "leftovers inside the grace window must survive")
+    graft.operators.SinkMaintain.vacuumUnreferenced(dir, graceMs = -1000)
+    assert(!fs.exists(stale), "stale purge staging must be swept")
+    assert(!fs.exists(tmb), "stale erase tmp (it holds erased KEYS) must be swept")
+    // the table itself is untouched
+    assert(spark.read.format("proto-zst").load(dir).count() > 0L)
+  }
+
+  test("tomb-bearing manifest records publish under bumped v2 headers") {
+    val dir = buildGen("graft_tomb_hdr")
+    val victims = keysBetween(dir, "30", "40")
+    Tombstones.eraseKeys(dir, victims)
+    // force a checkpoint cadence hit so a tomb-bearing FULL snapshot
+    // also lands (10 commits): tiny appends
+    (1 to 10).foreach { _ =>
+      Sink.writeNested(CellModel.nestRows(spark, sf0001).limit(1)
+        .repartition(1), dir)
+    }
+    val md = new org.apache.hadoop.fs.Path(dir, "_graft_manifest")
+    val fs = md.getFileSystem(conf)
+    def header(p: org.apache.hadoop.fs.Path, zstd: Boolean): String = {
+      val raw = fs.open(p)
+      val in = if (zstd) new com.github.luben.zstd.ZstdInputStream(raw) else raw
+      try new String(in.readAllBytes(), "UTF-8").linesIterator.next()
+      finally in.close()
+    }
+    val st = fs.listStatus(md).map(_.getPath)
+    val deltas = st.filter(_.getName.endsWith(".delta"))
+    val ckpts = st.filter(_.getName.endsWith(".checkpoint.zst"))
+    // the erase delta carries the bumped header; tomb-free appends stay v1
+    val headers = deltas.map(header(_, zstd = false)).toSet
+    assert(headers.contains("graft-delta-v1"))
+    // every retained full snapshot CONTAINS the tombstone entry, so it
+    // must carry the bumped header an old reader refuses
+    assert(ckpts.nonEmpty)
+    ckpts.foreach(p =>
+      assert(header(p, zstd = true) === "graft-manifest-v2", p.getName))
+    // and the current engine reads the mixed log fine
+    assert(GenManifest.read(dir, conf).get.tombEntries.length === 1)
+  }
+
   test("tombstone bytes over the cap fail loudly and name the remedy") {
     val dir = buildGen("graft_tomb_cap")
     val victims = keysBetween(dir, "30", "40")
