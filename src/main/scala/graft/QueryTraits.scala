@@ -2,41 +2,164 @@ package graft
 
 /** Queries that execute work at CONSTRUCTION time — ANY Spark job run
   * while the query frame is built counts: streaming runs, sink/fixture
-  * writes, conf-scoped eager checkpoints, and driver-side calibration
-  * collects (q173's DIM-row calibration). The returned frame replays
-  * or consumes the materialized result, so post-hoc plan inspection
-  * sees only the post-build frame. The PlanSpec cartesian sweep skips
-  * exactly this set (each member's plan posture is pinned by its own
-  * dedicated spec/audit row instead — q173's encode frame has its own
-  * PlanSpec test), ScaleAudit tags the rows as post-build frames, and
-  * Bench gives them a third run (construction re-executes per run, so
-  * their timings swing more). ONE list, so a new on-build query cannot
-  * be registered with one consumer and forgotten by the others.
+  * writes, conf-scoped eager checkpoints, convergence loops, and
+  * driver-side calibration collects (q173's DIM-row calibration). The
+  * returned frame replays or consumes the materialized result, so
+  * post-hoc plan inspection sees only the post-build frame. ScaleAudit
+  * tags the rows as post-build frames (and counts them in NORMAL mode —
+  * their fixpoint loops rely on lazy-checkpoint truncation), and Bench
+  * gives them a third run (construction re-executes per run for the
+  * streaming/collect members, and the fixture members' first run
+  * absorbs the build, leaving only one clean sample out of two). ONE
+  * list, so a new on-build query cannot be registered with one
+  * consumer and forgotten by the others.
+  *
+  * MEASURED, not maintained by hand: `QueryBuildTraitSpec` constructs
+  * every registry query under a SparkListener job counter — once in
+  * sorted order with shared session caches, then, for queries that ran
+  * nothing, once more IN ISOLATION (caches restored to the
+  * post-prelude state, so a fixture an alphabetically-earlier peer
+  * shares cannot hide a query's own build work) — and asserts
+  * membership ⟺ jobs-ran-at-build in BOTH directions. The prelude
+  * (what construction work does NOT count) is the shared-artifact
+  * boundary: testdata schema inference and the trained
+  * centroid/codebook fixtures (`SimSearch.warmFixtures`), the
+  * amortized session inputs Bench also warms untimed. Editing this
+  * list without measurement fails that spec; so does shipping a new
+  * on-build query without listing it.
   */
 object QueryTraits {
   val executesOnBuild: Set[String] = Set(
+    "q100_pipeline",
+    "q101_feature_ttl",
+    "q102_stream_outer_join",
+    "q103_vacuum_read",
+    "q104_stream_static_join",
+    "q107_stream_window_final",
+    "q109_schema_evolution",
+    "q111_partition_evolution",
+    "q112_aqe_skew_join",
+    "q113_stream_upsert",
+    "q115_ivf_increment",
+    "q117_stream_sliding",
+    "q120_bloom_join",
+    "q127_fuzzy_join",
+    "q128_dq_report",
+    "q130_stream_topk",
+    "q131_recent_buffer",
+    "q134_sketch_union",
+    "q137_prefix_join",
+    "q138_sketch_increment",
+    "q140_nightly_drop",
+    "q141_chained_windows",
+    "q142_bm25_rank",
+    "q143_dup_spans",
+    "q145_sorted_neighborhood",
+    "q146_pmi_bigrams",
+    "q147_quantile_sketch",
+    "q148_erasure",
+    "q149_pagerank",
+    "q150_triangles",
+    "q153_size_tiered",
+    "q156_leveled_plan",
+    "q15_dedup_minhash",
+    "q160_golden_record",
+    "q162_stream_join_window",
+    "q163_stream_sketch_ledger",
+    "q164_vocab_drift",
+    "q165_cluster_elect",
+    "q168_modal_agreement",
+    "q171_export_sink",
     "q173_int8_quant",
-    "q101_feature_ttl", "q102_stream_outer_join", "q103_vacuum_read",
-    "q104_stream_static_join", "q107_stream_window_final",
-    "q109_schema_evolution", "q111_partition_evolution",
-    "q112_aqe_skew_join", "q113_stream_upsert", "q117_stream_sliding",
-    "q120_bloom_join", "q130_stream_topk", "q131_recent_buffer",
-    "q138_sketch_increment", "q140_nightly_drop", "q141_chained_windows",
-    "q147_quantile_sketch", "q148_erasure", "q153_size_tiered",
-    "q156_leveled_plan", "q181_twcs_plan", "q189_hot_window_read",
-    "q162_stream_join_window", "q208_stream_curate",
-    "q163_stream_sketch_ledger", "q171_export_sink", "q174_stream_export",
-    "q212_packed_release", "q213_packed_erasure",
-    "q215_stream_index_ingest", "q217_lsh_index_probe",
-    "q223_sliced_read", "q228_bpe_train", "q230_bloom_get",
-    "q232_heldout_audit", "q233_leveled_compact",
+    "q174_stream_export",
+    "q176_pref_pairs",
+    "q177_minhash_calibration",
+    "q179_head_coverage",
+    "q17_dedup_ngram",
+    "q181_twcs_plan",
+    "q189_hot_window_read",
+    "q190_cross_source_dups",
+    "q191_soft_dedup",
+    "q194_eval_decontam",
+    "q195_loss_mask",
+    "q196_version_pin",
+    "q197_span_surgery",
+    "q198_quality_dup_calibration",
+    "q199_export_balance",
+    "q200_curriculum",
+    "q202_cluster_sharding",
+    "q203_modal_batches",
+    "q204_version_delta",
+    "q205_filtered_recall",
+    "q206_ttl_expire",
+    "q207_window_compact",
+    "q208_stream_curate",
+    "q210_hybrid_rrf",
+    "q211_ingest_sweep",
+    "q212_packed_release",
+    "q213_packed_erasure",
+    "q215_stream_index_ingest",
+    "q217_lsh_index_probe",
+    "q223_sliced_read",
+    "q224_ccnet_buckets",
+    "q226_eval_slate",
+    "q227_bucket_budget",
+    "q228_bpe_train",
+    "q229_bigram_quality",
+    "q230_bloom_get",
+    "q231_pack_ablation",
+    "q232_heldout_audit",
+    "q233_leveled_compact",
     "q235_release_decontam",
-    "q28_stream_window", "q29_sink_roundtrip", "q30_proto_source",
-    "q31_stream_sessionize", "q36_noshuffle_stats", "q37_stream_sink",
-    "q43_stream_dedup", "q46_key_pushdown", "q69_stream_stream_join",
-    "q47_per_file_metrics", "q48_stream_proto_source", "q60_file_skip",
-    "q61_compact_sink", "q62_bucketed_stats", "q76_stream_funnel",
-    "q77_optimize_sink", "q80_asof_read", "q81_change_feed",
-    "q84_stream_dedup_ttl", "q89_ordered_reexport",
-    "q91_clusters_converged", "q98_stream_features")
+    "q236_kn_quality",
+    "q237_tombstone_erase",
+    "q238_tombstone_purge",
+    "q239_frame_seek",
+    "q242_mixture_drift",
+    "q243_repeat_epochs",
+    "q244_pref_decontam",
+    "q245_icp_release",
+    "q246_shipped_coherence",
+    "q247_rrf_attribution",
+    "q248_classifier_train",
+    "q249_classifier_eval",
+    "q250_kn3_quality",
+    "q251_salvage_scan",
+    "q28_stream_window",
+    "q29_sink_roundtrip",
+    "q30_proto_source",
+    "q31_stream_sessionize",
+    "q33_tfidf",
+    "q36_noshuffle_stats",
+    "q37_stream_sink",
+    "q43_stream_dedup",
+    "q44_bucketed_join",
+    "q45_ann_recall",
+    "q46_key_pushdown",
+    "q47_per_file_metrics",
+    "q48_stream_proto_source",
+    "q54_dup_clusters",
+    "q55_global_rank",
+    "q56_quantiles",
+    "q58_dedup_incremental",
+    "q60_file_skip",
+    "q61_compact_sink",
+    "q62_bucketed_stats",
+    "q64_sidecar_stats",
+    "q65_runtime_prune",
+    "q68_semantic_dedup",
+    "q69_stream_stream_join",
+    "q76_stream_funnel",
+    "q77_optimize_sink",
+    "q79_secondary_index",
+    "q80_asof_read",
+    "q81_change_feed",
+    "q84_stream_dedup_ttl",
+    "q89_ordered_reexport",
+    "q90_approx_stats",
+    "q91_clusters_converged",
+    "q94_lm_quality",
+    "q96_split_leakage",
+    "q97_ann_ivfpq",
+    "q98_stream_features")
 }

@@ -157,6 +157,70 @@ object ProtoWire {
     (rows, cols)
   }
 
+  /** SALVAGE decode of a varint-framed Row stream: like [[decodeStats]]
+    * but never throws on corruption — counts the COMPLETE frames before
+    * the first bad byte and reports where the good data ends. Returns
+    * (rows, columns, byte offset in the decoded stream after the last
+    * complete frame, clean): `clean` ⟺ the whole buffer parsed as
+    * complete frames; a partial/garbled tail yields the counts of
+    * everything before it. The reference's read path marks a file it
+    * cannot parse SUSPECT and keeps serving the rest
+    * (`SSTableReaderPatched.java:248-253` markSuspect) — this is that
+    * verdict's parsing half.
+    */
+  def salvageStats(buf: Array[Byte]): (Long, Long, Long, Boolean) = {
+    var pos = 0
+    var rows = 0L
+    var cols = 0L
+    var lastGood = 0L
+    def varint(limit: Long): Long = {
+      var v = 0L; var sh = 0; var b = 0
+      do {
+        if (pos >= limit)
+          throw new IllegalArgumentException(s"overrun at $pos")
+        b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << sh; sh += 7
+        if (sh > 70) throw new IllegalArgumentException(s"varint too long at $pos")
+      } while ((b & 0x80) != 0)
+      v
+    }
+    def chk(l: Long, end: Long): Int =
+      if (l < 0 || l > end - pos)
+        throw new IllegalArgumentException(s"bad LEN $l at $pos")
+      else l.toInt
+    def skip(n: Int, end: Long): Unit =
+      if (pos + n > end)
+        throw new IllegalArgumentException(s"overrun at $pos")
+      else pos += n
+    try {
+      while (pos < buf.length) {
+        val frameLen = chk(varint(buf.length), buf.length)
+        val end = pos + frameLen
+        var frameCols = 0L
+        while (pos < end) {
+          val tag = varint(end)
+          (tag & 7).toInt match {
+            case 2 =>
+              val l = chk(varint(end), end)
+              if ((tag >> 3).toInt == 2) frameCols += 1
+              pos += l
+            case 0 => varint(end)
+            case 1 => skip(8, end)
+            case 5 => skip(4, end)
+            case wt => throw new IllegalArgumentException(s"wire type $wt")
+          }
+        }
+        // the frame parsed COMPLETELY — only now does it count
+        rows += 1
+        cols += frameCols
+        lastGood = pos
+      }
+      (rows, cols, lastGood, true)
+    } catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+        (rows, cols, lastGood, false)
+    }
+  }
+
   /** One decoded Column message. */
   final case class DecodedColumn(name: Array[Byte], value: Array[Byte],
       writeTime: Long)
@@ -223,9 +287,38 @@ object ProtoWire {
     * (and its corruption discipline) is the same code the buffer path
     * runs. Does not close `in`; the caller owns the stream.
     */
+  /** `expectFrames ≥ 0` arms the TRUNCATION GUARD: a zstd stream cut
+    * at a frame boundary ends CLEANLY (the decompressor reports plain
+    * EOF, and if the decoded prefix also ends at a wire-frame boundary
+    * nothing below throws) — silent row loss the validated decoder
+    * alone cannot see. Only the attested row count can catch it: the
+    * guard counts every wire frame walked and refuses at stream end if
+    * the count disagrees. −1 (the default) disables the check (slices,
+    * foreign files without an attested count).
+    */
   def decodeStream(in: java.io.InputStream, wantColumns: Boolean,
-      keep: Array[Byte] => Boolean): Iterator[DecodedRow] =
-    framedMessages(in).flatMap(decodeRowsPruned(_, wantColumns, keep))
+      keep: Array[Byte] => Boolean,
+      expectFrames: Long = -1L): Iterator[DecodedRow] = {
+    val frames = framedMessages(in)
+    val counted: Iterator[Array[Byte]] =
+      if (expectFrames < 0) frames
+      else new Iterator[Array[Byte]] {
+        private var n = 0L
+        override def hasNext: Boolean = {
+          val h = frames.hasNext
+          if (!h && n != expectFrames)
+            throw new java.io.IOException(
+              s"truncated stream: decoded $n of $expectFrames attested " +
+                "rows — frame-aligned truncation ends the stream cleanly, " +
+                "so only the attested count can refuse it")
+          h
+        }
+        override def next(): Array[Byte] = {
+          val f = frames.next(); n += 1; f
+        }
+      }
+    counted.flatMap(decodeRowsPruned(_, wantColumns, keep))
+  }
 
   /** One varint-framed message per element, INCLUDING its varint prefix,
     * so each element is itself a valid single-frame stream for the

@@ -92,6 +92,8 @@ object AnnPq {
   private val pqBookFixtures =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  SessionCaches.registerMap(SimSearch.centLock, pqBookFixtures)
+
   private[operators] def pqBookFixture(spark: SparkSession, dir: String): DataFrame =
     SimSearch.centLock.synchronized {
       val app = spark.sparkContext.applicationId
@@ -147,6 +149,8 @@ object AnnPq {
     */
   private val ivfPqBookFixtures =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  SessionCaches.registerMap(SimSearch.centLock, ivfPqBookFixtures)
 
   private[operators] def ivfPqBooksPlan(spark: SparkSession, dir: String): DataFrame = {
     val e = SimSearch.featurized(spark, dir)

@@ -23,10 +23,13 @@ import org.apache.spark.sql.DataFrame
   * every consumer's row would misattribute amortized build cost
   * (q97 would read as ~90 shuffles), so they stay materialized-input
   * boundaries and their build pipelines get their OWN audit rows
-  * (`fixture:*` via each module's `fixturePlans`). Audit mode never
-  * runs on-build queries (their fixpoint loops rely on truncation to
-  * keep iterative lineage bounded), and the audit never executes the
-  * frames it inspects beyond what the builders themselves execute.
+  * (`fixture:*` via each module's `fixturePlans`). Audit mode is safe
+  * for on-build queries too: their fixpoint loops truncate through
+  * [[CpOps.cpIter]], which ignores the flag precisely so iterative
+  * lineage stays bounded — a construction that executes under audit
+  * mode at worst recomputes a shared single-pass frame per round.
+  * The audit never executes the frames it inspects beyond what the
+  * builders themselves execute.
   */
 private[graft] object Checkpoints {
   @volatile var planAudit: Boolean = false

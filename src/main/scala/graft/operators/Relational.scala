@@ -773,6 +773,9 @@ object Relational {
   private val edgeFixtures =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private val edgeLock = new Object
+
+  SessionCaches.registerMap(Relational, bucketedTables)
+  SessionCaches.registerMap(edgeLock, edgeFixtures)
   private def coPurchaseEdgesPlan(spark: SparkSession,
       dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

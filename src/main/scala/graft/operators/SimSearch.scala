@@ -255,6 +255,8 @@ object SimSearch {
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
   private[operators] val centLock = new Object
 
+  SessionCaches.registerMap(centLock, centFixtures)
+
   /** Drop cache entries built by a DEAD SparkContext (their plans
     * reference checkpoint blocks that died with it) — called under
     * [[centLock]] on every fixture insert, so a JVM that cycles

@@ -109,6 +109,9 @@ object Sink {
       build: => (String, String)): (String, String) =
     fixtureLock.synchronized(fixtures2.getOrElseUpdate(key, build))
 
+  SessionCaches.registerMap(fixtureLock, fixtures)
+  SessionCaches.registerMap(fixtureLock, fixtures2)
+
   def nestedFixture(spark: SparkSession, dir: String): String =
     fixture("nested:" + dir) {
       val out = Scratch.dir("graft_fix")

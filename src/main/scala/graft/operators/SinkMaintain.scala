@@ -19,6 +19,17 @@ import graft.sources.Tables
   * commit.
   */
 object SinkMaintain {
+
+  /** The engine's complete staging-name vocabulary — every maintenance
+    * op that stages under the table directory does so under exactly
+    * one of these dot-prefixes. Vacuum deletes ONLY these (plus
+    * `._tmp` writer leftovers and uncommitted `.proto.zst` orphans);
+    * any other dot-file is foreign and spared. A new staging op MUST
+    * add its prefix here or its crash leftovers outlive every sweep.
+    */
+  private[graft] val StagingPrefixes: Seq[String] = Seq(
+    ".optimize-", ".promote-", ".erase-", ".purge-", ".wmajor-",
+    ".pack-erase-", ".tomb-")
   /** OPTIMIZE for the proto-zst format: bin-pack the directory's SMALL
     * files (< `targetBytes`) into ~`targetBytes` files, preserving the
     * key-clustered layout — the small-files compaction every streaming
@@ -337,19 +348,20 @@ object SinkMaintain {
             fs.delete(s.getPath, false)
             graft.sources.RangeSidecar.delete(fs, s.getPath)
           }
-          // every maintenance op stages under a DOT-prefixed name
-          // (.optimize-/.promote-/.erase-/.purge-/.wmajor-/
-          // .pack-erase- dirs, the .tomb- tmp file) and every writer
-          // task under a `._tmp` suffix — a crashed run's leftovers
-          // under either convention are garbage after the grace
-          // window. The purge/erase leftovers matter doubly: a
-          // crashed purge's staging holds copies of rows pending
-          // deletion, and a crashed eraseKeys tmp holds the erased
-          // KEYS — both must not outlive the sweep.
-          // (Hadoop's checksum siblings are dot-prefixed `.x.crc`
-          // files of LIVE data — not staging; spare them)
-          val staleStaging = n.startsWith(".") && !n.endsWith(".crc") &&
-            s.getModificationTime < cutoff
+          // every maintenance op stages under one of the ENGINE'S
+          // dot-prefixes below and every writer task under a `._tmp`
+          // suffix — a crashed run's leftovers under either convention
+          // are garbage after the grace window. The purge/erase
+          // leftovers matter doubly: a crashed purge's staging holds
+          // copies of rows pending deletion, and a crashed eraseKeys
+          // tmp holds the erased KEYS — both must not outlive the
+          // sweep. Matching is by the ENUMERATED prefixes, not bare
+          // startsWith("."): foreign dot-files in a table directory
+          // (.DS_Store, editor/tool state, Hadoop's `.x.crc` checksum
+          // siblings of live data) are not the engine's to delete.
+          val staleStaging =
+            SinkMaintain.StagingPrefixes.exists(n.startsWith) &&
+              s.getModificationTime < cutoff
           if (staleStaging) fs.delete(s.getPath, s.isDirectory)
           val staleTaskTmp = s.isFile && n.endsWith("._tmp") &&
             s.getModificationTime < cutoff
@@ -544,6 +556,8 @@ object SinkMaintain {
     */
   private[graft] val optCounts =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
+  SessionCaches.registerMap(optCounts, optCounts)
 
   def optimizedFixture(spark: SparkSession, dir: String): String =
     Sink.fixture("opt:" + dir) {

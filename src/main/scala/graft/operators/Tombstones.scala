@@ -147,11 +147,26 @@ object Tombstones {
       if (touched.isEmpty) Vector.empty
       else {
         val staging = new org.apache.hadoop.fs.Path(dirPath, ".purge-" + runId)
+        // survivor filter as a broadcast LEFT ANTI join against the
+        // tombstone files themselves (they are proto-zst rows with
+        // empty columns) — NOT an In-list of per-key Literals. purge
+        // is the documented remedy for an over-cap tombstone backlog,
+        // so the anti-set here can be millions of keys: an isin() of
+        // that size drags every key through Catalyst analysis as a
+        // binary Literal before InSet conversion and can stall or OOM
+        // the driver exactly when purge is most needed. The anti join
+        // broadcasts the deduped key column once (bytes, not
+        // expression nodes) and probes it hash-wise inside codegen.
+        val anti = spark.read.format("proto-zst")
+          .load(tombs.map(e =>
+            new org.apache.hadoop.fs.Path(dirPath, e.name).toString)
+            .toIndexedSeq: _*)
+          .select(col("key").as("tomb_key")).distinct()
         spark.read.format("proto-zst")
           .load(touched.map(e =>
             new org.apache.hadoop.fs.Path(dirPath, e.name).toString)
             .toIndexedSeq: _*)
-          .filter(!col("key").isin(deleted.toIndexedSeq: _*))
+          .join(broadcast(anti), col("key") === col("tomb_key"), "left_anti")
           .write.format("proto-zst").mode("append").save(staging.toString)
         // a fully-erased rewrite legitimately lands ZERO rows: the
         // writer marks the staging dir governed but commits no

@@ -283,7 +283,18 @@ class ProtoZstWriterFactory(dir: String, buckets: Option[Int] = None,
             // it to slice); write the split sidecar before the data
             // rename, same visibility order as the range sidecar
             val eof = fs.getFileStatus(st.tmpFile).getLen
-            val cuts = st.frames.filter(_._1 < eof)
+            // also drop a trailing boundary no row ever followed (row
+            // count an exact multiple of splitFrameRows): the zstd
+            // close epilogue can leave eof past the flush offset, and
+            // that boundary's empty first-key hex would otherwise
+            // disable the whole file's frame-seek index (the reader
+            // requires every boundary keyed). Zero rows live past it,
+            // so dropping costs nothing for slicing either.
+            val trimmed =
+              if (st.needFirstKey && st.frames.nonEmpty &&
+                  st.frames.last._3.isEmpty) st.frames.dropRight(1)
+              else st.frames
+            val cuts = trimmed.filter(_._1 < eof)
             if (cuts.nonEmpty)
               SplitSidecar.write(fs, st.finalFile, cuts.toSeq)
             if (!fs.rename(st.tmpFile, st.finalFile)) {

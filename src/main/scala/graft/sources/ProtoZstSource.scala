@@ -1259,12 +1259,25 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
     val fs = p.getFileSystem(conf.value)
     // uncounted reads: these are per-task DATA-path opens (like the
     // bloom probe), not the plan-time metadata cost sidecarReads guards
-    val sorted =
-      try RangeSidecar.readUncounted(fs, p).exists(r => r.normalized && r.sorted)
-      catch { case _: Exception => false }
-    if (!sorted) return None
-    val cuts = try SplitSidecar.readKeyedUncounted(fs, p).getOrElse(Array.empty)
+    val range =
+      try RangeSidecar.readUncounted(fs, p)
+      catch { case _: Exception => None }
+    if (!range.exists(r => r.normalized && r.sorted)) return None
+    val cuts0 = try SplitSidecar.readKeyedUncounted(fs, p).getOrElse(Array.empty)
       catch { case _: Exception => Array.empty[(Long, Long, String)] }
+    // Files written before the sink learned to trim it may carry one
+    // trailing keyless boundary (row count an exact multiple of
+    // splitFrameRows: the frame flushed, the stream closed, no row
+    // followed). The range sidecar's row count proves it is a
+    // zero-row tail (rows-before == file rows), so it can be dropped
+    // instead of disabling the whole file's seek index; a MID-file ""
+    // (null-key row) still falls through to the all-keyed check below
+    // and degrades to the full scan.
+    val cuts =
+      if (cuts0.nonEmpty && cuts0.last._3.isEmpty &&
+          range.exists(r => r.count >= 0 && r.count == cuts0.last._2))
+        cuts0.dropRight(1)
+      else cuts0
     if (cuts.isEmpty || cuts.exists(_._3.isEmpty)) return None
     val eof = try fs.getFileStatus(p).getLen
       catch { case _: Exception => return None }
@@ -1425,7 +1438,19 @@ class ProtoZstReaderFactory(ignoreCorrupt: Boolean,
               if (end >= 0) new BoundedIn(raw, end - start) else raw
             in = new java.io.BufferedInputStream(
               new ZstdInputStream(src), 64 << 10)
-            ProtoWire.decodeStream(in, wantColumns, keep)
+            // strict whole-file reads arm the truncation guard with
+            // the attested row count (one tiny sidecar open per task,
+            // the bloom-probe discipline): a frame-aligned truncation
+            // ends the zstd stream cleanly and would otherwise LOSE
+            // rows silently. Slices skip it (their byte range is the
+            // contract) and salvage mode keeps every recoverable row.
+            val expect =
+              if (ignoreCorrupt || start > 0 || end >= 0) -1L
+              else try RangeSidecar
+                .readUncounted(p.getFileSystem(conf.value), p)
+                .map(_.count).getOrElse(-1L)
+              catch { case _: Exception => -1L }
+            ProtoWire.decodeStream(in, wantColumns, keep, expect)
           } catch {
             case e: Exception if ignoreCorrupt =>
               Iterator.empty[ProtoWire.DecodedRow]

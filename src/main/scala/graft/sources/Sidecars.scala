@@ -135,8 +135,19 @@ object SplitSidecar {
   def write(fs: FileSystem, data: Path,
       checkpoints: Seq[(Long, Long, String)]): Unit = {
     val os = fs.create(sidecar(data), true)
-    val body = checkpoints.map { case (off, rows, keyHex) =>
-      s"$off $rows $keyHex" }.mkString("v2\n", "\n", "\n")
+    // version bump only when the bump buys something: a sidecar whose
+    // boundaries carry NO keys (every first row null-keyed) encodes
+    // nothing v1 cannot, so stamp v1 and keep pre-v2 engines' slicing
+    // — the same conditional-format discipline the manifest's tomb
+    // records follow (v1 when tomb-free, v2 only when v2 semantics
+    // are actually present)
+    val body =
+      if (checkpoints.exists(_._3.nonEmpty))
+        checkpoints.map { case (off, rows, keyHex) =>
+          s"$off $rows $keyHex" }.mkString("v2\n", "\n", "\n")
+      else
+        checkpoints.map { case (off, rows, _) =>
+          s"$off $rows" }.mkString("v1\n", "\n", "\n")
     try os.write(body.getBytes("UTF-8")) finally os.close()
   }
 

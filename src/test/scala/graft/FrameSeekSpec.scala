@@ -117,6 +117,53 @@ class FrameSeekSpec extends AnyFunSuite {
     assert(MetaIO.frameSeeks.get() === 0L)
   }
 
+  test("row count an exact multiple of splitFrameRows still seeks (no keyless tail boundary)") {
+    // 1000 rows at 10-row frames: the last frame flushes exactly at
+    // the final row, so the writer's pending boundary never sees a
+    // following row — it must be dropped, not written keyless (one
+    // empty first-key hex used to disable the whole file's seek index)
+    val dir = freshDir("graft_seek_mult")
+    writeSorted(dir, 1000, i => f"m${i / 10}%03d", frameRows = 10)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val data = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".proto.zst")).head
+    val cuts = graft.sources.SplitSidecar.readKeyed(fs, data).get
+    assert(cuts.forall(_._3.nonEmpty),
+      "every written boundary must carry its first key — a trailing " +
+        "keyless boundary means the writer failed to trim it")
+    MetaIO.reset()
+    assert(get(dir, "m050") === (0 until 10).map(_ => ("m050", 1)))
+    assert(MetaIO.frameSeeks.get() === 1L,
+      "exact-multiple files must keep their frame-seek index")
+    // a PRE-FIX sidecar (trailing keyless boundary) read back: the
+    // range sidecar's row count proves the tail is zero-row, so the
+    // reader drops it instead of degrading the file to a full scan
+    val rows = graft.sources.RangeSidecar.read(fs, data).get.count
+    graft.sources.SplitSidecar.write(fs, data,
+      cuts.toSeq :+ ((fs.getFileStatus(data).getLen - 1, rows, "")))
+    MetaIO.reset()
+    assert(get(dir, "m051") === (0 until 10).map(_ => ("m051", 1)))
+    assert(MetaIO.frameSeeks.get() === 1L,
+      "reader must tolerate a provably zero-row keyless tail boundary")
+  }
+
+  test("a sidecar with no boundary keys writes the v1 header (old readers keep slicing)") {
+    val dir = freshDir("graft_split_v1")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val data = new org.apache.hadoop.fs.Path(dir, "x.proto.zst")
+    graft.sources.SplitSidecar.write(fs, data,
+      Seq((100L, 10L, ""), (200L, 20L, "")))
+    val txt = {
+      val in = fs.open(graft.sources.SplitSidecar.sidecar(data))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(txt.startsWith("v1\n"),
+      "keyless checkpoints encode nothing v1 cannot — stamp v1 so " +
+        "pre-v2 engines keep slicing")
+    assert(graft.sources.SplitSidecar.read(fs, data).get.toSeq ===
+      Seq((100L, 10L), (200L, 20L)))
+  }
+
   test("seek composes with the tombstone anti-set: erased key invisible through the index") {
     val victims = Seq("k042".getBytes("UTF-8"))
     // fresh dir so dupDir stays clean for other tests

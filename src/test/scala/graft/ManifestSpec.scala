@@ -1088,4 +1088,63 @@ class ManifestSpec extends AnyFunSuite {
     // a bounded delta tail
     assert(MetaIO.checkpointBytes.get() > 0L)
   }
+
+  test("cross-PROCESS commit race: two external JVMs + this one, no version or record lost") {
+    // the thread races above share one JVM; this is the stronger
+    // claim — the create-if-absent publish (hard-link on POSIX) must
+    // arbitrate between PROCESSES, where no JVM lock can mask a
+    // broken primitive. Three writers (two spawned `RaceCommit`
+    // JVMs + this thread) each commit n entries concurrently; every
+    // commit must win exactly one version and every record survive.
+    val dir = freshDir("graft_man_xjvm")
+    GenManifest.append(dir, conf, Seq(GenManifest.Entry(
+      "seed.proto.zst", 1L, 1L, sorted = false, "", "")))
+    val v0 = GenManifest.read(dir, conf).get.version
+    val n = 12
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def spawn(tag: String): Process =
+      new ProcessBuilder(
+        (Seq(javaBin) ++
+          // hadoop's local FS needs the same JDK17 opens the test JVM
+          // runs under (build.sbt jdk17AddOpens)
+          Seq("java.base/java.lang", "java.base/java.lang.invoke",
+            "java.base/java.io", "java.base/java.net",
+            "java.base/java.nio", "java.base/java.util",
+            "java.base/java.util.concurrent",
+            "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+            "java.base/sun.security.action")
+            .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
+          Seq("-cp", cp, "graft.tools.RaceCommit", dir, tag,
+            n.toString)): _*)
+        .redirectErrorStream(true).start()
+    val pa = spawn("a")
+    val pb = spawn("b")
+    (1 to n).foreach { i =>
+      GenManifest.append(dir, conf, Seq(GenManifest.Entry(
+        s"race-c-$i.proto.zst", 1L, 1L, sorted = false, "", "")))
+    }
+    def drain(p: Process, tag: String): String = {
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        s"racer $tag did not finish: $out")
+      assert(p.exitValue() === 0, s"racer $tag failed:\n$out")
+      out
+    }
+    val (outA, outB) = (drain(pa, "a"), drain(pb, "b"))
+    assert(outA.contains("DONE a") && outB.contains("DONE b"),
+      s"$outA\n$outB")
+    val s = GenManifest.read(dir, conf).get
+    // every one of the 3n commits won EXACTLY one version: a lost
+    // version (two winners at one number) would leave the count short
+    assert(s.version === v0 + 3L * n,
+      s"expected ${v0 + 3 * n} versions, got ${s.version}")
+    val names = s.entries.map(_.name).toSet
+    Seq("a", "b", "c").foreach { tag =>
+      (1 to n).foreach { i =>
+        assert(names(s"race-$tag-$i.proto.zst"),
+          s"record race-$tag-$i vanished — a commit was overwritten")
+      }
+    }
+  }
 }

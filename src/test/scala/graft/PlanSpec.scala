@@ -129,85 +129,18 @@ class PlanSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
-  /** The 100 TB kill-switch: no query may plan an unbounded
-    * all-pairs join. CartesianProduct is banned outright;
-    * BroadcastNestedLoopJoin is allowed ONLY where bounded — either
-    * every NL join in the plan broadcasts a keyless aggregate (exactly
-    * one row: the scalar-subquery shape `withScalar` produces), or the
-    * query is explicitly allow-listed (q19's brute-force scorer over
-    * the deliberately bounded query set — the documented exact
-    * baseline the LSH variant exists to replace). Streaming/sink
-    * queries execute on construction, so they are audited by their own
-    * specs instead of re-run here.
-    */
-  test("no query plans a cartesian product; NL joins only where bounded") {
-    val skip = QueryTraits.executesOnBuild ++ Set(
-      "q64_sidecar_stats", "q65_runtime_prune", "q79_secondary_index")
-    // q45 embeds q19's bounded brute-force scorer, so it inherits the
-    // deliberately-broadcast NL join; q59's and q34's NL joins
-    // broadcast the K-row (8/16-row) centroid table — bounded by
-    // construction at any corpus size
-    // q99 inherits q19's deliberately-broadcast brute-force scorer;
-    // q115's NL joins broadcast the frozen K-row centroid table
-    val nlAllowed = Set("q19_ann_brute", "q45_ann_recall",
-      "q59_kmeans_embed", "q34_ann_ivf", "q85_ann_filtered",
-      "q97_ann_ivfpq", "q99_topk_agg", "q115_ivf_increment",
-      // q125's coarse stage broadcasts the bounded NQ-row query set
-      // (q19's discipline) before the equi-joined exact re-rank;
-      // q134's/q151's pair grids broadcast the source-cardinality
-      // sketch table (one row per SOURCE, never per doc)
-      "q125_ann_matryoshka", "q134_sketch_union", "q151_kmv_jaccard",
-      // q161/q167 broadcast the bounded NQ-row anchor/query set
-      "q161_srp_bits", "q167_neg_sample",
-      // q180/q193 broadcast the K-row trained centroid table for the
-      // q34-style assignment argmin
-      "q180_cell_quota", "q193_ivf_balance",
-      // q205 inherits q45's shapes: the brute truth broadcasts the
-      // bounded NQ-row query set, and the recall row cross-joins two
-      // 1-row aggregates (withScalar)
-      "q205_filtered_recall",
-      // q209 broadcasts the K-row trained centroid table for the
-      // q34-style assignment argmin (q85's shape plus the bounded
-      // widening window)
-      "q209_ann_adaptive",
-      // q210's dense side broadcasts the bounded NQ-row query set
-      // (q19's discipline); the sparse side is all equi-joins
-      "q210_hybrid_rrf",
-      // q218 broadcasts the K-row trained centroid table for the
-      // q34-style assignment argmin (q85's labeled shape)
-      "q218_hard_pairs",
-      // q220 broadcasts the bounded MvNQ×MvK-vector query set (q19's
-      // discipline) for the exact MaxSim tier
-      "q220_late_interaction",
-      // q222 broadcasts the bounded CtxNQ-row query term-set table
-      // for the chunk-overlap scoring
-      "q222_context_assembly")
-    // every NL join's build side is a 1-row broadcast (a keyless
-    // aggregate under an IdentityBroadcastMode exchange)
-    def allNlJoinsScalar(plan: String): Boolean = {
-      val lines = plan.linesIterator.toVector
-      val nl = lines.count(_.contains("BroadcastNestedLoopJoin"))
-      val oneRowBuilds = lines.sliding(2).count(w =>
-        w.head.contains("BroadcastExchange IdentityBroadcastMode") &&
-          w.last.contains("HashAggregate(keys=[]"))
-      nl <= oneRowBuilds
-    }
-    SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
-      val plan = physical(fn(spark, sf0001))
-      assert(!plan.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct:\n${plan.take(3000)}")
-      if (!nlAllowed(name) && plan.contains("BroadcastNestedLoopJoin"))
-        assert(allNlJoinsScalar(plan),
-          s"$name plans an unbounded BroadcastNestedLoopJoin:\n${plan.take(3000)}")
-    }
-  }
+  // The 100 TB kill-switch (no CartesianProduct anywhere; NL joins
+  // only where provably bounded) lives in QueryBuildTraitSpec, which
+  // constructs every registry frame anyway for the executesOnBuild
+  // invariant and therefore sweeps ALL queries — including the
+  // on-build set this file's old sweep had to skip.
 
   /** q173 is in executesOnBuild (its DIM-row calibration collect runs a
-    * job at construction), so the cartesian sweep above skips it — this
-    * is its carve-out: the post-build ENCODE frame is still inspected,
-    * and must be the claimed shape (row-local encode/decode/error over
-    * the corpus scan with the calibration vector as a literal: ZERO
-    * exchanges, no join of any kind).
+    * job at construction); QueryBuildTraitSpec's sweep only checks its
+    * post-build frame for cartesians — this test pins the stronger
+    * claim: the ENCODE frame must be the documented shape (row-local
+    * encode/decode/error over the corpus scan with the calibration
+    * vector as a literal: ZERO exchanges, no join of any kind).
     */
   test("q173 encode frame is exchange-free and join-free") {
     val plan = physical(graft.operators.VectorOps.int8Quant(spark, sf0001))

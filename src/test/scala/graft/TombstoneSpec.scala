@@ -248,6 +248,11 @@ class TombstoneSpec extends AnyFunSuite {
     val tmb = new org.apache.hadoop.fs.Path(dir, ".tomb-deadbeef")
     val os2 = fs.create(tmb, true)
     os2.write("keys".getBytes("UTF-8")); os2.close()
+    // a FOREIGN dot-file (finder/editor state) — not the engine's to
+    // delete, at any grace
+    val foreign = new org.apache.hadoop.fs.Path(dir, ".DS_Store")
+    val os3 = fs.create(foreign, true)
+    os3.write("finder".getBytes("UTF-8")); os3.close()
     // both survive a graceful window, then go at grace 0
     assert(graft.operators.SinkMaintain.vacuumUnreferenced(dir) === 0)
     assert(fs.exists(stale) && fs.exists(tmb),
@@ -255,6 +260,10 @@ class TombstoneSpec extends AnyFunSuite {
     graft.operators.SinkMaintain.vacuumUnreferenced(dir, graceMs = -1000)
     assert(!fs.exists(stale), "stale purge staging must be swept")
     assert(!fs.exists(tmb), "stale erase tmp (it holds erased KEYS) must be swept")
+    assert(fs.exists(foreign),
+      "vacuum must only match the engine's enumerated staging " +
+        "prefixes — foreign dot-files are not its to delete")
+    fs.delete(foreign, false)
     // the table itself is untouched
     assert(spark.read.format("proto-zst").load(dir).count() > 0L)
   }
