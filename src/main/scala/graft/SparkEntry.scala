@@ -29,7 +29,7 @@ object SparkEntry {
       Multimodal.queries ++ Streaming.queries ++ Sink.queries ++
       SinkMaintain.queries ++ Releases.queries ++ StreamCurate.queries ++
       Curation.queries ++ Compaction.queries ++ Layout.queries ++
-      Tombstones.queries
+      Tombstones.queries ++ Classifier.queries ++ Quarantine.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +42,5 @@ object SparkEntry {
       Multimodal.oracle ++ Streaming.oracle ++ Sink.oracle ++
       SinkMaintain.oracle ++ Releases.oracle ++ StreamCurate.oracle ++
       Curation.oracle ++ Compaction.oracle ++ Layout.oracle ++
-      Tombstones.oracle
+      Tombstones.oracle ++ Classifier.oracle ++ Quarantine.oracle
 }

@@ -870,7 +870,12 @@ object Curation {
     * broadcast (the model-distribution shape — a trained model loads
     * from storage; here the weights are a deterministic hash-derived
     * stand-in, exactly the multimodal stub-codec discipline, so the
-    * oracle replays inference bit-for-bit), and the document's score
+    * oracle replays inference bit-for-bit — and the ENGINE-TRAINED
+    * model over the same feature space is q248
+    * ([[Classifier.trainedWeights]]), with q249 pinning this
+    * stand-in's verdict disagreement against it and ClassifierSpec
+    * proving the trained table separates held-out data better), and
+    * the document's score
     * is the exact integer mean feature weight in milli, thresholded
     * into the keep/drop verdict q100's gate ladder would consume.
     * The score shift `(sw + n·1000) DIV n − 1000` keeps the DIV

@@ -218,6 +218,138 @@ object Quality {
     tercileCut(s, "surprisal_milli")
   }
 
+  /** q250: KNESER–NEY TRIGRAM QUALITY WITH BACKOFF — q236 extended
+    * one order, the direction CCNet's production 5-gram filter sits
+    * in (bigram→trigram is where held-out perplexity moves most):
+    *
+    *   p(w|u,v) = (c(uvw) − D)/ctx(uv) + D·N1+(uv·)/ctx(uv) · p_bi(w|v)
+    *   p_bi(w|v) = (c'(vw) − D)/c'(v) + D·N1+(v·)/c'(v) · N1-(·w)/T
+    *
+    * with D = 3/4, ctx(uv) = Σ_w c(uvw) (so every context row
+    * normalizes exactly), and the BACKOFF level on CONTINUATION
+    * counts — c'(vw) = N1-(·vw), the distinct left contexts of the
+    * bigram vw inside trigrams — which is what distinguishes KN
+    * backoff from naive interpolation one order up: a bigram frequent
+    * under MANY contexts keeps mass in a new one. The final unigram
+    * level reuses q236's continuation unigram N1-(·w)/T verbatim
+    * (T = bigram types), so the three orders of the family share one
+    * integer vocabulary. Over the common denominator
+    * `16·ctx(uv)·c'(v)·T` the whole chain is one exact-integer ratio:
+    *
+    *   num = (4·c(uvw)−3)·4·c'(v)·T
+    *       + 3·N1+(uv·)·((4·c'(vw)−3)·T + 3·N1+(v·)·N1-(·w))
+    *
+    * and the per-token bits stay `length(bin(den DIV num)) − 1`. Every
+    * scored trigram is observed (train corpus = scored corpus), so no
+    * discount goes negative. Token conservation is exact: token 1
+    * scores by the q94 unigram kernel, token 2 by q236's bigram-KN
+    * kernel, tokens 3+ by the trigram — n per n-word document.
+    * Scores feed the q224 tercile cut as the FOURTH stratifier; the
+    * tri↔bi disagreement diagonal (spec-pinned non-empty) is the
+    * added trigram-context signal.
+    *
+    * Scale: q236's shapes plus ONE new n-gram-grain shuffle (the
+    * doc-grain trigram tf) and its vocab-grain folds
+    * (ctx/continuation tables); scoring is equi-joins at trigram
+    * grain. The `16·ctx(uv)·c'(v)·T` product carries the q192-style
+    * in-plan guard — past exact-long range the deployment widens to
+    * decimals rather than wrap.
+    */
+  def knTrigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checkpoints.CpOps
+    import graft.sources.Tables
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .cp()
+    val tok = d.select(col("doc_id"), explode(col("ws")).as("w"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    // bigram level — q236's tables verbatim (token 2 + the backoff's
+    // unigram vocabulary)
+    val bg = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("u"),
+            element_at(col("ws"), i + 1).as("v")))).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+    val cb = bg.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cuv"))
+      .cp() // feeds cu, n1v, the type count AND the token-2 join
+    val cu = cb.groupBy(col("u")).agg(sum(col("cuv")).as("cu"),
+      count(lit(1)).as("n1u"))
+    val nv = cb.groupBy(col("v")).agg(count(lit(1)).as("n1v"))
+    val types = cb.agg(count(lit(1)).as("t_types"))
+    // trigram level: doc-grain tf, corpus counts, context and
+    // continuation folds
+    val t3 = d.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 2), i =>
+          struct(element_at(col("ws"), i).as("u"),
+            element_at(col("ws"), i + 1).as("v"),
+            element_at(col("ws"), i + 2).as("w")))).as("p"))
+      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"),
+        col("p.w").as("w"))
+      .agg(count(lit(1)).as("ttf"))
+      .cp()
+    val c3 = t3.groupBy(col("u"), col("v"), col("w"))
+      .agg(sum(col("ttf")).as("ctf"))
+      .cp() // feeds ctx, both continuation folds AND the scoring join
+    val ctx = c3.groupBy(col("u"), col("v"))
+      .agg(sum(col("ctf")).as("c2x"), count(lit(1)).as("n1p_uv"))
+    val contVw = c3.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("cpvw")) // N1-(·vw): distinct left contexts
+    val contV = contVw.groupBy(col("v"))
+      .agg(sum(col("cpvw")).as("cpv"), count(lit(1)).as("n1p_v"))
+    // token 1: unigram kernel (q94)
+    val f1 = d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
+        lit(1L).as("btf"))
+      .join(uni, "w")
+      .transform(withScalar(_, total))
+      .select(col("doc_id"), col("btf"),
+        expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
+    // token 2: q236's bigram-KN kernel over the doc's FIRST bigram
+    val f2 = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), element_at(col("ws"), 1).as("u"),
+        element_at(col("ws"), 2).as("v"), lit(1L).as("btf"))
+      .join(cb, Seq("u", "v"))
+      .join(cu, Seq("u"))
+      .join(nv, Seq("v"))
+      .transform(withScalar(_, types))
+      .select(col("doc_id"), col("btf"),
+        when(col("cu").cast("double") * col("t_types") * 4 >
+            Long.MaxValue.toDouble,
+          raise_error(lit("q250: 4·c(u)·T exceeds exact-long range — " +
+            "widen the KN ratio to decimals")))
+          .otherwise(expr("length(bin((4 * cu * t_types) DIV " +
+            "((4 * cuv - 3) * t_types + 3 * n1u * n1v))) - 1"))
+          .as("bits"))
+    // tokens 3+: the trigram chain over the common denominator
+    val f3 = t3
+      .join(c3, Seq("u", "v", "w"))
+      .join(ctx, Seq("u", "v"))
+      .join(contVw, Seq("v", "w"))
+      .join(contV, Seq("v"))
+      .join(nv.withColumnRenamed("v", "w"), Seq("w"))
+      .transform(withScalar(_, types))
+      .select(col("doc_id"), col("ttf").as("btf"),
+        when(col("c2x").cast("double") * col("cpv") * col("t_types") * 16 >
+            Long.MaxValue.toDouble,
+          raise_error(lit("q250: 16·ctx(uv)·c'(v)·T exceeds exact-long " +
+            "range — widen the KN ratio to decimals")))
+          .otherwise(expr("length(bin((16 * c2x * cpv * t_types) DIV " +
+            "((4 * ctf - 3) * 4 * cpv * t_types " +
+            "+ 3 * n1p_uv * ((4 * cpvw - 3) * t_types " +
+            "+ 3 * n1p_v * n1v)))) - 1"))
+          .as("bits"))
+    val s = f1.unionByName(f2).unionByName(f3)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("btf")).as("n_tokens"),
+        sum(col("btf") * col("bits")).as("sum_bits"))
+      .withColumn("surprisal_milli", expr("sum_bits * 1000 DIV n_tokens"))
+    tercileCut(s, "surprisal_milli")
+  }
+
   /** q225: N-GRAM NOVELTY — per document, the fraction (milli) of its
     * distinct 3-word shingles that appear in NO other document: the
     * complement of the duplication family (q15 finds documents whose
@@ -296,6 +428,37 @@ object Quality {
     * q159/q180 bounded-heap Aggregator when strata grow corpus-sized
     * (the quota is tiny, so only ≤K rows per stratum ever matter).
     */
+  /** Session-cached q226 slate (the q34 trained-artifact discipline):
+    * the slate is a quota-bounded derived artifact three consumers
+    * re-carved per invocation (q226 itself, q244's preference gate,
+    * q235's release gate via the export chain) — built once per
+    * (application, sf dir), eagerly checkpointed, bit-identical to
+    * the per-query carve so every oracle hash is unchanged.
+    */
+  private val slateFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val slateLock = new Object
+
+  SessionCaches.registerMap(slateLock, slateFixtures)
+
+  /** Audit hook (see [[SimSearch.fixturePlans]]): the un-cached slate
+    * carve for SCALE.md's `fixture:*` rows — q226's own row shows the
+    * post-build frame once the artifact is session-cached.
+    */
+  private[graft] def auditPlans(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] =
+    Seq("fixture:eval_slate" -> evalSlate(spark, dir))
+
+  private[graft] def evalSlateCached(spark: SparkSession,
+      dir: String): DataFrame =
+    slateLock.synchronized {
+      import graft.operators.Checkpoints.CpOps
+      val app = spark.sparkContext.applicationId
+      SimSearch.evictStale(slateFixtures, (k: (String, String)) => k._1, app)
+      slateFixtures.getOrElseUpdate((app, dir),
+        evalSlate(spark, dir).cp(eager = true))
+    }
+
   def evalSlate(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
@@ -572,14 +735,91 @@ object Quality {
        |FROM s, t""".stripMargin
   }
 
+  // q250 replay: q236's chain plus the trigram tables (doc-grain tf,
+  // corpus counts, context fold, continuation folds) and the
+  // common-denominator ratio; token 1 unigram, token 2 bigram-KN,
+  // tokens 3+ trigram — conservation by construction
+  private val knTrigramQualitySql = {
+    import graft.functions.Portable.sqlWords
+    s"""WITH w0 AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |d AS (SELECT doc_id, ws FROM w0 WHERE len(ws) >= 1),
+       |tok AS (SELECT doc_id, unnest(ws) w FROM d),
+       |c AS (SELECT w, CAST(count(*) AS BIGINT) cnt FROM tok GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) n_total FROM tok),
+       |bg AS (SELECT doc_id, ws[i] u, ws[i + 1] v
+       |       FROM d, LATERAL unnest(range(1, len(ws))) t(i)
+       |       WHERE len(ws) >= 2),
+       |cb AS (SELECT u, v, CAST(count(*) AS BIGINT) cuv
+       |       FROM bg GROUP BY 1, 2),
+       |cu AS (SELECT u, CAST(sum(cuv) AS BIGINT) cu,
+       |         CAST(count(*) AS BIGINT) n1u FROM cb GROUP BY 1),
+       |nv AS (SELECT v, CAST(count(*) AS BIGINT) n1v FROM cb GROUP BY 1),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) t_types FROM cb),
+       |tg AS (SELECT doc_id, ws[i] u, ws[i + 1] v, ws[i + 2] w
+       |       FROM d, LATERAL unnest(range(1, len(ws) - 1)) t(i)
+       |       WHERE len(ws) >= 3),
+       |t3 AS (SELECT doc_id, u, v, w, CAST(count(*) AS BIGINT) ttf
+       |       FROM tg GROUP BY 1, 2, 3, 4),
+       |c3 AS (SELECT u, v, w, CAST(sum(ttf) AS BIGINT) ctf
+       |       FROM t3 GROUP BY 1, 2, 3),
+       |cx AS (SELECT u, v, CAST(sum(ctf) AS BIGINT) c2x,
+       |         CAST(count(*) AS BIGINT) n1p_uv FROM c3 GROUP BY 1, 2),
+       |pw AS (SELECT v, w, CAST(count(*) AS BIGINT) cpvw
+       |       FROM c3 GROUP BY 1, 2),
+       |pc AS (SELECT v, CAST(sum(cpvw) AS BIGINT) cpv,
+       |         CAST(count(*) AS BIGINT) n1p_v FROM pw GROUP BY 1),
+       |f1 AS (SELECT d.doc_id, CAST(1 AS BIGINT) btf,
+       |         length(printf('%b', n_total // cnt)) - 1 bits
+       |       FROM d JOIN c ON c.w = ws[1], n),
+       |f2 AS (SELECT d.doc_id, CAST(1 AS BIGINT) btf,
+       |         length(printf('%b', (4 * cu.cu * t_types)
+       |           // ((4 * cb.cuv - 3) * t_types
+       |               + 3 * cu.n1u * nv.n1v))) - 1 bits
+       |       FROM d JOIN cb ON cb.u = ws[1] AND cb.v = ws[2]
+       |         JOIN cu ON cu.u = ws[1] JOIN nv ON nv.v = ws[2], ty
+       |       WHERE len(ws) >= 2),
+       |f3 AS (SELECT t3.doc_id, t3.ttf btf,
+       |         length(printf('%b', (16 * cx.c2x * pc.cpv * t_types)
+       |           // ((4 * c3.ctf - 3) * 4 * pc.cpv * t_types
+       |               + 3 * cx.n1p_uv * ((4 * pw.cpvw - 3) * t_types
+       |                 + 3 * pc.n1p_v * nv.n1v)))) - 1 bits
+       |       FROM t3
+       |         JOIN c3 ON c3.u = t3.u AND c3.v = t3.v AND c3.w = t3.w
+       |         JOIN cx ON cx.u = t3.u AND cx.v = t3.v
+       |         JOIN pw ON pw.v = t3.v AND pw.w = t3.w
+       |         JOIN pc ON pc.v = t3.v
+       |         JOIN nv ON nv.v = t3.w, ty),
+       |s AS (SELECT doc_id, CAST(sum(btf) AS BIGINT) n_tokens,
+       |        CAST(sum(btf * bits) AS BIGINT) sum_bits,
+       |        CAST(sum(btf * bits) * 1000 // sum(btf) AS BIGINT)
+       |          surprisal_milli
+       |      FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+       |            UNION ALL SELECT * FROM f3)
+       |      GROUP BY 1),
+       |h AS (SELECT surprisal_milli sv, count(*) cnt FROM s GROUP BY 1),
+       |cc AS (SELECT sv, CAST(sum(cnt) OVER (ORDER BY sv
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM h),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) n FROM s),
+       |t AS (SELECT min(CASE WHEN cum * 3 >= n THEN sv END) t1,
+       |        min(CASE WHEN cum * 3 >= 2 * n THEN sv END) t2
+       |      FROM cc, nn)
+       |SELECT doc_id, n_tokens, sum_bits, surprisal_milli,
+       |  CASE WHEN surprisal_milli <= t1 THEN 'head'
+       |       WHEN surprisal_milli <= t2 THEN 'middle'
+       |       ELSE 'tail' END bucket
+       |FROM s, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_ccnet_buckets" -> ccnetBuckets,
     "q225_gram_novelty" -> gramNovelty,
-    "q226_eval_slate" -> evalSlate,
+    "q226_eval_slate" ->
+      ((s: SparkSession, d: String) => evalSlateCached(s, d)),
     "q227_bucket_budget" -> bucketBudget,
     "q243_repeat_epochs" -> repeatEpochs,
     "q229_bigram_quality" -> bigramQuality,
-    "q236_kn_quality" -> knBigramQuality)
+    "q236_kn_quality" -> knBigramQuality,
+    "q250_kn3_quality" -> knTrigramQuality)
 
   val oracle: Map[String, String] = Map(
     "q224_ccnet_buckets" -> ccnetBucketsSql,
@@ -588,5 +828,6 @@ object Quality {
     "q227_bucket_budget" -> bucketBudgetSql,
     "q243_repeat_epochs" -> repeatEpochsSql,
     "q229_bigram_quality" -> bigramQualitySql,
-    "q236_kn_quality" -> knBigramQualitySql)
+    "q236_kn_quality" -> knBigramQualitySql,
+    "q250_kn3_quality" -> knTrigramQualitySql)
 }

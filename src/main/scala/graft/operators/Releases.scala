@@ -997,7 +997,7 @@ object Releases {
     */
   def releaseDecontam(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Portable.withScalar
-    val slateIds = Quality.evalSlate(spark, dir).select(col("doc_id"))
+    val slateIds = Quality.evalSlateCached(spark, dir).select(col("doc_id"))
     val out = Sink.fixture("reldecon:" + dir) {
       val o = Scratch.dir("graft_reldecon")
       val train = packRelDocs(spark, dir, PackRelStreams)

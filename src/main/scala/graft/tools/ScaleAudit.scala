@@ -103,16 +103,19 @@ object ScaleAudit {
     println("|---|---|---|---|---|---|")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val statesBefore = new java.util.HashMap(listener.seen)
-      // For queries that build lazily, disable lineage truncation while
-      // the frame is constructed so the counted plan covers the FULL
-      // pipeline instead of Scan ExistingRDD stubs at every lazy
+      // Disable lazy-checkpoint lineage truncation while the frame is
+      // constructed so the counted plan covers the FULL pipeline
+      // instead of Scan ExistingRDD stubs at every lazy
       // localCheckpoint (eager checkpoints — session-shared trained
       // artifacts — stay materialized inputs and are audited on their
-      // own fixture rows below). On-build queries keep real
-      // checkpoints: their construction EXECUTES (streaming runs,
-      // fixpoint loops) and the loops rely on truncation to keep
-      // iterative lineage bounded.
-      graft.operators.Checkpoints.planAudit = !onBuild(name)
+      // own fixture rows below). Safe for ALL queries, on-build
+      // included: fixpoint loops truncate through `cpIter`, which
+      // ignores the audit flag precisely so a round's lineage stays
+      // bounded (a construction that executes under audit mode at
+      // worst recomputes a shared single-pass frame per round —
+      // bounded linear re-work at audit scale, never an unrolled
+      // plan).
+      graft.operators.Checkpoints.planAudit = true
       val plan =
         try fn(spark, dir).queryExecution.executedPlan.toString
         finally graft.operators.Checkpoints.planAudit = false
@@ -144,7 +147,9 @@ object ScaleAudit {
       (graft.operators.SimSearch.fixturePlans(spark, dir) ++
         graft.operators.Relational.fixturePlans(spark, dir) ++
         graft.operators.DedupClusters.auditPlans(spark, dir) ++
-        graft.operators.Releases.auditPlans(spark, dir))
+        graft.operators.Releases.auditPlans(spark, dir) ++
+        graft.operators.Quality.auditPlans(spark, dir) ++
+        graft.operators.Retrieval.auditPlans(spark, dir))
         .foreach { case (name, df) =>
           val (shuffles, bcasts, joins, pushed) =
             planFacts(df.queryExecution.executedPlan.toString)
