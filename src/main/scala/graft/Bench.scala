@@ -82,6 +82,9 @@ object Bench {
         graft.operators.Sink.warmFixtures(spark, sfDir)
         graft.operators.SimSearch.warmFixtures(spark, sfDir)
         graft.operators.Relational.warmFixtures(spark, sfDir)
+        graft.operators.DedupClusters.warmFixtures(spark, sfDir)
+        graft.operators.Quality.warmFixtures(spark, sfDir)
+        graft.operators.Retrieval.warmFixtures(spark, sfDir)
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fixture warm failed: ${e.getMessage}")

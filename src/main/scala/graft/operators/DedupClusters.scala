@@ -118,6 +118,18 @@ object DedupClusters {
 
   SessionCaches.registerMap(clusterLock, clusterFixtures)
 
+  /** Bench prelude hook (see [[SimSearch.warmFixtures]]): build the
+    * shared cluster closure untimed. REQUIRED for bench correctness,
+    * not just fairness — Bench unpersists private checkpoint blocks
+    * after each timed query, and a shared fixture built lazily during
+    * one looks private (its blocks would be dropped under every later
+    * consumer).
+    */
+  def warmFixtures(spark: SparkSession, dir: String): Unit = {
+    dupClustersCached(spark, dir)
+    ()
+  }
+
   private[graft] def dupClustersCached(spark: SparkSession,
       dir: String): DataFrame =
     clusterLock.synchronized {

@@ -449,6 +449,14 @@ object Quality {
       dir: String): Seq[(String, DataFrame)] =
     Seq("fixture:eval_slate" -> evalSlate(spark, dir))
 
+  /** Bench prelude hook (see [[DedupClusters.warmFixtures]] for why
+    * this is required, not optional).
+    */
+  def warmFixtures(spark: SparkSession, dir: String): Unit = {
+    evalSlateCached(spark, dir)
+    ()
+  }
+
   private[graft] def evalSlateCached(spark: SparkSession,
       dir: String): DataFrame =
     slateLock.synchronized {
