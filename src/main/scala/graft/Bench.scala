@@ -85,6 +85,7 @@ object Bench {
         graft.operators.DedupClusters.warmFixtures(spark, sfDir)
         graft.operators.Quality.warmFixtures(spark, sfDir)
         graft.operators.Retrieval.warmFixtures(spark, sfDir)
+        graft.operators.Classifier.warmFixtures(spark, sfDir)
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fixture warm failed: ${e.getMessage}")

@@ -24,8 +24,9 @@ package graft
   * (what construction work does NOT count) is the shared-artifact
   * boundary: testdata schema inference, the trained
   * centroid/codebook fixtures (`SimSearch.warmFixtures`), and the
-  * derived-table fixtures (`DedupClusters`/`Quality`/`Retrieval`
-  * `.warmFixtures` — cluster closure, eval slate, fusion pools) — the
+  * derived-table fixtures (`DedupClusters`/`Quality`/`Retrieval`/
+  * `Classifier.warmFixtures` — cluster closure, eval slate, fusion
+  * pools, trained classifier weights) — the
   * amortized session inputs Bench also warms untimed (warming them
   * there is REQUIRED: Bench drops private checkpoint blocks after
   * each timed query, and a shared fixture built lazily during one
@@ -118,7 +119,6 @@ object QueryTraits {
     "q243_repeat_epochs",
     "q245_icp_release",
     "q246_shipped_coherence",
-    "q248_classifier_train",
     "q249_classifier_eval",
     "q250_kn3_quality",
     "q251_salvage_scan",

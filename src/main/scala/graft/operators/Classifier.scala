@@ -144,12 +144,52 @@ object Classifier {
       .groupBy(col("b")).agg(sum(col("wr")).as("w"))
   }
 
+  /** Session-cached trained model (the q34 trained-artifact
+    * discipline): q248 and q249 share one training per (application,
+    * sf dir) instead of re-running the K rounds per invocation —
+    * bit-identical to inline training, so both oracles hash
+    * unchanged.
+    */
+  private val weightFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val weightLock = new Object
+
+  SessionCaches.registerMap(weightLock, weightFixtures)
+
+  private[graft] def trainedWeightsCached(spark: SparkSession,
+      dir: String): DataFrame =
+    weightLock.synchronized {
+      import graft.operators.Checkpoints.CpOps
+      val app = spark.sparkContext.applicationId
+      SimSearch.evictStale(weightFixtures, (k: (String, String)) => k._1, app)
+      weightFixtures.getOrElseUpdate((app, dir),
+        trainedWeights(spark, dir).cp(eager = true))
+    }
+
+  /** Bench prelude hook (see [[DedupClusters.warmFixtures]] for why
+    * this is required, not optional).
+    */
+  def warmFixtures(spark: SparkSession, dir: String): Unit = {
+    trainedWeightsCached(spark, dir)
+    ()
+  }
+
+  /** Audit hook (see [[SimSearch.fixturePlans]]): the un-cached
+    * training chain for SCALE.md's `fixture:*` rows — per-round
+    * lineage truncates through `cpIter`, so the row shows the final
+    * round + the voting sum over materialized inputs (the
+    * `fixpoint:propagate_round` convention).
+    */
+  private[graft] def auditPlans(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] =
+    Seq("fixture:classifier_train" -> trainedWeights(spark, dir))
+
   /** q248: the trained model itself — bucket, weight after
     * [[TrainRounds]] rounds. The oracle re-trains in SQL (unrolled
     * rounds) and must hash-match every weight.
     */
   def classifierTrain(spark: SparkSession, dir: String): DataFrame =
-    trainedWeights(spark, dir)
+    trainedWeightsCached(spark, dir)
 
   /** q249: held-out audit — the doc_id-odd half scored by the trained
     * weights and by q216's hash-derived stand-in, against the same
@@ -158,7 +198,7 @@ object Classifier {
     */
   def heldoutEval(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Checkpoints.CpOps
-    val w = trainedWeights(spark, dir)
+    val w = trainedWeightsCached(spark, dir)
     val f = featureCounts(spark, dir)
       .filter(col("doc_id") % 2 === 1).cp()
     val l = weakLabels(spark, dir).filter(col("doc_id") % 2 === 1)
@@ -199,9 +239,52 @@ object Classifier {
         col("n_disagree_standin"))
   }
 
+  /** q252: the trained model DEPLOYED as a corpus gate — the step the
+    * train (q248) / audit (q249) loop exists to feed: every document
+    * with features scored by the trained weights, thresholded into the
+    * keep/drop verdict, rolled up per SOURCE with the agreement rate
+    * against the q22 rule gate. This is the curation owner's routing
+    * table: a source whose model keep-rate collapses (or whose
+    * model↔rule disagreement spikes) gets inspected before the next
+    * mixture plan, exactly how fastText-class quality gates run in
+    * production. Disagreements are the model's GENERALIZATION at work
+    * — n-gram evidence overriding a blunt rule — which q249's held-out
+    * audit already showed nets positive.
+    *
+    * Scale: one broadcast join of the bucket-cardinality weight table
+    * over the one (doc, bucket) count shuffle, one doc-grain fold,
+    * one source-grain rollup with map-side partials. The model itself
+    * is the session-cached q248 artifact — deploying it adds zero
+    * training cost.
+    */
+  def trainedGate(spark: SparkSession, dir: String): DataFrame = {
+    val w = trainedWeightsCached(spark, dir)
+    val verdicts = featureCounts(spark, dir)
+      .join(broadcast(w), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("cnt")).as("sc"))
+      .select(col("doc_id"), (col("sc") >= 0).cast("long").as("keep"))
+    val ruleOk = weakLabels(spark, dir)
+      .select(col("doc_id"), (col("y") === 1L).cast("long").as("rule_ok"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(verdicts, "doc_id")
+      .join(ruleOk, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_keep"),
+        sum(col("rule_ok")).as("n_rule_ok"),
+        sum(when(col("keep") === col("rule_ok"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        col("n_rule_ok"), col("n_agree"),
+        expr("1000 * n_keep DIV n_docs").as("keep_milli"),
+        expr("1000 * n_agree DIV n_docs").as("agree_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q248_classifier_train" -> classifierTrain,
-    "q249_classifier_eval" -> heldoutEval)
+    "q249_classifier_eval" -> heldoutEval,
+    "q252_trained_gate" -> trainedGate)
 
   /** Shared oracle CTE chain: featurization (`fall`), weak labels
     * (`lab`), and the unrolled training rounds ending at
@@ -281,7 +364,29 @@ object Classifier {
        |FROM ev""".stripMargin
       .replace("@WH@", sqlHash60("'w:' || CAST(b AS VARCHAR)"))
 
+  private def trainedGateSql: String =
+    s"""$trainCtes,
+       |sc AS (SELECT fall.doc_id, CAST(sum(w.w * fall.cnt) AS BIGINT) sc
+       |      FROM fall JOIN wavg w USING (b) GROUP BY fall.doc_id),
+       |v AS (SELECT doc_id, CASE WHEN sc >= 0 THEN 1 ELSE 0 END keep
+       |      FROM sc),
+       |ro AS (SELECT doc_id, CASE WHEN y = 1 THEN 1 ELSE 0 END rule_ok
+       |      FROM lab)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) n_docs,
+       |  CAST(sum(v.keep) AS BIGINT) n_keep,
+       |  CAST(sum(ro.rule_ok) AS BIGINT) n_rule_ok,
+       |  CAST(sum(CASE WHEN v.keep = ro.rule_ok THEN 1 ELSE 0 END)
+       |    AS BIGINT) n_agree,
+       |  (1000 * CAST(sum(v.keep) AS BIGINT)) // count(*) keep_milli,
+       |  (1000 * CAST(sum(CASE WHEN v.keep = ro.rule_ok THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // count(*) agree_milli
+       |FROM documents d JOIN v ON v.doc_id = d.doc_id
+       |  JOIN ro ON ro.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q248_classifier_train" -> classifierTrainSql,
-    "q249_classifier_eval" -> heldoutEvalSql)
+    "q249_classifier_eval" -> heldoutEvalSql,
+    "q252_trained_gate" -> trainedGateSql)
 }
