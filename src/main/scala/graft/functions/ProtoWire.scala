@@ -221,6 +221,51 @@ object ProtoWire {
     }
   }
 
+  /** STREAMING salvage walk: [[salvageStats]] semantics over a
+    * (decompressing) InputStream with memory bounded by ONE frame —
+    * the salvage-side twin of [[decodeStream]]. Frames are fetched by
+    * [[framedMessages]] (so the prefix/LEN/EOF discipline is the same
+    * code the strict reader runs) and each is validated by the
+    * single-frame [[salvageStats]] kernel; complete frames count, the
+    * first bad byte — whether a garbled varint, a truncated body, a
+    * wire-type error inside the frame, or the decompressor itself
+    * throwing mid-stream — ends the walk with everything before it
+    * preserved. `lastGood` is the offset in the DECODED stream after
+    * the last complete frame, identical to the buffered walk's.
+    *
+    * This exists because the buffered path (drain-to-array, then
+    * walk) hands ONE task a contiguous heap array the size of the
+    * whole decoded file: the oversized legacy files salvage exists to
+    * rescue are exactly the ones that make that allocation impossible
+    * (a >2 GiB decoded file cannot even BE a JVM array). The stream
+    * walk's high-water memory is one frame (≤ [[MaxFrameBytes]]).
+    * Does not close `in`; the caller owns the stream.
+    */
+  def salvageStatsStream(in: java.io.InputStream): (Long, Long, Long, Boolean) = {
+    var rows = 0L
+    var cols = 0L
+    var lastGood = 0L
+    try {
+      val frames = framedMessages(in)
+      var clean = true
+      while (clean && frames.hasNext) {
+        val f = frames.next()
+        // each element is a valid single-frame stream including its
+        // varint prefix, so the buffer kernel validates it verbatim
+        val (r, c, _, ok) = salvageStats(f)
+        if (ok && r == 1L) {
+          rows += 1; cols += c; lastGood += f.length
+        } else clean = false
+      }
+      (rows, cols, lastGood, clean)
+    } catch {
+      // framedMessages throws on truncation/garbage; a damaged zstd
+      // stream throws from read() mid-frame — either way the frames
+      // already walked stand and the verdict is not-clean
+      case _: Exception => (rows, cols, lastGood, false)
+    }
+  }
+
   /** One decoded Column message. */
   final case class DecodedColumn(name: Array[Byte], value: Array[Byte],
       writeTime: Long)

@@ -49,54 +49,121 @@ object Quarantine {
 
   /** Decode as much of one file as parses: (rows, cols, offset in the
     * DECODED stream after the last complete frame, suspect). Never
-    * throws on corrupt bytes — zstd-level damage truncates the decoded
-    * buffer (suspect), wire-level damage stops the frame walk
-    * ([[ProtoWire.salvageStats]]).
+    * throws on corrupt bytes — zstd-level damage surfaces as the
+    * decompressor throwing mid-walk, wire-level damage stops the
+    * frame walk; either way complete frames before the first bad byte
+    * count ([[ProtoWire.salvageStatsStream]]). Memory is bounded by
+    * ONE frame, never the decoded file: the oversized legacy files
+    * salvage exists to rescue are exactly the ones a
+    * drain-to-heap-array walk would OOM on.
     */
   private[graft] def salvageFile(
       in: java.io.InputStream): (Long, Long, Long, Boolean) = {
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](64 * 1024)
-    val zstdClean =
-      try {
-        val zin = new ZstdInputStream(in)
-        var n = zin.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
-        true
-      } catch { case _: Exception => false }
-    val (rows, cols, lastGood, parseClean) =
-      ProtoWire.salvageStats(out.toByteArray)
-    (rows, cols, lastGood, !(zstdClean && parseClean))
+    val (rows, cols, lastGood, clean) =
+      try ProtoWire.salvageStatsStream(new ZstdInputStream(in))
+      catch { // garbage so early the decompressor refuses to even open
+        case _: Exception => (0L, 0L, 0L, false)
+      }
+    (rows, cols, lastGood, !clean)
+  }
+
+  /** The salvage task list: one (name, attested, slice idx, start,
+    * end) per unit of work. Files at or under `sliceBytes` (and files
+    * without a usable `.split` sidecar) get ONE whole-file task
+    * (end = −1); oversized files fan into frame-aligned byte-range
+    * slices cut exactly like the scan's parallel read
+    * (`ProtoZstScan.sliced` — sidecar offsets accumulated to
+    * ~`sliceBytes` ranges). Sidecar reads happen at PLAN time on the
+    * driver, the same metadata-read budget the normal scan spends:
+    * salvage must never hand one task (and one decode) a multi-GB
+    * legacy file — those are exactly the files it exists to rescue.
+    */
+  private[graft] def salvageTasks(out: String, snap: GenManifest.Snapshot,
+      sliceBytes: Long): Seq[(String, Long, Int, Long, Long)] = {
+    val conf = ProtoZstFiles.hadoopConf()
+    snap.dataEntries.flatMap { e =>
+      val slices: Seq[(Long, Long)] =
+        if (e.bytes <= sliceBytes) Seq((0L, -1L))
+        else {
+          val p = new org.apache.hadoop.fs.Path(out, e.name)
+          val cuts = graft.sources.SplitSidecar
+            .read(p.getFileSystem(conf), p)
+            .map(_.map(_._1).filter(o => o > 0 && o < e.bytes))
+            .getOrElse(Array.empty[Long])
+          if (cuts.isEmpty) Seq((0L, -1L))
+          else {
+            val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var start = 0L
+            cuts.foreach { c =>
+              if (c - start >= sliceBytes) { acc += ((start, c)); start = c }
+            }
+            acc += ((start, e.bytes))
+            if (acc.length == 1) Seq((0L, -1L)) else acc.toSeq
+          }
+        }
+      slices.zipWithIndex.map { case ((s, en), i) => (e.name, e.count, i, s, en) }
+    }
   }
 
   /** File-grain salvage verdicts for a manifested generation: one row
     * per data file — (name, rows, cells, good_bytes, suspect).
-    * Distributed one-file-per-task; the driver touches only the
-    * manifest's name list.
+    * Distributed one-task-per-file, EXCEPT files above `sliceBytes`
+    * with a `.split` sidecar, which fan into per-slice tasks
+    * ([[salvageTasks]]) and merge back to file grain with the
+    * whole-file walk's first-bad-byte semantics: slices strictly
+    * before the first broken one count fully, the broken slice
+    * contributes its own salvaged complete-frame prefix, everything
+    * after is not counted — bit-identical to a single-task walk of
+    * the same bytes, proven by QuarantineSpec's slice-vs-whole cross
+    * check. The driver touches only the manifest + oversized files'
+    * split sidecars (metadata); the file-grain merge is a window +
+    * aggregation over a file-count-sized frame (KBs per 100 TB).
     */
-  def salvageVerdicts(spark: SparkSession, out: String): DataFrame = {
+  def salvageVerdicts(spark: SparkSession, out: String,
+      sliceBytes: Long = graft.sources.ProtoZstScan.DefaultSplitFileBytes)
+      : DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val snap = GenManifest.read(out, ProtoZstFiles.hadoopConf()).getOrElse(
       throw new IllegalStateException(
         s"salvage requires a manifested directory: $out"))
-    val names = snap.dataEntries.map(e => (e.name, e.count))
-    spark.createDataset(names).repartition(math.max(names.length, 1))
+    val tasks = salvageTasks(out, snap, sliceBytes)
+    val sliced = spark.createDataset(tasks)
+      .repartition(math.max(tasks.length, 1))
       .mapPartitions { it =>
         val conf = ProtoZstFiles.hadoopConf()
-        it.map { case (name, attested) =>
+        it.map { case (name, attested, idx, start, end) =>
           val p = new org.apache.hadoop.fs.Path(out, name)
           val fs = p.getFileSystem(conf)
           val st = fs.open(p)
+          val in: java.io.InputStream =
+            if (end < 0L) st
+            else { st.seek(start); new graft.sources.BoundedIn(st, end - start) }
           val (rows, cells, good, broken) =
-            try salvageFile(st) finally st.close()
-          // a frame-ALIGNED truncation decodes cleanly and short —
-          // only the manifest's attested row count can see it (the
-          // strict reader's truncation guard, verdict form)
-          val suspect = broken || (attested >= 0 && rows != attested)
-          (name, rows, cells, good, suspect)
+            try salvageFile(in) finally st.close()
+          (name, attested, idx, rows, cells, good, broken)
         }
       }
-      .toDF("name", "n_rows", "n_cells", "good_bytes", "suspect")
+      .toDF("name", "attested", "idx", "rows", "cells", "good", "broken")
+    val byFile = Window.partitionBy(col("name"))
+    sliced
+      .withColumn("first_bad",
+        min(when(col("broken"), col("idx"))).over(byFile))
+      // the whole-file walk stops at the first bad byte: slices past
+      // the first broken one must not count, the broken one counts
+      // its own salvaged prefix
+      .filter(col("first_bad").isNull || col("idx") <= col("first_bad"))
+      .groupBy(col("name"), col("attested"))
+      .agg(sum(col("rows")).as("n_rows"), sum(col("cells")).as("n_cells"),
+        sum(col("good")).as("good_bytes"),
+        max(col("broken").cast("int")).as("any_broken"))
+      // a frame-ALIGNED truncation decodes cleanly and short — only
+      // the manifest's attested row count can see it (the strict
+      // reader's truncation guard, verdict form)
+      .select(col("name"), col("n_rows"), col("n_cells"), col("good_bytes"),
+        (col("any_broken") === 1 ||
+          (col("attested") >= 0 && col("n_rows") =!= col("attested")))
+          .as("suspect"))
   }
 
   /** The corrupted prefix: every key starting with this byte lives in

@@ -1139,7 +1139,7 @@ case class ProtoZstBucketPartition(files: Array[String], bucket: Int)
   * reader stops at its frame-aligned end offset without tracking
   * compressed positions through the decompressor's buffering.
   */
-private[sources] final class BoundedIn(in: java.io.InputStream,
+private[graft] final class BoundedIn(in: java.io.InputStream,
     private var limit: Long) extends java.io.InputStream {
   override def read(): Int =
     if (limit <= 0) -1

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.ProtoWire
 import graft.operators.Quarantine
 import graft.sources.ProtoZstFiles
 
@@ -61,6 +62,139 @@ class QuarantineSpec extends AnyFunSuite {
       "exactly one prefix may be suspect")
     assert(rows.filterNot(_._1 == "3").forall(_._2._1 > 0L),
       "every healthy prefix must keep its rows")
+  }
+
+  /** One hand-built wire frame (varint prefix + Row body with a single
+    * fat Column), ~`valueBytes` big — the unit the synthetic streams
+    * below repeat.
+    */
+  private def syntheticFrame(valueBytes: Int): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    val key = "kkkkkkkk".getBytes("UTF-8")
+    body.write(0x0A) // field 1 (key), wire type 2
+    ProtoWire.writeVarint(body, key.length.toLong)
+    body.write(key)
+    val col = ProtoWire.encodeColumn("c".getBytes("UTF-8"),
+      new Array[Byte](valueBytes), 7L)
+    body.write(0x12) // field 2 (column), wire type 2
+    ProtoWire.writeVarint(body, col.length.toLong)
+    body.write(col)
+    ProtoWire.delimit(body.toByteArray)
+  }
+
+  /** Serves `frame` repeated `n` times (then optionally a prefix of a
+    * final partial frame), without ever materialising the whole
+    * stream — the generator side of the bounded-memory pin.
+    */
+  private final class RepeatedFrames(frame: Array[Byte], n: Long,
+      tailBytes: Int = 0) extends java.io.InputStream {
+    private var served = 0L
+    private val total = n * frame.length + tailBytes
+    override def read(): Int =
+      if (served >= total) -1
+      else { val b = frame((served % frame.length).toInt); served += 1; b & 0xff }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (served >= total) return -1
+      val inFrame = (served % frame.length).toInt
+      val chunk = math.min(math.min(len.toLong, total - served),
+        (frame.length - inFrame).toLong).toInt
+      System.arraycopy(frame, inFrame, b, off, chunk)
+      served += chunk
+      chunk
+    }
+  }
+
+  test("salvage walk is streaming: total decoded size beyond any possible buffer") {
+    // ~1 MiB frames, repeated until the DECODED stream passes
+    // Int.MaxValue: a drain-to-array walk cannot even represent this
+    // input (a JVM array caps at ~2^31 bytes), so completing with the
+    // exact counts proves the walk's memory is bounded by one frame —
+    // the q251 scale contract for oversized legacy files
+    val frame = syntheticFrame(1 << 20)
+    val n = (Int.MaxValue.toLong / frame.length) + 64
+    assert(n * frame.length > Int.MaxValue.toLong)
+    val (rows, cols, lastGood, clean) =
+      ProtoWire.salvageStatsStream(new RepeatedFrames(frame, n))
+    assert(clean, "an undamaged stream must read clean")
+    assert(rows === n)
+    assert(cols === n, "one column per synthetic frame")
+    assert(lastGood === n * frame.length,
+      "the watermark must cover every decoded byte")
+  }
+
+  test("salvage walk keeps the complete-frame prefix of a mid-frame cut") {
+    val frame = syntheticFrame(4096)
+    val (rows, _, lastGood, clean) = ProtoWire.salvageStatsStream(
+      new RepeatedFrames(frame, 5, tailBytes = frame.length / 2))
+    assert(!clean, "a cut mid-frame must not read clean")
+    assert(rows === 5L, "every complete frame before the cut counts")
+    assert(lastGood === 5L * frame.length)
+  }
+
+  test("salvage walk survives the decompressor throwing mid-stream") {
+    // zstd-level damage surfaces as an exception from read() — the
+    // frames already walked must stand
+    val frame = syntheticFrame(4096)
+    val healthy: java.io.InputStream = new RepeatedFrames(frame, 3)
+    val throwing = new java.io.InputStream {
+      override def read(): Int = {
+        val r = healthy.read()
+        if (r < 0) throw new java.io.IOException("simulated zstd damage")
+        r
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = healthy.read(b, off, len)
+        if (r < 0) throw new java.io.IOException("simulated zstd damage")
+        r
+      }
+    }
+    val (rows, _, lastGood, clean) = ProtoWire.salvageStatsStream(throwing)
+    assert(!clean && rows === 3L && lastGood === 3L * frame.length)
+  }
+
+  test("slice-grain salvage: a fanned oversized file merges to the whole-file verdict") {
+    import graft.sources.GenManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar_slice")
+      .toFile.getAbsolutePath
+    writeOneFile(dir, 1000) // 50-row frames → ~20 recorded cut points
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val snap = GenManifest.read(dir, conf).get
+    val len = snap.dataEntries.head.bytes
+    val sliceBytes = len / 6
+    val tasks = Quarantine.salvageTasks(dir, snap, sliceBytes)
+    assert(tasks.length > 1,
+      s"an oversized file must fan into slices, got ${tasks.length} task(s)")
+    def verdict(sb: Long) = {
+      val v = Quarantine.salvageVerdicts(spark, dir, sb).collect().head
+      (v.getAs[Long]("n_rows"), v.getAs[Long]("n_cells"),
+        v.getAs[Long]("good_bytes"), v.getAs[Boolean]("suspect"))
+    }
+    // healthy: the sliced walk must conserve the whole-file verdict
+    val healthySliced = verdict(sliceBytes)
+    assert(healthySliced === verdict(Long.MaxValue))
+    assert(healthySliced._1 === 1000L && !healthySliced._4)
+    // rot a byte range IN PLACE inside a later slice (the partial
+    // bitrot model), leaving the manifest and sidecars untouched
+    val data = fs.listStatus(dirPath).map(_.getPath)
+      .filter(_.getName.endsWith(".proto.zst")).head
+    val bytes = {
+      val in = fs.open(data)
+      try in.readAllBytes() finally in.close()
+    }
+    val rotAt = (len * 65 / 100).toInt
+    val rot = ("ROT " * 16).getBytes("UTF-8")
+    System.arraycopy(rot, 0, bytes, rotAt, rot.length)
+    val os = fs.create(data, true)
+    try os.write(bytes) finally os.close()
+    // the merged per-slice verdict must equal the single-task walk of
+    // the same bytes — first-bad-byte semantics survive the fan-out
+    val rottedSliced = verdict(sliceBytes)
+    assert(rottedSliced === verdict(Long.MaxValue),
+      "slice-merged verdict diverged from the whole-file walk")
+    assert(rottedSliced._4, "a rotted file must be flagged")
+    assert(rottedSliced._1 > 0L && rottedSliced._1 < 1000L,
+      s"mid-file rot must salvage a strict prefix, got ${rottedSliced._1}")
   }
 
   test("a truncated file salvages its complete-frame prefix and is suspect") {
