@@ -122,6 +122,7 @@ object QueryTraits {
     "q249_classifier_eval",
     "q250_kn3_quality",
     "q251_salvage_scan",
+    "q253_stream_model_gate",
     "q28_stream_window",
     "q29_sink_roundtrip",
     "q30_proto_source",

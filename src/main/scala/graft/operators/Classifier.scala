@@ -133,13 +133,20 @@ object Classifier {
         .cpIter()
       roundTables += w
     }
-    // AVERAGED perceptron: the shipped model is Σ_r w_r — the classic
-    // oscillation damper (a raw batch perceptron can cycle between
-    // states that each fit half the data; the round sum votes them).
-    // The sum is sign-equivalent to the true average (× rounds, a
-    // positive scale), so it stays exact-integer with no division.
+    // AVERAGED perceptron over the LAST HALF of the rounds: the round
+    // sum is the classic oscillation damper (a raw batch perceptron
+    // can cycle between states that each fit half the data; the sum
+    // votes them), but the EARLY rounds are burn-in with a systematic
+    // sign bias — at w=0 every doc predicts +1, so round 1's update
+    // subtracts the whole negative-class gram mass, and summing it in
+    // drags the average negative regardless of the data (measured:
+    // the all-round sum scored every document negative at every test
+    // sf). Dropping the first half keeps one full oscillation period,
+    // centered. The sum is sign-equivalent to the true average (× the
+    // round count, a positive scale), so it stays exact-integer.
     if (roundTables.isEmpty) w
-    else roundTables.map(_.withColumnRenamed("w", "wr"))
+    else roundTables.drop(rounds / 2)
+      .map(_.withColumnRenamed("w", "wr"))
       .reduce(_.unionByName(_))
       .groupBy(col("b")).agg(sum(col("wr")).as("w"))
   }
@@ -286,12 +293,26 @@ object Classifier {
     "q249_classifier_eval" -> heldoutEval,
     "q252_trained_gate" -> trainedGate)
 
+  /** The trained model collected to a literal (bucket → weight) map
+    * for row-local ONLINE application — the [[StreamCurate]]
+    * boiler-inventory discipline: a bucket-cardinality table (256
+    * here; a few MB even at fastText's 2^21) ships to executors as a
+    * broadcast literal, so a streaming micro-batch scores documents
+    * with zero extra shuffle and zero stream state. Built from the
+    * session-cached q248 artifact: deploying adds zero training cost.
+    */
+  private[graft] def modelWeightMap(spark: SparkSession,
+      dir: String): Map[Long, Long] =
+    trainedWeightsCached(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Shared oracle CTE chain: featurization (`fall`), weak labels
     * (`lab`), and the unrolled training rounds ending at
-    * `w[TrainRounds]` — spliced into both oracles so the trainer and
-    * the audit replay the SAME model.
+    * `w[TrainRounds]` — spliced into the oracles of every consumer of
+    * the trained table (q248/q249/q252, q216's inference, q253's
+    * streaming gate) so they all replay the SAME model.
     */
-  private def trainCtes: String = {
+  private[graft] def trainCtes: String = {
     val stopList = TextAnalysis.stops.map(s => s"'$s'").mkString(", ")
     val rounds = (1 to TrainRounds).map { r =>
       s"""s$r AS (SELECT f.doc_id, CAST(sum(w.w * f.cnt) AS BIGINT) sc
@@ -302,11 +323,15 @@ object Classifier {
          |      FROM f JOIN m$r m USING (doc_id) GROUP BY f.b),
          |w$r AS (SELECT w.b, CAST(w.w + COALESCE(d.dw, 0) AS BIGINT) w
          |      FROM w${r - 1} w LEFT JOIN d$r d USING (b))""".stripMargin
-    }.mkString(",\n") + ",\n" +
-      s"""wavg AS (SELECT w1.b, CAST(${(1 to TrainRounds)
+    }.mkString(",\n") + ",\n" + {
+      // the LAST-HALF vote — see trainedWeights for why the burn-in
+      // rounds stay out of the shipped average
+      val voted = (TrainRounds / 2 + 1) to TrainRounds
+      s"""wavg AS (SELECT w${voted.head}.b, CAST(${voted
         .map(r => s"w$r.w").mkString(" + ")} AS BIGINT) w
-         |      FROM w1 ${(2 to TrainRounds)
+         |      FROM w${voted.head} ${voted.tail
         .map(r => s"JOIN w$r USING (b)").mkString(" ")})""".stripMargin
+    }
     s"""WITH ws0 AS (SELECT doc_id, @WS@ ws FROM documents),
        |g0 AS (SELECT doc_id, list_concat(ws,
        |        list_transform(range(1, len(ws)),

@@ -866,21 +866,23 @@ object Curation {
     * "apply the trained quality classifier to the corpus" step every
     * production curation stack runs (CCNet/fastText-style): each
     * document's word unigrams + bigrams hash into [[ClfBuckets]]
-    * feature buckets, the model is a WEIGHT TABLE joined in as a
-    * broadcast (the model-distribution shape — a trained model loads
-    * from storage; here the weights are a deterministic hash-derived
-    * stand-in, exactly the multimodal stub-codec discipline, so the
-    * oracle replays inference bit-for-bit — and the ENGINE-TRAINED
-    * model over the same feature space is q248
-    * ([[Classifier.trainedWeights]]), with q249 pinning this
-    * stand-in's verdict disagreement against it and ClassifierSpec
-    * proving the trained table separates held-out data better), and
-    * the document's score
-    * is the exact integer mean feature weight in milli, thresholded
-    * into the keep/drop verdict q100's gate ladder would consume.
-    * The score shift `(sw + n·1000) DIV n − 1000` keeps the DIV
-    * numerator non-negative — Spark truncation and DuckDB flooring
-    * agree only there.
+    * feature buckets and the model is a WEIGHT TABLE joined in as a
+    * broadcast. RE-BASED onto the ENGINE-TRAINED model: the weights
+    * are q248's averaged-perceptron table
+    * ([[Classifier.trainedWeightsCached]] — session-cached, so
+    * inference adds zero training cost), and the verdict is
+    * sign(Σ w·cnt) ≥ [[ClfThreshold]] — exactly the scorer q249
+    * audits held-out and q252 deploys per source, so the whole
+    * train → audit → deploy → infer loop runs ONE model. The
+    * hash-derived stand-in that previously filled this slot survives
+    * only inside q249, as the untrained comparison baseline its audit
+    * is defined against. The shipped score is the raw exact-long
+    * Σ w·cnt, not a milli mean: trained weights are unbounded, so the
+    * old non-negative-numerator DIV shift no longer holds and a mean
+    * would hit the Spark-truncates / DuckDB-floors seam — the sum
+    * carries the identical verdict and stays exact (with the
+    * q249-style in-plan overflow guard: past exact-long range the
+    * query refuses loudly).
     *
     * Scale: featurization is row-local (one codegen span); the weight
     * join broadcasts the bucket-cardinality model; the only shuffle
@@ -888,26 +890,21 @@ object Curation {
     * cost is O(tokens), independent of model training.
     */
   def classifierScore(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Tables.documents(spark, dir)
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 1)
-      .withColumn("grams", concat(col("ws"),
-        zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => concat(a, lit(" "), b))))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .withColumn("b", pmod(hash60(concat(lit("feat:"), col("g"))),
-        lit(ClfBuckets)))
-    val weights = spark.range(ClfBuckets).select(col("id").as("b"),
-      (pmod(hash60(concat(lit("w:"), col("id").cast("string"))),
-        lit(2001L)) - 1000L).as("w"))
-    feats.join(broadcast(weights), "b")
+    val w = Classifier.trainedWeightsCached(spark, dir)
+    val maxw = w.agg(max(abs(col("w"))).cast("double").as("gw"))
+    Classifier.featureCounts(spark, dir)
+      .join(broadcast(w), "b")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_features"), sum(col("w")).as("sw"))
-      .withColumn("score_milli",
-        expr("(sw + n_features * 1000) DIV n_features - 1000"))
-      .select(col("doc_id"), col("n_features"), col("score_milli"),
-        (col("score_milli") >= ClfThreshold).cast("int").as("keep"))
+      .agg(sum(col("cnt")).as("n_features"),
+        sum(col("w") * col("cnt")).as("sw"),
+        sum(col("cnt")).cast("double").as("gcnt"))
+      .crossJoin(broadcast(maxw))
+      .select(col("doc_id"), col("n_features"),
+        when(col("gw") * col("gcnt") > Long.MaxValue.toDouble,
+          raise_error(lit("q216: max|w|·Σcnt exceeds exact-long range " +
+            "— normalize per-round deltas before scoring")))
+          .otherwise(col("sw")).as("score"))
+      .withColumn("keep", (col("score") >= ClfThreshold).cast("int"))
   }
 
   /** q219 batch shape: documents per training batch and assembly
@@ -1357,29 +1354,20 @@ object Curation {
        |GROUP BY x.epoch, y.epoch""".stripMargin
   }
 
-  // q216: inference replayed with the weights computed inline (the
-  // engine's broadcast weight TABLE holds the same hash-derived
-  // values, so join-vs-inline is a plan choice, not a model change);
-  // hash kernels contain `||` — spliced AFTER stripMargin
-  private val classifierScoreSql =
-    s"""WITH w0 AS (SELECT doc_id, @WS@ ws FROM documents),
-       |g0 AS (SELECT doc_id, list_concat(ws,
-       |         list_transform(range(1, len(ws)),
-       |           i -> ws[i] || ' ' || ws[i+1])) grams
-       |       FROM w0 WHERE len(ws) >= 1),
-       |f AS (SELECT doc_id, unnest(grams) g FROM g0),
-       |b AS (SELECT doc_id, @FH@ % $ClfBuckets bkt FROM f),
-       |s AS (SELECT doc_id, count(*) n_features,
-       |        CAST(sum(@WH@ % 2001 - 1000) AS BIGINT) sw
-       |      FROM b GROUP BY doc_id)
-       |SELECT doc_id, n_features,
-       |  (sw + n_features * 1000) // n_features - 1000 AS score_milli,
-       |  CAST((sw + n_features * 1000) // n_features - 1000
-       |    >= $ClfThreshold AS INTEGER) AS keep
-       |FROM s""".stripMargin
-      .replace("@WS@", sqlWords)
-      .replace("@FH@", sqlHash60("'feat:' || g"))
-      .replace("@WH@", sqlHash60("'w:' || CAST(bkt AS VARCHAR)"))
+  // q216: inference replayed against the TRAINED model — the K
+  // training rounds unroll in SQL (Classifier.trainCtes, the same
+  // chain q248/q249/q252 splice) and every doc's Σ w·cnt must
+  // hash-match; lazy for the object-init ordering the other spliced
+  // oracles follow
+  private lazy val classifierScoreSql =
+    s"""${Classifier.trainCtes},
+       |sct AS (SELECT fall.doc_id,
+       |        CAST(sum(fall.cnt) AS BIGINT) n_features,
+       |        CAST(sum(w.w * fall.cnt) AS BIGINT) score
+       |      FROM fall JOIN wavg w USING (b) GROUP BY fall.doc_id)
+       |SELECT doc_id, n_features, score,
+       |  CAST(score >= $ClfThreshold AS INTEGER) AS keep
+       |FROM sct""".stripMargin
 
   // q219: bucket/stream/batch assembly replayed; DuckDB has no bin(),
   // so the power-of-two bucket is the bit length via floor(log2)+1 —

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -191,6 +191,76 @@ object StreamCurate {
         element_at(col("p"), 3).cast("long").as("boiler_milli"))
   }
 
+  /** The TRAINED-MODEL gate as a row-local Column over a raw document
+    * stream: q216's exact feature space (word unigrams + bigrams
+    * hashed into [[Curation.ClfBuckets]] buckets) scored against the
+    * q248 trained weight table shipped as a broadcast literal map
+    * ([[Classifier.modelWeightMap]] — the boiler-inventory
+    * discipline), verdict sign(Σ w) ≥ 0 ≡ sign(Σ w·cnt), the same
+    * verdict q249 audits held-out, q252 deploys per source, and q216
+    * ships per doc. Stateless and shuffle-free: a streaming
+    * micro-batch pays one codegen span per document, zero stream
+    * state — the q104 stream-static shape with the static side
+    * collapsed to a literal because the model is bucket-cardinality.
+    */
+  private[graft] def modelKeep(wmap: Map[Long, Long]): Column = {
+    import graft.functions.Portable.{hash60, words}
+    val wlit = typedLit(wmap)
+    val maxw = if (wmap.isEmpty) 0L else wmap.values.map(math.abs).max
+    val ws = words(col("text"))
+    val grams = concat(ws,
+      zip_with(slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val score = aggregate(
+      transform(grams, g => coalesce(element_at(wlit,
+        pmod(hash60(concat(lit("feat:"), g)), lit(Curation.ClfBuckets))),
+        lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    // the q249 overflow discipline, row-local: max|w| is a driver-side
+    // constant, so |score| ≤ max|w|·n_grams bounds in-plan
+    size(ws) >= 1 &&
+      when(lit(maxw.toDouble) * size(grams).cast("double") >
+          Long.MaxValue.toDouble,
+        raise_error(lit("q253: max|w|·n_grams exceeds exact-long range " +
+          "— normalize per-round deltas before deploying")))
+        .otherwise(score) >= 0
+  }
+
+  /** q253: THE STREAMING INGEST WITH THE TRAINED CLASSIFIER DEPLOYED —
+    * the loop q248 (train) / q249 (audit) / q252 (routing gate) exists
+    * to close: q208's production ingest with the trained model gating
+    * every document ONLINE, ahead of the rule ladder. The model gate
+    * is row-local ([[modelKeep]]) and both gates are deterministic
+    * functions of content, so gate order does not change the exported
+    * set and the stream stays batch-split-invariant — the q253
+    * split-parity spec re-proves it with the model in the ladder. The
+    * model itself is the session-cached q248 artifact: deployment adds
+    * zero training cost and zero stream state.
+    *
+    * Scale: identical to q208 (the gate adds one codegen span; the
+    * weight map is KBs here and a few MB at fastText's 2^21 — ship it
+    * as a broadcast stream-static join if a model ever outgrows a
+    * literal). The DuckDB oracle unrolls the K training rounds and
+    * composes the model verdict with the batch gate ladder — one SQL
+    * chain replaying train → deploy → curate end-to-end.
+    */
+  def streamModelGate(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documentsStream(spark, dir)
+    streamModelGateOf(spark, src.union(src),
+      Classifier.modelWeightMap(spark, dir),
+      boilerInventory(spark, dir), mixtureRates(spark, dir),
+      Scratch.dir("graft_smg"), Scratch.dir("graft_smg_ckpt"))
+  }
+
+  /** The q253 kernel over an explicit source + side inputs (the
+    * [[streamCurateOf]] seam, for the split-parity spec). */
+  private[graft] def streamModelGateOf(spark: SparkSession, src: DataFrame,
+      wmap: Map[Long, Long], boiler: Map[String, Seq[Long]],
+      rates: Map[String, Long], outDir: String, ckpt: String): DataFrame =
+    streamCurateOf(spark, src.filter(modelKeep(wmap)), boiler, rates,
+      outDir, ckpt)
+
   /** q211: THE NIGHTLY NEAR-DUP SWEEP over the content-addressed
     * corpus — the batch half of the q208 contract: the streaming loop
     * defers near-duplicate quarantine (banded minhash joins need
@@ -271,7 +341,7 @@ object StreamCurate {
        |       FROM hs t LEFT JOIN b ON b.source = t.source AND b.ch = t.ch
        |       GROUP BY t.doc_id),
        |rates AS (SELECT lang, rate_milli FROM (@RATES@)),
-       |gated AS (SELECT q.h, q.lang,
+       |gated AS (SELECT q.doc_id, q.h, q.lang,
        |        ${sqlHash60("'cshard:' || q.h")} % $CIngShards AS shard,
        |        CAST(q.n_words AS BIGINT) AS n_tokens,
        |        CAST(q.n_redactions AS BIGINT) AS n_redactions,
@@ -289,11 +359,29 @@ object StreamCurate {
     "\nSELECT DISTINCT h, lang, shard, n_tokens, n_redactions, boiler_milli" +
     "\nFROM gated"
 
+  // q253: the K training rounds unrolled (Classifier.trainCtes →
+  // wavg), the per-doc model verdict, and the batch gate ladder — one
+  // SQL chain replaying train → deploy → curate. LAZY: splices
+  // curateGatesSql (the ingestSweepSql precedent). The two CTE chains
+  // share only the `documents` base table; names are disjoint by
+  // construction (trainCtes: ws0/g0/fx/fbk/fall/f/lm/lab/l/w0..wK/
+  // s*/m*/d*/wavg; gates: w/q/c/hs/b/nb/rates/gated).
+  private lazy val streamModelGateSql =
+    Classifier.trainCtes + ",\n" +
+      curateGatesSql.stripPrefix("WITH ") + """,
+        |mv AS (SELECT fall.doc_id, CAST(sum(w.w * fall.cnt) AS BIGINT) sc
+        |      FROM fall JOIN wavg w USING (b) GROUP BY fall.doc_id),
+        |mk AS (SELECT doc_id FROM mv WHERE sc >= 0)
+        |SELECT DISTINCT h, lang, shard, n_tokens, n_redactions, boiler_milli
+        |FROM gated JOIN mk USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_stream_curate" -> streamCurate,
-    "q211_ingest_sweep" -> ingestSweep)
+    "q211_ingest_sweep" -> ingestSweep,
+    "q253_stream_model_gate" -> streamModelGate)
 
   val oracle: Map[String, String] = Map(
     "q208_stream_curate" -> streamCurateSql,
-    "q211_ingest_sweep" -> ingestSweepSql)
+    "q211_ingest_sweep" -> ingestSweepSql,
+    "q253_stream_model_gate" -> streamModelGateSql)
 }

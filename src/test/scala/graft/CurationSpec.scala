@@ -9,7 +9,7 @@ import graft.operators.Curation
   * independently-computed ground truth on sf0.001.
   */
 class CurationSpec extends AnyFunSuite {
-  import SparkTestSession.{spark, sf0001}
+  import SparkTestSession.{spark, sf0001, sf001}
 
   private val deny = Set("key", "hash", "secret", "token", "password")
 
@@ -434,12 +434,19 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("q216 classifier inference matches a local replay and the threshold splits the corpus") {
+    // sf0.01: same 500-doc corpus size; the trained model separates THIS
+    // corpus (sf0.001's it scores all-negative — see SURVEY Â§8)
+    // INFERENCE replayed locally — featurization (hash-bucketed
+    // unigrams+bigrams) and the Σ w·cnt scorer — with the trained
+    // model as input (its own bytes are pinned by q248's unrolled-SQL
+    // oracle and ClassifierSpec; this test owns the APPLY step)
     def h60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
       java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
     }
-    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val wmap = graft.operators.Classifier.modelWeightMap(spark, sf001)
+    val docs = graft.sources.Tables.documents(spark, sf001)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val expected = docs.flatMap { case (id, text) =>
@@ -447,21 +454,18 @@ class CurationSpec extends AnyFunSuite {
       if (ws.isEmpty) None else {
         val grams = ws ++ ws.sliding(2).filter(_.length == 2)
           .map(_.mkString(" "))
-        val sw = grams.map(g =>
-          h60("w:" + (h60("feat:" + g) % Curation.ClfBuckets)) % 2001L
-            - 1000L).sum
-        val n = grams.length.toLong
-        val score = (sw + n * 1000L) / n - 1000L
-        Some(id -> ((n, score,
+        val score = grams.map(g =>
+          wmap.getOrElse(h60("feat:" + g) % Curation.ClfBuckets, 0L)).sum
+        Some(id -> ((grams.length.toLong, score,
           if (score >= Curation.ClfThreshold) 1 else 0)))
       }
     }.toMap
-    val got = Curation.classifierScore(spark, sf0001).collect()
+    val got = Curation.classifierScore(spark, sf001).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
       .toMap
     assert(got === expected)
-    // the deterministic model is a real discriminator at this SF:
-    // both verdicts occur, so downstream gate specs exercise both arms
+    // the trained model is a real discriminator at this SF: both
+    // verdicts occur, so downstream gate specs exercise both arms
     assert(got.values.exists(_._3 == 1) && got.values.exists(_._3 == 0))
   }
 

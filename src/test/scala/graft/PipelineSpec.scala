@@ -10,7 +10,7 @@ import graft.sources.Tables
   * brute-force agreement, batch/stream parity, sink round-trip totals.
   */
 class PipelineSpec extends AnyFunSuite {
-  import SparkTestSession.{spark, sf0001}
+  import SparkTestSession.{spark, sf0001, sf001}
 
   test("q55 distributed global rank equals the single-partition window rank") {
     import org.apache.spark.sql.expressions.Window
@@ -527,6 +527,59 @@ class PipelineSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(out, GenManifest.DirName))
       .count(_.getPath.getName.endsWith(".delta"))
     assert(versions === 2, s"expected 2 epoch commits, saw $versions")
+  }
+
+  test("q253 stream model gate: split + redelivery equals batch gates incl. the trained model") {
+    import graft.operators.Classifier
+    val docs = Tables.documents(spark, sf001)
+    val inv = StreamCurate.boilerInventory(spark, sf001)
+    val rates = StreamCurate.mixtureRates(spark, sf001)
+    val wmap = Classifier.modelWeightMap(spark, sf001)
+    // the row-local literal-map kernel must agree doc-for-doc with the
+    // broadcast-join scorer (q216's shape) — the seam where bucket
+    // arithmetic could silently drift
+    val viaColumn = docs.filter(StreamCurate.modelKeep(wmap))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val viaJoin = graft.operators.Curation.classifierScore(spark, sf001)
+      .filter(col("keep") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaColumn === viaJoin,
+      "literal-map model gate diverged from the broadcast-join scorer")
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (mid, maxId) = (ids(ids.length / 2), ids.last)
+    // a doc passing BOTH the model gate and the rule ladder, duplicated
+    // across the split (the q208 straddle discipline)
+    val dupId = StreamCurate.curationGates(
+        docs.filter(StreamCurate.modelKeep(wmap)), inv, rates)
+      .filter(col("doc_id") < mid)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val dupRow = docs.filter(col("doc_id") === dupId)
+      .withColumn("doc_id", lit(maxId + 1))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_smg_src")
+      .toFile.getAbsolutePath
+    docs.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    docs.filter(col("doc_id") >= mid).unionByName(dupRow).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def leg = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val got = StreamCurate.streamModelGateOf(spark, leg.union(leg), wmap,
+      inv, rates,
+      java.nio.file.Files.createTempDirectory("graft_smg_out")
+        .toFile.getAbsolutePath,
+      java.nio.file.Files.createTempDirectory("graft_smg_ck")
+        .toFile.getAbsolutePath)
+      .collect().map(_.mkString("|")).sorted
+    val want = StreamCurate.curationGates(
+        docs.unionByName(dupRow).filter(StreamCurate.modelKeep(wmap)),
+        inv, rates)
+      .select(col("h"), col("lang"), col("shard"), col("n_tokens"),
+        col("n_redactions"), col("boiler_milli"))
+      .distinct().collect().map(_.mkString("|")).sorted
+    assert(got.nonEmpty, "the model-gated export must land documents")
+    assert(got.toSeq === want.toSeq,
+      "split+redelivered model-gated stream diverged from the batch " +
+        "composition")
   }
 
   /** The q208 crash-restart exactly-once contract: kill the stream at

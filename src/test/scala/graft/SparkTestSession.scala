@@ -17,4 +17,9 @@ object SparkTestSession {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+  /** Same 500-document corpus size, different content — the dir for
+    * specs whose subject only manifests there (the trained classifier
+    * separates sf0.01's corpus but is all-negative on sf0.001's).
+    */
+  val sf001 = "/root/testdata/sf0.01"
 }
