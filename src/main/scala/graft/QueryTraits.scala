@@ -123,6 +123,7 @@ object QueryTraits {
     "q250_kn3_quality",
     "q251_salvage_scan",
     "q253_stream_model_gate",
+    "q254_kn4_quality",
     "q28_stream_window",
     "q29_sink_roundtrip",
     "q30_proto_source",

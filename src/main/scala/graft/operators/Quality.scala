@@ -350,6 +350,189 @@ object Quality {
     tercileCut(s, "surprisal_milli")
   }
 
+  /** q254: KNESER–NEY 4-GRAM QUALITY WITH BACKOFF — q250 extended one
+    * more order, reaching CCNet's production n-gram depth minus one
+    * (their filter is 5-gram; 4-gram is where this corpus's measured
+    * context density still pays — 94%+ of 4-gram positions sit on a
+    * repeated 3-token context at sf0.01, 99.9% at sf0.1, so the top
+    * order is live, not backoff-only):
+    *
+    *   p(w|t,u,v) = (c4(tuvw) − D)/ctx3(tuv)
+    *              + D·N1+(tuv·)/ctx3(tuv) · p3'(w|u,v)
+    *   p3'(w|u,v) = (c'(uvw) − D)/c'(uv) + D·N1+'(uv·)/c'(uv) · p2'(w|v)
+    *
+    * with D = 3/4, ctx3(tuv) = Σ_w c4(tuvw), and the backed-off
+    * TRIGRAM level on continuation counts — c'(uvw) = N1-(·uvw), the
+    * distinct left contexts t of the trigram uvw inside 4-grams — the
+    * same one-order-down move q250 makes for its bigram level. The
+    * bigram and unigram levels reuse q250's tables VERBATIM
+    * (c'(vw) = N1-(·vw) over trigram types, N1-(·w)/T with T = bigram
+    * types), so all four orders of the family share one integer
+    * vocabulary. Over the common denominator
+    * `64·ctx3(tuv)·c'(uv)·c'(v)·T` the whole chain is one
+    * exact-integer ratio:
+    *
+    *   num3' = (4·c'(uvw)−3)·4·c'(v)·T
+    *         + 3·N1+'(uv·)·((4·c'(vw)−3)·T + 3·N1+(v·)·N1-(·w))
+    *   num   = (4·c4(tuvw)−3)·16·c'(uv)·c'(v)·T + 3·N1+(tuv·)·num3'
+    *
+    * and the per-token bits stay `length(bin(den DIV num)) − 1`. Every
+    * scored 4-gram is observed, so no discount goes negative. Token
+    * conservation is exact: token 1 unigram, token 2 bigram-KN,
+    * token 3 trigram-KN (q250's kernel over the doc's first trigram),
+    * tokens 4+ the 4-gram chain — n per n-word document. Scores feed
+    * the q224 tercile cut as the FIFTH stratifier; the 4↔3
+    * disagreement diagonal (spec-pinned non-empty) is the added
+    * 4-gram-context signal.
+    *
+    * Scale: q250's shapes plus ONE new n-gram-grain shuffle (the
+    * doc-grain 4-gram tf) and its folds (ctx3, the trigram
+    * continuation table); scoring is equi-joins at 4-gram grain. The
+    * `64·ctx3·c'(uv)·c'(v)·T` product carries the q192-style in-plan
+    * guard — past exact-long range the deployment widens to decimals
+    * rather than wrap.
+    */
+  def knFourgramQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checkpoints.CpOps
+    import graft.sources.Tables
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .cp()
+    val tok = d.select(col("doc_id"), explode(col("ws")).as("w"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    // bigram + trigram levels — q250's tables verbatim
+    val bg = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("u"),
+            element_at(col("ws"), i + 1).as("v")))).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+    val cb = bg.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cuv"))
+      .cp()
+    val cu = cb.groupBy(col("u")).agg(sum(col("cuv")).as("cu"),
+      count(lit(1)).as("n1u"))
+    val nv = cb.groupBy(col("v")).agg(count(lit(1)).as("n1v"))
+    val types = cb.agg(count(lit(1)).as("t_types"))
+    val t3 = d.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 2), i =>
+          struct(element_at(col("ws"), i).as("u"),
+            element_at(col("ws"), i + 1).as("v"),
+            element_at(col("ws"), i + 2).as("w")))).as("p"))
+      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"),
+        col("p.w").as("w"))
+      .agg(count(lit(1)).as("ttf"))
+      .cp()
+    val c3 = t3.groupBy(col("u"), col("v"), col("w"))
+      .agg(sum(col("ttf")).as("ctf"))
+      .cp()
+    val ctx = c3.groupBy(col("u"), col("v"))
+      .agg(sum(col("ctf")).as("c2x"), count(lit(1)).as("n1p_uv"))
+    val contVw = c3.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("cpvw"))
+    val contV = contVw.groupBy(col("v"))
+      .agg(sum(col("cpvw")).as("cpv"), count(lit(1)).as("n1p_v"))
+    // 4-gram level: doc-grain tf, corpus counts, context fold, and the
+    // TRIGRAM CONTINUATION tables (distinct left contexts inside
+    // 4-grams) the backed-off trigram level runs on
+    val t4 = d.filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 3), i =>
+          struct(element_at(col("ws"), i).as("t"),
+            element_at(col("ws"), i + 1).as("u"),
+            element_at(col("ws"), i + 2).as("v"),
+            element_at(col("ws"), i + 3).as("w")))).as("p"))
+      .groupBy(col("doc_id"), col("p.t").as("t"), col("p.u").as("u"),
+        col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("qtf"))
+      .cp()
+    val c4 = t4.groupBy(col("t"), col("u"), col("v"), col("w"))
+      .agg(sum(col("qtf")).as("c4f"))
+      .cp() // feeds ctx3, the continuation fold AND the scoring join
+    val ctx3 = c4.groupBy(col("t"), col("u"), col("v"))
+      .agg(sum(col("c4f")).as("c3x"), count(lit(1)).as("n1p_tuv"))
+    val cp3 = c4.groupBy(col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("cp3")) // N1-(·uvw): distinct left contexts
+      .cp()
+    val cpUv = cp3.groupBy(col("u"), col("v"))
+      .agg(sum(col("cp3")).as("cpuv"), count(lit(1)).as("n1pp_uv"))
+    // token 1: unigram kernel (q94)
+    val f1 = d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
+        lit(1L).as("btf"))
+      .join(uni, "w")
+      .transform(withScalar(_, total))
+      .select(col("doc_id"), col("btf"),
+        expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
+    // token 2: q236's bigram-KN kernel over the doc's first bigram
+    val f2 = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), element_at(col("ws"), 1).as("u"),
+        element_at(col("ws"), 2).as("v"), lit(1L).as("btf"))
+      .join(cb, Seq("u", "v"))
+      .join(cu, Seq("u"))
+      .join(nv, Seq("v"))
+      .transform(withScalar(_, types))
+      .select(col("doc_id"), col("btf"),
+        when(col("cu").cast("double") * col("t_types") * 4 >
+            Long.MaxValue.toDouble,
+          raise_error(lit("q254: 4·c(u)·T exceeds exact-long range — " +
+            "widen the KN ratio to decimals")))
+          .otherwise(expr("length(bin((4 * cu * t_types) DIV " +
+            "((4 * cuv - 3) * t_types + 3 * n1u * n1v))) - 1"))
+          .as("bits"))
+    // token 3: q250's trigram-KN kernel over the doc's first trigram
+    val f3 = d.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), element_at(col("ws"), 1).as("u"),
+        element_at(col("ws"), 2).as("v"),
+        element_at(col("ws"), 3).as("w"), lit(1L).as("btf"))
+      .join(c3, Seq("u", "v", "w"))
+      .join(ctx, Seq("u", "v"))
+      .join(contVw, Seq("v", "w"))
+      .join(contV, Seq("v"))
+      .join(nv.withColumnRenamed("v", "w"), Seq("w"))
+      .transform(withScalar(_, types))
+      .select(col("doc_id"), col("btf"),
+        when(col("c2x").cast("double") * col("cpv") * col("t_types") * 16 >
+            Long.MaxValue.toDouble,
+          raise_error(lit("q254: 16·ctx(uv)·c'(v)·T exceeds exact-long " +
+            "range — widen the KN ratio to decimals")))
+          .otherwise(expr("length(bin((16 * c2x * cpv * t_types) DIV " +
+            "((4 * ctf - 3) * 4 * cpv * t_types " +
+            "+ 3 * n1p_uv * ((4 * cpvw - 3) * t_types " +
+            "+ 3 * n1p_v * n1v)))) - 1"))
+          .as("bits"))
+    // tokens 4+: the 4-gram chain over the common denominator
+    val f4 = t4
+      .join(c4, Seq("t", "u", "v", "w"))
+      .join(ctx3, Seq("t", "u", "v"))
+      .join(cp3, Seq("u", "v", "w"))
+      .join(cpUv, Seq("u", "v"))
+      .join(contVw, Seq("v", "w"))
+      .join(contV, Seq("v"))
+      .join(nv.withColumnRenamed("v", "w"), Seq("w"))
+      .transform(withScalar(_, types))
+      .select(col("doc_id"), col("qtf").as("btf"),
+        when(col("c3x").cast("double") * col("cpuv") * col("cpv") *
+            col("t_types") * 64 > Long.MaxValue.toDouble,
+          raise_error(lit("q254: 64·ctx3(tuv)·c'(uv)·c'(v)·T exceeds " +
+            "exact-long range — widen the KN ratio to decimals")))
+          .otherwise(expr(
+            "length(bin((64 * c3x * cpuv * cpv * t_types) DIV " +
+              "((4 * c4f - 3) * 16 * cpuv * cpv * t_types " +
+              "+ 3 * n1p_tuv * ((4 * cp3 - 3) * 4 * cpv * t_types " +
+              "+ 3 * n1pp_uv * ((4 * cpvw - 3) * t_types " +
+              "+ 3 * n1p_v * n1v))))) - 1"))
+          .as("bits"))
+    val s = f1.unionByName(f2).unionByName(f3).unionByName(f4)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("btf")).as("n_tokens"),
+        sum(col("btf") * col("bits")).as("sum_bits"))
+      .withColumn("surprisal_milli", expr("sum_bits * 1000 DIV n_tokens"))
+    tercileCut(s, "surprisal_milli")
+  }
+
   /** q225: N-GRAM NOVELTY — per document, the fraction (milli) of its
     * distinct 3-word shingles that appear in NO other document: the
     * complement of the duplication family (q15 finds documents whose
@@ -818,6 +1001,114 @@ object Quality {
        |FROM s, t""".stripMargin
   }
 
+  // q254 replay: q250's chain plus the 4-gram tables (doc-grain tf,
+  // corpus counts, context fold, trigram-continuation folds) and the
+  // 64·ctx3·c'(uv)·c'(v)·T common-denominator ratio; token 1 unigram,
+  // token 2 bigram-KN, token 3 trigram-KN, tokens 4+ 4-gram —
+  // conservation by construction
+  private val knFourgramQualitySql = {
+    import graft.functions.Portable.sqlWords
+    s"""WITH w0 AS (SELECT doc_id, $sqlWords ws FROM documents),
+       |d AS (SELECT doc_id, ws FROM w0 WHERE len(ws) >= 1),
+       |tok AS (SELECT doc_id, unnest(ws) w FROM d),
+       |c AS (SELECT w, CAST(count(*) AS BIGINT) cnt FROM tok GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) n_total FROM tok),
+       |bg AS (SELECT doc_id, ws[i] u, ws[i + 1] v
+       |       FROM d, LATERAL unnest(range(1, len(ws))) t(i)
+       |       WHERE len(ws) >= 2),
+       |cb AS (SELECT u, v, CAST(count(*) AS BIGINT) cuv
+       |       FROM bg GROUP BY 1, 2),
+       |cu AS (SELECT u, CAST(sum(cuv) AS BIGINT) cu,
+       |         CAST(count(*) AS BIGINT) n1u FROM cb GROUP BY 1),
+       |nv AS (SELECT v, CAST(count(*) AS BIGINT) n1v FROM cb GROUP BY 1),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) t_types FROM cb),
+       |tg AS (SELECT doc_id, ws[i] u, ws[i + 1] v, ws[i + 2] w
+       |       FROM d, LATERAL unnest(range(1, len(ws) - 1)) t(i)
+       |       WHERE len(ws) >= 3),
+       |t3 AS (SELECT doc_id, u, v, w, CAST(count(*) AS BIGINT) ttf
+       |       FROM tg GROUP BY 1, 2, 3, 4),
+       |c3 AS (SELECT u, v, w, CAST(sum(ttf) AS BIGINT) ctf
+       |       FROM t3 GROUP BY 1, 2, 3),
+       |cx AS (SELECT u, v, CAST(sum(ctf) AS BIGINT) c2x,
+       |         CAST(count(*) AS BIGINT) n1p_uv FROM c3 GROUP BY 1, 2),
+       |pw AS (SELECT v, w, CAST(count(*) AS BIGINT) cpvw
+       |       FROM c3 GROUP BY 1, 2),
+       |pc AS (SELECT v, CAST(sum(cpvw) AS BIGINT) cpv,
+       |         CAST(count(*) AS BIGINT) n1p_v FROM pw GROUP BY 1),
+       |qg AS (SELECT doc_id, ws[i] t, ws[i + 1] u, ws[i + 2] v,
+       |         ws[i + 3] w
+       |       FROM d, LATERAL unnest(range(1, len(ws) - 2)) q(i)
+       |       WHERE len(ws) >= 4),
+       |t4 AS (SELECT doc_id, t, u, v, w, CAST(count(*) AS BIGINT) qtf
+       |       FROM qg GROUP BY 1, 2, 3, 4, 5),
+       |c4 AS (SELECT t, u, v, w, CAST(sum(qtf) AS BIGINT) c4f
+       |       FROM t4 GROUP BY 1, 2, 3, 4),
+       |x3 AS (SELECT t, u, v, CAST(sum(c4f) AS BIGINT) c3x,
+       |         CAST(count(*) AS BIGINT) n1p_tuv FROM c4 GROUP BY 1, 2, 3),
+       |p3 AS (SELECT u, v, w, CAST(count(*) AS BIGINT) cp3
+       |       FROM c4 GROUP BY 1, 2, 3),
+       |pu AS (SELECT u, v, CAST(sum(cp3) AS BIGINT) cpuv,
+       |         CAST(count(*) AS BIGINT) n1pp_uv FROM p3 GROUP BY 1, 2),
+       |f1 AS (SELECT d.doc_id, CAST(1 AS BIGINT) btf,
+       |         length(printf('%b', n_total // cnt)) - 1 bits
+       |       FROM d JOIN c ON c.w = ws[1], n),
+       |f2 AS (SELECT d.doc_id, CAST(1 AS BIGINT) btf,
+       |         length(printf('%b', (4 * cu.cu * t_types)
+       |           // ((4 * cb.cuv - 3) * t_types
+       |               + 3 * cu.n1u * nv.n1v))) - 1 bits
+       |       FROM d JOIN cb ON cb.u = ws[1] AND cb.v = ws[2]
+       |         JOIN cu ON cu.u = ws[1] JOIN nv ON nv.v = ws[2], ty
+       |       WHERE len(ws) >= 2),
+       |f3 AS (SELECT d.doc_id, CAST(1 AS BIGINT) btf,
+       |         length(printf('%b', (16 * cx.c2x * pc.cpv * t_types)
+       |           // ((4 * c3.ctf - 3) * 4 * pc.cpv * t_types
+       |               + 3 * cx.n1p_uv * ((4 * pw.cpvw - 3) * t_types
+       |                 + 3 * pc.n1p_v * nv.n1v)))) - 1 bits
+       |       FROM d
+       |         JOIN c3 ON c3.u = ws[1] AND c3.v = ws[2] AND c3.w = ws[3]
+       |         JOIN cx ON cx.u = ws[1] AND cx.v = ws[2]
+       |         JOIN pw ON pw.v = ws[2] AND pw.w = ws[3]
+       |         JOIN pc ON pc.v = ws[2]
+       |         JOIN nv ON nv.v = ws[3], ty
+       |       WHERE len(ws) >= 3),
+       |f4 AS (SELECT t4.doc_id, t4.qtf btf,
+       |         length(printf('%b',
+       |           (64 * x3.c3x * pu.cpuv * pc.cpv * t_types)
+       |           // ((4 * c4.c4f - 3) * 16 * pu.cpuv * pc.cpv * t_types
+       |               + 3 * x3.n1p_tuv * ((4 * p3.cp3 - 3) * 4 * pc.cpv
+       |                   * t_types
+       |                 + 3 * pu.n1pp_uv * ((4 * pw.cpvw - 3) * t_types
+       |                   + 3 * pc.n1p_v * nv.n1v))))) - 1 bits
+       |       FROM t4
+       |         JOIN c4 ON c4.t = t4.t AND c4.u = t4.u AND c4.v = t4.v
+       |           AND c4.w = t4.w
+       |         JOIN x3 ON x3.t = t4.t AND x3.u = t4.u AND x3.v = t4.v
+       |         JOIN p3 ON p3.u = t4.u AND p3.v = t4.v AND p3.w = t4.w
+       |         JOIN pu ON pu.u = t4.u AND pu.v = t4.v
+       |         JOIN pw ON pw.v = t4.v AND pw.w = t4.w
+       |         JOIN pc ON pc.v = t4.v
+       |         JOIN nv ON nv.v = t4.w, ty),
+       |s AS (SELECT doc_id, CAST(sum(btf) AS BIGINT) n_tokens,
+       |        CAST(sum(btf * bits) AS BIGINT) sum_bits,
+       |        CAST(sum(btf * bits) * 1000 // sum(btf) AS BIGINT)
+       |          surprisal_milli
+       |      FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+       |            UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+       |      GROUP BY 1),
+       |h AS (SELECT surprisal_milli sv, count(*) cnt FROM s GROUP BY 1),
+       |cc AS (SELECT sv, CAST(sum(cnt) OVER (ORDER BY sv
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM h),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) n FROM s),
+       |t AS (SELECT min(CASE WHEN cum * 3 >= n THEN sv END) t1,
+       |        min(CASE WHEN cum * 3 >= 2 * n THEN sv END) t2
+       |      FROM cc, nn)
+       |SELECT doc_id, n_tokens, sum_bits, surprisal_milli,
+       |  CASE WHEN surprisal_milli <= t1 THEN 'head'
+       |       WHEN surprisal_milli <= t2 THEN 'middle'
+       |       ELSE 'tail' END bucket
+       |FROM s, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_ccnet_buckets" -> ccnetBuckets,
     "q225_gram_novelty" -> gramNovelty,
@@ -827,7 +1118,8 @@ object Quality {
     "q243_repeat_epochs" -> repeatEpochs,
     "q229_bigram_quality" -> bigramQuality,
     "q236_kn_quality" -> knBigramQuality,
-    "q250_kn3_quality" -> knTrigramQuality)
+    "q250_kn3_quality" -> knTrigramQuality,
+    "q254_kn4_quality" -> knFourgramQuality)
 
   val oracle: Map[String, String] = Map(
     "q224_ccnet_buckets" -> ccnetBucketsSql,
@@ -837,5 +1129,6 @@ object Quality {
     "q243_repeat_epochs" -> repeatEpochsSql,
     "q229_bigram_quality" -> bigramQualitySql,
     "q236_kn_quality" -> knBigramQualitySql,
-    "q250_kn3_quality" -> knTrigramQualitySql)
+    "q250_kn3_quality" -> knTrigramQualitySql,
+    "q254_kn4_quality" -> knFourgramQualitySql)
 }

@@ -295,4 +295,96 @@ class QualitySpec extends AnyFunSuite {
     assert(got.exists(r => bi(r._1)._2 != r._5),
       "trigram KN terciles identical to bigram KN — no added stratification")
   }
+
+  test("q254 4-gram KN: local replay, conservation, 4-gram context adds signal over trigram KN") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (w, g) =>
+      w -> g.length.toLong }
+    val nTotal = docs.map(_._2.length.toLong).sum
+    val bgAll = docs.flatMap(_._2.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val cuv = bgAll.groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+    val cu = bgAll.groupBy(_._1).map { case (u, g) => u -> g.length.toLong }
+    val n1u = cuv.keys.toSeq.groupBy(_._1).map { case (u, g) => u -> g.length.toLong }
+    val n1v = cuv.keys.toSeq.groupBy(_._2).map { case (v, g) => v -> g.length.toLong }
+    val tTypes = cuv.size.toLong
+    val tgAll = docs.flatMap(_._2.sliding(3).filter(_.length == 3)
+      .map(t => (t(0), t(1), t(2))))
+    val c3 = tgAll.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val ctxUv = c3.toSeq.groupBy(t => (t._1._1, t._1._2)).map { case (uv, g) =>
+      uv -> (g.map(_._2).sum, g.length.toLong) } // (c2x, n1p_uv)
+    val contVw = c3.keys.toSeq.groupBy(t => (t._2, t._3)).map { case (vw, g) =>
+      vw -> g.length.toLong } // N1-(·vw)
+    val contV = contVw.toSeq.groupBy(_._1._1).map { case (v, g) =>
+      v -> (g.map(_._2).sum, g.length.toLong) } // (c'(v), N1+(v·))
+    val qgAll = docs.flatMap(_._2.sliding(4).filter(_.length == 4)
+      .map(q => (q(0), q(1), q(2), q(3))))
+    val c4 = qgAll.groupBy(identity).map { case (q, g) => q -> g.length.toLong }
+    val ctx3 = c4.toSeq.groupBy(q => (q._1._1, q._1._2, q._1._3))
+      .map { case (tuv, g) =>
+        tuv -> (g.map(_._2).sum, g.length.toLong) } // (c3x, N1+(tuv·))
+    val cp3 = c4.keys.toSeq.groupBy(q => (q._2, q._3, q._4))
+      .map { case (uvw, g) => uvw -> g.length.toLong } // N1-(·uvw)
+    val cpUv = cp3.toSeq.groupBy(t => (t._1._1, t._1._2)).map { case (uv, g) =>
+      uv -> (g.map(_._2).sum, g.length.toLong) } // (c'(uv), N1+'(uv·))
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length - 1L
+    def triBits(u: String, v: String, w: String): Long = {
+      val (c2x, n1pUv) = ctxUv((u, v))
+      val (cpv, n1pV) = contV(v)
+      bits(16L * c2x * cpv * tTypes /
+        ((4L * c3((u, v, w)) - 3L) * 4L * cpv * tTypes +
+          3L * n1pUv * ((4L * contVw((v, w)) - 3L) * tTypes +
+            3L * n1pV * n1v(w))))
+    }
+    val local = docs.map { case (id, ws) =>
+      val first = bits(nTotal / uni(ws.head))
+      val second = if (ws.length >= 2) {
+        val (u, v) = (ws(0), ws(1))
+        bits(4L * cu(u) * tTypes /
+          ((4L * cuv((u, v)) - 3L) * tTypes + 3L * n1u(u) * n1v(v)))
+      } else 0L
+      val third =
+        if (ws.length >= 3) triBits(ws(0), ws(1), ws(2)) else 0L
+      val rest = ws.sliding(4).filter(_.length == 4).map { q =>
+        val (t, u, v, w) = (q(0), q(1), q(2), q(3))
+        val (c3x, n1pTuv) = ctx3((t, u, v))
+        val (cpuv, n1ppUv) = cpUv((u, v))
+        val (cpv, n1pV) = contV(v)
+        bits(64L * c3x * cpuv * cpv * tTypes /
+          ((4L * c4((t, u, v, w)) - 3L) * 16L * cpuv * cpv * tTypes +
+            3L * n1pTuv * ((4L * cp3((u, v, w)) - 3L) * 4L * cpv * tTypes +
+              3L * n1ppUv * ((4L * contVw((v, w)) - 3L) * tTypes +
+                3L * n1pV * n1v(w)))))
+      }.sum
+      (id, ws.length.toLong, first + second + third + rest)
+    }.map { case (id, n, sb) => (id, n, sb, sb * 1000 / n) }
+    val n = local.length
+    val sorted = local.map(_._4).sorted
+    def cut(k: Int): Long =
+      sorted.find(v => sorted.count(_ <= v) * 3 >= n * k).get
+    val (t1, t2) = (cut(1), cut(2))
+    val expected = local.map { case (id, nt, sb, s) =>
+      (id, nt, sb, s,
+        if (s <= t1) "head" else if (s <= t2) "middle" else "tail")
+    }.toSet
+    val got = Quality.knFourgramQuality(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got === expected, "4-gram KN diverged from the local LM")
+    // token conservation: 1 uni + 1 bi + 1 tri + (n−3) 4-gram scores
+    // per n-word document
+    assert(got.toSeq.map(_._2).sum === nTotal)
+    assert(got.groupBy(_._5).keySet === Set("head", "middle", "tail"))
+    // the 4↔3 disagreement diagonal must be non-empty — measured 66%
+    // of sf0.01 docs move tercile, the justification for the order
+    val tri = Quality.knTrigramQuality(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(got.exists(r => tri(r._1)._1 != r._4),
+      "4-gram KN scores identical to trigram KN — context inert")
+    assert(got.exists(r => tri(r._1)._2 != r._5),
+      "4-gram KN terciles identical to trigram KN — no added stratification")
+  }
 }
