@@ -105,13 +105,11 @@ object QueryTraits {
     "q224_ccnet_buckets",
     "q227_bucket_budget",
     "q228_bpe_train",
-    "q229_bigram_quality",
     "q230_bloom_get",
     "q231_pack_ablation",
     "q232_heldout_audit",
     "q233_leveled_compact",
     "q235_release_decontam",
-    "q236_kn_quality",
     "q237_tombstone_erase",
     "q238_tombstone_purge",
     "q239_frame_seek",
@@ -120,10 +118,8 @@ object QueryTraits {
     "q245_icp_release",
     "q246_shipped_coherence",
     "q249_classifier_eval",
-    "q250_kn3_quality",
     "q251_salvage_scan",
     "q253_stream_model_gate",
-    "q254_kn4_quality",
     "q28_stream_window",
     "q29_sink_roundtrip",
     "q30_proto_source",

@@ -58,6 +58,117 @@ object Quality {
       .drop("t1", "t2")
   }
 
+  /** THE SHARED N-GRAM COUNT TABLES of the KN quality ladder
+    * (q229/q236/q250/q254) — tokenized docs, the doc-grain n-gram
+    * term frequencies, and every type-grain fold — factored into ONE
+    * session fixture (the q54-closure discipline): before r13 each
+    * stratifier rebuilt the whole stack per invocation, so the ladder
+    * paid up to 4× for counts that are bit-identical by construction.
+    * Consumers keep their scoring joins and oracles untouched — the
+    * fixture holds exactly the values the inline chains computed, so
+    * every hash is unchanged; only the recompute disappears.
+    *
+    * Scale: these tables are the LM a production CCNet-style filter
+    * trains once and ships (vocab/n-gram-grain, KBs–GBs at 100 TB
+    * corpus scale, never corpus-grain); materializing them once per
+    * session is the train-once/score-everywhere shape the fixture
+    * family exists for. Build cost stays visible to SCALE.md via the
+    * `fixture:ngram_tables` audit row (the deepest chain — the other
+    * tables are prefixes of it or cheaper folds).
+    */
+  private[graft] final case class NgramTables(
+      d: DataFrame, uni: DataFrame, total: DataFrame,
+      bt: DataFrame, cb: DataFrame, cu: DataFrame, nv: DataFrame,
+      types: DataFrame,
+      t3: DataFrame, c3: DataFrame, ctx: DataFrame,
+      contVw: DataFrame, contV: DataFrame,
+      t4: DataFrame, c4: DataFrame, ctx3: DataFrame,
+      cp3: DataFrame, cpUv: DataFrame)
+
+  private[graft] def ngramTables(spark: SparkSession, dir: String,
+      eager: Boolean): NgramTables = {
+    import graft.operators.Checkpoints.CpOps
+    import graft.sources.Tables
+    def k(df: DataFrame): DataFrame = df.cp(eager = eager)
+    val d = k(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 1))
+    val tok = d.select(col("doc_id"), explode(col("ws")).as("w"))
+    val uni = k(tok.groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    // total/types stay LAZY global aggregates over the cached
+    // vocab-grain tables (cheap folds, identical values): their
+    // consumers cross-join them via withScalar, and the cartesian
+    // kill-switch proves a broadcast side bounded only when the plan
+    // SHOWS the one-row aggregate — a checkpointed scan would read as
+    // an unbounded NL join even though it holds one row
+    val total = uni.agg(sum(col("cnt")).as("n_total"))
+    val bt = k(d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("u"),
+            element_at(col("ws"), i + 1).as("v")))).as("p"))
+      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("btf")))
+    val cb = k(bt.groupBy(col("u"), col("v")).agg(sum(col("btf")).as("cuv")))
+    val cu = k(cb.groupBy(col("u")).agg(sum(col("cuv")).as("cu"),
+      count(lit(1)).as("n1u")))
+    val nv = k(cb.groupBy(col("v")).agg(count(lit(1)).as("n1v")))
+    val types = cb.agg(count(lit(1)).as("t_types")) // lazy — see total
+    val t3 = k(d.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 2), i =>
+          struct(element_at(col("ws"), i).as("u"),
+            element_at(col("ws"), i + 1).as("v"),
+            element_at(col("ws"), i + 2).as("w")))).as("p"))
+      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"),
+        col("p.w").as("w"))
+      .agg(count(lit(1)).as("ttf")))
+    val c3 = k(t3.groupBy(col("u"), col("v"), col("w"))
+      .agg(sum(col("ttf")).as("ctf")))
+    val ctx = k(c3.groupBy(col("u"), col("v"))
+      .agg(sum(col("ctf")).as("c2x"), count(lit(1)).as("n1p_uv")))
+    val contVw = k(c3.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("cpvw")))
+    val contV = k(contVw.groupBy(col("v"))
+      .agg(sum(col("cpvw")).as("cpv"), count(lit(1)).as("n1p_v")))
+    val t4 = k(d.filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 3), i =>
+          struct(element_at(col("ws"), i).as("t"),
+            element_at(col("ws"), i + 1).as("u"),
+            element_at(col("ws"), i + 2).as("v"),
+            element_at(col("ws"), i + 3).as("w")))).as("p"))
+      .groupBy(col("doc_id"), col("p.t").as("t"), col("p.u").as("u"),
+        col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("qtf")))
+    val c4 = k(t4.groupBy(col("t"), col("u"), col("v"), col("w"))
+      .agg(sum(col("qtf")).as("c4f")))
+    val ctx3 = k(c4.groupBy(col("t"), col("u"), col("v"))
+      .agg(sum(col("c4f")).as("c3x"), count(lit(1)).as("n1p_tuv")))
+    val cp3 = k(c4.groupBy(col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("cp3")))
+    val cpUv = k(cp3.groupBy(col("u"), col("v"))
+      .agg(sum(col("cp3")).as("cpuv"), count(lit(1)).as("n1pp_uv")))
+    NgramTables(d, uni, total, bt, cb, cu, nv, types,
+      t3, c3, ctx, contVw, contV, t4, c4, ctx3, cp3, cpUv)
+  }
+
+  private val ngramFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), NgramTables]
+  private val ngramLock = new Object
+
+  SessionCaches.registerMap(ngramLock, ngramFixtures)
+
+  private[graft] def ngramTablesCached(spark: SparkSession,
+      dir: String): NgramTables =
+    ngramLock.synchronized {
+      val app = spark.sparkContext.applicationId
+      SimSearch.evictStale(ngramFixtures, (k: (String, String)) => k._1, app)
+      ngramFixtures.getOrElseUpdate((app, dir),
+        ngramTables(spark, dir, eager = true))
+    }
+
   /** q229: INTERPOLATED BIGRAM-LM QUALITY — the fidelity upgrade the
     * q94 unigram score approximates (CCNet's actual filter is an
     * n-gram LM): each document's mean per-token surprisal under the
@@ -92,39 +203,20 @@ object Quality {
     * bits-difference form on decimals rather than silently wrapping.
     */
   def bigramQuality(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Checkpoints.CpOps
-    import graft.sources.Tables
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.Portable.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 1)
-      .cp()
-    val tok = d.select(col("doc_id"), explode(col("ws")).as("w"))
-    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
-    // doc-grain bigram tf (the q94 tf discipline: LM folds and the
-    // scoring join both run at type grain, weighted by btf)
-    val bt = d.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 1), i =>
-          struct(element_at(col("ws"), i).as("u"),
-            element_at(col("ws"), i + 1).as("v")))).as("p"))
-      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
-      .agg(count(lit(1)).as("btf"))
-      .cp()
-    val cuv = bt.groupBy(col("u"), col("v")).agg(sum(col("btf")).as("cuv"))
-    val cu = cuv.groupBy(col("u")).agg(sum(col("cuv")).as("cu"))
-    val fb = d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
+    // counts from the shared session fixture (r13) — same values the
+    // inline chain computed, oracle unchanged
+    val nt = ngramTablesCached(spark, dir)
+    val fb = nt.d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
         lit(1L).as("btf"))
-      .join(uni, "w")
-      .transform(withScalar(_, total))
+      .join(nt.uni, "w")
+      .transform(withScalar(_, nt.total))
       .select(col("doc_id"), col("btf"),
         expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
-    val bb = bt
-      .join(cuv, Seq("u", "v"))
-      .join(cu, Seq("u"))
-      .join(uni.withColumnRenamed("w", "v"), Seq("v"))
-      .transform(withScalar(_, total))
+    val bb = nt.bt
+      .join(nt.cb, Seq("u", "v"))
+      .join(nt.cu, Seq("u"))
+      .join(nt.uni.withColumnRenamed("w", "v"), Seq("v"))
+      .transform(withScalar(_, nt.total))
       .select(col("doc_id"), col("btf"),
         when(col("n_total").cast("double") * col("n_total") * 2 >
             Long.MaxValue.toDouble,
@@ -167,41 +259,20 @@ object Quality {
     * past that the deployment widens to decimals rather than wrap.
     */
   def knBigramQuality(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Checkpoints.CpOps
-    import graft.sources.Tables
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.Portable.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 1)
-      .cp()
-    val tok = d.select(col("doc_id"), explode(col("ws")).as("w"))
-    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
-    val bt = d.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 1), i =>
-          struct(element_at(col("ws"), i).as("u"),
-            element_at(col("ws"), i + 1).as("v")))).as("p"))
-      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
-      .agg(count(lit(1)).as("btf"))
-      .cp()
-    val cuv = bt.groupBy(col("u"), col("v")).agg(sum(col("btf")).as("cuv"))
-      .cp() // feeds cu, both continuation folds, the type count, AND the scoring join
-    val cu = cuv.groupBy(col("u")).agg(sum(col("cuv")).as("cu"),
-      count(lit(1)).as("n1u"))
-    val n1v = cuv.groupBy(col("v")).agg(count(lit(1)).as("n1v"))
-    val types = cuv.agg(count(lit(1)).as("t_types"))
-    val fb = d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
+    // counts from the shared session fixture (r13) — same values the
+    // inline chain computed, oracle unchanged
+    val nt = ngramTablesCached(spark, dir)
+    val fb = nt.d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
         lit(1L).as("btf"))
-      .join(uni, "w")
-      .transform(withScalar(_, total))
+      .join(nt.uni, "w")
+      .transform(withScalar(_, nt.total))
       .select(col("doc_id"), col("btf"),
         expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
-    val bb = bt
-      .join(cuv, Seq("u", "v"))
-      .join(cu, Seq("u"))
-      .join(n1v, Seq("v"))
-      .transform(withScalar(_, types))
+    val bb = nt.bt
+      .join(nt.cb, Seq("u", "v"))
+      .join(nt.cu, Seq("u"))
+      .join(nt.nv, Seq("v"))
+      .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("btf"),
         when(col("cu").cast("double") * col("t_types") * 4 >
             Long.MaxValue.toDouble,
@@ -256,66 +327,24 @@ object Quality {
     * decimals rather than wrap.
     */
   def knTrigramQuality(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Checkpoints.CpOps
-    import graft.sources.Tables
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.Portable.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 1)
-      .cp()
-    val tok = d.select(col("doc_id"), explode(col("ws")).as("w"))
-    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
-    // bigram level — q236's tables verbatim (token 2 + the backoff's
-    // unigram vocabulary)
-    val bg = d.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 1), i =>
-          struct(element_at(col("ws"), i).as("u"),
-            element_at(col("ws"), i + 1).as("v")))).as("p"))
-      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
-    val cb = bg.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cuv"))
-      .cp() // feeds cu, n1v, the type count AND the token-2 join
-    val cu = cb.groupBy(col("u")).agg(sum(col("cuv")).as("cu"),
-      count(lit(1)).as("n1u"))
-    val nv = cb.groupBy(col("v")).agg(count(lit(1)).as("n1v"))
-    val types = cb.agg(count(lit(1)).as("t_types"))
-    // trigram level: doc-grain tf, corpus counts, context and
-    // continuation folds
-    val t3 = d.filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 2), i =>
-          struct(element_at(col("ws"), i).as("u"),
-            element_at(col("ws"), i + 1).as("v"),
-            element_at(col("ws"), i + 2).as("w")))).as("p"))
-      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"),
-        col("p.w").as("w"))
-      .agg(count(lit(1)).as("ttf"))
-      .cp()
-    val c3 = t3.groupBy(col("u"), col("v"), col("w"))
-      .agg(sum(col("ttf")).as("ctf"))
-      .cp() // feeds ctx, both continuation folds AND the scoring join
-    val ctx = c3.groupBy(col("u"), col("v"))
-      .agg(sum(col("ctf")).as("c2x"), count(lit(1)).as("n1p_uv"))
-    val contVw = c3.groupBy(col("v"), col("w"))
-      .agg(count(lit(1)).as("cpvw")) // N1-(·vw): distinct left contexts
-    val contV = contVw.groupBy(col("v"))
-      .agg(sum(col("cpvw")).as("cpv"), count(lit(1)).as("n1p_v"))
+    // counts from the shared session fixture (r13) — same values the
+    // inline chain computed, oracle unchanged
+    val nt = ngramTablesCached(spark, dir)
     // token 1: unigram kernel (q94)
-    val f1 = d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
+    val f1 = nt.d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
         lit(1L).as("btf"))
-      .join(uni, "w")
-      .transform(withScalar(_, total))
+      .join(nt.uni, "w")
+      .transform(withScalar(_, nt.total))
       .select(col("doc_id"), col("btf"),
         expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
     // token 2: q236's bigram-KN kernel over the doc's FIRST bigram
-    val f2 = d.filter(size(col("ws")) >= 2)
+    val f2 = nt.d.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), element_at(col("ws"), 1).as("u"),
         element_at(col("ws"), 2).as("v"), lit(1L).as("btf"))
-      .join(cb, Seq("u", "v"))
-      .join(cu, Seq("u"))
-      .join(nv, Seq("v"))
-      .transform(withScalar(_, types))
+      .join(nt.cb, Seq("u", "v"))
+      .join(nt.cu, Seq("u"))
+      .join(nt.nv, Seq("v"))
+      .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("btf"),
         when(col("cu").cast("double") * col("t_types") * 4 >
             Long.MaxValue.toDouble,
@@ -325,13 +354,13 @@ object Quality {
             "((4 * cuv - 3) * t_types + 3 * n1u * n1v))) - 1"))
           .as("bits"))
     // tokens 3+: the trigram chain over the common denominator
-    val f3 = t3
-      .join(c3, Seq("u", "v", "w"))
-      .join(ctx, Seq("u", "v"))
-      .join(contVw, Seq("v", "w"))
-      .join(contV, Seq("v"))
-      .join(nv.withColumnRenamed("v", "w"), Seq("w"))
-      .transform(withScalar(_, types))
+    val f3 = nt.t3
+      .join(nt.c3, Seq("u", "v", "w"))
+      .join(nt.ctx, Seq("u", "v"))
+      .join(nt.contVw, Seq("v", "w"))
+      .join(nt.contV, Seq("v"))
+      .join(nt.nv.withColumnRenamed("v", "w"), Seq("w"))
+      .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("ttf").as("btf"),
         when(col("c2x").cast("double") * col("cpv") * col("t_types") * 16 >
             Long.MaxValue.toDouble,
@@ -393,87 +422,24 @@ object Quality {
     * rather than wrap.
     */
   def knFourgramQuality(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Checkpoints.CpOps
-    import graft.sources.Tables
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.Portable.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 1)
-      .cp()
-    val tok = d.select(col("doc_id"), explode(col("ws")).as("w"))
-    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
-    // bigram + trigram levels — q250's tables verbatim
-    val bg = d.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 1), i =>
-          struct(element_at(col("ws"), i).as("u"),
-            element_at(col("ws"), i + 1).as("v")))).as("p"))
-      .select(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
-    val cb = bg.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cuv"))
-      .cp()
-    val cu = cb.groupBy(col("u")).agg(sum(col("cuv")).as("cu"),
-      count(lit(1)).as("n1u"))
-    val nv = cb.groupBy(col("v")).agg(count(lit(1)).as("n1v"))
-    val types = cb.agg(count(lit(1)).as("t_types"))
-    val t3 = d.filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 2), i =>
-          struct(element_at(col("ws"), i).as("u"),
-            element_at(col("ws"), i + 1).as("v"),
-            element_at(col("ws"), i + 2).as("w")))).as("p"))
-      .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"),
-        col("p.w").as("w"))
-      .agg(count(lit(1)).as("ttf"))
-      .cp()
-    val c3 = t3.groupBy(col("u"), col("v"), col("w"))
-      .agg(sum(col("ttf")).as("ctf"))
-      .cp()
-    val ctx = c3.groupBy(col("u"), col("v"))
-      .agg(sum(col("ctf")).as("c2x"), count(lit(1)).as("n1p_uv"))
-    val contVw = c3.groupBy(col("v"), col("w"))
-      .agg(count(lit(1)).as("cpvw"))
-    val contV = contVw.groupBy(col("v"))
-      .agg(sum(col("cpvw")).as("cpv"), count(lit(1)).as("n1p_v"))
-    // 4-gram level: doc-grain tf, corpus counts, context fold, and the
-    // TRIGRAM CONTINUATION tables (distinct left contexts inside
-    // 4-grams) the backed-off trigram level runs on
-    val t4 = d.filter(size(col("ws")) >= 4)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 3), i =>
-          struct(element_at(col("ws"), i).as("t"),
-            element_at(col("ws"), i + 1).as("u"),
-            element_at(col("ws"), i + 2).as("v"),
-            element_at(col("ws"), i + 3).as("w")))).as("p"))
-      .groupBy(col("doc_id"), col("p.t").as("t"), col("p.u").as("u"),
-        col("p.v").as("v"), col("p.w").as("w"))
-      .agg(count(lit(1)).as("qtf"))
-      .cp()
-    val c4 = t4.groupBy(col("t"), col("u"), col("v"), col("w"))
-      .agg(sum(col("qtf")).as("c4f"))
-      .cp() // feeds ctx3, the continuation fold AND the scoring join
-    val ctx3 = c4.groupBy(col("t"), col("u"), col("v"))
-      .agg(sum(col("c4f")).as("c3x"), count(lit(1)).as("n1p_tuv"))
-    val cp3 = c4.groupBy(col("u"), col("v"), col("w"))
-      .agg(count(lit(1)).as("cp3")) // N1-(·uvw): distinct left contexts
-      .cp()
-    val cpUv = cp3.groupBy(col("u"), col("v"))
-      .agg(sum(col("cp3")).as("cpuv"), count(lit(1)).as("n1pp_uv"))
+    // counts from the shared session fixture (r13) — same values the
+    // inline chain computed, oracle unchanged
+    val nt = ngramTablesCached(spark, dir)
     // token 1: unigram kernel (q94)
-    val f1 = d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
+    val f1 = nt.d.select(col("doc_id"), element_at(col("ws"), 1).as("w"),
         lit(1L).as("btf"))
-      .join(uni, "w")
-      .transform(withScalar(_, total))
+      .join(nt.uni, "w")
+      .transform(withScalar(_, nt.total))
       .select(col("doc_id"), col("btf"),
         expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
     // token 2: q236's bigram-KN kernel over the doc's first bigram
-    val f2 = d.filter(size(col("ws")) >= 2)
+    val f2 = nt.d.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), element_at(col("ws"), 1).as("u"),
         element_at(col("ws"), 2).as("v"), lit(1L).as("btf"))
-      .join(cb, Seq("u", "v"))
-      .join(cu, Seq("u"))
-      .join(nv, Seq("v"))
-      .transform(withScalar(_, types))
+      .join(nt.cb, Seq("u", "v"))
+      .join(nt.cu, Seq("u"))
+      .join(nt.nv, Seq("v"))
+      .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("btf"),
         when(col("cu").cast("double") * col("t_types") * 4 >
             Long.MaxValue.toDouble,
@@ -483,16 +449,16 @@ object Quality {
             "((4 * cuv - 3) * t_types + 3 * n1u * n1v))) - 1"))
           .as("bits"))
     // token 3: q250's trigram-KN kernel over the doc's first trigram
-    val f3 = d.filter(size(col("ws")) >= 3)
+    val f3 = nt.d.filter(size(col("ws")) >= 3)
       .select(col("doc_id"), element_at(col("ws"), 1).as("u"),
         element_at(col("ws"), 2).as("v"),
         element_at(col("ws"), 3).as("w"), lit(1L).as("btf"))
-      .join(c3, Seq("u", "v", "w"))
-      .join(ctx, Seq("u", "v"))
-      .join(contVw, Seq("v", "w"))
-      .join(contV, Seq("v"))
-      .join(nv.withColumnRenamed("v", "w"), Seq("w"))
-      .transform(withScalar(_, types))
+      .join(nt.c3, Seq("u", "v", "w"))
+      .join(nt.ctx, Seq("u", "v"))
+      .join(nt.contVw, Seq("v", "w"))
+      .join(nt.contV, Seq("v"))
+      .join(nt.nv.withColumnRenamed("v", "w"), Seq("w"))
+      .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("btf"),
         when(col("c2x").cast("double") * col("cpv") * col("t_types") * 16 >
             Long.MaxValue.toDouble,
@@ -504,15 +470,15 @@ object Quality {
             "+ 3 * n1p_v * n1v)))) - 1"))
           .as("bits"))
     // tokens 4+: the 4-gram chain over the common denominator
-    val f4 = t4
-      .join(c4, Seq("t", "u", "v", "w"))
-      .join(ctx3, Seq("t", "u", "v"))
-      .join(cp3, Seq("u", "v", "w"))
-      .join(cpUv, Seq("u", "v"))
-      .join(contVw, Seq("v", "w"))
-      .join(contV, Seq("v"))
-      .join(nv.withColumnRenamed("v", "w"), Seq("w"))
-      .transform(withScalar(_, types))
+    val f4 = nt.t4
+      .join(nt.c4, Seq("t", "u", "v", "w"))
+      .join(nt.ctx3, Seq("t", "u", "v"))
+      .join(nt.cp3, Seq("u", "v", "w"))
+      .join(nt.cpUv, Seq("u", "v"))
+      .join(nt.contVw, Seq("v", "w"))
+      .join(nt.contV, Seq("v"))
+      .join(nt.nv.withColumnRenamed("v", "w"), Seq("w"))
+      .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("qtf").as("btf"),
         when(col("c3x").cast("double") * col("cpuv") * col("cpv") *
             col("t_types") * 64 > Long.MaxValue.toDouble,
@@ -630,13 +596,18 @@ object Quality {
     */
   private[graft] def auditPlans(spark: SparkSession,
       dir: String): Seq[(String, DataFrame)] =
-    Seq("fixture:eval_slate" -> evalSlate(spark, dir))
+    Seq("fixture:eval_slate" -> evalSlate(spark, dir),
+      // the n-gram fixture's deepest chain (docs → 4-gram tf → type
+      // counts); the bigram/trigram chains are shape-prefixes of it
+      // and the remaining tables are vocab-grain folds
+      "fixture:ngram_tables" -> ngramTables(spark, dir, eager = false).c4)
 
   /** Bench prelude hook (see [[DedupClusters.warmFixtures]] for why
     * this is required, not optional).
     */
   def warmFixtures(spark: SparkSession, dir: String): Unit = {
     evalSlateCached(spark, dir)
+    ngramTablesCached(spark, dir)
     ()
   }
 
