@@ -133,14 +133,25 @@ object Quarantine {
       .mapPartitions { it =>
         val conf = ProtoZstFiles.hadoopConf()
         it.map { case (name, attested, idx, start, end) =>
-          val p = new org.apache.hadoop.fs.Path(out, name)
-          val fs = p.getFileSystem(conf)
-          val st = fs.open(p)
-          val in: java.io.InputStream =
-            if (end < 0L) st
-            else { st.seek(start); new graft.sources.BoundedIn(st, end - start) }
+          // salvage NEVER throws: a file that cannot even be opened or
+          // seeked (vanished bytes, a file shrunk past its sidecar's
+          // recorded offsets — exactly the damage salvage exists for)
+          // is a maximally-suspect verdict, not a task failure
           val (rows, cells, good, broken) =
-            try salvageFile(in) finally st.close()
+            try {
+              val p = new org.apache.hadoop.fs.Path(out, name)
+              val fs = p.getFileSystem(conf)
+              val st = fs.open(p)
+              try {
+                val in: java.io.InputStream =
+                  if (end < 0L) st
+                  else {
+                    st.seek(start)
+                    new graft.sources.BoundedIn(st, end - start)
+                  }
+                salvageFile(in)
+              } finally st.close()
+            } catch { case _: Exception => (0L, 0L, 0L, true) }
           (name, attested, idx, rows, cells, good, broken)
         }
       }

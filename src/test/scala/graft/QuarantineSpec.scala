@@ -197,6 +197,46 @@ class QuarantineSpec extends AnyFunSuite {
       s"mid-file rot must salvage a strict prefix, got ${rottedSliced._1}")
   }
 
+  test("a vanished file yields a suspect verdict, never a task failure") {
+    import graft.sources.GenManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar_gone")
+      .toFile.getAbsolutePath
+    writeOneFile(dir, 200)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val data = fs.listStatus(dirPath).map(_.getPath)
+      .filter(_.getName.endsWith(".proto.zst")).head
+    fs.delete(data, false) // bytes gone, manifest still attests the file
+    val v = Quarantine.salvageVerdicts(spark, dir).collect().head
+    assert(v.getAs[Boolean]("suspect"),
+      "a file whose bytes vanished must be flagged, not crash the scan")
+    assert(v.getAs[Long]("n_rows") === 0L &&
+      v.getAs[Long]("good_bytes") === 0L)
+    // and a stale sidecar pointing past the file's REAL end (the file
+    // shrunk in place) must degrade to per-slice verdicts, not throw:
+    // slice starts beyond EOF read as suspect slices of the prefix walk
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_quar_shrunk")
+      .toFile.getAbsolutePath
+    writeOneFile(dir2, 1000)
+    val d2 = new org.apache.hadoop.fs.Path(dir2)
+    val fs2 = d2.getFileSystem(conf)
+    val data2 = fs2.listStatus(d2).map(_.getPath)
+      .filter(_.getName.endsWith(".proto.zst")).head
+    val full = GenManifest.read(dir2, conf).get.dataEntries.head.bytes
+    val keep = new Array[Byte]((full / 4).toInt) // shrink to 25%
+    val in2 = fs2.open(data2)
+    try in2.readFully(keep) finally in2.close()
+    val os2 = fs2.create(data2, true)
+    try os2.write(keep) finally os2.close()
+    // slice against the ATTESTED size: later slices start past EOF
+    val v2 = Quarantine.salvageVerdicts(spark, dir2, full / 6)
+      .collect().head
+    assert(v2.getAs[Boolean]("suspect"))
+    assert(v2.getAs[Long]("n_rows") > 0L &&
+      v2.getAs[Long]("n_rows") < 1000L,
+      s"the surviving prefix must still salvage, got ${v2.getAs[Long]("n_rows")}")
+  }
+
   test("a truncated file salvages its complete-frame prefix and is suspect") {
     val dir = java.nio.file.Files.createTempDirectory("graft_quar_trunc")
       .toFile.getAbsolutePath
