@@ -33,8 +33,8 @@ import graft.sources.Tables
   *     against the same weak labels. One row: accuracies in milli and
   *     the trained-vs-stand-in verdict DISAGREEMENT count — the pin
   *     that ties q216's shipped inference to the trained table (the
-  *     stand-in verdict here is exactly q216's `keep`: sign(sum) ≡
-  *     sign(mean) for n > 0). ClassifierSpec asserts the trained
+  *     verdict form here is exactly q216's `keep`: the raw exact-long
+  *     Σ w·cnt against `ClfThreshold`). ClassifierSpec asserts the trained
   *     model separates the held-out half strictly better.
   *
   * Weak-label training against the engine's OWN rule gate is the
@@ -201,7 +201,8 @@ object Classifier {
   /** q249: held-out audit — the doc_id-odd half scored by the trained
     * weights and by q216's hash-derived stand-in, against the same
     * weak labels. `n_disagree_standin` pins the shipped q216 verdict
-    * (sign(sum) ≡ q216's mean-threshold `keep`) to the trained table.
+    * (the raw exact-long Σ w·cnt ≥ `Curation.ClfThreshold` — no mean,
+    * no float) to the trained table.
     */
   def heldoutEval(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Checkpoints.CpOps

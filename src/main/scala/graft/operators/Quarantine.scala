@@ -97,7 +97,12 @@ object Quarantine {
             cuts.foreach { c =>
               if (c - start >= sliceBytes) { acc += ((start, c)); start = c }
             }
-            acc += ((start, e.bytes))
+            // the FINAL slice is unbounded (end = −1): it reads to
+            // physical EOF, not to the manifest's attested e.bytes, so
+            // bytes APPENDED past the attested length decode (and rot)
+            // exactly as the whole-file walk sees them — the verdict
+            // must not depend on which path the planner picked
+            acc += ((start, -1L))
             if (acc.length == 1) Seq((0L, -1L)) else acc.toSeq
           }
         }
@@ -143,12 +148,10 @@ object Quarantine {
               val fs = p.getFileSystem(conf)
               val st = fs.open(p)
               try {
+                if (start > 0L) st.seek(start)
                 val in: java.io.InputStream =
-                  if (end < 0L) st
-                  else {
-                    st.seek(start)
-                    new graft.sources.BoundedIn(st, end - start)
-                  }
+                  if (end < 0L) st // tail slice / whole file: to real EOF
+                  else new graft.sources.BoundedIn(st, end - start)
                 salvageFile(in)
               } finally st.close()
             } catch { case _: Exception => (0L, 0L, 0L, true) }

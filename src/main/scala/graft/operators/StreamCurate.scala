@@ -196,9 +196,11 @@ object StreamCurate {
     * hashed into [[Curation.ClfBuckets]] buckets) scored against the
     * q248 trained weight table shipped as a broadcast literal map
     * ([[Classifier.modelWeightMap]] — the boiler-inventory
-    * discipline), verdict sign(Σ w) ≥ 0 ≡ sign(Σ w·cnt), the same
-    * verdict q249 audits held-out, q252 deploys per source, and q216
-    * ships per doc. Stateless and shuffle-free: a streaming
+    * discipline), verdict Σ w·cnt ≥ [[Curation.ClfThreshold]] — the
+    * SAME constant q216's batch scorer applies, so the streaming gate
+    * and the batch deploy can never desynchronize on a threshold
+    * change — the same verdict q249 audits held-out, q252 deploys per
+    * source, and q216 ships per doc. Stateless and shuffle-free: a streaming
     * micro-batch pays one codegen span per document, zero stream
     * state — the q104 stream-static shape with the static side
     * collapsed to a literal because the model is bucket-cardinality.
@@ -224,7 +226,7 @@ object StreamCurate {
           Long.MaxValue.toDouble,
         raise_error(lit("q253: max|w|·n_grams exceeds exact-long range " +
           "— normalize per-round deltas before deploying")))
-        .otherwise(score) >= 0
+        .otherwise(score) >= lit(Curation.ClfThreshold)
   }
 
   /** q253: THE STREAMING INGEST WITH THE TRAINED CLASSIFIER DEPLOYED —
@@ -368,10 +370,10 @@ object StreamCurate {
   // s*/m*/d*/wavg; gates: w/q/c/hs/b/nb/rates/gated).
   private lazy val streamModelGateSql =
     Classifier.trainCtes + ",\n" +
-      curateGatesSql.stripPrefix("WITH ") + """,
+      curateGatesSql.stripPrefix("WITH ") + s""",
         |mv AS (SELECT fall.doc_id, CAST(sum(w.w * fall.cnt) AS BIGINT) sc
         |      FROM fall JOIN wavg w USING (b) GROUP BY fall.doc_id),
-        |mk AS (SELECT doc_id FROM mv WHERE sc >= 0)
+        |mk AS (SELECT doc_id FROM mv WHERE sc >= ${Curation.ClfThreshold})
         |SELECT DISTINCT h, lang, shard, n_tokens, n_redactions, boiler_milli
         |FROM gated JOIN mk USING (doc_id)""".stripMargin
 

@@ -648,12 +648,58 @@ object GenManifest {
       entries: Seq[Entry]): Snapshot =
     commit(dir, conf)(_ ++ entries)
 
+  /** Thrown when a [[replace]] finds any of its `remove` names absent
+    * from the manifest it is about to commit against — a concurrent
+    * maintenance commit (another OPTIMIZE, an erasure, a purge, an
+    * expiry) already retired those files, so the caller's staged
+    * rewrite was planned from a table that no longer exists. The
+    * caller must NOT be retried blindly: its staged files may carry
+    * pre-erasure bytes (re-adding them would resurrect erased data) or
+    * duplicate a pack the winner already committed (doubling every
+    * row). The remedy is to RE-PLAN from a fresh snapshot — re-run the
+    * maintenance operation; its abandoned staged files are
+    * manifest-invisible and the regular GC sweep retires them.
+    */
+  final class ConcurrentMaintenanceException(msg: String)
+    extends java.io.IOException(msg)
+
   /** Drop `remove` (by name) and add `add` in one atomic commit — the
     * OPTIMIZE/compaction swap, reduced to a single record publish.
+    *
+    * CONDITIONAL: the commit succeeds only if EVERY `remove` name is
+    * present in the snapshot it applies to — checked on the first
+    * attempt (a caller that planned from a stale read) and on every
+    * publish-race retry (a maintenance commit that landed between this
+    * caller's read and its publish). A missing name throws
+    * [[ConcurrentMaintenanceException]] BEFORE anything publishes;
+    * without the check, the lost-race retry would silently no-op the
+    * removal and append `add` anyway — two racing OPTIMIZEs of the
+    * same smalls would DOUBLE every row, and an OPTIMIZE racing a
+    * packed erasure would RESURRECT the erased victim from its
+    * pre-erasure staged bytes. Append-vs-replace stays retryable as
+    * before: an append landing mid-race removes nothing, so the retry
+    * re-applies cleanly. All eight maintenance call sites (OPTIMIZE,
+    * LCS promote/drain, range erase, TTL expiry, window compaction,
+    * tombstone purge, release pack-erase) surface the refusal — each
+    * is a re-runnable operation whose re-plan IS a fresh invocation.
     */
   def replace(dir: String, conf: org.apache.hadoop.conf.Configuration,
       remove: Set[String], add: Seq[Entry]): Snapshot =
-    commit(dir, conf)(es => es.filterNot(e => remove(e.name)) ++ add)
+    commitLoop(dir, conf) { s =>
+      val have = s.entries.iterator.map(_.name).toSet
+      val missing = remove.diff(have)
+      if (missing.nonEmpty)
+        throw new ConcurrentMaintenanceException(
+          s"replace against $dir lost to a concurrent maintenance " +
+            s"commit: ${missing.size} of ${remove.size} files to " +
+            s"replace are no longer in the manifest (v${s.version}); " +
+            s"missing: ${missing.take(3).mkString(", ")}" +
+            (if (missing.size > 3) ", …" else "") +
+            " — re-plan from a fresh snapshot and re-run")
+      Some((Snapshot(s.version + 1,
+        s.entries.filterNot(e => remove(e.name)) ++ add, s.epochs),
+        Delta(s.version + 1, remove, add.toVector, Vector.empty)))
+    }.getOrElse(throw new IllegalStateException("replace commit skipped"))
 
   /** Best-effort log truncation after committing `committed`: find the
     * newest full snapshot at-or-below the retention horizon and drop

@@ -14,7 +14,7 @@ import graft.operators.Classifier
   * the model-quality claims no equality check can express.
   */
 class ClassifierSpec extends AnyFunSuite {
-  import SparkTestSession.{spark, sf0001, sf001}
+  import SparkTestSession.{spark, sf0001}
 
   /** Train-half accuracy under the weights after `rounds` rounds. */
   private def trainAccMilli(rounds: Int): Long = {

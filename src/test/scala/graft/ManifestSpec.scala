@@ -19,6 +19,37 @@ class ManifestSpec extends AnyFunSuite {
 
   private def conf = ProtoZstFiles.hadoopConf()
 
+  /** Spawn a [[graft.tools.RaceCommit]] racer as a SEPARATE JVM — the
+    * cross-process half of the commit-arbitration proofs.
+    */
+  private def spawnRaceCommit(dir: String, tag: String,
+      extra: String*): Process = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    new ProcessBuilder(
+      (Seq(javaBin) ++
+        // hadoop's local FS needs the same JDK17 opens the test JVM
+        // runs under (build.sbt jdk17AddOpens)
+        Seq("java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.io", "java.base/java.net",
+          "java.base/java.nio", "java.base/java.util",
+          "java.base/java.util.concurrent",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action")
+          .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
+        Seq("-cp", cp, "graft.tools.RaceCommit", dir, tag) ++ extra): _*)
+      .redirectErrorStream(true).start()
+  }
+
+  /** Wait a spawned racer out and return its stdout, failing loudly. */
+  private def drainRacer(p: Process, tag: String): String = {
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      s"racer $tag did not finish: $out")
+    assert(p.exitValue() === 0, s"racer $tag failed:\n$out")
+    out
+  }
+
   test("DSv2 write commits a manifest matching the listing; appends bump the version") {
     val dir = freshDir("graft_man_w")
     Sink.writeNested(CellModel.nestRows(spark, sf0001)
@@ -1101,37 +1132,13 @@ class ManifestSpec extends AnyFunSuite {
       "seed.proto.zst", 1L, 1L, sorted = false, "", "")))
     val v0 = GenManifest.read(dir, conf).get.version
     val n = 12
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    def spawn(tag: String): Process =
-      new ProcessBuilder(
-        (Seq(javaBin) ++
-          // hadoop's local FS needs the same JDK17 opens the test JVM
-          // runs under (build.sbt jdk17AddOpens)
-          Seq("java.base/java.lang", "java.base/java.lang.invoke",
-            "java.base/java.io", "java.base/java.net",
-            "java.base/java.nio", "java.base/java.util",
-            "java.base/java.util.concurrent",
-            "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-            "java.base/sun.security.action")
-            .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
-          Seq("-cp", cp, "graft.tools.RaceCommit", dir, tag,
-            n.toString)): _*)
-        .redirectErrorStream(true).start()
-    val pa = spawn("a")
-    val pb = spawn("b")
+    val pa = spawnRaceCommit(dir, "a", n.toString)
+    val pb = spawnRaceCommit(dir, "b", n.toString)
     (1 to n).foreach { i =>
       GenManifest.append(dir, conf, Seq(GenManifest.Entry(
         s"race-c-$i.proto.zst", 1L, 1L, sorted = false, "", "")))
     }
-    def drain(p: Process, tag: String): String = {
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
-        s"racer $tag did not finish: $out")
-      assert(p.exitValue() === 0, s"racer $tag failed:\n$out")
-      out
-    }
-    val (outA, outB) = (drain(pa, "a"), drain(pb, "b"))
+    val (outA, outB) = (drainRacer(pa, "a"), drainRacer(pb, "b"))
     assert(outA.contains("DONE a") && outB.contains("DONE b"),
       s"$outA\n$outB")
     val s = GenManifest.read(dir, conf).get
@@ -1146,5 +1153,202 @@ class ManifestSpec extends AnyFunSuite {
           s"record race-$tag-$i vanished — a commit was overwritten")
       }
     }
+  }
+
+  private def tinyEntry(n: String) =
+    GenManifest.Entry(n, 10L, 1L, sorted = false, "", "")
+
+  test("conditional replace: a stale maintenance swap aborts loudly — no doubling, no resurrection") {
+    val dir = freshDir("graft_man_cme")
+    GenManifest.append(dir, conf, Seq(tinyEntry("small-1-1.proto.zst"),
+      tinyEntry("small-1-2.proto.zst"), tinyEntry("untouched.proto.zst")))
+    // the winner: an erasure-shaped swap retires the smalls
+    val won = GenManifest.replace(dir, conf,
+      Set("small-1-1.proto.zst", "small-1-2.proto.zst"),
+      Seq(tinyEntry("erased-1.proto.zst")))
+    // the loser planned from the PRE-erasure snapshot: its staged pack
+    // was built from bytes that still held the erased victim, so
+    // committing it would resurrect the victim and double the rows the
+    // winner's own add carries — it must refuse BEFORE publishing
+    val e = intercept[GenManifest.ConcurrentMaintenanceException] {
+      GenManifest.replace(dir, conf,
+        Set("small-1-1.proto.zst", "small-1-2.proto.zst"),
+        Seq(tinyEntry("packed-stale.proto.zst")))
+    }
+    assert(e.getMessage.contains("re-plan"), e.getMessage)
+    val s = GenManifest.read(dir, conf).get
+    assert(s.version === won.version,
+      "the refused swap must not have committed anything")
+    assert(s.entries.map(_.name).toSet ===
+      Set("erased-1.proto.zst", "untouched.proto.zst"))
+    // PARTIAL overlap refuses too — ANY missing name means the plan
+    // is stale, even when some names survive
+    intercept[GenManifest.ConcurrentMaintenanceException] {
+      GenManifest.replace(dir, conf,
+        Set("untouched.proto.zst", "small-1-1.proto.zst"),
+        Seq(tinyEntry("packed-partial.proto.zst")))
+    }
+    assert(GenManifest.read(dir, conf).get.version === won.version)
+    // a swap whose names are ALL still present commits as before
+    val ok = GenManifest.replace(dir, conf, Set("untouched.proto.zst"),
+      Seq(tinyEntry("packed-ok.proto.zst")))
+    assert(ok.version === won.version + 1)
+    assert(ok.entries.map(_.name).toSet ===
+      Set("erased-1.proto.zst", "packed-ok.proto.zst"))
+  }
+
+  test("replace-vs-replace thread race: every round exactly one winner, the loser refused") {
+    val dir = freshDir("graft_man_rr")
+    val rounds = 24
+    GenManifest.append(dir, conf, (1 to rounds).flatMap(r =>
+      Seq(tinyEntry(s"small-$r-1.proto.zst"),
+        tinyEntry(s"small-$r-2.proto.zst"))))
+    val v0 = GenManifest.read(dir, conf).get.version
+    // both racers fire each round's swap simultaneously (barrier), so
+    // many rounds take the lost-PUBLISH retry path inside commitLoop —
+    // the path that, unguarded, re-applied filterNot(remove) ++ add
+    // and doubled the pack
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def racer(tag: String): IndexedSeq[Boolean] = (1 to rounds).map { r =>
+      barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      try {
+        GenManifest.replace(dir, conf,
+          Set(s"small-$r-1.proto.zst", s"small-$r-2.proto.zst"),
+          Seq(tinyEntry(s"pack-$r-$tag.proto.zst")))
+        true
+      } catch {
+        case _: GenManifest.ConcurrentMaintenanceException => false
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[IndexedSeq[Boolean]] {
+        def call() = racer("a")
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[IndexedSeq[Boolean]] {
+        def call() = racer("b")
+      })
+      val (wa, wb) = (fa.get(180, java.util.concurrent.TimeUnit.SECONDS),
+        fb.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      (0 until rounds).foreach { i =>
+        assert(wa(i) ^ wb(i),
+          s"round ${i + 1}: wins a=${wa(i)} b=${wb(i)} — a double win " +
+            "doubles the pack, a double loss loses the commit")
+      }
+      val s = GenManifest.read(dir, conf).get
+      assert(s.version === v0 + rounds,
+        "exactly one commit per round may land")
+      assert(!s.entries.exists(_.name.startsWith("small-")),
+        "every round's smalls must be retired exactly once")
+      (1 to rounds).foreach { r =>
+        val packs = s.entries.map(_.name)
+          .filter(_.startsWith(s"pack-$r-")).sorted
+        val winner = if (wa(r - 1)) "a" else "b"
+        assert(packs === Seq(s"pack-$r-$winner.proto.zst"),
+          s"round $r: expected the $winner pack alone, got $packs")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("cross-PROCESS replace race: the conditional swap arbitrates between JVMs") {
+    val dir = freshDir("graft_man_xrr")
+    val rounds = 8
+    GenManifest.append(dir, conf, (1 to rounds).flatMap(r =>
+      Seq(tinyEntry(s"small-$r-1.proto.zst"),
+        tinyEntry(s"small-$r-2.proto.zst"))))
+    val v0 = GenManifest.read(dir, conf).get.version
+    val pa = spawnRaceCommit(dir, "a", rounds.toString, "replace")
+    val pb = spawnRaceCommit(dir, "b", rounds.toString, "replace")
+    val (outA, outB) = (drainRacer(pa, "a"), drainRacer(pb, "b"))
+    def winsOf(out: String): Set[Int] =
+      """ROUND (\d+) WIN""".r.findAllMatchIn(out).map(_.group(1).toInt).toSet
+    val (winA, winB) = (winsOf(outA), winsOf(outB))
+    (1 to rounds).foreach { r =>
+      assert(winA(r) ^ winB(r),
+        s"round $r: a=${winA(r)} b=${winB(r)}\n$outA\n$outB")
+    }
+    val s = GenManifest.read(dir, conf).get
+    assert(s.version === v0 + rounds)
+    assert(!s.entries.exists(_.name.startsWith("small-")))
+    (1 to rounds).foreach { r =>
+      val winner = if (winA(r)) "a" else "b"
+      assert(s.entries.map(_.name)
+        .filter(_.startsWith(s"pack-$r-")) ===
+        Vector(s"pack-$r-$winner.proto.zst"))
+    }
+  }
+
+  test("two concurrent OPTIMIZEs of the same smalls leave exactly one pack — rows never double") {
+    val dir = freshDir("graft_man_2opt")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(8, col("key")), dir)
+    val n0 = spark.read.format("proto-zst").load(dir).count()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, (Int, Int)]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        start.await()
+        try results.add(Right(SinkMaintain.optimizeSink(spark, dir)))
+        catch { case t: Throwable => results.add(Left(t)) }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(300000))
+    import scala.jdk.CollectionConverters._
+    val (losses, wins) = results.asScala.toSeq.partition(_.isLeft)
+    // both planned from pre-commit snapshots (the latch releases them
+    // together; staging is a full Spark write), so the second swap
+    // must refuse: a double commit appends the loser's pack on top of
+    // the winner's — every row doubled
+    assert(wins.length === 1 && losses.length === 1,
+      s"exactly one OPTIMIZE may commit, got $results")
+    val s = GenManifest.read(dir, conf).get
+    assert(s.dataEntries.nonEmpty &&
+      s.dataEntries.forall(_.name.startsWith("packed-")))
+    assert(spark.read.format("proto-zst").load(dir).count() === n0,
+      "the losing OPTIMIZE's pack doubled the table")
+  }
+
+  test("an OPTIMIZE racing a range erasure can never resurrect the erased keys") {
+    val dir = freshDir("graft_man_eraseopt")
+    Sink.writeNested(CellModel.nestRows(spark, sf0001)
+      .repartitionByRange(8, col("key")), dir)
+    val (lo, hi) = ("12".getBytes("UTF-8"), "13".getBytes("UTF-8"))
+    def inRange = spark.read.format("proto-zst").load(dir)
+      .filter(col("key") >= lit(lo) && col("key") < lit(hi)).count()
+    val n0 = spark.read.format("proto-zst").load(dir).count()
+    val victims = inRange
+    assert(victims > 0, "the erase slice must be populated at every sf")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    @volatile var eraseRes: Either[Throwable, (Int, Int)] = null
+    @volatile var optRes: Either[Throwable, (Int, Int)] = null
+    val te = new Thread(() => {
+      start.await()
+      eraseRes = try Right(SinkMaintain.eraseRange(spark, dir, lo, hi))
+      catch { case t: Throwable => Left(t) }
+    })
+    val to = new Thread(() => {
+      start.await()
+      optRes = try Right(SinkMaintain.optimizeSink(spark, dir))
+      catch { case t: Throwable => Left(t) }
+    })
+    te.start(); to.start(); start.countDown()
+    te.join(300000); to.join(300000)
+    // the two swaps' remove sets overlap (the touched files are small),
+    // so exactly one committed and the other aborted loudly — without
+    // the conditional replace the losing OPTIMIZE's retry would have
+    // re-added a pack built from PRE-erasure bytes
+    assert(Seq(eraseRes, optRes).count(_.isRight) === 1,
+      s"exactly one maintenance swap may commit: erase=$eraseRes opt=$optRes")
+    if (eraseRes.isLeft) {
+      // the erasure lost; the documented remedy is re-planning from
+      // fresh state — a fresh invocation IS the re-plan
+      SinkMaintain.eraseRange(spark, dir, lo, hi)
+    }
+    assert(inRange === 0L, "the erased keys came back — resurrection")
+    assert(spark.read.format("proto-zst").load(dir).count() === n0 - victims,
+      "survivors must be conserved exactly once")
   }
 }

@@ -197,6 +197,44 @@ class QuarantineSpec extends AnyFunSuite {
       s"mid-file rot must salvage a strict prefix, got ${rottedSliced._1}")
   }
 
+  test("a GROWN file (garbage past the attested length) is suspect on both walk paths") {
+    // the verdict must not depend on which path the planner picked:
+    // the whole-file walk reads to physical EOF, so the sliced walk's
+    // FINAL slice must too — a tail capped at the manifest's attested
+    // e.bytes would never decode the appended garbage and read the
+    // grown file as clean
+    import graft.sources.GenManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar_grown")
+      .toFile.getAbsolutePath
+    writeOneFile(dir, 1000)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val data = fs.listStatus(dirPath).map(_.getPath)
+      .filter(_.getName.endsWith(".proto.zst")).head
+    val attested = GenManifest.read(dir, conf).get.dataEntries.head.bytes
+    assert(fs.getFileStatus(data).getLen === attested)
+    val grown = {
+      val in = fs.open(data)
+      try in.readAllBytes() finally in.close()
+    } ++ ("NOT A ZSTD FRAME " * 64).getBytes("UTF-8")
+    val os = fs.create(data, true)
+    try os.write(grown) finally os.close()
+    def verdict(sb: Long) = {
+      val v = Quarantine.salvageVerdicts(spark, dir, sb).collect().head
+      (v.getAs[Long]("n_rows"), v.getAs[Long]("good_bytes"),
+        v.getAs[Boolean]("suspect"))
+    }
+    val sliced = verdict(attested / 6)
+    assert(Quarantine.salvageTasks(dir,
+      GenManifest.read(dir, conf).get, attested / 6).length > 1,
+      "the grown-file pin needs the sliced path to actually fan out")
+    assert(sliced === verdict(Long.MaxValue),
+      "sliced verdict of a grown file diverged from the whole-file walk")
+    assert(sliced._3, "appended garbage must flag the file suspect")
+    assert(sliced._1 === 1000L,
+      "every attested row still salvages — only the growth is damage")
+  }
+
   test("a vanished file yields a suspect verdict, never a task failure") {
     import graft.sources.GenManifest
     val dir = java.nio.file.Files.createTempDirectory("graft_quar_gone")
