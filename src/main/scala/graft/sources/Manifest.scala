@@ -84,8 +84,12 @@ object MetaIO {
   * file: schemes it is a HARD LINK (link(2) fails with EEXIST — posix
   * rename would silently REPLACE a racer's record). A loser of a
   * concurrent race sees its publish refused, re-reads, and retries; no
-  * lock service needed (an S3 deployment swaps in a conditional PUT,
-  * the same adaptation Delta's LogStore makes).
+  * lock SERVICE needed (an S3 deployment swaps in a conditional PUT,
+  * the same adaptation Delta's LogStore makes). On local filesystems
+  * the publish and the gc deletes additionally serialize on a
+  * per-directory flock so the head re-check under it sees a complete
+  * listing — see [[withDirLock]] for the torn-readdir ghost-commit
+  * this exists to kill.
   *
   * The manifest is AUTHORITATIVE for directories that have one: the
   * committed entry set IS the table, and data files not referenced by
@@ -546,6 +550,77 @@ object GenManifest {
       }
     }
 
+  private val LockName = "_commit.lock"
+  private val lockMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize mutate-after-list sections (commit publish, gc deletes)
+    * against other local committers — one JVM monitor per manifest dir
+    * (two threads on one channel-less lock file would throw
+    * OverlappingFileLockException, not block) plus an exclusive
+    * cross-process `flock` on `_commit.lock`.
+    *
+    * WHY THIS EXISTS — the torn-listing ghost commit: readdir of a
+    * directory being concurrently modified may MISS entries (observed
+    * on ext4 under load). A committer whose read() was built from such
+    * a listing computes a stale head h; if gc has already retired
+    * delta h+1 (deltas at or below a checkpoint are deleted once
+    * `committed` passes the retention horizon), the name is FREE
+    * again and the create-exclusive hard link at h+1 SUCCEEDS — the
+    * commit lands below the checkpoint horizon where no replay ever
+    * looks, and the next gc deletes it: a silently LOST commit (the
+    * cross-JVM race spec caught exactly this — one record of 37
+    * vanished with a version count of 36). Under the lock nobody else
+    * mutates the log while we re-list, so the fresh head is EXACT and
+    * the head guard in [[publishHeadGuarded]] is sound. Readers stay
+    * lock-free: a torn reader listing degrades to a gap-check retry
+    * or a stale-but-valid snapshot, never to data loss. On non-local
+    * filesystems (no flock) the section runs optimistically — the
+    * fresh-head re-check still closes most of the window; HDFS-like
+    * stores arbitrate the final link/rename themselves.
+    */
+  private def withDirLock[T](fs: FileSystem, md: Path)(f: => T): T = {
+    val local = "file" == md.toUri.getScheme ||
+      fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (!local) f
+    else {
+      val mon = lockMonitors.computeIfAbsent(md.toUri.getPath,
+        _ => new Object)
+      mon.synchronized {
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(md.toUri.getPath, LockName),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          // a filesystem without lock support degrades to the
+          // optimistic protocol rather than refusing every commit
+          val l = try ch.lock()
+            catch { case _: java.io.IOException => null }
+          try f finally { if (l != null) l.release() }
+        } finally ch.close()
+      }
+    }
+  }
+
+  /** Publish `tmp` as `target` = version `prevVersion + 1`, guarded:
+    * under the directory lock, re-list and refuse unless the log's
+    * head is STILL `prevVersion` — the committer's snapshot must be
+    * current at the instant of publish, which (a) makes the
+    * create-exclusive link un-raced and (b) makes publishing into the
+    * gc-retired past impossible: a retired version v is always below
+    * a checkpoint, and a checkpoint is always ≥ the true head's
+    * listing floor, so a stale `prevVersion = v - 1` can never equal
+    * the fresh head.
+    */
+  private[graft] def publishHeadGuarded(fs: FileSystem, md: Path,
+      prevVersion: Long, tmp: Path, target: Path): Boolean =
+    withDirLock(fs, md) {
+      val freshHead = listLog(fs, md).filterNot(_.isEmpty)
+        .map(_.head).getOrElse(0L)
+      freshHead == prevVersion && publish(fs, tmp, target)
+    }
+
   /** Publish `tmp` create-if-absent as `target`. The atomic commit
     * point: on HDFS-like filesystems rename refuses an existing
     * target, but POSIX/LocalFileSystem rename silently REPLACES it
@@ -553,6 +628,9 @@ object GenManifest {
     * so on file: schemes the tmp is HARD-LINKED into place
     * (link(2) fails with EEXIST, the posix create-exclusive
     * primitive; the same trick Delta's HDFSLogStore family uses).
+    * Commit callers go through [[publishHeadGuarded]]; the checkpoint
+    * publish uses this directly (its version is never reused — only
+    * the winner of version v ever writes checkpoint v).
     */
   private def publish(fs: FileSystem, tmp: Path, target: Path): Boolean =
     if ("file" == target.toUri.getScheme ||
@@ -608,7 +686,8 @@ object GenManifest {
       val bytes = renderDelta(delta)
       val os = fs.create(tmp, true)
       try os.write(bytes) finally os.close()
-      if (publish(fs, tmp, deltaFile(dir, next.version))) {
+      if (publishHeadGuarded(fs, md, next.version - 1, tmp,
+          deltaFile(dir, next.version))) {
         fs.delete(tmp, false)
         MetaIO.commitBytes.addAndGet(bytes.length.toLong)
         if (next.version % CheckpointEvery == 0L) checkpoint(fs, dir, next)
@@ -712,11 +791,16 @@ object GenManifest {
   private def gc(fs: FileSystem, dir: String, committed: Long): Unit =
     try {
       val md = manifestDir(dir)
-      listLog(fs, md).foreach { lv =>
-        val retMin = math.max(1L, committed - Retain + 1)
-        lv.fulls.map(_._1).filter(_ <= retMin).maxOption.foreach { cp =>
-          lv.deltas.filter(_._1 <= cp).foreach(t => fs.delete(t._2, false))
-          lv.fulls.filter(_._1 < cp).foreach(t => fs.delete(t._2, false))
+      // under the commit lock: the list-then-delete must not interleave
+      // with a publish, or a committer could re-list between our listing
+      // and our unlinks and build on files about to vanish
+      withDirLock(fs, md) {
+        listLog(fs, md).foreach { lv =>
+          val retMin = math.max(1L, committed - Retain + 1)
+          lv.fulls.map(_._1).filter(_ <= retMin).maxOption.foreach { cp =>
+            lv.deltas.filter(_._1 <= cp).foreach(t => fs.delete(t._2, false))
+            lv.fulls.filter(_._1 < cp).foreach(t => fs.delete(t._2, false))
+          }
         }
       }
     } catch { case _: Exception => () }

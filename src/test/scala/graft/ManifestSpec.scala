@@ -1158,6 +1158,52 @@ class ManifestSpec extends AnyFunSuite {
   private def tinyEntry(n: String) =
     GenManifest.Entry(n, 10L, 1L, sorted = false, "", "")
 
+  test("a stale committer can never publish into the gc-retired past (ghost commit)") {
+    // the torn-listing ghost: a committer whose read() missed the log's
+    // newest suffix computes a stale head h; once gc retires delta h+1
+    // (deltas at/below a checkpoint are deleted past the retention
+    // horizon) the name is FREE again, and an unguarded create-
+    // exclusive link at h+1 SUCCEEDS — committing below the checkpoint
+    // horizon where no replay looks: a silently lost commit. The head
+    // guard must refuse the publish under the directory lock.
+    val dir = freshDir("graft_man_ghost")
+    (1 to 13).foreach { i =>
+      GenManifest.append(dir, conf, Seq(tinyEntry(f"seed-$i%02d.proto.zst")))
+    }
+    val md = new org.apache.hadoop.fs.Path(dir, GenManifest.DirName)
+    val fs = md.getFileSystem(conf)
+    // 13 commits → checkpoint at 10, gc horizon ≥ 10: delta 5 retired
+    val retired = new org.apache.hadoop.fs.Path(md, f"v${5L}%020d.delta")
+    assert(!fs.exists(retired),
+      "precondition: gc must have retired delta v5 under the checkpoint")
+    // what the stale committer would stage: a v5 delta adding a ghost
+    val tmp = new org.apache.hadoop.fs.Path(md, ".tmp-ghost")
+    val os = fs.create(tmp, true)
+    os.write(("graft-delta-v1\n5\n" +
+      "+\tghost.proto.zst\t10\t1\t0\t\t\t\t\n").getBytes("UTF-8"))
+    os.close()
+    // the guarded publish re-lists under the lock: fresh head is 13,
+    // not the stale committer's 4 — REFUSED, nothing created
+    assert(!GenManifest.publishHeadGuarded(fs, md, 4L, tmp, retired))
+    assert(!fs.exists(retired), "the refused ghost must not exist")
+    val s = GenManifest.read(dir, conf).get
+    assert(s.version === 13L)
+    assert(!s.entries.exists(_.name == "ghost.proto.zst"),
+      "a ghost record surfaced — the retired version was re-published")
+    // and the guard passes a CURRENT committer: head 13 → version 14
+    val tmp2 = new org.apache.hadoop.fs.Path(md, ".tmp-current")
+    val os2 = fs.create(tmp2, true)
+    os2.write(("graft-delta-v1\n14\n" +
+      "+\tcurrent.proto.zst\t10\t1\t0\t\t\t\t\n").getBytes("UTF-8"))
+    os2.close()
+    val ok = GenManifest.publishHeadGuarded(fs, md, 13L, tmp2,
+      new org.apache.hadoop.fs.Path(md, f"v${14L}%020d.delta"))
+    assert(ok)
+    assert(GenManifest.read(dir, conf).get.version === 14L)
+    fs.delete(tmp, false)
+    fs.delete(tmp2, false)
+  }
+
   test("conditional replace: a stale maintenance swap aborts loudly — no doubling, no resurrection") {
     val dir = freshDir("graft_man_cme")
     GenManifest.append(dir, conf, Seq(tinyEntry("small-1-1.proto.zst"),
