@@ -120,6 +120,7 @@ object QueryTraits {
     "q249_classifier_eval",
     "q251_salvage_scan",
     "q253_stream_model_gate",
+    "q255_stream_neardup",
     "q28_stream_window",
     "q29_sink_roundtrip",
     "q30_proto_source",

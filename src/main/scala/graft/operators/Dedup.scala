@@ -79,25 +79,36 @@ object Dedup {
     * small rows per doc, and bucket sizes stay bounded because a
     * 2-hash band collision for non-near-dups is ~j² rare.
     */
-  /** Adds the 8-slot MinHash signature array `mhs` to a shingle-hash
-    * frame — the ONE Scala site for the universal-hash family, shared
-    * by the banding below and by q177's slot-agreement estimator,
-    * exactly as the oracle side shares `sigBandsSql`'s `sig` CTE.
+  /** The 8-slot MinHash signature as a Column over `hsh` — the ONE
+    * Scala site for the universal-hash family, shared by the banding
+    * below, q177's slot-agreement estimator, and q255's streaming
+    * screen, exactly as the oracle side shares `sigBandsSql`'s `sig`
+    * CTE.
     */
-  private def sigOf(d: DataFrame): DataFrame =
-    d.withColumn("mhs", array(hashAB.map { case (a, b) =>
+  private[operators] def minhashSigCol: Column =
+    array(hashAB.map { case (a, b) =>
       array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
-    }: _*))
+    }: _*)
+
+  /** The 4×2 band keys as an array Column over `mhs` — shared by the
+    * batch band joins and q255's streaming band explode, so the online
+    * screen's candidate buckets are bit-identical to q15's.
+    */
+  private[operators] def bandKeysCol: Column =
+    transform(sequence(lit(0), lit(NumBands - 1)), b =>
+      concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
+        element_at(col("mhs"), b * 2 + 2)))
+
+  /** Adds the signature array `mhs` to a shingle-hash frame. */
+  private def sigOf(d: DataFrame): DataFrame =
+    d.withColumn("mhs", minhashSigCol)
 
   /** (doc_id, band key) rows from a signature frame ([[sigOf]] output)
     * — 4×2 banding, shared by q15 (corpus self-join), q58
     * (increment×corpus) and q177 (calibration pairs).
     */
   private def bandsFromSig(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-        concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
-          element_at(col("mhs"), b * 2 + 2)))).as("bkey"))
+    sig.select(col("doc_id"), explode(bandKeysCol).as("bkey"))
 
   /** [[sigOf]] + [[bandsFromSig]] for consumers that never touch the
     * signatures themselves.

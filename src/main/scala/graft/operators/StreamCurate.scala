@@ -37,7 +37,8 @@ object StreamCurate {
     * shuffle, no state.
     */
   private[graft] def curationGates(docs: DataFrame,
-      boiler: Map[String, Seq[Long]], rates: Map[String, Long]): DataFrame = {
+      boiler: Map[String, Seq[Long]], rates: Map[String, Long],
+      keepWs: Boolean = false): DataFrame = {
     import graft.functions.Portable.{hash60, words}
     val B = Curation.BoilerWords
     val boilerLit = typedLit(boiler)
@@ -67,9 +68,12 @@ object StreamCurate {
         hash60(concat(lit("csample:"), col("h"))) % 1000 < col("rate_milli"))
       .withColumn("shard",
         hash60(concat(lit("cshard:"), col("h"))) % CIngShards)
-      .select(col("doc_id"), col("h"), col("lang"), col("shard"),
-        col("n_words").as("n_tokens"), col("n_redactions"),
-        col("boiler_milli"))
+      .select(col("doc_id") +: col("h") +: col("lang") +: col("shard") +:
+        col("n_words").as("n_tokens") +: col("n_redactions") +:
+        col("boiler_milli") +:
+        // q255 carries the token array through to its shingle hashes;
+        // every other consumer projects it away at its own select
+        (if (keepWs) Seq(col("ws")) else Seq.empty): _*)
   }
 
   /** The per-source boilerplate-chunk inventory (q70's `boiler` side,
@@ -120,9 +124,10 @@ object StreamCurate {
     * whichever arrival survives dedup, the bytes are identical — what
     * makes the result batch-split-invariant and lets the DuckDB
     * oracle (the batch gate composition + DISTINCT) hash-match a
-    * stream. Near-dup quarantine stays in the nightly batch sweep
-    * (q140): banded minhash joins need corpus-wide candidate
-    * generation, which no single-pass stream state can hold.
+    * stream. Near-dup quarantine WITHIN the watermark horizon runs
+    * online in q255's band-state screen; cross-horizon pairs stay in
+    * the nightly batch sweep (q211) — corpus-wide candidate
+    * generation is what no bounded stream state can hold.
     *
     * Scale: gates are stateless row-local; dedup state is bounded by
     * content seen per watermark hour; the only exchange per batch is
@@ -265,8 +270,9 @@ object StreamCurate {
 
   /** q211: THE NIGHTLY NEAR-DUP SWEEP over the content-addressed
     * corpus — the batch half of the q208 contract: the streaming loop
-    * defers near-duplicate quarantine (banded minhash joins need
-    * corpus-wide candidate generation no single-pass state can hold),
+    * defers CROSS-HORIZON near-duplicate quarantine (q255 screens
+    * within-horizon pairs online; corpus-wide candidate generation is
+    * what no bounded stream state can hold),
     * so a nightly job lifts q15's verified doc-id pairs to CONTENT
     * space (the removed partner's md5, the only identity the exported
     * corpus carries) and anti-flags them against the curated content
@@ -377,13 +383,199 @@ object StreamCurate {
         |SELECT DISTINCT h, lang, shard, n_tokens, n_redactions, boiler_milli
         |FROM gated JOIN mk USING (doc_id)""".stripMargin
 
+  // ──────────────── q255: THE STREAMING NEAR-DUP SCREEN ────────────
+
+  /** q255 event clock: one document per MINUTE of event time. q208's
+    * µs clock packs the whole corpus inside one watermark window; the
+    * near-dup screen exists precisely to have a horizon BITE, so its
+    * clock spreads the corpus across many horizons.
+    */
+  private[graft] val NdsStepUs = 60000000L
+
+  /** Screen horizon in documents (≡ minutes of the q255 clock): pairs
+    * whose event times are within it quarantine ONLINE, pairs beyond
+    * defer to the nightly sweep. 150 splits the verified-pair distance
+    * spectrum on both sides at both test scales (measured gated-pair
+    * distances: sf0.001 → 4/62/75/101 within vs 193/382/445 beyond;
+    * sf0.01 → 4/27/124/146 within vs 157..368 beyond), so the screen
+    * provably bites AND provably defers.
+    */
+  private[graft] val NdsHorizonDocs = 150L
+  private[graft] val NdsHorizonUs = NdsHorizonDocs * NdsStepUs
+
+  /** Watermark slack for cross-micro-batch out-of-order arrival. */
+  private[graft] val NdsDelay = "30 minutes"
+
+  /** q255 kernel: the q208 ingest loop with the near-dup screen IN the
+    * stream — gates (row-local) → shingle hashes + MinHash signature +
+    * band keys (row-local, the EXACT q15 Columns) → band-key explode →
+    * [[NearDupScreenProcessor]] per band bucket (window state bounded
+    * by the watermark horizon, exact-Jaccard verify, event-time-later
+    * member loses) → proto-zst sink, each micro-batch ONE atomic epoch
+    * commit. Emits `d:<h>` content rows (the export — DISTINCT at
+    * read-back collapses per-band and redelivery copies, exactly
+    * q208's full-tuple dedup) and `n:<h>` quarantine notices (the
+    * screen's verdict channel; duplicates across bands collapse the
+    * same way). Returns the completed query so specs can read its
+    * state-operator metrics.
+    *
+    * Scale: everything before the stateful op is one codegen span per
+    * document; the shuffle is the band-key explode (4 small rows per
+    * doc — q15's LSH economics, online); state per band bucket is the
+    * horizon window's docs WITH their shingle hashes (the price of
+    * exact in-stream verification), TTL'd by watermark both on the
+    * active path and via per-bucket timers for dormant buckets. The
+    * nightly q211 sweep remains the convergence backstop for pairs
+    * the horizon cannot see.
+    */
+  private[graft] def streamNearDupRun(spark: SparkSession, src: DataFrame,
+      boiler: Map[String, Seq[Long]], rates: Map[String, Long],
+      outDir: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.functions.Portable.hash60
+    val gated = curationGates(src, boiler, rates, keepWs = true)
+      .withColumn("hsh", array_sort(array_distinct(
+        graft.functions.HashOps.shingle_hash60(col("ws"), 3))))
+      .withColumn("mhs", Dedup.minhashSigCol)
+      .withColumn("ts", lit(CIngEpochUs) + col("doc_id") * NdsStepUs)
+      .withColumn("ets", timestamp_micros(col("ts")))
+      .withWatermark("ets", NdsDelay)
+      .select(explode(Dedup.bandKeysCol).as("bkey"), col("ts"), col("h"),
+        col("hsh"),
+        concat_ws("|", col("lang"), col("shard"), col("n_tokens"),
+          col("n_redactions"), col("boiler_milli")).as("payload"))
+      .as[NdsIn]
+    Streaming.withRocksDb(spark) { Streaming.withStatePartitions(spark, 8) {
+      val q = gated.groupByKey(_.bkey)
+        .transformWithState(new NearDupScreenProcessor(NdsHorizonUs),
+          TimeMode.EventTime(), OutputMode.Append())
+        .select(
+          encode(concat(when(col("kind") === 0, lit("d:"))
+            .otherwise(lit("n:")), col("h")), "UTF-8").as("key"),
+          array(struct(
+            encode(lit("doc"), "UTF-8").as("name"),
+            encode(col("payload"), "UTF-8").as("value"),
+            // content-derived write time, the q208 discipline
+            (lit(CIngEpochUs) + hash60(concat(lit("ndt:"), col("h")))
+              % lit(3600000000L)).as("write_time"))).as("columns"))
+        .writeStream.format("proto-zst")
+        .option("checkpointLocation", ckpt)
+        .option("splitKeyPrefix", "2")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(outDir)
+      Streaming.runToCompletion("q255", q)
+      q
+    } }
+  }
+
+  /** q255 read-back: exported tuples (DISTINCT — collapses per-band
+    * and redelivery copies) flagged by the notice channel.
+    */
+  private[graft] def nearDupReadBack(spark: SparkSession,
+      outDir: String): DataFrame = {
+    val raw = spark.read.format("proto-zst").load(outDir)
+      .select(decode(col("key"), "UTF-8").as("k"),
+        decode(element_at(col("columns"), 1).getField("value"), "UTF-8")
+          .as("v"))
+    val docs = raw.filter(col("k").startsWith("d:"))
+      .select(substring(col("k"), 3, 32).as("h"),
+        split(col("v"), "\\|").as("p"))
+      .select(col("h"),
+        element_at(col("p"), 1).as("lang"),
+        element_at(col("p"), 2).cast("long").as("shard"),
+        element_at(col("p"), 3).cast("long").as("n_tokens"),
+        element_at(col("p"), 4).cast("long").as("n_redactions"),
+        element_at(col("p"), 5).cast("long").as("boiler_milli"))
+      .distinct()
+    val notices = raw.filter(col("k").startsWith("n:"))
+      .select(substring(col("k"), 3, 32).as("h")).distinct()
+      .withColumn("ndq", lit(1))
+    docs.join(notices, Seq("h"), "left")
+      .withColumn("nd_quarantined", coalesce(col("ndq"), lit(0)).cast("int"))
+      .drop("ndq")
+  }
+
+  /** q255: q208's streaming ingest with the near-dup screen ONLINE —
+    * redelivery union, the 2-byte kind-prefixed export, verdicts
+    * attached batch-side from the notice channel.
+    */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documentsStream(spark, dir)
+    val out = Scratch.dir("graft_nds")
+    streamNearDupRun(spark, src.union(src), boilerInventory(spark, dir),
+      mixtureRates(spark, dir), out, Scratch.dir("graft_nds_ckpt"))
+    nearDupReadBack(spark, out)
+  }
+
+  /** The batch replay of q255 over an explicit docs frame — the SPEC's
+    * twin (the driver's independent check is the DuckDB oracle below):
+    * gate ladder, q15 banding + exact verify between gated docs, loser
+    * = the event-time-later member (doc_b under the q255 clock),
+    * horizon optional (None = the nightly sweep's full-pair set).
+    */
+  private[graft] def nearDupBatchTwin(docs: DataFrame,
+      boiler: Map[String, Seq[Long]], rates: Map[String, Long],
+      horizonDocs: Option[Long]): DataFrame = {
+    val g0 = curationGates(docs, boiler, rates, keepWs = true)
+      .withColumn("hsh", array_sort(array_distinct(
+        graft.functions.HashOps.shingle_hash60(col("ws"), 3))))
+      .withColumn("mhs", Dedup.minhashSigCol)
+    val d = g0.select(col("doc_id"), col("h"), col("hsh"), col("mhs"))
+    val bands = d.select(col("doc_id"), explode(Dedup.bandKeysCol).as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val within = horizonDocs.map(hz =>
+      cand.filter(col("doc_b") - col("doc_a") <= hz)).getOrElse(cand)
+    val losers = within
+      .join(d.select(col("doc_id").as("doc_a"), col("h").as("ha"),
+        col("hsh").as("hsa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("h").as("hb"),
+        col("hsh").as("hsb")), "doc_b")
+      .filter(col("ha") =!= col("hb"))
+      .withColumn("inter", graft.functions.ArrayOps
+        .sorted_intersect_count(col("hsa"), col("hsb")))
+      .filter(lit(2L) * col("inter") >=
+        size(col("hsa")) + size(col("hsb")) - col("inter"))
+      .select(col("hb").as("h")).distinct()
+      .withColumn("ndq", lit(1))
+    g0.select(col("h"), col("lang"), col("shard"), col("n_tokens"),
+        col("n_redactions"), col("boiler_milli")).distinct()
+      .join(losers, Seq("h"), "left")
+      .withColumn("nd_quarantined", coalesce(col("ndq"), lit(0)).cast("int"))
+      .drop("ndq")
+  }
+
+  // q255 oracle: the gate composition with the within-horizon verified
+  // pairs (q15's pair oracle, both members gated, distinct content)
+  // lifted to the LATER member's content hash — exactly the stream's
+  // loser rule under the doc-per-minute clock. LAZY: splices
+  // curateGatesSql (the ingestSweepSql precedent).
+  private lazy val streamNearDupSql = (curateGatesSql + s""",
+    |ndp AS (SELECT DISTINCT gb.h
+    |        FROM (@PAIRS@) p
+    |        JOIN gated ga ON ga.doc_id = p.doc_a
+    |        JOIN gated gb ON gb.doc_id = p.doc_b
+    |        WHERE ga.h <> gb.h AND p.doc_b - p.doc_a <= $NdsHorizonDocs)
+    |SELECT DISTINCT g.h, g.lang, g.shard, g.n_tokens, g.n_redactions,
+    |  g.boiler_milli,
+    |  CASE WHEN ndp.h IS NULL THEN 0 ELSE 1 END AS nd_quarantined
+    |FROM gated g LEFT JOIN ndp ON ndp.h = g.h""".stripMargin)
+    .replace("@PAIRS@", Dedup.minhashSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_stream_curate" -> streamCurate,
     "q211_ingest_sweep" -> ingestSweep,
-    "q253_stream_model_gate" -> streamModelGate)
+    "q253_stream_model_gate" -> streamModelGate,
+    "q255_stream_neardup" -> streamNearDup)
 
   val oracle: Map[String, String] = Map(
     "q208_stream_curate" -> streamCurateSql,
     "q211_ingest_sweep" -> ingestSweepSql,
-    "q253_stream_model_gate" -> streamModelGateSql)
+    "q253_stream_model_gate" -> streamModelGateSql,
+    "q255_stream_neardup" -> streamNearDupSql)
 }

@@ -184,6 +184,121 @@ class RetiringFeatureProcessor(ttlMs: Long) extends org.apache.spark.sql
   }
 }
 
+/** q255 records: one exploded (band key, doc) arrival, one in-window
+  * state entry, and the emitted row (kind 0 = exported content tuple,
+  * kind 1 = quarantine notice for the pair's event-time-later member).
+  * Top-level for the product encoders.
+  */
+case class NdsIn(bkey: String, ts: Long, h: String, hsh: Array[Long],
+  payload: String)
+case class NdsEntry(ts: Long, h: String, hsh: Array[Long])
+case class NdsOut(kind: Int, h: String, ts: Long, payload: String)
+
+/** q255's [[org.apache.spark.sql.streaming.StatefulProcessor]]: the
+  * STREAMING NEAR-DUP SCREEN — per MinHash band key, a ListState
+  * window of the docs whose event time can still pair with a future
+  * arrival (retention: watermark ≤ ts + horizon, enforced every
+  * batch), against which each arrival is exact-Jaccard-verified
+  * (q15's merge-intersect over the sorted shingle hashes, the
+  * integer form 2·∩ ≥ |a|+|b|−∩ of jaccard ≥ 0.5). A verified pair
+  * within the horizon emits a quarantine NOTICE for its event-time-
+  * LATER member (ties h-broken) — decided from EVENT time, not
+  * arrival order, so the verdict is batch-split-invariant: whichever
+  * member arrives second finds the other in the window and the same
+  * loser is named. Arrivals are processed in (ts, h) order within the
+  * batch (same-batch pairs resolve deterministically) and an arrival
+  * whose exact (ts, h) is already windowed is the at-least-once
+  * redelivery — collapsed silently, emitting nothing. Every NEW
+  * (ts, h) emits its content tuple once per band (kind 0; the
+  * read-back's DISTINCT collapses the 4 copies), so the export set
+  * stays exactly q208's gate composition.
+  *
+  * Scale: state per band group is the horizon window's docs — shingle
+  * hashes included, ×NumBands across groups — bounded by the
+  * watermark clock, never the corpus; candidate verification is
+  * band-bucket-local (the q15 LSH economics, online), and a band
+  * bucket holds ~horizon/corpus-dup-rate entries, never an unbounded
+  * chain. Cross-horizon pairs are the nightly sweep's job (q211) —
+  * the stream screens what a bounded window CAN see, the batch
+  * backstop converges the rest.
+  */
+class NearDupScreenProcessor(horizonUs: Long) extends org.apache.spark.sql
+    .streaming.StatefulProcessor[String, NdsIn, NdsOut] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
+  @transient private var win: org.apache.spark.sql.streaming.ListState[NdsEntry] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    win = getHandle.getListState[NdsEntry]("window",
+      org.apache.spark.sql.Encoders.product[NdsEntry], TTLConfig.NONE)
+
+  /** q15's exact-verify kernel, processor-local: merge-count over two
+    * ascending-sorted hash arrays.
+    */
+  private def intersectCount(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[NdsIn],
+      timers: TimerValues): Iterator[NdsOut] = {
+    val arrivals = rows.toVector.sortBy(r => (r.ts, r.h))
+    var window = win.get().toVector
+    val out = Vector.newBuilder[NdsOut]
+    arrivals.foreach { r =>
+      if (!window.exists(e => e.ts == r.ts && e.h == r.h)) {
+        out += NdsOut(0, r.h, r.ts, r.payload)
+        window.foreach { e =>
+          // same-h entries are exact-dup CONTENT at another event time:
+          // exact dedup's jurisdiction (the read-back DISTINCT), never a
+          // near-dup quarantine
+          if (e.h != r.h && math.abs(r.ts - e.ts) <= horizonUs) {
+            val inter = intersectCount(e.hsh, r.hsh)
+            if (2L * inter >= e.hsh.length + r.hsh.length - inter) {
+              val eLoses = r.ts < e.ts || (r.ts == e.ts && r.h < e.h)
+              out += (if (eLoses) NdsOut(1, e.h, e.ts, "")
+                      else NdsOut(1, r.h, r.ts, ""))
+            }
+          }
+        }
+        window = window :+ NdsEntry(r.ts, r.h, r.hsh)
+      }
+    }
+    // event-time retention: an entry can still name (or lose to) a
+    // future in-watermark arrival only while watermark ≤ ts + horizon
+    val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+    val kept = window.filter(_.ts + horizonUs >= wmUs)
+    win.put(kept.toArray)
+    // the q101 lifecycle discipline: a band bucket that never sees
+    // another arrival must still retire its window — one event-time
+    // timer at the LAST entry's expiry sweeps it (without this, state
+    // is bounded only for ACTIVE buckets; dormant ones would hold
+    // their last window forever)
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (kept.nonEmpty)
+      getHandle.registerTimer(
+        kept.map(_.ts).max / 1000 + horizonUs / 1000 + 1)
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: String, timers: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[NdsOut] = {
+    val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+    val kept = win.get().toVector.filter(_.ts + horizonUs >= wmUs)
+    if (kept.isEmpty) win.clear()
+    else {
+      win.put(kept.toArray)
+      getHandle.registerTimer(
+        kept.map(_.ts).max / 1000 + horizonUs / 1000 + 1)
+    }
+    Iterator.empty
+  }
+}
+
 /** Structured Streaming path: the q26 daily aggregation executed as a
   * stream — `readStream` file source → event-time derivation +
   * watermark → stateful groupBy → memory sink, driven to completion

@@ -582,6 +582,80 @@ class PipelineSpec extends AnyFunSuite {
         "composition")
   }
 
+  test("q255 near-dup screen: split + redelivery equals the batch twin; bites, defers, state bounded") {
+    import graft.sources.GenManifest
+    val docs = Tables.documents(spark, sf0001)
+    val inv = StreamCurate.boilerInventory(spark, sf0001)
+    val rates = StreamCurate.mixtureRates(spark, sf0001)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val (mid, maxId) = (ids(ids.length / 2), ids.last)
+    // the q208 straddle discipline: a gate-passing doc duplicated into
+    // the other micro-batch under a fresh id — same content, an event
+    // time whole horizons away: exact-dedup's case, NEVER the screen's
+    val dupId = StreamCurate.curationGates(docs, inv, rates)
+      .filter(col("doc_id") < mid)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val dupH = docs.filter(col("doc_id") === dupId)
+      .select(md5(col("text"))).head().getString(0)
+    val dupRow = docs.filter(col("doc_id") === dupId)
+      .withColumn("doc_id", lit(maxId + 1))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_nds_src")
+      .toFile.getAbsolutePath
+    docs.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    docs.filter(col("doc_id") >= mid).unionByName(dupRow).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def leg = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_nds_out")
+      .toFile.getAbsolutePath
+    val q = StreamCurate.streamNearDupRun(spark, leg.union(leg), inv,
+      rates, out, java.nio.file.Files.createTempDirectory("graft_nds_ck")
+        .toFile.getAbsolutePath)
+    val gotDf = StreamCurate.nearDupReadBack(spark, out)
+    val got = gotDf.collect().map(_.mkString("|")).sorted
+    val allDocs = docs.unionByName(dupRow)
+    val want = StreamCurate.nearDupBatchTwin(allDocs, inv, rates,
+      Some(StreamCurate.NdsHorizonDocs))
+      .collect().map(_.mkString("|")).sorted
+    assert(got.toSeq === want.toSeq,
+      "split+redelivered near-dup stream diverged from the batch twin")
+    assert(got.count(_.startsWith(dupH + "|")) === 1,
+      "the cross-batch exact duplicate must collapse, not quarantine")
+    // the screen BITES within the horizon…
+    val flagged = gotDf.filter(col("nd_quarantined") === 1)
+      .select(col("h")).collect().map(_.getString(0)).toSet
+    assert(flagged.nonEmpty,
+      "within-horizon verified pairs exist at this sf — the screen must fire")
+    // …DEFERS what the horizon cannot see, and stream ∘ nightly
+    // CONVERGES to the full batch ladder: the no-horizon twin (= the
+    // q211 backstop's verdict surface) strictly contains the online
+    // verdicts and nothing else is ever flagged
+    val full = StreamCurate.nearDupBatchTwin(allDocs, inv, rates, None)
+      .filter(col("nd_quarantined") === 1)
+      .select(col("h")).collect().map(_.getString(0)).toSet
+    assert(flagged.subsetOf(full),
+      "the stream may only flag what the full batch ladder flags")
+    assert((full -- flagged).nonEmpty,
+      "cross-horizon pairs exist at this sf — the nightly backstop " +
+        "must have work left, else the horizon proved nothing")
+    // state is bounded by the watermark window, not the corpus: the
+    // window holds ≤ one entry per (band, gated doc) and the horizon
+    // eviction must have removed batch-1 entries older than
+    // wm − horizon by the time batch 2 committed
+    val gatedN = StreamCurate.curationGates(docs, inv, rates).count()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows > 0 && stateRows < 4L * gatedN,
+      s"state rows $stateRows must stay under 4 bands × $gatedN gated docs")
+    // each data micro-batch folded in as ONE atomic epoch commit
+    val conf = graft.sources.ProtoZstFiles.hadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val versions = fs.listStatus(
+      new org.apache.hadoop.fs.Path(out, GenManifest.DirName))
+      .count(_.getPath.getName.endsWith(".delta"))
+    assert(versions === 2, s"expected 2 epoch commits, saw $versions")
+  }
+
   /** The q208 crash-restart exactly-once contract: kill the stream at
     * a chosen point around the second micro-batch's manifest epoch
     * commit, restart from the SAME checkpointLocation, and prove the
