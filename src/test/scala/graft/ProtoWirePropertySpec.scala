@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.ProtoWire
@@ -65,6 +66,45 @@ class ProtoWirePropertySpec extends AnyFunSuite {
       }.toArray
       val (nr, nc) = ProtoWire.decodeStats(stream)
       nr == rows.length && nc == rows.map(_._2.length).sum
+    })
+  }
+
+  test("salvageStatsStream: ANY truncation keeps exactly the complete-frame prefix") {
+    // the q251 salvage kernel's whole contract, fuzzed: for an
+    // arbitrary frame stream cut at an ARBITRARY byte position —
+    // mid-varint, mid-body, or exactly on a boundary — the walk must
+    // report precisely the frames wholly before the cut, a good-bytes
+    // watermark equal to their span, and clean ⟺ the cut fell on a
+    // frame boundary. QuarantineSpec pins crafted cases; this sweeps
+    // the space (multi-byte varint prefixes, empty frames, 0-length
+    // keys/columns that proto3 default-skipping produces).
+    val genStream: Gen[List[(Array[Byte], List[(Array[Byte], Array[Byte], Long)])]] =
+      Gen.chooseNum(0, 7).flatMap(n => Gen.listOfN(n, genRow))
+    val gen = for {
+      rows <- genStream
+      frames = rows.map { case (k, cols) =>
+        val ad = new GenericArrayData(cols.map { case (n, v, t) =>
+          new GenericInternalRow(Array[Any](n, v, t))
+        }.toArray[Any])
+        ProtoWire.delimit(ProtoWire.encodeRow(k, ad))
+      }
+      total = frames.map(_.length).sum
+      // half the cuts land exactly on boundaries (the frame-aligned
+      // truncation a clean zstd EOF produces), half anywhere
+      cut <- Gen.oneOf(
+        Gen.oneOf(0 +: frames.scanLeft(0)(_ + _.length).drop(1)),
+        Gen.chooseNum(0, total))
+    } yield (rows, frames, cut)
+    check(Prop.forAll(gen) { case (rows, frames, cut) =>
+      val bytes = frames.flatMap(_.toSeq).toArray.take(cut)
+      val (nr, nc, lastGood, clean) = ProtoWire.salvageStatsStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val spans = frames.scanLeft(0)(_ + _.length)
+      val keep = spans.tail.count(_ <= cut) // frames wholly before the cut
+      (nr == keep.toLong) :| s"rows $nr != $keep" &&
+        (nc == rows.take(keep).map(_._2.length).sum.toLong) :| "cols" &&
+        (lastGood == spans(keep).toLong) :| s"watermark $lastGood != ${spans(keep)}" &&
+        (clean == (spans(keep) == cut)) :| s"clean $clean at cut $cut"
     })
   }
 }
