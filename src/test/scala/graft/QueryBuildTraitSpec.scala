@@ -101,6 +101,8 @@ class QueryBuildTraitSpec extends AnyFunSuite {
     val restorePrelude = graft.operators.SessionCaches.snapshotAll()
 
     spark.sparkContext.addSparkListener(listener)
+    graft.sources.MetaIO.reset()
+    val listedBy = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val (sharedJobs, frames) =
       try {
@@ -108,8 +110,13 @@ class QueryBuildTraitSpec extends AnyFunSuite {
         val shared = sorted.map { case (name, fn) =>
           settle()
           val before = jobs.get()
+          val (l0, s0) = (graft.sources.MetaIO.dataListings.get(),
+            graft.sources.MetaIO.sidecarReads.get())
           val frame = fn(spark, sf0001)
           settle()
+          val dl = graft.sources.MetaIO.dataListings.get() - l0
+          val ds = graft.sources.MetaIO.sidecarReads.get() - s0
+          if (dl > 0 || ds > 0) listedBy(name) = (dl, ds)
           (name, jobs.get() - before, frame)
         }
         // pass 2: isolation retest for the zero-job queries — restore
@@ -140,6 +147,26 @@ class QueryBuildTraitSpec extends AnyFunSuite {
         s"  listed but ran nothing at isolated construction: $stale\n" +
         "  empirical set:\n" +
         empirical.toSeq.sorted.map(n => s"""    "$n",""").mkString("\n"))
+
+    // metadata-I/O regression sweep over the SHARED pass (the driver's
+    // own construction order): manifest-planned reads must stay
+    // manifest-planned — a change that silently reintroduces
+    // data-directory listings or per-file sidecar opens at
+    // construction time is exactly the O(files) driver regression the
+    // manifest exists to kill. Whole-pass ceiling (not per-query: a
+    // shared fixture's build attributes to whichever consumer runs
+    // first), pinned to the measured totals with zero slack — every
+    // count in them is a FIXTURE BUILD's own write/verify listing or a
+    // deliberate legacy-mode path (q77's manifest-less optimize, q233's
+    // sidecar-planned L0 seed), never a scan planning a read. The
+    // failure message prints the per-query attribution to re-pin from.
+    val (totL, totS) = (listedBy.values.map(_._1).sum,
+      listedBy.values.map(_._2).sum)
+    assert(totL <= 85L && totS <= 11L,
+      s"construction-time metadata I/O grew: listings=$totL (ceiling 85)" +
+        s" sidecarReads=$totS (ceiling 11) — a manifest-planned read " +
+        "regressed to listing/sidecar planning somewhere.\n  by query: " +
+        listedBy.toSeq.sorted.mkString(", "))
 
     // the 100 TB kill-switch, full-registry coverage (moved here from
     // PlanSpec: this spec already paid for every construction).
