@@ -268,10 +268,12 @@ class NearDupScreenProcessor(horizonUs: Long) extends org.apache.spark.sql
       }
     }
     // event-time retention: an entry can still name (or lose to) a
-    // future in-watermark arrival only while watermark ≤ ts + horizon
+    // future in-watermark arrival only while watermark ≤ ts + horizon.
+    // `kept` can be EMPTY despite arrivals (a straggler older than
+    // wm − horizon evicts itself immediately) — clear, never put([])
     val wmUs = timers.getCurrentWatermarkInMs() * 1000L
     val kept = window.filter(_.ts + horizonUs >= wmUs)
-    win.put(kept.toArray)
+    if (kept.isEmpty) win.clear() else win.put(kept.toArray)
     // the q101 lifecycle discipline: a band bucket that never sees
     // another arrival must still retire its window — one event-time
     // timer at the LAST entry's expiry sweeps it (without this, state
