@@ -412,12 +412,15 @@ object StreamCurate {
     * [[NearDupScreenProcessor]] per band bucket (window state bounded
     * by the watermark horizon, exact-Jaccard verify, event-time-later
     * member loses) → proto-zst sink, each micro-batch ONE atomic epoch
-    * commit. Emits `d:<h>` content rows (the export — DISTINCT at
-    * read-back collapses per-band and redelivery copies, exactly
-    * q208's full-tuple dedup) and `n:<h>` quarantine notices (the
-    * screen's verdict channel; duplicates across bands collapse the
-    * same way). Returns the completed query so specs can read its
-    * state-operator metrics.
+    * commit. Emits `d:<h>` content rows from the band-0 bucket ONLY
+    * (every doc holds one key per band, so band 0 alone covers the
+    * export — the other three buckets emitting too would just write
+    * the same tuple 4× and make the read-back DISTINCT shuffle 4× the
+    * bytes) and `n:<h>` quarantine notices from ALL bands (each
+    * bucket sees different candidate pairs — that is the LSH; the
+    * read-back DISTINCT collapses cross-band notice duplicates and
+    * any cross-restart redelivery copies). Returns the completed
+    * query so specs can read its state-operator metrics.
     *
     * Scale: everything before the stateful op is one codegen span per
     * document; the shuffle is the band-key explode (4 small rows per
@@ -471,8 +474,10 @@ object StreamCurate {
     } }
   }
 
-  /** q255 read-back: exported tuples (DISTINCT — collapses per-band
-    * and redelivery copies) flagged by the notice channel.
+  /** q255 read-back: exported tuples (DISTINCT — content is single-
+    * copy by the band-0 emit rule, so this collapses only redelivery
+    * copies; notices still dedupe across bands) flagged by the notice
+    * channel.
     */
   private[graft] def nearDupReadBack(spark: SparkSession,
       outDir: String): DataFrame = {

@@ -209,9 +209,16 @@ case class NdsOut(kind: Int, h: String, ts: Long, payload: String)
   * batch (same-batch pairs resolve deterministically) and an arrival
   * whose exact (ts, h) is already windowed is the at-least-once
   * redelivery — collapsed silently, emitting nothing. Every NEW
-  * (ts, h) emits its content tuple once per band (kind 0; the
-  * read-back's DISTINCT collapses the 4 copies), so the export set
-  * stays exactly q208's gate composition.
+  * (ts, h) emits its content tuple ONCE, from the band-0 bucket only
+  * (kind 0): band keys embed their band index as the leading
+  * component ([[Dedup.bandKeysCol]]), every doc owns exactly one key
+  * per band, and all bands see the same arrivals — so gating the
+  * content emit on `key.startsWith("0:")` cuts the export write
+  * volume (and the read-back DISTINCT's shuffle input) 4× with an
+  * identical export set: exactly q208's gate composition. Notices
+  * keep flowing from ALL bands (each bucket sees different
+  * candidates — that is the LSH). The read-back DISTINCT still
+  * stands, for cross-restart redelivery copies.
   *
   * Scale: state per band group is the horizon window's docs — shingle
   * hashes included, ×NumBands across groups — bounded by the
@@ -248,9 +255,12 @@ class NearDupScreenProcessor(horizonUs: Long) extends org.apache.spark.sql
     val arrivals = rows.toVector.sortBy(r => (r.ts, r.h))
     var window = win.get().toVector
     val out = Vector.newBuilder[NdsOut]
+    // the 4×-amplification guard: content tuples leave from band 0's
+    // bucket alone; the other bands contribute candidates/notices only
+    val emitContent = key.startsWith("0:")
     arrivals.foreach { r =>
       if (!window.exists(e => e.ts == r.ts && e.h == r.h)) {
-        out += NdsOut(0, r.h, r.ts, r.payload)
+        if (emitContent) out += NdsOut(0, r.h, r.ts, r.payload)
         window.foreach { e =>
           // same-h entries are exact-dup CONTENT at another event time:
           // exact dedup's jurisdiction (the read-back DISTINCT), never a
@@ -293,9 +303,15 @@ class NearDupScreenProcessor(horizonUs: Long) extends org.apache.spark.sql
     val kept = win.get().toVector.filter(_.ts + horizonUs >= wmUs)
     if (kept.isEmpty) win.clear()
     else {
+      // unreachable by construction (handleInputRows points the single
+      // timer at the LAST entry's expiry, so when it fires the whole
+      // window is past retention) — kept defensively, but the re-armed
+      // timer must land strictly beyond the current watermark or a
+      // reachable path would re-fire it every batch without advancing
       win.put(kept.toArray)
-      getHandle.registerTimer(
-        kept.map(_.ts).max / 1000 + horizonUs / 1000 + 1)
+      getHandle.registerTimer(math.max(
+        kept.map(_.ts).max / 1000 + horizonUs / 1000 + 1,
+        timers.getCurrentWatermarkInMs() + 1))
     }
     Iterator.empty
   }

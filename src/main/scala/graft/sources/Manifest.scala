@@ -585,8 +585,14 @@ object GenManifest {
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     if (!local) f
     else {
-      val mon = lockMonitors.computeIfAbsent(md.toUri.getPath,
-        _ => new Object)
+      // monitor key is the REAL path: two spellings of one directory
+      // (a symlinked working dir) must share the JVM monitor, or both
+      // would reach ch.lock() on the same underlying lock file and the
+      // second would see OverlappingFileLockException
+      val monKey = try java.nio.file.Paths.get(md.toUri.getPath)
+          .toRealPath().toString
+        catch { case _: java.io.IOException => md.toUri.getPath }
+      val mon = lockMonitors.computeIfAbsent(monKey, _ => new Object)
       mon.synchronized {
         val ch = java.nio.channels.FileChannel.open(
           java.nio.file.Paths.get(md.toUri.getPath, LockName),
@@ -594,9 +600,15 @@ object GenManifest {
           java.nio.file.StandardOpenOption.WRITE)
         try {
           // a filesystem without lock support degrades to the
-          // optimistic protocol rather than refusing every commit
+          // optimistic protocol rather than refusing every commit;
+          // so does an overlap the canonicalized monitor missed
+          // (OverlappingFileLockException is a RuntimeException —
+          // an IOException catch alone would let it escape)
           val l = try ch.lock()
-            catch { case _: java.io.IOException => null }
+            catch {
+              case _: java.io.IOException => null
+              case _: java.nio.channels.OverlappingFileLockException => null
+            }
           try f finally { if (l != null) l.release() }
         } finally ch.close()
       }
@@ -774,6 +786,22 @@ object GenManifest {
             s"replace are no longer in the manifest (v${s.version}); " +
             s"missing: ${missing.take(3).mkString(", ")}" +
             (if (missing.size > 3) ", …" else "") +
+            " — re-plan from a fresh snapshot and re-run")
+      // the add side must be disjoint from the SURVIVING names too:
+      // this builds the snapshot directly (filterNot ++ add) without
+      // commit()'s by-name normalization, so an add whose name already
+      // exists outside the remove set would duplicate the entry —
+      // either a caller staging non-unique names (engine writers are
+      // job-UUID-unique) or a concurrent commit that landed the same
+      // pack; both are the re-plan case, never a silent double
+      val colliding = add.iterator.map(_.name)
+        .filter(n => have(n) && !remove(n)).toVector
+      if (colliding.nonEmpty)
+        throw new ConcurrentMaintenanceException(
+          s"replace against $dir would duplicate ${colliding.size} " +
+            s"entry name(s) already committed outside its remove set " +
+            s"(v${s.version}): ${colliding.take(3).mkString(", ")}" +
+            (if (colliding.size > 3) ", …" else "") +
             " — re-plan from a fresh snapshot and re-run")
       Some((Snapshot(s.version + 1,
         s.entries.filterNot(e => remove(e.name)) ++ add, s.epochs),

@@ -1344,12 +1344,21 @@ class ManifestSpec extends AnyFunSuite {
     threads.foreach(_.join(300000))
     import scala.jdk.CollectionConverters._
     val (losses, wins) = results.asScala.toSeq.partition(_.isLeft)
-    // both planned from pre-commit snapshots (the latch releases them
-    // together; staging is a full Spark write), so the second swap
-    // must refuse: a double commit appends the loser's pack on top of
-    // the winner's — every row doubled
-    assert(wins.length === 1 && losses.length === 1,
-      s"exactly one OPTIMIZE may commit, got $results")
+    // the latch usually makes both plan from pre-commit snapshots, so
+    // the second swap refuses (a blind double commit would append the
+    // loser's pack on top of the winner's — every row doubled). But a
+    // scheduler stall CAN delay one thread past the other's full
+    // stage+commit, in which case its plan post-dates the first commit
+    // and a second commit is legitimately valid (it re-packs the
+    // winner's pack) — so: every loss must be the typed refusal, at
+    // least one must win, and the table-level invariants below hold in
+    // EITHER interleaving
+    assert(wins.nonEmpty, s"no OPTIMIZE committed: $results")
+    losses.foreach { l =>
+      assert(l.swap.exists(
+          _.isInstanceOf[GenManifest.ConcurrentMaintenanceException]),
+        s"an OPTIMIZE may only lose by the typed refusal, got $l")
+    }
     val s = GenManifest.read(dir, conf).get
     assert(s.dataEntries.nonEmpty &&
       s.dataEntries.forall(_.name.startsWith("packed-")))
@@ -1382,12 +1391,21 @@ class ManifestSpec extends AnyFunSuite {
     })
     te.start(); to.start(); start.countDown()
     te.join(300000); to.join(300000)
-    // the two swaps' remove sets overlap (the touched files are small),
-    // so exactly one committed and the other aborted loudly — without
-    // the conditional replace the losing OPTIMIZE's retry would have
-    // re-added a pack built from PRE-erasure bytes
-    assert(Seq(eraseRes, optRes).count(_.isRight) === 1,
-      s"exactly one maintenance swap may commit: erase=$eraseRes opt=$optRes")
+    // when both plan pre-commit their remove sets overlap (the touched
+    // files are small), so one commits and the other aborts loudly —
+    // without the conditional replace the losing OPTIMIZE's retry
+    // would have re-added a pack built from PRE-erasure bytes. A
+    // scheduler stall can serialize them (the late plan post-dates the
+    // early commit) and then both legitimately commit — so: any loss
+    // must be the typed refusal, at least one op must commit, and the
+    // erasure-level invariants below hold in either interleaving
+    assert(Seq(eraseRes, optRes).exists(_.isRight),
+      s"no maintenance swap committed: erase=$eraseRes opt=$optRes")
+    Seq("erase" -> eraseRes, "opt" -> optRes).foreach { case (tag, r) =>
+      assert(r.isRight || r.swap.exists(
+          _.isInstanceOf[GenManifest.ConcurrentMaintenanceException]),
+        s"$tag may only lose by the typed refusal, got $r")
+    }
     if (eraseRes.isLeft) {
       // the erasure lost; the documented remedy is re-planning from
       // fresh state — a fresh invocation IS the re-plan

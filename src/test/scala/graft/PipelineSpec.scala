@@ -622,6 +622,15 @@ class PipelineSpec extends AnyFunSuite {
       "split+redelivered near-dup stream diverged from the batch twin")
     assert(got.count(_.startsWith(dupH + "|")) === 1,
       "the cross-batch exact duplicate must collapse, not quarantine")
+    // the band-0 emit rule holds AT THE SINK: exactly one kind-0
+    // content row per gated (ts, h) — not 4 (one per band); the
+    // read-back DISTINCT is for redelivery, not write amplification
+    val gatedAll = StreamCurate.curationGates(allDocs, inv, rates).count()
+    val rawKind0 = spark.read.format("proto-zst").load(out)
+      .filter(decode(col("key"), "UTF-8").startsWith("d:")).count()
+    assert(rawKind0 === gatedAll,
+      s"sink holds $rawKind0 content rows for $gatedAll gated docs — " +
+        "the per-band 4x write amplification is back")
     // the screen BITES within the horizon…
     val flagged = gotDf.filter(col("nd_quarantined") === 1)
       .select(col("h")).collect().map(_.getString(0)).toSet
