@@ -85,7 +85,7 @@ object Dedup {
     * screen, exactly as the oracle side shares `sigBandsSql`'s `sig`
     * CTE.
     */
-  private[operators] def minhashSigCol: Column =
+  private[graft] def minhashSigCol: Column =
     array(hashAB.map { case (a, b) =>
       array_min(transform(col("hsh"), h => (lit(a) * (h % P) + b) % P))
     }: _*)
@@ -94,10 +94,35 @@ object Dedup {
     * batch band joins and q255's streaming band explode, so the online
     * screen's candidate buckets are bit-identical to q15's.
     */
-  private[operators] def bandKeysCol: Column =
+  private[graft] def bandKeysCol: Column =
     transform(sequence(lit(0), lit(NumBands - 1)), b =>
       concat_ws(":", b, element_at(col("mhs"), b * 2 + 1),
         element_at(col("mhs"), b * 2 + 2)))
+
+  /** The bottom-k Jaccard-≥-1/2 verdict over two ascending bottom-k
+    * shingle sketches — ONE merge pass: with X the k smallest of
+    * sa ∪ sb and Y = |X ∩ sa ∩ sb|, true iff 2·Y ≥ |X| (the
+    * single-inclusion bottom-k estimator of J ≥ 1/2). When the whole
+    * union fits in X (|sa ∪ sb| ≤ k — every doc whose distinct
+    * shingles fit the sketch) this IS the exact integer rule
+    * 2·∩ ≥ |a|+|b|−∩. Shared by q255's streaming screen (where it
+    * bounds per-doc window state at k longs instead of O(doc length))
+    * and the [[graft.tools.SketchParity]] calibration that licensed
+    * the estimator: zero verdict divergence vs the exact kernel over
+    * every LSH candidate pair at both test corpora, k ∈ {16,32,64,128}.
+    */
+  private[graft] def bottomKVerdict(sa: Array[Long], sb: Array[Long],
+      k: Int): Boolean = {
+    var i = 0; var j = 0; var x = 0; var y = 0
+    while (x < k && (i < sa.length || j < sb.length)) {
+      if (j >= sb.length || (i < sa.length && sa(i) < sb(j))) {
+        x += 1; i += 1
+      } else if (i >= sa.length || sb(j) < sa(i)) {
+        x += 1; j += 1
+      } else { x += 1; y += 1; i += 1; j += 1 }
+    }
+    2 * y >= x
+  }
 
   /** Adds the signature array `mhs` to a shingle-hash frame. */
   private def sigOf(d: DataFrame): DataFrame =

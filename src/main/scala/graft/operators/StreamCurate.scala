@@ -406,6 +406,17 @@ object StreamCurate {
   /** Watermark slack for cross-micro-batch out-of-order arrival. */
   private[graft] val NdsDelay = "30 minutes"
 
+  /** Bottom-k shingle-sketch size for the screen's window state —
+    * per-doc state (and per-arrival shuffle bytes) cap at k longs
+    * instead of O(doc length). 64 = 4× headroom over the smallest
+    * parity-preserving k the [[graft.tools.SketchParity]] calibration
+    * measured (k = 16 already reproduces every exact verdict on both
+    * test corpora; docs there carry 40–84 distinct shingles, so 64 is
+    * near-exact by construction — the cap's bite is long docs at
+    * production scale).
+    */
+  private[graft] val NdsSketchK = 64
+
   /** q255 kernel: the q208 ingest loop with the near-dup screen IN the
     * stream — gates (row-local) → shingle hashes + MinHash signature +
     * band keys (row-local, the EXACT q15 Columns) → band-key explode →
@@ -425,8 +436,9 @@ object StreamCurate {
     * Scale: everything before the stateful op is one codegen span per
     * document; the shuffle is the band-key explode (4 small rows per
     * doc — q15's LSH economics, online); state per band bucket is the
-    * horizon window's docs WITH their shingle hashes (the price of
-    * exact in-stream verification), TTL'd by watermark both on the
+    * horizon window's docs at [[NdsSketchK]] longs each (the bottom-k
+    * sketch — calibrated exact on the test corpora, estimator beyond),
+    * TTL'd by watermark both on the
     * active path and via per-bucket timers for dormant buckets. The
     * nightly q211 sweep remains the convergence backstop for pairs
     * the horizon cannot see.
@@ -442,6 +454,10 @@ object StreamCurate {
       .withColumn("hsh", array_sort(array_distinct(
         graft.functions.HashOps.shingle_hash60(col("ws"), 3))))
       .withColumn("mhs", Dedup.minhashSigCol)
+      // state/shuffle payload: the bottom-k sketch, NOT the full
+      // shingle array (MinHash above still reads the full set — the
+      // band keys must stay bit-identical to batch q15's)
+      .withColumn("hsh", slice(col("hsh"), 1, NdsSketchK))
       .withColumn("ts", lit(CIngEpochUs) + col("doc_id") * NdsStepUs)
       .withColumn("ets", timestamp_micros(col("ts")))
       .withWatermark("ets", NdsDelay)
@@ -452,7 +468,8 @@ object StreamCurate {
       .as[NdsIn]
     Streaming.withRocksDb(spark) { Streaming.withStatePartitions(spark, 8) {
       val q = gated.groupByKey(_.bkey)
-        .transformWithState(new NearDupScreenProcessor(NdsHorizonUs),
+        .transformWithState(
+          new NearDupScreenProcessor(NdsHorizonUs, NdsSketchK),
           TimeMode.EventTime(), OutputMode.Append())
         .select(
           encode(concat(when(col("kind") === 0, lit("d:"))

@@ -187,7 +187,13 @@ class RetiringFeatureProcessor(ttlMs: Long) extends org.apache.spark.sql
 /** q255 records: one exploded (band key, doc) arrival, one in-window
   * state entry, and the emitted row (kind 0 = exported content tuple,
   * kind 1 = quarantine notice for the pair's event-time-later member).
-  * Top-level for the product encoders.
+  * `hsh` is the BOTTOM-K shingle sketch (the k smallest distinct
+  * 3-shingle hashes, ascending — [[graft.operators.StreamCurate.NdsSketchK]]),
+  * not the full array: it caps per-doc window state (and per-arrival
+  * shuffle bytes) at k longs instead of O(doc length), and the
+  * [[graft.tools.SketchParity]] calibration measured zero verdict
+  * divergence vs the exact kernel before the switch. Top-level for
+  * the product encoders.
   */
 case class NdsIn(bkey: String, ts: Long, h: String, hsh: Array[Long],
   payload: String)
@@ -198,9 +204,10 @@ case class NdsOut(kind: Int, h: String, ts: Long, payload: String)
   * STREAMING NEAR-DUP SCREEN — per MinHash band key, a ListState
   * window of the docs whose event time can still pair with a future
   * arrival (retention: watermark ≤ ts + horizon, enforced every
-  * batch), against which each arrival is exact-Jaccard-verified
-  * (q15's merge-intersect over the sorted shingle hashes, the
-  * integer form 2·∩ ≥ |a|+|b|−∩ of jaccard ≥ 0.5). A verified pair
+  * batch), against which each arrival is Jaccard-≥-1/2-verified over
+  * bottom-k shingle sketches ([[Dedup.bottomKVerdict]] — exact q15
+  * integer form whenever the union fits the sketch, the calibrated
+  * estimator beyond). A verified pair
   * within the horizon emits a quarantine NOTICE for its event-time-
   * LATER member (ties h-broken) — decided from EVENT time, not
   * arrival order, so the verdict is batch-split-invariant: whichever
@@ -220,35 +227,24 @@ case class NdsOut(kind: Int, h: String, ts: Long, payload: String)
   * candidates — that is the LSH). The read-back DISTINCT still
   * stands, for cross-restart redelivery copies.
   *
-  * Scale: state per band group is the horizon window's docs — shingle
-  * hashes included, ×NumBands across groups — bounded by the
-  * watermark clock, never the corpus; candidate verification is
+  * Scale: state per band group is the horizon window's docs at k
+  * longs each (the bottom-k sketch, ×NumBands across groups) —
+  * bounded by the watermark clock, never the corpus OR the doc
+  * length; candidate verification is
   * band-bucket-local (the q15 LSH economics, online), and a band
   * bucket holds ~horizon/corpus-dup-rate entries, never an unbounded
   * chain. Cross-horizon pairs are the nightly sweep's job (q211) —
   * the stream screens what a bounded window CAN see, the batch
   * backstop converges the rest.
   */
-class NearDupScreenProcessor(horizonUs: Long) extends org.apache.spark.sql
+class NearDupScreenProcessor(horizonUs: Long, sketchK: Int)
+    extends org.apache.spark.sql
     .streaming.StatefulProcessor[String, NdsIn, NdsOut] {
   import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
   @transient private var win: org.apache.spark.sql.streaming.ListState[NdsEntry] = _
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     win = getHandle.getListState[NdsEntry]("window",
       org.apache.spark.sql.Encoders.product[NdsEntry], TTLConfig.NONE)
-
-  /** q15's exact-verify kernel, processor-local: merge-count over two
-    * ascending-sorted hash arrays.
-    */
-  private def intersectCount(a: Array[Long], b: Array[Long]): Long = {
-    var i = 0; var j = 0; var n = 0L
-    while (i < a.length && j < b.length) {
-      if (a(i) < b(j)) i += 1
-      else if (a(i) > b(j)) j += 1
-      else { n += 1; i += 1; j += 1 }
-    }
-    n
-  }
 
   override def handleInputRows(key: String, rows: Iterator[NdsIn],
       timers: TimerValues): Iterator[NdsOut] = {
@@ -266,8 +262,7 @@ class NearDupScreenProcessor(horizonUs: Long) extends org.apache.spark.sql
           // exact dedup's jurisdiction (the read-back DISTINCT), never a
           // near-dup quarantine
           if (e.h != r.h && math.abs(r.ts - e.ts) <= horizonUs) {
-            val inter = intersectCount(e.hsh, r.hsh)
-            if (2L * inter >= e.hsh.length + r.hsh.length - inter) {
+            if (Dedup.bottomKVerdict(e.hsh, r.hsh, sketchK)) {
               val eLoses = r.ts < e.ts || (r.ts == e.ts && r.h < e.h)
               out += (if (eLoses) NdsOut(1, e.h, e.ts, "")
                       else NdsOut(1, r.h, r.ts, ""))

@@ -165,4 +165,29 @@ class KernelPropertySpec extends AnyFunSuite {
         agg.finish(one) == ref
     }, n = 500)
   }
+
+  test("bottomKVerdict merge pass == set-arithmetic reference; exact when the union fits") {
+    import graft.operators.Dedup
+    val genSet = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 99L)).map(_.distinct.sorted))
+    val genK = Gen.chooseNum(1, 80)
+    check(Prop.forAll(genSet, genSet, genK) { (a, b, k) =>
+      // full sets, sketched to bottom-k like the stream does
+      val (sa, sb) = (a.take(k).toArray, b.take(k).toArray)
+      // independent reference, straight from the estimator's
+      // definition: X = k smallest of sa ∪ sb, Y = |X ∩ sa ∩ sb|
+      val x = (sa ++ sb).distinct.sorted.take(k)
+      val y = x.count(v => sa.contains(v) && sb.contains(v))
+      val got = Dedup.bottomKVerdict(sa, sb, k)
+      val defMatch = got == (2 * y >= x.length)
+      // …and whenever the WHOLE union fits the sketch, the estimator
+      // IS q15's exact integer rule 2·∩ ≥ |a|+|b|−∩ on the full sets
+      val exactMatch = {
+        val union = (a ++ b).distinct.length
+        val inter = a.count(b.contains)
+        union > k || got == (2 * inter >= a.length + b.length - inter)
+      }
+      defMatch && exactMatch
+    }, n = 1000)
+  }
 }
