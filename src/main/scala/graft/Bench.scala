@@ -121,10 +121,16 @@ object Bench {
     // ("Checkpoint block not found") — hygiene must never outrank
     // correctness.
     val protectedRdds = spark.sparkContext.getPersistentRDDs.keySet
-    def dropPrivateBlocks(): Unit = if (warmOk)
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!protectedRdds.contains(id)) rdd.unpersist(blocking = false)
-      }
+    def dropPrivateBlocks(): Unit = {
+      // private cp() frames: always droppable (persist — lineage
+      // intact, a drained frame recomputes; also clears CacheManager
+      // entries so plan-compile cost can't grow across the sweep)
+      graft.operators.Checkpoints.drainPrivate()
+      if (warmOk)
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!protectedRdds.contains(id)) rdd.unpersist(blocking = false)
+        }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

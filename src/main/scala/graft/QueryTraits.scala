@@ -36,7 +36,6 @@ package graft
   */
 object QueryTraits {
   val executesOnBuild: Set[String] = Set(
-    "q100_pipeline",
     "q101_feature_ttl",
     "q102_stream_outer_join",
     "q103_vacuum_read",
@@ -46,53 +45,30 @@ object QueryTraits {
     "q111_partition_evolution",
     "q112_aqe_skew_join",
     "q113_stream_upsert",
-    "q115_ivf_increment",
     "q117_stream_sliding",
     "q120_bloom_join",
-    "q127_fuzzy_join",
-    "q128_dq_report",
     "q130_stream_topk",
     "q131_recent_buffer",
-    "q134_sketch_union",
-    "q137_prefix_join",
     "q138_sketch_increment",
     "q140_nightly_drop",
     "q141_chained_windows",
-    "q142_bm25_rank",
-    "q143_dup_spans",
-    "q145_sorted_neighborhood",
-    "q146_pmi_bigrams",
     "q147_quantile_sketch",
     "q148_erasure",
     "q149_pagerank",
     "q150_triangles",
     "q153_size_tiered",
     "q156_leveled_plan",
-    "q15_dedup_minhash",
     "q160_golden_record",
     "q162_stream_join_window",
     "q163_stream_sketch_ledger",
-    "q164_vocab_drift",
-    "q168_modal_agreement",
     "q171_export_sink",
     "q173_int8_quant",
     "q174_stream_export",
-    "q177_minhash_calibration",
-    "q179_head_coverage",
-    "q17_dedup_ngram",
     "q181_twcs_plan",
     "q189_hot_window_read",
-    "q190_cross_source_dups",
-    "q194_eval_decontam",
-    "q195_loss_mask",
     "q196_version_pin",
-    "q197_span_surgery",
-    "q198_quality_dup_calibration",
     "q199_export_balance",
-    "q200_curriculum",
-    "q203_modal_batches",
     "q204_version_delta",
-    "q205_filtered_recall",
     "q206_ttl_expire",
     "q207_window_compact",
     "q208_stream_curate",
@@ -102,22 +78,16 @@ object QueryTraits {
     "q215_stream_index_ingest",
     "q217_lsh_index_probe",
     "q223_sliced_read",
-    "q224_ccnet_buckets",
-    "q227_bucket_budget",
     "q228_bpe_train",
     "q230_bloom_get",
-    "q231_pack_ablation",
     "q232_heldout_audit",
     "q233_leveled_compact",
     "q235_release_decontam",
     "q237_tombstone_erase",
     "q238_tombstone_purge",
     "q239_frame_seek",
-    "q242_mixture_drift",
-    "q243_repeat_epochs",
     "q245_icp_release",
     "q246_shipped_coherence",
-    "q249_classifier_eval",
     "q251_salvage_scan",
     "q253_stream_model_gate",
     "q255_stream_neardup",
@@ -125,24 +95,18 @@ object QueryTraits {
     "q29_sink_roundtrip",
     "q30_proto_source",
     "q31_stream_sessionize",
-    "q33_tfidf",
     "q36_noshuffle_stats",
     "q37_stream_sink",
     "q43_stream_dedup",
     "q44_bucketed_join",
-    "q45_ann_recall",
     "q46_key_pushdown",
     "q47_per_file_metrics",
     "q48_stream_proto_source",
-    "q55_global_rank",
-    "q56_quantiles",
-    "q58_dedup_incremental",
     "q60_file_skip",
     "q61_compact_sink",
     "q62_bucketed_stats",
     "q64_sidecar_stats",
     "q65_runtime_prune",
-    "q68_semantic_dedup",
     "q69_stream_stream_join",
     "q76_stream_funnel",
     "q77_optimize_sink",
@@ -151,10 +115,6 @@ object QueryTraits {
     "q81_change_feed",
     "q84_stream_dedup_ttl",
     "q89_ordered_reexport",
-    "q90_approx_stats",
     "q91_clusters_converged",
-    "q94_lm_quality",
-    "q96_split_leakage",
-    "q97_ann_ivfpq",
     "q98_stream_features")
 }

@@ -40,6 +40,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query hygiene: drop the query's private persisted frames
+      // (blocks + CacheManager entries) so a 255-dump run can't
+      // accumulate either
+      graft.operators.Checkpoints.drainPrivate()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -62,7 +62,13 @@ class QueryBuildTraitSpec extends AnyFunSuite {
     // q156's interval-overlap join broadcasts the L1 MANIFEST-ENTRY
     // table — metadata tier, one row per L1 file, the LCS planning
     // shape (`Compaction.leveledPlan`)
-    "q147_quantile_sketch", "q156_leveled_plan")
+    "q147_quantile_sketch", "q156_leveled_plan",
+    // newly VISIBLE since cp() became persist (r15): the lazy
+    // localCheckpoint used to truncate q68's assignment pipeline out
+    // of the inspected plan, hiding its q59-shape
+    // crossJoin(broadcast(K-row centroid fixture)) — the same bounded
+    // broadcast-argmin every other ANN query here uses
+    "q68_semantic_dedup")
 
   test("executesOnBuild ⟺ jobs at isolated construction; no frame plans a cartesian") {
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
