@@ -18,6 +18,24 @@ import graft.sources.Tables
   * invisibly, commits once, and deletes originals only after the
   * commit.
   */
+/** Crash-injection points for the maintenance specs (the
+  * [[graft.sources.EpochCommitHooks]] pattern): [[SinkMaintain.promoteL0]]
+  * invokes these around its two-commit window — after the L1 replace
+  * lands, and again after the rewritten originals are unlinked but
+  * before the L0 drain commit. A spec arms one to throw, simulating a
+  * driver death INSIDE the promotion, and then proves the documented
+  * crash contract: the level-merged read stays bit-identical through
+  * the torn window (L0-wins suppresses the doubled rows) and a re-run
+  * converges. No-ops in production.
+  */
+private[graft] object MaintainHooks {
+  @volatile var afterL1Commit: () => Unit = () => ()
+  @volatile var beforeL0Commit: () => Unit = () => ()
+  def reset(): Unit = {
+    afterL1Commit = () => (); beforeL0Commit = () => ()
+  }
+}
+
 object SinkMaintain {
 
   /** The engine's complete staging-name vocabulary — every maintenance
@@ -304,11 +322,13 @@ object SinkMaintain {
     }
     // commit L1 first (see crash ordering above), then drain L0
     GenManifest.replace(l1Dir, conf, rewrite.map(_.name).toSet, runs)
+    MaintainHooks.afterL1Commit()
     rewrite.foreach { e =>
       val p = new org.apache.hadoop.fs.Path(l1Path, e.name)
       fs.delete(p, false)
       graft.sources.RangeSidecar.delete(fs, p)
     }
+    MaintainHooks.beforeL0Commit()
     GenManifest.replace(l0Dir, conf, l0.map(_.name).toSet, Seq.empty)
     l0.foreach { e =>
       val p = new org.apache.hadoop.fs.Path(l0Path, e.name)

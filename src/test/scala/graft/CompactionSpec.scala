@@ -185,6 +185,81 @@ class CompactionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no manifest"), e.getMessage)
   }
 
+  /** The q233 crash contract, EXECUTED: arm a [[graft.operators.MaintainHooks]]
+    * injection point inside the two-commit promotion window, die
+    * there, and prove what the promoteL0 scaladoc promises — the
+    * level-merged read is bit-identical THROUGH the torn window (the
+    * promoted rows exist in both levels, L0-wins suppresses the new
+    * copies; after the unlinks, the L1 manifest already carries the
+    * runs), a re-run converges to the uninterrupted result, and the
+    * crash's only residue is unreferenced garbage the sweep retires.
+    */
+  private def promoteCrash(point: String): Unit = {
+    import graft.operators.{MaintainHooks, SinkMaintain}
+    import graft.sources.{GenManifest, ProtoZstFiles}
+    val conf = ProtoZstFiles.hadoopConf()
+    val (l0, l1) = Compaction.buildLeveled(spark, sf0001)
+    def merged() = {
+      val d0 = spark.read.format("proto-zst").load(l0)
+      val d1 = spark.read.format("proto-zst").load(l1)
+      d0.unionByName(d1.join(d0.select(col("key")), Seq("key"), "left_anti"))
+        .select(decode(col("key"), "UTF-8"), size(col("columns")))
+        .collect().map(_.toString).distinct.sorted.toSeq
+    }
+    val before = merged()
+    val l0V = GenManifest.read(l0, conf).get.version
+    val killer: () => Unit =
+      () => throw new RuntimeException(s"injected promotion crash $point")
+    try {
+      if (point == "afterL1") MaintainHooks.afterL1Commit = killer
+      else MaintainHooks.beforeL0Commit = killer
+      val e = intercept[RuntimeException] {
+        SinkMaintain.promoteL0(spark, l0, l1)
+      }
+      assert(e.getMessage.contains("injected promotion crash"), e)
+    } finally MaintainHooks.reset()
+    // the torn window: L1 committed (runs live), L0 NOT drained — and
+    // the level-merged read is bit-identical anyway (L0 precedence)
+    val l1Mid = GenManifest.read(l1, conf).get
+    assert(l1Mid.entries.forall(_.name.startsWith("l1run-")),
+      "the L1 swap must be atomic — no mixed old/new level")
+    assert(GenManifest.read(l0, conf).get.version === l0V,
+      "the L0 drain must not have committed")
+    assert(GenManifest.read(l0, conf).get.entries.nonEmpty)
+    assert(merged() === before,
+      s"read diverged inside the $point torn window")
+    // recovery IS a re-run: the rewrite set re-derives from the two
+    // committed manifests, L0 drains, the level stays disjoint
+    SinkMaintain.promoteL0(spark, l0, l1)
+    assert(GenManifest.read(l0, conf).get.entries.isEmpty, "L0 not drained")
+    assert(merged() === before, s"re-promotion after $point diverged")
+    val runs = GenManifest.read(l1, conf).get.entries
+    def cmp(a: Array[Byte], b: Array[Byte]) =
+      java.util.Arrays.compareUnsigned(a, b)
+    runs.combinations(2).foreach { w =>
+      assert(cmp(w(0).min, w(1).max) > 0 || cmp(w(1).min, w(0).max) > 0,
+        s"${w(0).name} overlaps ${w(1).name} after crash recovery")
+    }
+    // the crash residue (undeleted rewrite originals / first-attempt
+    // runs replaced by the re-run) is manifest-invisible garbage: the
+    // sweep retires it and disk converges to exactly the committed set
+    SinkMaintain.vacuumUnreferenced(l1, graceMs = 0)
+    SinkMaintain.vacuumUnreferenced(l0, graceMs = 0)
+    assert(ProtoZstFiles.list(l1, conf).map(f =>
+        new org.apache.hadoop.fs.Path(f).getName).sorted.toSeq ===
+      runs.map(_.name).sorted.toSeq,
+      "disk must hold exactly the committed L1 set after the sweep")
+    assert(ProtoZstFiles.list(l0, conf).isEmpty)
+  }
+
+  test("q233 crash AFTER the L1 commit: reads hold through the torn window; re-run converges") {
+    promoteCrash("afterL1")
+  }
+
+  test("q233 crash BEFORE the L0 drain commit: reads hold; re-run converges") {
+    promoteCrash("beforeL0")
+  }
+
   test("q233 bounded-batch promotion drains the backlog and converges to the one-shot result") {
     import graft.operators.{SinkMaintain, Sink}
     import graft.sources.{GenManifest, ProtoZstFiles}

@@ -1324,6 +1324,89 @@ class ManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed cross-JVM stress: appends + replaces + vacuum + gc in 3 JVMs — nothing lost, doubled, or vacuumed alive") {
+    // the full-workload widening of the append-only stress that caught
+    // the torn-readdir ghost commit: three processes interleave every
+    // commit kind the engine issues, plus the unreferenced-file sweep,
+    // against one manifest; afterwards a QUIESCENT verifier replays
+    // each racer's op journal against checkpoint+tail state
+    val dir = freshDir("graft_man_mixed")
+    val R = 6
+    def mkFile(n: String, ageSec: Long = 0): Unit = {
+      val p = java.nio.file.Paths.get(dir, n)
+      java.nio.file.Files.write(p, Array[Byte](0x0a, 0x00))
+      if (ageSec > 0) java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageSec * 1000))
+    }
+    val sharedSmalls = (1 to R).flatMap(r =>
+      Seq(s"small-$r-1.proto.zst", s"small-$r-2.proto.zst"))
+    sharedSmalls.foreach(n => mkFile(n))
+    GenManifest.append(dir, conf, sharedSmalls.map(tinyEntry))
+    // stale unreferenced junk + abandoned staging: the sweep's true
+    // positives, aged past the racers' 30 s vacuum grace
+    val junk = Seq("junk-0.proto.zst", "junk-1.proto.zst")
+    junk.foreach(n => mkFile(n, ageSec = 120))
+    val v0 = GenManifest.read(dir, conf).get.version
+    val tags = Seq("a", "b", "c")
+    val procs = tags.map(t =>
+      spawnRaceCommit(dir, t, "24", "mixed", "20260816"))
+    val outs = tags.zip(procs).map { case (t, p) => t -> drainRacer(p, t) }
+    def lines(pfx: String): Seq[Array[String]] = outs.flatMap(_._2
+      .linesIterator.filter(_.startsWith(pfx)).map(_.split(" ")))
+    // 1. version arithmetic is exact: every journaled commit landed
+    //    exactly once (appends + own-packs + shared wins — vacuum and
+    //    log-gc never bump the version)
+    val totalCommits = lines("DONE ").map(_(2).toLong).sum
+    val s = GenManifest.read(dir, conf).get
+    assert(s.version === v0 + totalCommits,
+      s"v0=$v0 commits=$totalCommits head=${s.version}: a commit was " +
+        "lost or doubled")
+    // 2. shared-round arbitration under ANY interleaving: a round's
+    //    smalls exist until someone wins, so any attempted seeded
+    //    round has EXACTLY one winner; unseeded rounds (> R) only lose
+    val roundLines = lines("ROUND ")
+    val byRound = roundLines.groupBy(_(1).toInt)
+    assert(byRound.keySet.exists(_ <= R), "no shared round was attempted")
+    byRound.foreach { case (r, ls) =>
+      val wins = ls.count(_(2) == "WIN")
+      if (r <= R) assert(wins === 1,
+        s"seeded round $r: $wins winners of ${ls.length} attempts")
+      else assert(wins === 0, s"unseeded round $r won $wins times")
+    }
+    // 3. the final entry set is EXACTLY the journals' fold: per racer
+    //    adds minus own-packed smalls plus packs, plus the shared
+    //    outcome per round
+    val added = lines("ADD ").map(_(2))
+    val ownPacks = lines("OWNPACK ")
+    val consumed = ownPacks.flatMap(l => Seq(l(3), l(4))).toSet
+    val wonRounds = roundLines.filter(_(2) == "WIN")
+      .map(l => l(1).toInt -> outs.find(_._2.contains(
+        s"ROUND ${l(1)} WIN")).get._1).toMap
+    val expected = (added.filterNot(consumed) ++ ownPacks.map(_(2)) ++
+      wonRounds.map { case (r, t) => s"spack-$r-$t.proto.zst" } ++
+      (1 to R).filterNot(wonRounds.contains)
+        .flatMap(r => Seq(s"small-$r-1.proto.zst", s"small-$r-2.proto.zst")))
+      .sorted
+    val names = s.entries.map(_.name).sorted
+    assert(names.toSeq === expected.toSeq,
+      "final manifest diverged from the journals' fold")
+    assert(names.distinct.length === names.length, "doubled entry name")
+    // 4. the sweep deleted no live file: every committed entry's bytes
+    //    are still on disk…
+    names.foreach { n =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n)),
+        s"live file $n was vacuumed mid-race")
+    }
+    // …and it DID do its job on the aged junk (the deterministic op
+    // walk for this seed runs several sweeps; junk aged past grace)
+    assert(lines("VACUUM ").nonEmpty, "no racer ran the sweep")
+    junk.foreach { n =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n)),
+        s"stale junk $n survived ${lines("VACUUM ").length} sweeps")
+    }
+  }
+
   test("two concurrent OPTIMIZEs of the same smalls leave exactly one pack — rows never double") {
     val dir = freshDir("graft_man_2opt")
     Sink.writeNested(CellModel.nestRows(spark, sf0001)
