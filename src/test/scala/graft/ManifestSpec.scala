@@ -1241,6 +1241,56 @@ class ManifestSpec extends AnyFunSuite {
     assert(ok.version === won.version + 1)
     assert(ok.entries.map(_.name).toSet ===
       Set("erased-1.proto.zst", "packed-ok.proto.zst"))
+    // the ADD side is guarded too: an add name already committed
+    // OUTSIDE the remove set (another maintenance landed the same
+    // pack, or a caller staged a non-unique name) would duplicate the
+    // entry — the direct filterNot++add build lacks commit()'s by-name
+    // normalization, so it must refuse instead
+    val dup = intercept[GenManifest.ConcurrentMaintenanceException] {
+      GenManifest.replace(dir, conf, Set("packed-ok.proto.zst"),
+        Seq(tinyEntry("erased-1.proto.zst")))
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    assert(GenManifest.read(dir, conf).get.version === ok.version)
+    // …while re-adding a name the SAME swap removes stays legal (an
+    // in-place rewrite keeping the name)
+    val rw = GenManifest.replace(dir, conf, Set("erased-1.proto.zst"),
+      Seq(tinyEntry("erased-1.proto.zst")))
+    assert(rw.entries.map(_.name).count(_ == "erased-1.proto.zst") === 1)
+  }
+
+  test("commits through a symlinked spelling of the table dir share one lock monitor") {
+    // two PATH SPELLINGS of one directory must serialize on one JVM
+    // monitor (the flock file is shared either way, and two threads on
+    // one channel-less lock file throw OverlappingFileLockException
+    // rather than block): the monitor key is the canonicalized real
+    // path, and an overlap that still slips through degrades to the
+    // optimistic protocol instead of escaping as a RuntimeException
+    val real = freshDir("graft_man_sym")
+    val alias = java.nio.file.Files.createTempDirectory("graft_man_alias")
+    java.nio.file.Files.delete(alias)
+    java.nio.file.Files.createSymbolicLink(alias,
+      java.nio.file.Paths.get(real))
+    val n = 12
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = (0 until 2).map { t =>
+        val via = if (t == 0) real else alias.toString
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (1 to n).foreach { i =>
+            GenManifest.append(via, conf,
+              Seq(tinyEntry(s"sym-$t-$i.proto.zst")))
+          }
+        })
+      }
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    val s = GenManifest.read(real, conf).get
+    assert(s.entries.length === 2 * n, "a commit was lost")
+    assert(s.version >= 2L * n, s"v=${s.version}")
+    assert(GenManifest.read(alias.toString, conf).get.entries
+      .map(_.name).sorted === s.entries.map(_.name).sorted,
+      "the two spellings must read one log")
   }
 
   test("replace-vs-replace thread race: every round exactly one winner, the loser refused") {

@@ -756,6 +756,82 @@ class PipelineSpec extends AnyFunSuite {
     q208CrashRestart("after")
   }
 
+  /** q255's crash-restart contract — the q208 proof extended to the
+    * STATEFUL stream: kill the near-dup screen around its second data
+    * epoch's manifest commit, restart from the same checkpoint (RocksDB
+    * state restores to the pre-crash batch, the replayed arrivals are
+    * the at-least-once case the processor's event-time verdicts make
+    * deterministic), and prove the read-back equals the uninterrupted
+    * run's batch twin with exactly one manifest epoch surviving.
+    */
+  private def q255CrashRestart(killPoint: String): Unit = {
+    import graft.sources.{EpochCommitHooks, GenManifest, ProtoZstFiles}
+    val docs = Tables.documents(spark, sf0001)
+    val inv = StreamCurate.boilerInventory(spark, sf0001)
+    val rates = StreamCurate.mixtureRates(spark, sf0001)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ndsc_src")
+      .toFile.getAbsolutePath
+    docs.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    docs.filter(col("doc_id") >= mid).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def leg = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    def fresh(p: String) = java.nio.file.Files.createTempDirectory(p)
+      .toFile.getAbsolutePath
+    val out = fresh("graft_ndsc_out"); val ck = fresh("graft_ndsc_ck")
+    val conf = ProtoZstFiles.hadoopConf()
+    try {
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val killer: Long => Unit = e =>
+        if (e >= 1L && armed.compareAndSet(true, false))
+          throw new RuntimeException(
+            s"injected driver crash $killPoint epoch commit")
+      if (killPoint == "before") EpochCommitHooks.beforeCommit = killer
+      else EpochCommitHooks.afterCommit = killer
+      val crashed = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        StreamCurate.streamNearDupRun(spark, leg, inv, rates, out, ck)
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(crashed).exists(c =>
+        String.valueOf(c.getMessage).contains("injected driver crash")),
+        chain(crashed).map(_.toString).mkString("\n"))
+      EpochCommitHooks.reset()
+      // restart from the SAME checkpoint; AvailableNow drains the
+      // replayed batch and terminates
+      StreamCurate.streamNearDupRun(spark, leg, inv, rates, out, ck)
+      val got = StreamCurate.nearDupReadBack(spark, out)
+        .collect().map(_.mkString("|")).sorted
+      val want = StreamCurate.nearDupBatchTwin(docs, inv, rates,
+        Some(StreamCurate.NdsHorizonDocs))
+        .collect().map(_.mkString("|")).sorted
+      assert(got.toSeq === want.toSeq,
+        s"$killPoint-crash restart diverged from the batch twin")
+      // epoch ledger: only the max committed epoch is retained per
+      // query and nothing committed twice — the landed file set is
+      // exactly the manifest's
+      val s = GenManifest.read(out, conf).getOrElse(fail("no manifest"))
+      assert(s.epochs.size === 1 && s.epochs.forall(_.endsWith("/1")),
+        s.epochs)
+      val listed = ProtoZstFiles.list(out, conf).map(f =>
+        new org.apache.hadoop.fs.Path(f).getName).sorted
+      assert(s.entries.map(_.name).sorted.toSeq === listed.toSeq,
+        "disk diverged from the committed entry set")
+    } finally EpochCommitHooks.reset()
+  }
+
+  test("q255 crash BEFORE its epoch commit: stateful restart lands the batch exactly once") {
+    q255CrashRestart("before")
+  }
+
+  test("q255 crash AFTER its epoch commit: the stateful replay is refused, files spared") {
+    q255CrashRestart("after")
+  }
+
   test("q210 hybrid fusion: RRF arithmetic, pool bounds, dense ranks = q19") {
     import graft.operators.Retrieval
     val rows = Retrieval.hybridRrf(spark, sf0001).collect().map { r =>
