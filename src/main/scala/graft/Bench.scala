@@ -86,6 +86,7 @@ object Bench {
         graft.operators.Quality.warmFixtures(spark, sfDir)
         graft.operators.Retrieval.warmFixtures(spark, sfDir)
         graft.operators.Classifier.warmFixtures(spark, sfDir)
+        graft.operators.StreamCurate.warmFixtures(spark, sfDir)
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fixture warm failed: ${e.getMessage}")

@@ -72,7 +72,6 @@ object QueryTraits {
     "q206_ttl_expire",
     "q207_window_compact",
     "q208_stream_curate",
-    "q211_ingest_sweep",
     "q212_packed_release",
     "q213_packed_erasure",
     "q215_stream_index_ingest",

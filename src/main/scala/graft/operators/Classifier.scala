@@ -75,7 +75,9 @@ object Classifier {
     * oracle's `fall` CTE.
     */
   private[graft] def featureCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread: the gram-hash featurization below is md5-per-gram heavy
+    // and otherwise runs fused to a single-split scan (one core)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 1)
       .withColumn("grams", concat(col("ws"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import scala.jdk.CollectionConverters._
 
 import graft.sources.Tables
 
@@ -71,9 +72,13 @@ object Streaming extends Serializable {
     q.awaitTermination()
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
       q.recentProgress.foreach { p =>
-        val st = p.stateOperators.map(s =>
+        val st = p.stateOperators.map { s =>
+          val cm = s.customMetrics.asScala.toSeq.sortBy(_._1)
+            .filter(_._2 != 0).map { case (k, v) => s"$k=$v" }
+            .mkString(",")
           s"${s.operatorName}: rows=${s.numRowsTotal} upd=${s.numRowsUpdated} " +
-            s"rem=${s.numRowsRemoved} commitMs=${s.commitTimeMs}")
+            s"rem=${s.numRowsRemoved} commitMs=${s.commitTimeMs} custom[$cm]"
+        }
           .mkString("; ")
         System.err.println(
           s"[$label] batch=${p.batchId} rows=${p.numInputRows} " +

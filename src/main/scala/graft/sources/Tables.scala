@@ -58,6 +58,48 @@ object Tables {
     schemas.getOrElseUpdate((dir, name),
       spark.read.parquet(s"$dir/$name.parquet").schema)
 
+  /** Scan-parallelism rescue for HEAVY ROW-LOCAL compute (md5-grain
+    * hashing ladders, per-token featurization) that would otherwise run
+    * fused to the scan stage: the test tables are single-file,
+    * single-row-group parquet, so every scan is ONE task and everything
+    * codegen-fused onto it runs on one core of `local[N]` (guide §2.5's
+    * "one huge unsplittable file" input-skew case — the fix is
+    * "repartition immediately after the read").
+    *
+    * GUARDED to be scale-adaptive, not a local[32] constant: the
+    * exchange is added ONLY when the scan's file count cannot feed the
+    * session's cores. A production multi-file dataset (thousands of
+    * row-group-sized files at 100 TB) already scans at full
+    * parallelism, so the guard disarms itself and adds no shuffle —
+    * while any deployment that hits one fat unsplittable file gets the
+    * same rescue this sandbox needs. Round-robin repartition keeps
+    * rows deterministic under retries (sortBeforeRepartition is on by
+    * default) and every consumer here is key-keyed aggregation/join
+    * logic whose RESULT is partitioning-independent (exact-integer
+    * arithmetic only — the engine-wide oracle discipline).
+    */
+  private[graft] def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= want) df else df.repartition(want)
+  }
+
+  /** [[spread]] for a STREAMING source over a testdata table: a
+    * micro-batch of the file stream scans with the same
+    * one-split-per-file layout as the batch reader, so the same
+    * one-core fusion hits every md5-heavy gate ladder inside
+    * `addBatch`. The guard consults the BATCH listing of the same
+    * table (the stream frame cannot be listed at build time); the
+    * repartition lands INSIDE each micro-batch, upstream of the
+    * stateful operator's own hash exchange, so watermarks, state keys
+    * and results are untouched.
+    */
+  private[graft] def spreadStream(spark: SparkSession, dir: String,
+      name: String, sdf: DataFrame): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    if (apply(spark, dir, name).inputFiles.length >= want) sdf
+    else sdf.repartition(want)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events" &&
         !org.apache.spark.sql.graft.Shim.confExplicitlySet(spark, NanosConf))

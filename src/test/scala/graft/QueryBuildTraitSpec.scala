@@ -103,6 +103,7 @@ class QueryBuildTraitSpec extends AnyFunSuite {
     graft.operators.Quality.warmFixtures(spark, sf0001)
     graft.operators.Retrieval.warmFixtures(spark, sf0001)
     graft.operators.Classifier.warmFixtures(spark, sf0001)
+    graft.operators.StreamCurate.warmFixtures(spark, sf0001)
     settle()
     val restorePrelude = graft.operators.SessionCaches.snapshotAll()
 
