@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
 import graft.functions.Portable
 import graft.functions.Portable._
 import graft.operators.Checkpoints._
@@ -637,8 +638,12 @@ object Dedup {
             .as("h"))
       else {
         val ex = d.select(col("doc_id"), explode(col("hsh")).as("h"))
-        val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        ex.join(freq, "h")
+        // df via a window over the SAME h-shuffle the old
+        // groupBy+equi-join needed — one exchange of the exploded
+        // frame instead of an aggregation plus a join back onto it
+        // (identical (doc_id, h, df) rows; the rank only needs the
+        // count per h)
+        ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(struct(col("df"), col("h"))))
             .as("ranked"))

@@ -335,7 +335,9 @@ object Retrieval {
     * through q142's term-postings equi-join first.
     */
   def contextAssembly(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // spread: per-chunk md5 + the broadcast query-scoring BNLJ below
+    // otherwise run fused to a one-split scan
+    val d = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
     val qterms = d.filter(col("doc_id") < CtxNQ)
