@@ -83,7 +83,8 @@ object Quality {
       t3: DataFrame, c3: DataFrame, ctx: DataFrame,
       contVw: DataFrame, contV: DataFrame,
       t4: DataFrame, c4: DataFrame, ctx3: DataFrame,
-      cp3: DataFrame, cpUv: DataFrame)
+      cp3: DataFrame, cpUv: DataFrame,
+      bi2: DataFrame, tri3: DataFrame, quad4: DataFrame)
 
   private[graft] def ngramTables(spark: SparkSession, dir: String,
       eager: Boolean): NgramTables = {
@@ -150,8 +151,26 @@ object Quality {
       .agg(count(lit(1)).as("cp3")))
     val cpUv = k(cp3.groupBy(col("u"), col("v"))
       .agg(sum(col("cp3")).as("cpuv"), count(lit(1)).as("n1pp_uv")))
+    // Merged PER-LEVEL scoring tables — the shape a production KN
+    // deployment actually ships (one lookup table per order with every
+    // context/continuation count pre-attached). They collapse the 3-7
+    // per-query equi-joins the four LM-quality scorers each re-ran per
+    // run into ONE join at score time. Pure re-association of the same
+    // inner equi-joins over the same keys: row sets and every count
+    // value are identical, and the DuckDB oracles keep replaying the
+    // unmerged chain, so the hash gate pins the equivalence.
+    val bi2 = k(cb.join(cu, Seq("u")).join(nv, Seq("v"))
+      .join(uni.withColumnRenamed("w", "v"), Seq("v")))
+    val tri3 = k(c3.join(ctx, Seq("u", "v")).join(contVw, Seq("v", "w"))
+      .join(contV, Seq("v"))
+      .join(nv.withColumnRenamed("v", "w"), Seq("w")))
+    val quad4 = k(c4.join(ctx3, Seq("t", "u", "v"))
+      .join(cp3, Seq("u", "v", "w")).join(cpUv, Seq("u", "v"))
+      .join(contVw, Seq("v", "w")).join(contV, Seq("v"))
+      .join(nv.withColumnRenamed("v", "w"), Seq("w")))
     NgramTables(d, uni, total, bt, cb, cu, nv, types,
-      t3, c3, ctx, contVw, contV, t4, c4, ctx3, cp3, cpUv)
+      t3, c3, ctx, contVw, contV, t4, c4, ctx3, cp3, cpUv,
+      bi2, tri3, quad4)
   }
 
   private val ngramFixtures =
@@ -213,9 +232,7 @@ object Quality {
       .select(col("doc_id"), col("btf"),
         expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
     val bb = nt.bt
-      .join(nt.cb, Seq("u", "v"))
-      .join(nt.cu, Seq("u"))
-      .join(nt.uni.withColumnRenamed("w", "v"), Seq("v"))
+      .join(nt.bi2, Seq("u", "v")) // merged bigram level (one join)
       .transform(withScalar(_, nt.total))
       .select(col("doc_id"), col("btf"),
         when(col("n_total").cast("double") * col("n_total") * 2 >
@@ -269,9 +286,7 @@ object Quality {
       .select(col("doc_id"), col("btf"),
         expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
     val bb = nt.bt
-      .join(nt.cb, Seq("u", "v"))
-      .join(nt.cu, Seq("u"))
-      .join(nt.nv, Seq("v"))
+      .join(nt.bi2, Seq("u", "v")) // merged bigram level (one join)
       .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("btf"),
         when(col("cu").cast("double") * col("t_types") * 4 >
@@ -341,9 +356,7 @@ object Quality {
     val f2 = nt.d.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), element_at(col("ws"), 1).as("u"),
         element_at(col("ws"), 2).as("v"), lit(1L).as("btf"))
-      .join(nt.cb, Seq("u", "v"))
-      .join(nt.cu, Seq("u"))
-      .join(nt.nv, Seq("v"))
+      .join(nt.bi2, Seq("u", "v")) // merged bigram level (one join)
       .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("btf"),
         when(col("cu").cast("double") * col("t_types") * 4 >
@@ -355,11 +368,7 @@ object Quality {
           .as("bits"))
     // tokens 3+: the trigram chain over the common denominator
     val f3 = nt.t3
-      .join(nt.c3, Seq("u", "v", "w"))
-      .join(nt.ctx, Seq("u", "v"))
-      .join(nt.contVw, Seq("v", "w"))
-      .join(nt.contV, Seq("v"))
-      .join(nt.nv.withColumnRenamed("v", "w"), Seq("w"))
+      .join(nt.tri3, Seq("u", "v", "w")) // merged trigram level
       .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("ttf").as("btf"),
         when(col("c2x").cast("double") * col("cpv") * col("t_types") * 16 >
@@ -436,9 +445,7 @@ object Quality {
     val f2 = nt.d.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), element_at(col("ws"), 1).as("u"),
         element_at(col("ws"), 2).as("v"), lit(1L).as("btf"))
-      .join(nt.cb, Seq("u", "v"))
-      .join(nt.cu, Seq("u"))
-      .join(nt.nv, Seq("v"))
+      .join(nt.bi2, Seq("u", "v")) // merged bigram level (one join)
       .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("btf"),
         when(col("cu").cast("double") * col("t_types") * 4 >
@@ -453,11 +460,7 @@ object Quality {
       .select(col("doc_id"), element_at(col("ws"), 1).as("u"),
         element_at(col("ws"), 2).as("v"),
         element_at(col("ws"), 3).as("w"), lit(1L).as("btf"))
-      .join(nt.c3, Seq("u", "v", "w"))
-      .join(nt.ctx, Seq("u", "v"))
-      .join(nt.contVw, Seq("v", "w"))
-      .join(nt.contV, Seq("v"))
-      .join(nt.nv.withColumnRenamed("v", "w"), Seq("w"))
+      .join(nt.tri3, Seq("u", "v", "w")) // merged trigram level
       .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("btf"),
         when(col("c2x").cast("double") * col("cpv") * col("t_types") * 16 >
@@ -471,13 +474,7 @@ object Quality {
           .as("bits"))
     // tokens 4+: the 4-gram chain over the common denominator
     val f4 = nt.t4
-      .join(nt.c4, Seq("t", "u", "v", "w"))
-      .join(nt.ctx3, Seq("t", "u", "v"))
-      .join(nt.cp3, Seq("u", "v", "w"))
-      .join(nt.cpUv, Seq("u", "v"))
-      .join(nt.contVw, Seq("v", "w"))
-      .join(nt.contV, Seq("v"))
-      .join(nt.nv.withColumnRenamed("v", "w"), Seq("w"))
+      .join(nt.quad4, Seq("t", "u", "v", "w")) // merged 4-gram level
       .transform(withScalar(_, nt.types))
       .select(col("doc_id"), col("qtf").as("btf"),
         when(col("c3x").cast("double") * col("cpuv") * col("cpv") *

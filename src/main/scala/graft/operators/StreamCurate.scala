@@ -258,7 +258,15 @@ object StreamCurate {
     */
   private[graft] def modelKeep(wmap: Map[Long, Long]): Column = {
     import graft.functions.Portable.{hash60, words}
-    val wlit = typedLit(wmap)
+    // The model is DENSE over [0, ClfBuckets): ship it as an ARRAY
+    // literal indexed by bucket, not a map literal — Catalyst's
+    // element_at on a map literal is a LINEAR key scan per access,
+    // which this gate pays once per gram per document (measured ~1 s
+    // over the sf0.1 corpus at 256 buckets); the array index is O(1)
+    // and the values are identical (absent buckets are weight 0, the
+    // exact semantics the old coalesce(..., 0) gave).
+    val warr = typedLit(
+      (0L until Curation.ClfBuckets).map(b => wmap.getOrElse(b, 0L)))
     val maxw = if (wmap.isEmpty) 0L else wmap.values.map(math.abs).max
     val ws = words(col("text"))
     val grams = concat(ws,
@@ -266,9 +274,9 @@ object StreamCurate {
         slice(ws, lit(2), size(ws) - 1),
         (a, b) => concat(a, lit(" "), b)))
     val score = aggregate(
-      transform(grams, g => coalesce(element_at(wlit,
-        pmod(hash60(concat(lit("feat:"), g)), lit(Curation.ClfBuckets))),
-        lit(0L))),
+      transform(grams, g => element_at(warr,
+        (pmod(hash60(concat(lit("feat:"), g)), lit(Curation.ClfBuckets))
+          + 1).cast("int"))),
       lit(0L), (acc, x) => acc + x)
     // the q249 overflow discipline, row-local: max|w| is a driver-side
     // constant, so |score| ≤ max|w|·n_grams bounds in-plan
