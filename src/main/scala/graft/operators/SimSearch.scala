@@ -602,13 +602,8 @@ object SimSearch {
     // total in-plan as a broadcast 1-row aggregate instead of a
     // driver-side count()
     val tot = b.agg(count(lit(1)).as("n_brute"))
-    def row(method: String, approx: DataFrame): DataFrame =
-      approx.select(col("q_id"), col("vec_id"))
-        .join(b, Seq("q_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .transform(withScalar(_, tot))
-        .select(lit(method).as("method"), col("n_hits"), col("n_brute"),
-          expr("n_hits * 1000 DIV n_brute").as("recall_milli"))
+    def tag(method: String, approx: DataFrame): DataFrame =
+      approx.select(lit(method).as("method"), col("q_id"), col("vec_id"))
     // the q209 adaptive prober joins the same ladder under a TRUE
     // predicate (all cells qualify): its recall floor is audited
     // against the SAME brute truth as the static methods, so a
@@ -618,14 +613,32 @@ object SimSearch {
       .select(col("vec_id"), qvec(col("embedding")).as("qv"), col("label"))
       .withColumn("n2", norm2(col("qv")))
       .cp()
-    row("ivf", annIvf(spark, dir))
-      .unionByName(row("lsh", annLsh(spark, dir)))
-      .unionByName(row("pq", AnnPq.annPq(spark, dir)))
-      .unionByName(row("ivfpq", AnnPq.annIvfPq(spark, dir)))
-      .unionByName(row("matryoshka", annMatryoshka(spark, dir)))
-      .unionByName(row("ivf_adaptive", adaptiveFiltered(e0,
+    // ONE tagged union -> ONE semi-join against the brute truth -> ONE
+    // grouped count, instead of the former per-method semi-join + agg
+    // + scalar cross-join ladder (6x the stages for identical rows).
+    // The left join back onto the literal method list keeps the
+    // n_hits=0 row a zero-recall method used to get from its
+    // ungrouped agg — without it such a method would silently vanish.
+    val methods = Seq("ivf", "lsh", "pq", "ivfpq", "matryoshka",
+      "ivf_adaptive")
+    val tagged = tag("ivf", annIvf(spark, dir))
+      .unionByName(tag("lsh", annLsh(spark, dir)))
+      .unionByName(tag("pq", AnnPq.annPq(spark, dir)))
+      .unionByName(tag("ivfpq", AnnPq.annIvfPq(spark, dir)))
+      .unionByName(tag("matryoshka", annMatryoshka(spark, dir)))
+      .unionByName(tag("ivf_adaptive", adaptiveFiltered(e0,
         centroidFixture(spark, dir, NCells), lit(true), CandFloor,
         MaxProbe)))
+    val hits = tagged
+      .join(b, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    import spark.implicits._
+    methods.toDF("method")
+      .join(hits, Seq("method"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .transform(withScalar(_, tot))
+      .select(col("method"), col("n_hits"), col("n_brute"),
+        expr("n_hits * 1000 DIV n_brute").as("recall_milli"))
   }
 
   /** q205: FILTERED-SEARCH RECALL — closes q85's loop the way q45
