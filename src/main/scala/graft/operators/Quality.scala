@@ -159,8 +159,7 @@ object Quality {
     // inner equi-joins over the same keys: row sets and every count
     // value are identical, and the DuckDB oracles keep replaying the
     // unmerged chain, so the hash gate pins the equivalence.
-    val bi2 = k(cb.join(cu, Seq("u")).join(nv, Seq("v"))
-      .join(uni.withColumnRenamed("w", "v"), Seq("v")))
+    val bi2 = k(cb.join(cu, Seq("u")).join(nv, Seq("v")))
     val tri3 = k(c3.join(ctx, Seq("u", "v")).join(contVw, Seq("v", "w"))
       .join(contV, Seq("v"))
       .join(nv.withColumnRenamed("v", "w"), Seq("w")))
@@ -232,7 +231,9 @@ object Quality {
       .select(col("doc_id"), col("btf"),
         expr("length(bin(n_total DIV cnt)) - 1").as("bits"))
     val bb = nt.bt
-      .join(nt.bi2, Seq("u", "v")) // merged bigram level (one join)
+      .join(nt.cb, Seq("u", "v"))
+      .join(nt.cu, Seq("u"))
+      .join(nt.uni.withColumnRenamed("w", "v"), Seq("v"))
       .transform(withScalar(_, nt.total))
       .select(col("doc_id"), col("btf"),
         when(col("n_total").cast("double") * col("n_total") * 2 >

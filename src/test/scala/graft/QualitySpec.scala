@@ -387,4 +387,28 @@ class QualitySpec extends AnyFunSuite {
     assert(got.exists(r => tri(r._1)._2 != r._5),
       "4-gram KN terciles identical to trigram KN — no added stratification")
   }
+
+  test("r15 merged KN level tables equal the unmerged count-table joins") {
+    // bi2/tri3/quad4 are pure re-associations of the same inner
+    // equi-joins the scorers used to run per query; any drift here
+    // would silently move four oracle-hashed quality stratifiers
+    val nt = Quality.ngramTablesCached(spark, sf0001)
+    val bi = nt.cb.join(nt.cu, Seq("u")).join(nt.nv, Seq("v"))
+    assert(nt.bi2.count() === bi.count())
+    assert(nt.bi2.select(bi.columns.map(col): _*).except(bi).isEmpty &&
+      bi.except(nt.bi2.select(bi.columns.map(col): _*)).isEmpty)
+    val tri = nt.c3.join(nt.ctx, Seq("u", "v"))
+      .join(nt.contVw, Seq("v", "w")).join(nt.contV, Seq("v"))
+      .join(nt.nv.withColumnRenamed("v", "w"), Seq("w"))
+    assert(nt.tri3.count() === tri.count())
+    assert(nt.tri3.select(tri.columns.map(col): _*).except(tri).isEmpty &&
+      tri.except(nt.tri3.select(tri.columns.map(col): _*)).isEmpty)
+    val quad = nt.c4.join(nt.ctx3, Seq("t", "u", "v"))
+      .join(nt.cp3, Seq("u", "v", "w")).join(nt.cpUv, Seq("u", "v"))
+      .join(nt.contVw, Seq("v", "w")).join(nt.contV, Seq("v"))
+      .join(nt.nv.withColumnRenamed("v", "w"), Seq("w"))
+    assert(nt.quad4.count() === quad.count())
+    assert(nt.quad4.select(quad.columns.map(col): _*).except(quad).isEmpty &&
+      quad.except(nt.quad4.select(quad.columns.map(col): _*)).isEmpty)
+  }
 }
