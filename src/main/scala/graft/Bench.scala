@@ -87,6 +87,7 @@ object Bench {
         graft.operators.Retrieval.warmFixtures(spark, sfDir)
         graft.operators.Classifier.warmFixtures(spark, sfDir)
         graft.operators.StreamCurate.warmFixtures(spark, sfDir)
+        graft.operators.Dedup.warmFixtures(spark, sfDir)
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fixture warm failed: ${e.getMessage}")

@@ -600,7 +600,7 @@ object Curation {
     val qual = TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("quality_bucket"))
     val keeper = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
-    val near = Dedup.dedupMinhash(spark, dir)
+    val near = Dedup.minhashPairsCached(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
     val rates = mixturePlan(spark, dir).select(col("lang"), col("rate_milli"))

@@ -43,7 +43,7 @@ object Decontam {
         when(col("m") < Curation.SplitTrainMilli, "train")
           .when(col("m") < Curation.SplitValMilli, "val")
           .otherwise("test").as("split"))
-    val pairs = Dedup.dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = Dedup.minhashPairsCached(spark, dir).select(col("doc_a"), col("doc_b"))
     pairs
       .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
         "doc_a")
@@ -127,7 +127,7 @@ object Decontam {
       .select(col("doc_id"))
     val train = split.filter(col("m") < Curation.SplitTrainMilli)
       .select(col("doc_id").as("partner"))
-    val pairs = Dedup.dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = Dedup.minhashPairsCached(spark, dir).select(col("doc_a"), col("doc_b"))
     val pairLeaked = pairs
       .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
       .unionByName(pairs
@@ -175,7 +175,7 @@ object Decontam {
       .join(Dedup.dedupExact(spark, dir).filter(col("n_copies") >= 2)
         .select(col("content_hash")), "content_hash")
       .select(col("doc_id")).withColumn("is_exact", lit(1L))
-    val pairs = Dedup.dedupMinhash(spark, dir)
+    val pairs = Dedup.minhashPairsCached(spark, dir)
     val near = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct().withColumn("is_near", lit(1L))

@@ -48,7 +48,7 @@ object DedupClusters {
     * without it every round would re-run the whole minhash pipeline.
     */
   private def pairGraph(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupMinhash(spark, dir)
+    val pairs = Dedup.minhashPairsCached(spark, dir)
       .select(col("doc_a"), col("doc_b")).cp()
     pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
   }
@@ -289,7 +289,7 @@ object DedupClusters {
     * key. Nothing here rescans documents or embeddings.
     */
   def modalAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val t = Dedup.dedupMinhash(spark, dir)
+    val t = Dedup.minhashPairsCached(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(1).as("text_dup"))
     val g = Dedup.dedupEmbed(spark, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),

@@ -104,6 +104,7 @@ class QueryBuildTraitSpec extends AnyFunSuite {
     graft.operators.Retrieval.warmFixtures(spark, sf0001)
     graft.operators.Classifier.warmFixtures(spark, sf0001)
     graft.operators.StreamCurate.warmFixtures(spark, sf0001)
+    graft.operators.Dedup.warmFixtures(spark, sf0001)
     settle()
     val restorePrelude = graft.operators.SessionCaches.snapshotAll()
 
