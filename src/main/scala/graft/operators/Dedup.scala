@@ -164,6 +164,14 @@ object Dedup {
         dedupMinhash(spark, dir).cp(eager = true))
     }
 
+  /** Audit hook (see [[SimSearch.fixturePlans]]): the un-cached pair
+    * pipeline for SCALE.md's `fixture:*` rows — q15's own row shows
+    * the post-build frame once the pair set is session-cached.
+    */
+  private[graft] def auditPlans(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] =
+    Seq("fixture:minhash_pairs" -> dedupMinhash(spark, dir))
+
   /** Bench prelude hook (see [[DedupClusters.warmFixtures]]). */
   def warmFixtures(spark: SparkSession, dir: String): Unit = {
     minhashPairsCached(spark, dir)

@@ -619,6 +619,7 @@ object Quality {
   private[graft] def auditPlans(spark: SparkSession,
       dir: String): Seq[(String, DataFrame)] =
     Seq("fixture:eval_slate" -> evalSlate(spark, dir),
+      "fixture:ccnet_buckets" -> ccnetBuckets(spark, dir),
       // the n-gram fixture's deepest chain (docs → 4-gram tf → type
       // counts); the bigram/trigram chains are shape-prefixes of it
       // and the remaining tables are vocab-grain folds

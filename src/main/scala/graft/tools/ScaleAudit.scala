@@ -150,7 +150,8 @@ object ScaleAudit {
         graft.operators.Releases.auditPlans(spark, dir) ++
         graft.operators.Quality.auditPlans(spark, dir) ++
         graft.operators.Retrieval.auditPlans(spark, dir) ++
-        graft.operators.Classifier.auditPlans(spark, dir))
+        graft.operators.Classifier.auditPlans(spark, dir) ++
+        graft.operators.Dedup.auditPlans(spark, dir))
         .foreach { case (name, df) =>
           val (shuffles, bcasts, joins, pushed) =
             planFacts(df.queryExecution.executedPlan.toString)
